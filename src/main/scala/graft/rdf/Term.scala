@@ -29,8 +29,20 @@ sealed trait Term {
 }
 final case class Iri(value: String) extends Term { def lex: String = value }
 final case class BNode(id: String) extends Term { def lex: String = id }
-final case class Lit(lex: String, dt: String = XSD.string, lang: String = "")
+sealed abstract case class Lit private[rdf] (lex: String, dt: String, lang: String)
     extends Term
+
+object Lit {
+  /** Smart constructor enforcing RDF 1.1: a language-tagged literal's
+    * datatype IS rdf:langString, always — so two spellings of the same
+    * term can't produce different structs (struct equality = term
+    * identity must hold for joins/grouping). The abstract-case-class
+    * pattern suppresses the synthesized apply/copy that would bypass
+    * this normalization. */
+  def apply(lex: String, dt: String = XSD.string, lang: String = ""): Lit =
+    if (lang.nonEmpty) new Lit(lex, XSD.langString, lang.toLowerCase) {}
+    else new Lit(lex, dt, "") {}
+}
 
 object XSD {
   val ns = "http://www.w3.org/2001/XMLSchema#"
@@ -42,11 +54,27 @@ object XSD {
   val boolean = ns + "boolean"
   val date = ns + "date"
   val dateTime = ns + "dateTime"
+  val time = ns + "time"
   val langString = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
   val anyURI = ns + "anyURI"
 
-  /** Numeric datatypes participating in XPath-style promotion. */
-  val numeric: Set[String] = Set(integer, decimal, double, float)
+  /** xsd:integer and its derived types — all promote like integer. */
+  val integerFamily: Set[String] = Set(
+    integer,
+    ns + "long", ns + "int", ns + "short", ns + "byte",
+    ns + "nonNegativeInteger", ns + "nonPositiveInteger",
+    ns + "negativeInteger", ns + "positiveInteger",
+    ns + "unsignedLong", ns + "unsignedInt",
+    ns + "unsignedShort", ns + "unsignedByte"
+  )
+
+  /** Numeric datatypes participating in XPath-style promotion
+    * (integer-derived types included — SPARQL arithmetic/comparison
+    * must treat xsd:long etc. as numeric, like rdf4j's MathUtil). */
+  val numeric: Set[String] = integerFamily ++ Set(decimal, double, float)
+
+  /** Exact (non-floating) numerics: computed in DecimalType. */
+  val exactNumeric: Set[String] = integerFamily + decimal
 }
 
 object RDF {
@@ -93,6 +121,7 @@ object TermSchema {
       case TermKind.IRI     => Iri(r.getString(1))
       case TermKind.BNODE   => BNode(r.getString(1))
       case TermKind.LITERAL => Lit(r.getString(1), r.getString(2), r.getString(3))
+      case k => throw new IllegalArgumentException(s"unknown term kind: $k")
     })
 }
 

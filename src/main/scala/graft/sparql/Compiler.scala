@@ -1,0 +1,481 @@
+package graft.sparql
+
+import graft.rdf.{Term, TermSchema}
+import Algebra._
+import TermFns._
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SPARQL algebra → DataFrame compiler — the analogue of the
+  * reference's `processOperation` (Interpreter.scala:299-947), emitting
+  * declarative DataFrame plans for Catalyst to optimize instead of a
+  * hand-scheduled dataflow.
+  *
+  * Binding-set representation: one nullable term-struct column per
+  * variable; NULL = unbound (SURVEY.md §1.4). Join semantics follow
+  * SPARQL compatibility: variables assured-bound on both sides become
+  * hash-join keys; possibly-unbound shared variables get the
+  * compatible-bindings condition (NULL matches anything) — a strict
+  * superset of the reference, which only joins assured bindings
+  * (Interpreter.scala:152-162).
+  */
+object Compiler {
+
+  def run(quads: DataFrame, op: Op): DataFrame = new Compiler(quads).compile(op)
+
+  /** Flatten term-struct result columns to their lexical forms
+    * (convenience for harness/oracle comparison). */
+  def lexical(df: DataFrame): DataFrame =
+    df.select(df.columns.map(c => col(c).getField("lex").as(c)).toIndexedSeq: _*)
+}
+
+final class Compiler(quads: DataFrame) {
+  private val spark: SparkSession = quads.sparkSession
+  import Algebra.{Filter => AFilter, Distinct => ADistinct}
+
+  private def exprs(df: DataFrame): ExprCompiler =
+    new ExprCompiler(n =>
+      if (df.columns.contains(n)) df(n) else nullTerm)
+
+  def compile(op: Op): DataFrame = op match {
+    case Scan(s, p, o, g) => compileScan(s, p, o, g)
+
+    case Singleton => spark.range(1).select()
+
+    case Values(vs, rows) =>
+      val schema = StructType(vs.map(v =>
+        StructField(v, TermSchema.termType, nullable = true)))
+      val data = new java.util.ArrayList[Row]()
+      rows.foreach { r =>
+        data.add(Row(r.map(_.map(TermSchema.toRow).orNull): _*))
+      }
+      spark.createDataFrame(data, schema)
+
+    case Join(l, r) => joinCompat(compileV(l), compileV(r), vars(l), vars(r),
+      assuredVars(l), assuredVars(r), "inner", None)
+
+    case LeftJoin(l, r, cond) =>
+      joinCompat(compileV(l), compileV(r), vars(l), vars(r),
+        assuredVars(l), assuredVars(r), "left_outer", cond)
+
+    case Union(l, r) =>
+      val (ld, rd) = (compileV(l), compileV(r))
+      val allCols = (ld.columns ++ rd.columns).distinct.toIndexedSeq
+      def pad(df: DataFrame) =
+        df.select(allCols.map(c =>
+          (if (df.columns.contains(c)) df(c) else nullTerm).as(c)): _*)
+      pad(ld).unionByName(pad(rd))
+
+    case Minus(l, r) => compileMinus(l, r)
+
+    case AFilter(child, cond) => compileFilter(child, cond)
+
+    case Extend(child, name, expr) =>
+      val df = compileV(child)
+      df.withColumn(name, exprs(df).value(expr))
+
+    case Project(child, vs) =>
+      val df = compileV(child)
+      df.select(vs.map(v =>
+        (if (df.columns.contains(v)) df(v) else nullTerm).as(v)): _*)
+
+    case ADistinct(child) => compileV(child).dropDuplicates()
+    case Reduced(child) => compileV(child).dropDuplicates()
+
+    case Group(child, keys, aggs) => compileGroup(child, keys, aggs)
+
+    case Order(child, sortKeys) =>
+      val df = compileV(child)
+      val ec = exprs(df)
+      val cols = sortKeys.map { case (e, asc) =>
+        val k = sortKey(ec.value(e))
+        if (asc) k.asc else k.desc
+      }
+      df.orderBy(cols: _*)
+
+    case Slice(child, offset, limit) =>
+      var df = compileV(child)
+      if (offset > 0) df = df.offset(offset.toInt)
+      limit.foreach(n => df = df.limit(n.toInt))
+      df
+
+    case ZeroLengthPath(s, o, g) => compileZeroLength(s, o, g)
+
+    case alp: ArbitraryLengthPath => compileALP(alp)
+  }
+
+  /** compile() + guarantee every variable of `op` exists as a column. */
+  private def compileV(op: Op): DataFrame = {
+    val df = compile(op)
+    val missing = varsOrdered(op).filterNot(df.columns.contains)
+    missing.foldLeft(df)((d, v) => d.withColumn(v, nullTerm))
+  }
+
+  // ----- scan -----
+  private def compileScan(s: VarOrTerm, p: VarOrTerm, o: VarOrTerm,
+                          g: GraphSpec): DataFrame = {
+    val ec = exprs(quads)
+    var df = quads
+    var conds = List.empty[Column]
+    g match {
+      case DefaultGraph => conds ::= df("g").isNull
+      case GraphTerm(t) => conds ::= (df("g") === ec.termCol(t))
+      case GraphVar(_) => conds ::= df("g").isNotNull
+    }
+    Seq(("s", s), ("p", p), ("o", o)).foreach {
+      case (c, T(t)) => conds ::= (df(c) === ec.termCol(t))
+      case _ => ()
+    }
+    // repeated variables (?x :p ?x) → positional equality
+    val varPos = Seq(("s", s), ("p", p), ("o", o)).collect {
+      case (c, V(n)) => (c, n)
+    } ++ (g match { case GraphVar(n) => Seq(("g", n)); case _ => Seq.empty })
+    varPos.groupBy(_._2).values.filter(_.size > 1).foreach { dup =>
+      dup.sliding(2).foreach {
+        case Seq((c1, _), (c2, _)) => conds ::= (df(c1) === df(c2))
+        case _ => ()
+      }
+    }
+    conds.foreach(c => df = df.filter(c))
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    varPos.foreach { case (c, n) => if (!seen.contains(n)) seen(n) = c }
+    df.select(seen.map { case (n, c) => col(c).as(n) }.toIndexedSeq: _*)
+  }
+
+  // ----- joins -----
+  /** Compatible-bindings join: assured∩assured vars are equi keys
+    * (null-safe), other shared vars get NULL-matches-anything, the
+    * optional scalar condition is evaluated on the MERGED row (this is
+    * the spec-correct OPTIONAL-with-FILTER the reference approximates
+    * by pre-filtering the right side, Interpreter.scala:467-479). */
+  private def joinCompat(l: DataFrame, r0: DataFrame,
+                         lVars: Set[String], rVars: Set[String],
+                         lAssured: Set[String], rAssured: Set[String],
+                         joinType: String, cond: Option[Expr]): DataFrame = {
+    val shared = (lVars intersect rVars).toSeq.sorted
+    val rename = shared.map(v => v -> s"__r_$v").toMap
+    val r = rename.foldLeft(r0) { case (d, (v, rv)) => d.withColumnRenamed(v, rv) }
+
+    val keyConds = shared.map { v =>
+      if (lAssured.contains(v) && rAssured.contains(v)) l(v) <=> r(rename(v))
+      else l(v).isNull || r(rename(v)).isNull || (l(v) === r(rename(v)))
+    }
+    val mergedCol: String => Column = v =>
+      if (rename.contains(v)) coalesce(l(v), r(rename(v)))
+      else if (lVars.contains(v)) l(v)
+      else if (r.columns.contains(v)) r(v)
+      else nullTerm
+    val condCol = cond.map(e => new ExprCompiler(mergedCol).bool(e))
+    val allConds = keyConds ++ condCol.toSeq
+    val joinCond = allConds.reduceOption(_ && _).getOrElse(lit(true))
+
+    val joined =
+      if (shared.isEmpty && cond.isEmpty && joinType == "inner") l.crossJoin(r)
+      else l.join(r, joinCond, joinType)
+    val outVars = (lVars ++ rVars).toSeq.distinct
+    joined.select(outVars.map(v => mergedCol(v).as(v)): _*)
+  }
+
+  // ----- MINUS -----
+  /** MINUS: drop left rows that are compatible with some right row AND
+    * share at least one mutually-bound variable (disjoint-domain rows
+    * survive — the semantics the reference doesn't implement at all,
+    * README.md:57-58; SURVEY.md §2.3). */
+  private def compileMinus(l: Op, r: Op): DataFrame = {
+    val ld = compileV(l)
+    val rd0 = compileV(r)
+    val shared = (vars(l) intersect vars(r)).toSeq.sorted
+    if (shared.isEmpty) return ld
+    val rename = shared.map(v => v -> s"__r_$v").toMap
+    val rd = rename.foldLeft(rd0) { case (d, (v, rv)) => d.withColumnRenamed(v, rv) }
+    val compat = shared.map(v =>
+      ld(v).isNull || rd(rename(v)).isNull || (ld(v) === rd(rename(v))))
+      .reduce(_ && _)
+    val anyBothBound = shared.map(v =>
+      ld(v).isNotNull && rd(rename(v)).isNotNull).reduce(_ || _)
+    ld.join(rd, compat && anyBothBound, "left_anti")
+  }
+
+  // ----- FILTER (incl. EXISTS / NOT EXISTS lowering) -----
+  private def compileFilter(child: Op, cond: Expr): DataFrame = {
+    def conjuncts(e: Expr): List[Expr] = e match {
+      case FuncE("&&", List(a, b)) => conjuncts(a) ++ conjuncts(b)
+      case other => List(other)
+    }
+    val (existsConjs, scalarConjs) = conjuncts(cond).partition {
+      case _: ExistsE => true
+      case _ => false
+    }
+    var df = compileV(child)
+    val childVars = vars(child)
+    if (scalarConjs.nonEmpty) {
+      val ec = exprs(df)
+      df = df.filter(scalarConjs.map(ec.bool).reduce(_ && _))
+    }
+    existsConjs.foreach { case ExistsE(pattern, negated) =>
+      df = compileExists(df, childVars, pattern, negated)
+    case _ => ()
+    }
+    df
+  }
+
+  /** FILTER [NOT] EXISTS as a true semi/anti join (the reference's
+    * EXISTS inflates duplicates, Interpreter.scala:921-926; ours
+    * doesn't). Correlated inner FILTERs (free variables referencing the
+    * outer scope) are lifted into the join condition — SPARQL's
+    * substitute() semantics. */
+  private def compileExists(left: DataFrame, leftVars: Set[String],
+                            pattern: Op, negated: Boolean): DataFrame = {
+    // lift top-level filter conjuncts that reference outer variables
+    def strip(op: Op): (Op, List[Expr]) = op match {
+      case AFilter(c, e) =>
+        val (c2, lifted) = strip(c)
+        def conjuncts(x: Expr): List[Expr] = x match {
+          case FuncE("&&", List(a, b)) => conjuncts(a) ++ conjuncts(b)
+          case other => List(other)
+        }
+        val (corr, local) = conjuncts(e).partition(x =>
+          (exprVars(x) -- vars(c2)).intersect(leftVars).nonEmpty)
+        val kept = local.reduceOption((a, b) => FuncE("&&", List(a, b)))
+          .map(AFilter(c2, _)).getOrElse(c2)
+        (kept, lifted ++ corr)
+      case Join(a, b) =>
+        val (a2, la) = strip(a); val (b2, lb) = strip(b)
+        (Join(a2, b2), la ++ lb)
+      case other => (other, Nil)
+    }
+    val (cleaned, correlated) = strip(pattern)
+    val sub0 = compileV(cleaned)
+    val subVars = vars(cleaned)
+    val shared = (leftVars intersect subVars).toSeq.sorted
+    val rename = subVars.map(v => v -> s"__e_$v").toMap
+    val sub = rename.foldLeft(sub0) { case (d, (v, rv)) => d.withColumnRenamed(v, rv) }
+
+    val compat = shared.map(v =>
+      left(v).isNull || sub(rename(v)).isNull || (left(v) === sub(rename(v))))
+    val env: String => Column = n =>
+      if (subVars.contains(n)) sub(rename(n))
+      else if (left.columns.contains(n)) left(n)
+      else nullTerm
+    val corrConds = correlated.map(e => new ExprCompiler(env).bool(e))
+    val allConds = compat ++ corrConds
+    val joinCond = allConds.reduceOption(_ && _).getOrElse(lit(true))
+    left.join(sub, joinCond, if (negated) "left_anti" else "left_semi")
+  }
+
+  // ----- GROUP + aggregates -----
+  /** All aggregates of a query in ONE groupBy.agg — single shuffle
+    * (the reference spends one shuffle per aggregate plus N−1 joins,
+    * Interpreter.scala:874-886; SURVEY.md §2.4). Error-poisoning for
+    * SUM/AVG (any non-numeric/unbound in the group → unbound result)
+    * rides along as flag sub-aggregates in the same pass. */
+  private def compileGroup(child: Op, keys: List[String],
+                           aggs: List[(String, AggE)]): DataFrame = {
+    val df = compileV(child)
+    val ec = exprs(df)
+
+    def aggStruct(a: AggE): Column = {
+      val v = a.expr.map(ec.value)
+      a.func match {
+        case "COUNT" =>
+          val c = v match {
+            case None => count(lit(1))
+            case Some(col0) =>
+              if (a.distinct) count_distinct(col0) else count(col0)
+          }
+          struct(c.as("n"))
+        case "SUM" | "AVG" =>
+          val col0 = v.get
+          val dec = if (a.distinct) sum_distinct(numDec(col0)) else sum(numDec(col0))
+          val dbl = if (a.distinct) sum_distinct(numD(col0)) else sum(numD(col0))
+          val cnt = if (a.distinct) count_distinct(col0) else count(col0)
+          struct(
+            dec.as("dec"), dbl.as("dbl"), cnt.as("cnt"),
+            max(when(col0.isNull || !isNumeric(col0), 1).otherwise(0)).as("poisoned"),
+            max(when(isFloating(col0), 1).otherwise(0)).as("anyFloat"),
+            max(when(isNumeric(col0) && !isIntegerTyped(col0) && !isFloating(col0), 1)
+              .otherwise(0)).as("anyDec"))
+        case "MIN" =>
+          struct(min(when(v.get.isNotNull,
+            struct(sortKey(v.get).as("k"), v.get.as("t")))).as("kt"))
+        case "MAX" =>
+          struct(max(when(v.get.isNotNull,
+            struct(sortKey(v.get).as("k"), v.get.as("t")))).as("kt"))
+        case "SAMPLE" =>
+          struct(first(v.get, ignoreNulls = true).as("t"))
+        case "GROUP_CONCAT" =>
+          val strs = when(v.get.isNotNull, lex(v.get))
+          val arr = if (a.distinct) collect_set(strs) else collect_list(strs)
+          struct(arr.as("items"))
+        case other => throw new IllegalArgumentException(s"unknown aggregate $other")
+      }
+    }
+
+    def finish(name: String, a: AggE): Column = {
+      val t = col(s"__agg_$name")
+      a.func match {
+        case "COUNT" => intTerm(t.getField("n"))
+        case "SUM" =>
+          val poisoned = t.getField("poisoned") === 1
+          val anyFloat = t.getField("anyFloat") === 1
+          val anyDec = t.getField("anyDec") === 1
+          when(poisoned, nullTerm)
+            .when(t.getField("cnt") === 0, intTerm(lit(0)))
+            .when(anyFloat, doubleTerm(t.getField("dbl")))
+            .when(anyDec, decTerm(t.getField("dec")))
+            .otherwise(intTermFromDec(t.getField("dec")))
+        case "AVG" =>
+          val poisoned = t.getField("poisoned") === 1
+          val anyFloat = t.getField("anyFloat") === 1
+          val avgDec = t.getField("dec") / t.getField("cnt")
+          when(poisoned, nullTerm)
+            .when(t.getField("cnt") === 0, intTerm(lit(0)))
+            .when(anyFloat, doubleTerm(t.getField("dbl") / t.getField("cnt")))
+            .otherwise(decTerm(avgDec.cast(DEC)))
+        case "MIN" | "MAX" => t.getField("kt").getField("t")
+        case "SAMPLE" => t.getField("t")
+        case "GROUP_CONCAT" =>
+          strTerm(array_join(array_sort(t.getField("items")), a.separator))
+      }
+    }
+
+    val aggCols = aggs.map { case (n, a) => aggStruct(a).as(s"__agg_$n") }
+    val grouped =
+      if (aggCols.isEmpty) df.select(keys.map(col): _*).dropDuplicates()
+      else df.groupBy(keys.map(col): _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+    if (aggCols.isEmpty) grouped
+    else {
+      val out = keys.map(col) ++ aggs.map { case (n, a) => finish(n, a).as(n) }
+      grouped.select(out: _*)
+    }
+  }
+
+  // ----- property paths -----
+  /** All graph nodes (subjects ∪ objects) within a graph scope. */
+  private def graphNodes(g: GraphSpec): DataFrame = {
+    val ec = exprs(quads)
+    val scoped = g match {
+      case DefaultGraph => quads.filter(quads("g").isNull)
+      case GraphTerm(t) => quads.filter(quads("g") === ec.termCol(t))
+      case GraphVar(_) => quads.filter(quads("g").isNotNull)
+    }
+    g match {
+      case GraphVar(n) =>
+        scoped.select(col("s").as("node"), col("g").as(n))
+          .union(scoped.select(col("o").as("node"), col("g").as(n)))
+          .dropDuplicates()
+      case _ =>
+        scoped.select(col("s").as("node"))
+          .union(scoped.select(col("o").as("node")))
+          .dropDuplicates()
+    }
+  }
+
+  private def compileZeroLength(s: VarOrTerm, o: VarOrTerm, g: GraphSpec): DataFrame = {
+    val ec = exprs(quads)
+    (s, o) match {
+      case (T(ts), T(to)) =>
+        if (ts == to) spark.range(1).select()
+        else spark.range(0).select()
+      case (V(sv), T(t)) =>
+        spark.range(1).select(ec.termCol(t).as(sv))
+      case (T(t), V(ov)) =>
+        spark.range(1).select(ec.termCol(t).as(ov))
+      case (V(sv), V(ov)) if sv == ov =>
+        graphNodes(g).withColumnRenamed("node", sv)
+      case (V(sv), V(ov)) =>
+        val n = graphNodes(g)
+        n.select((col("node").as(sv) +: col("node").as(ov) +:
+          n.columns.filter(_ != "node").map(col).toSeq): _*)
+    }
+  }
+
+  /** Transitive closure by semi-naive iteration — the driver-side loop
+    * Beam's static DAG cannot express (reference README.md:60-63). Each
+    * round joins the frontier to the edge set and removes already-seen
+    * pairs; localCheckpoint cuts lineage so plans stay bounded. When an
+    * endpoint is constant the walk starts there (frontier ≪ full
+    * closure — the difference between O(V·E) and O(reachable) at scale). */
+  private def compileALP(alp: ArbitraryLengthPath): DataFrame = {
+    val ec = exprs(quads)
+    // Materialize with FRESH attribute ids each round: iterative
+    // self-joins/unions over localCheckpoint'd plans trip Catalyst's
+    // attribute resolution (duplicate exprIds across both sides), so we
+    // re-wrap the checkpointed RDD as a brand-new leaf plan.
+    def materialize(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint(eager = true)
+      spark.createDataFrame(ck.rdd, ck.schema)
+    }
+    val edges = materialize(
+      compileV(alp.edge)
+        .select(col(alp.innerS).as("src"), col(alp.innerO).as("dst"))
+        .dropDuplicates())
+
+    def closure(start: DataFrame): DataFrame = {
+      // start: (src, dst) seed pairs; semi-naive: only the frontier
+      // joins the edge set each round, seen pairs are anti-joined away.
+      var result = materialize(start.dropDuplicates())
+      var frontier = result
+      var done = frontier.isEmpty
+      while (!done) {
+        val next = materialize(
+          frontier.alias("f")
+            .join(edges.alias("e"), col("f.dst") === col("e.src"))
+            .select(col("f.src").as("src"), col("e.dst").as("dst"))
+            .dropDuplicates()
+            .join(result, Seq("src", "dst"), "left_anti"))
+        if (next.isEmpty) done = true
+        else {
+          result = materialize(result.union(next))
+          frontier = next
+        }
+      }
+      result
+    }
+
+    (alp.s, alp.o) match {
+      case (T(t), _) =>
+        val seed = edges.filter(col("src") === ec.termCol(t))
+        var paths = closure(seed)
+        if (alp.includeZero)
+          paths = paths.union(
+            spark.range(1).select(ec.termCol(t).as("src"), ec.termCol(t).as("dst")))
+            .dropDuplicates()
+        finishALP(paths, alp)
+      case (_, T(t)) =>
+        val seed = edges.filter(col("dst") === ec.termCol(t))
+        var paths = closure(seed)
+        if (alp.includeZero)
+          paths = paths.union(
+            spark.range(1).select(ec.termCol(t).as("src"), ec.termCol(t).as("dst")))
+            .dropDuplicates()
+        finishALP(paths, alp)
+      case _ =>
+        var paths = closure(edges)
+        if (alp.includeZero) {
+          val zero = graphNodes(alp.g)
+            .select(col("node").as("src"), col("node").as("dst"))
+          paths = paths.union(zero).dropDuplicates()
+        }
+        finishALP(paths, alp)
+    }
+  }
+
+  private def finishALP(paths: DataFrame, alp: ArbitraryLengthPath): DataFrame = {
+    val ec = exprs(quads)
+    var df = paths
+    val sel = scala.collection.mutable.ArrayBuffer.empty[Column]
+    alp.s match {
+      case T(t) => df = df.filter(col("src") === ec.termCol(t))
+      case V(n) => sel += col("src").as(n)
+    }
+    alp.o match {
+      case T(t) => df = df.filter(col("dst") === ec.termCol(t))
+      case V(n) => sel += col("dst").as(n)
+    }
+    if (sel.isEmpty) df.select().limit(1) // both constant: existence row(s)
+    else df.select(sel.toSeq: _*)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.sparql
+
+import graft.rdf.{BNode, Iri, Lit, Term, XSD}
+import org.apache.spark.sql.DataFrame
+
+/** Public entry points — the analogue of the reference's
+  * `SCollection[Statement].executeSparql` implicit syntax
+  * (Interpreter.scala:164-205, SURVEY.md §2.11).
+  *
+  * {{{
+  * import graft.sparql.Sparql._
+  * val results: DataFrame = quadsDf.sparql("SELECT ?s WHERE { ?s ?p ?o }")
+  * }}}
+  *
+  * Result schema: one nullable term-struct column per projected
+  * variable (NULL = unbound). Use [[Compiler.lexical]] to flatten to
+  * lexical strings.
+  */
+object Sparql {
+
+  /** Serialize a term into SPARQL surface syntax (for pre-binding). */
+  def serialize(t: Term): String = t match {
+    case Iri(v) => s"<$v>"
+    case BNode(id) => s"_:$id"
+    case l: Lit =>
+      val q = "\"" + l.lex.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      if (l.lang.nonEmpty) s"$q@${l.lang}"
+      else if (l.dt == XSD.string) q
+      else s"$q^^<${l.dt}>"
+  }
+
+  /** Textual pre-binding: replace each `?name` with a constant term
+    * before parsing — the same trick the reference borrows from rdf4j's
+    * QueryStringUtil (Interpreter.scala:179-205). */
+  def preBind(query: String, bindings: Map[String, Term]): String =
+    bindings.foldLeft(query) { case (q, (name, term)) =>
+      q.replaceAll(s"[?$$]$name\\b",
+        java.util.regex.Matcher.quoteReplacement(serialize(term)))
+    }
+
+  implicit class QuadsOps(private val quads: DataFrame) extends AnyVal {
+    /** Execute a SPARQL 1.1 SELECT query over this quads DataFrame. */
+    def sparql(query: String): DataFrame =
+      Compiler.run(quads, SparqlParser.parse(query))
+
+    /** Execute with pre-bound variables (textual substitution). */
+    def sparql(query: String, bindings: Map[String, Term]): DataFrame =
+      sparql(preBind(query, bindings))
+
+    /** Execute and flatten term structs to lexical strings. */
+    def sparqlLex(query: String): DataFrame =
+      Compiler.lexical(sparql(query))
+  }
+}

@@ -1,0 +1,210 @@
+package graft.sparql
+
+import graft.rdf.{TermKind, TermSchema, XSD}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column-level helpers over the term struct `(kind, lex, dt, lang)`.
+  *
+  * Everything here builds NATIVE Catalyst expressions (functions._ over
+  * struct fields) — no UDFs — so SPARQL filters/BINDs stay inside
+  * whole-stage codegen and remain visible to the optimizer (pushdown,
+  * folding). This replaces the reference's per-row interpreted rdf4j
+  * evaluator (Interpreter.scala:39-69, SURVEY.md §1.3) with compiled
+  * columnar evaluation — the structural perf win that matters at 100 TB.
+  *
+  * Error-as-NULL: every SPARQL expression error maps to SQL NULL, which
+  * a Filter drops and an Extend leaves unbound — exactly the semantics
+  * the reference gets via Option (Interpreter.scala:62-67).
+  */
+object TermFns {
+
+  /** Exact-numeric work type: wide enough for int64 sums at 100 TB. */
+  val DEC: DecimalType = DecimalType(38, 12)
+
+  val nullTerm: Column = lit(null).cast(TermSchema.termType)
+
+  def kind(c: Column): Column = c.getField("kind")
+  def lex(c: Column): Column = c.getField("lex")
+  def dt(c: Column): Column = c.getField("dt")
+  def lang(c: Column): Column = c.getField("lang")
+
+  // ----- term constructors -----
+  def iriTerm(l: Column): Column =
+    when(l.isNull, nullTerm).otherwise(
+      struct(lit(TermKind.IRI).as("kind"), l.as("lex"),
+        lit("").as("dt"), lit("").as("lang")))
+  def bnodeTerm(l: Column): Column =
+    when(l.isNull, nullTerm).otherwise(
+      struct(lit(TermKind.BNODE).as("kind"), l.as("lex"),
+        lit("").as("dt"), lit("").as("lang")))
+  def dtLit(l: Column, dtIri: String): Column =
+    when(l.isNull, nullTerm).otherwise(
+      struct(lit(TermKind.LITERAL).as("kind"), l.as("lex"),
+        lit(dtIri).as("dt"), lit("").as("lang")))
+  def dtLitDyn(l: Column, dtCol: Column): Column =
+    when(l.isNull || dtCol.isNull, nullTerm).otherwise(
+      struct(lit(TermKind.LITERAL).as("kind"), l.as("lex"),
+        dtCol.as("dt"), lit("").as("lang")))
+  def strTerm(l: Column): Column = dtLit(l, XSD.string)
+  def langTerm(l: Column, lg: Column): Column =
+    when(l.isNull || lg.isNull, nullTerm).otherwise(
+      struct(lit(TermKind.LITERAL).as("kind"), l.as("lex"),
+        lit(XSD.langString).as("dt"), lower(lg).as("lang")))
+  def boolTerm(b: Column): Column =
+    when(b.isNull, nullTerm).otherwise(
+      struct(lit(TermKind.LITERAL).as("kind"),
+        when(b, "true").otherwise("false").as("lex"),
+        lit(XSD.boolean).as("dt"), lit("").as("lang")))
+  def intTerm(i: Column): Column = dtLit(i.cast(StringType), XSD.integer)
+
+  /** Decimal column → canonical lexical form (strip trailing zeros). */
+  def decLex(d: Column): Column = {
+    val s = d.cast(StringType)
+    when(s.contains("."),
+      regexp_replace(regexp_replace(s, "0+$", ""), "\\.$", ""))
+      .otherwise(s)
+  }
+  def decTerm(d: Column): Column = dtLit(decLex(d), XSD.decimal)
+  def intTermFromDec(d: Column): Column =
+    dtLit(d.cast(DecimalType(38, 0)).cast(StringType), XSD.integer)
+  def doubleTerm(d: Column): Column = dtLit(d.cast(StringType), XSD.double)
+
+  // ----- classification -----
+  private val numericDts = XSD.numeric.toSeq
+  private val exactDts = XSD.exactNumeric.toSeq
+  def isLiteral(c: Column): Column = kind(c) === TermKind.LITERAL
+  def isNumeric(c: Column): Column = isLiteral(c) && dt(c).isin(numericDts: _*)
+  def isExactNumeric(c: Column): Column = isLiteral(c) && dt(c).isin(exactDts: _*)
+  def isFloating(c: Column): Column =
+    isLiteral(c) && dt(c).isin(XSD.double, XSD.float)
+  def isIntegerTyped(c: Column): Column =
+    isLiteral(c) && dt(c).isin(XSD.integerFamily.toSeq: _*)
+  def isStringish(c: Column): Column =
+    isLiteral(c) && (dt(c) === XSD.string || dt(c) === XSD.langString)
+  def isSimpleString(c: Column): Column = isLiteral(c) && dt(c) === XSD.string
+  def isBool(c: Column): Column = isLiteral(c) && dt(c) === XSD.boolean
+  def isDateTimeish(c: Column): Column =
+    isLiteral(c) && dt(c).isin(XSD.date, XSD.dateTime)
+
+  // ----- numeric access (NULL when not numeric / bad lexical) -----
+  def numD(c: Column): Column = when(isNumeric(c), lex(c).cast(DoubleType))
+  def numDec(c: Column): Column = when(isNumeric(c), lex(c).cast(DEC))
+  /** Timestamp for date/dateTime literals. */
+  def ts(c: Column): Column = when(isDateTimeish(c), lex(c).cast(TimestampType))
+  def boolVal(c: Column): Column =
+    when(isBool(c),
+      when(lex(c) === "true" || lex(c) === "1", lit(true))
+        .when(lex(c) === "false" || lex(c) === "0", lit(false)))
+
+  /** Effective boolean value (SPARQL 1.1 §17.2.2): NULL = type error. */
+  def ebv(c: Column): Column =
+    when(c.isNull, lit(null).cast(BooleanType))
+      .when(isBool(c), coalesce(boolVal(c), lit(false)))
+      .when(isNumeric(c),
+        coalesce(lex(c).cast(DoubleType) =!= 0.0, lit(false)))
+      .when(isStringish(c), length(lex(c)) > 0)
+      .otherwise(lit(null).cast(BooleanType))
+
+  // ----- value comparison -----
+  /** SPARQL `=` (value equality) as a Spark boolean; NULL = error. */
+  def valueEq(a: Column, b: Column): Column = {
+    val bothNum = isNumeric(a) && isNumeric(b)
+    val anyFloat = isFloating(a) || isFloating(b)
+    when(a.isNull || b.isNull, lit(null).cast(BooleanType))
+      .when(bothNum,
+        when(anyFloat, numD(a) === numD(b)).otherwise(numDec(a) === numDec(b)))
+      .when(isBool(a) && isBool(b), boolVal(a) === boolVal(b))
+      .when(isDateTimeish(a) && isDateTimeish(b), ts(a) === ts(b))
+      .otherwise(a === b) // term identity (IRIs, BNodes, same-dt literals)
+  }
+
+  /** Three-way SPARQL order comparison lowered to a boolean per op.
+    * Comparable pairs: numeric, string (simple/xsd:string), boolean,
+    * date/dateTime. Anything else → NULL (error → row dropped). */
+  def valueCmp(op: String)(a: Column, b: Column): Column = {
+    def apply2(x: Column, y: Column): Column = op match {
+      case "<" => x < y
+      case "<=" => x <= y
+      case ">" => x > y
+      case ">=" => x >= y
+    }
+    val bothNum = isNumeric(a) && isNumeric(b)
+    val anyFloat = isFloating(a) || isFloating(b)
+    when(a.isNull || b.isNull, lit(null).cast(BooleanType))
+      .when(bothNum,
+        when(anyFloat, apply2(numD(a), numD(b)))
+          .otherwise(apply2(numDec(a), numDec(b))))
+      .when(isStringish(a) && isStringish(b), apply2(lex(a), lex(b)))
+      .when(isBool(a) && isBool(b), apply2(boolVal(a), boolVal(b)))
+      .when(isDateTimeish(a) && isDateTimeish(b), apply2(ts(a), ts(b)))
+      .otherwise(lit(null).cast(BooleanType))
+  }
+
+  // ----- arithmetic with XPath promotion -----
+  /** a op b with SPARQL numeric promotion: both exact → DecimalType
+    * arithmetic (int64-safe — doubles would corrupt big keys at scale),
+    * any float/double → double arithmetic. Division of exact numerics
+    * yields xsd:decimal (XPath op:numeric-divide). */
+  def arith(op: String)(a: Column, b: Column): Column = {
+    val bothNum = isNumeric(a) && isNumeric(b)
+    val anyFloat = isFloating(a) || isFloating(b)
+    val bothInt = isIntegerTyped(a) && isIntegerTyped(b)
+    def dec2(x: Column, y: Column): Column = op match {
+      case "+" => x + y
+      case "-" => x - y
+      case "*" => x * y
+      case "/" => when(y =!= 0, x / y) // decimal div-by-zero → error/NULL
+    }
+    def dbl2(x: Column, y: Column): Column = op match {
+      case "+" => x + y
+      case "-" => x - y
+      case "*" => x * y
+      case "/" => x / y // IEEE: double div-by-zero → Inf, per XPath
+    }
+    val decRes = dec2(numDec(a), numDec(b))
+    val dblRes = dbl2(numD(a), numD(b))
+    when(a.isNull || b.isNull || !bothNum, nullTerm)
+      .when(anyFloat, doubleTerm(dblRes))
+      .when(bothInt && lit(op != "/"), intTermFromDec(decRes))
+      .otherwise(decTerm(decRes))
+  }
+
+  def uminus(a: Column): Column =
+    when(a.isNull || !isNumeric(a), nullTerm)
+      .when(isFloating(a), doubleTerm(-numD(a)))
+      .when(isIntegerTyped(a), intTermFromDec(-numDec(a)))
+      .otherwise(decTerm(-numDec(a)))
+
+  // ----- total order sort key (ValueComparator analogue) -----
+  /** Canonical sortable key: rank(unbound 0 < BNode 1 < IRI 2 < numeric
+    * 3 < dateTime 4 < boolean 5 < string 6 < other 7), numeric/temporal
+    * value, lexical, datatype, language. A documented total order —
+    * SPARQL leaves cross-type ordering implementation-defined
+    * (rdf4j ValueComparator is the reference's choice,
+    * ValueEvaluators.scala:29-38; ours is value-compatible for each
+    * comparable class and deterministic across classes). */
+  def sortKey(c: Column): Column = {
+    val rank =
+      when(c.isNull, 0)
+        .when(kind(c) === TermKind.BNODE, 1)
+        .when(kind(c) === TermKind.IRI, 2)
+        .when(isNumeric(c), 3)
+        .when(isDateTimeish(c), 4)
+        .when(isBool(c), 5)
+        .when(isStringish(c), 6)
+        .otherwise(7)
+    val num =
+      when(isNumeric(c), lex(c).cast(DoubleType))
+        .when(isDateTimeish(c), ts(c).cast(DoubleType))
+        .when(isBool(c), boolVal(c).cast(DoubleType))
+        .otherwise(lit(null).cast(DoubleType))
+    struct(
+      rank.as("rank"),
+      coalesce(num, lit(Double.NegativeInfinity)).as("num"),
+      coalesce(lex(c), lit("")).as("lex"),
+      coalesce(dt(c), lit("")).as("dt"),
+      coalesce(lang(c), lit("")).as("lang"))
+  }
+}

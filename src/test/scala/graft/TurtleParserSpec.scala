@@ -1,0 +1,84 @@
+package graft
+
+import graft.rdf._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+class TurtleParserSpec extends AnyFlatSpec with Matchers {
+
+  private def fixture(name: String): Seq[Quad] = {
+    val in = getClass.getResourceAsStream(s"/$name")
+    require(in != null, s"missing fixture $name")
+    val text = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    TurtleParser.parse(text)
+  }
+
+  "TurtleParser" should "parse values.ttl with ; lists and numeric literals" in {
+    val qs = fixture("values.ttl")
+    qs should have size 5
+    qs should contain(Quad(
+      Iri("http://example.org/book/book1"),
+      Iri("http://purl.org/dc/elements/1.1/title"),
+      Lit("SPARQL Tutorial"), None))
+    qs should contain(Quad(
+      Iri("http://example.org/book/book2"),
+      Iri("http://example.org/ns#price"),
+      Lit("23", XSD.integer), None))
+  }
+
+  it should "honor mid-document prefix redefinition (group_by.ttl)" in {
+    val qs = fixture("group_by.ttl")
+    qs should have size 26
+    qs should contain(Quad(Iri("http://books.example/book1"),
+      Iri("http://books.example/price"), Lit("9", XSD.integer), None))
+    qs should contain(Quad(Iri("http://example.com/data/#y"),
+      Iri("http://example.com/data/#p"), BNode("b2"), None))
+    qs should contain(Quad(Iri("http://example.com/data/#z"),
+      Iri("http://example.com/data/#p"), Lit("1.0", XSD.decimal), None))
+  }
+
+  it should "parse blank node subjects and IRIs (optionals.ttl)" in {
+    val qs = fixture("optionals.ttl")
+    qs should have size 6
+    qs should contain(Quad(BNode("a"), Iri(RDF.typ),
+      Iri("http://xmlns.com/foaf/0.1/Person"), None))
+    qs should contain(Quad(BNode("a"), Iri("http://xmlns.com/foaf/0.1/mbox"),
+      Iri("mailto:alice@work.example"), None))
+  }
+
+  it should "parse TriG graph blocks and typed literals (graphs.trig)" in {
+    val qs = fixture("graphs.trig")
+    val g1 = Iri("tag:example.org,2005-06-06:graph1")
+    qs.count(_.g.contains(g1)) shouldBe 6
+    qs.count(_.g.isEmpty) shouldBe 4
+    qs should contain(Quad(Iri("tag:example.org,2005-06-06:graph1"),
+      Iri("http://purl.org/dc/elements/1.1/date"),
+      Lit("2004-12-06", XSD.date), None))
+    // `a` keyword inside a graph block
+    qs should contain(Quad(Iri("tag:example.org,2005-06-06:otherItem"),
+      Iri(RDF.typ), Iri("tag:example.org,2005-06-06:class"),
+      Some(Iri("tag:graph4"))))
+  }
+
+  it should "parse escaped quotes and apostrophes in literals" in {
+    val qs = TurtleParser.parse(
+      """@prefix : <urn:x:> . :s :p "Alice's \"Work\" Email" .""")
+    qs.head.o shouldBe Lit("Alice's \"Work\" Email")
+  }
+
+  it should "parse N-Triples and N-Quads lines" in {
+    TurtleParser.parseNTriplesLine(
+      "<urn:a> <urn:p> \"x\"^^<http://www.w3.org/2001/XMLSchema#integer> .") shouldBe
+      Some(Quad(Iri("urn:a"), Iri("urn:p"), Lit("x", XSD.integer), None))
+    TurtleParser.parseNTriplesLine("<urn:a> <urn:p> _:b <urn:g> .") shouldBe
+      Some(Quad(Iri("urn:a"), Iri("urn:p"), BNode("b"), Some(Iri("urn:g"))))
+    TurtleParser.parseNTriplesLine("# comment") shouldBe None
+    TurtleParser.parseNTriplesLine("   ") shouldBe None
+  }
+
+  it should "normalize language-tagged literals to rdf:langString" in {
+    val qs = TurtleParser.parse("""@prefix : <urn:x:> . :s :p "chat"@EN .""")
+    qs.head.o shouldBe Lit("chat", lang = "en")
+    qs.head.o.asInstanceOf[Lit].dt shouldBe XSD.langString
+  }
+}
