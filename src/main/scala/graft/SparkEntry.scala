@@ -1,29 +1,270 @@
 package graft
 
+import graft.sources.TpchQuads
+import graft.sparql.Sparql._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+/** Driver contract — the CORRECTNESS battery (SURVEY.md §2 coverage).
   *
-  * `queries` is the correctness battery: each entry is a named operator
-  * demonstration over the driver's parquet tables at `sfDir`; `oracleSql`
-  * holds the equivalent DuckDB SQL for the hash-compare gate.
+  * Each entry demonstrates one SPARQL operator end-to-end: TPC-H
+  * parquet → quad projection ([[TpchQuads]]) → SPARQL text → parser →
+  * algebra → DataFrame plan → plain-typed output columns, checked
+  * against DuckDB SQL over the same parquet in `oracleSql` (column
+  * names and types aligned on both sides; entries without oracle SQL
+  * get the driver's rows-only check — used only where results are
+  * legitimately nondeterministic, e.g. SAMPLE and unordered LIMIT).
   */
 object SparkEntry {
+
+  private val prologue = "PREFIX : <urn:p:>\n"
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Flatten term-struct vars to plainly-typed output columns. */
+  private def out(df: DataFrame, cols: (String, String)*): DataFrame =
+    df.select(cols.map { case (n, ty) =>
+      col(n).getField("lex").cast(ty).as(n)
+    }: _*)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
-    queries("q1_agg")(spark, dir)
-  }
+  def entry(spark: SparkSession): DataFrame =
+    queries("q_bgp_join")(spark, "/root/testdata/sf0.001")
+
+  // quad-set builders (composed per query so scans stay minimal)
+  private def cust(s: SparkSession, d: String) = TpchQuads.customer(s, d)
+  private def custOrders(s: SparkSession, d: String) =
+    TpchQuads.customer(s, d).union(TpchQuads.orders(s, d))
+  private def custSupp(s: SparkSession, d: String) =
+    TpchQuads.customer(s, d).union(TpchQuads.supplier(s, d))
+  private def nationRegion(s: SparkSession, d: String) =
+    TpchQuads.nation(s, d).union(TpchQuads.region(s, d))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> { (s, dir) =>
-      t(s, dir, "lineitem")
+    // ----- §2.1 scan / sources -----
+    "q_scan" -> { (s, d) =>
+      out(TpchQuads.nation(s, d).sparql(prologue +
+        "SELECT ?n ?nname { ?n :nname ?nname }"),
+        "n" -> "string", "nname" -> "string")
+    },
+    "q_singleton" -> { (s, d) =>
+      out(TpchQuads.region(s, d).sparql("SELECT ?x { BIND(1 AS ?x) }"),
+        "x" -> "bigint")
+    },
+    // ----- §2.3 joins -----
+    "q_bgp_join" -> { (s, d) =>
+      out(nationRegion(s, d).sparql(prologue +
+        """SELECT ?nname ?rname
+          |{ ?n :nname ?nname . ?n :inRegion ?r . ?r :rname ?rname }""".stripMargin),
+        "nname" -> "string", "rname" -> "string")
+    },
+    "q_optional" -> { (s, d) =>
+      out(custOrders(s, d).sparql(prologue +
+        """SELECT ?cname ?total
+          |{ ?c :cname ?cname
+          |  OPTIONAL { ?o :customer ?c . ?o :totalprice ?tp }
+          |  BIND(COALESCE(?tp, 0) AS ?total)
+          |}""".stripMargin),
+        "cname" -> "string", "total" -> "double")
+    },
+    "q_exists" -> { (s, d) =>
+      out(custOrders(s, d).sparql(prologue +
+        "SELECT ?cname { ?c :cname ?cname FILTER EXISTS { ?o :customer ?c } }"),
+        "cname" -> "string")
+    },
+    "q_not_exists" -> { (s, d) =>
+      out(custOrders(s, d).sparql(prologue +
+        """SELECT ?cname { ?c :cname ?cname
+          |  FILTER NOT EXISTS { ?o :customer ?c . ?o :totalprice ?tp .
+          |                      FILTER(?tp > 300000) } }""".stripMargin),
+        "cname" -> "string")
+    },
+    "q_minus" -> { (s, d) =>
+      out(cust(s, d).sparql(prologue +
+        "SELECT ?cname { ?c :cname ?cname MINUS { ?c :mktsegment \"BUILDING\" } }"),
+        "cname" -> "string")
+    },
+    "q_values" -> { (s, d) =>
+      out(cust(s, d).sparql(prologue +
+        """SELECT ?cname ?seg
+          |{ VALUES ?seg { "BUILDING" "AUTOMOBILE" }
+          |  ?c :mktsegment ?seg . ?c :cname ?cname }""".stripMargin),
+        "cname" -> "string", "seg" -> "string")
+    },
+    // ----- §2.2 filter / expressions -----
+    "q_filter_cmp" -> { (s, d) =>
+      out(cust(s, d).sparql(prologue +
+        """SELECT ?cname ?acctbal
+          |{ ?c :cname ?cname . ?c :acctbal ?acctbal FILTER(?acctbal > 5000) }""".stripMargin),
+        "cname" -> "string", "acctbal" -> "double")
+    },
+    "q_filter_str" -> { (s, d) =>
+      out(cust(s, d).sparql(prologue +
+        """SELECT ?cname ?seg
+          |{ ?c :cname ?cname . ?c :mktsegment ?seg
+          |  FILTER(STRSTARTS(?seg, "BUI") || CONTAINS(?seg, "MACH")) }""".stripMargin),
+        "cname" -> "string", "seg" -> "string")
+    },
+    "q_bind_arith" -> { (s, d) =>
+      out(cust(s, d).sparql(prologue +
+        """SELECT ?cname ?dbl
+          |{ ?c :cname ?cname . ?c :acctbal ?b . BIND(?b * 2 - 100 AS ?dbl) }""".stripMargin),
+        "cname" -> "string", "dbl" -> "double")
+    },
+    "q_if_tier" -> { (s, d) =>
+      out(cust(s, d).sparql(prologue +
+        """SELECT ?cname ?tier
+          |{ ?c :cname ?cname . ?c :acctbal ?b .
+          |  BIND(IF(?b > 5000, "high", "low") AS ?tier) }""".stripMargin),
+        "cname" -> "string", "tier" -> "string")
+    },
+    "q_str_funcs" -> { (s, d) =>
+      out(cust(s, d).sparql(prologue +
+        """SELECT ?cname ?up ?len ?tag
+          |{ ?c :cname ?cname . ?c :mktsegment ?seg .
+          |  BIND(UCASE(?cname) AS ?up)
+          |  BIND(STRLEN(?cname) AS ?len)
+          |  BIND(CONCAT(?seg, "-", SUBSTR(?cname, 10)) AS ?tag) }""".stripMargin),
+        "cname" -> "string", "up" -> "string", "len" -> "bigint", "tag" -> "string")
+    },
+    "q_year" -> { (s, d) =>
+      out(TpchQuads.orders(s, d).sparql(prologue +
+        """SELECT ?year (COUNT(?o) AS ?n)
+          |{ ?o :orderdate ?dd . BIND(YEAR(?dd) AS ?year) }
+          |GROUP BY ?year""".stripMargin),
+        "year" -> "bigint", "n" -> "bigint")
+    },
+    // ----- §2.4 aggregates -----
+    "q_agg_multi" -> { (s, d) =>
+      out(cust(s, d).sparql(prologue +
+        """SELECT ?seg (COUNT(?c) AS ?n) (SUM(?bal) AS ?total)
+          |       (AVG(?bal) AS ?avg_bal) (MIN(?bal) AS ?min_bal) (MAX(?bal) AS ?max_bal)
+          |{ ?c :mktsegment ?seg . ?c :acctbal ?bal }
+          |GROUP BY ?seg""".stripMargin),
+        "seg" -> "string", "n" -> "bigint", "total" -> "double",
+        "avg_bal" -> "double", "min_bal" -> "double", "max_bal" -> "double")
+    },
+    "q_agg_having" -> { (s, d) =>
+      out(cust(s, d).sparql(prologue +
+        """SELECT ?seg (COUNT(?c) AS ?n)
+          |{ ?c :mktsegment ?seg }
+          |GROUP BY ?seg HAVING(COUNT(?c) > 300)""".stripMargin),
+        "seg" -> "string", "n" -> "bigint")
+    },
+    "q_agg_count_distinct" -> { (s, d) =>
+      out(cust(s, d).sparql(prologue +
+        "SELECT (COUNT(DISTINCT ?nat) AS ?n) { ?c :inNation ?nat }"),
+        "n" -> "bigint")
+    },
+    "q_group_concat" -> { (s, d) =>
+      out(nationRegion(s, d).sparql(prologue +
+        """SELECT ?rname (GROUP_CONCAT(?nname; separator=",") AS ?nations)
+          |{ ?n :inRegion ?r . ?n :nname ?nname . ?r :rname ?rname }
+          |GROUP BY ?rname""".stripMargin),
+        "rname" -> "string", "nations" -> "string")
+    },
+    "q_agg_global" -> { (s, d) =>
+      out(TpchQuads.orders(s, d).sparql(prologue +
+        """SELECT (COUNT(?o) AS ?n) (SUM(?tp) AS ?total)
+          |{ ?o :totalprice ?tp }""".stripMargin),
+        "n" -> "bigint", "total" -> "double")
+    },
+    "q_sample" -> { (s, d) => // rows-only: SAMPLE is nondeterministic
+      out(cust(s, d).sparql(prologue +
+        """SELECT ?seg (SAMPLE(?cname) AS ?any)
+          |{ ?c :mktsegment ?seg . ?c :cname ?cname } GROUP BY ?seg""".stripMargin),
+        "seg" -> "string", "any" -> "string")
+    },
+    // ----- §2.5 order / slice / distinct -----
+    "q_order_limit" -> { (s, d) =>
+      out(cust(s, d).sparql(prologue +
+        """SELECT ?cname ?bal
+          |{ ?c :cname ?cname . ?c :acctbal ?bal }
+          |ORDER BY DESC(?bal) ?cname LIMIT 10""".stripMargin),
+        "cname" -> "string", "bal" -> "double")
+    },
+    "q_order_offset" -> { (s, d) =>
+      out(cust(s, d).sparql(prologue +
+        """SELECT ?cname ?bal
+          |{ ?c :cname ?cname . ?c :acctbal ?bal }
+          |ORDER BY DESC(?bal) ?cname OFFSET 5 LIMIT 10""".stripMargin),
+        "cname" -> "string", "bal" -> "double")
+    },
+    "q_slice_noorder" -> { (s, d) => // rows-only: arbitrary subset
+      out(cust(s, d).sparql(prologue +
+        "SELECT ?cname { ?c :cname ?cname } LIMIT 50"),
+        "cname" -> "string")
+    },
+    "q_distinct" -> { (s, d) =>
+      out(cust(s, d).sparql(prologue +
+        "SELECT DISTINCT ?seg { ?c :mktsegment ?seg }"),
+        "seg" -> "string")
+    },
+    "q_reduced" -> { (s, d) =>
+      out(cust(s, d).sparql(prologue +
+        "SELECT REDUCED ?seg { ?c :mktsegment ?seg }"),
+        "seg" -> "string")
+    },
+    // ----- §2.6 union -----
+    "q_union" -> { (s, d) =>
+      out(custSupp(s, d).sparql(prologue +
+        "SELECT ?name { { ?x :cname ?name } UNION { ?x :sname ?name } }"),
+        "name" -> "string")
+    },
+    // ----- §2.8 property paths / graphs -----
+    "q_path_seq" -> { (s, d) =>
+      out(TpchQuads.supplier(s, d).union(nationRegion(s, d)).sparql(prologue +
+        """SELECT ?sname ?rname
+          |{ ?s :sname ?sname . ?s :inNation/:inRegion ?r . ?r :rname ?rname }""".stripMargin),
+        "sname" -> "string", "rname" -> "string")
+    },
+    "q_path_alt" -> { (s, d) =>
+      out(custSupp(s, d).sparql(prologue +
+        "SELECT ?name { ?x (:cname | :sname) ?name }"),
+        "name" -> "string")
+    },
+    "q_path_inv" -> { (s, d) =>
+      out(TpchQuads.customer(s, d).union(TpchQuads.nation(s, d)).sparql(prologue +
+        """SELECT ?nname ?cname
+          |{ ?n ^:inNation ?c . ?c :cname ?cname . ?n :nname ?nname }""".stripMargin),
+        "nname" -> "string", "cname" -> "string")
+    },
+    "q_path_neg" -> { (s, d) =>
+      out(TpchQuads.nation(s, d).sparql(prologue +
+        "SELECT ?s ?o { ?s !:nname ?o }"),
+        "s" -> "string", "o" -> "string")
+    },
+    "q_path_zero_one" -> { (s, d) =>
+      out(TpchQuads.partOfChain(s, d).sparql(prologue +
+        "SELECT ?s ?x { ?s :partOf? ?x }"),
+        "s" -> "string", "x" -> "string")
+    },
+    "q_path_star" -> { (s, d) =>
+      out(TpchQuads.partOfChain(s, d).sparql(prologue +
+        "SELECT ?s ?x { ?s :partOf* ?x }"),
+        "s" -> "string", "x" -> "string")
+    },
+    "q_path_plus" -> { (s, d) =>
+      out(TpchQuads.partOfChain(s, d).sparql(prologue +
+        "SELECT ?s ?x { ?s :partOf+ ?x }"),
+        "s" -> "string", "x" -> "string")
+    },
+    "q_graph_const" -> { (s, d) =>
+      out(TpchQuads.graphQuads(s, d).sparql(prologue +
+        "SELECT ?cname { GRAPH <urn:graph:customer> { ?c :cname ?cname } }"),
+        "cname" -> "string")
+    },
+    "q_graph_var" -> { (s, d) =>
+      out(TpchQuads.graphQuads(s, d).sparql(prologue +
+        """SELECT ?g (COUNT(?s2) AS ?n) { GRAPH ?g { ?s2 ?p2 ?o2 } }
+          |GROUP BY ?g""".stripMargin),
+        "g" -> "string", "n" -> "bigint")
+    },
+    // ----- relational baseline (round 1) -----
+    "q1_agg" -> { (s, d) =>
+      t(s, d, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum("l_quantity").as("sum_qty"),
@@ -36,8 +277,124 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omitted for nondeterministic entries
+    * (q_sample, q_slice_noorder) → driver records rows-only check. */
   def oracleSql: Map[String, String] = Map(
+    "q_scan" ->
+      "SELECT 'urn:n:'||n_nationkey::VARCHAR AS n, n_name AS nname FROM nation",
+    "q_singleton" -> "SELECT CAST(1 AS BIGINT) AS x",
+    "q_bgp_join" ->
+      """SELECT n_name AS nname, r_name AS rname
+        |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+    "q_optional" ->
+      """SELECT c_name AS cname, COALESCE(o_totalprice, 0) AS total
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey""".stripMargin,
+    "q_exists" ->
+      """SELECT c_name AS cname FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_not_exists" ->
+      """SELECT c_name AS cname FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin,
+    "q_minus" ->
+      "SELECT c_name AS cname FROM customer WHERE c_mktsegment <> 'BUILDING'",
+    "q_values" ->
+      """SELECT c_name AS cname, c_mktsegment AS seg FROM customer
+        |WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')""".stripMargin,
+    "q_filter_cmp" ->
+      """SELECT c_name AS cname, c_acctbal AS acctbal FROM customer
+        |WHERE c_acctbal > 5000""".stripMargin,
+    "q_filter_str" ->
+      """SELECT c_name AS cname, c_mktsegment AS seg FROM customer
+        |WHERE c_mktsegment LIKE 'BUI%' OR c_mktsegment LIKE '%MACH%'""".stripMargin,
+    "q_bind_arith" ->
+      "SELECT c_name AS cname, c_acctbal * 2 - 100 AS dbl FROM customer",
+    "q_if_tier" ->
+      """SELECT c_name AS cname,
+        |  CASE WHEN c_acctbal > 5000 THEN 'high' ELSE 'low' END AS tier
+        |FROM customer""".stripMargin,
+    "q_str_funcs" ->
+      """SELECT c_name AS cname, upper(c_name) AS up,
+        |  CAST(length(c_name) AS BIGINT) AS len,
+        |  c_mktsegment || '-' || substr(c_name, 10) AS tag
+        |FROM customer""".stripMargin,
+    "q_year" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_agg_multi" ->
+      """SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(c_acctbal) AS total, AVG(c_acctbal) AS avg_bal,
+        |  MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "q_agg_having" ->
+      """SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM customer GROUP BY c_mktsegment HAVING COUNT(*) > 300""".stripMargin,
+    "q_agg_count_distinct" ->
+      "SELECT CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n FROM customer",
+    "q_group_concat" ->
+      """SELECT r_name AS rname, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "q_agg_global" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(o_totalprice) AS total
+        |FROM orders""".stripMargin,
+    "q_order_limit" ->
+      """SELECT c_name AS cname, c_acctbal AS bal FROM customer
+        |ORDER BY c_acctbal DESC, c_name LIMIT 10""".stripMargin,
+    "q_order_offset" ->
+      """SELECT c_name AS cname, c_acctbal AS bal FROM customer
+        |ORDER BY c_acctbal DESC, c_name LIMIT 10 OFFSET 5""".stripMargin,
+    "q_distinct" ->
+      "SELECT DISTINCT c_mktsegment AS seg FROM customer",
+    "q_reduced" ->
+      "SELECT DISTINCT c_mktsegment AS seg FROM customer",
+    "q_union" ->
+      """SELECT c_name AS name FROM customer
+        |UNION ALL SELECT s_name AS name FROM supplier""".stripMargin,
+    "q_path_seq" ->
+      """SELECT s_name AS sname, r_name AS rname
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+    "q_path_alt" ->
+      """SELECT c_name AS name FROM customer
+        |UNION ALL SELECT s_name AS name FROM supplier""".stripMargin,
+    "q_path_inv" ->
+      """SELECT n_name AS nname, c_name AS cname
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+    "q_path_neg" ->
+      """SELECT 'urn:n:'||n_nationkey::VARCHAR AS s,
+        |       'urn:r:'||n_regionkey::VARCHAR AS o FROM nation""".stripMargin,
+    "q_path_zero_one" ->
+      """SELECT s, x FROM (
+        |  SELECT 'urn:c:'||c_custkey::VARCHAR AS s, 'urn:c:'||c_custkey::VARCHAR AS x FROM customer
+        |  UNION ALL SELECT 'urn:n:'||n_nationkey::VARCHAR, 'urn:n:'||n_nationkey::VARCHAR FROM nation
+        |  UNION ALL SELECT 'urn:r:'||r_regionkey::VARCHAR, 'urn:r:'||r_regionkey::VARCHAR FROM region
+        |  UNION ALL SELECT 'urn:c:'||c_custkey::VARCHAR, 'urn:n:'||c_nationkey::VARCHAR FROM customer
+        |  UNION ALL SELECT 'urn:n:'||n_nationkey::VARCHAR, 'urn:r:'||n_regionkey::VARCHAR FROM nation
+        |)""".stripMargin,
+    "q_path_star" ->
+      """SELECT s, x FROM (
+        |  SELECT 'urn:c:'||c_custkey::VARCHAR AS s, 'urn:c:'||c_custkey::VARCHAR AS x FROM customer
+        |  UNION ALL SELECT 'urn:n:'||n_nationkey::VARCHAR, 'urn:n:'||n_nationkey::VARCHAR FROM nation
+        |  UNION ALL SELECT 'urn:r:'||r_regionkey::VARCHAR, 'urn:r:'||r_regionkey::VARCHAR FROM region
+        |  UNION ALL SELECT 'urn:c:'||c_custkey::VARCHAR, 'urn:n:'||c_nationkey::VARCHAR FROM customer
+        |  UNION ALL SELECT 'urn:n:'||n_nationkey::VARCHAR, 'urn:r:'||n_regionkey::VARCHAR FROM nation
+        |  UNION ALL SELECT 'urn:c:'||c_custkey::VARCHAR, 'urn:r:'||n_regionkey::VARCHAR
+        |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |)""".stripMargin,
+    "q_path_plus" ->
+      """SELECT s, x FROM (
+        |  SELECT 'urn:c:'||c_custkey::VARCHAR AS s, 'urn:n:'||c_nationkey::VARCHAR AS x FROM customer
+        |  UNION ALL SELECT 'urn:n:'||n_nationkey::VARCHAR, 'urn:r:'||n_regionkey::VARCHAR FROM nation
+        |  UNION ALL SELECT 'urn:c:'||c_custkey::VARCHAR, 'urn:r:'||n_regionkey::VARCHAR
+        |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |)""".stripMargin,
+    "q_graph_const" -> "SELECT c_name AS cname FROM customer",
+    "q_graph_var" ->
+      """SELECT 'urn:graph:customer' AS g, CAST(4 * COUNT(*) AS BIGINT) AS n FROM customer
+        |UNION ALL
+        |SELECT 'urn:graph:nation' AS g, CAST(2 * COUNT(*) AS BIGINT) AS n FROM nation""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
