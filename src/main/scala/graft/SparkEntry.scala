@@ -273,6 +273,52 @@ object SparkEntry {
           count(lit(1)).as("count_order")
         )
         .orderBy("l_returnflag", "l_linestatus")
+    },
+    // ----- LLM-pipeline operators (graft.pipeline) -----
+    "q_dedup_exact" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+        .select(graft.pipeline.TextAnalysis.fingerprint(col("text")).as("fp"),
+          col("doc_id"))
+      graft.pipeline.Dedup.exact(docs, "fp", "doc_id")
+    },
+    "q_dedup_minhash" -> { (s, d) => // rows-only: LSH candidates not SQL-expressible
+      graft.pipeline.Dedup.minHashCandidates(
+        t(s, d, "documents"), "doc_id", "text", threshold = 0.3)
+    },
+    "q_dedup_simhash" -> { (s, d) => // rows-only
+      graft.pipeline.Dedup.simHashCandidates(
+        t(s, d, "documents"), "doc_id", "text", maxHamming = 6)
+    },
+    "q_dedup_embedding" -> { (s, d) => // rows-only
+      graft.pipeline.Dedup.embeddingCandidates(
+        t(s, d, "embeddings"), "vec_id", "embedding", dim = 64,
+        numPlanes = 4, threshold = 0.2)
+    },
+    "q_text_stats" -> { (s, d) =>
+      import graft.pipeline.TextAnalysis._
+      t(s, d, "documents").select(
+        col("doc_id"),
+        tokenCount(col("text")).as("ntok"),
+        bpeishTokenCount(col("text")).as("nbpe"),
+        round(stopwordRatio(col("text")), 6).as("stop_ratio"),
+        round(avgWordLen(col("text")), 6).as("awl"))
+    },
+    "q_text_langid" -> { (s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        graft.pipeline.TextAnalysis.langId(col("text")).as("lang_pred"))
+    },
+    "q_ann_brute" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      graft.pipeline.Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+    },
+    "q_ann_lsh" -> { (s, d) => // rows-only: approximate by construction
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      graft.pipeline.Similarity.lshTopK(emb, "vec_id", "embedding", q, 10,
+        numPlanes = 6)
     }
   )
 
@@ -403,6 +449,46 @@ object SparkEntry {
         |  count(*) AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT fp, doc_id FROM (
+        |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |         doc_id,
+        |         row_number() OVER (
+        |           PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |           ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1""".stripMargin,
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')) AS BIGINT) AS ntok,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS nbpe,
+        |  round(CASE WHEN len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')) = 0 THEN 0
+        |    ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |           t -> t IN ('the','a','of','and','to','in','is')))::DOUBLE
+        |         / len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')) END, 6) AS stop_ratio,
+        |  round(CASE WHEN len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')) = 0 THEN 0
+        |    ELSE list_sum(list_transform(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> ''),
+        |           t -> length(t)))::DOUBLE
+        |         / len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')) END, 6) AS awl
+        |FROM documents""".stripMargin,
+    "q_text_langid" ->
+      """SELECT doc_id,
+        |  CASE
+        |    WHEN len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |             t -> t IN ('the','a','and','of'))) > 0 THEN 'en'
+        |    WHEN len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |             t -> t IN ('der','die','das','und'))) > 0 THEN 'de'
+        |    WHEN len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |             t -> t IN ('le','la','les','et'))) > 0 THEN 'fr'
+        |    WHEN len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |             t -> t IN ('el','los','las','y'))) > 0 THEN 'es'
+        |    ELSE 'und' END AS lang_pred
+        |FROM documents""".stripMargin,
+    "q_ann_brute" ->
+      """SELECT b.vec_id,
+        |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id = 0
+        |ORDER BY cos DESC, b.vec_id LIMIT 10""".stripMargin
   )
 }

@@ -1,0 +1,173 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data deduplication operators, all bucketed — no all-pairs
+  * comparison anywhere, so every candidate generation step is a
+  * hash-partitioned shuffle that scales linearly with input (the only
+  * quadratic work is WITHIN a bucket, which LSH keeps tiny).
+  *
+  * Family (per the 100 TB pipeline requirements):
+  *  - [[exact]]            hash-groupBy exact dedup (single shuffle)
+  *  - [[minHashCandidates]] MinHash + banded LSH near-dup pairs
+  *  - [[simHash64]] / [[simHashCandidates]] SimHash + pigeonhole buckets
+  *  - [[jaccard]]          n-gram Jaccard verification expression
+  *  - [[embeddingCandidates]] random-hyperplane LSH over embeddings
+  *    with exact cosine verification of in-bucket candidates
+  */
+object Dedup {
+
+  /** Exact dedup: one surviving row per distinct `key`, the one with
+    * the smallest `tieBreak`. Single shuffle (groupBy + min_by); no
+    * window functions, no sort of the full data. */
+  def exact(df: DataFrame, key: String, tieBreak: String): DataFrame = {
+    val others = df.columns.filterNot(_ == key).toSeq
+    df.groupBy(col(key))
+      .agg(min_by(struct(others.map(col): _*), col(tieBreak)).as("__rest"))
+      .select(col(key) +: others.map(c => col(s"__rest.$c").as(c)): _*)
+  }
+
+  /** Whitespace word tokens, lowercased, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), w => w =!= "")
+
+  /** Word k-shingles (k consecutive tokens joined by one space),
+    * deduplicated. Shorter-than-k texts yield their whole token run. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val ws = tokens(text)
+    array_distinct(
+      when(size(ws) >= k,
+        transform(sequence(lit(0), size(ws) - k),
+          i => concat_ws(" ", slice(ws, i + 1, lit(k)))))
+        .otherwise(array(concat_ws(" ", ws))))
+  }
+
+  /** MinHash signature: array<long> of length `numHashes` over the
+    * shingle set. h_i(S) = min over shingles of xxhash64(s, seed=i) —
+    * independent seeded hashes instead of affine permutations, which
+    * would overflow-multiply under ANSI mode. */
+  def minHashSignature(shinglesCol: Column, numHashes: Int = 64): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), i =>
+      array_min(transform(shinglesCol, s => xxhash64(s, i))))
+
+  /** Exact n-gram Jaccard similarity between two shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) === 0, lit(0.0))
+      .otherwise(size(array_intersect(a, b)).cast(DoubleType) /
+        size(array_union(a, b)).cast(DoubleType))
+
+  /** Near-duplicate candidate pairs via banded MinHash-LSH, verified
+    * with exact Jaccard. Output: (idA, idB, jaccard) with idA < idB and
+    * jaccard >= threshold.
+    *
+    * Plan shape: shingle+sign (map-only) → explode bands (×bands) →
+    * shuffle on (band, bucket) self-join → distinct pairs → one join
+    * back for verification. Bucket width r = numHashes/bands controls
+    * the S-curve; no all-pairs stage exists. */
+  def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 64, bands: Int = 16,
+                        shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val base = df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleK).as("sh"))
+    val sigs = base.withColumn("sig", minHashSignature(col("sh"), numHashes))
+    val banded = sigs.select(col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        j => hash(slice(col("sig"), j * r + 1, lit(r)), j))).as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"),
+      col("id").as("idA"), col("sh").as("shA"))
+    val rgt = banded.select(col("band"), col("bucket"),
+      col("id").as("idB"), col("sh").as("shB"))
+    l.join(rgt, Seq("band", "bucket"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"), col("shA"), col("shB"))
+      .dropDuplicates("idA", "idB")
+      .withColumn("jaccard", jaccard(col("shA"), col("shB")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("idA"), col("idB"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over word tokens (unit weights): bit b of the
+    * signature is 1 iff the sum over tokens of ±1 (sign of that
+    * token's hash bit b) is positive. */
+  def simHash(text: Column): Column = {
+    val hs = transform(tokens(text), w => xxhash64(w))
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, b) => {
+        val vote = aggregate(hs, lit(0L), (a, h) =>
+          a + when(call_function("shiftrightunsigned", h, b)
+            .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+        acc + when(vote > 0, call_function("shiftleft", lit(1L), b)).otherwise(0L)
+      })
+  }
+
+  /** SimHash near-dup candidates: pigeonhole on 4 × 16-bit chunks (two
+    * 64-bit signatures within Hamming distance 3 must agree on at least
+    * one chunk), verify with bit_count(xor) <= maxHamming. */
+  def simHashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+    val chunked = sigs.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(3)), c =>
+        call_function("shiftrightunsigned", col("sig"), c * 16)
+          .bitwiseAND(lit(0xFFFFL))))
+        .as(Seq("chunk", "val")))
+    val l = chunked.select(col("chunk"), col("val"),
+      col("id").as("idA"), col("sig").as("sigA"))
+    val r = chunked.select(col("chunk"), col("val"),
+      col("id").as("idB"), col("sig").as("sigB"))
+    l.join(r, Seq("chunk", "val"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"), col("sigA"), col("sigB"))
+      .dropDuplicates("idA", "idB")
+      .withColumn("hamming", bit_count(col("sigA").bitwiseXOR(col("sigB"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("idA"), col("idB"), col("hamming"))
+  }
+
+  // ----- embedding-space near-dup -----
+  /** Deterministic pseudo-random hyperplanes (seeded). */
+  private[pipeline] def hyperplanes(numPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(7)
+    (1 to numPlanes).map(_ => Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Random-hyperplane LSH signature (one bit per plane) packed into a
+    * long — vectors with high cosine land in the same bucket. */
+  def rhpSignature(emb: Column, numPlanes: Int, dim: Int): Column = {
+    val planes = hyperplanes(numPlanes, dim)
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(emb.cast(ArrayType(DoubleType)), typedLit(p)) > 0,
+        shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** Embedding near-dup candidate pairs: bucket on the RHP signature,
+    * verify exact cosine within buckets. */
+  def embeddingCandidates(df: DataFrame, idCol: String, embCol: String,
+                          dim: Int, numPlanes: Int = 12,
+                          threshold: Double = 0.9): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), col(embCol).as("emb"),
+      rhpSignature(col(embCol), numPlanes, dim).as("bucket"))
+    val l = sigs.select(col("bucket"), col("id").as("idA"), col("emb").as("embA"))
+    val r = sigs.select(col("bucket"), col("id").as("idB"), col("emb").as("embB"))
+    l.join(r, Seq("bucket"))
+      .filter(col("idA") < col("idB"))
+      .withColumn("cos", cosine(col("embA").cast(ArrayType(DoubleType)),
+        col("embB").cast(ArrayType(DoubleType))))
+      .filter(col("cos") >= threshold)
+      .select(col("idA"), col("idB"), col("cos"))
+      .dropDuplicates("idA", "idB")
+  }
+}

@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis signals for training-data curation: token counting,
+  * quality scoring, language ID (marker-word heuristic), and document
+  * fingerprinting. All native column expressions — each signal is a
+  * map-only pass that fuses into whatever scan produces the text. */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(Dedup.tokens(text)).cast(LongType)
+
+  /** BPE-ish subword count: alphabetic runs, single digits, and single
+    * non-alphanumeric marks each count as one token (the classic
+    * pre-tokenizer upper bound on BPE length). */
+  def bpeishTokenCount(text: Column): Column =
+    size(call_function("regexp_extract_all", text,
+      lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).cast(LongType)
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Fraction of tokens that are (English) stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val ts = Dedup.tokens(text)
+    when(size(ts) === 0, lit(0.0))
+      .otherwise(size(filter(ts, t => t.isin(stopwords: _*))).cast(DoubleType) /
+        size(ts).cast(DoubleType))
+  }
+
+  /** Mean token length. */
+  def avgWordLen(text: Column): Column = {
+    val ts = Dedup.tokens(text)
+    when(size(ts) === 0, lit(0.0))
+      .otherwise(aggregate(ts, lit(0L), (acc, t) => acc + length(t))
+        .cast(DoubleType) / size(ts).cast(DoubleType))
+  }
+
+  /** Fraction of non-alphanumeric, non-space characters. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise((length(text) -
+        length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))).cast(DoubleType) /
+        length(text).cast(DoubleType))
+
+  /** Composite quality score in [0,1]: rewards mid-length documents
+    * with low punctuation noise and a natural stopword rate. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast(DoubleType) / 100.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    round((lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3), 6)
+  }
+
+  /** Marker-word language ID: deterministic rule, mirrored exactly by
+    * the DuckDB oracle in the battery. */
+  def langId(text: Column): Column = {
+    val ts = Dedup.tokens(text)
+    def cnt(ws: String*) = size(filter(ts, t => t.isin(ws: _*)))
+    when(cnt("the", "a", "and", "of") > 0, lit("en"))
+      .when(cnt("der", "die", "das", "und") > 0, lit("de"))
+      .when(cnt("le", "la", "les", "et") > 0, lit("fr"))
+      .when(cnt("el", "los", "las", "y") > 0, lit("es"))
+      .otherwise(lit("und"))
+  }
+
+  /** Canonical content fingerprint: md5 of the normalized text
+    * (lowercased, whitespace collapsed) — the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Rolling-hash window fingerprints (Rabin–Karp style) for partial-
+    * overlap detection: hash of every `window`-token run, sampled to
+    * the numerically smallest `keep` hashes (winnowing-lite). */
+  def rollingFingerprints(text: Column, window: Int = 8, keep: Int = 4): Column = {
+    val ts = Dedup.tokens(text)
+    val hs = when(size(ts) >= window,
+      transform(sequence(lit(0), size(ts) - window),
+        i => xxhash64(concat_ws(" ", slice(ts, i + 1, lit(window))))))
+      .otherwise(array(xxhash64(concat_ws(" ", ts))))
+    slice(array_sort(hs), 1, keep)
+  }
+}

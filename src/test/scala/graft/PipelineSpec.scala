@@ -1,0 +1,158 @@
+package graft
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** LLM-pipeline operators: dedup family, similarity search, text
+  * analysis, multimodal plumbing. Planted duplicates/neighbors prove
+  * the operators find what they should and nothing else. */
+class PipelineSpec extends AnyFlatSpec with Matchers {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs: DataFrame = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely different content about spark query engines and columnar execution"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (5L, "unrelated short text")
+  ).toDF("doc_id", "text")
+
+  "exact dedup" should "keep one row per key with the smallest tiebreak" in {
+    val withFp = docs.select(TextAnalysis.fingerprint(col("text")).as("fp"), col("doc_id"))
+    val out = Dedup.exact(withFp, "fp", "doc_id")
+    out.count() shouldBe 4 // 1 and 4 collapse
+    out.filter(col("doc_id") === 4).count() shouldBe 0
+    out.filter(col("doc_id") === 1).count() shouldBe 1
+  }
+
+  "MinHash-LSH" should "surface planted near-duplicates and skip dissimilar pairs" in {
+    val cands = Dedup.minHashCandidates(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    cands should contain((1L, 2L)) // near-dup
+    cands should contain((1L, 4L)) // exact dup
+    cands should not contain ((1L, 3L))
+    cands should not contain ((3L, 5L))
+  }
+
+  it should "compute exact n-gram Jaccard on verified pairs" in {
+    val j = Dedup.minHashCandidates(docs, "doc_id", "text", threshold = 0.1)
+      .filter(col("idA") === 1 && col("idB") === 4)
+      .select("jaccard").head().getDouble(0)
+    j shouldBe 1.0 +- 1e-9
+  }
+
+  "SimHash" should "give distance 0 for identical text and find near-dups" in {
+    val sigs = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sigs(1L) shouldBe sigs(4L)
+    val cands = Dedup.simHashCandidates(docs, "doc_id", "text", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    cands should contain((1L, 4L))
+    cands should contain((1L, 2L))
+  }
+
+  private lazy val vecs: DataFrame = {
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.99f, 0.1f, 0f, 0f)), // near 0
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(-1f, 0f, 0f, 0f)),
+      (4L, Array(0.9f, 0.3f, 0.2f, 0.1f))
+    )
+    rows.toDF("vec_id", "embedding")
+  }
+
+  "similarity search" should "rank exact cosine top-k correctly" in {
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      Seq(1.0, 0.0, 0.0, 0.0), 3).collect()
+    top.map(_.getLong(0)).toSeq shouldBe Seq(0L, 1L, 4L)
+    top.head.getDouble(1) shouldBe 1.0 +- 1e-9
+  }
+
+  it should "return a subset consistent with brute force from the LSH path" in {
+    val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      Seq(1.0, 0.0, 0.0, 0.0), 3).collect().map(_.getLong(0)).toSet
+    val approx = Similarity.lshTopK(vecs, "vec_id", "embedding",
+      Seq(1.0, 0.0, 0.0, 0.0), 3, numPlanes = 4).collect().map(_.getLong(0)).toSet
+    approx.subsetOf(brute ++ Set(2L, 3L)) shouldBe true
+    approx should contain(0L) // the query vector itself always survives
+  }
+
+  "embedding dedup" should "find high-cosine pairs via RHP buckets" in {
+    val pairs = Dedup.embeddingCandidates(vecs, "vec_id", "embedding",
+      dim = 4, numPlanes = 6, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((0L, 1L))
+    pairs should not contain ((0L, 3L))
+  }
+
+  "text analysis" should "compute token counts, ratios and language id" in {
+    val df = Seq((1L, "The quick brown fox and the dog")).toDF("id", "text")
+      .select(
+        TextAnalysis.tokenCount(col("text")).as("n"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("nb"),
+        TextAnalysis.stopwordRatio(col("text")).as("sr"),
+        TextAnalysis.avgWordLen(col("text")).as("awl"),
+        TextAnalysis.langId(col("text")).as("lang"))
+    val r = df.head()
+    r.getLong(0) shouldBe 7
+    r.getLong(1) shouldBe 7
+    r.getDouble(2) shouldBe (3.0 / 7) +- 1e-9 // the, and, the
+    r.getDouble(3) shouldBe (25.0 / 7) +- 1e-9
+    r.getString(4) shouldBe "en"
+  }
+
+  it should "produce stable rolling fingerprints that overlap for shared runs" in {
+    val df = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f g h i j k l m n"), // shares 8-token runs with 1
+      (3L, "z y x w v u t s r q p o")
+    ).toDF("id", "text")
+      .select(col("id"),
+        TextAnalysis.rollingFingerprints(col("text")).as("fps"))
+    val fps = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    fps(1L).intersect(fps(2L)) should not be empty
+    fps(1L).intersect(fps(3L)) shouldBe empty
+  }
+
+  "multimodal plumbing" should "extract fixed-width features and drop payload bytes" in {
+    val media = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "image", "imagebytes".getBytes, Row(4, 4, null, "raw")),
+        Row(2L, "audio", "audiobytes".getBytes, Row(null, null, 16000, "pcm")),
+        Row(3L, "video", "videobytes".getBytes, Row(8, 8, null, "raw"))),
+      Multimodal.mediaSchema)
+    val feats = Multimodal.extractFeatures(media)
+    feats.columns should contain("features")
+    feats.columns should not contain "bytes"
+    feats.count() shouldBe 3
+    val f = feats.filter(col("media_id") === 1).select("features")
+      .head().getSeq[Float](0)
+    f should have size Multimodal.StubCodec.featureDim
+    // deterministic: same payload → same features
+    f shouldBe Multimodal.StubCodec.features("imagebytes".getBytes).toSeq
+  }
+
+  it should "explode sampled frames for video rows only" in {
+    val media = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "image", "x".getBytes, Row(4, 4, null, "raw")),
+        Row(2L, "video", "y".getBytes, Row(8, 8, null, "raw"))),
+      Multimodal.mediaSchema)
+    val frames = Multimodal.sampleFrames(media, 4)
+    frames.filter(col("kind") === "video").count() shouldBe 4
+    frames.filter(col("kind") === "image").count() shouldBe 1
+  }
+
+  it should "rewrite resize metadata" in {
+    val media = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, "image", "x".getBytes, Row(4, 4, null, "raw"))),
+      Multimodal.mediaSchema)
+    val r = Multimodal.resize(media, 224, 224).select("meta.width", "meta.height").head()
+    (r.getInt(0), r.getInt(1)) shouldBe ((224, 224))
+  }
+}
