@@ -29,14 +29,19 @@ object Sparql {
       else s"$q^^<${l.dt}>"
   }
 
-  /** Textual pre-binding: replace each `?name` with a constant term
-    * before parsing — the same trick the reference borrows from rdf4j's
-    * QueryStringUtil (Interpreter.scala:179-205). */
-  def preBind(query: String, bindings: Map[String, Term]): String =
-    bindings.foldLeft(query) { case (q, (name, term)) =>
-      q.replaceAll(s"[?$$]$name\\b",
-        java.util.regex.Matcher.quoteReplacement(serialize(term)))
-    }
+  /** Textual pre-binding — the analogue of the reference's
+    * rdf4j-QueryStringUtil substitution (Interpreter.scala:179-205),
+    * but done by injecting `BIND(<term> AS ?var)` at the head of the
+    * WHERE group: the variable stays projectable AND constrains every
+    * pattern via the natural join, without corrupting the SELECT list. */
+  def preBind(query: String, bindings: Map[String, Term]): String = {
+    val idx = query.indexOf('{')
+    require(idx >= 0, "query has no WHERE group to bind into")
+    val binds = bindings.map { case (name, term) =>
+      s"BIND(${serialize(term)} AS ?$name)"
+    }.mkString(" ", " ", " ")
+    query.substring(0, idx + 1) + binds + query.substring(idx + 1)
+  }
 
   implicit class QuadsOps(private val quads: DataFrame) extends AnyVal {
     /** Execute a SPARQL 1.1 SELECT query over this quads DataFrame. */
