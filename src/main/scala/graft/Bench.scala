@@ -19,14 +19,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // untimed warm-up: session bring-up, codegen, parquet footers
-    try SparkEntry.queries("q_bgp_join")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    // Materialize EVERY output column (count() would let Catalyst prune
+    // the computed columns away and under-measure).
+    def exec(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+
+    // untimed warm-up: session bring-up, codegen, parquet footers —
+    // one query per input family (tpch quads, documents, embeddings)
+    Seq("q_bgp_join", "q_dedup_exact", "q_ann_brute").foreach { q =>
+      try exec(q) catch { case _: Throwable => () }
+    }
 
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
+      try exec(name)
       catch { case e: Throwable =>
         failed += name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

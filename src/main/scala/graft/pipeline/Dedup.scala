@@ -47,7 +47,9 @@ object Dedup {
   /** MinHash signature: array<long> of length `numHashes` over the
     * shingle set. h_i(S) = min over shingles of xxhash64(s, seed=i) —
     * independent seeded hashes instead of affine permutations, which
-    * would overflow-multiply under ANSI mode. */
+    * would overflow-multiply under ANSI mode. Column form (interpreted
+    * higher-order fns) — the candidates pipeline uses the codegen'd
+    * explode+groupBy form instead. */
   def minHashSignature(shinglesCol: Column, numHashes: Int = 64): Column =
     transform(sequence(lit(0), lit(numHashes - 1)), i =>
       array_min(transform(shinglesCol, s => xxhash64(s, i))))
@@ -71,20 +73,43 @@ object Dedup {
                         shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val base = df.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleK).as("sh"))
-    val sigs = base.withColumn("sig", minHashSignature(col("sh"), numHashes))
-    val banded = sigs.select(col("id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        j => hash(slice(col("sig"), j * r + 1, lit(r)), j))).as(Seq("band", "bucket")))
-    val l = banded.select(col("band"), col("bucket"),
-      col("id").as("idA"), col("sh").as("shA"))
-    val rgt = banded.select(col("band"), col("bucket"),
-      col("id").as("idB"), col("sh").as("shB"))
-    l.join(rgt, Seq("band", "bucket"))
+    // Shingles via posexplode + window leads — fully codegen'd (the
+    // higher-order-function form is interpreted row-at-a-time and was
+    // the measured bottleneck). Shingle HASHES (longs) are all that
+    // survives the first stage; texts shorter than shingleK tokens are
+    // left to exact dedup.
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(split(lower(trim(col(textCol))), "\\s+")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val win = Window.partitionBy("id").orderBy("pos")
+    val shRows = toks.select(col("id"),
+      xxhash64(concat_ws(" ",
+        (0 until shingleK).map(j => lead(col("w"), j).over(win)): _*)).as("s"),
+      lead(col("w"), shingleK - 1).over(win).as("last"))
+      .filter(col("last").isNotNull)
+      .select("id", "s")
+    // ONE groupBy computes the verification set AND all minhash mins
+    val sigCols = collect_set(col("s")).as("sh") +:
+      (0 until numHashes).map(i => min(xxhash64(col("s"), lit(i))).as(s"h$i"))
+    val sigs = shRows.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
+    val base = sigs.select(col("id"), col("sh"))
+    // one bucket hash per band; only (id, band, bucket) rides the
+    // candidate shuffle — shingle arrays never fan out ×bands
+    val banded = sigs.select(col("id"),
+      posexplode(array((0 until bands).map { j =>
+        hash(((j * r) until ((j + 1) * r)).map(i => col(s"h$i")) :+ lit(j): _*)
+      }: _*)).as(Seq("band", "bucket")))
+    val pairs = banded.select(col("band"), col("bucket"), col("id").as("idA"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("idB")),
+        Seq("band", "bucket"))
       .filter(col("idA") < col("idB"))
-      .select(col("idA"), col("idB"), col("shA"), col("shB"))
+      .select("idA", "idB")
       .dropDuplicates("idA", "idB")
+    // verification join: fetch the two shingle sets per surviving pair
+    pairs
+      .join(base.select(col("id").as("idA"), col("sh").as("shA")), Seq("idA"))
+      .join(base.select(col("id").as("idB"), col("sh").as("shB")), Seq("idB"))
       .withColumn("jaccard", jaccard(col("shA"), col("shB")))
       .filter(col("jaccard") >= threshold)
       .select(col("idA"), col("idB"), col("jaccard"))
@@ -109,9 +134,25 @@ object Dedup {
   /** SimHash near-dup candidates: pigeonhole on 4 × 16-bit chunks (two
     * 64-bit signatures within Hamming distance 3 must agree on at least
     * one chunk), verify with bit_count(xor) <= maxHamming. */
+  /** SimHash signatures via explode + 64 codegen'd sum-aggregates
+    * (single shuffle) — same result as [[simHash]], scale path. */
+  private def simHashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val voteCols = (0 until 64).map(b =>
+      sum(when(call_function("shiftrightunsigned", col("h"), lit(b))
+        .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$b"))
+    val votes = exploded.groupBy(col("id")).agg(voteCols.head, voteCols.tail: _*)
+    votes.select(col("id"),
+      (0 until 64).map(b =>
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+        .reduce(_ + _).as("sig"))
+  }
+
   def simHashCandidates(df: DataFrame, idCol: String, textCol: String,
                         maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+    val sigs = simHashSigs(df, idCol, textCol)
     val chunked = sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)), c =>
         call_function("shiftrightunsigned", col("sig"), c * 16)
@@ -158,16 +199,21 @@ object Dedup {
   def embeddingCandidates(df: DataFrame, idCol: String, embCol: String,
                           dim: Int, numPlanes: Int = 12,
                           threshold: Double = 0.9): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), col(embCol).as("emb"),
-      rhpSignature(col(embCol), numPlanes, dim).as("bucket"))
-    val l = sigs.select(col("bucket"), col("id").as("idA"), col("emb").as("embA"))
-    val r = sigs.select(col("bucket"), col("id").as("idB"), col("emb").as("embB"))
-    l.join(r, Seq("bucket"))
+    val base = df.select(col(idCol).as("id"), col(embCol).as("emb"))
+    val sigs = base.select(col("id"),
+      rhpSignature(col("emb"), numPlanes, dim).as("bucket"))
+    // candidate pairs carry ids only; vectors join back once per pair
+    val pairs = sigs.select(col("bucket"), col("id").as("idA"))
+      .join(sigs.select(col("bucket"), col("id").as("idB")), Seq("bucket"))
       .filter(col("idA") < col("idB"))
+      .select("idA", "idB")
+      .dropDuplicates("idA", "idB")
+    pairs
+      .join(base.select(col("id").as("idA"), col("emb").as("embA")), Seq("idA"))
+      .join(base.select(col("id").as("idB"), col("emb").as("embB")), Seq("idB"))
       .withColumn("cos", cosine(col("embA").cast(ArrayType(DoubleType)),
         col("embB").cast(ArrayType(DoubleType))))
       .filter(col("cos") >= threshold)
       .select(col("idA"), col("idB"), col("cos"))
-      .dropDuplicates("idA", "idB")
   }
 }
