@@ -262,6 +262,15 @@ object SparkEntry {
           |GROUP BY ?g""".stripMargin),
         "g" -> "string", "n" -> "bigint")
     },
+    "q_subquery" -> { (s, d) =>
+      out(cust(s, d).sparql(prologue +
+        """SELECT ?cname ?bal
+          |{ ?c :cname ?cname . ?c :acctbal ?bal .
+          |  { SELECT (AVG(?b2) AS ?avgbal) { ?c2 :acctbal ?b2 } }
+          |  FILTER(?bal > ?avgbal)
+          |}""".stripMargin),
+        "cname" -> "string", "bal" -> "double")
+    },
     // ----- relational baseline (round 1) -----
     "q1_agg" -> { (s, d) =>
       t(s, d, "lineitem")
@@ -437,6 +446,9 @@ object SparkEntry {
         |    FROM customer JOIN nation ON c_nationkey = n_nationkey
         |)""".stripMargin,
     "q_graph_const" -> "SELECT c_name AS cname FROM customer",
+    "q_subquery" ->
+      """SELECT c_name AS cname, c_acctbal AS bal FROM customer
+        |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)""".stripMargin,
     "q_graph_var" ->
       """SELECT 'urn:graph:customer' AS g, CAST(4 * COUNT(*) AS BIGINT) AS n FROM customer
         |UNION ALL
