@@ -46,7 +46,7 @@ object Sparql {
   implicit class QuadsOps(private val quads: DataFrame) extends AnyVal {
     /** Execute a SPARQL 1.1 SELECT query over this quads DataFrame. */
     def sparql(query: String): DataFrame =
-      Compiler.run(quads, SparqlParser.parse(query))
+      Compiler.run(quads, BgpOptimizer.optimize(SparqlParser.parse(query)))
 
     /** Execute with pre-bound variables (textual substitution). */
     def sparql(query: String, bindings: Map[String, Term]): DataFrame =
