@@ -142,6 +142,22 @@ class AggregatesSpec extends SparqlSpecBase {
     check("group_by.ttl", q, Seq(Map("n" -> int(4), "total" -> int(28))))
   }
 
+  it should "ORDER BY an aggregate alias for real (reference ignores it)" in {
+    // mirrors NonSupportedOperationsTest.scala:4-32, where the reference
+    // documents ORDER BY as a no-op; we sort for real
+    val q = books +
+      """SELECT ?org (SUM(?lprice) AS ?totalPrice)
+        |WHERE {
+        |  ?org :affiliates ?auth .
+        |  ?auth :writesBook ?book .
+        |  ?book :price ?lprice .
+        |}
+        |GROUP BY ?org
+        |ORDER BY DESC(?totalPrice)""".stripMargin
+    val rows = run("group_by.ttl", q)
+    rows.map(_("totalPrice")) shouldBe Seq(int(21), int(7))
+  }
+
   it should "COUNT(*) and COUNT(DISTINCT ?x)" in {
     val q = data +
       """SELECT (COUNT(*) AS ?all) (COUNT(DISTINCT ?x) AS ?groups)
