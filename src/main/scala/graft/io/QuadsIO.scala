@@ -53,4 +53,17 @@ object QuadsIO {
 
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Bucketed table layout: hash-bucket + sort on the subject column.
+    * BGP star queries are subject-subject self-joins; with both sides
+    * bucketed on `s`, Spark plans a sort-merge join with NO exchange —
+    * at 100 TB this removes the dominant shuffle from every star query.
+    * (Bucketing requires the table catalog, hence saveAsTable.) */
+  def writeBucketedTable(quads: DataFrame, table: String,
+                         buckets: Int = 64): Unit =
+    quads.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, "s")
+      .sortBy("s")
+      .saveAsTable(table)
 }

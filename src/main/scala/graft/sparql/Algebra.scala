@@ -130,7 +130,9 @@ object Algebra {
     case Project(c, vs) => assuredVars(c) intersect vs.toSet
     case Distinct(c) => assuredVars(c)
     case Reduced(c) => assuredVars(c)
-    case Group(_, keys, _) => keys.toSet // agg may be unbound (poisoned)
+    case Group(c, keys, _) =>
+      // a key over a possibly-unbound variable can itself be NULL
+      keys.toSet intersect assuredVars(c)
     case Order(c, _) => assuredVars(c)
     case Slice(c, _, _) => assuredVars(c)
   }

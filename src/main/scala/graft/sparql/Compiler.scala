@@ -158,7 +158,10 @@ final class Compiler(quads: DataFrame) {
     val r = rename.foldLeft(r0) { case (d, (v, rv)) => d.withColumnRenamed(v, rv) }
 
     val keyConds = shared.map { v =>
-      if (lAssured.contains(v) && rAssured.contains(v)) l(v) <=> r(rename(v))
+      // assured on both sides ⇒ never NULL ⇒ plain equality, which keeps
+      // the join key a bare column (bucket-join / exchange-reuse
+      // friendly; <=> compiles to coalesce-wrapped keys that defeat it)
+      if (lAssured.contains(v) && rAssured.contains(v)) l(v) === r(rename(v))
       else l(v).isNull || r(rename(v)).isNull || (l(v) === r(rename(v)))
     }
     val mergedCol: String => Column = v =>

@@ -62,4 +62,24 @@ class ApiAndIoSpec extends SparqlSpecBase {
   "SparkEntry.entry" should "return rows on sf0.001 (driver smoke check)" in {
     SparkEntry.entry(spark).count() should be > 0L
   }
+
+  "bucketed quads table" should "plan star self-joins without an exchange" in {
+    import graft.sources.TpchQuads
+    val quads = TpchQuads.customer(spark, "/root/testdata/sf0.001")
+    spark.sql("DROP TABLE IF EXISTS quads_bucketed")
+    QuadsIO.writeBucketedTable(quads, "quads_bucketed", buckets = 4)
+    // disable broadcast so the assertion really exercises bucket reuse
+    // (a broadcast join would trivially have no shuffle either)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val star = spark.table("quads_bucketed").sparql(
+        """PREFIX : <urn:p:>
+          |SELECT ?n ?b { ?c :cname ?n . ?c :acctbal ?b }""".stripMargin)
+      val plan = star.queryExecution.executedPlan.toString
+      plan should include("SortMergeJoin")
+      plan should not include "Exchange hashpartitioning"
+      star.count() shouldBe 150
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
