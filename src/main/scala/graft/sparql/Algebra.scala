@@ -165,6 +165,13 @@ object Algebra {
     seen.toList
   }
 
+  /** Flatten an &&-tree into its conjuncts (FILTER splitting and
+    * correlated-EXISTS lifting both consume this). */
+  def conjuncts(e: Expr): List[Expr] = e match {
+    case FuncE("&&", List(a, b)) => conjuncts(a) ++ conjuncts(b)
+    case other => List(other)
+  }
+
   /** Free variables of an expression (for correlated-EXISTS lifting). */
   def exprVars(e: Expr): Set[String] = e match {
     case VarE(n) => Set(n)

@@ -202,10 +202,6 @@ final class Compiler(quads: DataFrame) {
 
   // ----- FILTER (incl. EXISTS / NOT EXISTS lowering) -----
   private def compileFilter(child: Op, cond: Expr): DataFrame = {
-    def conjuncts(e: Expr): List[Expr] = e match {
-      case FuncE("&&", List(a, b)) => conjuncts(a) ++ conjuncts(b)
-      case other => List(other)
-    }
     val (existsConjs, scalarConjs) = conjuncts(cond).partition {
       case _: ExistsE => true
       case _ => false
@@ -234,10 +230,6 @@ final class Compiler(quads: DataFrame) {
     def strip(op: Op): (Op, List[Expr]) = op match {
       case AFilter(c, e) =>
         val (c2, lifted) = strip(c)
-        def conjuncts(x: Expr): List[Expr] = x match {
-          case FuncE("&&", List(a, b)) => conjuncts(a) ++ conjuncts(b)
-          case other => List(other)
-        }
         val (corr, local) = conjuncts(e).partition(x =>
           (exprVars(x) -- vars(c2)).intersect(leftVars).nonEmpty)
         val kept = local.reduceOption((a, b) => FuncE("&&", List(a, b)))
@@ -376,16 +368,24 @@ final class Compiler(quads: DataFrame) {
     }
   }
 
+  /** Distinct named-graph IRIs (for binding GRAPH ?g in bound-end
+    * zero-length paths: the solution repeats once per named graph). */
+  private def namedGraphs(gv: String): DataFrame =
+    quads.filter(quads("g").isNotNull).select(col("g").as(gv)).dropDuplicates()
+
   private def compileZeroLength(s: VarOrTerm, o: VarOrTerm, g: GraphSpec): DataFrame = {
     val ec = exprs(quads)
+    def constRows(cols: (String, Column)*): DataFrame = g match {
+      case GraphVar(n) =>
+        namedGraphs(n).select(col(n) +: cols.map { case (a, c) => c.as(a) }: _*)
+      case _ =>
+        spark.range(1).select(cols.map { case (a, c) => c.as(a) }: _*)
+    }
     (s, o) match {
       case (T(ts), T(to)) =>
-        if (ts == to) spark.range(1).select()
-        else spark.range(0).select()
-      case (V(sv), T(t)) =>
-        spark.range(1).select(ec.termCol(t).as(sv))
-      case (T(t), V(ov)) =>
-        spark.range(1).select(ec.termCol(t).as(ov))
+        if (ts == to) constRows() else spark.range(0).select()
+      case (V(sv), T(t)) => constRows(sv -> ec.termCol(t))
+      case (T(t), V(ov)) => constRows(ov -> ec.termCol(t))
       case (V(sv), V(ov)) if sv == ov =>
         graphNodes(g).withColumnRenamed("node", sv)
       case (V(sv), V(ov)) =>
@@ -411,24 +411,35 @@ final class Compiler(quads: DataFrame) {
       val ck = df.localCheckpoint(eager = true)
       spark.createDataFrame(ck.rdd, ck.schema)
     }
+    // Within GRAPH ?g, the closure must stay INSIDE one named graph:
+    // the graph column rides the edge set and joins round-to-round.
+    val gVar: Option[String] = alp.g match {
+      case GraphVar(n) => Some(n)
+      case _ => None
+    }
+    val gSel = gVar.map(n => col(n).as("g")).toSeq
+    val gKey = gVar.map(_ => "g").toSeq
     val edges = materialize(
       compileV(alp.edge)
-        .select(col(alp.innerS).as("src"), col(alp.innerO).as("dst"))
+        .select(gSel ++ Seq(col(alp.innerS).as("src"), col(alp.innerO).as("dst")): _*)
         .dropDuplicates())
 
-    def closure(start: DataFrame): DataFrame = {
-      // start: (src, dst) seed pairs; semi-naive: only the frontier
+    def closure(ed: DataFrame, start: DataFrame): DataFrame = {
+      // start: (g?, src, dst) seed pairs; semi-naive: only the frontier
       // joins the edge set each round, seen pairs are anti-joined away.
       var result = materialize(start.dropDuplicates())
       var frontier = result
       var done = frontier.isEmpty
       while (!done) {
+        val joinCond = (Seq(col("f.dst") === col("e.src")) ++
+          gVar.map(_ => col("f.g") === col("e.g"))).reduce(_ && _)
         val next = materialize(
           frontier.alias("f")
-            .join(edges.alias("e"), col("f.dst") === col("e.src"))
-            .select(col("f.src").as("src"), col("e.dst").as("dst"))
+            .join(ed.alias("e"), joinCond)
+            .select(gVar.map(_ => col("f.g").as("g")).toSeq ++
+              Seq(col("f.src").as("src"), col("e.dst").as("dst")): _*)
             .dropDuplicates()
-            .join(result, Seq("src", "dst"), "left_anti"))
+            .join(result, gKey ++ Seq("src", "dst"), "left_anti"))
         if (next.isEmpty) done = true
         else {
           result = materialize(result.union(next))
@@ -438,38 +449,57 @@ final class Compiler(quads: DataFrame) {
       result
     }
 
+    /** Zero-length (t,t) rows — per named graph under GRAPH ?g. */
+    def zeroSelf(term: Column): DataFrame = gVar match {
+      case Some(_) =>
+        namedGraphs("g").select(col("g"), term.as("src"), term.as("dst"))
+      case None =>
+        spark.range(1).select(term.as("src"), term.as("dst"))
+    }
+
+    val reversed = edges.select(
+      gVar.map(_ => col("g")).toSeq ++
+        Seq(col("dst").as("src"), col("src").as("dst")): _*)
+
     (alp.s, alp.o) match {
       case (T(t), _) =>
         val seed = edges.filter(col("src") === ec.termCol(t))
-        var paths = closure(seed)
+        var paths = closure(edges, seed)
         if (alp.includeZero)
-          paths = paths.union(
-            spark.range(1).select(ec.termCol(t).as("src"), ec.termCol(t).as("dst")))
-            .dropDuplicates()
-        finishALP(paths, alp)
+          paths = paths.unionByName(zeroSelf(ec.termCol(t))).dropDuplicates()
+        finishALP(paths, alp, gVar)
       case (_, T(t)) =>
-        val seed = edges.filter(col("dst") === ec.termCol(t))
-        var paths = closure(seed)
+        // constant OBJECT: walk BACKWARD (reverse the edges, expand from
+        // t, flip pairs back) — a forward walk from t would only ever
+        // find direct predecessors
+        val seed = reversed.filter(col("src") === ec.termCol(t))
+        var paths = closure(reversed, seed)
+          .select(gVar.map(_ => col("g")).toSeq ++
+            Seq(col("dst").as("src"), col("src").as("dst")): _*)
         if (alp.includeZero)
-          paths = paths.union(
-            spark.range(1).select(ec.termCol(t).as("src"), ec.termCol(t).as("dst")))
-            .dropDuplicates()
-        finishALP(paths, alp)
+          paths = paths.unionByName(zeroSelf(ec.termCol(t))).dropDuplicates()
+        finishALP(paths, alp, gVar)
       case _ =>
-        var paths = closure(edges)
+        var paths = closure(edges, edges)
         if (alp.includeZero) {
-          val zero = graphNodes(alp.g)
-            .select(col("node").as("src"), col("node").as("dst"))
-          paths = paths.union(zero).dropDuplicates()
+          val zero = gVar match {
+            case Some(n) => graphNodes(alp.g)
+              .select(col(n).as("g"), col("node").as("src"), col("node").as("dst"))
+            case None => graphNodes(alp.g)
+              .select(col("node").as("src"), col("node").as("dst"))
+          }
+          paths = paths.unionByName(zero).dropDuplicates()
         }
-        finishALP(paths, alp)
+        finishALP(paths, alp, gVar)
     }
   }
 
-  private def finishALP(paths: DataFrame, alp: ArbitraryLengthPath): DataFrame = {
+  private def finishALP(paths: DataFrame, alp: ArbitraryLengthPath,
+                        gVar: Option[String]): DataFrame = {
     val ec = exprs(quads)
     var df = paths
     val sel = scala.collection.mutable.ArrayBuffer.empty[Column]
+    gVar.foreach(n => sel += col("g").as(n))
     alp.s match {
       case T(t) => df = df.filter(col("src") === ec.termCol(t))
       case V(n) => sel += col("src").as(n)

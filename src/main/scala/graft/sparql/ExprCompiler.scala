@@ -47,6 +47,8 @@ final class ExprCompiler(env: String => Column) {
         .reduceOption(_ || _).getOrElse(lit(false))
       if (negated) !anyEq else anyEq
     case FuncE("BOUND", List(VarE(n))) => env(n).isNotNull
+    case FuncE("BOUND", _) =>
+      throw new IllegalArgumentException("BOUND requires a variable argument")
     case FuncE("SAMETERM", List(a, b)) => value(a) === value(b)
     case FuncE("ISIRI" | "ISURI", List(a)) =>
       val v = value(a)
@@ -114,6 +116,7 @@ final class ExprCompiler(env: String => Column) {
     case FuncE("IF", List(c, t, f)) =>
       val cb = bool(c)
       when(cb, value(t)).when(!cb, value(f)).otherwise(nullTerm)
+    case FuncE("COALESCE", Nil) => nullTerm // no evaluable branch → unbound
     case FuncE("COALESCE", args) => coalesce(args.map(value): _*)
     case FuncE("STR", List(a)) =>
       val v = value(a)
@@ -168,6 +171,7 @@ final class ExprCompiler(env: String => Column) {
     case FuncE("ENCODE_FOR_URI", List(a)) =>
       strishOp(a)(v => strTerm(
         regexp_replace(call_function("url_encode", lex(v)), "\\+", "%20")))
+    case FuncE("CONCAT", Nil) => strTerm(lit(""))
     case FuncE("CONCAT", args) =>
       val vs = args.map(value)
       val anyBad = vs.map(v => v.isNull || !isStringish(v)).reduce(_ || _)

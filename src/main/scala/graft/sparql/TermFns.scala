@@ -195,14 +195,26 @@ object TermFns {
         .when(isBool(c), 5)
         .when(isStringish(c), 6)
         .otherwise(7)
-    val num =
+    // Exact numerics order through DECIMAL (int64-safe — a double key
+    // would collapse adjacent big integers); doubles/floats that exceed
+    // the decimal range saturate to ±max and fall back to the double
+    // field to order among themselves.
+    val decMax = lit(new java.math.BigDecimal("9" * 26)).cast(DEC)
+    val numDouble =
       when(isNumeric(c), lex(c).cast(DoubleType))
         .when(isDateTimeish(c), ts(c).cast(DoubleType))
         .when(isBool(c), boolVal(c).cast(DoubleType))
         .otherwise(lit(null).cast(DoubleType))
+    val numExact =
+      when(isNumeric(c),
+        coalesce(lex(c).cast(DEC),
+          when(lex(c).cast(DoubleType) >= 0, decMax).otherwise(-decMax)))
+        .when(isDateTimeish(c) || isBool(c), numDouble.cast(DEC))
+        .otherwise(lit(null).cast(DEC))
     struct(
       rank.as("rank"),
-      coalesce(num, lit(Double.NegativeInfinity)).as("num"),
+      coalesce(numExact, lit(java.math.BigDecimal.ZERO).cast(DEC)).as("num"),
+      coalesce(numDouble, lit(Double.NegativeInfinity)).as("dbl"),
       coalesce(lex(c), lit("")).as("lex"),
       coalesce(dt(c), lit("")).as("dt"),
       coalesce(lang(c), lit("")).as("lang"))

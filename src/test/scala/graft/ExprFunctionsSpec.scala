@@ -172,4 +172,29 @@ class ExprFunctionsSpec extends SparqlSpecBase {
     val r = one("SELECT ?u { :s1 :lang ?v . BIND(UCASE(?v) AS ?u) }")
     r("u") shouldBe Lit("CHAT", lang = "en")
   }
+
+  "edge cases" should "evaluate zero-argument CONCAT and COALESCE" in {
+    val r = one(
+      """SELECT ?c ?n { :s1 :num ?v .
+        |  BIND(CONCAT() AS ?c) BIND(COALESCE() AS ?n) }""".stripMargin)
+    r("c") shouldBe str("")
+    r.get("n") shouldBe None // COALESCE() → error → unbound
+  }
+
+  it should "reject BOUND with a non-variable argument cleanly" in {
+    an[IllegalArgumentException] should be thrownBy
+      quads.sparql(P + "SELECT ?s { ?s :num ?v . FILTER(BOUND(STR(?v))) }")
+  }
+
+  it should "order int64-magnitude integers exactly (no double collapse)" in {
+    val big = QuadsIO.fromQuads(spark, Seq(
+      Quad(Iri(E + "a"), Iri(E + "v"), Lit("9007199254740993", XSD.integer), None),
+      Quad(Iri(E + "b"), Iri(E + "v"), Lit("9007199254740992", XSD.integer), None)))
+    val rows = collect(big.sparql(P +
+      "SELECT ?s ?x { ?s :v ?x } ORDER BY ?x"))
+    rows.map(_("x")) shouldBe Seq(
+      Lit("9007199254740992", XSD.integer), Lit("9007199254740993", XSD.integer))
+    val m = collect(big.sparql(P + "SELECT (MIN(?x) AS ?m) { ?s :v ?x }"))
+    m.head("m") shouldBe Lit("9007199254740992", XSD.integer)
+  }
 }

@@ -41,6 +41,15 @@ class LimitsSpec extends SparqlSpecBase {
       str("SPARQL Tutorial"), str("The Semantic Web"))
   }
 
+  it should "preserve ordering through DISTINCT (and slice the sorted rows)" in {
+    // dropDuplicates must not unsort the output: DISTINCT dedups first,
+    // then the sort applies on top
+    val rows = run("group_by.ttl",
+      """PREFIX : <http://example.com/data/#>
+        |SELECT DISTINCT ?y { ?x :p ?y } ORDER BY ?y LIMIT 3""".stripMargin)
+    rows.map(_("y")) shouldBe Seq(bn("b2"), int(1), dec("1.0"))
+  }
+
   it should "sort DESC with expression keys" in {
     val rows = run("values.ttl",
       """PREFIX ns: <http://example.org/ns#>

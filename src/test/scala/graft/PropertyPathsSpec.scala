@@ -78,4 +78,25 @@ class PropertyPathsSpec extends SparqlSpecBase {
       prologue + "SELECT (1 AS ?ok) { :a :next+ ?end . FILTER(?end = :d) }"))
     rows should have size 1
   }
+
+  it should "walk backward from a constant OBJECT (multi-hop predecessors)" in {
+    val rows = collect(chain.sparql(prologue + "SELECT ?x { ?x :next+ :d }"))
+    rows.map(_("x")).toSet shouldBe Set(iri(E + "a"), iri(E + "b"), iri(E + "c"))
+    val star = collect(chain.sparql(prologue + "SELECT ?x { ?x :next* :d }"))
+    star.map(_("x")).toSet shouldBe Set(
+      iri(E + "a"), iri(E + "b"), iri(E + "c"), iri(E + "d"))
+  }
+
+  it should "keep transitive closure inside one named graph under GRAPH ?g" in {
+    val g1 = Iri("urn:g1"); val g2 = Iri("urn:g2")
+    val quads = QuadsIO.fromQuads(spark, Seq(
+      Quad(Iri(E + "x"), Iri(E + "next"), Iri(E + "y"), Some(g1)),
+      Quad(Iri(E + "y"), Iri(E + "next"), Iri(E + "z"), Some(g2))))
+    val rows = collect(quads.sparql(
+      prologue + "SELECT ?g ?a ?b { GRAPH ?g { ?a :next+ ?b } }"))
+    // no cross-graph pair (x,z); each pair carries its graph
+    rows.map(r => (r("g"), r("a"), r("b"))).toSet shouldBe Set(
+      (g1: graft.rdf.Term, iri(E + "x"), iri(E + "y")),
+      (g2: graft.rdf.Term, iri(E + "y"), iri(E + "z")))
+  }
 }
