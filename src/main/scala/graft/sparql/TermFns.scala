@@ -72,8 +72,14 @@ object TermFns {
   def doubleTerm(d: Column): Column = dtLit(d.cast(StringType), XSD.double)
 
   // ----- classification -----
-  private val numericDts = XSD.numeric.toSeq
-  private val exactDts = XSD.exactNumeric.toSeq
+  // common datatypes first: isin compiles to a sequential OR chain, so
+  // ordering decides how many string compares the hot path pays
+  private def commonFirst(s: Set[String]): Seq[String] = {
+    val common = Seq(XSD.integer, XSD.decimal, XSD.double, XSD.float)
+    common.filter(s.contains) ++ (s -- common).toSeq.sorted
+  }
+  private val numericDts = commonFirst(XSD.numeric)
+  private val exactDts = commonFirst(XSD.exactNumeric)
   def isLiteral(c: Column): Column = kind(c) === TermKind.LITERAL
   def isNumeric(c: Column): Column = isLiteral(c) && dt(c).isin(numericDts: _*)
   def isExactNumeric(c: Column): Column = isLiteral(c) && dt(c).isin(exactDts: _*)
