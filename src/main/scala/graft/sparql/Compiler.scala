@@ -56,8 +56,22 @@ final class Compiler(quads: DataFrame) {
       assuredVars(l), assuredVars(r), "inner", None)
 
     case LeftJoin(l, r, cond) =>
-      joinCompat(compileV(l), compileV(r), vars(l), vars(r),
-        assuredVars(l), assuredVars(r), "left_outer", cond)
+      // [NOT] EXISTS conjuncts in an OPTIONAL's condition can't ride the
+      // join condition (they lower to semi/anti joins, not Columns).
+      // When they reference only right-side variables, pre-filtering the
+      // right side is equivalent; left-referencing ones are unsupported.
+      val cs = cond.toList.flatMap(conjuncts).map(normalizeNotExists)
+      val (existsCs, scalarCs) = cs.partition(_.isInstanceOf[ExistsE])
+      val r2 = existsCs.foldLeft(r) { (acc, e) =>
+        val free = exprVars(e) -- vars(r)
+        if (free.intersect(vars(l)).nonEmpty)
+          throw new IllegalArgumentException(
+            "EXISTS in an OPTIONAL condition may not reference left-side variables")
+        AFilter(acc, e)
+      }
+      joinCompat(compileV(l), compileV(r2), vars(l), vars(r2),
+        assuredVars(l), assuredVars(r2), "left_outer",
+        scalarCs.reduceOption((a, b) => FuncE("&&", List(a, b))))
 
     case Union(l, r) =>
       val (ld, rd) = (compileV(l), compileV(r))
@@ -201,11 +215,21 @@ final class Compiler(quads: DataFrame) {
   }
 
   // ----- FILTER (incl. EXISTS / NOT EXISTS lowering) -----
-  private def compileFilter(child: Op, cond: Expr): DataFrame = {
-    val (existsConjs, scalarConjs) = conjuncts(cond).partition {
-      case _: ExistsE => true
-      case _ => false
+  /** `!EXISTS{..}` ≡ `NOT EXISTS{..}` (and `!NOT EXISTS` ≡ EXISTS). */
+  private def normalizeNotExists(e: Expr): Expr = e match {
+    case FuncE("!", List(inner)) => normalizeNotExists(inner) match {
+      case ExistsE(p, n) => ExistsE(p, !n)
+      case other => FuncE("!", List(other))
     }
+    case other => other
+  }
+
+  private def compileFilter(child: Op, cond: Expr): DataFrame = {
+    val (existsConjs, scalarConjs) =
+      conjuncts(cond).map(normalizeNotExists).partition {
+        case _: ExistsE => true
+        case _ => false
+      }
     var df = compileV(child)
     val childVars = vars(child)
     if (scalarConjs.nonEmpty) {
@@ -241,6 +265,36 @@ final class Compiler(quads: DataFrame) {
       case other => (other, Nil)
     }
     val (cleaned, correlated) = strip(pattern)
+    // residual correlation (filters under UNION/OPTIONAL/MINUS branches
+    // that still reference outer variables) would silently evaluate the
+    // outer variable as NULL — reject loudly instead
+    def checkResidual(op: Op): Unit = op match {
+      case AFilter(c, e) =>
+        val free = exprVars(e) -- vars(c)
+        if (free.intersect(leftVars).nonEmpty)
+          throw new IllegalArgumentException(
+            "correlated FILTER nested under UNION/OPTIONAL/MINUS inside EXISTS is not supported")
+        checkResidual(c)
+      case Join(a, b) => checkResidual(a); checkResidual(b)
+      case Union(a, b) => checkResidual(a); checkResidual(b)
+      case LeftJoin(a, b, c) =>
+        if (c.exists(e => (exprVars(e) -- vars(a) -- vars(b))
+          .intersect(leftVars).nonEmpty))
+          throw new IllegalArgumentException(
+            "correlated OPTIONAL condition inside EXISTS is not supported")
+        checkResidual(a); checkResidual(b)
+      case Minus(a, b) => checkResidual(a); checkResidual(b)
+      case Extend(c, _, e) =>
+        if ((exprVars(e) -- vars(c)).intersect(leftVars).nonEmpty)
+          throw new IllegalArgumentException(
+            "correlated BIND inside EXISTS is not supported")
+        checkResidual(c)
+      case Project(c, _) => checkResidual(c)
+      case ADistinct(c) => checkResidual(c)
+      case Reduced(c) => checkResidual(c)
+      case _ => ()
+    }
+    checkResidual(cleaned)
     val sub0 = compileV(cleaned)
     val subVars = vars(cleaned)
     val shared = (leftVars intersect subVars).toSeq.sorted
@@ -275,15 +329,30 @@ final class Compiler(quads: DataFrame) {
       a.func match {
         case "COUNT" =>
           val c = v match {
-            case None => count(lit(1))
+            case None =>
+              if (a.distinct) count_distinct(struct(df.columns.map(col): _*))
+              else count(lit(1))
             case Some(col0) =>
               if (a.distinct) count_distinct(col0) else count(col0)
           }
           struct(c.as("n"))
         case "SUM" | "AVG" =>
           val col0 = v.get
-          val dec = if (a.distinct) sum_distinct(numDec(col0)) else sum(numDec(col0))
-          val dbl = if (a.distinct) sum_distinct(numD(col0)) else sum(numD(col0))
+          // DISTINCT dedups TERMS, not numeric values ("1"^^int and
+          // "1.0"^^decimal are distinct terms that both contribute) —
+          // so the distinct path folds over the distinct-term set.
+          def overSet(f: Column => Column, zero: Column,
+                      ty: org.apache.spark.sql.types.DataType): Column =
+            aggregate(collect_set(col0), zero,
+              (acc, t) => (acc + f(t)).cast(ty))
+          val dec =
+            if (a.distinct) overSet(t => coalesce(numDec(t), lit(0).cast(DEC)),
+              lit(java.math.BigDecimal.ZERO).cast(DEC), DEC)
+            else sum(numDec(col0))
+          val dbl =
+            if (a.distinct) overSet(t => coalesce(numD(t), lit(0.0)), lit(0.0),
+              DoubleType)
+            else sum(numD(col0))
           val cnt = if (a.distinct) count_distinct(col0) else count(col0)
           struct(
             dec.as("dec"), dbl.as("dbl"), cnt.as("cnt"),
@@ -500,13 +569,19 @@ final class Compiler(quads: DataFrame) {
     var df = paths
     val sel = scala.collection.mutable.ArrayBuffer.empty[Column]
     gVar.foreach(n => sel += col("g").as(n))
-    alp.s match {
-      case T(t) => df = df.filter(col("src") === ec.termCol(t))
-      case V(n) => sel += col("src").as(n)
-    }
-    alp.o match {
-      case T(t) => df = df.filter(col("dst") === ec.termCol(t))
-      case V(n) => sel += col("dst").as(n)
+    (alp.s, alp.o) match {
+      case (V(n1), V(n2)) if n1 == n2 => // cycle query ?x p+ ?x
+        df = df.filter(col("src") === col("dst"))
+        sel += col("src").as(n1)
+      case _ =>
+        alp.s match {
+          case T(t) => df = df.filter(col("src") === ec.termCol(t))
+          case V(n) => sel += col("src").as(n)
+        }
+        alp.o match {
+          case T(t) => df = df.filter(col("dst") === ec.termCol(t))
+          case V(n) => sel += col("dst").as(n)
+        }
     }
     if (sel.isEmpty) df.select().limit(1) // both constant: existence row(s)
     else df.select(sel.toSeq: _*)

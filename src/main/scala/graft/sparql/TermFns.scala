@@ -67,8 +67,12 @@ object TermFns {
       .otherwise(s)
   }
   def decTerm(d: Column): Column = dtLit(decLex(d), XSD.decimal)
-  def intTermFromDec(d: Column): Column =
-    dtLit(d.cast(DecimalType(38, 0)).cast(StringType), XSD.integer)
+  /** Integer literal from a decimal, truncating toward zero (XPath
+    * cast semantics — Spark's decimal down-cast would round HALF_UP). */
+  def intTermFromDec(d: Column): Column = {
+    val truncated = when(d >= 0, floor(d)).otherwise(ceil(d))
+    dtLit(truncated.cast(DecimalType(38, 0)).cast(StringType), XSD.integer)
+  }
   def doubleTerm(d: Column): Column = dtLit(d.cast(StringType), XSD.double)
 
   // ----- classification -----
@@ -123,7 +127,14 @@ object TermFns {
         when(anyFloat, numD(a) === numD(b)).otherwise(numDec(a) === numDec(b)))
       .when(isBool(a) && isBool(b), boolVal(a) === boolVal(b))
       .when(isDateTimeish(a) && isDateTimeish(b), ts(a) === ts(b))
-      .otherwise(a === b) // term identity (IRIs, BNodes, same-dt literals)
+      .when(kind(a) =!= kind(b), lit(false)) // IRI vs literal vs BNode
+      .when(kind(a) =!= TermKind.LITERAL, a === b) // IRI/BNode identity
+      .when(isStringish(a) && isStringish(b), a === b) // string family total
+      .when(a === b, lit(true)) // identical unknown-dt terms
+      // distinct literals of unknown/mixed datatypes: SPARQL 17.4.1.7
+      // RDFterm-equal is a TYPE ERROR, not false (so `!=` drops the row
+      // instead of wrongly keeping it)
+      .otherwise(lit(null).cast(BooleanType))
   }
 
   /** Three-way SPARQL order comparison lowered to a boolean per op.
