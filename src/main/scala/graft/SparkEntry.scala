@@ -262,6 +262,19 @@ object SparkEntry {
           |GROUP BY ?g""".stripMargin),
         "g" -> "string", "n" -> "bigint")
     },
+    "q_ask" -> { (s, d) =>
+      cust(s, d).sparql(prologue +
+        """ASK { ?c :mktsegment "BUILDING" . ?c :acctbal ?b FILTER(?b > 9000) }""")
+    },
+    "q_construct" -> { (s, d) =>
+      val quads = cust(s, d).sparql(prologue +
+        """CONSTRUCT { ?c <urn:p:tier> "gold" }
+          |WHERE { ?c :acctbal ?b FILTER(?b > 5000) }""".stripMargin)
+      quads.select(
+        col("s").getField("lex").as("s"),
+        col("p").getField("lex").as("p"),
+        col("o").getField("lex").as("o"))
+    },
     "q_subquery" -> { (s, d) =>
       out(cust(s, d).sparql(prologue +
         """SELECT ?cname ?bal
@@ -449,6 +462,12 @@ object SparkEntry {
     "q_subquery" ->
       """SELECT c_name AS cname, c_acctbal AS bal FROM customer
         |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)""".stripMargin,
+    "q_ask" ->
+      """SELECT EXISTS (SELECT 1 FROM customer
+        |  WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000) AS ask""".stripMargin,
+    "q_construct" ->
+      """SELECT 'urn:c:'||c_custkey::VARCHAR AS s, 'urn:p:tier' AS p, 'gold' AS o
+        |FROM customer WHERE c_acctbal > 5000""".stripMargin,
     "q_graph_var" ->
       """SELECT 'urn:graph:customer' AS g, CAST(4 * COUNT(*) AS BIGINT) AS n FROM customer
         |UNION ALL

@@ -24,6 +24,52 @@ object Compiler {
 
   def run(quads: DataFrame, op: Op): DataFrame = new Compiler(quads).compile(op)
 
+  /** ASK: one row, one boolean column `ask` — lazily planned (the
+    * pattern is limited to a single row before the existence count). */
+  def runAsk(quads: DataFrame, op: Op): DataFrame =
+    new Compiler(quads).compile(op)
+      .select(lit(1).as("__x")).limit(1)
+      .agg((count(col("__x")) > 0).as("ask"))
+
+  /** CONSTRUCT: instantiate the template once per WHERE solution,
+    * returning a deduplicated quads DataFrame (graph semantics).
+    * Solutions that leave a template position unbound, or would put a
+    * literal in subject position / non-IRI in predicate position, drop
+    * that triple (SPARQL 1.1 §16.2). Template blank-node labels mint a
+    * fresh node per solution (shared within the solution). */
+  def runConstruct(quads: DataFrame, template: List[(VarOrTerm, VarOrTerm, VarOrTerm)],
+                   op: Op): DataFrame = {
+    import graft.rdf.TermKind
+    val c = new Compiler(quads)
+    val bindings0 = c.compile(op)
+    val needsBnode = template.exists(t => Seq(t._1, t._2, t._3).exists {
+      case V(n) => n.startsWith("_anonbn_")
+      case _ => false
+    })
+    val bindings =
+      if (needsBnode) bindings0.withColumn("__sol", expr("uuid()"))
+      else bindings0
+    val ec = new ExprCompiler(n =>
+      if (bindings.columns.contains(n)) bindings(n) else TermFns.nullTerm)
+    def resolve(x: VarOrTerm): Column = x match {
+      case V(n) if n.startsWith("_anonbn_") => // fresh bnode per solution
+        TermFns.bnodeTerm(concat(lit(n.stripPrefix("_anonbn_") + "-"), col("__sol")))
+      case V(n) =>
+        if (bindings.columns.contains(n)) bindings(n) else TermFns.nullTerm
+      case T(t) => ec.termCol(t)
+    }
+    val parts = template.map { case (s, p, o) =>
+      val (sc, pc, oc) = (resolve(s), resolve(p), resolve(o))
+      bindings
+        .select(sc.as("s"), pc.as("p"), oc.as("o"),
+          lit(null).cast(TermSchema.termType).as("g"))
+        .filter(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull &&
+          col("s").getField("kind") =!= TermKind.LITERAL &&
+          col("p").getField("kind") === TermKind.IRI)
+    }
+    parts.reduce(_ union _).dropDuplicates()
+  }
+
   /** Flatten term-struct result columns to their lexical forms
     * (convenience for harness/oracle comparison). */
   def lexical(df: DataFrame): DataFrame =

@@ -44,9 +44,17 @@ object Sparql {
   }
 
   implicit class QuadsOps(private val quads: DataFrame) extends AnyVal {
-    /** Execute a SPARQL 1.1 SELECT query over this quads DataFrame. */
-    def sparql(query: String): DataFrame =
-      Compiler.run(quads, BgpOptimizer.optimize(SparqlParser.parse(query)))
+    /** Execute a SPARQL 1.1 query over this quads DataFrame.
+      * SELECT → one term-struct column per variable; ASK → single
+      * boolean `ask` row; CONSTRUCT → a quads DataFrame (s,p,o,g). */
+    def sparql(query: String): DataFrame = SparqlParser.parseAny(query) match {
+      case SparqlParser.SelectQuery(op) =>
+        Compiler.run(quads, BgpOptimizer.optimize(op))
+      case SparqlParser.AskQuery(op) =>
+        Compiler.runAsk(quads, BgpOptimizer.optimize(op))
+      case SparqlParser.ConstructQuery(template, op) =>
+        Compiler.runConstruct(quads, template, BgpOptimizer.optimize(op))
+    }
 
     /** Execute with pre-bound variables (textual substitution). */
     def sparql(query: String, bindings: Map[String, Term]): DataFrame =

@@ -1,0 +1,85 @@
+package graft
+
+import graft.rdf._
+import graft.sparql.Sparql._
+
+/** ASK and CONSTRUCT query forms — capability superset: the reference
+  * rejects both at parse (Interpreter.scala:196-201). */
+class AskConstructSpec extends SparqlSpecBase {
+  private val P =
+    """PREFIX dc: <http://purl.org/dc/elements/1.1/>
+      |PREFIX ns: <http://example.org/ns#>
+      |""".stripMargin
+
+  private def fixtureDf = TestSpark.fixture("values.ttl")
+
+  "ASK" should "return true when the pattern matches" in {
+    val r = fixtureDf.sparql(P + """ASK { ?b dc:title "SPARQL Tutorial" }""")
+    r.columns.toSeq shouldBe Seq("ask")
+    r.head().getBoolean(0) shouldBe true
+  }
+
+  it should "return false when it does not" in {
+    fixtureDf.sparql(P + """ASK { ?b dc:title "No Such Book" }""")
+      .head().getBoolean(0) shouldBe false
+  }
+
+  it should "honor FILTER inside the pattern" in {
+    fixtureDf.sparql(P + "ASK { ?b ns:price ?p FILTER(?p > 100) }")
+      .head().getBoolean(0) shouldBe false
+    fixtureDf.sparql(P + "ASK { ?b ns:price ?p FILTER(?p > 40) }")
+      .head().getBoolean(0) shouldBe true
+  }
+
+  "CONSTRUCT" should "instantiate the template per solution as quads" in {
+    val out = fixtureDf.sparql(P +
+      """CONSTRUCT { ?b <urn:p:expensive> "yes" }
+        |WHERE { ?b ns:price ?p FILTER(?p > 30) }""".stripMargin)
+    out.columns.toSeq shouldBe Seq("s", "p", "o", "g")
+    val rows = out.collect()
+    rows should have size 1
+    TermSchema.fromRow(rows.head.getStruct(0)) shouldBe
+      Some(Iri("http://example.org/book/book1"))
+    TermSchema.fromRow(rows.head.getStruct(2)) shouldBe Some(Lit("yes"))
+  }
+
+  it should "skip triples with unbound template positions" in {
+    val out = fixtureDf.sparql(P +
+      """CONSTRUCT { ?b <urn:p:price> ?price }
+        |WHERE { ?b dc:title ?t OPTIONAL { ?b ns:price ?price } }""".stripMargin)
+    out.count() shouldBe 2 // book3 has no price → its triple is dropped
+  }
+
+  it should "mint one fresh blank node per solution shared across template triples" in {
+    val out = fixtureDf.sparql(P +
+      """CONSTRUCT { _:offer <urn:p:about> ?b . _:offer <urn:p:price> ?p }
+        |WHERE { ?b ns:price ?p }""".stripMargin)
+    val quads = out.collect().map { r =>
+      (TermSchema.fromRow(r.getStruct(0)).get,
+        TermSchema.fromRow(r.getStruct(1)).get.lex,
+        TermSchema.fromRow(r.getStruct(2)).get)
+    }
+    quads should have size 4 // 2 solutions × 2 template triples
+    val bySubj = quads.groupBy(_._1)
+    bySubj should have size 2 // one fresh bnode per solution
+    bySubj.values.foreach { g =>
+      g.map(_._2).toSet shouldBe Set("urn:p:about", "urn:p:price")
+    }
+  }
+
+  it should "produce set semantics (dedup) and feed back into sparql()" in {
+    val out = fixtureDf.sparql(P +
+      """CONSTRUCT { ?b <urn:p:isBook> "true" } WHERE { ?b dc:title ?t }""")
+    out.count() shouldBe 3
+    // output is itself a valid quads DataFrame → query it
+    import graft.sparql.Sparql._
+    val back = collect(out.sparql("SELECT ?s { ?s <urn:p:isBook> \"true\" }"))
+    back should have size 3
+  }
+
+  it should "apply LIMIT to WHERE solutions" in {
+    val out = fixtureDf.sparql(P +
+      """CONSTRUCT { ?b <urn:p:seen> "1" } WHERE { ?b dc:title ?t } LIMIT 2""")
+    out.count() shouldBe 2
+  }
+}
