@@ -97,6 +97,28 @@ class AlgebraicLawsSpec extends SparqlSpecBase {
     }
   }
 
+  "property path identities" should "hold: p+ ≡ p/p* and p? ≡ p|zero" in {
+    seeds.take(4).foreach { s =>
+      val g = randomGraph(s, 20)
+      val plus = collect(g.sparql(P + "SELECT ?a ?b { ?a :p1+ ?b }"))
+      val seqStar = collect(g.sparql(P + "SELECT ?a ?b { ?a :p1/:p1* ?b }"))
+      // p+ is a set-like closure; p/p* can reach the same pair along
+      // several prefixes — compare as sets
+      plus.map(norm).toSet shouldBe seqStar.map(norm).toSet
+    }
+  }
+
+  "UNION" should "be associative as a multiset" in {
+    seeds.take(4).foreach { s =>
+      val g = randomGraph(s, 20)
+      val l = collect(g.sparql(P +
+        "SELECT ?x { { { ?x :p1 ?o } UNION { ?x :p2 ?o } } UNION { ?x :p3 ?o } }"))
+      val r = collect(g.sparql(P +
+        "SELECT ?x { { ?x :p1 ?o } UNION { { ?x :p2 ?o } UNION { ?x :p3 ?o } } }"))
+      assertResult(l, r)
+    }
+  }
+
   "COUNT(*)" should "equal the row count of the pattern" in {
     seeds.foreach { s =>
       val g = randomGraph(s, 30)
