@@ -262,6 +262,25 @@ object SparkEntry {
           |GROUP BY ?g""".stripMargin),
         "g" -> "string", "n" -> "bigint")
     },
+    "q_part_agg" -> { (s, d) =>
+      out(TpchQuads.part(s, d).sparql(prologue +
+        """SELECT ?brand (COUNT(?p2) AS ?n) (AVG(?rp) AS ?avg_price) (MAX(?sz) AS ?max_size)
+          |{ ?p2 :brand ?brand . ?p2 :retailprice ?rp . ?p2 :psize ?sz
+          |  FILTER(?sz >= 10) }
+          |GROUP BY ?brand""".stripMargin),
+        "brand" -> "string", "n" -> "bigint", "avg_price" -> "double",
+        "max_size" -> "bigint")
+    },
+    "q_events_window" -> { (s, d) =>
+      // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+      // reader rejects — read nanos as long and convert
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = t(s, d, "events")
+        .withColumn("ts2", timestamp_seconds(col("ts").cast("double") / 1e9))
+      ev.groupBy(date_trunc("hour", col("ts2")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("value").as("total"))
+        .select(col("hour"), col("event_type"), col("n"), col("total"))
+    },
     "q_ask" -> { (s, d) =>
       cust(s, d).sparql(prologue +
         """ASK { ?c :mktsegment "BUILDING" . ?c :acctbal ?b FILTER(?b > 9000) }""")
@@ -462,6 +481,15 @@ object SparkEntry {
     "q_subquery" ->
       """SELECT c_name AS cname, c_acctbal AS bal FROM customer
         |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)""".stripMargin,
+    "q_part_agg" ->
+      """SELECT p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n,
+        |  AVG(p_retailprice) AS avg_price,
+        |  CAST(MAX(p_size) AS BIGINT) AS max_size
+        |FROM part WHERE p_size >= 10 GROUP BY p_brand""".stripMargin,
+    "q_events_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n, SUM(value) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q_ask" ->
       """SELECT EXISTS (SELECT 1 FROM customer
         |  WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000) AS ask""".stripMargin,
