@@ -89,10 +89,14 @@ object Dedup {
       lead(col("w"), shingleK - 1).over(win).as("last"))
       .filter(col("last").isNotNull)
       .select("id", "s")
-    // ONE groupBy computes the verification set AND all minhash mins
+    // ONE groupBy computes the verification set AND all minhash mins;
+    // lazily checkpointed because three join branches (banding + both
+    // verification sides) consume it — without it the whole shingle
+    // pipeline re-executes per branch
     val sigCols = collect_set(col("s")).as("sh") +:
       (0 until numHashes).map(i => min(xxhash64(col("s"), lit(i))).as(s"h$i"))
     val sigs = shRows.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
+      .localCheckpoint(eager = false)
     val base = sigs.select(col("id"), col("sh"))
     // one bucket hash per band; only (id, band, bucket) rides the
     // candidate shuffle — shingle arrays never fan out ×bands
@@ -135,7 +139,9 @@ object Dedup {
     * 64-bit signatures within Hamming distance 3 must agree on at least
     * one chunk), verify with bit_count(xor) <= maxHamming. */
   /** SimHash signatures via explode + 64 codegen'd sum-aggregates
-    * (single shuffle) — same result as [[simHash]], scale path. */
+    * (single shuffle) — same result as [[simHash]], scale path.
+    * Token-less documents (which explode drops) are re-attached with
+    * signature 0, matching the column form. */
   private def simHashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val exploded = df.select(col(idCol).as("id"),
       explode(tokens(col(textCol))).as("w"))
@@ -144,10 +150,13 @@ object Dedup {
       sum(when(call_function("shiftrightunsigned", col("h"), lit(b))
         .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$b"))
     val votes = exploded.groupBy(col("id")).agg(voteCols.head, voteCols.tail: _*)
-    votes.select(col("id"),
+    val computed = votes.select(col("id"),
       (0 until 64).map(b =>
         when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
         .reduce(_ + _).as("sig"))
+    df.select(col(idCol).as("id")).dropDuplicates()
+      .join(computed, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("sig"), lit(0L)).as("sig"))
   }
 
   def simHashCandidates(df: DataFrame, idCol: String, textCol: String,
@@ -181,8 +190,13 @@ object Dedup {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  /** NULL (not NaN) for zero-norm vectors — NaN compares GREATER than
+    * every double in Spark's total ordering, so it would pass >=
+    * threshold filters and rank FIRST in descending top-k. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
+    when(denom > 0, dot(a, b) / denom)
+  }
 
   /** Random-hyperplane LSH signature (one bit per plane) packed into a
     * long — vectors with high cosine land in the same bucket. */
@@ -202,6 +216,7 @@ object Dedup {
     val base = df.select(col(idCol).as("id"), col(embCol).as("emb"))
     val sigs = base.select(col("id"),
       rhpSignature(col("emb"), numPlanes, dim).as("bucket"))
+      .localCheckpoint(eager = false) // both sides of the bucket join read it
     // candidate pairs carry ids only; vectors join back once per pair
     val pairs = sigs.select(col("bucket"), col("id").as("idA"))
       .join(sigs.select(col("bucket"), col("id").as("idB")), Seq("bucket"))

@@ -80,10 +80,12 @@ object Multimodal {
   /** Frame sampling for video rows: explode n frame indices per video,
     * non-video rows pass through with frame_idx 0. The stub "frame" is
     * the original payload; a codec version would cut real frames. */
-  def sampleFrames(media: DataFrame, n: Int): DataFrame =
+  def sampleFrames(media: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"frame count must be >= 1, got $n") // sequence(0, n-1)
     media.withColumn("frame_idx",
       explode(when(col("kind") === "video",
         sequence(lit(0), lit(n - 1))).otherwise(array(lit(0)))))
+  }
 
   /** Synthetic media table for tests/demos: payload bytes derived from
     * the documents table (deterministic). */

@@ -24,31 +24,43 @@ import org.apache.spark.sql.types._
 object TpchQuads {
   val P = "urn:p:"
 
-  private def iriStruct(lexCol: Column): Column = struct(
-    lit(TermKind.IRI).as("kind"), lexCol.as("lex"),
-    lit("").as("dt"), lit("").as("lang"))
+  private val nullTerm = lit(null).cast(graft.rdf.TermSchema.termType)
+
+  /** A NULL source column must become an UNBOUND term (NULL struct),
+    * never a bound literal with a NULL lex — that would violate the
+    * term-struct invariant (Term.scala) and silently drop rows from
+    * joins/DISTINCT with neither bound nor unbound semantics. */
+  private def guarded(lexCol: Column)(build: Column => Column): Column =
+    when(lexCol.isNull, nullTerm).otherwise(build(lexCol))
+
+  private def iriStruct(lexCol: Column): Column = guarded(lexCol)(l => struct(
+    lit(TermKind.IRI).as("kind"), l.as("lex"),
+    lit("").as("dt"), lit("").as("lang")))
   def entity(prefix: String, key: Column): Column =
     iriStruct(concat(lit(prefix), key.cast(StringType)))
   def pred(name: String): Column = iriStruct(lit(P + name))
-  def strLit(c: Column): Column = struct(
-    lit(TermKind.LITERAL).as("kind"), c.cast(StringType).as("lex"),
-    lit(XSD.string).as("dt"), lit("").as("lang"))
-  def dblLit(c: Column): Column = struct(
-    lit(TermKind.LITERAL).as("kind"), c.cast(DoubleType).cast(StringType).as("lex"),
-    lit(XSD.double).as("dt"), lit("").as("lang"))
-  def intLit(c: Column): Column = struct(
-    lit(TermKind.LITERAL).as("kind"), c.cast(LongType).cast(StringType).as("lex"),
-    lit(XSD.integer).as("dt"), lit("").as("lang"))
-  def dateTimeLit(c: Column): Column = struct(
-    lit(TermKind.LITERAL).as("kind"),
-    date_format(c, "yyyy-MM-dd'T'HH:mm:ss").as("lex"),
-    lit(XSD.dateTime).as("dt"), lit("").as("lang"))
+  def strLit(c: Column): Column = guarded(c.cast(StringType))(l => struct(
+    lit(TermKind.LITERAL).as("kind"), l.as("lex"),
+    lit(XSD.string).as("dt"), lit("").as("lang")))
+  def dblLit(c: Column): Column = guarded(c.cast(DoubleType).cast(StringType))(l =>
+    struct(lit(TermKind.LITERAL).as("kind"), l.as("lex"),
+      lit(XSD.double).as("dt"), lit("").as("lang")))
+  def intLit(c: Column): Column = guarded(c.cast(LongType).cast(StringType))(l =>
+    struct(lit(TermKind.LITERAL).as("kind"), l.as("lex"),
+      lit(XSD.integer).as("dt"), lit("").as("lang")))
+  def dateTimeLit(c: Column): Column =
+    guarded(date_format(c, "yyyy-MM-dd'T'HH:mm:ss"))(l =>
+      struct(lit(TermKind.LITERAL).as("kind"), l.as("lex"),
+        lit(XSD.dateTime).as("dt"), lit("").as("lang")))
 
-  /** One (s, p, o) projection per predicate, unioned; g = NULL. */
+  /** One (s, p, o) projection per predicate, unioned; g = NULL. Rows
+    * whose subject or object is unbound (NULL source value) are
+    * dropped — a quad can't have an absent position. */
   def mk(df: DataFrame, subj: Column, pairs: (String, Column)*): DataFrame =
     pairs.map { case (p, o) =>
       df.select(subj.as("s"), pred(p).as("p"), o.as("o"),
         lit(null).cast(graft.rdf.TermSchema.termType).as("g"))
+        .filter(col("s").isNotNull && col("o").isNotNull)
     }.reduce(_ union _)
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =

@@ -90,6 +90,30 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     pairs should not contain ((0L, 3L))
   }
 
+  "zero-norm embeddings" should "never rank as top matches (no NaN leak)" in {
+    val withZero = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f, 0f)),
+      (2L, Array(0f, 0f, 0f, 0f)) // zero vector → cosine undefined
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(withZero, "vec_id", "embedding",
+      Seq(1.0, 0.0, 0.0, 0.0), 2).collect().map(_.getLong(0)).toSeq
+    top shouldBe Seq(0L, 1L) // zero vector excluded, not first
+    val pairs = Dedup.embeddingCandidates(withZero, "vec_id", "embedding",
+      dim = 4, numPlanes = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs.exists(p => p._1 == 2L || p._2 == 2L) shouldBe false
+  }
+
+  "SimHash over empty documents" should "pair them instead of dropping them" in {
+    val withEmpty = Seq(
+      (1L, "   "), (2L, ""), (3L, "real content here")
+    ).toDF("doc_id", "text")
+    val cands = Dedup.simHashCandidates(withEmpty, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    cands should contain((1L, 2L)) // both sig 0
+  }
+
   "text analysis" should "compute token counts, ratios and language id" in {
     val df = Seq((1L, "The quick brown fox and the dog")).toDF("id", "text")
       .select(

@@ -76,6 +76,38 @@ class TurtleParserSpec extends AnyFlatSpec with Matchers {
     TurtleParser.parseNTriplesLine("   ") shouldBe None
   }
 
+  it should "decode \\U escapes (supplementary plane) and bounds-check \\u" in {
+    TurtleParser.parseNTriplesLine(
+      "<urn:a> <urn:p> \"\\U0001F600ok\\u0041\" .").get.o shouldBe
+      Lit(new String(Character.toChars(0x1F600)) + "okA")
+    // (assemble the backslash at runtime — scalac processes \u escapes
+    // even inside triple quotes)
+    val truncated = "@prefix : <urn:x:> . :s :p \"bad" + '\\' + "u00"
+    an[IllegalArgumentException] should be thrownBy TurtleParser.parse(truncated)
+  }
+
+  it should "allow 'base' and 'prefix' as prefix names" in {
+    val qs = TurtleParser.parse(
+      """@prefix base: <http://x/> . @prefix prefix: <http://y/> .
+        |base:a prefix:b base:c .""".stripMargin)
+    qs shouldBe Seq(Quad(Iri("http://x/a"), Iri("http://y/b"),
+      Iri("http://x/c"), None))
+  }
+
+  it should "resolve relative IRIs per RFC 3986" in {
+    val qs = TurtleParser.parse(
+      """@base <http://ex.org/dir/doc> .
+        |<other> <p:p> <frag#a:b> .""".stripMargin)
+    qs.head.s shouldBe Iri("http://ex.org/dir/other")
+    qs.head.o shouldBe Iri("http://ex.org/dir/frag#a:b")
+  }
+
+  it should "keep predicates with hyphenated prefixes distinct from the 'a' keyword" in {
+    val qs = TurtleParser.parse(
+      """@prefix a-b: <http://x/> . <urn:s> a-b:p <urn:o> .""")
+    qs.head.p shouldBe Iri("http://x/p")
+  }
+
   it should "normalize language-tagged literals to rdf:langString" in {
     val qs = TurtleParser.parse("""@prefix : <urn:x:> . :s :p "chat"@EN .""")
     qs.head.o shouldBe Lit("chat", lang = "en")
