@@ -250,14 +250,22 @@ final class Compiler(quads: DataFrame) {
     val rd0 = compileV(r)
     val shared = (vars(l) intersect vars(r)).toSeq.sorted
     if (shared.isEmpty) return ld
+    val (lA, rA) = (assuredVars(l), assuredVars(r))
+    val assuredBoth = shared.filter(v => lA.contains(v) && rA.contains(v))
     val rename = shared.map(v => v -> s"__r_$v").toMap
     val rd = rename.foldLeft(rd0) { case (d, (v, rv)) => d.withColumnRenamed(v, rv) }
-    val compat = shared.map(v =>
-      ld(v).isNull || rd(rename(v)).isNull || (ld(v) === rd(rename(v))))
-      .reduce(_ && _)
-    val anyBothBound = shared.map(v =>
-      ld(v).isNotNull && rd(rename(v)).isNotNull).reduce(_ || _)
-    ld.join(rd, compat && anyBothBound, "left_anti")
+    // assured-on-both vars use plain equality → extractable equi keys →
+    // hash/sort-merge anti join instead of a nested-loop join; they also
+    // witness "at least one mutually bound var" for free
+    val conds = shared.map { v =>
+      if (assuredBoth.contains(v)) ld(v) === rd(rename(v))
+      else ld(v).isNull || rd(rename(v)).isNull || (ld(v) === rd(rename(v)))
+    }
+    val anyBothBound =
+      if (assuredBoth.nonEmpty) lit(true)
+      else shared.map(v =>
+        ld(v).isNotNull && rd(rename(v)).isNotNull).reduce(_ || _)
+    ld.join(rd, conds.reduce(_ && _) && anyBothBound, "left_anti")
   }
 
   // ----- FILTER (incl. EXISTS / NOT EXISTS lowering) -----
@@ -283,7 +291,7 @@ final class Compiler(quads: DataFrame) {
       df = df.filter(scalarConjs.map(ec.bool).reduce(_ && _))
     }
     existsConjs.foreach { case ExistsE(pattern, negated) =>
-      df = compileExists(df, childVars, pattern, negated)
+      df = compileExists(df, childVars, assuredVars(child), pattern, negated)
     case _ => ()
     }
     df
@@ -295,6 +303,7 @@ final class Compiler(quads: DataFrame) {
     * outer scope) are lifted into the join condition — SPARQL's
     * substitute() semantics. */
   private def compileExists(left: DataFrame, leftVars: Set[String],
+                            leftAssured: Set[String],
                             pattern: Op, negated: Boolean): DataFrame = {
     // lift top-level filter conjuncts that reference outer variables
     def strip(op: Op): (Op, List[Expr]) = op match {
@@ -347,8 +356,16 @@ final class Compiler(quads: DataFrame) {
     val rename = subVars.map(v => v -> s"__e_$v").toMap
     val sub = rename.foldLeft(sub0) { case (d, (v, rv)) => d.withColumnRenamed(v, rv) }
 
-    val compat = shared.map(v =>
-      left(v).isNull || sub(rename(v)).isNull || (left(v) === sub(rename(v))))
+    // assured-on-both shared vars join with plain equality so Spark can
+    // extract equi keys (hash/sort-merge semi/anti join); the compat
+    // form would force a nested-loop join over the full cross product
+    val subAssured = assuredVars(cleaned)
+    val compat = shared.map { v =>
+      if (leftAssured.contains(v) && subAssured.contains(v))
+        left(v) === sub(rename(v))
+      else
+        left(v).isNull || sub(rename(v)).isNull || (left(v) === sub(rename(v)))
+    }
     val env: String => Column = n =>
       if (subVars.contains(n)) sub(rename(n))
       else if (left.columns.contains(n)) left(n)

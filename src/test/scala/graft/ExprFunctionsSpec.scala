@@ -173,7 +173,19 @@ class ExprFunctionsSpec extends SparqlSpecBase {
     r("u") shouldBe Lit("CHAT", lang = "en")
   }
 
-  "edge cases" should "evaluate zero-argument CONCAT and COALESCE" in {
+  "edge cases" should "handle unary minus and negative literals" in {
+    val r = one(
+      """SELECT ?n ?m { :s1 :num ?v .
+        |  BIND(-?v AS ?n) BIND(?v > -1 AS ?m) }""".stripMargin)
+    r("n") shouldBe int(-42)
+    r("m") shouldBe Lit("true", XSD.boolean)
+  }
+
+  it should "return empty for OFFSET past the end" in {
+    collect(quads.sparql(P + "SELECT ?s { ?s :num ?v } OFFSET 99")) shouldBe empty
+  }
+
+  it should "evaluate zero-argument CONCAT and COALESCE" in {
     val r = one(
       """SELECT ?c ?n { :s1 :num ?v .
         |  BIND(CONCAT() AS ?c) BIND(COALESCE() AS ?n) }""".stripMargin)
