@@ -275,8 +275,8 @@ object SparkEntry {
       // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
       // reader rejects — read nanos as long and convert
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = t(s, d, "events")
-        .withColumn("ts2", timestamp_seconds(col("ts").cast("double") / 1e9))
+      val ev = t(s, d, "events") // exact: nanos → micros in integer math
+        .withColumn("ts2", timestamp_micros((col("ts") / 1000L).cast("long")))
       ev.groupBy(date_trunc("hour", col("ts2")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum("value").as("total"))
         .select(col("hour"), col("event_type"), col("n"), col("total"))

@@ -46,9 +46,16 @@ object Compiler {
       case V(n) => n.startsWith("_anonbn_")
       case _ => false
     })
-    val bindings =
+    // One select per template triple consumes `bindings`: materialize it
+    // so (a) the WHERE plan executes once, not per triple, and (b) the
+    // per-solution uuid() is FROZEN — re-execution would re-draw it and
+    // break blank-node sharing across the triples of one solution.
+    val bindings1 =
       if (needsBnode) bindings0.withColumn("__sol", expr("uuid()"))
       else bindings0
+    val bindings =
+      if (needsBnode || template.size > 1) bindings1.localCheckpoint(eager = false)
+      else bindings1
     val ec = new ExprCompiler(n =>
       if (bindings.columns.contains(n)) bindings(n) else TermFns.nullTerm)
     def resolve(x: VarOrTerm): Column = x match {
@@ -109,10 +116,14 @@ final class Compiler(quads: DataFrame) {
       val cs = cond.toList.flatMap(conjuncts).map(normalizeNotExists)
       val (existsCs, scalarCs) = cs.partition(_.isInstanceOf[ExistsE])
       val r2 = existsCs.foldLeft(r) { (acc, e) =>
-        val free = exprVars(e) -- vars(r)
-        if (free.intersect(vars(l)).nonEmpty)
+        // sound only when every left-side variable the EXISTS touches is
+        // ASSURED on the right (then the right row's value IS the merged
+        // value); merely-possible right bindings can be NULL rows from
+        // other UNION branches, which would compat-match anything
+        if ((exprVars(e).intersect(vars(l)) -- assuredVars(r)).nonEmpty)
           throw new IllegalArgumentException(
-            "EXISTS in an OPTIONAL condition may not reference left-side variables")
+            "EXISTS in an OPTIONAL condition may not reference left-side " +
+              "variables that are not assured-bound in the optional pattern")
         AFilter(acc, e)
       }
       joinCompat(compileV(l), compileV(r2), vars(l), vars(r2),
@@ -347,6 +358,20 @@ final class Compiler(quads: DataFrame) {
       case Project(c, _) => checkResidual(c)
       case ADistinct(c) => checkResidual(c)
       case Reduced(c) => checkResidual(c)
+      case Group(c, _, aggs) =>
+        if (aggs.exists { case (_, a) =>
+          a.expr.exists(e => (exprVars(e) -- vars(c)).intersect(leftVars).nonEmpty)
+        }) throw new IllegalArgumentException(
+          "correlated aggregate inside EXISTS is not supported")
+        checkResidual(c)
+      case Order(c, keys) =>
+        if (keys.exists { case (e, _) =>
+          (exprVars(e) -- vars(c)).intersect(leftVars).nonEmpty
+        }) throw new IllegalArgumentException(
+          "correlated ORDER BY inside EXISTS is not supported")
+        checkResidual(c)
+      case Slice(c, _, _) => checkResidual(c)
+      case alp: ArbitraryLengthPath => checkResidual(alp.edge)
       case _ => ()
     }
     checkResidual(cleaned)
@@ -400,23 +425,13 @@ final class Compiler(quads: DataFrame) {
           }
           struct(c.as("n"))
         case "SUM" | "AVG" =>
+          // DISTINCT SUM/AVG never reaches here — compileGroup rewrites
+          // it to a pre-deduplicated non-distinct pass (streaming memory
+          // instead of a per-group collect_set of all distinct terms).
           val col0 = v.get
-          // DISTINCT dedups TERMS, not numeric values ("1"^^int and
-          // "1.0"^^decimal are distinct terms that both contribute) —
-          // so the distinct path folds over the distinct-term set.
-          def overSet(f: Column => Column, zero: Column,
-                      ty: org.apache.spark.sql.types.DataType): Column =
-            aggregate(collect_set(col0), zero,
-              (acc, t) => (acc + f(t)).cast(ty))
-          val dec =
-            if (a.distinct) overSet(t => coalesce(numDec(t), lit(0).cast(DEC)),
-              lit(java.math.BigDecimal.ZERO).cast(DEC), DEC)
-            else sum(numDec(col0))
-          val dbl =
-            if (a.distinct) overSet(t => coalesce(numD(t), lit(0.0)), lit(0.0),
-              DoubleType)
-            else sum(numD(col0))
-          val cnt = if (a.distinct) count_distinct(col0) else count(col0)
+          val dec = sum(numDec(col0))
+          val dbl = sum(numD(col0))
+          val cnt = count(col0)
           struct(
             dec.as("dec"), dbl.as("dbl"), cnt.as("cnt"),
             max(when(col0.isNull || !isNumeric(col0), 1).otherwise(0)).as("poisoned"),
@@ -467,12 +482,45 @@ final class Compiler(quads: DataFrame) {
       }
     }
 
-    val aggCols = aggs.map { case (n, a) => aggStruct(a).as(s"__agg_$n") }
-    val grouped =
-      if (aggCols.isEmpty) df.select(keys.map(col): _*).dropDuplicates()
-      else df.groupBy(keys.map(col): _*)
-        .agg(aggCols.head, aggCols.tail: _*)
-    if (aggCols.isEmpty) grouped
+    // DISTINCT SUM/AVG: dedup (keys, term) FIRST, then aggregate the
+    // deduped stream non-distinct — constant memory per group, where a
+    // collect_set of all distinct terms would be unbounded. Costs one
+    // extra shuffle + key join per such aggregate (they are rare).
+    val (distSumAvg, mainAggs) = aggs.partition { case (_, a) =>
+      a.distinct && (a.func == "SUM" || a.func == "AVG")
+    }
+
+    val mainCols = mainAggs.map { case (n, a) => aggStruct(a).as(s"__agg_$n") }
+    var grouped =
+      if (mainCols.isEmpty) df.select(keys.map(col): _*).dropDuplicates()
+      else df.groupBy(keys.map(col): _*).agg(mainCols.head, mainCols.tail: _*)
+
+    distSumAvg.foreach { case (n, a) =>
+      val deduped = df
+        .select(keys.map(col) :+ ec.value(a.expr.get).as("__v"): _*)
+        .dropDuplicates()
+      val side = deduped.groupBy(keys.map(col): _*).agg {
+        val col0 = deduped("__v")
+        struct(
+          sum(numDec(col0)).as("dec"), sum(numD(col0)).as("dbl"),
+          count(col0).as("cnt"),
+          max(when(col0.isNull || !isNumeric(col0), 1).otherwise(0)).as("poisoned"),
+          max(when(isFloating(col0), 1).otherwise(0)).as("anyFloat"),
+          max(when(isNumeric(col0) && !isIntegerTyped(col0) && !isFloating(col0), 1)
+            .otherwise(0)).as("anyDec")).as(s"__agg_$n")
+      }
+      grouped =
+        if (keys.isEmpty) grouped.crossJoin(side)
+        else {
+          val renamed = keys.foldLeft(side)((d, k) =>
+            d.withColumnRenamed(k, s"__k_$k"))
+          val cond = keys.map(k => grouped(k) <=> renamed(s"__k_$k")).reduce(_ && _)
+          grouped.join(renamed, cond, "inner")
+            .drop(keys.map(k => s"__k_$k"): _*)
+        }
+    }
+
+    if (aggs.isEmpty) grouped
     else {
       val out = keys.map(col) ++ aggs.map { case (n, a) => finish(n, a).as(n) }
       grouped.select(out: _*)

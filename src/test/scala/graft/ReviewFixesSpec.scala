@@ -101,6 +101,47 @@ class ReviewFixesSpec extends SparqlSpecBase {
       "SELECT ?s { ?s :p ?x FILTER(?x = ?x) }")) should have size 1
   }
 
+  "opaque BASE (urn:)" should "concatenate instead of silently dropping" in {
+    val data = QuadsIO.fromQuads(spark, Seq(
+      Quad(Iri("urn:x:s"), Iri("urn:x:name"), Lit("v"), None)))
+    collect(data.sparql(
+      "BASE <urn:x:> SELECT ?o { <s> <name> ?o }")) shouldBe
+      Seq(Map("o" -> str("v")))
+  }
+
+  "SPARQL literal escapes" should "decode \\U supplementary-plane chars" in {
+    val emoji = new String(Character.toChars(0x1F600))
+    val data = QuadsIO.fromQuads(spark, Seq(
+      Quad(Iri(E + "s"), Iri(E + "p"), Lit(emoji), None)))
+    // assemble the backslash at runtime (scalac eats \U escapes)
+    val q = P + "SELECT ?s { ?s :p \"" + '\\' + "U0001F600\" }"
+    collect(data.sparql(q)) should have size 1
+  }
+
+  "bracketed subject followed by FILTER" should "parse without a dot" in {
+    val rows = collect(TestSpark.fixture("values.ttl").sparql(
+      """PREFIX dc: <http://purl.org/dc/elements/1.1/>
+        |PREFIX ns: <http://example.org/ns#>
+        |SELECT ?p { [ ns:price ?p ] FILTER(?p > 30) }""".stripMargin))
+    rows.map(_("p")) shouldBe Seq(int(42))
+  }
+
+  "hyphenated prefixes" should "not collide with the 'a' keyword in queries" in {
+    val data = QuadsIO.fromQuads(spark, Seq(
+      Quad(Iri("urn:s"), Iri("http://x/p"), Iri("urn:o"), None)))
+    val rows = collect(data.sparql(
+      "PREFIX a-b: <http://x/> SELECT ?s { ?s a-b:p ?o }"))
+    rows shouldBe Seq(Map("s" -> iri("urn:s")))
+  }
+
+  "CONSTRUCT" should "accept the grammar-optional WHERE keyword omission" in {
+    import graft.sparql.Sparql._
+    val out = TestSpark.fixture("values.ttl").sparql(
+      """PREFIX dc: <http://purl.org/dc/elements/1.1/>
+        |CONSTRUCT { ?b <urn:p:t> "x" } { ?b dc:title ?t }""".stripMargin)
+    out.count() shouldBe 3
+  }
+
   "a lone bracketed subject" should "parse" in {
     val rows = collect(TestSpark.fixture("values.ttl").sparql(
       """PREFIX dc: <http://purl.org/dc/elements/1.1/>
