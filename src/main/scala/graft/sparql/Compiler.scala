@@ -434,7 +434,10 @@ final class Compiler(quads: DataFrame) {
           val cnt = count(col0)
           struct(
             dec.as("dec"), dbl.as("dbl"), cnt.as("cnt"),
-            max(when(col0.isNull || !isNumeric(col0), 1).otherwise(0)).as("poisoned"),
+            // numD null on a numeric-typed term ⇔ invalid lexical form
+            // ("abc"^^xsd:integer) — also an evaluation error per spec
+            max(when(col0.isNull || !isNumeric(col0) || numD(col0).isNull, 1)
+              .otherwise(0)).as("poisoned"),
             max(when(isFloating(col0), 1).otherwise(0)).as("anyFloat"),
             max(when(isNumeric(col0) && !isIntegerTyped(col0) && !isFloating(col0), 1)
               .otherwise(0)).as("anyDec"))
@@ -492,7 +495,16 @@ final class Compiler(quads: DataFrame) {
 
     val mainCols = mainAggs.map { case (n, a) => aggStruct(a).as(s"__agg_$n") }
     var grouped =
-      if (mainCols.isEmpty) df.select(keys.map(col): _*).dropDuplicates()
+      if (mainCols.isEmpty) {
+        if (keys.isEmpty)
+          // ungrouped query whose aggregates ALL went to the side path
+          // (e.g. only SUM DISTINCT): SPARQL still returns exactly one
+          // solution even over an empty match, so seed one literal row
+          // (df.select().dropDuplicates() would be empty → the join
+          // below would wrongly yield zero rows)
+          df.sparkSession.range(1).select()
+        else df.select(keys.map(col): _*).dropDuplicates()
+      }
       else df.groupBy(keys.map(col): _*).agg(mainCols.head, mainCols.tail: _*)
 
     distSumAvg.foreach { case (n, a) =>
@@ -504,7 +516,8 @@ final class Compiler(quads: DataFrame) {
         struct(
           sum(numDec(col0)).as("dec"), sum(numD(col0)).as("dbl"),
           count(col0).as("cnt"),
-          max(when(col0.isNull || !isNumeric(col0), 1).otherwise(0)).as("poisoned"),
+          max(when(col0.isNull || !isNumeric(col0) || numD(col0).isNull, 1)
+            .otherwise(0)).as("poisoned"),
           max(when(isFloating(col0), 1).otherwise(0)).as("anyFloat"),
           max(when(isNumeric(col0) && !isIntegerTyped(col0) && !isFloating(col0), 1)
             .otherwise(0)).as("anyDec")).as(s"__agg_$n")

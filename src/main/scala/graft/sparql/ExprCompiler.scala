@@ -148,8 +148,8 @@ final class ExprCompiler(env: String => Column) {
       strishOp(a)(v => intTerm(length(lex(v))))
     case FuncE("SUBSTR", a :: b :: rest) =>
       val v = value(a)
-      val start = numD(value(b)).cast(IntegerType)
-      val len = rest.headOption.map(r => numD(value(r)).cast(IntegerType))
+      val start = numD(value(b)).try_cast(IntegerType)
+      val len = rest.headOption.map(r => numD(value(r)).try_cast(IntegerType))
         .getOrElse(lit(Int.MaxValue))
       when(v.isNull || !isStringish(v) || start.isNull || len.isNull, nullTerm)
         .otherwise(sameStrKind(v, lex(v).substr(start, len)))
@@ -249,19 +249,23 @@ final class ExprCompiler(env: String => Column) {
         .when(isBool(v), intTerm(when(boolVal(v), 1).otherwise(0)))
         .when(isNumeric(v), intTermFromDec(numDec(v)))
         .when(isStringish(v) && lex(v).rlike("^[+-]?\\d+$"),
-          intTermFromDec(lex(v).cast(DEC)))
+          // try_cast: a 40-digit string passes the rlike but overflows
+          // DEC(38,12) — error→unbound, not an ANSI throw
+          intTermFromDec(lex(v).try_cast(DEC)))
         .otherwise(nullTerm)
     case XSD.decimal =>
       when(v.isNull, nullTerm)
         .when(isBool(v), decTerm(when(boolVal(v), 1).otherwise(0).cast(DEC)))
         .when(isNumeric(v), decTerm(numDec(v)))
-        .when(isStringish(v), decTerm(lex(v).cast(DEC)))
+        // try_cast: SPARQL §17.5 cast of an unparseable string is an
+        // error (→ unbound), not a job crash (ANSI cast would throw)
+        .when(isStringish(v), decTerm(lex(v).try_cast(DEC)))
         .otherwise(nullTerm)
     case XSD.double | XSD.float =>
       when(v.isNull, nullTerm)
         .when(isBool(v), dtLit(when(boolVal(v), 1.0).otherwise(0.0).cast(StringType), dtIri))
         .when(isNumeric(v), dtLit(numD(v).cast(StringType), dtIri))
-        .when(isStringish(v), dtLit(lex(v).cast(DoubleType).cast(StringType), dtIri))
+        .when(isStringish(v), dtLit(lex(v).try_cast(DoubleType).cast(StringType), dtIri))
         .otherwise(nullTerm)
     case XSD.boolean =>
       when(v.isNull, nullTerm)
@@ -272,13 +276,13 @@ final class ExprCompiler(env: String => Column) {
         .otherwise(nullTerm)
     case XSD.dateTime =>
       when(v.isNull, nullTerm)
-        .when(isStringish(v) && lex(v).cast(TimestampType).isNotNull,
+        .when(isStringish(v) && lex(v).try_cast(TimestampType).isNotNull,
           dtLit(lex(v), XSD.dateTime))
         .when(isDateTimeish(v), dtLit(lex(v), XSD.dateTime))
         .otherwise(nullTerm)
     case XSD.date =>
       when(v.isNull, nullTerm)
-        .when(isStringish(v) && lex(v).cast(DateType).isNotNull,
+        .when(isStringish(v) && lex(v).try_cast(DateType).isNotNull,
           dtLit(lex(v), XSD.date))
         .when(isDateTimeish(v), dtLit(lex(v), XSD.date))
         .otherwise(nullTerm)

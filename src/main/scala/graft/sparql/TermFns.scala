@@ -99,10 +99,15 @@ object TermFns {
     isLiteral(c) && dt(c).isin(XSD.date, XSD.dateTime)
 
   // ----- numeric access (NULL when not numeric / bad lexical) -----
-  def numD(c: Column): Column = when(isNumeric(c), lex(c).cast(DoubleType))
-  def numDec(c: Column): Column = when(isNumeric(c), lex(c).cast(DEC))
+  // try_cast, not cast: under Spark 4's default ANSI mode a plain cast
+  // THROWS on a bad lexical form, so one ill-typed literal anywhere in
+  // the data (e.g. "abc"^^xsd:integer — valid RDF) would crash every
+  // numeric filter/BIND/aggregate that touches it. try_cast restores
+  // the engine-wide error-as-NULL contract.
+  def numD(c: Column): Column = when(isNumeric(c), lex(c).try_cast(DoubleType))
+  def numDec(c: Column): Column = when(isNumeric(c), lex(c).try_cast(DEC))
   /** Timestamp for date/dateTime literals. */
-  def ts(c: Column): Column = when(isDateTimeish(c), lex(c).cast(TimestampType))
+  def ts(c: Column): Column = when(isDateTimeish(c), lex(c).try_cast(TimestampType))
   def boolVal(c: Column): Column =
     when(isBool(c),
       when(lex(c) === "true" || lex(c) === "1", lit(true))
@@ -112,8 +117,11 @@ object TermFns {
   def ebv(c: Column): Column =
     when(c.isNull, lit(null).cast(BooleanType))
       .when(isBool(c), coalesce(boolVal(c), lit(false)))
+      // bad lexical → try_cast NULL → coalesce false, which matches the
+      // spec: EBV of a numeric literal with an invalid lexical form is
+      // false (SPARQL 1.1 §17.2.2 rule 1)
       .when(isNumeric(c),
-        coalesce(lex(c).cast(DoubleType) =!= 0.0, lit(false)))
+        coalesce(lex(c).try_cast(DoubleType) =!= 0.0, lit(false)))
       .when(isStringish(c), length(lex(c)) > 0)
       .otherwise(lit(null).cast(BooleanType))
 
@@ -218,14 +226,16 @@ object TermFns {
     // field to order among themselves.
     val decMax = lit(new java.math.BigDecimal("9" * 26)).cast(DEC)
     val numDouble =
-      when(isNumeric(c), lex(c).cast(DoubleType))
+      when(isNumeric(c), lex(c).try_cast(DoubleType))
         .when(isDateTimeish(c), ts(c).cast(DoubleType))
         .when(isBool(c), boolVal(c).cast(DoubleType))
         .otherwise(lit(null).cast(DoubleType))
     val numExact =
+      // try_cast so the out-of-decimal-range saturation branch is
+      // reachable under ANSI (a plain cast of "1e300" would throw)
       when(isNumeric(c),
-        coalesce(lex(c).cast(DEC),
-          when(lex(c).cast(DoubleType) >= 0, decMax).otherwise(-decMax)))
+        coalesce(lex(c).try_cast(DEC),
+          when(lex(c).try_cast(DoubleType) >= 0, decMax).otherwise(-decMax)))
         .when(isDateTimeish(c) || isBool(c), numDouble.cast(DEC))
         .otherwise(lit(null).cast(DEC))
     struct(
