@@ -1,0 +1,182 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native codegen'd vector math over `array<float>` / `array<double>`
+  * columns.
+  *
+  * Spark does NOT compile higher-order-function lambdas
+  * (`aggregate(zip_with(...))` evaluates one boxed row at a time) — at
+  * 100 TB that interpreted inner loop dominates every embedding
+  * operator. These expressions emit tight primitive Java loops inside
+  * whole-stage codegen: one array traversal per row for a full cosine
+  * (dot + both norms fused) and one traversal per hyperplane for LSH
+  * signatures, no boxing, no per-row allocation.
+  *
+  * Both float and double element types are read natively (embeddings
+  * are stored as `array<float>`; a per-row cast to `array<double>`
+  * would allocate). Null elements inside a vector are read as 0.0 —
+  * embeddings have none by construction.
+  */
+object VectorExprs {
+
+  private def elemType(e: Expression): DataType = e.dataType match {
+    case ArrayType(et @ (FloatType | DoubleType), _) => et
+    case other =>
+      throw new IllegalArgumentException(
+        s"expected array<float|double>, got $other")
+  }
+  private def getter(et: DataType, arr: String, i: String): String =
+    if (et == FloatType) s"$arr.getFloat($i)" else s"$arr.getDouble($i)"
+  private def getD(a: ArrayData, et: DataType, i: Int): Double =
+    if (et == FloatType) a.getFloat(i).toDouble else a.getDouble(i)
+
+  /** Σ aᵢ·bᵢ over min(len(a), len(b)). */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    private lazy val (lt, rt) = (elemType(left), elemType(right))
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0; var i = 0
+      while (i < n) { s += getD(x, lt, i) * getD(y, rt, i); i += 1 }
+      s
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val (n, i, s) = (ctx.freshName("n"), ctx.freshName("i"), ctx.freshName("s"))
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += ${getter(lt, a, i)} * ${getter(rt, b, i)};
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Cosine similarity in ONE traversal (xy, xx, yy fused); NULL (not
+    * NaN) for zero-norm vectors — NaN sorts above every double in
+    * Spark's total order, so it would pass `>= threshold` filters and
+    * rank first in descending top-k. */
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    private lazy val (lt, rt) = (elemType(left), elemType(right))
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var xy = 0.0; var xx = 0.0; var yy = 0.0; var i = 0
+      while (i < n) {
+        val xv = getD(x, lt, i); val yv = getD(y, rt, i)
+        xy += xv * yv; xx += xv * xv; yy += yv * yv; i += 1
+      }
+      val denom = math.sqrt(xx) * math.sqrt(yy)
+      if (denom > 0) xy / denom else null
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val xy = ctx.freshName("xy"); val xx = ctx.freshName("xx")
+        val yy = ctx.freshName("yy"); val xv = ctx.freshName("xv")
+        val yv = ctx.freshName("yv"); val den = ctx.freshName("den")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $xy = 0.0; double $xx = 0.0; double $yy = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $xv = ${getter(lt, a, i)};
+           |  double $yv = ${getter(rt, b, i)};
+           |  $xy += $xv * $yv; $xx += $xv * $xv; $yy += $yv * $yv;
+           |}
+           |double $den = java.lang.Math.sqrt($xx) * java.lang.Math.sqrt($yy);
+           |if ($den > 0) { ${ev.value} = $xy / $den; } else { ${ev.isNull} = true; }
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Random-hyperplane LSH signature: bit p set iff plane_p · v > 0.
+    * All planes evaluated in one generated loop nest; the plane matrix
+    * rides along as a codegen reference object (flattened row-major),
+    * broadcast once per task, not per row. */
+  case class RhpSignature(child: Expression, planes: Array[Array[Double]])
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    private lazy val et = elemType(child)
+    private val numPlanes = planes.length
+    private val dim = if (planes.isEmpty) 0 else planes(0).length
+    private lazy val flat: Array[Double] = planes.flatten
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), dim)
+      var sig = 0L; var p = 0
+      while (p < numPlanes) {
+        var s = 0.0; var i = 0; val off = p * dim
+        while (i < n) { s += flat(off + i) * getD(x, et, i); i += 1 }
+        if (s > 0) sig |= (1L << p)
+        p += 1
+      }
+      sig
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val planesRef = ctx.addReferenceObj("planes", flat, "double[]")
+      nullSafeCodeGen(ctx, ev, a => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val p = ctx.freshName("p"); val s = ctx.freshName("s")
+        val off = ctx.freshName("off"); val sig = ctx.freshName("sig")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $dim);
+           |long $sig = 0L;
+           |for (int $p = 0; $p < $numPlanes; $p++) {
+           |  double $s = 0.0;
+           |  int $off = $p * $dim;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $s += $planesRef[$off + $i] * ${getter(et, a, i)};
+           |  }
+           |  if ($s > 0) $sig |= (1L << $p);
+           |}
+           |${ev.value} = $sig;
+         """.stripMargin
+      })
+    }
+
+    // structural equality/explain must not walk the (large) matrix
+    override def flatArguments: Iterator[Any] = Iterator(child)
+    override def prettyName: String = "rhp_signature"
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  // ----- Column API -----
+  def dot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(DotProduct(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def cosine(a: Column, b: Column): Column =
+    GraftColumnBridge.column(CosineSim(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def rhpSignature(v: Column, planes: Seq[Seq[Double]]): Column =
+    GraftColumnBridge.column(RhpSignature(
+      GraftColumnBridge.expression(v), planes.map(_.toArray).toArray))
+}

@@ -187,26 +187,22 @@ object Dedup {
     (1 to numPlanes).map(_ => Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd dot product (native Expression — higher-order-function
+    * lambdas are interpreted per-row and were the measured bottleneck). */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExprs.dot(a, b)
 
   /** NULL (not NaN) for zero-norm vectors — NaN compares GREATER than
     * every double in Spark's total ordering, so it would pass >=
-    * threshold filters and rank FIRST in descending top-k. */
-  def cosine(a: Column, b: Column): Column = {
-    val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
-    when(denom > 0, dot(a, b) / denom)
-  }
+    * threshold filters and rank FIRST in descending top-k. Single
+    * fused traversal (dot + both norms) in generated code. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.cosine(a, b)
 
   /** Random-hyperplane LSH signature (one bit per plane) packed into a
-    * long — vectors with high cosine land in the same bucket. */
-  def rhpSignature(emb: Column, numPlanes: Int, dim: Int): Column = {
-    val planes = hyperplanes(numPlanes, dim)
-    planes.zipWithIndex.map { case (p, i) =>
-      when(dot(emb.cast(ArrayType(DoubleType)), typedLit(p)) > 0,
-        shiftleft(lit(1L), i)).otherwise(0L)
-    }.reduce(_ + _)
-  }
+    * long — vectors with high cosine land in the same bucket. Reads
+    * array<float> natively; no per-row cast. */
+  def rhpSignature(emb: Column, numPlanes: Int, dim: Int): Column =
+    graft.functions.VectorExprs.rhpSignature(emb, hyperplanes(numPlanes, dim))
 
   /** Embedding near-dup candidate pairs: bucket on the RHP signature,
     * verify exact cosine within buckets. */
@@ -226,8 +222,7 @@ object Dedup {
     pairs
       .join(base.select(col("id").as("idA"), col("emb").as("embA")), Seq("idA"))
       .join(base.select(col("id").as("idB"), col("emb").as("embB")), Seq("idB"))
-      .withColumn("cos", cosine(col("embA").cast(ArrayType(DoubleType)),
-        col("embB").cast(ArrayType(DoubleType))))
+      .withColumn("cos", cosine(col("embA"), col("embB")))
       .filter(col("cos") >= threshold)
       .select(col("idA"), col("idB"), col("cos"))
   }

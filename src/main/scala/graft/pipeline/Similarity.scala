@@ -17,15 +17,13 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  import Dedup.{cosine, dot, hyperplanes}
-
-  private def asD(c: Column): Column = c.cast(ArrayType(DoubleType))
+  import Dedup.{cosine, hyperplanes}
 
   /** Exact cosine top-k against one query vector. */
   def bruteForceTopK(df: DataFrame, idCol: String, embCol: String,
                      query: Seq[Double], k: Int): DataFrame =
     df.select(col(idCol),
-      cosine(asD(col(embCol)), typedLit(query)).as("cos"))
+      cosine(col(embCol), typedLit(query)).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
 
@@ -53,7 +51,7 @@ object Similarity {
     df.select(col(idCol), col(embCol),
       signature(col(embCol), numPlanes, dim).as("bucket"))
       .filter(col("bucket").isin(probes: _*))
-      .select(col(idCol), cosine(asD(col(embCol)), typedLit(query)).as("cos"))
+      .select(col(idCol), cosine(col(embCol), typedLit(query)).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
