@@ -172,35 +172,10 @@ object TermFns {
     * arithmetic (int64-safe — doubles would corrupt big keys at scale),
     * any float/double → double arithmetic. Division of exact numerics
     * yields xsd:decimal (XPath op:numeric-divide). */
-  def arith(op: String)(a: Column, b: Column): Column = {
-    val bothNum = isNumeric(a) && isNumeric(b)
-    val anyFloat = isFloating(a) || isFloating(b)
-    val bothInt = isIntegerTyped(a) && isIntegerTyped(b)
-    def dec2(x: Column, y: Column): Column = op match {
-      case "+" => x + y
-      case "-" => x - y
-      case "*" => x * y
-      case "/" => when(y =!= 0, x / y) // decimal div-by-zero → error/NULL
-    }
-    def dbl2(x: Column, y: Column): Column = op match {
-      case "+" => x + y
-      case "-" => x - y
-      case "*" => x * y
-      case "/" => x / y // IEEE: double div-by-zero → Inf, per XPath
-    }
-    val decRes = dec2(numDec(a), numDec(b))
-    val dblRes = dbl2(numD(a), numD(b))
-    when(a.isNull || b.isNull || !bothNum, nullTerm)
-      .when(anyFloat, doubleTerm(dblRes))
-      .when(bothInt && lit(op != "/"), intTermFromDec(decRes))
-      .otherwise(decTerm(decRes))
-  }
+  def arith(op: String)(a: Column, b: Column): Column =
+    graft.functions.TermMath.arithCol(op, a, b)
 
-  def uminus(a: Column): Column =
-    when(a.isNull || !isNumeric(a), nullTerm)
-      .when(isFloating(a), doubleTerm(-numD(a)))
-      .when(isIntegerTyped(a), intTermFromDec(-numDec(a)))
-      .otherwise(decTerm(-numDec(a)))
+  def uminus(a: Column): Column = graft.functions.TermMath.negCol(a)
 
   // ----- total order sort key (ValueComparator analogue) -----
   /** Canonical sortable key: rank(unbound 0 < BNode 1 < IRI 2 < numeric
