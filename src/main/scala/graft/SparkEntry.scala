@@ -327,8 +327,10 @@ object SparkEntry {
         t(s, d, "documents"), "doc_id", "text", threshold = 0.3)
     },
     "q_dedup_simhash" -> { (s, d) => // rows-only
+      // Hamming ≤ 3 on 64-bit signatures — the published standard for
+      // simhash near-dup at web scale (Manku et al., WWW'07)
       graft.pipeline.Dedup.simHashCandidates(
-        t(s, d, "documents"), "doc_id", "text", maxHamming = 6)
+        t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
     },
     "q_dedup_embedding" -> { (s, d) => // rows-only
       graft.pipeline.Dedup.embeddingCandidates(
@@ -360,6 +362,18 @@ object SparkEntry {
         .head().getSeq[Float](0).map(_.toDouble)
       graft.pipeline.Similarity.lshTopK(emb, "vec_id", "embedding", q, 10,
         numPlanes = 6)
+    },
+    "q_ann_index" -> { (s, d) => // rows-only: approximate by construction
+      // the persisted-index path: signatures computed once at build,
+      // probe reads only the Hamming-1 bucket partitions
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ann_idx_" +
+        Integer.toHexString(d.hashCode)
+      graft.pipeline.Similarity.buildIndex(emb, "vec_id", "embedding", idx,
+        dim = q.size, numPlanes = 6)
+      graft.pipeline.Similarity.queryIndex(s, idx, q, 10)
     }
   )
 

@@ -135,9 +135,6 @@ object Dedup {
       })
   }
 
-  /** SimHash near-dup candidates: pigeonhole on 4 × 16-bit chunks (two
-    * 64-bit signatures within Hamming distance 3 must agree on at least
-    * one chunk), verify with bit_count(xor) <= maxHamming. */
   /** SimHash signatures via explode + 64 codegen'd sum-aggregates
     * (single shuffle) — same result as [[simHash]], scale path.
     * Token-less documents (which explode drops) are re-attached with
@@ -159,19 +156,50 @@ object Dedup {
       .select(col("id"), coalesce(col("sig"), lit(0L)).as("sig"))
   }
 
+  /** SimHash candidate pairs with a scale-safe banding scheme.
+    *
+    * Pigeonhole, generalized: split the 64-bit signature into
+    * `m = maxHamming + cleanChunks` chunks — a pair within the Hamming
+    * radius has at most `maxHamming` dirty chunks, hence agrees EXACTLY
+    * on at least `cleanChunks` of them, so keying every
+    * `cleanChunks`-combination of chunk values finds it with
+    * certainty. Versus single-chunk banding (key width 64/m bits →
+    * ≤2^16 buckets → O(n²/65k) candidate pairs, a cliff at billions of
+    * docs) the combination key carries `cleanChunks·64/m` bits, so
+    * bucket population stays bounded as n grows; an adversarial corpus
+    * sharing ONE chunk no longer collapses into one bucket. Combo keys
+    * are xxhash64-mixed to a long — hash collisions only add verify
+    * work (bit_count filter), never lose recall. Emits C(m, cleanChunks)
+    * keys per doc (10 at h=3, 28 at h=6). */
   def simHashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        maxHamming: Int = 3): DataFrame = {
-    val sigs = simHashSigs(df, idCol, textCol)
-    val chunked = sigs.select(col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(3)), c =>
-        call_function("shiftrightunsigned", col("sig"), c * 16)
-          .bitwiseAND(lit(0xFFFFL))))
-        .as(Seq("chunk", "val")))
-    val l = chunked.select(col("chunk"), col("val"),
-      col("id").as("idA"), col("sig").as("sigA"))
-    val r = chunked.select(col("chunk"), col("val"),
-      col("id").as("idB"), col("sig").as("sigB"))
-    l.join(r, Seq("chunk", "val"))
+                        maxHamming: Int = 3, cleanChunks: Int = 2): DataFrame =
+    simHashCandidatesFromSigs(simHashSigs(df, idCol, textCol),
+      maxHamming, cleanChunks)
+
+  /** Candidate stage over precomputed signatures `(id: any, sig: long)`
+    * — at scale the signature table is computed once and persisted, so
+    * re-banding with a different radius never re-reads the corpus. */
+  def simHashCandidatesFromSigs(sigs: DataFrame, maxHamming: Int = 3,
+                                cleanChunks: Int = 2): DataFrame = {
+    require(cleanChunks >= 1, "cleanChunks must be >= 1")
+    val m = maxHamming + cleanChunks
+    require(m <= 64, "maxHamming + cleanChunks must be <= 64")
+    // chunk i covers bits [lo_i, lo_{i+1}); widths differ by ≤1 bit
+    val lows = (0 to m).map(i => i * 64 / m)
+    def chunkVal(i: Int): Column = {
+      val width = lows(i + 1) - lows(i)
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      call_function("shiftrightunsigned", col("sig"), lit(lows(i)))
+        .bitwiseAND(lit(mask))
+    }
+    val combos = (0 until m).combinations(cleanChunks).toSeq
+    val keys = array(combos.zipWithIndex.map { case (combo, cid) =>
+      xxhash64((lit(cid) +: combo.map(chunkVal)): _*)
+    }: _*)
+    val keyed = sigs.select(col("id"), col("sig"), explode(keys).as("k"))
+    val l = keyed.select(col("k"), col("id").as("idA"), col("sig").as("sigA"))
+    val r = keyed.select(col("k"), col("id").as("idB"), col("sig").as("sigB"))
+    l.join(r, Seq("k"))
       .filter(col("idA") < col("idB"))
       .select(col("idA"), col("idB"), col("sigA"), col("sigB"))
       .dropDuplicates("idA", "idB")

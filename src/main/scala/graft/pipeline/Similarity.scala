@@ -62,4 +62,60 @@ object Similarity {
                      dim: Int, threshold: Double,
                      numPlanes: Int = 12): DataFrame =
     Dedup.embeddingCandidates(df, idCol, embCol, dim, numPlanes, threshold)
+
+  // ----- persisted index -----
+  // The scale path: signatures are computed ONCE at build time and the
+  // table is laid out partitioned BY bucket, so a query reads only the
+  // ~numPlanes+1 probed partition directories (partition pruning — the
+  // scan never touches the other 2^numPlanes buckets). lshTopK by
+  // contrast recomputes every signature per query: right answer, wrong
+  // cost at 100 TB.
+
+  private def metaPath(path: String) = s"$path/_graft_ann_meta.json"
+
+  /** Build a persisted ANN index at `path`: (id, emb, bucket=RHP
+    * signature), partitioned by bucket, plus a sidecar recording
+    * numPlanes/dim so queries can't probe with mismatched planes. */
+  def buildIndex(df: DataFrame, idCol: String, embCol: String,
+                 path: String, dim: Int, numPlanes: Int = 10): Unit = {
+    df.select(col(idCol), col(embCol),
+      signature(col(embCol), numPlanes, dim).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    val meta = s"""{"numPlanes":$numPlanes,"dim":$dim,"idCol":"$idCol","embCol":"$embCol"}"""
+    // Hadoop FS, not java.nio — the index path may be HDFS/S3 on a cluster
+    val p = new org.apache.hadoop.fs.Path(metaPath(path))
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(meta.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readMeta(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(metaPath(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    """"(\w+)":"?([^",}]+)"?""".r.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2)).toMap
+  }
+
+  /** Top-k against a persisted index: prune to the query bucket plus
+    * its Hamming-radius-1 ring, exact-rank only those candidates. */
+  def queryIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                 query: Seq[Double], k: Int): DataFrame = {
+    val meta = readMeta(spark, path)
+    val numPlanes = meta("numPlanes").toInt
+    val idCol = meta("idCol"); val embCol = meta("embCol")
+    require(meta("dim").toInt == query.size,
+      s"query dim ${query.size} != index dim ${meta("dim")}")
+    val qSig = signatureOf(query, numPlanes)
+    val probes = qSig +: (0 until numPlanes).map(b => qSig ^ (1L << b))
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(probes: _*))
+      .select(col(idCol), cosine(col(embCol), typedLit(query)).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -55,6 +55,42 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     cands should contain((1L, 2L))
   }
 
+  it should "not explode candidates when all signatures share one chunk (adversarial skew)" in {
+    // 20,000 signatures agreeing on their low chunk but random
+    // elsewhere: single-chunk banding puts ALL of them in one bucket
+    // (≈200M candidate pairs — the quadratic cliff); combination keys
+    // require a SECOND matching chunk, so the join must stay sparse.
+    val n = 20000
+    val rnd = new scala.util.Random(11)
+    val sharedLow = 0x1ABCL // bits [0,13) shared (chunk 0 when m=5)
+    val sigs = (0 until n).map { i =>
+      (i.toLong, (rnd.nextLong() << 13) | sharedLow)
+    }.toDF("id", "sig")
+    val t0 = System.nanoTime()
+    val cnt = Dedup.simHashCandidatesFromSigs(sigs, maxHamming = 3).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // random high bits at Hamming<=3 are essentially impossible to pair
+    cnt should be < 50L
+    secs should be < 60.0
+  }
+
+  it should "still find every pair within the radius (recall guarantee)" in {
+    // planted neighbors at exactly maxHamming distance, dirtying
+    // DIFFERENT chunks — the pigeonhole-combination key must catch all
+    val base = 0x0F0F0F0F0F0F0F0FL
+    val sigs = Seq(
+      (1L, base),
+      (2L, base ^ 7L),                        // 3 bits, all in chunk 0
+      (3L, base ^ (1L << 5) ^ (1L << 20) ^ (1L << 60)), // spread across 3 chunks
+      (4L, ~base)                             // far away
+    ).toDF("id", "sig")
+    val pairs = Dedup.simHashCandidatesFromSigs(sigs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((1L, 2L))
+    pairs should contain((1L, 3L))
+    pairs.exists(p => p._1 == 4L || p._2 == 4L) shouldBe false
+  }
+
   private lazy val vecs: DataFrame = {
     val rows = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),
@@ -80,6 +116,34 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
       Seq(1.0, 0.0, 0.0, 0.0), 3, numPlanes = 4).collect().map(_.getLong(0)).toSet
     approx.subsetOf(brute ++ Set(2L, 3L)) shouldBe true
     approx should contain(0L) // the query vector itself always survives
+  }
+
+  "persisted ANN index" should "prune to probed bucket partitions and agree with brute force" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann").toString + "/idx"
+    Similarity.buildIndex(vecs, "vec_id", "embedding", dir, dim = 4, numPlanes = 4)
+    val res = Similarity.queryIndex(spark, dir, Seq(1.0, 0.0, 0.0, 0.0), 3)
+    // candidates come only from the probe ring; ranking among them is exact
+    val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      Seq(1.0, 0.0, 0.0, 0.0), 3).collect().map(_.getLong(0)).toSet
+    val ids = res.collect().map(_.getLong(0)).toSet
+    ids should contain(0L)
+    ids.subsetOf(brute ++ Set(2L, 3L)) shouldBe true
+    // the scan must be partition-pruned to the 5 probed buckets — the
+    // whole point of the persisted index (no full-table signature
+    // recompute per query)
+    val scan = res.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    scan.partitionFilters should not be empty
+    scan.partitionFilters.mkString should include("bucket")
+    scan.selectedPartitions.partitionCount should be <= 5 // qSig + 4 radius-1 probes
+  }
+
+  it should "reject a query of mismatched dimensionality" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann2").toString + "/idx"
+    Similarity.buildIndex(vecs, "vec_id", "embedding", dir, dim = 4, numPlanes = 4)
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.queryIndex(spark, dir, Seq(1.0, 0.0), 3)
   }
 
   "embedding dedup" should "find high-cosine pairs via RHP buckets" in {
