@@ -69,6 +69,19 @@ object SparkEntry {
           |}""".stripMargin),
         "cname" -> "string", "total" -> "double")
     },
+    "q_optional_unbound" -> { (s, d) =>
+      // pins the compat-join fallback: ?r is possibly-unbound on the
+      // left (bound in only one UNION branch), so this OPTIONAL
+      // legitimately compiles to the NULL-tolerant compat condition
+      // (BroadcastNestedLoopJoin) instead of equi keys; per SPARQL
+      // compatibility the unbound-?r row joins EVERY region
+      out(nationRegion(s, d).sparql(prologue +
+        """SELECT ?nname ?rname
+          |{ { ?n :nname ?nname . ?n :inRegion ?r }
+          |  UNION { ?n :nname ?nname . FILTER(?nname = "NATION_7") }
+          |  OPTIONAL { ?r :rname ?rname } }""".stripMargin),
+        "nname" -> "string", "rname" -> "string")
+    },
     "q_exists" -> { (s, d) =>
       out(custOrders(s, d).sparql(prologue +
         "SELECT ?cname { ?c :cname ?cname FILTER EXISTS { ?o :customer ?c } }"),
@@ -390,6 +403,13 @@ object SparkEntry {
     "q_optional" ->
       """SELECT c_name AS cname, COALESCE(o_totalprice, 0) AS total
         |FROM customer LEFT JOIN orders ON o_custkey = c_custkey""".stripMargin,
+    "q_optional_unbound" ->
+      """WITH lhs AS (
+        |  SELECT n_name AS nname, n_regionkey AS rk FROM nation
+        |  UNION ALL
+        |  SELECT n_name AS nname, NULL AS rk FROM nation WHERE n_name = 'NATION_7')
+        |SELECT lhs.nname AS nname, r.r_name AS rname
+        |FROM lhs LEFT JOIN region r ON lhs.rk IS NULL OR lhs.rk = r.r_regionkey""".stripMargin,
     "q_exists" ->
       """SELECT c_name AS cname FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,

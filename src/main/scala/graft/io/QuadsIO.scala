@@ -20,18 +20,47 @@ import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
   */
 object QuadsIO {
 
-  /** Distributed scale path: newline-delimited N-Triples/N-Quads. */
+  /** Distributed scale path: newline-delimited N-Triples/N-Quads.
+    *
+    * Compressed input (`.nt.gz`, `.nq.gz`, …) decompresses transparently
+    * through Hadoop's codec factory. Gzip is NOT line-splittable, so a
+    * gzipped file is one task — reference parity (its Compression.AUTO
+    * has the same constraint, TriplesReader.scala:38-39). At 100 TB:
+    * ship many medium gz files (or zstd/bzip2), not one giant one. */
   def readNTriples(spark: SparkSession, path: String): DataFrame = {
     val lines = spark.read.textFile(path)
     val rows = lines.rdd.flatMap(l => TurtleParser.parseNTriplesLine(l).map(_.toRow))
     spark.createDataFrame(rows, TermSchema.quadType)
   }
 
+  private def readLocalText(path: String): String = {
+    val raw = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
+    val in =
+      if (path.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw) else raw
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
   /** Driver-side parse of a (small) Turtle/TriG file into a quads DF. */
-  def readTurtle(spark: SparkSession, path: String): DataFrame = {
-    val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
-      java.nio.charset.StandardCharsets.UTF_8)
-    fromQuads(spark, TurtleParser.parse(text))
+  def readTurtle(spark: SparkSession, path: String): DataFrame =
+    fromQuads(spark, TurtleParser.parse(readLocalText(path)))
+
+  /** Driver-side parse of an RDF/XML file into a quads DF. */
+  def readRdfXml(spark: SparkSession, path: String): DataFrame =
+    fromQuads(spark, graft.rdf.RdfXmlParser.parse(readLocalText(path)))
+
+  /** Format chosen by filename, like the reference's Rio dispatch
+    * (TriplesReader.scala:62-74): N-Triples/N-Quads distributed,
+    * Turtle/TriG and RDF/XML driver-side; `.gz` accepted on all. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val base = if (path.endsWith(".gz")) path.dropRight(3) else path
+    base.substring(base.lastIndexOf('.') + 1).toLowerCase match {
+      case "nt" | "nq" | "ntriples" | "nquads" => readNTriples(spark, path)
+      case "ttl" | "trig" | "turtle" => readTurtle(spark, path)
+      case "rdf" | "rdfs" | "owl" | "xml" => readRdfXml(spark, path)
+      case other =>
+        throw new IllegalArgumentException(s"unrecognized RDF extension .$other")
+    }
   }
 
   /** Build a quads DataFrame from driver-side quads (fixtures, tests). */

@@ -57,6 +57,7 @@ object XSD {
   val time = ns + "time"
   val langString = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
   val anyURI = ns + "anyURI"
+  val dayTimeDuration = ns + "dayTimeDuration"
 
   /** xsd:integer and its derived types — all promote like integer. */
   val integerFamily: Set[String] = Set(

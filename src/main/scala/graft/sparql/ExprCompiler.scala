@@ -200,7 +200,23 @@ final class ExprCompiler(env: String => Column) {
       val v = value(a)
       when(v.isNull || !isDateTimeish(v), nullTerm)
         .otherwise(strTerm(regexp_extract(lex(v), "(Z|[+-]\\d{2}:\\d{2})$", 1)))
-    case FuncE("TIMEZONE", List(_)) => nullTerm // xsd:dayTimeDuration unsupported
+    case FuncE("TIMEZONE", List(a)) =>
+      // SPARQL 1.1 §17.4.5.8: canonical xsd:dayTimeDuration of the
+      // literal's timezone offset ("-05:00" → "-PT5H"); error (unbound)
+      // when the literal carries no timezone
+      val v = value(a)
+      val tzs = regexp_extract(lex(v), "(Z|[+-]\\d{2}:\\d{2})$", 1)
+      val hh = substring(tzs, 2, 2).try_cast(IntegerType)
+      val mm = substring(tzs, 5, 2).try_cast(IntegerType)
+      val dur =
+        when(tzs === "Z" || (hh === 0 && mm === 0), lit("PT0S"))
+          .otherwise(concat(
+            when(tzs.startsWith("-"), lit("-")).otherwise(lit("")),
+            lit("PT"),
+            when(hh > 0, concat(hh.cast(StringType), lit("H"))).otherwise(lit("")),
+            when(mm > 0, concat(mm.cast(StringType), lit("M"))).otherwise(lit(""))))
+      when(v.isNull || !isDateTimeish(v) || tzs === "", nullTerm)
+        .otherwise(dtLit(dur, XSD.dayTimeDuration))
     case FuncE("MD5", List(a)) => strishOp(a)(v => strTerm(md5(lex(v))))
     case FuncE("SHA1", List(a)) => strishOp(a)(v => strTerm(sha1(lex(v))))
     case FuncE("SHA256", List(a)) => strishOp(a)(v => strTerm(sha2(lex(v), 256)))

@@ -28,6 +28,86 @@ class ApiAndIoSpec extends SparqlSpecBase {
     Sparql.serialize(Lit("x", lang = "en")) shouldBe "\"x\"@en"
   }
 
+  "gzipped N-Triples ingest" should "decompress transparently and query end-to-end" in {
+    val tmp = Files.createTempDirectory("graft-ntgz")
+    val gz = tmp.resolve("data.nt.gz")
+    val content =
+      """<urn:a> <urn:p> "v1" .
+        |<urn:a> <urn:q> "5"^^<http://www.w3.org/2001/XMLSchema#integer> .
+        |<urn:b> <urn:p> "v2" .
+        |""".stripMargin
+    val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(gz))
+    out.write(content.getBytes("UTF-8")); out.close()
+    val quads = QuadsIO.read(spark, gz.toString) // extension dispatch + codec
+    quads.count() shouldBe 3
+    val rows = collect(quads.sparql("SELECT ?s { ?s <urn:p> ?v }"))
+    rows.map(_("s")).toSet shouldBe Set(iri("urn:a"), iri("urn:b"))
+  }
+
+  "RDF/XML ingest" should "parse node/property elements, refs, datatypes and lang" in {
+    val tmp = Files.createTempDirectory("graft-rdfxml")
+    val f = tmp.resolve("data.rdf")
+    Files.writeString(f,
+      """<?xml version="1.0"?>
+        |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:ex="http://ex.org/" xml:base="http://base.org/">
+        |  <rdf:Description rdf:about="alice">
+        |    <ex:name xml:lang="en">Alice</ex:name>
+        |    <ex:age rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">30</ex:age>
+        |    <ex:knows rdf:resource="http://ex.org/bob"/>
+        |    <ex:addr rdf:parseType="Resource">
+        |      <ex:city>Springfield</ex:city>
+        |    </ex:addr>
+        |  </rdf:Description>
+        |  <ex:Person rdf:about="http://ex.org/bob" ex:nick="bobby">
+        |    <ex:friend>
+        |      <ex:Person rdf:nodeID="c"/>
+        |    </ex:friend>
+        |  </ex:Person>
+        |</rdf:RDF>
+        |""".stripMargin)
+    val quads = QuadsIO.read(spark, f.toString)
+    val got = collect(quads.sparql("SELECT ?s ?p ?o { ?s ?p ?o }"))
+      .map(b => (b("s"), b("p"), b.get("o")))
+    // xml:base resolution of relative rdf:about
+    got.map(_._1) should contain(iri("http://base.org/alice"))
+    // lang literal, typed literal, resource ref
+    val alice = got.filter(_._1 == iri("http://base.org/alice"))
+    alice.map(t => (t._2, t._3.get)) should contain allOf (
+      (iri("http://ex.org/name"), Lit("Alice", lang = "en")),
+      (iri("http://ex.org/age"), Lit("30", XSD.integer)),
+      (iri("http://ex.org/knows"), iri("http://ex.org/bob")))
+    // typed node element → rdf:type; property attribute → literal
+    val bob = got.filter(_._1 == iri("http://ex.org/bob"))
+    bob.map(t => (t._2, t._3.get)) should contain allOf (
+      (iri(RDF.typ), iri("http://ex.org/Person")),
+      (iri("http://ex.org/nick"), str("bobby")))
+    // parseType=Resource bnode carries the nested property
+    val addrBn = alice.find(_._2 == iri("http://ex.org/addr")).get._3.get
+    addrBn shouldBe a[BNode]
+    got.find(t => t._1 == addrBn && t._2 == iri("http://ex.org/city"))
+      .get._3.get shouldBe str("Springfield")
+    // SPARQL over the ingested graph end-to-end
+    val names = collect(quads.sparql(
+      """PREFIX ex: <http://ex.org/>
+        |SELECT ?n { ?s ex:name ?n }""".stripMargin))
+    names.head("n") shouldBe Lit("Alice", lang = "en")
+  }
+
+  it should "reject unsupported parseType loudly" in {
+    val tmp = Files.createTempDirectory("graft-rdfxml2")
+    val f = tmp.resolve("bad.rdf")
+    Files.writeString(f,
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:ex="http://ex.org/">
+        |  <rdf:Description rdf:about="urn:x">
+        |    <ex:html rdf:parseType="Literal"><b>hi</b></ex:html>
+        |  </rdf:Description>
+        |</rdf:RDF>""".stripMargin)
+    an[IllegalArgumentException] should be thrownBy
+      QuadsIO.read(spark, f.toString)
+  }
+
   "N-Triples ingest" should "round-trip through parquet" in {
     val tmp = Files.createTempDirectory("graft-nt")
     val nt = tmp.resolve("data.nt")

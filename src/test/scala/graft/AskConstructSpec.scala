@@ -82,4 +82,23 @@ class AskConstructSpec extends SparqlSpecBase {
       """CONSTRUCT { ?b <urn:p:seen> "1" } WHERE { ?b dc:title ?t } LIMIT 2""")
     out.count() shouldBe 2
   }
+
+  it should "round-trip through the parquet quad store (construct → write → read → query)" in {
+    // closes the loop ingest → query → construct → store: a constructed
+    // graph is a first-class quads table, persisted in the same layout
+    // (p,s-sorted parquet) every other query reads
+    import graft.io.QuadsIO
+    import graft.sparql.Sparql._
+    val out = fixtureDf.sparql(P +
+      """CONSTRUCT { ?b <urn:p:hasTitle> ?t . ?b <urn:p:isBook> "y" }
+        |WHERE { ?b dc:title ?t }""".stripMargin)
+    val dir = java.nio.file.Files.createTempDirectory("graft-construct").toString + "/g"
+    QuadsIO.writeParquet(out, dir)
+    val back = QuadsIO.readParquet(spark, dir)
+    back.count() shouldBe out.count()
+    val titles = collect(back.sparql(
+      """SELECT ?t { ?b <urn:p:isBook> "y" ; <urn:p:hasTitle> ?t }"""))
+    titles should have size 3
+    titles.map(_("t")) should contain(str("SPARQL Tutorial"))
+  }
 }

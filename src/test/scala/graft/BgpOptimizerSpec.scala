@@ -56,4 +56,35 @@ class BgpOptimizerSpec extends AnyFlatSpec with Matchers {
         |SELECT * { ?s :p ?v . VALUES ?v { "a" "b" } }""".stripMargin)
     joinLeaves(BgpOptimizer.optimize(parsed)).head shouldBe a[Values]
   }
+
+  // ----- physical-plan regression guards on the join stack -----
+  // Assured-on-both-sides variables must compile to plain === equi keys
+  // (hash/sort-merge joinable); the NULL-tolerant compat condition —
+  // which forces BroadcastNestedLoopJoin, O(n×m) — is reserved for
+  // genuinely possibly-unbound shared vars. This distinction was the
+  // 73s → 2s fix at sf0.1; these specs pin both sides of it.
+
+  private def plan(fixture: String, q: String): String = {
+    import graft.sparql.Sparql._
+    TestSpark.fixture(fixture).sparql(q).queryExecution.executedPlan.toString
+  }
+
+  "join compilation" should "use equi keys (no nested-loop join) when the shared var is assured" in {
+    val p = plan("optionals.ttl",
+      """PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        |SELECT ?name ?mbox { ?x foaf:name ?name
+        |  OPTIONAL { ?x foaf:mbox ?mbox } }""".stripMargin)
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  it should "fall back to the compat nested-loop join ONLY for possibly-unbound shared vars" in {
+    val p = plan("optionals.ttl",
+      """PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        |SELECT ?name ?mbox
+        |{ { ?x foaf:name ?name . ?x foaf:knows ?y } UNION { ?x foaf:name ?name }
+        |  OPTIONAL { ?y foaf:mbox ?mbox } }""".stripMargin)
+    // ?y is bound in only one UNION branch → compat condition is the
+    // CORRECT plan here (documents the legitimate fallback)
+    p should include("BroadcastNestedLoopJoin")
+  }
 }

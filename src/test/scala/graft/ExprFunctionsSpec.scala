@@ -118,6 +118,23 @@ class ExprFunctionsSpec extends SparqlSpecBase {
     r("mi") shouldBe int(30)
   }
 
+  it should "TIMEZONE / TZ per SPARQL §17.4.5.8" in {
+    val d = "http://www.w3.org/2001/XMLSchema#dayTimeDuration"
+    def tzOf(litv: String): Option[Term] = {
+      val r = collect(quads.sparql(P +
+        s"""SELECT ?z { :s1 :num ?n . FILTER(?n = 42)
+           |  BIND(TIMEZONE("$litv"^^<http://www.w3.org/2001/XMLSchema#dateTime>) AS ?z) }"""
+          .stripMargin))
+      r.head.get("z")
+    }
+    tzOf("2011-01-10T14:45:13.815-05:00") shouldBe Some(Lit("-PT5H", d))
+    tzOf("2011-01-10T14:45:13Z") shouldBe Some(Lit("PT0S", d))
+    tzOf("2011-01-10T14:45:13+05:30") shouldBe Some(Lit("PT5H30M", d))
+    tzOf("2011-01-10T14:45:13-00:30") shouldBe Some(Lit("-PT30M", d))
+    tzOf("2011-01-10T14:45:13+00:00") shouldBe Some(Lit("PT0S", d))
+    tzOf("2011-01-10T14:45:13") shouldBe None // no timezone → error → unbound
+  }
+
   "hash builtins" should "MD5 / SHA1 / SHA256" in {
     val r = one(
       """SELECT ?m ?s1x ?s256 { :s2 :str ?v .
