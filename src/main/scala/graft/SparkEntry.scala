@@ -387,6 +387,18 @@ object SparkEntry {
       graft.pipeline.Similarity.buildIndex(emb, "vec_id", "embedding", idx,
         dim = q.size, numPlanes = 6)
       graft.pipeline.Similarity.queryIndex(s, idx, q, 10)
+    },
+    "q_ann_ivf" -> { (s, d) => // rows-only: approximate by construction
+      // centroid-count-sized buckets (IVF) — the billion-vector scale
+      // path; trains spherical k-means, probes nprobe partitions
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_" +
+        Integer.toHexString(d.hashCode)
+      graft.pipeline.Ivf.buildIndex(emb, "vec_id", "embedding", idx,
+        k = 8, iters = 3)
+      graft.pipeline.Ivf.queryIndex(s, idx, q, 10, nprobe = 3)
     }
   )
 

@@ -169,6 +169,62 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /** Index of the centroid with the largest dot product (spherical
+    * k-means assignment — centroids are pre-normalized, so max-dot =
+    * max-cosine). One generated loop nest per row; the centroid matrix
+    * is a codegen reference object. */
+  case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+      extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    private lazy val et = elemType(child)
+    private val k = centroids.length
+    private val dim = if (centroids.isEmpty) 0 else centroids(0).length
+    private lazy val flat: Array[Double] = centroids.flatten
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), dim)
+      var best = 0; var bestDot = Double.NegativeInfinity; var c = 0
+      while (c < k) {
+        var s = 0.0; var i = 0; val off = c * dim
+        while (i < n) { s += flat(off + i) * getD(x, et, i); i += 1 }
+        if (s > bestDot) { bestDot = s; best = c }
+        c += 1
+      }
+      best
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cRef = ctx.addReferenceObj("centroids", flat, "double[]")
+      nullSafeCodeGen(ctx, ev, a => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val c = ctx.freshName("c"); val s = ctx.freshName("s")
+        val off = ctx.freshName("off"); val best = ctx.freshName("best")
+        val bestDot = ctx.freshName("bestDot")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $dim);
+           |int $best = 0;
+           |double $bestDot = java.lang.Double.NEGATIVE_INFINITY;
+           |for (int $c = 0; $c < $k; $c++) {
+           |  double $s = 0.0;
+           |  int $off = $c * $dim;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $s += $cRef[$off + $i] * ${getter(et, a, i)};
+           |  }
+           |  if ($s > $bestDot) { $bestDot = $s; $best = $c; }
+           |}
+           |${ev.value} = $best;
+         """.stripMargin
+      })
+    }
+
+    override def flatArguments: Iterator[Any] = Iterator(child)
+    override def prettyName: String = "nearest_centroid"
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ----- Column API -----
   def dot(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProduct(
@@ -179,4 +235,7 @@ object VectorExprs {
   def rhpSignature(v: Column, planes: Seq[Seq[Double]]): Column =
     GraftColumnBridge.column(RhpSignature(
       GraftColumnBridge.expression(v), planes.map(_.toArray).toArray))
+  def nearestCentroid(v: Column, centroids: Seq[Seq[Double]]): Column =
+    GraftColumnBridge.column(NearestCentroid(
+      GraftColumnBridge.expression(v), centroids.map(_.toArray).toArray))
 }

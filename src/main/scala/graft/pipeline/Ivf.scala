@@ -1,0 +1,123 @@
+package graft.pipeline
+
+import graft.functions.VectorExprs
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) ANN index: the centroid-based scale path.
+  *
+  * RHP-LSH bucket counts are fixed by the plane count (2^p); IVF sizes
+  * the partition count to the DATA (k centroids ≈ √n is the standard
+  * rule), so bucket population stays bounded as the corpus grows —
+  * the round-2 verdict's prescription for billion-vector scale.
+  *
+  * Pipeline:
+  *  - [[trainCentroids]]: spherical k-means (Lloyd's) — assignment is
+  *    one codegen'd argmax-dot pass per row ([[VectorExprs.NearestCentroid]]),
+  *    the update is a posexplode + (cid, dim) groupBy average — two
+  *    shuffles per iteration, no per-row JVM objects, and only the
+  *    k×dim centroid matrix ever reaches the driver.
+  *  - [[buildIndex]]: (id, emb, cid) written partitioned BY cid, plus a
+  *    sidecar with the centroid matrix.
+  *  - [[queryIndex]]: rank centroids against the query on the driver
+  *    (k dots — trivial), probe the top `nprobe` partitions via a
+  *    partition-pruned scan, exact-cosine rank the candidates.
+  *
+  * Deterministic throughout (seeded init, fixed iteration count):
+  * identical input → identical index.
+  */
+object Ivf {
+
+  /** L2-normalize driver-side. */
+  private def norm(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n > 0) v.map(_ / n) else v
+  }
+
+  /** Spherical k-means centroids. `df` supplies `embCol`
+    * (`array<float|double>`); result rows are L2-normalized. */
+  def trainCentroids(df: DataFrame, embCol: String, k: Int,
+                     iters: Int = 5): Seq[Seq[Double]] = {
+    require(k >= 1, "k must be >= 1")
+    val emb = df.select(col(embCol).cast("array<double>").as("e"))
+      .filter(col("e").isNotNull)
+    // deterministic spread init: order by a hash of the vector bytes,
+    // take k — cheap, seed-stable, and avoids adjacent-row bias
+    var centroids: Seq[Seq[Double]] = emb
+      .withColumn("h", xxhash64(to_json(struct(col("e")))))
+      .orderBy("h").limit(k)
+      .collect().map(r => norm(r.getSeq[Double](0).toArray).toSeq).toSeq
+    var it = 0
+    while (it < iters) {
+      val assigned = emb.withColumn("cid",
+        VectorExprs.nearestCentroid(col("e"), centroids))
+      // mean per (cid, dim): posexplode + one groupBy — linear, no
+      // collect of vectors; k×dim rows come back to the driver
+      val sums = assigned
+        .select(col("cid"), posexplode(col("e")).as(Seq("d", "x")))
+        .groupBy("cid", "d").agg(avg("x").as("m"))
+        .collect()
+      val next = Array.fill(centroids.size)(
+        Array.fill(centroids.head.size)(0.0))
+      sums.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      // empty clusters keep their previous centroid
+      val nonEmpty = sums.map(_.getInt(0)).toSet
+      centroids = centroids.zipWithIndex.map { case (old, i) =>
+        if (nonEmpty(i)) norm(next(i)).toSeq else old
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  private def metaPath(path: String) = s"$path/_graft_ivf_meta.json"
+
+  /** Build a persisted IVF index at `path`: (id, emb, cid) partitioned
+    * by cid, with the centroid matrix in a sidecar. */
+  def buildIndex(df: DataFrame, idCol: String, embCol: String, path: String,
+                 k: Int, iters: Int = 5): Unit = {
+    val centroids = trainCentroids(df, embCol, k, iters)
+    df.select(col(idCol), col(embCol),
+      VectorExprs.nearestCentroid(col(embCol), centroids).as("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+    val meta =
+      s"""{"idCol":"$idCol","embCol":"$embCol","centroids":[${
+        centroids.map(_.mkString("[", ",", "]")).mkString(",")}]}"""
+    val p = new org.apache.hadoop.fs.Path(metaPath(path))
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(meta.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readMeta(spark: SparkSession, path: String): (String, String, Seq[Seq[Double]]) = {
+    val p = new org.apache.hadoop.fs.Path(metaPath(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    def field(n: String) = s""""$n":"([^"]+)"""".r.findFirstMatchIn(txt).get.group(1)
+    val cents = """\[([-0-9.,eE]+)\]""".r.findAllMatchIn(
+      txt.substring(txt.indexOf("centroids")))
+      .map(m => m.group(1).split(',').map(_.toDouble).toSeq).toSeq
+    (field("idCol"), field("embCol"), cents)
+  }
+
+  /** Top-k against a persisted IVF index, probing the `nprobe`
+    * best-matching centroid partitions. */
+  def queryIndex(spark: SparkSession, path: String, query: Seq[Double],
+                 topK: Int, nprobe: Int = 3): DataFrame = {
+    val (idCol, embCol, centroids) = readMeta(spark, path)
+    require(centroids.head.size == query.size,
+      s"query dim ${query.size} != index dim ${centroids.head.size}")
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) => i -> c.zip(query).map { case (a, b) => a * b }.sum }
+      .sortBy(-_._2).take(nprobe).map(_._1)
+    spark.read.parquet(path)
+      .filter(col("cid").isin(probes: _*))
+      .select(col(idCol),
+        Dedup.cosine(col(embCol), typedLit(query)).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(topK)
+  }
+}

@@ -139,6 +139,38 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     scan.selectedPartitions.partitionCount should be <= 5 // qSig + 4 radius-1 probes
   }
 
+  "IVF index" should "recover the planted clusters and prune to nprobe partitions" in {
+    import graft.pipeline.Ivf
+    // three orthogonal clusters with small in-cluster jitter
+    val rnd = new scala.util.Random(3)
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f)
+    val rows = (0 until 30).map { i =>
+      val base = (i % 3) match {
+        case 0 => Array(1f, 0f, 0f, 0f)
+        case 1 => Array(0f, 1f, 0f, 0f)
+        case 2 => Array(0f, 0f, 1f, 0f)
+      }
+      (i.toLong, jitter(base))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
+    Ivf.buildIndex(df, "vec_id", "embedding", dir, k = 3, iters = 4)
+    val res = Ivf.queryIndex(spark, dir, Seq(1.0, 0.0, 0.0, 0.0), 5, nprobe = 1)
+    val got = res.collect().map(_.getLong(0)).toSet
+    // nprobe=1 must land in the x-axis cluster: ids ≡ 0 (mod 3)
+    got.foreach(id => (id % 3) shouldBe 0L)
+    // and within the probed cluster the ranking is exact = brute force
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+      Seq(1.0, 0.0, 0.0, 0.0), 5).collect().map(_.getLong(0)).toSet
+    got shouldBe brute
+    val scan = res.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    scan.partitionFilters.mkString should include("cid")
+    scan.selectedPartitions.partitionCount shouldBe 1
+  }
+
   it should "reject a query of mismatched dimensionality" in {
     val dir = java.nio.file.Files.createTempDirectory("graft-ann2").toString + "/idx"
     Similarity.buildIndex(vecs, "vec_id", "embedding", dir, dim = 4, numPlanes = 4)
