@@ -7,6 +7,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types.DataType
@@ -175,6 +176,134 @@ object TermMath {
       if (ca == INT) intResult(x.negate()) else decResult(x.negate(), 12)
     }
   }
+
+  // ----- total-order sort key -----
+
+  private val SK_TYPE: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("num",
+        org.apache.spark.sql.types.DecimalType(38, 12), nullable = false),
+      org.apache.spark.sql.types.StructField("dbl",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("lex",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("dt",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+
+  private val BOOLEAN_DT = UTF8String.fromString(XSD.boolean)
+  private val STRING_DT = UTF8String.fromString(XSD.string)
+  private val LANGSTRING_DT = UTF8String.fromString(XSD.langString)
+  private val DATE_DT = UTF8String.fromString(XSD.date)
+  private val DATETIME_DT = UTF8String.fromString(XSD.dateTime)
+  private val decMaxBD = new JBigDecimal("9" * 26).setScale(12)
+  private val DEC_ZERO = org.apache.spark.sql.types.Decimal(JBigDecimal.ZERO.setScale(12), 38, 12)
+  private val DEC_MAX = org.apache.spark.sql.types.Decimal(decMaxBD, 38, 12)
+  private val DEC_MIN = org.apache.spark.sql.types.Decimal(decMaxBD.negate(), 38, 12)
+
+  private def skRow(rank: Int, num: org.apache.spark.sql.types.Decimal,
+                    dbl: Double, lex: UTF8String, dt: UTF8String,
+                    lang: UTF8String): InternalRow =
+    new GenericInternalRow(Array[Any](rank, num, dbl, lex, dt, lang))
+
+  /** Canonical sortable key; matches TermFns.sortKey field-for-field
+    * (rank: unbound 0 < BNode 1 < IRI 2 < numeric 3 < dateTime 4 <
+    * boolean 5 < string 6 < other 7; exact numerics order through
+    * DECIMAL with ±max saturation; invalid numeric lexicals sink to
+    * (-max, -Inf); temporal/boolean order through the double field). */
+  def sortKey(a: InternalRow, zoneId: java.time.ZoneId): InternalRow = {
+    if (a == null)
+      return skRow(0, DEC_ZERO, Double.NegativeInfinity, EMPTY, EMPTY, EMPTY)
+    val kind = a.getInt(0)
+    val lex = a.getUTF8String(1); val dt = a.getUTF8String(2)
+    val lang = a.getUTF8String(3)
+    if (kind == TermKind.BNODE)
+      return skRow(1, DEC_ZERO, Double.NegativeInfinity, lex, dt, lang)
+    if (kind == TermKind.IRI)
+      return skRow(2, DEC_ZERO, Double.NegativeInfinity, lex, dt, lang)
+    // literal
+    val cls = classOfDt.get(dt)
+    if (cls != null) { // numeric
+      val d = parseDouble(lex)
+      val dbl = if (d == null) Double.NegativeInfinity else d.doubleValue()
+      val num = {
+        val bd =
+          try new JBigDecimal(lex.toString.trim).setScale(12, RoundingMode.HALF_UP)
+          catch { case _: NumberFormatException => null }
+        if (bd != null && bd.precision <= 38)
+          org.apache.spark.sql.types.Decimal(bd, 38, 12)
+        else if (d != null && d.doubleValue() >= 0) DEC_MAX
+        else DEC_MIN
+      }
+      return skRow(3, num, dbl, lex, dt, lang)
+    }
+    if (dt.equals(DATE_DT) || dt.equals(DATETIME_DT)) {
+      // epoch seconds, matching cast(timestamp as double) under the
+      // session timezone
+      val micros = org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .stringToTimestamp(lex, zoneId)
+      val dbl =
+        if (micros.isEmpty) Double.NegativeInfinity
+        else micros.get.toDouble / 1e6
+      val num =
+        if (micros.isEmpty) DEC_ZERO
+        else org.apache.spark.sql.types.Decimal(
+          new JBigDecimal(dbl).setScale(12, RoundingMode.HALF_UP), 38, 12)
+      return skRow(4, num, dbl, lex, dt, lang)
+    }
+    if (dt.equals(BOOLEAN_DT)) {
+      val s = lex.toString
+      val b: java.lang.Boolean =
+        if (s == "true" || s == "1") java.lang.Boolean.TRUE
+        else if (s == "false" || s == "0") java.lang.Boolean.FALSE
+        else null // invalid lexical → sinks like the coalesce defaults
+      if (b == null)
+        return skRow(5, DEC_ZERO, Double.NegativeInfinity, lex, dt, lang)
+      val dbl = if (b) 1.0 else 0.0
+      val num = org.apache.spark.sql.types.Decimal(
+        new JBigDecimal(dbl).setScale(12), 38, 12)
+      return skRow(5, num, dbl, lex, dt, lang)
+    }
+    if (dt.equals(STRING_DT) || dt.equals(LANGSTRING_DT))
+      return skRow(6, DEC_ZERO, Double.NegativeInfinity, lex, dt, lang)
+    skRow(7, DEC_ZERO, Double.NegativeInfinity, lex, dt, lang)
+  }
+
+  case class TermSortKey(child: Expression, zoneIdStr: String)
+      extends UnaryExpression {
+    override def dataType: DataType = SK_TYPE
+    override def nullable: Boolean = false
+    override def prettyName: String = "term_sort_key"
+    @transient private lazy val zone = java.time.ZoneId.of(zoneIdStr)
+
+    override def eval(input: InternalRow): Any =
+      sortKey(child.eval(input).asInstanceOf[InternalRow], zone)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      // NOT nullSafeCodeGen: a NULL (unbound) input produces the rank-0
+      // row, same as the Column form's when(isNull, 0) branch
+      val childGen = child.genCode(ctx)
+      val zoneRef = ctx.addReferenceObj("zone", zone, "java.time.ZoneId")
+      val code =
+        code"""
+           |${childGen.code}
+           |org.apache.spark.sql.catalyst.InternalRow ${ev.value} =
+           |  graft.functions.TermMath.sortKey(
+           |    ${childGen.isNull} ? null : ${childGen.value}, $zoneRef);
+         """.stripMargin
+      ev.copy(code = code,
+        isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def sortKeyCol(a: Column, zoneId: String): Column =
+    GraftColumnBridge.column(TermSortKey(GraftColumnBridge.expression(a), zoneId))
 
   // ----- expressions -----
 

@@ -186,39 +186,15 @@ object TermFns {
     * ValueEvaluators.scala:29-38; ours is value-compatible for each
     * comparable class and deterministic across classes). */
   def sortKey(c: Column): Column = {
-    val rank =
-      when(c.isNull, 0)
-        .when(kind(c) === TermKind.BNODE, 1)
-        .when(kind(c) === TermKind.IRI, 2)
-        .when(isNumeric(c), 3)
-        .when(isDateTimeish(c), 4)
-        .when(isBool(c), 5)
-        .when(isStringish(c), 6)
-        .otherwise(7)
-    // Exact numerics order through DECIMAL (int64-safe — a double key
-    // would collapse adjacent big integers); doubles/floats that exceed
-    // the decimal range saturate to ±max and fall back to the double
-    // field to order among themselves.
-    val decMax = lit(new java.math.BigDecimal("9" * 26)).cast(DEC)
-    val numDouble =
-      when(isNumeric(c), lex(c).try_cast(DoubleType))
-        .when(isDateTimeish(c), ts(c).cast(DoubleType))
-        .when(isBool(c), boolVal(c).cast(DoubleType))
-        .otherwise(lit(null).cast(DoubleType))
-    val numExact =
-      // try_cast so the out-of-decimal-range saturation branch is
-      // reachable under ANSI (a plain cast of "1e300" would throw)
-      when(isNumeric(c),
-        coalesce(lex(c).try_cast(DEC),
-          when(lex(c).try_cast(DoubleType) >= 0, decMax).otherwise(-decMax)))
-        .when(isDateTimeish(c) || isBool(c), numDouble.cast(DEC))
-        .otherwise(lit(null).cast(DEC))
-    struct(
-      rank.as("rank"),
-      coalesce(numExact, lit(java.math.BigDecimal.ZERO).cast(DEC)).as("num"),
-      coalesce(numDouble, lit(Double.NegativeInfinity)).as("dbl"),
-      coalesce(lex(c), lit("")).as("lex"),
-      coalesce(dt(c), lit("")).as("dt"),
-      coalesce(lang(c), lit("")).as("lang"))
+    // Native expression (graft.functions.TermMath.TermSortKey): exact
+    // numerics order through DECIMAL (int64-safe — a double key would
+    // collapse adjacent big integers), out-of-range doubles saturate to
+    // ±max and fall back to the double field, temporal/boolean order
+    // through epoch-seconds/0-1 doubles. The previous Column form built
+    // a 6-field struct from nested CASE/coalesce/try_cast trees per
+    // sort expression — correct, but its generated-code size dominated
+    // ORDER BY and MIN/MAX compile+run time.
+    graft.functions.TermMath.sortKeyCol(c,
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
   }
 }
