@@ -82,6 +82,16 @@ object SparkEntry {
           |  OPTIONAL { ?r :rname ?rname } }""".stripMargin),
         "nname" -> "string", "rname" -> "string")
     },
+    "q_describe" -> { (s, d) =>
+      // DESCRIBE (subject-form description): all quads of the matched
+      // resources, flattened to lexicals for the oracle compare
+      val df = cust(s, d).sparql(prologue +
+        """DESCRIBE ?c WHERE { ?c :mktsegment "BUILDING" .
+          |                    ?c :acctbal ?b . FILTER(?b > 9000) }""".stripMargin)
+      df.select(col("s").getField("lex").as("s"),
+        col("p").getField("lex").as("p"),
+        col("o").getField("lex").as("o"))
+    },
     "q_exists" -> { (s, d) =>
       out(custOrders(s, d).sparql(prologue +
         "SELECT ?cname { ?c :cname ?cname FILTER EXISTS { ?o :customer ?c } }"),
@@ -422,6 +432,16 @@ object SparkEntry {
         |  SELECT n_name AS nname, NULL AS rk FROM nation WHERE n_name = 'NATION_7')
         |SELECT lhs.nname AS nname, r.r_name AS rname
         |FROM lhs LEFT JOIN region r ON lhs.rk IS NULL OR lhs.rk = r.r_regionkey""".stripMargin,
+    "q_describe" ->
+      """WITH c AS (SELECT * FROM customer
+        |           WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000)
+        |SELECT 'urn:c:'||c_custkey::VARCHAR AS s, 'urn:p:cname' AS p, c_name AS o FROM c
+        |UNION ALL SELECT 'urn:c:'||c_custkey::VARCHAR, 'urn:p:acctbal',
+        |  c_acctbal::DOUBLE::VARCHAR FROM c
+        |UNION ALL SELECT 'urn:c:'||c_custkey::VARCHAR, 'urn:p:mktsegment',
+        |  c_mktsegment FROM c
+        |UNION ALL SELECT 'urn:c:'||c_custkey::VARCHAR, 'urn:p:inNation',
+        |  'urn:n:'||c_nationkey::VARCHAR FROM c""".stripMargin,
     "q_exists" ->
       """SELECT c_name AS cname FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,

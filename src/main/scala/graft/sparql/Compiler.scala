@@ -31,6 +31,43 @@ object Compiler {
       .select(lit(1).as("__x")).limit(1)
       .agg((count(col("__x")) > 0).as("ask"))
 
+  /** DESCRIBE: all quads whose SUBJECT is a described resource
+    * (subject-form description, no blank-node closure — the form is
+    * implementation-defined per SPARQL 1.1 §16.4; ours is documented
+    * and deterministic). Returns a quads DataFrame like CONSTRUCT.
+    * The resource set (constants ∪ variable bindings from WHERE) is
+    * small by construction, so the semi-join broadcasts. */
+  def runDescribe(quads: DataFrame, targets: List[VarOrTerm], star: Boolean,
+                  opOpt: Option[Op]): DataFrame = {
+    val spark = quads.sparkSession
+    val consts = targets.collect { case T(t) => t }
+    val vars = targets.collect { case V(n) => n }
+    val varDf: Option[DataFrame] = opOpt.flatMap { op0 =>
+      val b = new Compiler(quads).compile(op0)
+      val names =
+        if (star) b.columns.toSeq
+        else vars.filter(b.columns.contains)
+      names.map(n => b.select(b(n).as("__t")).filter(col("__t").isNotNull))
+        .reduceOption(_ union _)
+    }
+    val constDf: Option[DataFrame] =
+      if (consts.isEmpty) None
+      else {
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          new java.util.ArrayList()
+        consts.foreach(t => rows.add(
+          org.apache.spark.sql.Row(graft.rdf.TermSchema.toRow(t))))
+        Some(spark.createDataFrame(rows, StructType(Seq(
+          StructField("__t", TermSchema.termType, nullable = false)))))
+      }
+    (varDf ++ constDf).reduceOption(_ union _) match {
+      case None => quads.limit(0)
+      case Some(ts) =>
+        val res = ts.dropDuplicates()
+        quads.join(broadcast(res), quads("s") === res("__t"), "left_semi")
+    }
+  }
+
   /** CONSTRUCT: instantiate the template once per WHERE solution,
     * returning a deduplicated quads DataFrame (graph semantics).
     * Solutions that leave a template position unbound, or would put a

@@ -46,7 +46,8 @@ object Sparql {
   implicit class QuadsOps(private val quads: DataFrame) extends AnyVal {
     /** Execute a SPARQL 1.1 query over this quads DataFrame.
       * SELECT → one term-struct column per variable; ASK → single
-      * boolean `ask` row; CONSTRUCT → a quads DataFrame (s,p,o,g). */
+      * boolean `ask` row; CONSTRUCT/DESCRIBE → a quads DataFrame
+      * (s,p,o,g). */
     def sparql(query: String): DataFrame = SparqlParser.parseAny(query) match {
       case SparqlParser.SelectQuery(op) =>
         Compiler.run(quads, BgpOptimizer.optimize(op))
@@ -54,6 +55,8 @@ object Sparql {
         Compiler.runAsk(quads, BgpOptimizer.optimize(op))
       case SparqlParser.ConstructQuery(template, op) =>
         Compiler.runConstruct(quads, template, BgpOptimizer.optimize(op))
+      case SparqlParser.DescribeQuery(targets, star, op) =>
+        Compiler.runDescribe(quads, targets, star, op.map(BgpOptimizer.optimize))
     }
 
     /** Execute with pre-bound variables (textual substitution). */

@@ -121,7 +121,47 @@ final class SparqlParser(input: String) {
         }
         if (sawSlice) op = Slice(op, offset, limit)
         SparqlParser.ConstructQuery(template, op)
-      } else err("expected SELECT, ASK or CONSTRUCT")
+      } else if (tryKw("DESCRIBE")) {
+        skipWs()
+        var star = false
+        val targets = mutable.ArrayBuffer.empty[VarOrTerm]
+        if (!eof && peek == '*') { pos += 1; star = true }
+        else {
+          var go = true
+          while (go) {
+            skipWs()
+            if (!eof && (peek == '?' || peek == '$')) targets += V(parseVarName())
+            else if (!eof && peek == '<') targets += T(Iri(parseIriRef()))
+            else if (!eof && peek.isLetter && !peekKw("WHERE") &&
+                     !peekKw("LIMIT") && !peekKw("OFFSET"))
+              targets += T(Iri(parsePrefixedIri()))
+            else go = false
+          }
+          if (targets.isEmpty) err("DESCRIBE needs resources or *")
+        }
+        skipWs()
+        val hasWhere = peekKw("WHERE") || (!eof && peek == '{')
+        val op =
+          if (hasWhere) {
+            tryKw("WHERE")
+            val (p, fs) = parseGroupPattern()
+            var o = applyFilters(p, fs)
+            var offset = 0L
+            var limit: Option[Long] = None
+            var sawSlice = false
+            var go = true
+            while (go) {
+              if (tryKw("LIMIT")) { skipWs(); limit = Some(parseInteger()); sawSlice = true }
+              else if (tryKw("OFFSET")) { skipWs(); offset = parseInteger(); sawSlice = true }
+              else go = false
+            }
+            if (sawSlice) o = Slice(o, offset, limit)
+            Some(o)
+          } else None
+        if ((star || targets.exists(_.isInstanceOf[V])) && op.isEmpty)
+          err("DESCRIBE with variables requires a WHERE clause")
+        SparqlParser.DescribeQuery(targets.toList, star, op)
+      } else err("expected SELECT, ASK, CONSTRUCT or DESCRIBE")
     skipWs()
     if (!eof) err("trailing content after query")
     q
@@ -979,6 +1019,8 @@ object SparqlParser {
   sealed trait Query
   final case class SelectQuery(op: Op) extends Query
   final case class AskQuery(op: Op) extends Query
+  final case class DescribeQuery(targets: List[VarOrTerm], star: Boolean,
+                                 op: Option[Op]) extends Query
   final case class ConstructQuery(
       template: List[(VarOrTerm, VarOrTerm, VarOrTerm)], op: Op) extends Query
 

@@ -83,6 +83,36 @@ class AskConstructSpec extends SparqlSpecBase {
     out.count() shouldBe 2
   }
 
+  "DESCRIBE" should "return all subject quads of a constant resource" in {
+    val out = fixtureDf.sparql("DESCRIBE <http://example.org/book/book1>")
+    val got = collect(out.sparql("SELECT ?p { ?s ?p ?o }"))
+    got.map(_("p")).toSet shouldBe
+      Set(iri("http://purl.org/dc/elements/1.1/title"),
+        iri("http://example.org/ns#price"))
+  }
+
+  it should "describe variable bindings from a WHERE clause" in {
+    val out = fixtureDf.sparql(P +
+      """DESCRIBE ?b WHERE { ?b dc:title "SPARQL Tutorial" }""")
+    // exactly book1's subject triples
+    out.count() shouldBe 2
+    val subs = collect(out.sparql("SELECT DISTINCT ?s { ?s ?p ?o }"))
+    subs should have size 1
+  }
+
+  it should "union constants with variables and support DESCRIBE *" in {
+    val both = fixtureDf.sparql(P +
+      """DESCRIBE ?b <urn:notthere> WHERE { ?b dc:title "SPARQL Tutorial" }""")
+    both.count() shouldBe 2 // unknown IRI describes to nothing
+    val star = fixtureDf.sparql(P +
+      """DESCRIBE * WHERE { ?b dc:title "SPARQL Tutorial" }""")
+    star.count() shouldBe 2
+  }
+
+  it should "require WHERE when describing variables" in {
+    an[Exception] should be thrownBy fixtureDf.sparql("DESCRIBE ?x")
+  }
+
   it should "round-trip through the parquet quad store (construct → write → read → query)" in {
     // closes the loop ingest → query → construct → store: a constructed
     // graph is a first-class quads table, persisted in the same layout
