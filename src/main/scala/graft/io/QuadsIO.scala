@@ -49,6 +49,10 @@ object QuadsIO {
   def readRdfXml(spark: SparkSession, path: String): DataFrame =
     fromQuads(spark, graft.rdf.RdfXmlParser.parse(readLocalText(path)))
 
+  /** Driver-side parse of a JSON-LD file into a quads DF. */
+  def readJsonLd(spark: SparkSession, path: String): DataFrame =
+    fromQuads(spark, graft.rdf.JsonLdParser.parse(readLocalText(path)))
+
   /** Format chosen by filename, like the reference's Rio dispatch
     * (TriplesReader.scala:62-74): N-Triples/N-Quads distributed,
     * Turtle/TriG and RDF/XML driver-side; `.gz` accepted on all. */
@@ -58,6 +62,7 @@ object QuadsIO {
       case "nt" | "nq" | "ntriples" | "nquads" => readNTriples(spark, path)
       case "ttl" | "trig" | "turtle" => readTurtle(spark, path)
       case "rdf" | "rdfs" | "owl" | "xml" => readRdfXml(spark, path)
+      case "jsonld" | "json" => readJsonLd(spark, path)
       case other =>
         throw new IllegalArgumentException(s"unrecognized RDF extension .$other")
     }

@@ -94,6 +94,75 @@ class ApiAndIoSpec extends SparqlSpecBase {
     names.head("n") shouldBe Lit("Alice", lang = "en")
   }
 
+  "JSON-LD ingest" should "expand context terms, coercions, value objects and graphs" in {
+    val tmp = Files.createTempDirectory("graft-jsonld")
+    val f = tmp.resolve("data.jsonld")
+    Files.writeString(f,
+      """{
+        |  "@context": {
+        |    "ex": "http://ex.org/",
+        |    "name": "ex:name",
+        |    "knows": {"@id": "ex:knows", "@type": "@id"},
+        |    "age": {"@id": "ex:age", "@type": "http://www.w3.org/2001/XMLSchema#integer"},
+        |    "@vocab": "http://voc.org/",
+        |    "@base": "http://base.org/"
+        |  },
+        |  "@graph": [
+        |    { "@id": "alice", "@type": "ex:Person",
+        |      "name": {"@value": "Alice", "@language": "en"},
+        |      "age": "30",
+        |      "knows": "http://ex.org/bob",
+        |      "score": 9.5,
+        |      "active": true,
+        |      "pet": { "name": "Rex" } },
+        |    { "@id": "http://ex.org/bob", "name": "Bob" }
+        |  ]
+        |}""".stripMargin)
+    val quads = QuadsIO.read(spark, f.toString)
+    val got = collect(quads.sparql("SELECT ?s ?p ?o { ?s ?p ?o }"))
+      .map(b => (b("s"), b("p"), b.get("o").orNull))
+    val alice = iri("http://base.org/alice") // @base resolution
+    got should contain((alice, iri(RDF.typ), iri("http://ex.org/Person")))
+    got should contain((alice, iri("http://ex.org/name"), Lit("Alice", lang = "en")))
+    got should contain((alice, iri("http://ex.org/age"), Lit("30", XSD.integer)))
+    got should contain((alice, iri("http://ex.org/knows"), iri("http://ex.org/bob")))
+    got should contain((alice, iri("http://voc.org/score"), Lit("9.5", XSD.double)))
+    got should contain((alice, iri("http://voc.org/active"), Lit("true", XSD.boolean)))
+    // nested anonymous node
+    val pet = got.collectFirst {
+      case (`alice`, Iri("http://voc.org/pet"), o) => o }.get
+    pet shouldBe a[BNode]
+    got should contain((pet, iri("http://ex.org/name"), str("Rex")))
+    got should contain((iri("http://ex.org/bob"), iri("http://ex.org/name"), str("Bob")))
+    // end-to-end SPARQL over the ingested graph
+    val n = collect(quads.sparql(
+      """PREFIX ex: <http://ex.org/>
+        |SELECT ?n { ?s ex:knows ?o . ?o ex:name ?n }""".stripMargin))
+    n.head("n") shouldBe str("Bob")
+  }
+
+  it should "put @id+@graph contents into that named graph" in {
+    val tmp = Files.createTempDirectory("graft-jsonld2")
+    val f = tmp.resolve("g.jsonld")
+    Files.writeString(f,
+      """{ "@id": "urn:g1", "@graph": [
+        |  { "@id": "urn:a", "urn:p:x": "v" } ] }""".stripMargin)
+    val quads = QuadsIO.read(spark, f.toString)
+    val rows = collect(quads.sparql(
+      "SELECT ?g ?s { GRAPH ?g { ?s <urn:p:x> \"v\" } }"))
+    rows should have size 1
+    rows.head("g") shouldBe iri("urn:g1")
+    rows.head("s") shouldBe iri("urn:a")
+  }
+
+  it should "reject @list loudly" in {
+    val tmp = Files.createTempDirectory("graft-jsonld3")
+    val f = tmp.resolve("bad.jsonld")
+    Files.writeString(f,
+      """{ "@id": "urn:a", "urn:p:x": { "@list": ["a", "b"] } }""")
+    an[IllegalArgumentException] should be thrownBy QuadsIO.read(spark, f.toString)
+  }
+
   it should "reject unsupported parseType loudly" in {
     val tmp = Files.createTempDirectory("graft-rdfxml2")
     val f = tmp.resolve("bad.rdf")
