@@ -34,6 +34,39 @@ object StreamingOps {
       .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
       .filter(col("quality") >= minQuality)
 
+  /** Streaming SPARQL: run a SELECT query incrementally over a
+    * STREAMING quads DataFrame (`readStream` → parquet/kafka → quads
+    * schema). Restricted to the stateless operator subset — scans,
+    * FILTER, BIND, VALUES, UNION, projection, and multi-pattern BGPs
+    * whose joins Spark can execute as stream-static or
+    * stream-stream — validated eagerly so unsupported shapes
+    * (aggregates, ORDER/LIMIT, DISTINCT, OPTIONAL/MINUS/EXISTS, paths)
+    * fail at submission with a clear message instead of at runtime
+    * inside the stream. The compiled plan is the SAME column plan the
+    * batch path runs — one engine, two execution modes. */
+  def sparqlStream(quadsStream: DataFrame, query: String): DataFrame = {
+    import graft.sparql.{Algebra, BgpOptimizer, Compiler, SparqlParser}
+    val op0 = SparqlParser.parseAny(query) match {
+      case SparqlParser.SelectQuery(op) => op
+      case other => throw new IllegalArgumentException(
+        s"sparqlStream supports SELECT only, got ${other.getClass.getSimpleName}")
+    }
+    def validate(op: Algebra.Op): Unit = op match {
+      case Algebra.Scan(_, _, _, _) | Algebra.Singleton |
+           Algebra.Values(_, _) => ()
+      case Algebra.Join(l, r) => validate(l); validate(r)
+      case Algebra.Union(l, r) => validate(l); validate(r)
+      case Algebra.Filter(c, _) => validate(c)
+      case Algebra.Extend(c, _, _) => validate(c)
+      case Algebra.Project(c, _) => validate(c)
+      case other => throw new IllegalArgumentException(
+        s"operator ${other.getClass.getSimpleName} is not streamable " +
+          "(stateless subset: BGP/FILTER/BIND/VALUES/UNION/projection)")
+    }
+    validate(op0)
+    Compiler.run(quadsStream, BgpOptimizer.optimize(op0))
+  }
+
   /** Watermarked tumbling-window event aggregation (the events-table
     * shape): counts and value sums per (window, event_type). */
   def eventCounts(events: DataFrame, tsCol: String,

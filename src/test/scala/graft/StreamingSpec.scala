@@ -1,5 +1,6 @@
 package graft
 
+import graft.rdf.{TermKind, TermSchema, XSD}
 import graft.streaming.StreamingOps
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -70,5 +71,56 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
         .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
       rows shouldBe Set(("click", 2L, 3.0), ("view", 1L, 5.0))
     } finally q.stop()
+  }
+
+  "streaming SPARQL" should "run the stateless subset incrementally over a quad stream" in {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.{col, struct, lit}
+    val input = MemoryStream[(String, String, String)]
+    // build term-struct quads from a stream of (s, p, o-literal) strings
+    def iri(c: org.apache.spark.sql.Column) = struct(
+      lit(TermKind.IRI).as("kind"), c.as("lex"),
+      lit("").as("dt"), lit("").as("lang"))
+    def str(c: org.apache.spark.sql.Column) = struct(
+      lit(TermKind.LITERAL).as("kind"), c.as("lex"),
+      lit(XSD.string).as("dt"), lit("").as("lang"))
+    val quadsStream = input.toDF.toDF("s0", "p0", "o0").select(
+      iri(col("s0")).as("s"), iri(col("p0")).as("p"),
+      str(col("o0")).as("o"),
+      lit(null).cast(TermSchema.termType).as("g"))
+    val out = StreamingOps.sparqlStream(quadsStream,
+      """SELECT ?who ?greet
+        |{ ?who <urn:p:says> ?greet .
+        |  FILTER(STRSTARTS(?greet, "h"))
+        |  BIND(UCASE(?greet) AS ?up) }""".stripMargin)
+    val q = out.writeStream.format("memory").queryName("sparql_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ("urn:a", "urn:p:says", "hello"),
+        ("urn:b", "urn:p:says", "goodbye"), // filtered out
+        ("urn:c", "urn:p:other", "hello")) // wrong predicate
+      q.processAllAvailable()
+      val rows = spark.table("sparql_out").collect().map(r =>
+        (r.getStruct(0).getString(1), r.getStruct(1).getString(1))).toSet
+      rows shouldBe Set(("urn:a", "hello"))
+    } finally q.stop()
+  }
+
+  it should "reject stateful operators at submission time" in {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val quads = input.toDF.selectExpr(
+      "named_struct('kind', 0, 'lex', _1, 'dt', '', 'lang', '') as s",
+      "named_struct('kind', 0, 'lex', _2, 'dt', '', 'lang', '') as p",
+      "named_struct('kind', 0, 'lex', _2, 'dt', '', 'lang', '') as o",
+      "cast(null as struct<kind:int,lex:string,dt:string,lang:string>) as g")
+    an[IllegalArgumentException] should be thrownBy
+      StreamingOps.sparqlStream(quads,
+        "SELECT (COUNT(?s) AS ?n) { ?s ?p ?o }")
+    an[IllegalArgumentException] should be thrownBy
+      StreamingOps.sparqlStream(quads,
+        "SELECT ?s { ?s ?p ?o } ORDER BY ?s")
   }
 }
