@@ -1,6 +1,6 @@
 package graft.functions
 
-import java.math.{BigDecimal => JBigDecimal, MathContext, RoundingMode}
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 
 import graft.rdf.{TermKind, TermSchema, XSD}
 import org.apache.spark.sql.Column
@@ -154,7 +154,12 @@ object TermMath {
         case MUL => finishExact(x.multiply(y), 6, bothInt)
         case DIV =>
           if (y.signum() == 0) null // exact ÷0 → error
-          else decResult(x.divide(y, MathContext.DECIMAL128), 6)
+          else {
+            // single rounding of the EXACT quotient to the result scale
+            // (an intermediate DECIMAL128 rounding could differ by 1 ulp)
+            val q = x.divide(y, 6, RoundingMode.HALF_UP)
+            if (q.precision - q.scale > 32) null else lit(canonDec(q), DECIMAL_DT)
+          }
       }
     }
   }

@@ -1,0 +1,29 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared sidecar I/O for persisted index metadata — one copy of the
+  * Hadoop-FS read/write logic (index paths may be HDFS/S3 on a
+  * cluster), so the ANN and IVF sidecar handling cannot drift apart. */
+private[pipeline] object IndexMeta {
+
+  def write(spark: SparkSession, path: String, json: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  def read(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** Extract simple string/number fields of a flat JSON object. */
+  def fields(json: String): Map[String, String] =
+    """"(\w+)":"?([^",}\[]+)"?""".r.findAllMatchIn(json)
+      .map(m => m.group(1) -> m.group(2)).toMap
+}

@@ -41,6 +41,11 @@ object Ivf {
     require(k >= 1, "k must be >= 1")
     val emb = df.select(col(embCol).cast("array<double>").as("e"))
       .filter(col("e").isNotNull)
+      // non-finite components would poison centroid means AND break the
+      // sidecar round-trip — exclude them from training (train-time
+      // only; assignment still places such vectors in some partition)
+      .filter(!exists(col("e"), x => isnan(x) || x === Double.PositiveInfinity ||
+        x === Double.NegativeInfinity))
     // deterministic spread init: order by a hash of the vector bytes,
     // take k — cheap, seed-stable, and avoids adjacent-row bias
     var centroids: Seq[Seq[Double]] = emb
@@ -81,26 +86,23 @@ object Ivf {
       VectorExprs.nearestCentroid(col(embCol), centroids).as("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(path)
     val meta =
-      s"""{"idCol":"$idCol","embCol":"$embCol","centroids":[${
+      s"""{"idCol":"$idCol","embCol":"$embCol","k":${centroids.size},"centroids":[${
         centroids.map(_.mkString("[", ",", "]")).mkString(",")}]}"""
-    val p = new org.apache.hadoop.fs.Path(metaPath(path))
-    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(meta.getBytes("UTF-8")) finally out.close()
+    IndexMeta.write(df.sparkSession, metaPath(path), meta)
   }
 
   private def readMeta(spark: SparkSession, path: String): (String, String, Seq[Seq[Double]]) = {
-    val p = new org.apache.hadoop.fs.Path(metaPath(path))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val txt =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    def field(n: String) = s""""$n":"([^"]+)"""".r.findFirstMatchIn(txt).get.group(1)
-    val cents = """\[([-0-9.,eE]+)\]""".r.findAllMatchIn(
+    val txt = IndexMeta.read(spark, metaPath(path))
+    val fs = IndexMeta.fields(txt)
+    // char class includes NaN/Infinity letters; centroid COUNT is
+    // cross-checked so a parse gap can never silently shift cid ↔
+    // centroid alignment
+    val cents = """\[([-0-9.,eENaIfinty]+)\]""".r.findAllMatchIn(
       txt.substring(txt.indexOf("centroids")))
       .map(m => m.group(1).split(',').map(_.toDouble).toSeq).toSeq
-    (field("idCol"), field("embCol"), cents)
+    require(cents.size == fs("k").toInt,
+      s"corrupt IVF sidecar: expected ${fs("k")} centroids, parsed ${cents.size}")
+    (fs("idCol"), fs("embCol"), cents)
   }
 
   /** Top-k against a persisted IVF index, probing the `nprobe`

@@ -82,24 +82,12 @@ object Similarity {
       signature(col(embCol), numPlanes, dim).as("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     val meta = s"""{"numPlanes":$numPlanes,"dim":$dim,"idCol":"$idCol","embCol":"$embCol"}"""
-    // Hadoop FS, not java.nio — the index path may be HDFS/S3 on a cluster
-    val p = new org.apache.hadoop.fs.Path(metaPath(path))
-    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(meta.getBytes("UTF-8")) finally out.close()
+    IndexMeta.write(df.sparkSession, metaPath(path), meta)
   }
 
   private def readMeta(spark: org.apache.spark.sql.SparkSession,
-                       path: String): Map[String, String] = {
-    val p = new org.apache.hadoop.fs.Path(metaPath(path))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val txt =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    """"(\w+)":"?([^",}]+)"?""".r.findAllMatchIn(txt)
-      .map(m => m.group(1) -> m.group(2)).toMap
-  }
+                       path: String): Map[String, String] =
+    IndexMeta.fields(IndexMeta.read(spark, metaPath(path)))
 
   /** Top-k against a persisted index: prune to the query bucket plus
     * its Hamming-radius-1 ring, exact-rank only those candidates. */

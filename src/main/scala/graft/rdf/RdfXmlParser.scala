@@ -90,6 +90,9 @@ object RdfXmlParser {
       // typed node element: <ns:Type> == rdf:type triple
       val ns = Option(r.getNamespaceURI).getOrElse("")
       val local = r.getLocalName
+      if (ns.isEmpty)
+        throw new IllegalArgumentException(
+          s"node element <$local> has no namespace — its type IRI would be relative")
       if (!(ns == RDF_NS && local == "Description"))
         out += Quad(subj, Iri(RDF.typ), Iri(ns + local), None)
       propertyAttrTriples(subj, base, lang)
@@ -112,6 +115,10 @@ object RdfXmlParser {
       val base = attr("http://www.w3.org/XML/1998/namespace", "base").map(b => resolve(b, base0)).getOrElse(base0)
       val lang = attr("http://www.w3.org/XML/1998/namespace", "lang").getOrElse(lang0)
       val ns = Option(r.getNamespaceURI).getOrElse("")
+      if (ns.isEmpty)
+        throw new IllegalArgumentException(
+          s"property element <${r.getLocalName}> has no namespace — " +
+            "its predicate IRI would be relative")
       val pred = Iri(ns + r.getLocalName)
       if (ns == RDF_NS && r.getLocalName == "li")
         throw new IllegalArgumentException("rdf:li containers not supported")

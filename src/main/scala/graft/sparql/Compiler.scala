@@ -47,8 +47,13 @@ object Compiler {
       val names =
         if (star) b.columns.toSeq
         else vars.filter(b.columns.contains)
-      names.map(n => b.select(b(n).as("__t")).filter(col("__t").isNotNull))
-        .reduceOption(_ union _)
+      // ONE pass over the WHERE solutions: stack the candidate columns
+      // and explode (a per-variable select would re-execute the whole
+      // subplan once per variable)
+      if (names.isEmpty) None
+      else Some(
+        b.select(explode(array(names.map(b(_)): _*)).as("__t"))
+          .filter(col("__t").isNotNull))
     }
     val constDf: Option[DataFrame] =
       if (consts.isEmpty) None

@@ -51,13 +51,20 @@ object StreamingOps {
       case other => throw new IllegalArgumentException(
         s"sparqlStream supports SELECT only, got ${other.getClass.getSimpleName}")
     }
+    def validateExpr(e: Algebra.Expr): Unit = e match {
+      case _: Algebra.ExistsE => throw new IllegalArgumentException(
+        "FILTER (NOT) EXISTS is not streamable (plans a semi-join of the stream)")
+      case Algebra.FuncE(_, args) => args.foreach(validateExpr)
+      case Algebra.InE(x, list, _) => validateExpr(x); list.foreach(validateExpr)
+      case _ => ()
+    }
     def validate(op: Algebra.Op): Unit = op match {
       case Algebra.Scan(_, _, _, _) | Algebra.Singleton |
            Algebra.Values(_, _) => ()
       case Algebra.Join(l, r) => validate(l); validate(r)
       case Algebra.Union(l, r) => validate(l); validate(r)
-      case Algebra.Filter(c, _) => validate(c)
-      case Algebra.Extend(c, _, _) => validate(c)
+      case Algebra.Filter(c, cond) => validateExpr(cond); validate(c)
+      case Algebra.Extend(c, _, e) => validateExpr(e); validate(c)
       case Algebra.Project(c, _) => validate(c)
       case other => throw new IllegalArgumentException(
         s"operator ${other.getClass.getSimpleName} is not streamable " +

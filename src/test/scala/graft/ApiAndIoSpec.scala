@@ -155,11 +155,42 @@ class ApiAndIoSpec extends SparqlSpecBase {
     rows.head("s") shouldBe iri("urn:a")
   }
 
+  it should "fully process a nested node that has @id plus its own properties" in {
+    val tmp = Files.createTempDirectory("graft-jsonld4")
+    val f = tmp.resolve("nested.jsonld")
+    Files.writeString(f,
+      """{ "@id": "urn:a",
+        |  "urn:p:knows": { "@id": "urn:b", "urn:p:name": "Bob" } }""".stripMargin)
+    val got = collect(QuadsIO.read(spark, f.toString)
+      .sparql("SELECT ?s ?p ?o { ?s ?p ?o }"))
+      .map(b => (b("s"), b("p"), b("o")))
+    got should contain((iri("urn:a"), iri("urn:p:knows"), iri("urn:b")))
+    got should contain((iri("urn:b"), iri("urn:p:name"), str("Bob")))
+  }
+
+  it should "reject keyword aliases loudly" in {
+    val tmp = Files.createTempDirectory("graft-jsonld5")
+    val f = tmp.resolve("alias.jsonld")
+    Files.writeString(f,
+      """{ "@context": { "id": "@id" }, "id": "urn:x", "urn:p:x": "v" }""")
+    an[IllegalArgumentException] should be thrownBy QuadsIO.read(spark, f.toString)
+  }
+
   it should "reject @list loudly" in {
     val tmp = Files.createTempDirectory("graft-jsonld3")
     val f = tmp.resolve("bad.jsonld")
     Files.writeString(f,
       """{ "@id": "urn:a", "urn:p:x": { "@list": ["a", "b"] } }""")
+    an[IllegalArgumentException] should be thrownBy QuadsIO.read(spark, f.toString)
+  }
+
+  it should "reject elements without a namespace (relative IRIs) loudly" in {
+    val tmp = Files.createTempDirectory("graft-rdfxml3")
+    val f = tmp.resolve("nons.rdf")
+    Files.writeString(f,
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">
+        |  <rdf:Description rdf:about="urn:x"><name>Bob</name></rdf:Description>
+        |</rdf:RDF>""".stripMargin)
     an[IllegalArgumentException] should be thrownBy QuadsIO.read(spark, f.toString)
   }
 

@@ -122,5 +122,10 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy
       StreamingOps.sparqlStream(quads,
         "SELECT ?s { ?s ?p ?o } ORDER BY ?s")
+    // EXISTS hides inside a FILTER expression, not the Op tree — must
+    // still be rejected at submission
+    an[IllegalArgumentException] should be thrownBy
+      StreamingOps.sparqlStream(quads,
+        "SELECT ?s { ?s ?p ?o FILTER EXISTS { ?s <urn:q> ?v } }")
   }
 }
