@@ -31,6 +31,73 @@ object Compiler {
       .select(lit(1).as("__x")).limit(1)
       .agg((count(col("__x")) > 0).as("ask"))
 
+  /** SPARQL 1.1 Update as a pure quad-table transform: returns the
+    * updated quads DataFrame (the store is immutable parquet — the
+    * caller writes the result as the new table version, which at scale
+    * is the safe pattern anyway: updates become atomic snapshot
+    * swaps). Semantics per §3.1.3: the WHERE solutions instantiate the
+    * DELETE template, then the INSERT template, and deletion is
+    * applied before insertion; existing duplicate source quads are
+    * preserved (documented source-duplicate contract), deletion
+    * removes every copy of a matched quad, and insertion adds one copy
+    * of each not-already-present quad. */
+  def runUpdate(quads: DataFrame, u: SparqlParser.Update): DataFrame = {
+    import graft.rdf.TermKind
+    val (del, ins, where) = u match {
+      case SparqlParser.InsertData(qs) => (Nil, qs, Singleton: Op)
+      case SparqlParser.DeleteData(qs) => (qs, Nil, Singleton: Op)
+      case SparqlParser.Modify(d, i, w) => (d, i, BgpOptimizer.optimize(w))
+    }
+    val c = new Compiler(quads)
+    val bindings0 = c.compile(where)
+    // one WHERE execution feeds every template quad
+    val bindings =
+      if (del.size + ins.size > 1) bindings0.localCheckpoint(eager = false)
+      else bindings0
+    val ec = new ExprCompiler(n =>
+      if (bindings.columns.contains(n)) bindings(n) else TermFns.nullTerm)
+    def resolve(x: VarOrTerm): Column = x match {
+      case V(n) =>
+        if (bindings.columns.contains(n)) bindings(n) else TermFns.nullTerm
+      case T(t) => ec.termCol(t)
+    }
+    def gCol(g: GraphSpec): Column = g match {
+      case DefaultGraph => lit(null).cast(TermSchema.termType)
+      case GraphTerm(t) => ec.termCol(t)
+      case GraphVar(n) => resolve(V(n))
+    }
+    def instantiate(tpl: List[SparqlParser.QuadTpl],
+                    names: (String, String, String, String)): Option[DataFrame] =
+      tpl.map { q =>
+        val (sn, pn, on, gn) = names
+        bindings
+          .select(resolve(q.s).as(sn), resolve(q.p).as(pn),
+            resolve(q.o).as(on), gCol(q.g).as(gn))
+          .filter(col(sn).isNotNull && col(pn).isNotNull && col(on).isNotNull &&
+            col(sn).getField("kind") =!= TermKind.LITERAL &&
+            col(pn).getField("kind") === TermKind.IRI &&
+            (col(gn).isNull || col(gn).getField("kind") === TermKind.IRI))
+      }.reduceOption(_ union _).map(_.dropDuplicates())
+
+    val afterDel = instantiate(del, ("ds", "dp", "do", "dg")) match {
+      case None => quads
+      case Some(d) =>
+        quads.join(d,
+          quads("s") <=> d("ds") && quads("p") <=> d("dp") &&
+            quads("o") <=> d("do") && quads("g") <=> d("dg"), "left_anti")
+    }
+    instantiate(ins, ("s", "p", "o", "g")) match {
+      case None => afterDel
+      case Some(i0) =>
+        // add only quads not already present AFTER deletion, so a quad
+        // that is both deleted and re-inserted ends up present
+        val fresh = i0.join(afterDel,
+          i0("s") <=> afterDel("s") && i0("p") <=> afterDel("p") &&
+            i0("o") <=> afterDel("o") && i0("g") <=> afterDel("g"), "left_anti")
+        afterDel.union(fresh)
+    }
+  }
+
   /** DESCRIBE: all quads whose SUBJECT is a described resource
     * (subject-form description, no blank-node closure — the form is
     * implementation-defined per SPARQL 1.1 §16.4; ours is documented

@@ -63,6 +63,13 @@ object Sparql {
     def sparql(query: String, bindings: Map[String, Term]): DataFrame =
       sparql(preBind(query, bindings))
 
+    /** SPARQL 1.1 Update (INSERT DATA / DELETE DATA / DELETE WHERE /
+      * DELETE…INSERT…WHERE) as a pure transform: returns the updated
+      * quads DataFrame; write it back (e.g. QuadsIO.writeParquet) to
+      * commit — an atomic snapshot swap at scale. */
+    def sparqlUpdate(update: String): DataFrame =
+      Compiler.runUpdate(quads, SparqlParser.parseUpdate(update))
+
     /** Execute and flatten term structs to lexical strings. */
     def sparqlLex(query: String): DataFrame =
       Compiler.lexical(sparql(query))

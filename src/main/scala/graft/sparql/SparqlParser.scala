@@ -167,6 +167,78 @@ final class SparqlParser(input: String) {
     q
   }
 
+  /** SPARQL 1.1 Update request: INSERT DATA | DELETE DATA |
+    * DELETE WHERE | DELETE tpl? INSERT tpl? WHERE pattern. Templates
+    * and quad data reuse the group-pattern grammar (so full triple
+    * syntax incl. GRAPH blocks and prefixed names works) restricted to
+    * plain quad patterns — FILTER/OPTIONAL/… in a template is an
+    * error, and DATA forms additionally require ground (variable-free)
+    * quads. */
+  def parseUpdateReq(): SparqlParser.Update = {
+    parsePrologue()
+    val u: SparqlParser.Update =
+      if (tryKw("INSERT")) {
+        if (tryKw("DATA")) SparqlParser.InsertData(parseQuadData())
+        else {
+          val ins = parseQuadTemplate()
+          expectKw("WHERE")
+          val (p, fs) = parseGroupPattern()
+          SparqlParser.Modify(Nil, ins, applyFilters(p, fs))
+        }
+      } else if (tryKw("DELETE")) {
+        if (tryKw("DATA")) SparqlParser.DeleteData(parseQuadData())
+        else if (peekKw("WHERE")) { // DELETE WHERE { pattern }
+          expectKw("WHERE")
+          val (p, fs) = parseGroupPattern()
+          val tpl = templateQuads(p, requireGround = false)
+          if (fs.nonEmpty) err("FILTER not allowed in DELETE WHERE shorthand")
+          SparqlParser.Modify(tpl, Nil, p)
+        } else {
+          val del = parseQuadTemplate()
+          val ins = if (tryKw("INSERT")) parseQuadTemplate() else Nil
+          expectKw("WHERE")
+          val (p, fs) = parseGroupPattern()
+          SparqlParser.Modify(del, ins, applyFilters(p, fs))
+        }
+      } else err("expected INSERT or DELETE")
+    skipWs()
+    if (!eof) err("trailing content after update")
+    u
+  }
+
+  private def templateQuads(op: Op, requireGround: Boolean): List[SparqlParser.QuadTpl] = {
+    def flatten(o: Op): List[Scan] = o match {
+      case s: Scan => List(s)
+      case Join(l, r) => flatten(l) ++ flatten(r)
+      case Singleton => Nil
+      case other =>
+        err(s"only plain quad patterns allowed here, got ${other.getClass.getSimpleName}")
+    }
+    flatten(op).map { s =>
+      if (requireGround &&
+          Seq(s.s, s.p, s.o).exists(_.isInstanceOf[V]))
+        err("DATA forms require ground (variable-free) quads")
+      s.g match {
+        case GraphVar(_) if requireGround =>
+          err("DATA forms require a constant GRAPH")
+        case _ => ()
+      }
+      SparqlParser.QuadTpl(s.s, s.p, s.o, s.g)
+    }
+  }
+
+  private def parseQuadTemplate(): List[SparqlParser.QuadTpl] = {
+    val (p, fs) = parseGroupPattern()
+    if (fs.nonEmpty) err("FILTER not allowed in an update template")
+    templateQuads(p, requireGround = false)
+  }
+
+  private def parseQuadData(): List[SparqlParser.QuadTpl] = {
+    val (p, fs) = parseGroupPattern()
+    if (fs.nonEmpty) err("FILTER not allowed in quad data")
+    templateQuads(p, requireGround = true)
+  }
+
   /** CONSTRUCT template: plain triples only (vars, IRIs, literals,
     * blank-node labels — no property paths). */
   private def parseConstructTemplate(): List[(VarOrTerm, VarOrTerm, VarOrTerm)] = {
@@ -1024,6 +1096,19 @@ object SparqlParser {
   final case class ConstructQuery(
       template: List[(VarOrTerm, VarOrTerm, VarOrTerm)], op: Op) extends Query
 
+  // ----- SPARQL 1.1 Update (graph-transform subset) -----
+  /** One template/data quad: positions + graph scope. */
+  final case class QuadTpl(s: VarOrTerm, p: VarOrTerm, o: VarOrTerm,
+                           g: GraphSpec)
+  sealed trait Update
+  final case class InsertData(quads: List[QuadTpl]) extends Update
+  final case class DeleteData(quads: List[QuadTpl]) extends Update
+  /** DELETE tpl INSERT tpl WHERE pattern (either template may be
+    * empty; DELETE WHERE uses the pattern as its own template). */
+  final case class Modify(delete: List[QuadTpl], insert: List[QuadTpl],
+                          where: Op) extends Update
+
   def parse(query: String): Op = new SparqlParser(query).parseQuery()
   def parseAny(query: String): Query = new SparqlParser(query).parseAnyQuery()
+  def parseUpdate(text: String): Update = new SparqlParser(text).parseUpdateReq()
 }
