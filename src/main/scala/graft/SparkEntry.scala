@@ -82,6 +82,15 @@ object SparkEntry {
           |  OPTIONAL { ?r :rname ?rname } }""".stripMargin),
         "nname" -> "string", "rname" -> "string")
     },
+    "q_update" -> { (s, d) =>
+      // SPARQL Update as a transform: rewrite a predicate in place,
+      // result flattened to lexicals for the oracle compare
+      val df = TpchQuads.nation(s, d).sparqlUpdate(prologue +
+        "DELETE { ?n :nname ?v } INSERT { ?n :name2 ?v } WHERE { ?n :nname ?v }")
+      df.select(col("s").getField("lex").as("s"),
+        col("p").getField("lex").as("p"),
+        col("o").getField("lex").as("o"))
+    },
     "q_describe" -> { (s, d) =>
       // DESCRIBE (subject-form description): all quads of the matched
       // resources, flattened to lexicals for the oracle compare
@@ -432,6 +441,11 @@ object SparkEntry {
         |  SELECT n_name AS nname, NULL AS rk FROM nation WHERE n_name = 'NATION_7')
         |SELECT lhs.nname AS nname, r.r_name AS rname
         |FROM lhs LEFT JOIN region r ON lhs.rk IS NULL OR lhs.rk = r.r_regionkey""".stripMargin,
+    "q_update" ->
+      """SELECT 'urn:n:'||n_nationkey::VARCHAR AS s, 'urn:p:inRegion' AS p,
+        |       'urn:r:'||n_regionkey::VARCHAR AS o FROM nation
+        |UNION ALL
+        |SELECT 'urn:n:'||n_nationkey::VARCHAR, 'urn:p:name2', n_name FROM nation""".stripMargin,
     "q_describe" ->
       """WITH c AS (SELECT * FROM customer
         |           WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000)
