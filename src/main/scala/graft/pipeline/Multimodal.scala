@@ -9,12 +9,14 @@ import org.apache.spark.sql.types._
   * transforms run as `mapPartitions` batch functions over the binary
   * column (the Scala analogue of a pandas-UDF batch loop).
   *
-  * The actual codec calls are STUBBED — this container ships no
-  * image/audio libraries — behind [[StubCodec]], which produces
-  * deterministic fake features from the bytes. Everything Spark-side
-  * (schema, batching, partitioning, output shape) is real and tested;
-  * swapping StubCodec for a JNI/codec-backed implementation changes no
-  * plumbing.
+  * The IMAGE path is real: [[ImageCodec]] decodes PNG/JPEG/GIF/BMP
+  * through `javax.imageio` (ships with the JDK — no external codec
+  * needed) and computes pixel-derived features; [[resizeImages]]
+  * re-encodes actual scaled payloads. Audio/video decode remains
+  * STUBBED behind [[StubCodec]] (the container ships no audio/video
+  * codecs); its bytes→features signature is the contract a
+  * codec-backed version must satisfy, and all Spark-side plumbing
+  * (schema, batching, partitioning, output shape) is identical.
   */
 object Multimodal {
 
@@ -47,26 +49,126 @@ object Multimodal {
       (bytes.length % 640 + 1, bytes.length % 480 + 1)
   }
 
+  /** Real image codec over the JDK's javax.imageio (PNG/JPEG/GIF/BMP).
+    * Feature layout (dim 8): mean luminance of the 2×2 grid quadrants,
+    * mean R/G/B, aspect ratio — cheap, deterministic, content-derived. */
+  object ImageCodec {
+    val featureDim = 8
+
+    def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+
+    def features(img: java.awt.image.BufferedImage): Array[Float] = {
+      val w = img.getWidth; val h = img.getHeight
+      val quadLum = Array.fill(4)(0.0); val quadN = Array.fill(4)(0L)
+      var sr = 0.0; var sg = 0.0; var sb = 0.0
+      // sample at most ~64×64 positions — features must cost O(1), not
+      // O(pixels), on large images
+      val stepX = math.max(1, w / 64); val stepY = math.max(1, h / 64)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+          val lum = 0.299 * r + 0.587 * g + 0.114 * b
+          val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+          quadLum(q) += lum; quadN(q) += 1
+          sr += r; sg += g; sb += b
+          x += stepX
+        }
+        y += stepY
+      }
+      val n = quadN.sum.toDouble.max(1)
+      Array(
+        (quadLum(0) / quadN(0).max(1) / 255.0).toFloat,
+        (quadLum(1) / quadN(1).max(1) / 255.0).toFloat,
+        (quadLum(2) / quadN(2).max(1) / 255.0).toFloat,
+        (quadLum(3) / quadN(3).max(1) / 255.0).toFloat,
+        (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat,
+        (sb / n / 255.0).toFloat,
+        (w.toFloat / h.toFloat))
+    }
+
+    def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    def resize(img: java.awt.image.BufferedImage, w: Int, h: Int): java.awt.image.BufferedImage = {
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      out
+    }
+  }
+
   private def featSchema(base: StructType): StructType =
     StructType(base.fields.filterNot(_.name == "bytes") :+
       StructField("features", ArrayType(FloatType), nullable = false))
 
   /** Batch feature extraction: one pass per partition over the binary
     * column; bytes are dropped from the output (decode early, carry
-    * features — at 100 TB you never shuffle raw media after decode). */
+    * features — at 100 TB you never shuffle raw media after decode).
+    * Image rows whose payload ImageIO can decode get REAL pixel
+    * features; everything else falls back to the stub. */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val out = featSchema(media.schema)
     val byteIdx = media.schema.fieldIndex("bytes")
+    val kindIdx = media.schema.fieldIndex("kind")
     val rdd = media.rdd.mapPartitions { rows =>
       rows.map { r =>
         val kept = r.toSeq.zipWithIndex.collect {
           case (v, i) if i != byteIdx => v
         }
-        Row.fromSeq(kept :+ StubCodec.features(r.getAs[Array[Byte]](byteIdx)).toSeq)
+        val bytes = r.getAs[Array[Byte]](byteIdx)
+        val feats =
+          if (r.getString(kindIdx) == "image")
+            ImageCodec.decode(bytes).map(ImageCodec.features)
+              .getOrElse(StubCodec.features(bytes))
+          else StubCodec.features(bytes)
+        Row.fromSeq(kept :+ feats.toSeq)
       }
     }
     spark.createDataFrame(rdd, out)
+  }
+
+  /** REAL image resize: decodable image payloads are re-encoded as
+    * scaled PNG with meta updated; undecodable or non-image rows keep
+    * their payload and only the meta rewrite (the stub contract). */
+  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = media.sparkSession
+    val byteIdx = media.schema.fieldIndex("bytes")
+    val kindIdx = media.schema.fieldIndex("kind")
+    val metaIdx = media.schema.fieldIndex("meta")
+    val schema = media.schema
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val vals = r.toSeq.toArray
+        val decoded =
+          if (r.getString(kindIdx) == "image")
+            ImageCodec.decode(r.getAs[Array[Byte]](byteIdx))
+          else None
+        decoded.foreach { img =>
+          vals(byteIdx) = ImageCodec.encodePng(ImageCodec.resize(img, w, h))
+        }
+        val fmt = if (decoded.isDefined) "png"
+          else Option(r.getStruct(metaIdx)).map(_.getString(3)).orNull
+        val sr = Option(r.getStruct(metaIdx))
+          .map(m => if (m.isNullAt(2)) null else m.get(2)).orNull
+        vals(metaIdx) = Row(w, h, sr, fmt)
+        Row.fromSeq(vals.toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
   }
 
   /** Resize plumbing: rewrites meta dimensions (stub: payload kept,

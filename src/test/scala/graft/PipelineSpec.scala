@@ -275,4 +275,48 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     val r = Multimodal.resize(media, 224, 224).select("meta.width", "meta.height").head()
     (r.getInt(0), r.getInt(1)) shouldBe ((224, 224))
   }
+
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    Multimodal.ImageCodec.encodePng(img)
+  }
+
+  it should "compute REAL pixel features for decodable images" in {
+    val white = pngBytes(16, 16, 0xFFFFFF)
+    val black = pngBytes(16, 16, 0x000000)
+    val media = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "image", white, Row(16, 16, null, "png")),
+        Row(2L, "image", black, Row(16, 16, null, "png")),
+        Row(3L, "audio", "noise".getBytes, Row(null, null, 16000, "pcm"))),
+      Multimodal.mediaSchema)
+    val byId = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getLong(0) -> r.getAs[Seq[Float]]("features")).toMap
+    // luminance quadrants: white ≈ 1.0, black ≈ 0.0 — content-derived,
+    // not hash-derived
+    byId(1L).take(4).foreach(_ shouldBe 1.0f +- 0.01f)
+    byId(2L).take(4).foreach(_ shouldBe 0.0f +- 0.01f)
+    byId(1L)(7) shouldBe 1.0f +- 0.001f // aspect ratio
+    // the audio row still uses the stub contract
+    byId(3L) shouldBe Multimodal.StubCodec.features("noise".getBytes).toSeq
+  }
+
+  it should "re-encode actually resized image payloads" in {
+    val media = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "image", pngBytes(32, 16, 0x336699), Row(32, 16, null, "png")),
+        Row(2L, "audio", "noise".getBytes, Row(null, null, 16000, "pcm"))),
+      Multimodal.mediaSchema)
+    val out = Multimodal.resizeImages(media, 8, 8).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val resized = Multimodal.ImageCodec.decode(
+      out(1L).getAs[Array[Byte]]("bytes")).get
+    (resized.getWidth, resized.getHeight) shouldBe ((8, 8))
+    out(1L).getStruct(3).getString(3) shouldBe "png"
+    // non-image payload untouched, meta rewritten
+    out(2L).getAs[Array[Byte]]("bytes") shouldBe "noise".getBytes
+    out(2L).getStruct(3).getInt(0) shouldBe 8
+  }
 }
