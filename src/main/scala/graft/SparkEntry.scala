@@ -407,6 +407,13 @@ object SparkEntry {
         dim = q.size, numPlanes = 6)
       graft.pipeline.Similarity.queryIndex(s, idx, q, 10)
     },
+    "q_media_features" -> { (s, d) =>
+      // multimodal batch path: synthetic media from documents →
+      // per-partition decode/feature pass → bytes dropped
+      val media = graft.pipeline.Multimodal.synthetic(s, s"$d/documents.parquet")
+      graft.pipeline.Multimodal.extractFeatures(media)
+        .select(col("media_id"), col("kind"), size(col("features")).as("dim"))
+    },
     "q_ann_ivf" -> { (s, d) => // rows-only: approximate by construction
       // centroid-count-sized buckets (IVF) — the billion-vector scale
       // path; trains spherical k-means, probes nprobe partitions
@@ -441,6 +448,12 @@ object SparkEntry {
         |  SELECT n_name AS nname, NULL AS rk FROM nation WHERE n_name = 'NATION_7')
         |SELECT lhs.nname AS nname, r.r_name AS rname
         |FROM lhs LEFT JOIN region r ON lhs.rk IS NULL OR lhs.rk = r.r_regionkey""".stripMargin,
+    "q_media_features" ->
+      """SELECT doc_id AS media_id,
+        |       CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |            ELSE 'video' END AS kind,
+        |       CAST(8 AS INTEGER) AS dim
+        |FROM documents""".stripMargin,
     "q_update" ->
       """SELECT 'urn:n:'||n_nationkey::VARCHAR AS s, 'urn:p:inRegion' AS p,
         |       'urn:r:'||n_regionkey::VARCHAR AS o FROM nation
