@@ -149,6 +149,9 @@ object TermMath {
       val y = parseDec(b.getUTF8String(1)); if (y == null) return null
       val bothInt = ca == INT && cb == INT
       op match {
+        // the scale also bounds the integer range: decimal(38, s) holds
+        // 38-s integer digits, the same boundary the Column form's
+        // result types enforced (beyond it: error→NULL)
         case ADD => finishExact(x.add(y), 11, bothInt)
         case SUB => finishExact(x.subtract(y), 11, bothInt)
         case MUL => finishExact(x.multiply(y), 6, bothInt)
@@ -166,7 +169,7 @@ object TermMath {
 
   private def finishExact(r: JBigDecimal, scale: Int, bothInt: Boolean): InternalRow =
     if (bothInt) {
-      if (r.precision - r.scale > 38) null else intResult(r)
+      if (r.precision - r.scale > 38 - scale) null else intResult(r)
     } else decResult(r, scale)
 
   /** Unary minus. */

@@ -46,12 +46,17 @@ object Ivf {
       // only; assignment still places such vectors in some partition)
       .filter(!exists(col("e"), x => isnan(x) || x === Double.PositiveInfinity ||
         x === Double.NegativeInfinity))
+      // the init pass + every Lloyd iteration reads this — cache it
+      // (iters+2 full corpus scans otherwise)
+      .persist()
     // deterministic spread init: order by a hash of the vector bytes,
     // take k — cheap, seed-stable, and avoids adjacent-row bias
     var centroids: Seq[Seq[Double]] = emb
       .withColumn("h", xxhash64(to_json(struct(col("e")))))
       .orderBy("h").limit(k)
       .collect().map(r => norm(r.getSeq[Double](0).toArray).toSeq).toSeq
+    require(centroids.nonEmpty,
+      "no finite embedding vectors to train IVF centroids on")
     var it = 0
     while (it < iters) {
       val assigned = emb.withColumn("cid",
@@ -72,6 +77,7 @@ object Ivf {
       }
       it += 1
     }
+    emb.unpersist()
     centroids
   }
 

@@ -47,14 +47,9 @@ object RdfXmlParser {
       res
     }
 
+    // one IRI-resolution implementation for all graft.rdf parsers
     def resolve(iri: String, base: String): String =
-      if (iri.isEmpty) base
-      else if (iri.contains("://") || iri.startsWith("urn:") ||
-               iri.startsWith("mailto:")) iri
-      else if (base.isEmpty) iri
-      else
-        try new java.net.URI(base).resolve(iri).toString
-        catch { case _: Exception => iri }
+      if (iri.isEmpty) base else TurtleParser.resolveIri(base, iri)
 
     /** Property attributes (any non-rdf, non-xml attribute on a node
       * element) are literal-triple shorthand. */
@@ -122,6 +117,9 @@ object RdfXmlParser {
       val pred = Iri(ns + r.getLocalName)
       if (ns == RDF_NS && r.getLocalName == "li")
         throw new IllegalArgumentException("rdf:li containers not supported")
+      if (attr(RDF_NS, "ID").isDefined)
+        throw new IllegalArgumentException(
+          "rdf:ID reification on property elements not supported")
       val resourceAttr = attr(RDF_NS, "resource")
       val nodeIdAttr = attr(RDF_NS, "nodeID")
       val dtAttr = attr(RDF_NS, "datatype")

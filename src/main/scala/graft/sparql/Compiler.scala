@@ -103,7 +103,9 @@ object Compiler {
     * implementation-defined per SPARQL 1.1 §16.4; ours is documented
     * and deterministic). Returns a quads DataFrame like CONSTRUCT.
     * The resource set (constants ∪ variable bindings from WHERE) is
-    * small by construction, so the semi-join broadcasts. */
+    * left to AQE to broadcast when small — a forced broadcast would
+    * OOM the driver on DESCRIBE ?s WHERE { ?s ?p ?o } over a large
+    * corpus. */
   def runDescribe(quads: DataFrame, targets: List[VarOrTerm], star: Boolean,
                   opOpt: Option[Op]): DataFrame = {
     val spark = quads.sparkSession
@@ -136,7 +138,7 @@ object Compiler {
       case None => quads.limit(0)
       case Some(ts) =>
         val res = ts.dropDuplicates()
-        quads.join(broadcast(res), quads("s") === res("__t"), "left_semi")
+        quads.join(res, quads("s") === res("__t"), "left_semi")
     }
   }
 

@@ -132,7 +132,7 @@ final class SparqlParser(input: String) {
             skipWs()
             if (!eof && (peek == '?' || peek == '$')) targets += V(parseVarName())
             else if (!eof && peek == '<') targets += T(Iri(parseIriRef()))
-            else if (!eof && peek.isLetter && !peekKw("WHERE") &&
+            else if (!eof && (peek == ':' || peek.isLetter) && !peekKw("WHERE") &&
                      !peekKw("LIMIT") && !peekKw("OFFSET"))
               targets += T(Iri(parsePrefixedIri()))
             else go = false
@@ -141,23 +141,31 @@ final class SparqlParser(input: String) {
         }
         skipWs()
         val hasWhere = peekKw("WHERE") || (!eof && peek == '{')
-        val op =
+        var op: Option[Op] =
           if (hasWhere) {
             tryKw("WHERE")
             val (p, fs) = parseGroupPattern()
-            var o = applyFilters(p, fs)
-            var offset = 0L
-            var limit: Option[Long] = None
-            var sawSlice = false
-            var go = true
-            while (go) {
-              if (tryKw("LIMIT")) { skipWs(); limit = Some(parseInteger()); sawSlice = true }
-              else if (tryKw("OFFSET")) { skipWs(); offset = parseInteger(); sawSlice = true }
-              else go = false
-            }
-            if (sawSlice) o = Slice(o, offset, limit)
-            Some(o)
+            Some(applyFilters(p, fs))
           } else None
+        // SolutionModifier is independent of WhereClause in the grammar
+        var offset = 0L
+        var limit: Option[Long] = None
+        var sawSlice = false
+        var go2 = true
+        while (go2) {
+          if (tryKw("LIMIT")) { skipWs(); limit = Some(parseInteger()); sawSlice = true }
+          else if (tryKw("OFFSET")) { skipWs(); offset = parseInteger(); sawSlice = true }
+          else go2 = false
+        }
+        if (sawSlice) op match {
+          case Some(o) => op = Some(Slice(o, offset, limit))
+          case None =>
+            // constants-only DESCRIBE has ONE implicit solution; only
+            // LIMIT 0 / OFFSET>0 change anything (→ no solutions)
+            if (limit.contains(0L) || offset > 0) {
+              targets.clear(); star = false
+            }
+        }
         if ((star || targets.exists(_.isInstanceOf[V])) && op.isEmpty)
           err("DESCRIBE with variables requires a WHERE clause")
         SparqlParser.DescribeQuery(targets.toList, star, op)

@@ -73,6 +73,15 @@ class AnsiRobustnessSpec extends SparqlSpecBase {
     r.get("i") shouldBe None
   }
 
+  "integer arithmetic beyond the decimal result range" should "yield unbound, not a wrong value" in {
+    // decimal(38,6) holds 32 integer digits — a 34-digit product must
+    // error→unbound like the Column form it replaced, not succeed
+    val big = "9" * 17
+    val r = q(s"""SELECT ?x { ?s :name ?v . FILTER(?v = "alpha")
+                 |  BIND(xsd:integer("$big") * xsd:integer("$big") AS ?x) }""".stripMargin).head
+    r.get("x") shouldBe None
+  }
+
   "ORDER BY over out-of-decimal-range doubles" should "saturate, not crash" in {
     val rows = q("SELECT ?s ?n { ?s :num ?n . FILTER(isNumeric(?n) && datatype(?n) != xsd:integer || ?n > 0) } ORDER BY ?n LIMIT 3")
     // must simply complete; 1e300 sorts after 10

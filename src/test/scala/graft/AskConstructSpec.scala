@@ -113,6 +113,18 @@ class AskConstructSpec extends SparqlSpecBase {
     an[Exception] should be thrownBy fixtureDf.sparql("DESCRIBE ?x")
   }
 
+  it should "accept default-prefix targets and WHERE-less solution modifiers" in {
+    // ':book1' exercises the empty-prefix prefixed-name path
+    val out = fixtureDf.sparql(
+      "PREFIX : <http://example.org/book/>\nDESCRIBE :book1")
+    out.count() shouldBe 2
+    // LIMIT without WHERE is grammatical; one implicit solution
+    fixtureDf.sparql("DESCRIBE <http://example.org/book/book1> LIMIT 5")
+      .count() shouldBe 2
+    fixtureDf.sparql("DESCRIBE <http://example.org/book/book1> LIMIT 0")
+      .count() shouldBe 0
+  }
+
   it should "round-trip through the parquet quad store (construct → write → read → query)" in {
     // closes the loop ingest → query → construct → store: a constructed
     // graph is a first-class quads table, persisted in the same layout
