@@ -731,8 +731,15 @@ final class Compiler(quads: DataFrame) {
     def closure(ed: DataFrame, start: DataFrame): DataFrame = {
       // start: (g?, src, dst) seed pairs; semi-naive: only the frontier
       // joins the edge set each round, seen pairs are anti-joined away.
-      var result = materialize(start.dropDuplicates())
-      var frontier = result
+      // `result` is kept as a LAZY union of the per-round checkpointed
+      // leaves — each round already materialized `next`, so re-writing
+      // the whole accumulated closure every round would double the I/O.
+      // The union is re-materialized every few rounds only to bound
+      // plan depth on deep graphs.
+      var parts = List(materialize(start.dropDuplicates()))
+      var result = parts.head
+      var frontier = parts.head
+      var round = 0
       var done = frontier.isEmpty
       while (!done) {
         val joinCond = (Seq(col("f.dst") === col("e.src")) ++
@@ -746,7 +753,12 @@ final class Compiler(quads: DataFrame) {
             .join(result, gKey ++ Seq("src", "dst"), "left_anti"))
         if (next.isEmpty) done = true
         else {
-          result = materialize(result.union(next))
+          parts ::= next
+          round += 1
+          if (round % 8 == 0) {
+            result = materialize(parts.reduce(_ union _))
+            parts = List(result)
+          } else result = parts.reduce(_ union _)
           frontier = next
         }
       }
