@@ -140,20 +140,24 @@ object Dedup {
     * Token-less documents (which explode drops) are re-attached with
     * signature 0, matching the column form. */
   private def simHashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // a NULL sentinel token per doc keeps token-less documents in the
+    // groupBy (they'd otherwise vanish in the explode and need a
+    // re-attach join — one whole extra shuffle); its h is NULL and
+    // contributes 0 votes, so their signature is 0 as before
     val exploded = df.select(col(idCol).as("id"),
-      explode(tokens(col(textCol))).as("w"))
+      explode(concat(tokens(col(textCol)),
+        array(lit(null).cast("string")))).as("w"))
       .withColumn("h", xxhash64(col("w")))
     val voteCols = (0 until 64).map(b =>
-      sum(when(call_function("shiftrightunsigned", col("h"), lit(b))
-        .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$b"))
+      // guard on w, not h: xxhash64(NULL) yields the seed, not NULL
+      sum(when(col("w").isNull, 0L)
+        .when(call_function("shiftrightunsigned", col("h"), lit(b))
+          .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$b"))
     val votes = exploded.groupBy(col("id")).agg(voteCols.head, voteCols.tail: _*)
-    val computed = votes.select(col("id"),
+    votes.select(col("id"),
       (0 until 64).map(b =>
         when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
         .reduce(_ + _).as("sig"))
-    df.select(col(idCol).as("id")).dropDuplicates()
-      .join(computed, Seq("id"), "left_outer")
-      .select(col("id"), coalesce(col("sig"), lit(0L)).as("sig"))
   }
 
   /** SimHash candidate pairs with a scale-safe banding scheme.
