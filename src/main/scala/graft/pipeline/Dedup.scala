@@ -73,22 +73,21 @@ object Dedup {
                         shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // Shingles via posexplode + window leads — fully codegen'd (the
-    // higher-order-function form is interpreted row-at-a-time and was
-    // the measured bottleneck). Shingle HASHES (longs) are all that
-    // survives the first stage; texts shorter than shingleK tokens are
-    // left to exact dedup.
-    import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol).as("id"),
-      posexplode(split(lower(trim(col(textCol))), "\\s+")).as(Seq("pos", "w")))
-      .filter(col("w") =!= "")
-    val win = Window.partitionBy("id").orderBy("pos")
-    val shRows = toks.select(col("id"),
-      xxhash64(concat_ws(" ",
-        (0 until shingleK).map(j => lead(col("w"), j).over(win)): _*)).as("s"),
-      lead(col("w"), shingleK - 1).over(win).as("last"))
-      .filter(col("last").isNotNull)
-      .select("id", "s")
+    // Shingles MAP-ONLY: keep the token array in-row and slice it per
+    // shingle index — no window, so the (id, pos) shuffle+sort the
+    // window form paid is gone entirely, and everything stays codegen'd
+    // (the higher-order-function transform() form is interpreted
+    // row-at-a-time; sequence/explode/slice/concat_ws are not). Shingle
+    // HASHES (longs) are all that survives the first stage; texts
+    // shorter than shingleK tokens are left to exact dedup.
+    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= shingleK)
+    val shRows = toks
+      .select(col("id"), col("ws"),
+        explode(sequence(lit(0), size(col("ws")) - shingleK)).as("i"))
+      .select(col("id"),
+        xxhash64(concat_ws(" ",
+          slice(col("ws"), col("i") + 1, lit(shingleK)))).as("s"))
     // ONE groupBy computes the verification set AND all minhash mins;
     // lazily checkpointed because three join branches (banding + both
     // verification sides) consume it — without it the whole shingle
