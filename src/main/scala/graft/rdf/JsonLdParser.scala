@@ -12,9 +12,10 @@ import scala.collection.mutable
   * `@type` (string or array) → rdf:type, value objects
   * (`@value`/`@type`/`@language`), node references, nested nodes,
   * arrays, JSON literals (number → xsd:integer/xsd:double, boolean →
-  * xsd:boolean), top-level `@graph`, and named graphs (node with both
-  * `@id` and `@graph`). Unsupported (loud error): `@list`, `@reverse`,
-  * `@container` index/language maps, `@included`, `@nest`.
+  * xsd:boolean), `@list` (→ rdf:first/rest chains), top-level
+  * `@graph`, and named graphs (node with both `@id` and `@graph`).
+  * Unsupported (loud error): `@reverse`, `@container` index/language
+  * maps, `@included`, `@nest`, keyword aliases.
   *
   * Keys that expand to no IRI (no context mapping, no `@vocab`) are
   * dropped per the JSON-LD expansion algorithm.
@@ -260,21 +261,24 @@ object JsonLdParser {
           ctx.expandIri(key, forProperty = true).foreach { predIri =>
             val pred = Iri(predIri)
             def emit(o: Term): Unit = out += Quad(subj, pred, o, graph)
-            def processValue(v: J): Unit = v match {
+            /** The object term of one value (emitting any nested-node
+              * triples as a side effect); None = null value. */
+            def objTerm(v: J): Option[Term] = v match {
               case JStr(s) => td.flatMap(_.coercion) match {
-                case Some("@id") => emit(nodeId(ctx, s))
-                case Some(dt) => emit(Lit(s, dt))
+                case Some("@id") => Some(nodeId(ctx, s))
+                case Some(dt) => Some(Lit(s, dt))
                 case None =>
                   val lang = td.flatMap(_.language).orElse(ctx.lang)
-                  emit(lang.map(l => Lit(s, lang = l)).getOrElse(Lit(s)))
+                  Some(lang.map(l => Lit(s, lang = l)).getOrElse(Lit(s)))
               }
-              case JNum(raw) => emit(numLit(raw))
-              case JBool(b) => emit(Lit(b.toString, XSD.boolean))
-              case JNull => () // null value → no triple
-              case JArr(items) => items.foreach(processValue)
+              case JNum(raw) => Some(numLit(raw))
+              case JBool(b) => Some(Lit(b.toString, XSD.boolean))
+              case JNull => None // null value → no triple
+              case JArr(_) =>
+                throw new IllegalArgumentException("nested arrays not supported")
               case o: JObj =>
-                if (o.get("@list").isDefined || o.get("@reverse").isDefined)
-                  throw new IllegalArgumentException("@list/@reverse not supported")
+                if (o.get("@reverse").isDefined)
+                  throw new IllegalArgumentException("@reverse not supported")
                 (o.get("@value"), o.get("@id")) match {
                   case (Some(v0), _) =>
                     val lex = v0 match {
@@ -286,12 +290,12 @@ object JsonLdParser {
                     }
                     (o.get("@type"), o.get("@language")) match {
                       case (Some(JStr(dt)), _) =>
-                        emit(Lit(lex, ctx.expandIri(dt, forProperty = true).getOrElse(dt)))
-                      case (_, Some(JStr(l))) => emit(Lit(lex, lang = l))
+                        Some(Lit(lex, ctx.expandIri(dt, forProperty = true).getOrElse(dt)))
+                      case (_, Some(JStr(l))) => Some(Lit(lex, lang = l))
                       case _ => v0 match {
-                        case JNum(raw) => emit(numLit(raw))
-                        case JBool(b) => emit(Lit(b.toString, XSD.boolean))
-                        case _ => emit(ctx.lang.map(l => Lit(lex, lang = l))
+                        case JNum(raw) => Some(numLit(raw))
+                        case JBool(b) => Some(Lit(b.toString, XSD.boolean))
+                        case _ => Some(ctx.lang.map(l => Lit(lex, lang = l))
                           .getOrElse(Lit(lex)))
                       }
                     }
@@ -299,9 +303,29 @@ object JsonLdParser {
                       if o.fields.forall(f => f._1 == "@id" || f._1 == "@context") =>
                     // pure node reference (only @id, maybe @context);
                     // anything else carries its own triples → full node
-                    emit(nodeId(ctx, id))
-                  case _ => emit(processNode(ctx, o, graph)) // nested node
+                    Some(nodeId(ctx, id))
+                  case _ => Some(processNode(ctx, o, graph)) // nested node
                 }
+            }
+            /** JSON-LD deserialize-list algorithm: rdf:first/rest chain. */
+            def listTerm(items: Vector[J]): Term = {
+              val terms = items.flatMap(objTerm)
+              if (terms.isEmpty) Iri(RDF.nil)
+              else {
+                val cells = terms.map(_ => freshBNode())
+                cells.zipWithIndex.foreach { case (cell, i) =>
+                  out += Quad(cell, Iri(RDF.first), terms(i), graph)
+                  out += Quad(cell, Iri(RDF.rest),
+                    if (i + 1 < cells.size) cells(i + 1) else Iri(RDF.nil), graph)
+                }
+                cells.head
+              }
+            }
+            def processValue(v: J): Unit = v match {
+              case JArr(items) => items.foreach(processValue)
+              case o: JObj if o.get("@list").isDefined =>
+                emit(listTerm(asArray(o.get("@list").get)))
+              case other => objTerm(other).foreach(emit)
             }
             processValue(value)
           }

@@ -206,6 +206,29 @@ final class TurtleParser(input: String) {
         if (peek != ']') { parsePredicateObjectList(b); skipWs() }
         expect(']')
         b
+      case '(' =>
+        // RDF collection: (a b c) → rdf:first/rest chain, () → rdf:nil
+        pos += 1
+        skipWs()
+        val items = mutable.ArrayBuffer.empty[Term]
+        while (peek != ')') {
+          items += parseNode()
+          skipWs()
+          if (eof) err("unterminated collection")
+        }
+        pos += 1 // ')'
+        if (items.isEmpty) Iri(RDF.nil)
+        else {
+          val cells = items.map { _ =>
+            bnodeCounter += 1; BNode(s"anon$bnodeCounter")
+          }
+          cells.zipWithIndex.foreach { case (cell, i) =>
+            emit(cell, Iri(RDF.first), items(i))
+            emit(cell, Iri(RDF.rest),
+              if (i + 1 < cells.size) cells(i + 1) else Iri(RDF.nil))
+          }
+          cells.head
+        }
       case '"' | '\'' => parseLiteral()
       case c if c == '+' || c == '-' || c.isDigit => parseNumericLiteral()
       case 't' if startsWithIgnoreCase("true") && keywordBoundary(4) =>

@@ -176,11 +176,26 @@ class ApiAndIoSpec extends SparqlSpecBase {
     an[IllegalArgumentException] should be thrownBy QuadsIO.read(spark, f.toString)
   }
 
-  it should "reject @list loudly" in {
+  it should "deserialize @list into rdf:first/rest chains" in {
     val tmp = Files.createTempDirectory("graft-jsonld3")
-    val f = tmp.resolve("bad.jsonld")
+    val f = tmp.resolve("list.jsonld")
     Files.writeString(f,
       """{ "@id": "urn:a", "urn:p:x": { "@list": ["a", "b"] } }""")
+    val quads = QuadsIO.read(spark, f.toString)
+    // walk the chain with a SPARQL path query
+    val items = collect(quads.sparql(
+      s"""SELECT ?v { <urn:a> <urn:p:x>/<${RDF.rest}>*/<${RDF.first}> ?v }"""))
+    items.map(_("v")).toSet shouldBe Set(str("a"), str("b"))
+    // chain terminates at rdf:nil
+    collect(quads.sparql(
+      s"""SELECT ?c { ?c <${RDF.rest}> <${RDF.nil}> }""")) should have size 1
+  }
+
+  it should "reject @reverse loudly" in {
+    val tmp = Files.createTempDirectory("graft-jsonld6")
+    val f = tmp.resolve("bad.jsonld")
+    Files.writeString(f,
+      """{ "@id": "urn:a", "urn:p:x": { "@reverse": {} } }""")
     an[IllegalArgumentException] should be thrownBy QuadsIO.read(spark, f.toString)
   }
 

@@ -113,4 +113,20 @@ class TurtleParserSpec extends AnyFlatSpec with Matchers {
     qs.head.o shouldBe Lit("chat", lang = "en")
     qs.head.o.asInstanceOf[Lit].dt shouldBe XSD.langString
   }
+
+  it should "expand RDF collections into rdf:first/rest chains" in {
+    val qs = TurtleParser.parse(
+      """@prefix : <urn:x:> . :s :items (1 2 3) . :t :empty () .""")
+    // chain: 3 cells, each with first+rest; final rest = rdf:nil
+    val firsts = qs.filter(_.p == Iri(RDF.first))
+    firsts.map(_.o) shouldBe Seq(
+      Lit("1", XSD.integer), Lit("2", XSD.integer), Lit("3", XSD.integer))
+    val rests = qs.filter(_.p == Iri(RDF.rest))
+    rests should have size 3
+    rests.last.o shouldBe Iri(RDF.nil)
+    // the subject points at the chain head; () is rdf:nil directly
+    val head = qs.find(_.p == Iri("urn:x:items")).get.o
+    firsts.head.s shouldBe head
+    qs.find(_.p == Iri("urn:x:empty")).get.o shouldBe Iri(RDF.nil)
+  }
 }
