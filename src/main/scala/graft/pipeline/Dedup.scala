@@ -29,9 +29,11 @@ object Dedup {
       .select(col(key) +: others.map(c => col(s"__rest.$c").as(c)): _*)
   }
 
-  /** Whitespace word tokens, lowercased, empties removed. */
+  /** Whitespace word tokens, lowercased, empties removed. array_remove,
+    * not a filter() lambda — higher-order-function lambdas are
+    * interpreted per row, and tokenization is on every hot path. */
   def tokens(text: Column): Column =
-    filter(split(lower(trim(text)), "\\s+"), w => w =!= "")
+    array_remove(split(lower(trim(text)), "\\s+"), "")
 
   /** Word k-shingles (k consecutive tokens joined by one space),
     * deduplicated. Shorter-than-k texts yield their whole token run. */
@@ -142,9 +144,10 @@ object Dedup {
     // a NULL sentinel token per doc keeps token-less documents in the
     // groupBy (they'd otherwise vanish in the explode and need a
     // re-attach join — one whole extra shuffle); its h is NULL and
-    // contributes 0 votes, so their signature is 0 as before
+    // contributes 0 votes, so their signature is 0 as before. NULL text
+    // coalesces to "" so those docs keep a signature-0 row too.
     val exploded = df.select(col(idCol).as("id"),
-      explode(concat(tokens(col(textCol)),
+      explode(concat(tokens(coalesce(col(textCol), lit(""))),
         array(lit(null).cast("string")))).as("w"))
       .withColumn("h", xxhash64(col("w")))
     val voteCols = (0 until 64).map(b =>

@@ -308,19 +308,9 @@ object JsonLdParser {
                 }
             }
             /** JSON-LD deserialize-list algorithm: rdf:first/rest chain. */
-            def listTerm(items: Vector[J]): Term = {
-              val terms = items.flatMap(objTerm)
-              if (terms.isEmpty) Iri(RDF.nil)
-              else {
-                val cells = terms.map(_ => freshBNode())
-                cells.zipWithIndex.foreach { case (cell, i) =>
-                  out += Quad(cell, Iri(RDF.first), terms(i), graph)
-                  out += Quad(cell, Iri(RDF.rest),
-                    if (i + 1 < cells.size) cells(i + 1) else Iri(RDF.nil), graph)
-                }
-                cells.head
-              }
-            }
+            def listTerm(items: Vector[J]): Term =
+              RdfLists.chain(items.flatMap(objTerm), freshBNode,
+                (s, p, o) => out += Quad(s, p, o, graph))
             def processValue(v: J): Unit = v match {
               case JArr(items) => items.foreach(processValue)
               case o: JObj if o.get("@list").isDefined =>

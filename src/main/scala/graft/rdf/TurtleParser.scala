@@ -84,10 +84,14 @@ final class TurtleParser(input: String) {
         parseGraphBody(None)
         return
       }
+      val startedCollection = peek == '('
       val node = tryParseNode()
       skipWs()
       node match {
         case Some(t) if peek == '{' =>
+          // TriG labelOrSubject is iri | BlankNode — a collection can
+          // be a SUBJECT but never a graph label
+          if (startedCollection) err("a collection cannot name a graph")
           pos += 1
           parseGraphBody(Some(t))
         case Some(t) =>
@@ -173,6 +177,8 @@ final class TurtleParser(input: String) {
 
   private def parsePredicate(): Term = {
     skipWs()
+    if (peek == '(' || peek == '[')
+      err("predicate must be an IRI, not a collection or blank node")
     if (peek == 'a' && keywordBoundary(1)) {
       pos += 1
       Iri(RDF.typ)
@@ -211,24 +217,15 @@ final class TurtleParser(input: String) {
         pos += 1
         skipWs()
         val items = mutable.ArrayBuffer.empty[Term]
-        while (peek != ')') {
+        while (!eof && peek != ')') {
           items += parseNode()
           skipWs()
-          if (eof) err("unterminated collection")
         }
+        if (eof) err("unterminated collection")
         pos += 1 // ')'
-        if (items.isEmpty) Iri(RDF.nil)
-        else {
-          val cells = items.map { _ =>
-            bnodeCounter += 1; BNode(s"anon$bnodeCounter")
-          }
-          cells.zipWithIndex.foreach { case (cell, i) =>
-            emit(cell, Iri(RDF.first), items(i))
-            emit(cell, Iri(RDF.rest),
-              if (i + 1 < cells.size) cells(i + 1) else Iri(RDF.nil))
-          }
-          cells.head
-        }
+        RdfLists.chain(items.toSeq,
+          () => { bnodeCounter += 1; BNode(s"anon$bnodeCounter") },
+          (s, p, o) => emit(s, p, o))
       case '"' | '\'' => parseLiteral()
       case c if c == '+' || c == '-' || c.isDigit => parseNumericLiteral()
       case 't' if startsWithIgnoreCase("true") && keywordBoundary(4) =>

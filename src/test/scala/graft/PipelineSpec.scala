@@ -201,6 +201,14 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     pairs.exists(p => p._1 == 2L || p._2 == 2L) shouldBe false
   }
 
+  "SimHash over NULL-text documents" should "keep them with signature 0" in {
+    val rows = Seq[(Long, String)]((1L, null), (2L, null), (3L, "real content"))
+      .toDF("doc_id", "text")
+    val cands = Dedup.simHashCandidates(rows, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    cands should contain((1L, 2L)) // both signature 0, paired not dropped
+  }
+
   "SimHash over empty documents" should "pair them instead of dropping them" in {
     val withEmpty = Seq(
       (1L, "   "), (2L, ""), (3L, "real content here")

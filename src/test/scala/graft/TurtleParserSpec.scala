@@ -129,4 +129,15 @@ class TurtleParserSpec extends AnyFlatSpec with Matchers {
     firsts.head.s shouldBe head
     qs.find(_.p == Iri("urn:x:empty")).get.o shouldBe Iri(RDF.nil)
   }
+
+  it should "allow collections as subjects but reject them as predicates or graph labels" in {
+    val subj = TurtleParser.parse("""@prefix : <urn:x:> . ("a") :p :o .""")
+    subj.find(_.p == Iri("urn:x:p")).get.s shouldBe a[BNode]
+    an[IllegalArgumentException] should be thrownBy
+      TurtleParser.parse("""@prefix : <urn:x:> . :s () :o .""")
+    an[IllegalArgumentException] should be thrownBy
+      TurtleParser.parse("""@prefix : <urn:x:> . () { :s :p :o . }""")
+    an[IllegalArgumentException] should be thrownBy
+      TurtleParser.parse("""@prefix : <urn:x:> . :s :p (1 2 .""")
+  }
 }
