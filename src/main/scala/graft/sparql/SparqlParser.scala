@@ -639,13 +639,15 @@ final class SparqlParser(input: String) {
   private def parseTriplesSameSubject(): List[Op] = {
     val ops = mutable.ArrayBuffer.empty[Op]
     skipWs()
-    if (peek == '[') {
-      val subj = parseBlankNodePropertyList(ops)
+    if (peek == '[' || peek == '(') {
+      val subj =
+        if (peek == '[') parseBlankNodePropertyList(ops)
+        else parseCollection(ops)
       skipWs()
-      // `[ :p :o ] .` — the property list after a bracketed subject is
-      // optional (the brackets already supplied the triples); the next
-      // element may also be another pattern keyword or group, no dot
-      // required
+      // `[ :p :o ] .` / `(1 2) :p :o` — the property list after a
+      // bracketed/collection subject is optional (the node already
+      // supplied triples); the next element may also be another
+      // pattern keyword or group, no dot required
       val nextIsElement = peek == '.' || peek == '}' || peek == '{' || eof ||
         Seq("FILTER", "OPTIONAL", "MINUS", "GRAPH", "BIND", "VALUES")
           .exists(peekKw)
@@ -684,6 +686,7 @@ final class SparqlParser(input: String) {
       skipWs()
       val obj: VarOrTerm =
         if (peek == '[') parseBlankNodePropertyList(ops)
+        else if (peek == '(') parseCollection(ops)
         else parseTermOrVar()
       verb match {
         case Left(pv)    => ops += Scan(subj, pv, obj, graphCtx)
@@ -703,6 +706,36 @@ final class SparqlParser(input: String) {
     if (peek != ']') parsePredicateObjectList(v, ops)
     expect(']')
     v
+  }
+
+  /** `( item … )` in a pattern position — SPARQL collections desugar
+    * to fresh-variable rdf:first/rest chains (query blank nodes =
+    * non-projectable variables); `()` is the constant rdf:nil. */
+  private def parseCollection(ops: mutable.ArrayBuffer[Op]): VarOrTerm = {
+    expect('(')
+    skipWs()
+    val items = mutable.ArrayBuffer.empty[VarOrTerm]
+    while (!eof && peek != ')') {
+      items += (peek match {
+        case '[' => parseBlankNodePropertyList(ops)
+        case '(' => parseCollection(ops)
+        case _ => parseTermOrVar()
+      })
+      skipWs()
+    }
+    if (eof) err("unterminated collection")
+    pos += 1
+    if (items.isEmpty) T(Iri(graft.rdf.RDF.nil))
+    else {
+      val cells = items.map(_ => V(freshVar()))
+      cells.zipWithIndex.foreach { case (cell, i) =>
+        ops += Scan(cell, T(Iri(graft.rdf.RDF.first)), items(i), graphCtx)
+        ops += Scan(cell, T(Iri(graft.rdf.RDF.rest)),
+          if (i + 1 < cells.size) cells(i + 1) else T(Iri(graft.rdf.RDF.nil)),
+          graphCtx)
+      }
+      cells.head
+    }
   }
 
   private def parseTermOrVar(): VarOrTerm = {

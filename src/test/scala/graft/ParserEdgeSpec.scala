@@ -78,4 +78,30 @@ class ParserEdgeSpec extends SparqlSpecBase {
   it should "accept empty group pattern (unit)" in {
     run("values.ttl", "SELECT (42 AS ?x) { }") should have size 1
   }
+
+  "collections in patterns" should "match list data via rdf:first/rest desugaring" in {
+    import graft.io.QuadsIO
+    import graft.rdf.{Iri, TurtleParser}
+    import graft.sparql.Sparql._
+    val quads = QuadsIO.fromQuads(spark,
+      TurtleParser.parse(
+        """@prefix : <urn:x:> .
+          |:s :items (1 2) .
+          |:t :items (1 3) .
+          |""".stripMargin))
+    // object-position collection: exact list structure must match
+    val rows = collect(quads.sparql(
+      "PREFIX : <urn:x:>\nSELECT ?s { ?s :items (1 2) }"))
+    rows.map(_("s")) shouldBe Seq(Iri("urn:x:s"))
+    // variable inside a collection binds the list element
+    val rows2 = collect(quads.sparql(
+      "PREFIX : <urn:x:>\nSELECT ?v { ?s :items (1 ?v) }"))
+    rows2.map(_("v")).toSet shouldBe Set(int(2), int(3))
+    // subject-position collection: the (1 2) chain head is :s's — its
+    // outgoing edges are its own rdf:first/rest triples
+    val rows3 = collect(quads.sparql(
+      "PREFIX : <urn:x:>\nSELECT ?p ?o { (1 2) ?p ?o }"))
+    rows3.map(_("p")).toSet shouldBe
+      Set(Iri(graft.rdf.RDF.first), Iri(graft.rdf.RDF.rest))
+  }
 }
