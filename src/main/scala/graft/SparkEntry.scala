@@ -414,6 +414,21 @@ object SparkEntry {
       graft.pipeline.Multimodal.extractFeatures(media)
         .select(col("media_id"), col("kind"), size(col("features")).as("dim"))
     },
+    "q_ann_index_probe" -> { (s, d) => // rows-only: approximate by construction
+      // steady-state cost of the persisted index: probe-only (the
+      // sibling q_ann_index entry measures build+probe; this one
+      // reuses its index when present, so the bench separates the
+      // one-time indexing cost from per-query latency)
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ann_idx_" +
+        Integer.toHexString(d.hashCode)
+      if (!new java.io.File(s"$idx/_graft_ann_meta.json").exists())
+        graft.pipeline.Similarity.buildIndex(emb, "vec_id", "embedding", idx,
+          dim = q.size, numPlanes = 6)
+      graft.pipeline.Similarity.queryIndex(s, idx, q, 10)
+    },
     "q_ann_ivf" -> { (s, d) => // rows-only: approximate by construction
       // centroid-count-sized buckets (IVF) — the billion-vector scale
       // path; trains spherical k-means, probes nprobe partitions
