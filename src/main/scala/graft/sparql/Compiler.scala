@@ -98,14 +98,17 @@ object Compiler {
     }
   }
 
-  /** DESCRIBE: all quads whose SUBJECT is a described resource
-    * (subject-form description, no blank-node closure — the form is
-    * implementation-defined per SPARQL 1.1 §16.4; ours is documented
-    * and deterministic). Returns a quads DataFrame like CONSTRUCT.
-    * The resource set (constants ∪ variable bindings from WHERE) is
-    * left to AQE to broadcast when small — a forced broadcast would
-    * OOM the driver on DESCRIBE ?s WHERE { ?s ?p ?o } over a large
-    * corpus. */
+  /** DESCRIBE as a Concise Bounded Description: all quads whose
+    * subject is a described resource, plus — transitively — the quads
+    * of every blank node reached in object position (the description
+    * form is implementation-defined per SPARQL 1.1 §16.4; CBD is the
+    * de-facto standard one). Returns a quads DataFrame like CONSTRUCT.
+    * The bnode closure is a driver-side semi-naive loop (rounds =
+    * bnode nesting depth, anti-join against the seen set handles
+    * cycles); the resource set (constants ∪ variable bindings from
+    * WHERE) is left to AQE to broadcast when small — a forced
+    * broadcast would OOM the driver on DESCRIBE ?s WHERE { ?s ?p ?o }
+    * over a large corpus. */
   def runDescribe(quads: DataFrame, targets: List[VarOrTerm], star: Boolean,
                   opOpt: Option[Op]): DataFrame = {
     val spark = quads.sparkSession
@@ -137,8 +140,29 @@ object Compiler {
     (varDf ++ constDf).reduceOption(_ union _) match {
       case None => quads.limit(0)
       case Some(ts) =>
-        val res = ts.dropDuplicates()
-        quads.join(res, quads("s") === res("__t"), "left_semi")
+        import graft.rdf.TermKind
+        def materialize(df: DataFrame): DataFrame = {
+          val ck = df.localCheckpoint(eager = true)
+          spark.createDataFrame(ck.rdd, ck.schema)
+        }
+        var described = materialize(ts.dropDuplicates())
+        var delta = described
+        var result: DataFrame = null
+        var done = delta.isEmpty
+        while (!done) {
+          // delta sets are disjoint from `described` by construction,
+          // so the per-round quad batches never overlap — plain union
+          val newQuads = materialize(
+            quads.join(delta, quads("s") === delta("__t"), "left_semi"))
+          result = if (result == null) newQuads else result.union(newQuads)
+          val bnObjs = newQuads
+            .filter(col("o").getField("kind") === TermKind.BNODE)
+            .select(col("o").as("__t")).dropDuplicates()
+          delta = materialize(bnObjs.join(described, Seq("__t"), "left_anti"))
+          if (delta.isEmpty) done = true
+          else described = materialize(described.union(delta))
+        }
+        if (result == null) quads.limit(0) else result
     }
   }
 

@@ -113,6 +113,27 @@ class AskConstructSpec extends SparqlSpecBase {
     an[Exception] should be thrownBy fixtureDf.sparql("DESCRIBE ?x")
   }
 
+  it should "follow blank nodes transitively (Concise Bounded Description)" in {
+    import graft.io.QuadsIO
+    val E = "urn:d:"
+    val data = QuadsIO.fromQuads(spark, Seq(
+      Quad(Iri(E + "alice"), Iri(E + "name"), Lit("Alice"), None),
+      Quad(Iri(E + "alice"), Iri(E + "addr"), BNode("a1"), None),
+      Quad(BNode("a1"), Iri(E + "city"), Lit("Springfield"), None),
+      Quad(BNode("a1"), Iri(E + "geo"), BNode("g1"), None),
+      Quad(BNode("g1"), Iri(E + "lat"), Lit("1.5", XSD.decimal), None),
+      // reachable only through an IRI → NOT part of the description
+      Quad(Iri(E + "alice"), Iri(E + "knows"), Iri(E + "bob"), None),
+      Quad(Iri(E + "bob"), Iri(E + "name"), Lit("Bob"), None),
+      // cycle between bnodes must terminate
+      Quad(BNode("g1"), Iri(E + "back"), BNode("a1"), None)))
+    val out = data.sparql(s"DESCRIBE <${E}alice>")
+    out.count() shouldBe 7 // alice(3) + a1(2) + g1(2); bob excluded
+    val preds = collect(out.sparql("SELECT ?p { ?s ?p ?o }")).map(_("p")).toSet
+    preds should contain(iri(E + "lat")) // nested two bnodes deep
+    collect(out.sparql(s"SELECT ?n { <${E}bob> <${E}name> ?n }")) shouldBe empty
+  }
+
   it should "accept default-prefix targets and WHERE-less solution modifiers" in {
     // ':book1' exercises the empty-prefix prefixed-name path
     val out = fixtureDf.sparql(
