@@ -185,6 +185,129 @@ object TermMath {
     }
   }
 
+  // ----- value comparison / equality / EBV -----
+
+  final val LT = 0; final val LE = 1; final val GT = 2; final val GE = 3
+
+  private def boolVal(lex: UTF8String): java.lang.Boolean = {
+    val s = lex.toString
+    if (s == "true" || s == "1") java.lang.Boolean.TRUE
+    else if (s == "false" || s == "0") java.lang.Boolean.FALSE
+    else null
+  }
+
+  private def tsMicros(lex: UTF8String, zone: java.time.ZoneId): Option[Long] =
+    org.apache.spark.sql.catalyst.util.DateTimeUtils.stringToTimestamp(lex, zone)
+
+  private def cmpToBool(op: Int, c: Int): java.lang.Boolean = op match {
+    case LT => java.lang.Boolean.valueOf(c < 0)
+    case LE => java.lang.Boolean.valueOf(c <= 0)
+    case GT => java.lang.Boolean.valueOf(c > 0)
+    case GE => java.lang.Boolean.valueOf(c >= 0)
+  }
+
+  /** SPARQL `=` value equality; null = type error (kept branch-for-
+    * branch equal to the Column form in TermFns.valueEq). */
+  def valueEq(a: InternalRow, b: InternalRow,
+              zone: java.time.ZoneId): java.lang.Boolean = {
+    val ak = a.getInt(0); val bk = b.getInt(0)
+    val aLex = a.getUTF8String(1); val bLex = b.getUTF8String(1)
+    val aDt = a.getUTF8String(2); val bDt = b.getUTF8String(2)
+    val ca = numClass(ak, aDt); val cb = numClass(bk, bDt)
+    if (ca != NOT_NUM && cb != NOT_NUM) {
+      if (ca == FLT || cb == FLT) {
+        val x = parseDouble(aLex); if (x == null) return null
+        val y = parseDouble(bLex); if (y == null) return null
+        val xv = x.doubleValue(); val yv = y.doubleValue()
+        // Spark SQL equality: NaN = NaN is true, -0.0 = 0.0 is true
+        java.lang.Boolean.valueOf(xv == yv || (xv.isNaN && yv.isNaN))
+      } else {
+        val x = parseDec(aLex); if (x == null) return null
+        val y = parseDec(bLex); if (y == null) return null
+        java.lang.Boolean.valueOf(x.compareTo(y) == 0)
+      }
+    } else if (ak == TermKind.LITERAL && bk == TermKind.LITERAL &&
+               aDt.equals(BOOLEAN_DT) && bDt.equals(BOOLEAN_DT)) {
+      val x = boolVal(aLex); if (x == null) return null
+      val y = boolVal(bLex); if (y == null) return null
+      java.lang.Boolean.valueOf(x.booleanValue() == y.booleanValue())
+    } else if (ak == TermKind.LITERAL && bk == TermKind.LITERAL &&
+               (aDt.equals(DATE_DT) || aDt.equals(DATETIME_DT)) &&
+               (bDt.equals(DATE_DT) || bDt.equals(DATETIME_DT))) {
+      val x = tsMicros(aLex, zone); if (x.isEmpty) return null
+      val y = tsMicros(bLex, zone); if (y.isEmpty) return null
+      java.lang.Boolean.valueOf(x.get == y.get)
+    } else if (ak != bk) java.lang.Boolean.FALSE
+    else if (ak != TermKind.LITERAL) // IRI/BNode identity
+      java.lang.Boolean.valueOf(aLex.equals(bLex))
+    else {
+      val aStr = aDt.equals(STRING_DT) || aDt.equals(LANGSTRING_DT)
+      val bStr = bDt.equals(STRING_DT) || bDt.equals(LANGSTRING_DT)
+      val identical = aLex.equals(bLex) && aDt.equals(bDt) &&
+        a.getUTF8String(3).equals(b.getUTF8String(3))
+      if (aStr && bStr) java.lang.Boolean.valueOf(identical)
+      else if (identical) java.lang.Boolean.TRUE
+      // distinct literals of unknown/mixed datatypes: type error, not
+      // false (so `!=` drops the row instead of wrongly keeping it)
+      else null
+    }
+  }
+
+  /** SPARQL order comparison (<, <=, >, >=); null = type error. */
+  def valueCmp(op: Int, a: InternalRow, b: InternalRow,
+               zone: java.time.ZoneId): java.lang.Boolean = {
+    val ak = a.getInt(0); val bk = b.getInt(0)
+    val aLex = a.getUTF8String(1); val bLex = b.getUTF8String(1)
+    val aDt = a.getUTF8String(2); val bDt = b.getUTF8String(2)
+    val ca = numClass(ak, aDt); val cb = numClass(bk, bDt)
+    if (ca != NOT_NUM && cb != NOT_NUM) {
+      if (ca == FLT || cb == FLT) {
+        val x = parseDouble(aLex); if (x == null) return null
+        val y = parseDouble(bLex); if (y == null) return null
+        // +0.0 normalizes -0.0 so ordering matches Spark (-0.0 = 0.0);
+        // Double.compare puts NaN above everything, like Spark
+        cmpToBool(op, java.lang.Double.compare(
+          x.doubleValue() + 0.0, y.doubleValue() + 0.0))
+      } else {
+        val x = parseDec(aLex); if (x == null) return null
+        val y = parseDec(bLex); if (y == null) return null
+        cmpToBool(op, x.compareTo(y))
+      }
+    } else if (ak == TermKind.LITERAL && bk == TermKind.LITERAL) {
+      val aStr = aDt.equals(STRING_DT) || aDt.equals(LANGSTRING_DT)
+      val bStr = bDt.equals(STRING_DT) || bDt.equals(LANGSTRING_DT)
+      if (aStr && bStr) cmpToBool(op, aLex.binaryCompare(bLex))
+      else if (aDt.equals(BOOLEAN_DT) && bDt.equals(BOOLEAN_DT)) {
+        val x = boolVal(aLex); if (x == null) return null
+        val y = boolVal(bLex); if (y == null) return null
+        cmpToBool(op, java.lang.Boolean.compare(x.booleanValue(), y.booleanValue()))
+      } else if ((aDt.equals(DATE_DT) || aDt.equals(DATETIME_DT)) &&
+                 (bDt.equals(DATE_DT) || bDt.equals(DATETIME_DT))) {
+        val x = tsMicros(aLex, zone); if (x.isEmpty) return null
+        val y = tsMicros(bLex, zone); if (y.isEmpty) return null
+        cmpToBool(op, java.lang.Long.compare(x.get, y.get))
+      } else null
+    } else null
+  }
+
+  /** Effective boolean value (SPARQL 1.1 §17.2.2); null = type error.
+    * Invalid boolean/numeric lexical forms → false per rule 1. */
+  def ebv(a: InternalRow): java.lang.Boolean = {
+    val kind = a.getInt(0)
+    if (kind != TermKind.LITERAL) return null
+    val lex = a.getUTF8String(1); val dt = a.getUTF8String(2)
+    if (dt.equals(BOOLEAN_DT)) {
+      val b = boolVal(lex)
+      if (b == null) java.lang.Boolean.FALSE else b
+    } else if (classOfDt.get(dt) != null) {
+      val d = parseDouble(lex)
+      if (d == null) java.lang.Boolean.FALSE
+      else java.lang.Boolean.valueOf(d.doubleValue() != 0.0)
+    } else if (dt.equals(STRING_DT) || dt.equals(LANGSTRING_DT))
+      java.lang.Boolean.valueOf(lex.numBytes() > 0)
+    else null
+  }
+
   // ----- total-order sort key -----
 
   private val SK_TYPE: org.apache.spark.sql.types.StructType =
@@ -339,6 +462,83 @@ object TermMath {
       copy(left = newLeft, right = newRight)
   }
 
+  case class TermValueEq(left: Expression, right: Expression, zoneIdStr: String)
+      extends BinaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+    override def nullable: Boolean = true
+    override def prettyName: String = "term_value_eq"
+    @transient private lazy val zone = java.time.ZoneId.of(zoneIdStr)
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      valueEq(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow], zone)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val zoneRef = ctx.addReferenceObj("zone", zone, "java.time.ZoneId")
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val tmp = ctx.freshName("veq")
+        s"""
+           |java.lang.Boolean $tmp =
+           |  graft.functions.TermMath.valueEq($a, $b, $zoneRef);
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $tmp.booleanValue(); }
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  case class TermValueCmp(op: Int, left: Expression, right: Expression,
+                          zoneIdStr: String) extends BinaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+    override def nullable: Boolean = true
+    override def prettyName: String = "term_value_cmp"
+    @transient private lazy val zone = java.time.ZoneId.of(zoneIdStr)
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      valueCmp(op, a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow], zone)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val zoneRef = ctx.addReferenceObj("zone", zone, "java.time.ZoneId")
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val tmp = ctx.freshName("vcmp")
+        s"""
+           |java.lang.Boolean $tmp =
+           |  graft.functions.TermMath.valueCmp($op, $a, $b, $zoneRef);
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $tmp.booleanValue(); }
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  case class TermEbv(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+    override def nullable: Boolean = true
+    override def prettyName: String = "term_ebv"
+
+    override def nullSafeEval(a: Any): Any = ebv(a.asInstanceOf[InternalRow])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val tmp = ctx.freshName("ebv")
+        s"""
+           |java.lang.Boolean $tmp = graft.functions.TermMath.ebv($a);
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $tmp.booleanValue(); }
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   case class TermNeg(child: Expression) extends UnaryExpression {
     override def dataType: DataType = TermSchema.termType
     override def nullable: Boolean = true
@@ -367,4 +567,13 @@ object TermMath {
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   def negCol(a: Column): Column =
     GraftColumnBridge.column(TermNeg(GraftColumnBridge.expression(a)))
+  private val cmpCodes = Map("<" -> LT, "<=" -> LE, ">" -> GT, ">=" -> GE)
+  def valueEqCol(a: Column, b: Column, zoneId: String): Column =
+    GraftColumnBridge.column(TermValueEq(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b), zoneId))
+  def valueCmpCol(op: String, a: Column, b: Column, zoneId: String): Column =
+    GraftColumnBridge.column(TermValueCmp(cmpCodes(op),
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b), zoneId))
+  def ebvCol(a: Column): Column =
+    GraftColumnBridge.column(TermEbv(GraftColumnBridge.expression(a)))
 }

@@ -113,59 +113,25 @@ object TermFns {
       when(lex(c) === "true" || lex(c) === "1", lit(true))
         .when(lex(c) === "false" || lex(c) === "0", lit(false)))
 
-  /** Effective boolean value (SPARQL 1.1 §17.2.2): NULL = type error. */
-  def ebv(c: Column): Column =
-    when(c.isNull, lit(null).cast(BooleanType))
-      .when(isBool(c), coalesce(boolVal(c), lit(false)))
-      // bad lexical → try_cast NULL → coalesce false, which matches the
-      // spec: EBV of a numeric literal with an invalid lexical form is
-      // false (SPARQL 1.1 §17.2.2 rule 1)
-      .when(isNumeric(c),
-        coalesce(lex(c).try_cast(DoubleType) =!= 0.0, lit(false)))
-      .when(isStringish(c), length(lex(c)) > 0)
-      .otherwise(lit(null).cast(BooleanType))
+  /** Effective boolean value (SPARQL 1.1 §17.2.2): NULL = type error.
+    * Native expression — see graft.functions.TermMath.ebv. */
+  def ebv(c: Column): Column = graft.functions.TermMath.ebvCol(c)
 
   // ----- value comparison -----
-  /** SPARQL `=` (value equality) as a Spark boolean; NULL = error. */
-  def valueEq(a: Column, b: Column): Column = {
-    val bothNum = isNumeric(a) && isNumeric(b)
-    val anyFloat = isFloating(a) || isFloating(b)
-    when(a.isNull || b.isNull, lit(null).cast(BooleanType))
-      .when(bothNum,
-        when(anyFloat, numD(a) === numD(b)).otherwise(numDec(a) === numDec(b)))
-      .when(isBool(a) && isBool(b), boolVal(a) === boolVal(b))
-      .when(isDateTimeish(a) && isDateTimeish(b), ts(a) === ts(b))
-      .when(kind(a) =!= kind(b), lit(false)) // IRI vs literal vs BNode
-      .when(kind(a) =!= TermKind.LITERAL, a === b) // IRI/BNode identity
-      .when(isStringish(a) && isStringish(b), a === b) // string family total
-      .when(a === b, lit(true)) // identical unknown-dt terms
-      // distinct literals of unknown/mixed datatypes: SPARQL 17.4.1.7
-      // RDFterm-equal is a TYPE ERROR, not false (so `!=` drops the row
-      // instead of wrongly keeping it)
-      .otherwise(lit(null).cast(BooleanType))
-  }
+  /** SPARQL `=` (value equality) as a Spark boolean; NULL = error.
+    * Native expression; distinct literals of unknown/mixed datatypes
+    * are a TYPE ERROR, not false (SPARQL §17.4.1.7 — so `!=` drops the
+    * row instead of wrongly keeping it). */
+  def valueEq(a: Column, b: Column): Column =
+    graft.functions.TermMath.valueEqCol(a, b,
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
 
   /** Three-way SPARQL order comparison lowered to a boolean per op.
     * Comparable pairs: numeric, string (simple/xsd:string), boolean,
     * date/dateTime. Anything else → NULL (error → row dropped). */
-  def valueCmp(op: String)(a: Column, b: Column): Column = {
-    def apply2(x: Column, y: Column): Column = op match {
-      case "<" => x < y
-      case "<=" => x <= y
-      case ">" => x > y
-      case ">=" => x >= y
-    }
-    val bothNum = isNumeric(a) && isNumeric(b)
-    val anyFloat = isFloating(a) || isFloating(b)
-    when(a.isNull || b.isNull, lit(null).cast(BooleanType))
-      .when(bothNum,
-        when(anyFloat, apply2(numD(a), numD(b)))
-          .otherwise(apply2(numDec(a), numDec(b))))
-      .when(isStringish(a) && isStringish(b), apply2(lex(a), lex(b)))
-      .when(isBool(a) && isBool(b), apply2(boolVal(a), boolVal(b)))
-      .when(isDateTimeish(a) && isDateTimeish(b), apply2(ts(a), ts(b)))
-      .otherwise(lit(null).cast(BooleanType))
-  }
+  def valueCmp(op: String)(a: Column, b: Column): Column =
+    graft.functions.TermMath.valueCmpCol(op, a, b,
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
 
   // ----- arithmetic with XPath promotion -----
   /** a op b with SPARQL numeric promotion: both exact → DecimalType
