@@ -11,9 +11,12 @@ import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
   * rdf:ID / rdf:nodeID / anonymous nodes, rdf:resource object refs,
   * literal property elements with rdf:datatype / xml:lang (inherited
   * from ancestors), nested node elements, rdf:parseType="Resource",
-  * property attributes, xml:base for relative IRI resolution.
-  * Unsupported (loud error, not silent drop): rdf:parseType="Literal"
-  * / "Collection", rdf:li containers, reification sugar.
+  * rdf:parseType="Collection" (rdf:first/rest chain via [[RdfLists]]),
+  * rdf:li container membership (expanded to rdf:_1, rdf:_2, … with a
+  * per-element counter per spec §7.4), property attributes, xml:base
+  * for relative IRI resolution.
+  * Unsupported (loud error, not silent drop): rdf:parseType="Literal",
+  * reification sugar.
   */
 object RdfXmlParser {
 
@@ -91,12 +94,14 @@ object RdfXmlParser {
       if (!(ns == RDF_NS && local == "Description"))
         out += Quad(subj, Iri(RDF.typ), Iri(ns + local), None)
       propertyAttrTriples(subj, base, lang)
-      // children are property elements
+      // children are property elements; rdf:li numbering restarts per
+      // node element (RDF/XML spec §7.4)
+      val liCtr = Array(0)
       var depth = 1
       while (depth > 0 && r.hasNext) {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT =>
-            parseProperty(subj, base, lang); // consumes through its end
+            parseProperty(subj, base, lang, liCtr); // consumes through its end
           case XMLStreamConstants.END_ELEMENT => depth -= 1
           case _ => ()
         }
@@ -106,7 +111,8 @@ object RdfXmlParser {
 
     /** Parse a property element (cursor ON its START_ELEMENT);
       * consumes through its END_ELEMENT. */
-    def parseProperty(subj: Term, base0: String, lang0: String): Unit = {
+    def parseProperty(subj: Term, base0: String, lang0: String,
+                      liCtr: Array[Int]): Unit = {
       val base = attr("http://www.w3.org/XML/1998/namespace", "base").map(b => resolve(b, base0)).getOrElse(base0)
       val lang = attr("http://www.w3.org/XML/1998/namespace", "lang").getOrElse(lang0)
       val ns = Option(r.getNamespaceURI).getOrElse("")
@@ -114,9 +120,11 @@ object RdfXmlParser {
         throw new IllegalArgumentException(
           s"property element <${r.getLocalName}> has no namespace — " +
             "its predicate IRI would be relative")
-      val pred = Iri(ns + r.getLocalName)
-      if (ns == RDF_NS && r.getLocalName == "li")
-        throw new IllegalArgumentException("rdf:li containers not supported")
+      val pred =
+        if (ns == RDF_NS && r.getLocalName == "li") {
+          liCtr(0) += 1
+          Iri(RDF_NS + "_" + liCtr(0)) // container membership property
+        } else Iri(ns + r.getLocalName)
       if (attr(RDF_NS, "ID").isDefined)
         throw new IllegalArgumentException(
           "rdf:ID reification on property elements not supported")
@@ -130,14 +138,31 @@ object RdfXmlParser {
           // anonymous node whose property elements nest directly
           val b = freshBNode()
           out += Quad(subj, pred, b, None)
+          val childLiCtr = Array(0)
           var depth = 1
           while (depth > 0 && r.hasNext) {
             r.next() match {
-              case XMLStreamConstants.START_ELEMENT => parseProperty(b, base, lang)
+              case XMLStreamConstants.START_ELEMENT => parseProperty(b, base, lang, childLiCtr)
               case XMLStreamConstants.END_ELEMENT => depth -= 1
               case _ => ()
             }
           }
+        case Some("Collection") =>
+          // child node elements become an rdf:first/rest chain, same
+          // shared encoding as Turtle `(…)` and JSON-LD @list
+          val items = Vector.newBuilder[Term]
+          var depth = 1
+          while (depth > 0 && r.hasNext) {
+            r.next() match {
+              case XMLStreamConstants.START_ELEMENT =>
+                items += parseNode(base, lang)
+              case XMLStreamConstants.END_ELEMENT => depth -= 1
+              case _ => ()
+            }
+          }
+          val head = RdfLists.chain(items.result(), () => freshBNode(),
+            (s, p, o) => out += Quad(s, p, o, None))
+          out += Quad(subj, pred, head, None)
         case Some(other) =>
           throw new IllegalArgumentException(
             s"""rdf:parseType="$other" not supported""")

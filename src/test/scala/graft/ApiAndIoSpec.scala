@@ -209,6 +209,50 @@ class ApiAndIoSpec extends SparqlSpecBase {
     an[IllegalArgumentException] should be thrownBy QuadsIO.read(spark, f.toString)
   }
 
+  it should "expand rdf:li containers and parseType=Collection" in {
+    val tmp = Files.createTempDirectory("graft-rdfxml4")
+    val f = tmp.resolve("coll.rdf")
+    Files.writeString(f,
+      """<?xml version="1.0"?>
+        |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:ex="http://ex.org/">
+        |  <rdf:Description rdf:about="urn:doc">
+        |    <ex:authors>
+        |      <rdf:Seq>
+        |        <rdf:li>Ann</rdf:li>
+        |        <rdf:li>Ben</rdf:li>
+        |      </rdf:Seq>
+        |    </ex:authors>
+        |    <ex:tags rdf:parseType="Collection">
+        |      <rdf:Description rdf:about="urn:t1"/>
+        |      <rdf:Description rdf:about="urn:t2"/>
+        |    </ex:tags>
+        |  </rdf:Description>
+        |  <rdf:Description rdf:about="urn:other">
+        |    <ex:members>
+        |      <rdf:Bag><rdf:li>X</rdf:li></rdf:Bag>
+        |    </ex:members>
+        |  </rdf:Description>
+        |</rdf:RDF>
+        |""".stripMargin)
+    val quads = QuadsIO.read(spark, f.toString)
+    val got = collect(quads.sparql("SELECT ?s ?p ?o { ?s ?p ?o }"))
+      .map(b => (b("s"), b("p"), b("o")))
+    // rdf:li expands to rdf:_1, rdf:_2 in document order on the Seq node
+    val seqNode = got.find(t => t._2 == iri(RDF.typ) && t._3 == iri(RDF.ns + "Seq")).get._1
+    got should contain(seqNode, iri(RDF.ns + "_1"), str("Ann"))
+    got should contain(seqNode, iri(RDF.ns + "_2"), str("Ben"))
+    // the counter restarts per container element (spec §7.4)
+    val bagNode = got.find(t => t._2 == iri(RDF.typ) && t._3 == iri(RDF.ns + "Bag")).get._1
+    got should contain(bagNode, iri(RDF.ns + "_1"), str("X"))
+    // parseType=Collection builds the shared rdf:first/rest chain —
+    // walk it with a property path end-to-end
+    val items = collect(quads.sparql(
+      """PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        |SELECT ?x { <urn:doc> <http://ex.org/tags>/rdf:rest*/rdf:first ?x }""".stripMargin))
+    items.map(_("x")).toSet shouldBe Set(iri("urn:t1"), iri("urn:t2"))
+  }
+
   it should "reject unsupported parseType loudly" in {
     val tmp = Files.createTempDirectory("graft-rdfxml2")
     val f = tmp.resolve("bad.rdf")
