@@ -13,9 +13,12 @@ import scala.collection.mutable
   * (`@value`/`@type`/`@language`), node references, nested nodes,
   * arrays, JSON literals (number → xsd:integer/xsd:double, boolean →
   * xsd:boolean), `@list` (→ rdf:first/rest chains), top-level
-  * `@graph`, and named graphs (node with both `@id` and `@graph`).
-  * Unsupported (loud error): `@reverse`, `@container` index/language
-  * maps, `@included`, `@nest`, keyword aliases.
+  * `@graph`, named graphs (node with both `@id` and `@graph`), and
+  * `@container` term definitions: `@list` (values become one chain),
+  * `@set` (default array semantics), `@language` (lang→text maps),
+  * `@index` (index keys dropped per the expansion algorithm).
+  * Unsupported (loud error): `@reverse`, `@container` `@id`/`@type`/
+  * `@graph` maps, `@included`, `@nest`, keyword aliases.
   *
   * Keys that expand to no IRI (no context mapping, no `@vocab`) are
   * dropped per the JSON-LD expansion algorithm.
@@ -124,7 +127,8 @@ object JsonLdParser {
 
   // ----- JSON-LD expansion -----
   private final case class TermDef(iri: String, coercion: Option[String],
-                                   language: Option[String])
+                                   language: Option[String],
+                                   container: Option[String] = None)
   private final case class Ctx(terms: Map[String, TermDef], vocab: Option[String],
                                base: Option[String], lang: Option[String]) {
     def expandIri(s: String, forProperty: Boolean): Option[String] = {
@@ -191,13 +195,29 @@ object JsonLdParser {
               case Some(JStr(dt)) => Some(tmp.expandIri(dt, forProperty = true).getOrElse(dt))
               case _ => None
             }
-            if (o.get("@container").isDefined)
-              throw new IllegalArgumentException("@container maps not supported")
+            // @container: single keyword or an array (1.1 allows
+            // combining with @set, which adds nothing here)
+            val container = o.get("@container") match {
+              case None => None
+              case Some(c) =>
+                val kws = asArray(c).map {
+                  case JStr(k) => k
+                  case other =>
+                    throw new IllegalArgumentException(s"bad @container $other")
+                }.filterNot(_ == "@set")
+                kws match {
+                  case Vector() => Some("@set")
+                  case Vector(k @ ("@list" | "@language" | "@index")) => Some(k)
+                  case other =>
+                    throw new IllegalArgumentException(
+                      s"@container ${other.mkString(",")} not supported")
+                }
+            }
             val language = o.get("@language") match {
               case Some(JStr(l)) => Some(l.toLowerCase)
               case _ => None
             }
-            terms(term) = TermDef(id, coercion, language)
+            terms(term) = TermDef(id, coercion, language, container)
           case (term, JNull) => terms.remove(term)
           case (term, other) =>
             throw new IllegalArgumentException(
@@ -317,7 +337,33 @@ object JsonLdParser {
                 emit(listTerm(asArray(o.get("@list").get)))
               case other => objTerm(other).foreach(emit)
             }
-            processValue(value)
+            td.flatMap(_.container) match {
+              case Some("@list") => value match {
+                // an explicit {"@list": …} value keeps its own shape
+                case o: JObj if o.get("@list").isDefined => processValue(o)
+                case v => emit(listTerm(asArray(v)))
+              }
+              case Some("@language") => value match {
+                case JObj(fs) => fs.foreach { case (lang, v) =>
+                  asArray(v).foreach {
+                    case JStr(s) =>
+                      if (lang == "@none") emit(Lit(s))
+                      else emit(Lit(s, lang = lang.toLowerCase))
+                    case JNull => ()
+                    case other => throw new IllegalArgumentException(
+                      s"language map values must be strings, got $other")
+                  }
+                }
+                case other => throw new IllegalArgumentException(
+                  s"@container @language expects a map, got $other")
+              }
+              case Some("@index") => value match {
+                // index keys carry no RDF meaning — values pass through
+                case JObj(fs) => fs.foreach { case (_, v) => processValue(v) }
+                case v => processValue(v)
+              }
+              case _ => processValue(value)
+            }
           }
       }
       subj

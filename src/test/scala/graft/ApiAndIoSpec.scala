@@ -191,6 +191,56 @@ class ApiAndIoSpec extends SparqlSpecBase {
       s"""SELECT ?c { ?c <${RDF.rest}> <${RDF.nil}> }""")) should have size 1
   }
 
+  it should "honor @container list, set, language and index term definitions" in {
+    val tmp = Files.createTempDirectory("graft-jsonld7")
+    val f = tmp.resolve("containers.jsonld")
+    Files.writeString(f,
+      """{
+        |  "@context": {
+        |    "ex": "http://ex.org/",
+        |    "steps": {"@id": "ex:steps", "@container": "@list"},
+        |    "tags": {"@id": "ex:tags", "@container": "@set"},
+        |    "label": {"@id": "ex:label", "@container": "@language"},
+        |    "byRegion": {"@id": "ex:site", "@container": ["@index", "@set"], "@type": "@id"}
+        |  },
+        |  "@id": "urn:doc",
+        |  "steps": ["s1", "s2"],
+        |  "tags": ["t1", "t2"],
+        |  "label": {"en": "Cat", "de": ["Katze", "Kater"], "@none": "cat"},
+        |  "byRegion": {"eu": "urn:site:eu", "us": ["urn:site:us1", "urn:site:us2"]}
+        |}""".stripMargin)
+    val quads = QuadsIO.read(spark, f.toString)
+    // @container @list: the plain array became one rdf:first/rest chain
+    val steps = collect(quads.sparql(
+      s"""SELECT ?v { <urn:doc> <http://ex.org/steps>/<${RDF.rest}>*/<${RDF.first}> ?v }"""))
+    steps.map(_("v")).toSet shouldBe Set(str("s1"), str("s2"))
+    val got = collect(quads.sparql("SELECT ?s ?p ?o { ?s ?p ?o }"))
+      .map(b => (b("s"), b("p"), b("o")))
+    // @container @set: plain repeated triples, no chain
+    got should contain((iri("urn:doc"), iri("http://ex.org/tags"), str("t1")))
+    got should contain((iri("urn:doc"), iri("http://ex.org/tags"), str("t2")))
+    // @container @language: map keys become language tags; @none is plain
+    got should contain((iri("urn:doc"), iri("http://ex.org/label"), Lit("Cat", lang = "en")))
+    got should contain((iri("urn:doc"), iri("http://ex.org/label"), Lit("Katze", lang = "de")))
+    got should contain((iri("urn:doc"), iri("http://ex.org/label"), Lit("Kater", lang = "de")))
+    got should contain((iri("urn:doc"), iri("http://ex.org/label"), str("cat")))
+    // @container @index: index keys dropped, values keep the @id coercion
+    got should contain((iri("urn:doc"), iri("http://ex.org/site"), iri("urn:site:eu")))
+    got should contain((iri("urn:doc"), iri("http://ex.org/site"), iri("urn:site:us1")))
+    got should contain((iri("urn:doc"), iri("http://ex.org/site"), iri("urn:site:us2")))
+    // no triple mentions an index key
+    got.map(_._3) should not contain str("eu")
+  }
+
+  it should "reject unsupported @container maps loudly" in {
+    val tmp = Files.createTempDirectory("graft-jsonld8")
+    val f = tmp.resolve("idmap.jsonld")
+    Files.writeString(f,
+      """{ "@context": { "m": {"@id": "urn:p:m", "@container": "@id"} },
+        |  "@id": "urn:a", "m": { "urn:x": {"urn:p:v": "1"} } }""".stripMargin)
+    an[IllegalArgumentException] should be thrownBy QuadsIO.read(spark, f.toString)
+  }
+
   it should "reject @reverse loudly" in {
     val tmp = Files.createTempDirectory("graft-jsonld6")
     val f = tmp.resolve("bad.jsonld")
