@@ -69,17 +69,25 @@ object TermMath {
     * Returns null (boxed) on a bad lexical. */
   private def parseDouble(lex: UTF8String): java.lang.Double = {
     val s = lex.toString.trim
-    try java.lang.Double.valueOf(s)
-    catch {
-      case _: NumberFormatException =>
-        s.toLowerCase match {
-          case "inf" | "+inf" | "infinity" | "+infinity" =>
-            java.lang.Double.valueOf(Double.PositiveInfinity)
-          case "-inf" | "-infinity" =>
-            java.lang.Double.valueOf(Double.NegativeInfinity)
-          case "nan" => java.lang.Double.valueOf(Double.NaN)
-          case _ => null
-        }
+    // Java's Double.valueOf also accepts type-suffixed ("1.5f") and hex
+    // ("0x1.8p1") forms that Spark's string→double cast and xsd:double
+    // both reject — route those to the special-literal fallback instead.
+    val javaOnly = s.nonEmpty && {
+      val last = s.charAt(s.length - 1)
+      last == 'f' || last == 'F' || last == 'd' || last == 'D' ||
+        s.indexOf('x') >= 0 || s.indexOf('X') >= 0
+    }
+    if (!javaOnly) {
+      try return java.lang.Double.valueOf(s)
+      catch { case _: NumberFormatException => () }
+    }
+    s.toLowerCase match {
+      case "inf" | "+inf" | "infinity" | "+infinity" =>
+        java.lang.Double.valueOf(Double.PositiveInfinity)
+      case "-inf" | "-infinity" =>
+        java.lang.Double.valueOf(Double.NegativeInfinity)
+      case "nan" => java.lang.Double.valueOf(Double.NaN)
+      case _ => null
     }
   }
 

@@ -120,6 +120,8 @@ object VectorExprs {
     * broadcast once per task, not per row. */
   case class RhpSignature(child: Expression, planes: Array[Array[Double]])
       extends UnaryExpression {
+    require(planes.length <= 64,
+      s"RHP signature is a 64-bit word: at most 64 planes, got ${planes.length}")
     override def dataType: DataType = LongType
     private lazy val et = elemType(child)
     private val numPlanes = planes.length

@@ -217,6 +217,8 @@ object Dedup {
   // ----- embedding-space near-dup -----
   /** Deterministic pseudo-random hyperplanes (seeded). */
   private[pipeline] def hyperplanes(numPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    require(numPlanes <= 64,
+      s"RHP signature is a 64-bit word: at most 64 planes, got $numPlanes")
     val rnd = new scala.util.Random(7)
     (1 to numPlanes).map(_ => Seq.fill(dim)(rnd.nextGaussian()))
   }

@@ -26,4 +26,12 @@ private[pipeline] object IndexMeta {
   def fields(json: String): Map[String, String] =
     """"(\w+)":"?([^",}\[]+)"?""".r.findAllMatchIn(json)
       .map(m => m.group(1) -> m.group(2)).toMap
+
+  /** The sidecar is written by interpolation and read by regex — both
+    * assume identifier-shaped column names. Enforce that at build time
+    * so a quote/comma/brace in a name fails loudly instead of writing a
+    * sidecar that mis-parses on read. */
+  def requireSimpleCol(name: String): Unit =
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"index column names must match [A-Za-z0-9_]+ (sidecar format), got '$name'")
 }

@@ -87,6 +87,7 @@ object Ivf {
     * by cid, with the centroid matrix in a sidecar. */
   def buildIndex(df: DataFrame, idCol: String, embCol: String, path: String,
                  k: Int, iters: Int = 5): Unit = {
+    IndexMeta.requireSimpleCol(idCol); IndexMeta.requireSimpleCol(embCol)
     val centroids = trainCentroids(df, embCol, k, iters)
     df.select(col(idCol), col(embCol),
       VectorExprs.nearestCentroid(col(embCol), centroids).as("cid"))

@@ -33,6 +33,8 @@ object Similarity {
 
   /** Driver-side signature of a literal query vector. */
   def signatureOf(query: Seq[Double], numPlanes: Int): Long = {
+    require(numPlanes <= 64,
+      s"RHP signature is a 64-bit word: at most 64 planes, got $numPlanes")
     val planes = hyperplanes(numPlanes, query.size)
     planes.zipWithIndex.map { case (p, i) =>
       if (p.zip(query).map { case (a, b) => a * b }.sum > 0) 1L << i else 0L
@@ -78,6 +80,7 @@ object Similarity {
     * numPlanes/dim so queries can't probe with mismatched planes. */
   def buildIndex(df: DataFrame, idCol: String, embCol: String,
                  path: String, dim: Int, numPlanes: Int = 10): Unit = {
+    IndexMeta.requireSimpleCol(idCol); IndexMeta.requireSimpleCol(embCol)
     df.select(col(idCol), col(embCol),
       signature(col(embCol), numPlanes, dim).as("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)

@@ -273,6 +273,14 @@ object JsonLdParser {
 
     doc match {
       case o: JObj if o.get("@graph").isDefined && o.get("@id").isEmpty =>
+        // a pure graph wrapper carries only @context/@graph; other
+        // properties would expand to blank-node-subject triples this
+        // parser does not produce — fail loudly rather than drop them
+        val extra = o.fields.collect {
+          case (k, _) if k != "@context" && k != "@graph" => k
+        }
+        if (extra.nonEmpty) throw new IllegalArgumentException(
+          s"top-level @graph wrapper with extra properties ${extra.mkString(", ")} not supported")
         val ctx = o.get("@context").map(parseContext(emptyCtx, _)).getOrElse(emptyCtx)
         asArray(o.get("@graph").get).foreach {
           case n: JObj => processNode(ctx, n, None)

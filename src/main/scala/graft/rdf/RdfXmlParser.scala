@@ -182,6 +182,9 @@ object RdfXmlParser {
               case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
                 text.append(r.getText)
               case XMLStreamConstants.START_ELEMENT =>
+                if (obj.isDefined) throw new IllegalArgumentException(
+                  "property element contains more than one nested node element " +
+                    "(only rdf:parseType=\"Collection\" may hold several)")
                 obj = Some(parseNode(base, lang))
               case XMLStreamConstants.END_ELEMENT => done = true
               case _ => ()

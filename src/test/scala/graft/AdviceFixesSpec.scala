@@ -1,0 +1,79 @@
+package graft
+
+import graft.io.QuadsIO
+import graft.pipeline.{Dedup, Similarity}
+import graft.rdf._
+import graft.sparql.Sparql._
+import org.apache.spark.sql.functions.col
+
+/** Regressions for the round-3 advice items: Java-only double lexicals,
+  * RHP plane-count bound, sidecar column-name validation, JSON-LD graph
+  * wrappers with extra properties, multi-node RDF/XML property elements. */
+class AdviceFixesSpec extends SparqlSpecBase {
+  private val E = "urn:af:"
+  private val P = s"PREFIX : <$E>\n"
+
+  "Java-only double lexicals" should "be errors, not numbers" in {
+    // Double.valueOf accepts "1.5f" and "0x1.8p1"; xsd:double and
+    // Spark's cast reject both → arithmetic must error → unbound
+    val data = QuadsIO.fromQuads(spark, Seq(
+      Quad(Iri(E + "a"), Iri(E + "p"), Lit("1.5f", XSD.double), None),
+      Quad(Iri(E + "b"), Iri(E + "p"), Lit("0x1.8p1", XSD.double), None),
+      Quad(Iri(E + "c"), Iri(E + "p"), Lit("1.5e0", XSD.double), None)))
+    val rows = collect(data.sparql(P +
+      "SELECT ?s ?y { ?s :p ?x BIND(?x + 1 AS ?y) }"))
+    rows should have size 3
+    rows.filter(_.contains("y")).map(_("s")) shouldBe Seq(iri(E + "c"))
+    // comparison filters must likewise drop the malformed rows
+    collect(data.sparql(P + "SELECT ?s { ?s :p ?x FILTER(?x > 0) }"))
+      .map(_("s")) shouldBe Seq(iri(E + "c"))
+  }
+
+  "RHP signatures" should "reject more than 64 planes" in {
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.rhpSignature(col("emb"), numPlanes = 65, dim = 4)
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.signatureOf(Seq(1.0, 0.0), numPlanes = 65)
+  }
+
+  "index builds" should "reject column names the sidecar cannot round-trip" in {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Seq(1.0f, 0.0f))).toDF("id", "em\"b")
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.buildIndex(df, "id", "em\"b",
+        java.nio.file.Files.createTempDirectory("annbad").toString, dim = 2)
+    an[IllegalArgumentException] should be thrownBy
+      graft.pipeline.Ivf.buildIndex(df.withColumnRenamed("em\"b", "emb,x"),
+        "id", "emb,x",
+        java.nio.file.Files.createTempDirectory("ivfbad").toString, k = 1)
+  }
+
+  "a top-level @graph wrapper with extra properties" should "fail loudly" in {
+    val doc =
+      """{"@graph":[{"@id":"http://x/s","http://x/p":"v"}],
+        |"http://x/q":"dropped?"}""".stripMargin
+    an[IllegalArgumentException] should be thrownBy JsonLdParser.parse(doc)
+    // the pure wrapper (only @context/@graph) still parses
+    JsonLdParser.parse(
+      """{"@context":{},"@graph":[{"@id":"http://x/s","http://x/p":"v"}]}"""
+    ) should have size 1
+  }
+
+  "an RDF/XML property element with two nested nodes" should "fail loudly" in {
+    val doc =
+      """<?xml version="1.0"?>
+        |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:ex="http://x/">
+        |  <rdf:Description rdf:about="http://x/s">
+        |    <ex:p>
+        |      <rdf:Description rdf:about="http://x/o1"/>
+        |      <rdf:Description rdf:about="http://x/o2"/>
+        |    </ex:p>
+        |  </rdf:Description>
+        |</rdf:RDF>""".stripMargin
+    the[IllegalArgumentException] thrownBy RdfXmlParser.parse(doc) should
+      have message "property element contains more than one nested node element " +
+        "(only rdf:parseType=\"Collection\" may hold several)"
+  }
+}
