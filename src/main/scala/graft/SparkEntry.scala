@@ -354,6 +354,24 @@ object SparkEntry {
           col("doc_id"))
       graft.pipeline.Dedup.exact(docs, "fp", "doc_id")
     },
+    "q_dedup_cluster" -> { (s, d) =>
+      // connected-components dedup clustering: chain pairs (consecutive
+      // ids within an exact-dup group) force the components to walk a
+      // transitive chain, so min-propagation is genuinely exercised;
+      // the oracle recomputes the same clusters as a window min over
+      // the fingerprint groups
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        graft.pipeline.TextAnalysis.fingerprint(col("text")).as("fp"))
+      val w = Window.partitionBy("fp").orderBy("doc_id")
+      val pairs = docs.withColumn("nxt", lead("doc_id", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("doc_id").as("idA"), col("nxt").as("idB"))
+      graft.pipeline.Clustering.assignComponents(
+        docs.select("doc_id"), "doc_id", pairs)
+        .select(col("doc_id").cast("bigint").as("doc_id"),
+          col("component").cast("bigint").as("cluster"))
+    },
     "q_dedup_minhash" -> { (s, d) => // rows-only: LSH candidates not SQL-expressible
       graft.pipeline.Dedup.minHashCandidates(
         t(s, d, "documents"), "doc_id", "text", threshold = 0.3)
@@ -625,6 +643,12 @@ object SparkEntry {
         |           PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
         |           ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn = 1""".stripMargin,
+    "q_dedup_cluster" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(min(doc_id) OVER (
+        |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |  ) AS BIGINT) AS cluster
+        |FROM documents""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')) AS BIGINT) AS ntok,

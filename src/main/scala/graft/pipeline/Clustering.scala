@@ -1,0 +1,141 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Connected components over candidate-pair edge lists — the step that
+  * turns pairwise near-duplicate hits (MinHash / SimHash / embedding
+  * LSH output) into whole duplicate CLUSTERS with one canonical
+  * representative each. Pairs alone under-delete: A~B and B~C often
+  * arrive without A~C (LSH recall, chained edits), so dedup must drop
+  * the transitive closure of the pair graph, not just pair members.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+  * published MapReduce-native CC algorithm:
+  *
+  *  - large-star(u): with m = min(Γ(u) ∪ {u}), emit (v, m) for every
+  *    neighbor v > u;
+  *  - small-star(u) on (big → small) directed edges: with m = min of
+  *    the smaller neighborhood, re-point u and all its smaller
+  *    neighbors at m.
+  *
+  * Each operation is ONE hash shuffle (a window min over the node key —
+  * no join) and strictly decreases a monotone potential; the paper
+  * proves O(log² n) rounds to convergence regardless of graph shape, so
+  * a 100 TB pair set with billion-node chains converges in tens of
+  * rounds, each linear in |E|. High-degree nodes are what the LARGE
+  * star is for: a hub's edges re-point to its minimum in one round,
+  * so skew never concentrates on one reducer beyond its own adjacency.
+  * Every round re-materializes the frontier as a fresh checkpointed
+  * leaf (same discipline as the SPARQL transitive closure) — lineage
+  * stays O(1) and exprId reuse across self-unions cannot trip Catalyst.
+  *
+  * Determinism: pure min-propagation — no randomness; the component id
+  * is always the component's minimum node id.
+  */
+object Clustering {
+
+  /** Connected components of the undirected graph given by two-column
+    * `pairs` (any orderable, non-null node type; self-loops ignored).
+    * Returns (`id`, `component`) for every node APPEARING IN `pairs`,
+    * where `component` is the smallest node id in its component.
+    * Callers dedup against a full table by treating absent nodes as
+    * their own singleton component (see [[assignComponents]]). */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    require(pairs.columns.length == 2,
+      s"pairs must have exactly two columns, got ${pairs.columns.length}")
+    val Array(a, b) = pairs.columns
+
+    // fresh checkpointed leaf: truncates lineage AND guards the
+    // iterated-self-union exprId hazard (see memory: Catalyst Union
+    // constraint rewrite with reused exprIds)
+    def leaf(df: DataFrame): DataFrame = {
+      val plan = df.localCheckpoint(true)
+      spark.createDataFrame(plan.rdd, df.schema)
+    }
+
+    def withMin(df: DataFrame, key: String): DataFrame =
+      df.withColumn("m",
+        least(min(col("v")).over(Window.partitionBy(col(key))), col(key)))
+
+    // large-star over the symmetric edge set: (v, m) for neighbors v > u
+    def largeStar(edges: DataFrame): DataFrame = {
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      withMin(sym, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+    }
+
+    // small-star over (big → small) edges: re-point u and its smaller
+    // neighbors at the neighborhood minimum
+    def smallStar(edges: DataFrame): DataFrame = {
+      val directed = edges.select(
+        greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val m = withMin(directed, "u")
+      m.select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v")).distinct())
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var edges = leaf(pairs
+      .select(col(a).as("u"), col(b).as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull)
+      .filter(col("u") =!= col("v"))
+      .distinct())
+
+    // convergence = canonical edge set unchanged; one aggregate action
+    // per round (count + order-insensitive hash XORs — never sum, which
+    // overflows under ANSI), never a full set-difference over the edges
+    def fingerprint(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        call_function("bit_xor", xxhash64(col("u"))),
+        call_function("bit_xor", xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+
+    var prev = fingerprint(edges)
+    var round = 0
+    var converged = prev._1 == 0L
+    while (!converged && round < maxRounds) {
+      edges = leaf(smallStar(largeStar(edges)))
+      val cur = fingerprint(edges)
+      converged = cur == prev
+      prev = cur
+      round += 1
+    }
+    require(converged, s"connected components did not converge in $maxRounds rounds")
+
+    // converged edge set is a forest of stars (node → component min)
+    edges.select(col("u").as("id"), col("v").as("component"))
+      .union(edges.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
+  }
+
+  /** Attach a `component` column to `df`: the connected component of
+    * `idCol` under the `pairs` graph, or the row's own id for nodes in
+    * no pair (singleton clusters). One broadcast-or-hash left join. */
+  def assignComponents(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs)
+      .withColumnRenamed("id", "__cc_id")
+    df.join(comps, df(idCol) === col("__cc_id"), "left")
+      .withColumn("component", coalesce(col("component"), df(idCol)))
+      .drop("__cc_id")
+  }
+
+  /** End-to-end near-duplicate clustering: MinHash-LSH candidate pairs
+    * → connected components → one surviving row per cluster (smallest
+    * id), i.e. the transitive version of [[Dedup.exact]] for near-dups. */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 64, bands: Int = 16,
+                      shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val pairs = Dedup.minHashCandidates(df, idCol, textCol, numHashes, bands,
+      shingleK, threshold).select("idA", "idB")
+    assignComponents(df, idCol, pairs)
+  }
+}

@@ -86,11 +86,16 @@ object Ivf {
   /** Build a persisted IVF index at `path`: (id, emb, cid) partitioned
     * by cid, with the centroid matrix in a sidecar. */
   def buildIndex(df: DataFrame, idCol: String, embCol: String, path: String,
-                 k: Int, iters: Int = 5): Unit = {
+                 k: Int, iters: Int = 5, filesPerPartition: Int = 1): Unit = {
     IndexMeta.requireSimpleCol(idCol); IndexMeta.requireSimpleCol(embCol)
     val centroids = trainCentroids(df, embCol, k, iters)
+    // cluster rows by cid (plus a bounded salt for huge partitions)
+    // before the partitioned write — otherwise every shuffle task
+    // writes a sliver of every cid directory (tasks × k tiny files)
     df.select(col(idCol), col(embCol),
       VectorExprs.nearestCentroid(col(embCol), centroids).as("cid"))
+      .repartition(col("cid"),
+        pmod(xxhash64(col(idCol)), lit(math.max(1, filesPerPartition))))
       .write.mode("overwrite").partitionBy("cid").parquet(path)
     val meta =
       s"""{"idCol":"$idCol","embCol":"$embCol","k":${centroids.size},"centroids":[${

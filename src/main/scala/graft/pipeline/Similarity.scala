@@ -79,10 +79,17 @@ object Similarity {
     * signature), partitioned by bucket, plus a sidecar recording
     * numPlanes/dim so queries can't probe with mismatched planes. */
   def buildIndex(df: DataFrame, idCol: String, embCol: String,
-                 path: String, dim: Int, numPlanes: Int = 10): Unit = {
+                 path: String, dim: Int, numPlanes: Int = 10,
+                 filesPerBucket: Int = 1): Unit = {
     IndexMeta.requireSimpleCol(idCol); IndexMeta.requireSimpleCol(embCol)
+    // cluster rows by bucket (plus a bounded salt for huge buckets)
+    // before the partitioned write — otherwise every shuffle task
+    // writes a sliver of every bucket directory: tasks × 2^numPlanes
+    // tiny files, the classic partitioned-write small-file storm
     df.select(col(idCol), col(embCol),
       signature(col(embCol), numPlanes, dim).as("bucket"))
+      .repartition(col("bucket"),
+        pmod(xxhash64(col(idCol)), lit(math.max(1, filesPerBucket))))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     val meta = s"""{"numPlanes":$numPlanes,"dim":$dim,"idCol":"$idCol","embCol":"$embCol"}"""
     IndexMeta.write(df.sparkSession, metaPath(path), meta)
