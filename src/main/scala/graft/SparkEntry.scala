@@ -82,6 +82,17 @@ object SparkEntry {
           |  OPTIONAL { ?r :rname ?rname } }""".stripMargin),
         "nname" -> "string", "rname" -> "string")
     },
+    "q_service" -> { (s, d) =>
+      // federated query: the geo dataset is a separately-registered
+      // quads DataFrame ("endpoint"); SERVICE joins across datasets
+      // without materializing their union
+      graft.sparql.Sparql.registerService("urn:svc:geo", nationRegion(s, d))
+      out(cust(s, d).sparql(prologue +
+        """SELECT ?cname ?nname
+          |{ ?c :cname ?cname . ?c :inNation ?n .
+          |  SERVICE <urn:svc:geo> { ?n :nname ?nname } }""".stripMargin),
+        "cname" -> "string", "nname" -> "string")
+    },
     "q_update" -> { (s, d) =>
       // SPARQL Update as a transform: rewrite a predicate in place,
       // result flattened to lexicals for the oracle compare
@@ -487,6 +498,9 @@ object SparkEntry {
         |            ELSE 'video' END AS kind,
         |       CAST(8 AS INTEGER) AS dim
         |FROM documents""".stripMargin,
+    "q_service" ->
+      """SELECT c_name AS cname, n_name AS nname
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
     "q_update" ->
       """SELECT 'urn:n:'||n_nationkey::VARCHAR AS s, 'urn:p:inRegion' AS p,
         |       'urn:r:'||n_regionkey::VARCHAR AS o FROM nation

@@ -76,7 +76,7 @@ object Clustering {
         greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       val m = withMin(directed, "u")
       m.select(col("v").as("u"), col("m").as("v"))
-        .union(m.select(col("u"), col("m").as("v")).distinct())
+        .union(m.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
     }

@@ -75,6 +75,14 @@ object Algebra {
   final case class Order(child: Op, keys: List[(Expr, Boolean)]) extends Op
   final case class Slice(child: Op, offset: Long, limit: Option[Long]) extends Op
 
+  /** SPARQL 1.1 federated query: evaluate `child` against the dataset
+    * registered under the constant `endpoint` IRI ([[Sparql.registerService]])
+    * — the Spark-native reading of federation, where an "endpoint" is
+    * another quads DataFrame (a different table, bucket or source).
+    * With `silent`, an unregistered endpoint degrades to a single empty
+    * solution instead of an error (spec §2.2: SERVICE SILENT failure). */
+  final case class Service(endpoint: Term, child: Op, silent: Boolean) extends Op
+
   /** Zero hops: both ends bind to the same graph node (SURVEY.md §2.8). */
   final case class ZeroLengthPath(s: VarOrTerm, o: VarOrTerm,
                                   g: GraphSpec) extends Op
@@ -105,6 +113,7 @@ object Algebra {
     case Group(_, keys, aggs) => keys.toSet ++ aggs.map(_._1)
     case Order(c, _) => vars(c)
     case Slice(c, _, _) => vars(c)
+    case Service(_, c, _) => vars(c)
     case ZeroLengthPath(s, o, g) =>
       Set(s, o).collect { case V(n) => n } ++
         (g match { case GraphVar(n) => Set(n); case _ => Set.empty[String] })
@@ -135,6 +144,9 @@ object Algebra {
       keys.toSet intersect assuredVars(c)
     case Order(c, _) => assuredVars(c)
     case Slice(c, _, _) => assuredVars(c)
+    // SILENT failure yields one empty solution → nothing is assured
+    case Service(_, c, silent) =>
+      if (silent) Set.empty else assuredVars(c)
   }
 
   /** Like [[vars]] but in first-appearance order (SELECT * ordering). */
@@ -158,6 +170,7 @@ object Algebra {
       case Group(_, keys, aggs) => seen ++= keys; seen ++= aggs.map(_._1)
       case Order(c, _) => walk(c)
       case Slice(c, _, _) => walk(c)
+      case Service(_, c, _) => walk(c)
       case ZeroLengthPath(s, o2, gs) => pos(s); pos(o2); g(gs)
       case ArbitraryLengthPath(s, o2, _, _, _, _, gs) => pos(s); pos(o2); g(gs)
     }

@@ -32,6 +32,7 @@ object BgpOptimizer {
     case Group(c, k, a) => Group(optimize(c), k, a)
     case Order(c, k) => Order(optimize(c), k)
     case Slice(c, o, l) => Slice(optimize(c), o, l)
+    case Service(e, c, s) => Service(e, optimize(c), s)
     case alp: ArbitraryLengthPath => alp.copy(edge = optimize(alp.edge))
     case leaf => leaf
   }

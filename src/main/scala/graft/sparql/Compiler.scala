@@ -308,6 +308,18 @@ final class Compiler(quads: DataFrame) {
 
     case ZeroLengthPath(s, o, g) => compileZeroLength(s, o, g)
 
+    case Service(endpoint, child, silent) =>
+      Sparql.serviceFor(endpoint.lex) match {
+        // the service pattern compiles against the REGISTERED dataset —
+        // a fresh Compiler, so nested SERVICE/EXISTS inside it resolve
+        // against that dataset (and the registry) too
+        case Some(remote) => new Compiler(remote).compile(child)
+        case None if silent => spark.range(1).select() // one empty solution
+        case None => throw new IllegalArgumentException(
+          s"no dataset registered for SERVICE <${endpoint}> " +
+            "(use Sparql.registerService, or SERVICE SILENT to tolerate)")
+      }
+
     case alp: ArbitraryLengthPath => compileALP(alp)
   }
 

@@ -18,6 +18,24 @@ import org.apache.spark.sql.DataFrame
   */
 object Sparql {
 
+  // ----- SERVICE endpoint registry (SPARQL 1.1 federated query) -----
+  // The Spark-native reading of federation: an "endpoint" is another
+  // quads DataFrame — a different table, bucket, or source — registered
+  // under a constant IRI. SERVICE <iri> { … } then evaluates its
+  // pattern against that dataset and joins the solutions, letting one
+  // query span datasets without materializing their union.
+  private val services =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Register `quads` as the dataset behind `SERVICE <endpoint>`. */
+  def registerService(endpoint: String, quads: DataFrame): Unit =
+    services.put(endpoint, quads)
+
+  def unregisterService(endpoint: String): Unit = services.remove(endpoint)
+
+  private[sparql] def serviceFor(endpoint: String): Option[DataFrame] =
+    Option(services.get(endpoint))
+
   /** Serialize a term into SPARQL surface syntax (for pre-binding). */
   def serialize(t: Term): String = t match {
     case Iri(v) => s"<$v>"

@@ -531,6 +531,24 @@ final class SparqlParser(input: String) {
         val (inner, innerFilters) = parseGroupPattern()
         graphCtx = saved
         join(applyFilters(inner, innerFilters))
+      } else if (tryKw("SERVICE")) {
+        skipWs()
+        val silent = tryKw("SILENT")
+        skipWs()
+        if (peek == '?' || peek == '$')
+          err("SERVICE with a variable endpoint is not supported " +
+            "(register datasets under constant IRIs via Sparql.registerService)")
+        val endpoint = parseTermOrVar() match {
+          case T(t: graft.rdf.Iri) => t
+          case other => err(s"SERVICE endpoint must be an IRI, got $other")
+        }
+        // the service pattern runs against the REMOTE dataset's default
+        // graph — an enclosing GRAPH context does not leak in (§2.1)
+        val saved = graphCtx
+        graphCtx = DefaultGraph
+        val (inner, innerFilters) = parseGroupPattern()
+        graphCtx = saved
+        join(Service(endpoint, applyFilters(inner, innerFilters), silent))
       } else if (tryKw("BIND")) {
         expect('(')
         val e = parseExpr()

@@ -66,6 +66,10 @@ object StreamingOps {
       case Algebra.Filter(c, cond) => validateExpr(cond); validate(c)
       case Algebra.Extend(c, _, e) => validateExpr(e); validate(c)
       case Algebra.Project(c, _) => validate(c)
+      // the service side is a registered (static) dataset → the join is
+      // stream-static, which Spark executes incrementally; the child is
+      // conservatively held to the same subset
+      case Algebra.Service(_, c, _) => validate(c)
       case other => throw new IllegalArgumentException(
         s"operator ${other.getClass.getSimpleName} is not streamable " +
           "(stateless subset: BGP/FILTER/BIND/VALUES/UNION/projection)")

@@ -1,0 +1,80 @@
+package graft
+
+import graft.io.QuadsIO
+import graft.rdf._
+import graft.sparql.Sparql
+import graft.sparql.Sparql._
+
+/** SPARQL 1.1 federated query over registered datasets: SERVICE joins,
+  * SILENT degradation, graph-context isolation, endpoint validation. */
+class ServiceSpec extends SparqlSpecBase {
+  private val E = "urn:sv:"
+  private val P = s"PREFIX : <$E>\n"
+
+  private lazy val people = QuadsIO.fromQuads(spark, Seq(
+    Quad(Iri(E + "alice"), Iri(E + "worksAt"), Iri(E + "acme"), None),
+    Quad(Iri(E + "bob"), Iri(E + "worksAt"), Iri(E + "globex"), None),
+    Quad(Iri(E + "carol"), Iri(E + "worksAt"), Iri(E + "initech"), None)))
+
+  private lazy val companies = QuadsIO.fromQuads(spark, Seq(
+    Quad(Iri(E + "acme"), Iri(E + "city"), Lit("Springfield"), None),
+    Quad(Iri(E + "globex"), Iri(E + "city"), Lit("Cypress Creek"), None),
+    // a quad in a NAMED graph of the remote dataset — must NOT be
+    // visible to a SERVICE pattern (which sees the remote default graph)
+    Quad(Iri(E + "initech"), Iri(E + "city"), Lit("Austin"), Some(Iri(E + "g")))))
+
+  private def withEndpoints[A](body: => A): A = {
+    Sparql.registerService(E + "companies", companies)
+    try body finally Sparql.unregisterService(E + "companies")
+  }
+
+  "SERVICE" should "join the service solutions with the local pattern" in
+    withEndpoints {
+      val rows = collect(people.sparql(P +
+        """SELECT ?p ?city
+          |{ ?p :worksAt ?co . SERVICE <urn:sv:companies> { ?co :city ?city } }""".stripMargin))
+      rows.map(r => (r("p"), r("city"))).toSet shouldBe Set(
+        (iri(E + "alice"), str("Springfield")),
+        (iri(E + "bob"), str("Cypress Creek")))
+    }
+
+  it should "see the remote default graph, not an enclosing GRAPH context" in
+    withEndpoints {
+      // initech's city quad lives in a named graph remotely → invisible
+      val local = people.sparql(P +
+        """SELECT ?co ?city
+          |{ SERVICE <urn:sv:companies> { ?co :city ?city } }""".stripMargin)
+      collect(local).map(_("co")).toSet shouldBe
+        Set(iri(E + "acme"), iri(E + "globex"))
+    }
+
+  it should "fail loudly for an unregistered endpoint" in {
+    an[IllegalArgumentException] should be thrownBy collect(people.sparql(P +
+      "SELECT ?s { SERVICE <urn:sv:nowhere> { ?s ?p ?o } }"))
+  }
+
+  "SERVICE SILENT" should "degrade to one empty solution on failure" in {
+    val rows = collect(people.sparql(P +
+      """SELECT ?p ?city
+        |{ ?p :worksAt ?co . SERVICE SILENT <urn:sv:nowhere> { ?co :city ?city } }""".stripMargin))
+    // the empty solution joins compatibly with every local row
+    rows should have size 3
+    rows.foreach(r => r.contains("city") shouldBe false)
+  }
+
+  "a variable endpoint" should "be rejected at parse time" in {
+    an[IllegalArgumentException] should be thrownBy people.sparql(P +
+      "SELECT ?s { ?s :endpoint ?e . SERVICE ?e { ?s ?p ?o } }")
+  }
+
+  "OPTIONAL SERVICE" should "leave non-matching rows unbound" in
+    withEndpoints {
+      val rows = collect(people.sparql(P +
+        """SELECT ?p ?city
+          |{ ?p :worksAt ?co
+          |  OPTIONAL { SERVICE <urn:sv:companies> { ?co :city ?city } } }""".stripMargin))
+      rows should have size 3
+      rows.collect { case r if !r.contains("city") => r("p") } shouldBe
+        Seq(iri(E + "carol"))
+    }
+}
