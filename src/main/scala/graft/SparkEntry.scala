@@ -305,6 +305,17 @@ object SparkEntry {
           |GROUP BY ?g""".stripMargin),
         "g" -> "string", "n" -> "bigint")
     },
+    "q_dataset" -> { (s, d) =>
+      // FROM promotes the customer graph to the default graph; FROM
+      // NAMED keeps only the nation graph addressable by GRAPH
+      out(TpchQuads.graphQuads(s, d).sparql(prologue +
+        """SELECT ?cname ?nname
+          |FROM <urn:graph:customer>
+          |FROM NAMED <urn:graph:nation>
+          |{ ?c :cname ?cname . ?c :inNation ?n .
+          |  GRAPH <urn:graph:nation> { ?n :nname ?nname } }""".stripMargin),
+        "cname" -> "string", "nname" -> "string")
+    },
     "q_part_agg" -> { (s, d) =>
       out(TpchQuads.part(s, d).sparql(prologue +
         """SELECT ?brand (COUNT(?p2) AS ?n) (AVG(?rp) AS ?avg_price) (MAX(?sz) AS ?max_size)
@@ -618,6 +629,9 @@ object SparkEntry {
         |    FROM customer JOIN nation ON c_nationkey = n_nationkey
         |)""".stripMargin,
     "q_graph_const" -> "SELECT c_name AS cname FROM customer",
+    "q_dataset" ->
+      """SELECT c_name AS cname, n_name AS nname
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
     "q_subquery" ->
       """SELECT c_name AS cname, c_acctbal AS bal FROM customer
         |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)""".stripMargin,

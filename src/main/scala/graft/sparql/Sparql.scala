@@ -61,20 +61,47 @@ object Sparql {
     query.substring(0, idx + 1) + binds + query.substring(idx + 1)
   }
 
+  /** Construct the query dataset per SPARQL 1.1 §13.2: `FROM` graphs
+    * merge into the default graph (their g column nulled), `FROM
+    * NAMED` graphs stay addressable by GRAPH; everything else — the
+    * original default graph included — drops out. Pure filters on the
+    * one quads scan, so Catalyst pushes the graph selection into the
+    * source. Bag semantics throughout (the documented source-duplicate
+    * contract): a triple present in two FROM graphs appears twice in
+    * the merged default graph. */
+  def applyDataset(quads: DataFrame,
+                   ds: SparqlParser.DatasetSpec): DataFrame =
+    if (ds.isEmpty) quads
+    else {
+      import org.apache.spark.sql.functions._
+      def graphs(sel: Seq[Term]) =
+        quads.filter(col("g").isNotNull &&
+          col("g").getField("lex").isin(sel.map(_.lex): _*))
+      val default =
+        if (ds.from.isEmpty) None
+        else Some(graphs(ds.from).withColumn("g",
+          lit(null).cast(graft.rdf.TermSchema.termType)))
+      val named =
+        if (ds.fromNamed.isEmpty) None else Some(graphs(ds.fromNamed))
+      (default ++ named).reduceOption(_ union _).getOrElse(quads.limit(0))
+    }
+
   implicit class QuadsOps(private val quads: DataFrame) extends AnyVal {
     /** Execute a SPARQL 1.1 query over this quads DataFrame.
       * SELECT → one term-struct column per variable; ASK → single
       * boolean `ask` row; CONSTRUCT/DESCRIBE → a quads DataFrame
       * (s,p,o,g). */
     def sparql(query: String): DataFrame = SparqlParser.parseAny(query) match {
-      case SparqlParser.SelectQuery(op) =>
-        Compiler.run(quads, BgpOptimizer.optimize(op))
-      case SparqlParser.AskQuery(op) =>
-        Compiler.runAsk(quads, BgpOptimizer.optimize(op))
-      case SparqlParser.ConstructQuery(template, op) =>
-        Compiler.runConstruct(quads, template, BgpOptimizer.optimize(op))
-      case SparqlParser.DescribeQuery(targets, star, op) =>
-        Compiler.runDescribe(quads, targets, star, op.map(BgpOptimizer.optimize))
+      case SparqlParser.SelectQuery(op, ds) =>
+        Compiler.run(applyDataset(quads, ds), BgpOptimizer.optimize(op))
+      case SparqlParser.AskQuery(op, ds) =>
+        Compiler.runAsk(applyDataset(quads, ds), BgpOptimizer.optimize(op))
+      case SparqlParser.ConstructQuery(template, op, ds) =>
+        Compiler.runConstruct(applyDataset(quads, ds), template,
+          BgpOptimizer.optimize(op))
+      case SparqlParser.DescribeQuery(targets, star, op, ds) =>
+        Compiler.runDescribe(applyDataset(quads, ds), targets, star,
+          op.map(BgpOptimizer.optimize))
     }
 
     /** Execute with pre-bound variables (textual substitution). */

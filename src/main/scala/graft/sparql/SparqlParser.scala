@@ -76,8 +76,29 @@ final class SparqlParser(input: String) {
 
   // ---------- entry ----------
   def parseQuery(): Op = parseAnyQuery() match {
-    case SparqlParser.SelectQuery(op) => op
+    case SparqlParser.SelectQuery(op, _) => op
     case other => err(s"expected a SELECT query, got ${other.getClass.getSimpleName}")
+  }
+
+  /** Dataset clauses of the (top-level) query being parsed. */
+  private var datasetSpec: SparqlParser.DatasetSpec = SparqlParser.NoDataset
+
+  private def parseDatasetClauses(): Unit = {
+    val from = mutable.ArrayBuffer.empty[Term]
+    val named = mutable.ArrayBuffer.empty[Term]
+    var go = true
+    while (go) {
+      skipWs()
+      if (tryKw("FROM")) {
+        skipWs()
+        val isNamed = tryKw("NAMED")
+        skipWs()
+        val iri =
+          if (peek == '<') Iri(parseIriRef()) else Iri(parsePrefixedIri())
+        if (isNamed) named += iri else from += iri
+      } else go = false
+    }
+    datasetSpec = SparqlParser.DatasetSpec(from.toList, named.toList)
   }
 
   /** Full query-form entry: SELECT | ASK | CONSTRUCT (the reference is
@@ -86,13 +107,18 @@ final class SparqlParser(input: String) {
   def parseAnyQuery(): SparqlParser.Query = {
     parsePrologue()
     val q: SparqlParser.Query =
-      if (peekKw("SELECT")) SparqlParser.SelectQuery(parseSelect())
+      if (peekKw("SELECT")) {
+        val op = parseSelect()
+        SparqlParser.SelectQuery(op, datasetSpec)
+      }
       else if (tryKw("ASK")) {
+        parseDatasetClauses()
         tryKw("WHERE")
         val (p, fs) = parseGroupPattern()
-        SparqlParser.AskQuery(applyFilters(p, fs))
+        SparqlParser.AskQuery(applyFilters(p, fs), datasetSpec)
       } else if (tryKw("CONSTRUCT")) {
         val template = parseConstructTemplate()
+        parseDatasetClauses()
         tryKw("WHERE") // grammar: WhereClause ::= 'WHERE'? GroupGraphPattern
         val (p, fs) = parseGroupPattern()
         var op = applyFilters(p, fs)
@@ -120,7 +146,7 @@ final class SparqlParser(input: String) {
           else go = false
         }
         if (sawSlice) op = Slice(op, offset, limit)
-        SparqlParser.ConstructQuery(template, op)
+        SparqlParser.ConstructQuery(template, op, datasetSpec)
       } else if (tryKw("DESCRIBE")) {
         skipWs()
         var star = false
@@ -139,6 +165,7 @@ final class SparqlParser(input: String) {
           }
           if (targets.isEmpty) err("DESCRIBE needs resources or *")
         }
+        parseDatasetClauses()
         skipWs()
         val hasWhere = peekKw("WHERE") || (!eof && peek == '{')
         var op: Option[Op] =
@@ -168,7 +195,7 @@ final class SparqlParser(input: String) {
         }
         if ((star || targets.exists(_.isInstanceOf[V])) && op.isEmpty)
           err("DESCRIBE with variables requires a WHERE clause")
-        SparqlParser.DescribeQuery(targets.toList, star, op)
+        SparqlParser.DescribeQuery(targets.toList, star, op, datasetSpec)
       } else err("expected SELECT, ASK, CONSTRUCT or DESCRIBE")
     skipWs()
     if (!eof) err("trailing content after query")
@@ -305,7 +332,7 @@ final class SparqlParser(input: String) {
   private final case class SelectVar(name: String) extends SelectItem
   private final case class SelectExpr(expr: Expr, as: String) extends SelectItem
 
-  private def parseSelect(): Op = {
+  private def parseSelect(sub: Boolean = false): Op = {
     expectKw("SELECT")
     val distinct = tryKw("DISTINCT")
     val reduced = !distinct && tryKw("REDUCED")
@@ -329,6 +356,10 @@ final class SparqlParser(input: String) {
       }
       if (items.isEmpty) err("empty SELECT list")
     }
+    skipWs()
+    if (sub) {
+      if (peekKw("FROM")) err("dataset clauses (FROM) are not allowed in a sub-select")
+    } else parseDatasetClauses()
     tryKw("WHERE")
     val (pattern0, filters) = parseGroupPattern()
     var op = applyFilters(pattern0, filters)
@@ -498,7 +529,7 @@ final class SparqlParser(input: String) {
     expect('{')
     skipWs()
     if (peekKw("SELECT")) { // SubSelect: a full query nested in braces
-      val op = parseSelect()
+      val op = parseSelect(sub = true)
       skipWs()
       expect('}')
       return (op, Nil)
@@ -1147,13 +1178,26 @@ final class SparqlParser(input: String) {
 }
 
 object SparqlParser {
+  /** Dataset clause (SPARQL 1.1 §13.2): `FROM g…` merges the listed
+    * named graphs into the query's default graph; `FROM NAMED h…`
+    * restricts which named graphs GRAPH patterns may address. Empty =
+    * no dataset clause → query the dataset as given. */
+  final case class DatasetSpec(from: List[Term], fromNamed: List[Term]) {
+    def isEmpty: Boolean = from.isEmpty && fromNamed.isEmpty
+  }
+  val NoDataset: DatasetSpec = DatasetSpec(Nil, Nil)
+
   sealed trait Query
-  final case class SelectQuery(op: Op) extends Query
-  final case class AskQuery(op: Op) extends Query
+  final case class SelectQuery(op: Op,
+                               dataset: DatasetSpec = NoDataset) extends Query
+  final case class AskQuery(op: Op,
+                            dataset: DatasetSpec = NoDataset) extends Query
   final case class DescribeQuery(targets: List[VarOrTerm], star: Boolean,
-                                 op: Option[Op]) extends Query
+                                 op: Option[Op],
+                                 dataset: DatasetSpec = NoDataset) extends Query
   final case class ConstructQuery(
-      template: List[(VarOrTerm, VarOrTerm, VarOrTerm)], op: Op) extends Query
+      template: List[(VarOrTerm, VarOrTerm, VarOrTerm)], op: Op,
+      dataset: DatasetSpec = NoDataset) extends Query
 
   // ----- SPARQL 1.1 Update (graph-transform subset) -----
   /** One template/data quad: positions + graph scope. */

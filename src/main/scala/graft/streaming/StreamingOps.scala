@@ -46,8 +46,8 @@ object StreamingOps {
     * batch path runs — one engine, two execution modes. */
   def sparqlStream(quadsStream: DataFrame, query: String): DataFrame = {
     import graft.sparql.{Algebra, BgpOptimizer, Compiler, SparqlParser}
-    val op0 = SparqlParser.parseAny(query) match {
-      case SparqlParser.SelectQuery(op) => op
+    val (op0, dataset) = SparqlParser.parseAny(query) match {
+      case SparqlParser.SelectQuery(op, ds) => (op, ds)
       case other => throw new IllegalArgumentException(
         s"sparqlStream supports SELECT only, got ${other.getClass.getSimpleName}")
     }
@@ -75,7 +75,8 @@ object StreamingOps {
           "(stateless subset: BGP/FILTER/BIND/VALUES/UNION/projection)")
     }
     validate(op0)
-    Compiler.run(quadsStream, BgpOptimizer.optimize(op0))
+    Compiler.run(graft.sparql.Sparql.applyDataset(quadsStream, dataset),
+      BgpOptimizer.optimize(op0))
   }
 
   /** Watermarked tumbling-window event aggregation (the events-table
