@@ -117,15 +117,17 @@ object Clustering {
       .distinct()
   }
 
-  /** Attach a `component` column to `df`: the connected component of
-    * `idCol` under the `pairs` graph, or the row's own id for nodes in
-    * no pair (singleton clusters). One broadcast-or-hash left join. */
+  /** Attach a `component` column to `df` (replacing any existing one):
+    * the connected component of `idCol` under the `pairs` graph, or the
+    * row's own id for nodes in no pair (singleton clusters). One
+    * broadcast-or-hash left join. */
   def assignComponents(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val base = df.drop("component") // avoid an ambiguous post-join reference
     val comps = connectedComponents(pairs)
-      .withColumnRenamed("id", "__cc_id")
-    df.join(comps, df(idCol) === col("__cc_id"), "left")
-      .withColumn("component", coalesce(col("component"), df(idCol)))
-      .drop("__cc_id")
+      .select(col("id").as("__cc_id"), col("component").as("__cc_comp"))
+    base.join(comps, base(idCol) === col("__cc_id"), "left")
+      .withColumn("component", coalesce(col("__cc_comp"), base(idCol)))
+      .drop("__cc_id", "__cc_comp")
   }
 
   /** End-to-end near-duplicate clustering: MinHash-LSH candidate pairs

@@ -144,9 +144,13 @@ object Algebra {
       keys.toSet intersect assuredVars(c)
     case Order(c, _) => assuredVars(c)
     case Slice(c, _, _) => assuredVars(c)
-    // SILENT failure yields one empty solution → nothing is assured
-    case Service(_, c, silent) =>
-      if (silent) Set.empty else assuredVars(c)
+    // endpoint resolution happens at COMPILE time, so a registered
+    // SILENT endpoint can never fail later — its child's assured vars
+    // are safe (and keep equi-key join extraction); only an
+    // unregistered SILENT endpoint degrades to one empty solution
+    case Service(e, c, silent) =>
+      if (!silent || Sparql.serviceFor(e.lex).isDefined) assuredVars(c)
+      else Set.empty
   }
 
   /** Like [[vars]] but in first-appearance order (SELECT * ordering). */

@@ -316,7 +316,7 @@ final class Compiler(quads: DataFrame) {
         case Some(remote) => new Compiler(remote).compile(child)
         case None if silent => spark.range(1).select() // one empty solution
         case None => throw new IllegalArgumentException(
-          s"no dataset registered for SERVICE <${endpoint}> " +
+          s"no dataset registered for SERVICE <${endpoint.lex}> " +
             "(use Sparql.registerService, or SERVICE SILENT to tolerate)")
       }
 
@@ -518,6 +518,10 @@ final class Compiler(quads: DataFrame) {
           "correlated ORDER BY inside EXISTS is not supported")
         checkResidual(c)
       case Slice(c, _, _) => checkResidual(c)
+      // strip() treats SERVICE as opaque (lifting a filter out of it
+      // would change what the remote evaluates), so any correlated
+      // reference inside must be rejected here, not silently NULLed
+      case Service(_, c, _) => checkResidual(c)
       case alp: ArbitraryLengthPath => checkResidual(alp.edge)
       case _ => ()
     }

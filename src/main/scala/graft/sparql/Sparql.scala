@@ -27,11 +27,19 @@ object Sparql {
   private val services =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  /** Register `quads` as the dataset behind `SERVICE <endpoint>`. */
+  /** Register `quads` as the dataset behind `SERVICE <endpoint>`.
+    * The registry is JVM-global and holds a strong reference: a
+    * registered DataFrame (and its lineage) lives until unregistered,
+    * and one bound to a stopped SparkSession goes stale rather than
+    * vanishing — unregister (or [[clearServices]]) when a session
+    * ends. */
   def registerService(endpoint: String, quads: DataFrame): Unit =
     services.put(endpoint, quads)
 
   def unregisterService(endpoint: String): Unit = services.remove(endpoint)
+
+  /** Drop every registered endpoint (e.g. on session teardown). */
+  def clearServices(): Unit = services.clear()
 
   private[sparql] def serviceFor(endpoint: String): Option[DataFrame] =
     Option(services.get(endpoint))

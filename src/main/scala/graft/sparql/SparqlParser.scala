@@ -91,7 +91,9 @@ final class SparqlParser(input: String) {
       skipWs()
       if (tryKw("FROM")) {
         skipWs()
-        val isNamed = tryKw("NAMED")
+        // NAMED:g1 is a single prefixed name (prefix "NAMED"), not the
+        // keyword — only treat NAMED as the keyword when no ':' follows
+        val isNamed = peekKw("NAMED") && peekAt(5) != ':' && { pos += 5; true }
         skipWs()
         val iri =
           if (peek == '<') Iri(parseIriRef()) else Iri(parsePrefixedIri())
@@ -159,7 +161,7 @@ final class SparqlParser(input: String) {
             if (!eof && (peek == '?' || peek == '$')) targets += V(parseVarName())
             else if (!eof && peek == '<') targets += T(Iri(parseIriRef()))
             else if (!eof && (peek == ':' || peek.isLetter) && !peekKw("WHERE") &&
-                     !peekKw("LIMIT") && !peekKw("OFFSET"))
+                     !peekKw("LIMIT") && !peekKw("OFFSET") && !peekKw("FROM"))
               targets += T(Iri(parsePrefixedIri()))
             else go = false
           }

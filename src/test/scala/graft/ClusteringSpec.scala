@@ -78,6 +78,14 @@ class ClusteringSpec extends AnyFlatSpec with Matchers {
     got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 9L -> 9L)
   }
 
+  it should "replace an existing component column instead of colliding" in {
+    val df = Seq((1L, 99L), (2L, 99L)).toDF("id", "component")
+    val got = Clustering.assignComponents(df, "id", Seq((1L, 2L)).toDF("a", "b"))
+      .select("id", "component")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 1L, 2L -> 1L)
+  }
+
   "nearDupClusters" should "cluster transitive near-dups to one representative" in {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),

@@ -71,6 +71,18 @@ class DatasetClauseSpec extends SparqlSpecBase {
     out.count() shouldBe 2 // a and b
   }
 
+  "DESCRIBE with explicit targets" should "accept dataset clauses" in {
+    val out = data.sparql(P + s"DESCRIBE <${E}a> FROM <${E}g1>")
+    out.count() shouldBe 1 // a's quad, promoted from g1
+  }
+
+  "a prefixed name with prefix NAMED" should "not be taken as the keyword" in {
+    val rows = collect(data.sparql(
+      s"PREFIX NAMED: <$E> SELECT ?s FROM NAMED:g1 { ?s ?p ?o }"))
+    // FROM <urn:dc:g1> (default-graph merge), NOT "FROM NAMED :g1"
+    rows.map(_("s")).toSet shouldBe Set(iri(E + "a"), iri(E + "b"))
+  }
+
   "a sub-select" should "reject dataset clauses" in {
     an[IllegalArgumentException] should be thrownBy data.sparql(P +
       s"SELECT ?s { { SELECT ?s FROM <${E}g1> { ?s :p ?o } } }")

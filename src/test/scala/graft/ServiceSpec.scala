@@ -67,6 +67,24 @@ class ServiceSpec extends SparqlSpecBase {
       "SELECT ?s { ?s :endpoint ?e . SERVICE ?e { ?s ?p ?o } }")
   }
 
+  "a correlated filter inside SERVICE within EXISTS" should "fail loudly" in
+    withEndpoints {
+      // silently evaluating ?p against NULL would be a wrong answer
+      an[IllegalArgumentException] should be thrownBy collect(people.sparql(P +
+        """SELECT ?p { ?p :worksAt ?co FILTER EXISTS {
+          |  SERVICE <urn:sv:companies> { ?co :city ?c2 FILTER(?c2 != ?p) } } }""".stripMargin))
+    }
+
+  "SERVICE SILENT on a registered endpoint" should "keep equi-join keys" in
+    withEndpoints {
+      val df = people.sparql(P +
+        """SELECT ?p ?city
+          |{ ?p :worksAt ?co . SERVICE SILENT <urn:sv:companies> { ?co :city ?city } }""".stripMargin)
+      collect(df) should have size 2
+      // registered → child's assured vars propagate → no nested-loop join
+      df.queryExecution.executedPlan.toString should not include "NestedLoop"
+    }
+
   "OPTIONAL SERVICE" should "leave non-matching rows unbound" in
     withEndpoints {
       val rows = collect(people.sparql(P +
