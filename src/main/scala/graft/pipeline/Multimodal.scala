@@ -12,11 +12,15 @@ import org.apache.spark.sql.types._
   * The IMAGE path is real: [[ImageCodec]] decodes PNG/JPEG/GIF/BMP
   * through `javax.imageio` (ships with the JDK — no external codec
   * needed) and computes pixel-derived features; [[resizeImages]]
-  * re-encodes actual scaled payloads. Audio/video decode remains
-  * STUBBED behind [[StubCodec]] (the container ships no audio/video
-  * codecs); its bytes→features signature is the contract a
-  * codec-backed version must satisfy, and all Spark-side plumbing
-  * (schema, batching, partitioning, output shape) is identical.
+  * re-encodes actual scaled payloads. The AUDIO path is real for the
+  * JDK's built-in containers/encodings: [[AudioCodec]] decodes WAV/
+  * AIFF/AU PCM through `javax.sound.sampled` and computes sample-
+  * derived features. VIDEO decode remains STUBBED behind [[StubCodec]]
+  * (no video codec ships with the JDK); its bytes→features signature
+  * is the contract a codec-backed version must satisfy, and all
+  * Spark-side plumbing (schema, batching, partitioning, output shape)
+  * is identical. Undecodable image/audio payloads (e.g. compressed
+  * formats the JDK lacks) fall back to the stub rather than erroring.
   */
 object Multimodal {
 
@@ -110,6 +114,91 @@ object Multimodal {
     }
   }
 
+  /** Real audio codec over the JDK's javax.sound.sampled (WAV/AIFF/AU
+    * containers, PCM encodings — ships with the JDK, no external codec).
+    * Decodes to mono [-1,1] samples; compressed formats the JDK lacks
+    * codecs for return None and fall back to the stub.
+    * Feature layout (dim 8): RMS of the 4 time quadrants, overall RMS,
+    * zero-crossing rate, peak amplitude, log duration — cheap,
+    * deterministic, content-derived. */
+  object AudioCodec {
+    val featureDim = 8
+
+    /** bytes → (mono samples in [-1,1], sample rate), None if the JDK
+      * cannot decode the container/encoding. Long clips are stride-
+      * sampled to ≤ ~65k samples — features must cost O(1), not O(n). */
+    def decode(bytes: Array[Byte]): Option[(Array[Double], Float)] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          val enc = fmt.getEncoding
+          import javax.sound.sampled.AudioFormat.Encoding._
+          if (enc != PCM_SIGNED && enc != PCM_UNSIGNED) return None
+          val bits = fmt.getSampleSizeInBits
+          if (bits != 8 && bits != 16) return None
+          val ch = fmt.getChannels
+          val frameSize = fmt.getFrameSize
+          val raw = in.readAllBytes()
+          val frames = raw.length / frameSize
+          if (frames == 0) return Some((Array.empty[Double], fmt.getSampleRate))
+          val stride = math.max(1, frames / 65536)
+          val out = Array.newBuilder[Double]
+          var f = 0
+          while (f < frames) {
+            var acc = 0.0
+            var c = 0
+            while (c < ch) {
+              val off = f * frameSize + c * (bits / 8)
+              val v =
+                if (bits == 8) {
+                  if (enc == PCM_UNSIGNED) ((raw(off) & 0xFF) - 128) / 128.0
+                  else raw(off) / 128.0
+                } else {
+                  val (lo, hi) =
+                    if (fmt.isBigEndian) (raw(off + 1) & 0xFF, raw(off).toInt)
+                    else (raw(off) & 0xFF, raw(off + 1).toInt)
+                  val s = (hi << 8) | lo
+                  (if (enc == PCM_UNSIGNED) (s & 0xFFFF) - 32768 else s) / 32768.0
+                }
+              acc += v
+              c += 1
+            }
+            out += acc / ch
+            f += stride
+          }
+          Some((out.result(), fmt.getSampleRate))
+        } finally in.close()
+      } catch { case _: Exception => None }
+
+    def features(samples: Array[Double], sampleRate: Float): Array[Float] = {
+      val n = samples.length
+      if (n == 0) return Array.fill(featureDim)(0f)
+      val quadSq = Array.fill(4)(0.0); val quadN = Array.fill(4)(0L)
+      var sq = 0.0; var peak = 0.0; var zc = 0L
+      var i = 0
+      while (i < n) {
+        val s = samples(i)
+        val q = math.min(3, i * 4 / n)
+        quadSq(q) += s * s; quadN(q) += 1
+        sq += s * s
+        if (math.abs(s) > peak) peak = math.abs(s)
+        if (i > 0 && (samples(i - 1) >= 0) != (s >= 0)) zc += 1
+        i += 1
+      }
+      Array(
+        math.sqrt(quadSq(0) / quadN(0).max(1)).toFloat,
+        math.sqrt(quadSq(1) / quadN(1).max(1)).toFloat,
+        math.sqrt(quadSq(2) / quadN(2).max(1)).toFloat,
+        math.sqrt(quadSq(3) / quadN(3).max(1)).toFloat,
+        math.sqrt(sq / n).toFloat,
+        (zc.toDouble / n).toFloat,
+        peak.toFloat,
+        math.log1p(n / sampleRate.toDouble.max(1e-9)).toFloat)
+    }
+  }
+
   private def featSchema(base: StructType): StructType =
     StructType(base.fields.filterNot(_.name == "bytes") :+
       StructField("features", ArrayType(FloatType), nullable = false))
@@ -130,11 +219,16 @@ object Multimodal {
           case (v, i) if i != byteIdx => v
         }
         val bytes = r.getAs[Array[Byte]](byteIdx)
-        val feats =
-          if (r.getString(kindIdx) == "image")
+        val feats = r.getString(kindIdx) match {
+          case "image" =>
             ImageCodec.decode(bytes).map(ImageCodec.features)
               .getOrElse(StubCodec.features(bytes))
-          else StubCodec.features(bytes)
+          case "audio" =>
+            AudioCodec.decode(bytes)
+              .map { case (s, sr) => AudioCodec.features(s, sr) }
+              .getOrElse(StubCodec.features(bytes))
+          case _ => StubCodec.features(bytes)
+        }
         Row.fromSeq(kept :+ feats.toSeq)
       }
     }

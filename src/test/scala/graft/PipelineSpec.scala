@@ -311,6 +311,47 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     byId(3L) shouldBe Multimodal.StubCodec.features("noise".getBytes).toSeq
   }
 
+  private def wavBytes(samples: Array[Double], rate: Float): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val raw = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      val v = math.max(-32768, math.min(32767, math.round(s * 32767).toInt))
+      raw(2 * i) = (v & 0xFF).toByte
+      raw(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  it should "compute REAL sample features for decodable audio" in {
+    val rate = 16000f
+    val n = 16000
+    val sine = Array.tabulate(n)(i => 0.5 * math.sin(2 * math.Pi * 440 * i / rate))
+    val media = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "audio", wavBytes(sine, rate), Row(null, null, 16000, "wav")),
+        Row(2L, "audio", wavBytes(Array.fill(n)(0.0), rate), Row(null, null, 16000, "wav")),
+        Row(3L, "audio", "noise".getBytes, Row(null, null, 16000, "pcm"))),
+      Multimodal.mediaSchema)
+    val byId = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getLong(0) -> r.getAs[Seq[Float]]("features")).toMap
+    // sine: RMS = amp/√2, zero-crossing rate = 2f/rate, peak = amp —
+    // content-derived physics, not hash noise
+    byId(1L)(4) shouldBe (0.5 / math.sqrt(2)).toFloat +- 0.01f
+    byId(1L)(5) shouldBe (2 * 440f / 16000f) +- 0.005f
+    byId(1L)(6) shouldBe 0.5f +- 0.01f
+    byId(1L).take(4).foreach(_ shouldBe (0.5 / math.sqrt(2)).toFloat +- 0.01f)
+    // silence: all-zero energy, ~1s duration in the log slot
+    byId(2L).take(7).foreach(_ shouldBe 0.0f +- 1e-6f)
+    byId(2L)(7) shouldBe math.log1p(1.0).toFloat +- 0.01f
+    // undecodable payload falls back to the stub contract
+    byId(3L) shouldBe Multimodal.StubCodec.features("noise".getBytes).toSeq
+  }
+
   it should "re-encode actually resized image payloads" in {
     val media = spark.createDataFrame(
       java.util.Arrays.asList(
