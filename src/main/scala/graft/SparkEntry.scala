@@ -102,6 +102,18 @@ object SparkEntry {
         col("p").getField("lex").as("p"),
         col("o").getField("lex").as("o"))
     },
+    "q_update_with" -> { (s, d) =>
+      // WITH scopes matching AND template targets to the nation graph;
+      // the customer graph rides through untouched
+      val df = TpchQuads.graphQuads(s, d).sparqlUpdate(prologue +
+        """WITH <urn:graph:nation>
+          |DELETE { ?n :nname ?v } INSERT { ?n :name2 ?v }
+          |WHERE { ?n :nname ?v }""".stripMargin)
+      df.select(col("s").getField("lex").as("s"),
+        col("p").getField("lex").as("p"),
+        col("o").getField("lex").as("o"),
+        col("g").getField("lex").as("g"))
+    },
     "q_describe" -> { (s, d) =>
       // DESCRIBE (subject-form description): all quads of the matched
       // resources, flattened to lexicals for the oracle compare
@@ -517,6 +529,19 @@ object SparkEntry {
         |       'urn:r:'||n_regionkey::VARCHAR AS o FROM nation
         |UNION ALL
         |SELECT 'urn:n:'||n_nationkey::VARCHAR, 'urn:p:name2', n_name FROM nation""".stripMargin,
+    "q_update_with" ->
+      """SELECT 'urn:c:'||c_custkey::VARCHAR AS s, 'urn:p:cname' AS p,
+        |       c_name AS o, 'urn:graph:customer' AS g FROM customer
+        |UNION ALL SELECT 'urn:c:'||c_custkey::VARCHAR, 'urn:p:acctbal',
+        |       c_acctbal::DOUBLE::VARCHAR, 'urn:graph:customer' FROM customer
+        |UNION ALL SELECT 'urn:c:'||c_custkey::VARCHAR, 'urn:p:mktsegment',
+        |       c_mktsegment, 'urn:graph:customer' FROM customer
+        |UNION ALL SELECT 'urn:c:'||c_custkey::VARCHAR, 'urn:p:inNation',
+        |       'urn:n:'||c_nationkey::VARCHAR, 'urn:graph:customer' FROM customer
+        |UNION ALL SELECT 'urn:n:'||n_nationkey::VARCHAR, 'urn:p:inRegion',
+        |       'urn:r:'||n_regionkey::VARCHAR, 'urn:graph:nation' FROM nation
+        |UNION ALL SELECT 'urn:n:'||n_nationkey::VARCHAR, 'urn:p:name2',
+        |       n_name, 'urn:graph:nation' FROM nation""".stripMargin,
     "q_describe" ->
       """WITH c AS (SELECT * FROM customer
         |           WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000)

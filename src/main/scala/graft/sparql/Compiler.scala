@@ -43,12 +43,29 @@ object Compiler {
     * of each not-already-present quad. */
   def runUpdate(quads: DataFrame, u: SparqlParser.Update): DataFrame = {
     import graft.rdf.TermKind
-    val (del, ins, where) = u match {
-      case SparqlParser.InsertData(qs) => (Nil, qs, Singleton: Op)
-      case SparqlParser.DeleteData(qs) => (qs, Nil, Singleton: Op)
-      case SparqlParser.Modify(d, i, w) => (d, i, BgpOptimizer.optimize(w))
+    val (del, ins, where, using, withGraph) = u match {
+      case SparqlParser.InsertData(qs) =>
+        (Nil, qs, Singleton: Op, SparqlParser.NoDataset, None)
+      case SparqlParser.DeleteData(qs) =>
+        (qs, Nil, Singleton: Op, SparqlParser.NoDataset, None)
+      case SparqlParser.Modify(d, i, w, us, wg) =>
+        (d, i, BgpOptimizer.optimize(w), us, wg)
     }
-    val c = new Compiler(quads)
+    // dataset for WHERE matching: USING wins over WITH; WITH swaps the
+    // default graph for the named graph g but — unlike FROM — leaves
+    // the store's named graphs addressable (§3.1.3)
+    val matchQuads =
+      if (!using.isEmpty) Sparql.applyDataset(quads, using)
+      else withGraph match {
+        case None => quads
+        case Some(g) =>
+          val named = quads.filter(quads("g").isNotNull)
+          val promoted = quads
+            .filter(quads("g").isNotNull && quads("g").getField("lex") === g.lex)
+            .withColumn("g", lit(null).cast(TermSchema.termType))
+          named.union(promoted)
+      }
+    val c = new Compiler(matchQuads)
     val bindings0 = c.compile(where)
     // one WHERE execution feeds every template quad
     val bindings =
@@ -62,7 +79,9 @@ object Compiler {
       case T(t) => ec.termCol(t)
     }
     def gCol(g: GraphSpec): Column = g match {
-      case DefaultGraph => lit(null).cast(TermSchema.termType)
+      // WITH makes g the default TARGET graph for template quads
+      case DefaultGraph => withGraph.map(ec.termCol)
+        .getOrElse(lit(null).cast(TermSchema.termType))
       case GraphTerm(t) => ec.termCol(t)
       case GraphVar(n) => resolve(V(n))
     }

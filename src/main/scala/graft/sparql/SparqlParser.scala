@@ -213,29 +213,62 @@ final class SparqlParser(input: String) {
     * quads. */
   def parseUpdateReq(): SparqlParser.Update = {
     parsePrologue()
+    skipWs()
+    // WITH <g>: default graph for the Modify form's templates and
+    // (absent USING) its WHERE pattern
+    val withGraph: Option[Term] =
+      if (tryKw("WITH")) {
+        skipWs()
+        Some(Iri(if (peek == '<') parseIriRef() else parsePrefixedIri()))
+      } else None
+
+    // USING / USING NAMED clauses (FROM-style dataset for WHERE)
+    def parseUsing(): SparqlParser.DatasetSpec = {
+      val from = mutable.ArrayBuffer.empty[Term]
+      val named = mutable.ArrayBuffer.empty[Term]
+      var go = true
+      while (go) {
+        skipWs()
+        if (tryKw("USING")) {
+          skipWs()
+          val isNamed = peekKw("NAMED") && peekAt(5) != ':' && { pos += 5; true }
+          skipWs()
+          val iri = Iri(if (peek == '<') parseIriRef() else parsePrefixedIri())
+          if (isNamed) named += iri else from += iri
+        } else go = false
+      }
+      SparqlParser.DatasetSpec(from.toList, named.toList)
+    }
+
     val u: SparqlParser.Update =
       if (tryKw("INSERT")) {
-        if (tryKw("DATA")) SparqlParser.InsertData(parseQuadData())
-        else {
+        if (tryKw("DATA")) {
+          if (withGraph.isDefined) err("WITH is not allowed on DATA forms")
+          SparqlParser.InsertData(parseQuadData())
+        } else {
           val ins = parseQuadTemplate()
+          val using = parseUsing()
           expectKw("WHERE")
           val (p, fs) = parseGroupPattern()
-          SparqlParser.Modify(Nil, ins, applyFilters(p, fs))
+          SparqlParser.Modify(Nil, ins, applyFilters(p, fs), using, withGraph)
         }
       } else if (tryKw("DELETE")) {
-        if (tryKw("DATA")) SparqlParser.DeleteData(parseQuadData())
-        else if (peekKw("WHERE")) { // DELETE WHERE { pattern }
+        if (tryKw("DATA")) {
+          if (withGraph.isDefined) err("WITH is not allowed on DATA forms")
+          SparqlParser.DeleteData(parseQuadData())
+        } else if (peekKw("WHERE")) { // DELETE WHERE { pattern }
           expectKw("WHERE")
           val (p, fs) = parseGroupPattern()
           val tpl = templateQuads(p, requireGround = false)
           if (fs.nonEmpty) err("FILTER not allowed in DELETE WHERE shorthand")
-          SparqlParser.Modify(tpl, Nil, p)
+          SparqlParser.Modify(tpl, Nil, p, SparqlParser.NoDataset, withGraph)
         } else {
           val del = parseQuadTemplate()
           val ins = if (tryKw("INSERT")) parseQuadTemplate() else Nil
+          val using = parseUsing()
           expectKw("WHERE")
           val (p, fs) = parseGroupPattern()
-          SparqlParser.Modify(del, ins, applyFilters(p, fs))
+          SparqlParser.Modify(del, ins, applyFilters(p, fs), using, withGraph)
         }
       } else err("expected INSERT or DELETE")
     skipWs()
@@ -1209,9 +1242,15 @@ object SparqlParser {
   final case class InsertData(quads: List[QuadTpl]) extends Update
   final case class DeleteData(quads: List[QuadTpl]) extends Update
   /** DELETE tpl INSERT tpl WHERE pattern (either template may be
-    * empty; DELETE WHERE uses the pattern as its own template). */
+    * empty; DELETE WHERE uses the pattern as its own template).
+    * `withGraph` (WITH <g>): default graph for templates AND — absent
+    * USING clauses — for the WHERE pattern. `using` (USING / USING
+    * NAMED): FROM-style dataset construction for the WHERE pattern
+    * only (overrides WITH for matching, not for templates). */
   final case class Modify(delete: List[QuadTpl], insert: List[QuadTpl],
-                          where: Op) extends Update
+                          where: Op,
+                          using: DatasetSpec = NoDataset,
+                          withGraph: Option[Term] = None) extends Update
 
   def parse(query: String): Op = new SparqlParser(query).parseQuery()
   def parseAny(query: String): Query = new SparqlParser(query).parseAnyQuery()

@@ -84,6 +84,51 @@ class UpdateSpec extends SparqlSpecBase {
     out.count() shouldBe 6
   }
 
+  "WITH" should "scope both matching and template targets to its graph" in {
+    val out = base.sparqlUpdate(P +
+      """WITH :g1 DELETE { ?s :p ?v } INSERT { ?s :p2 ?v } WHERE { ?s :p ?v }""")
+    val rows = all(out)
+    // only g1's quad is rewritten — default-graph :p quads untouched
+    rows should contain((Iri(E + "g1s"), Iri(E + "p2"), Lit("g"), Some(Iri(E + "g1"))))
+    rows should contain((Iri(E + "a"), Iri(E + "p"), Lit("1", XSD.integer), None))
+    rows.filter(_._4.contains(Iri(E + "g1"))).map(_._2) should not contain Iri(E + "p")
+    out.count() shouldBe 5
+  }
+
+  it should "let an explicit GRAPH in the template override it" in {
+    val out = base.sparqlUpdate(P +
+      """WITH :g1 INSERT { GRAPH :g2 { ?s :copied true } } WHERE { ?s :p ?v }""")
+    all(out) should contain(
+      (Iri(E + "g1s"), Iri(E + "copied"), Lit("true", XSD.boolean), Some(Iri(E + "g2"))))
+    out.count() shouldBe 6
+  }
+
+  "USING" should "override WITH for matching but not for templates" in {
+    // match in the DEFAULT dataset built from g1 (USING), insert into
+    // the WITH graph g3
+    val out = base.sparqlUpdate(P +
+      """WITH :g3 INSERT { ?s :seen true } USING :g1 WHERE { ?s :p ?v }""")
+    val rows = all(out)
+    rows should contain(
+      (Iri(E + "g1s"), Iri(E + "seen"), Lit("true", XSD.boolean), Some(Iri(E + "g3"))))
+    out.count() shouldBe 6
+  }
+
+  it should "restrict GRAPH patterns via USING NAMED" in {
+    // USING NAMED :g1 with no USING: default graph for WHERE is empty,
+    // GRAPH may only address g1
+    val out = base.sparqlUpdate(P +
+      """INSERT { ?s :fromNamed true } USING NAMED :g1
+        |WHERE { GRAPH ?g { ?s ?p ?o } }""".stripMargin)
+    all(out) should contain(
+      (Iri(E + "g1s"), Iri(E + "fromNamed"), Lit("true", XSD.boolean), None))
+    out.count() shouldBe 6
+    // default-graph patterns see nothing under USING NAMED alone
+    base.sparqlUpdate(P +
+      """INSERT { ?s :x true } USING NAMED :g1 WHERE { ?s :p ?v }""")
+      .count() shouldBe 5
+  }
+
   "update parse errors" should "be loud" in {
     an[Exception] should be thrownBy
       base.sparqlUpdate(P + "INSERT DATA { ?s :p 1 }") // variable in DATA
