@@ -88,6 +88,40 @@ object QuadsIO {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Serialize one term-struct column to its N-Triples token — pure
+    * column expressions (codegen'd, no UDF): IRIs `<…>`, blank nodes
+    * `_:id`, literals with \\ \" \n \r \t escaping, `@lang` tags, and
+    * `^^<dt>` for non-xsd:string datatypes. */
+  private def ntToken(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import graft.rdf.{TermKind, XSD}
+    val lex = t.getField("lex")
+    val esc = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(lex, "\\\\", "\\\\\\\\"),
+      "\"", "\\\\\""), "\n", "\\\\n"), "\r", "\\\\r"), "\t", "\\\\t")
+    val dt = t.getField("dt"); val lang = t.getField("lang")
+    when(t.getField("kind") === TermKind.IRI, concat(lit("<"), lex, lit(">")))
+      .when(t.getField("kind") === TermKind.BNODE, concat(lit("_:"), lex))
+      .otherwise(concat(lit("\""), esc, lit("\""),
+        when(lang =!= "", concat(lit("@"), lang))
+          .when(dt =!= "" && dt =!= XSD.string, concat(lit("^^<"), dt, lit(">")))
+          .otherwise(lit(""))))
+  }
+
+  /** Distributed N-Quads export (N-Triples when every g is NULL): one
+    * text line per quad, written in parallel — the interchange-format
+    * exit path matching [[readNTriples]]'s entry path. Round-trips
+    * through the same parser. */
+  def writeNQuads(quads: DataFrame, path: String,
+                  saveMode: SaveMode = SaveMode.Overwrite): Unit = {
+    import org.apache.spark.sql.functions._
+    quads.select(concat_ws(" ",
+      ntToken(quads("s")), ntToken(quads("p")), ntToken(quads("o")),
+      when(quads("g").isNotNull, ntToken(quads("g"))).otherwise(lit(null)),
+      lit(".")).as("value"))
+      .write.mode(saveMode).text(path)
+  }
+
   /** Bucketed table layout: hash-bucket + sort on the subject column.
     * BGP star queries are subject-subject self-joins; with both sides
     * bucketed on `s`, Spark plans a sort-merge join with NO exchange —

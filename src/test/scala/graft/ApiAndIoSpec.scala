@@ -340,6 +340,28 @@ class ApiAndIoSpec extends SparqlSpecBase {
       Seq(Map("s" -> Iri("urn:b")))
   }
 
+  "N-Quads export" should "round-trip every term shape through the parser" in {
+    val tmp = Files.createTempDirectory("graft-nqout")
+    val quads = QuadsIO.fromQuads(spark, Seq(
+      Quad(Iri("urn:a"), Iri("urn:p"), Lit("plain"), None),
+      Quad(Iri("urn:a"), Iri("urn:p"), Lit("esc\"q\\b\nnl\tt"), None),
+      Quad(Iri("urn:a"), Iri("urn:p"), Lit("42", XSD.integer), None),
+      Quad(Iri("urn:a"), Iri("urn:p"), Lit("hi", lang = "en"), None),
+      Quad(BNode("bn1"), Iri("urn:p"), Iri("urn:b"), Some(Iri("urn:g1")))))
+    val out = tmp.resolve("out.nq").toString
+    QuadsIO.writeNQuads(quads, out)
+    val back = QuadsIO.readNTriples(spark, out)
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.map(_.toString).groupBy(identity).view.mapValues(_.size).toMap
+    multiset(back) shouldBe multiset(quads)
+    // xsd:string stays PLAIN (no ^^), language tags serialize as @lang
+    val text = spark.read.textFile(out).collect().mkString("\n")
+    text should include("\"hi\"@en")
+    text should not include "XMLSchema#string>"
+    text should include("\"esc\\\"q\\\\b\\nnl\\tt\"")
+    text should include("<urn:g1> .")
+  }
+
   "sparqlLex" should "flatten results to lexical strings" in {
     val df = TestSpark.fixture("values.ttl").sparqlLex(
       """PREFIX ns: <http://example.org/ns#>

@@ -39,6 +39,15 @@ class ClusteringSpec extends AnyFlatSpec with Matchers {
     got.keySet shouldBe (0L to 99L).toSet
   }
 
+  it should "converge on a 2,000-node chain within the round budget" in {
+    // diameter 2,000: naive min-propagation needs 2,000 rounds; the
+    // star rounds must finish within the default maxRounds = 50
+    val chain = (0L until 1999L).map(i => (i, i + 1))
+    val got = run(chain)
+    got.values.toSet shouldBe Set(0L)
+    got.keySet should have size 2000
+  }
+
   it should "keep separate components separate" in {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
     run(pairs) shouldBe oracle(pairs)
