@@ -108,6 +108,39 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
     } finally q.stop()
   }
 
+  it should "join a quad stream against a registered SERVICE dataset" in {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, struct, lit}
+    import graft.io.QuadsIO
+    import graft.rdf.{Iri, Lit, Quad}
+    val E = "urn:ss:"
+    graft.sparql.Sparql.registerService(E + "dim", QuadsIO.fromQuads(spark, Seq(
+      Quad(Iri(E + "acme"), Iri(E + "city"), Lit("Springfield"), None))))
+    try {
+      val input = MemoryStream[(String, String)]
+      def iri(c: org.apache.spark.sql.Column) = struct(
+        lit(TermKind.IRI).as("kind"), c.as("lex"),
+        lit("").as("dt"), lit("").as("lang"))
+      val quadsStream = input.toDF.toDF("s0", "o0").select(
+        iri(col("s0")).as("s"), iri(lit(E + "worksAt")).as("p"),
+        iri(col("o0")).as("o"), lit(null).cast(TermSchema.termType).as("g"))
+      // service side is STATIC → Spark plans a stream-static join
+      val out = StreamingOps.sparqlStream(quadsStream,
+        s"""SELECT ?p ?city
+           |{ ?p <${E}worksAt> ?co .
+           |  SERVICE <${E}dim> { ?co <${E}city> ?city } }""".stripMargin)
+      val q = out.writeStream.format("memory").queryName("svc_out")
+        .outputMode("append").start()
+      try {
+        input.addData((E + "alice", E + "acme"), (E + "bob", E + "unknown"))
+        q.processAllAvailable()
+        val rows = spark.table("svc_out").collect().map(r =>
+          (r.getStruct(0).getString(1), r.getStruct(1).getString(1))).toSet
+        rows shouldBe Set((E + "alice", "Springfield"))
+      } finally q.stop()
+    } finally graft.sparql.Sparql.unregisterService(E + "dim")
+  }
+
   it should "reject stateful operators at submission time" in {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, String)]
