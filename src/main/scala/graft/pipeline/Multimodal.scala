@@ -124,9 +124,12 @@ object Multimodal {
   object AudioCodec {
     val featureDim = 8
 
-    /** bytes → (mono samples in [-1,1], sample rate), None if the JDK
-      * cannot decode the container/encoding. Long clips are stride-
-      * sampled to ≤ ~65k samples — features must cost O(1), not O(n). */
+    /** bytes → (mono samples in [-1,1], EFFECTIVE sample rate), None if
+      * the JDK cannot decode the container/encoding. Long clips are
+      * stride-sampled to ≤ ~65k samples — features must cost O(1), not
+      * O(n) — and the returned rate is divided by the stride so
+      * duration (n/rate) stays exact and per-sample rates (zero
+      * crossings) stay consistent with the kept samples. */
     def decode(bytes: Array[Byte]): Option[(Array[Double], Float)] =
       try {
         val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -168,7 +171,7 @@ object Multimodal {
             out += acc / ch
             f += stride
           }
-          Some((out.result(), fmt.getSampleRate))
+          Some((out.result(), fmt.getSampleRate / stride))
         } finally in.close()
       } catch { case _: Exception => None }
 

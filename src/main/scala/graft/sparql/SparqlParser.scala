@@ -83,25 +83,39 @@ final class SparqlParser(input: String) {
   /** Dataset clauses of the (top-level) query being parsed. */
   private var datasetSpec: SparqlParser.DatasetSpec = SparqlParser.NoDataset
 
-  private def parseDatasetClauses(): Unit = {
+  /** True iff `kw` is here as a KEYWORD, not the prefix of a prefixed
+    * name (PN_PREFIX may contain '-' and interior '.', so `NAMED:g`,
+    * `NAMED-x:g` and `NAMED.x:g` are all names, not the keyword). */
+  private def kwNotPrefix(kw: String): Boolean =
+    peekKw(kw) && {
+      val c = peekAt(kw.length)
+      !(c == ':' || c == '-' ||
+        (c == '.' && isIdentChar(peekAt(kw.length + 1))))
+    }
+
+  /** Shared `FROM`/`USING` DatasetClause* loop: `kw NAMED? iri` repeated
+    * (SPARQL §13.2 dataset clauses; Update §3.1.3 USING clauses). */
+  private def parseDatasetLike(kw: String): SparqlParser.DatasetSpec = {
     val from = mutable.ArrayBuffer.empty[Term]
     val named = mutable.ArrayBuffer.empty[Term]
     var go = true
     while (go) {
       skipWs()
-      if (tryKw("FROM")) {
+      if (kwNotPrefix(kw)) {
+        pos += kw.length
         skipWs()
-        // NAMED:g1 is a single prefixed name (prefix "NAMED"), not the
-        // keyword — only treat NAMED as the keyword when no ':' follows
-        val isNamed = peekKw("NAMED") && peekAt(5) != ':' && { pos += 5; true }
+        val isNamed = kwNotPrefix("NAMED") && { pos += 5; true }
         skipWs()
         val iri =
           if (peek == '<') Iri(parseIriRef()) else Iri(parsePrefixedIri())
         if (isNamed) named += iri else from += iri
       } else go = false
     }
-    datasetSpec = SparqlParser.DatasetSpec(from.toList, named.toList)
+    SparqlParser.DatasetSpec(from.toList, named.toList)
   }
+
+  private def parseDatasetClauses(): Unit =
+    datasetSpec = parseDatasetLike("FROM")
 
   /** Full query-form entry: SELECT | ASK | CONSTRUCT (the reference is
     * SELECT-only, Interpreter.scala:196-201 — ASK/CONSTRUCT are the
@@ -223,22 +237,7 @@ final class SparqlParser(input: String) {
       } else None
 
     // USING / USING NAMED clauses (FROM-style dataset for WHERE)
-    def parseUsing(): SparqlParser.DatasetSpec = {
-      val from = mutable.ArrayBuffer.empty[Term]
-      val named = mutable.ArrayBuffer.empty[Term]
-      var go = true
-      while (go) {
-        skipWs()
-        if (tryKw("USING")) {
-          skipWs()
-          val isNamed = peekKw("NAMED") && peekAt(5) != ':' && { pos += 5; true }
-          skipWs()
-          val iri = Iri(if (peek == '<') parseIriRef() else parsePrefixedIri())
-          if (isNamed) named += iri else from += iri
-        } else go = false
-      }
-      SparqlParser.DatasetSpec(from.toList, named.toList)
-    }
+    def parseUsing(): SparqlParser.DatasetSpec = parseDatasetLike("USING")
 
     val u: SparqlParser.Update =
       if (tryKw("INSERT")) {

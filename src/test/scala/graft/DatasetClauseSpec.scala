@@ -83,6 +83,12 @@ class DatasetClauseSpec extends SparqlSpecBase {
     rows.map(_("s")).toSet shouldBe Set(iri(E + "a"), iri(E + "b"))
   }
 
+  it should "not mistake hyphenated NAMED-x: prefixed names for the keyword" in {
+    val rows = collect(data.sparql(
+      s"PREFIX NAMED-x: <$E> SELECT ?s FROM NAMED-x:g1 { ?s ?p ?o }"))
+    rows.map(_("s")).toSet shouldBe Set(iri(E + "a"), iri(E + "b"))
+  }
+
   "a sub-select" should "reject dataset clauses" in {
     an[IllegalArgumentException] should be thrownBy data.sparql(P +
       s"SELECT ?s { { SELECT ?s FROM <${E}g1> { ?s :p ?o } } }")

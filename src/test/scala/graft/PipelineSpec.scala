@@ -352,6 +352,18 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     byId(3L) shouldBe Multimodal.StubCodec.features("noise".getBytes).toSeq
   }
 
+  it should "report true duration for stride-sampled long audio" in {
+    val rate = 16000f
+    val n = 160000 // 10 s → stride 2, effective rate 8 kHz
+    val sine = Array.tabulate(n)(i => 0.5 * math.sin(2 * math.Pi * 440 * i / rate))
+    val (samples, eff) = Multimodal.AudioCodec.decode(wavBytes(sine, rate)).get
+    samples.length shouldBe n / 2
+    eff shouldBe rate / 2
+    val f = Multimodal.AudioCodec.features(samples, eff)
+    f(7) shouldBe math.log1p(10.0).toFloat +- 0.01f // not log1p(n_kept/rate)
+    f(5) shouldBe (2 * 440f / eff) +- 0.01f // zcr per EFFECTIVE sample
+  }
+
   it should "re-encode actually resized image payloads" in {
     val media = spark.createDataFrame(
       java.util.Arrays.asList(
