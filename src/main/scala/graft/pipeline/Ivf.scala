@@ -35,20 +35,38 @@ object Ivf {
   }
 
   /** Spherical k-means centroids. `df` supplies `embCol`
-    * (`array<float|double>`); result rows are L2-normalized. */
+    * (`array<float|double>`); result rows are L2-normalized.
+    *
+    * Training runs on at most ~`trainSample` vectors, chosen by a
+    * DETERMINISTIC hash filter (stable under repartitioning, unlike
+    * `df.sample`) — Lloyd iterations over the full corpus are the
+    * billion-vector cliff, and k-means on a uniform sample converges
+    * to near-identical centroids (standard IVF practice). Assignment
+    * at build time still covers every vector. */
   def trainCentroids(df: DataFrame, embCol: String, k: Int,
-                     iters: Int = 5): Seq[Seq[Double]] = {
+                     iters: Int = 5, trainSample: Long = 100000L): Seq[Seq[Double]] = {
     require(k >= 1, "k must be >= 1")
-    val emb = df.select(col(embCol).cast("array<double>").as("e"))
+    val embAll = df.select(col(embCol).cast("array<double>").as("e"))
       .filter(col("e").isNotNull)
       // non-finite components would poison centroid means AND break the
       // sidecar round-trip — exclude them from training (train-time
       // only; assignment still places such vectors in some partition)
       .filter(!exists(col("e"), x => isnan(x) || x === Double.PositiveInfinity ||
         x === Double.NegativeInfinity))
-      // the init pass + every Lloyd iteration reads this — cache it
-      // (iters+2 full corpus scans otherwise)
+      // the count + init pass + every Lloyd iteration reads this —
+      // cache it (iters+3 full corpus scans otherwise)
       .persist()
+    val n = embAll.count()
+    val emb =
+      if (n <= trainSample) embAll
+      else {
+        val mod = math.max(1L, n / trainSample)
+        val t = embAll.filter(
+          pmod(xxhash64(to_json(struct(col("e")))), lit(mod)) === 0).persist()
+        t.count() // materialize before dropping the full-corpus cache
+        embAll.unpersist()
+        t
+      }
     // deterministic spread init: order by a hash of the vector bytes,
     // take k — cheap, seed-stable, and avoids adjacent-row bias
     var centroids: Seq[Seq[Double]] = emb
@@ -86,9 +104,10 @@ object Ivf {
   /** Build a persisted IVF index at `path`: (id, emb, cid) partitioned
     * by cid, with the centroid matrix in a sidecar. */
   def buildIndex(df: DataFrame, idCol: String, embCol: String, path: String,
-                 k: Int, iters: Int = 5, filesPerPartition: Int = 1): Unit = {
+                 k: Int, iters: Int = 5, filesPerPartition: Int = 1,
+                 trainSample: Long = 100000L): Unit = {
     IndexMeta.requireSimpleCol(idCol); IndexMeta.requireSimpleCol(embCol)
-    val centroids = trainCentroids(df, embCol, k, iters)
+    val centroids = trainCentroids(df, embCol, k, iters, trainSample)
     // cluster rows by cid (plus a bounded salt for huge partitions)
     // before the partitioned write — otherwise every shuffle task
     // writes a sliver of every cid directory (tasks × k tiny files)

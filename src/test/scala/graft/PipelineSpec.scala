@@ -171,6 +171,25 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     scan.selectedPartitions.partitionCount shouldBe 1
   }
 
+  it should "train on a deterministic sample when the corpus exceeds the cap" in {
+    import graft.pipeline.Ivf
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 300).map { i =>
+      val base = if (i % 2 == 0) Array(1f, 0f) else Array(0f, 1f)
+      (i.toLong, base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfs").toString + "/idx"
+    // cap of 50 forces the sampled-training path on the 300-row corpus
+    Ivf.buildIndex(df, "vec_id", "embedding", dir, k = 2, iters = 4,
+      trainSample = 50L)
+    // sampled centroids must still separate the two planted clusters,
+    // and assignment covers EVERY vector despite sampled training
+    val res = Ivf.queryIndex(spark, dir, Seq(1.0, 0.0), 4, nprobe = 1)
+    res.collect().map(_.getLong(0)).foreach(id => (id % 2) shouldBe 0L)
+    spark.read.parquet(dir).count() shouldBe 300
+  }
+
   it should "reject a query of mismatched dimensionality" in {
     val dir = java.nio.file.Files.createTempDirectory("graft-ann2").toString + "/idx"
     Similarity.buildIndex(vecs, "vec_id", "embedding", dir, dim = 4, numPlanes = 4)
