@@ -70,9 +70,27 @@ object Dedup {
     * shuffle on (band, bucket) self-join → distinct pairs → one join
     * back for verification. Bucket width r = numHashes/bands controls
     * the S-curve; no all-pairs stage exists. */
+  /** Drop (key…) buckets whose population exceeds `cap` via a broadcast
+    * anti-join: the oversized-key list is at most n/cap rows, so the
+    * guard costs one small aggregate — never a shuffle of the data.
+    * A hot bucket makes the candidate self-join quadratic (cap² pairs
+    * per bucket); at web scale the standard move is to drop such
+    * mega-buckets from CANDIDATE generation — their members are either
+    * trivial duplicates (catch them with [[exact]] first: identical
+    * docs have identical fingerprints) or a degenerate shingle/plane
+    * collision that verification would reject pair-by-pair anyway. */
+  private def capBuckets(keyed: DataFrame, keys: Seq[String], cap: Int): DataFrame =
+    if (cap <= 0) keyed
+    else {
+      val oversized = keyed.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > cap).drop("__n")
+      keyed.join(broadcast(oversized), keys, "left_anti")
+    }
+
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, bands: Int = 16,
-                        shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+                        shingleK: Int = 3, threshold: Double = 0.5,
+                        maxBucketSize: Int = 100000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     // Shingles MAP-ONLY: keep the token array in-row and slice it per
@@ -101,10 +119,10 @@ object Dedup {
     val base = sigs.select(col("id"), col("sh"))
     // one bucket hash per band; only (id, band, bucket) rides the
     // candidate shuffle — shingle arrays never fan out ×bands
-    val banded = sigs.select(col("id"),
+    val banded = capBuckets(sigs.select(col("id"),
       posexplode(array((0 until bands).map { j =>
         hash(((j * r) until ((j + 1) * r)).map(i => col(s"h$i")) :+ lit(j): _*)
-      }: _*)).as(Seq("band", "bucket")))
+      }: _*)).as(Seq("band", "bucket"))), Seq("band", "bucket"), maxBucketSize)
     val pairs = banded.select(col("band"), col("bucket"), col("id").as("idA"))
       .join(banded.select(col("band"), col("bucket"), col("id").as("idB")),
         Seq("band", "bucket"))
@@ -186,7 +204,8 @@ object Dedup {
     * — at scale the signature table is computed once and persisted, so
     * re-banding with a different radius never re-reads the corpus. */
   def simHashCandidatesFromSigs(sigs: DataFrame, maxHamming: Int = 3,
-                                cleanChunks: Int = 2): DataFrame = {
+                                cleanChunks: Int = 2,
+                                maxBucketSize: Int = 100000): DataFrame = {
     require(cleanChunks >= 1, "cleanChunks must be >= 1")
     val m = maxHamming + cleanChunks
     require(m <= 64, "maxHamming + cleanChunks must be <= 64")
@@ -202,7 +221,9 @@ object Dedup {
     val keys = array(combos.zipWithIndex.map { case (combo, cid) =>
       xxhash64((lit(cid) +: combo.map(chunkVal)): _*)
     }: _*)
-    val keyed = sigs.select(col("id"), col("sig"), explode(keys).as("k"))
+    val keyed = capBuckets(
+      sigs.select(col("id"), col("sig"), explode(keys).as("k")),
+      Seq("k"), maxBucketSize)
     val l = keyed.select(col("k"), col("id").as("idA"), col("sig").as("sigA"))
     val r = keyed.select(col("k"), col("id").as("idB"), col("sig").as("sigB"))
     l.join(r, Seq("k"))
@@ -244,10 +265,12 @@ object Dedup {
     * verify exact cosine within buckets. */
   def embeddingCandidates(df: DataFrame, idCol: String, embCol: String,
                           dim: Int, numPlanes: Int = 12,
-                          threshold: Double = 0.9): DataFrame = {
+                          threshold: Double = 0.9,
+                          maxBucketSize: Int = 100000): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(embCol).as("emb"))
-    val sigs = base.select(col("id"),
-      rhpSignature(col("emb"), numPlanes, dim).as("bucket"))
+    val sigs = capBuckets(base.select(col("id"),
+      rhpSignature(col("emb"), numPlanes, dim).as("bucket")),
+      Seq("bucket"), maxBucketSize)
       .localCheckpoint(eager = false) // both sides of the bucket join read it
     // candidate pairs carry ids only; vectors join back once per pair
     val pairs = sigs.select(col("bucket"), col("id").as("idA"))

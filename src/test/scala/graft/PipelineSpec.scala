@@ -45,6 +45,33 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     j shouldBe 1.0 +- 1e-9
   }
 
+  "bucket-population caps" should "drop mega-buckets instead of going quadratic" in {
+    // 300 identical docs = one hot bucket in EVERY band → cap² pairs
+    // without the guard; with it the mega-cluster drops out of
+    // candidate generation (exact dedup owns identical docs) while
+    // ordinary near-dups elsewhere still surface
+    val flood = (100L until 400L).map(i =>
+      (i, "the same exact flooded document text repeated verbatim across the corpus"))
+    val df = (flood ++ Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight")))
+      .toDF("doc_id", "text")
+    val cands = Dedup.minHashCandidates(df, "doc_id", "text",
+      threshold = 0.5, maxBucketSize = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    cands should contain((1L, 2L))
+    cands.count { case (a, b) => a >= 100L && b >= 100L } shouldBe 0
+    // embedding variant: same guard on the RHP bucket
+    val vecs = ((100L until 400L).map(i => (i, Array(1f, 0f, 0f, 0f))) ++ Seq(
+      (1L, Array(0f, 1f, 0f, 0.01f)), (2L, Array(0f, 1f, 0f, 0f))))
+      .toDF("vec_id", "embedding")
+    val epairs = Dedup.embeddingCandidates(vecs, "vec_id", "embedding",
+      dim = 4, numPlanes = 6, threshold = 0.9, maxBucketSize = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    epairs should contain((1L, 2L))
+    epairs.count { case (a, b) => a >= 100L && b >= 100L } shouldBe 0
+  }
+
   "SimHash" should "give distance 0 for identical text and find near-dups" in {
     val sigs = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
