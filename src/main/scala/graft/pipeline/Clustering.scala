@@ -132,12 +132,25 @@ object Clustering {
 
   /** End-to-end near-duplicate clustering: MinHash-LSH candidate pairs
     * → connected components → one surviving row per cluster (smallest
-    * id), i.e. the transitive version of [[Dedup.exact]] for near-dups. */
+    * id), i.e. the transitive version of [[Dedup.exact]] for near-dups.
+    *
+    * EXACT duplicates are additionally chained by content fingerprint —
+    * one window pass, no quadratic pair set — so identical documents
+    * always share a cluster even when a mega-cluster's LSH buckets
+    * exceed `maxBucketSize` and drop out of candidate generation. */
   def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 64, bands: Int = 16,
-                      shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val pairs = Dedup.minHashCandidates(df, idCol, textCol, numHashes, bands,
-      shingleK, threshold).select("idA", "idB")
-    assignComponents(df, idCol, pairs)
+                      shingleK: Int = 3, threshold: Double = 0.5,
+                      maxBucketSize: Int = 100000): DataFrame = {
+    val lshPairs = Dedup.minHashCandidates(df, idCol, textCol, numHashes, bands,
+      shingleK, threshold, maxBucketSize).select("idA", "idB")
+    val w = Window.partitionBy("__fp").orderBy(col("__id"))
+    val exactPairs = df
+      .select(col(idCol).as("__id"),
+        TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .withColumn("__nxt", lead("__id", 1).over(w))
+      .filter(col("__nxt").isNotNull)
+      .select(col("__id").as("idA"), col("__nxt").as("idB"))
+    assignComponents(df, idCol, lshPairs.union(exactPairs))
   }
 }

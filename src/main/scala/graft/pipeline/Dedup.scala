@@ -71,8 +71,10 @@ object Dedup {
     * back for verification. Bucket width r = numHashes/bands controls
     * the S-curve; no all-pairs stage exists. */
   /** Drop (key…) buckets whose population exceeds `cap` via a broadcast
-    * anti-join: the oversized-key list is at most n/cap rows, so the
-    * guard costs one small aggregate — never a shuffle of the data.
+    * anti-join: the oversized-key list is at most rows(keyed)/cap
+    * entries (n·bands/cap for banded inputs — size the cap so this
+    * stays broadcastable), so the guard costs one small aggregate —
+    * never a shuffle of the data. `cap <= 0` disables the guard.
     * A hot bucket makes the candidate self-join quadratic (cap² pairs
     * per bucket); at web scale the standard move is to drop such
     * mega-buckets from CANDIDATE generation — their members are either
@@ -194,11 +196,17 @@ object Dedup {
     * sharing ONE chunk no longer collapses into one bucket. Combo keys
     * are xxhash64-mixed to a long — hash collisions only add verify
     * work (bit_count filter), never lose recall. Emits C(m, cleanChunks)
-    * keys per doc (10 at h=3, 28 at h=6). */
+    * keys per doc (10 at h=3, 28 at h=6).
+    *
+    * The pigeonhole guarantee holds UNLESS a combo bucket exceeds
+    * `maxBucketSize` and is dropped from candidate generation (see
+    * [[capBuckets]]) — run [[exact]] first so mega-clusters of
+    * identical docs never reach this stage. */
   def simHashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        maxHamming: Int = 3, cleanChunks: Int = 2): DataFrame =
+                        maxHamming: Int = 3, cleanChunks: Int = 2,
+                        maxBucketSize: Int = 100000): DataFrame =
     simHashCandidatesFromSigs(simHashSigs(df, idCol, textCol),
-      maxHamming, cleanChunks)
+      maxHamming, cleanChunks, maxBucketSize)
 
   /** Candidate stage over precomputed signatures `(id: any, sig: long)`
     * — at scale the signature table is computed once and persisted, so

@@ -37,11 +37,12 @@ object Ivf {
   /** Spherical k-means centroids. `df` supplies `embCol`
     * (`array<float|double>`); result rows are L2-normalized.
     *
-    * Training runs on at most ~`trainSample` vectors, chosen by a
-    * DETERMINISTIC hash filter (stable under repartitioning, unlike
-    * `df.sample`) — Lloyd iterations over the full corpus are the
-    * billion-vector cliff, and k-means on a uniform sample converges
-    * to near-identical centroids (standard IVF practice). Assignment
+    * Training runs on a ~`trainSample`-sized subset (up to ~2× from
+    * divisor flooring), chosen by a DETERMINISTIC hash filter (stable
+    * under repartitioning, unlike `df.sample`) — Lloyd iterations over
+    * the full corpus are the billion-vector cliff, and k-means on a
+    * uniform sample converges to near-identical centroids (standard
+    * IVF practice). `trainSample <= 0` disables sampling. Assignment
     * at build time still covers every vector. */
   def trainCentroids(df: DataFrame, embCol: String, k: Int,
                      iters: Int = 5, trainSample: Long = 100000L): Seq[Seq[Double]] = {
@@ -56,16 +57,21 @@ object Ivf {
       // the count + init pass + every Lloyd iteration reads this —
       // cache it (iters+3 full corpus scans otherwise)
       .persist()
+    // trainSample <= 0 disables sampling (same convention as the LSH
+    // bucket caps). The filter hashes the vector VALUE, so identical
+    // vectors are kept or dropped as a block — distribution-distorting
+    // for duplicate-heavy corpora but the only partitioning-stable
+    // choice; an empty sample (every dominant value hashed out) falls
+    // back to full-corpus training instead of crashing.
     val n = embAll.count()
+    val mod = if (trainSample <= 0) 1L else n / trainSample
     val emb =
-      if (n <= trainSample) embAll
+      if (mod <= 1L) embAll // also avoids caching a full second copy
       else {
-        val mod = math.max(1L, n / trainSample)
         val t = embAll.filter(
           pmod(xxhash64(to_json(struct(col("e")))), lit(mod)) === 0).persist()
-        t.count() // materialize before dropping the full-corpus cache
-        embAll.unpersist()
-        t
+        if (t.count() == 0L) { t.unpersist(); embAll }
+        else { embAll.unpersist(); t }
       }
     // deterministic spread init: order by a hash of the vector bytes,
     // take k — cheap, seed-stable, and avoids adjacent-row bias

@@ -59,11 +59,15 @@ object Similarity {
   }
 
   /** All-pairs-free similarity join: for each left row, candidates from
-    * the shared RHP bucket, exact cosine, keep pairs >= threshold. */
+    * the shared RHP bucket, exact cosine, keep pairs >= threshold.
+    * Buckets over `maxBucketSize` drop out of candidate generation
+    * (`<= 0` disables — see [[Dedup.embeddingCandidates]]). */
   def similarityJoin(df: DataFrame, idCol: String, embCol: String,
                      dim: Int, threshold: Double,
-                     numPlanes: Int = 12): DataFrame =
-    Dedup.embeddingCandidates(df, idCol, embCol, dim, numPlanes, threshold)
+                     numPlanes: Int = 12,
+                     maxBucketSize: Int = 100000): DataFrame =
+    Dedup.embeddingCandidates(df, idCol, embCol, dim, numPlanes, threshold,
+      maxBucketSize)
 
   // ----- persisted index -----
   // The scale path: signatures are computed ONCE at build time and the

@@ -44,12 +44,16 @@ object Sparql {
   private[sparql] def serviceFor(endpoint: String): Option[DataFrame] =
     Option(services.get(endpoint))
 
-  /** Serialize a term into SPARQL surface syntax (for pre-binding). */
+  /** Serialize a term into SPARQL surface syntax (for pre-binding).
+    * Control characters use the grammar's string escapes — a raw line
+    * break inside a quoted string is invalid SPARQL, so the output
+    * stays parseable by conforming processors, not just ours. */
   def serialize(t: Term): String = t match {
     case Iri(v) => s"<$v>"
     case BNode(id) => s"_:$id"
     case l: Lit =>
-      val q = "\"" + l.lex.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      val q = "\"" + l.lex.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
       if (l.lang.nonEmpty) s"$q@${l.lang}"
       else if (l.dt == XSD.string) q
       else s"$q^^<${l.dt}>"

@@ -95,6 +95,23 @@ class ClusteringSpec extends AnyFlatSpec with Matchers {
     got shouldBe Map(1L -> 1L, 2L -> 1L)
   }
 
+  "nearDupClusters" should "keep identical docs clustered even when the bucket cap drops their LSH pairs" in {
+    // 120 identical docs: every LSH bucket oversized at cap 50, so the
+    // candidate pairs vanish — the exact-fingerprint chain must still
+    // bind them into one cluster (the transitive-exact contract)
+    val flood = (10L until 130L).map(i =>
+      (i, "the same exact flooded document text repeated verbatim across the corpus"))
+    val docs = (flood ++ Seq(
+      (1L, "completely different content about spark query engines and columnar execution")))
+      .toDF("doc_id", "text")
+    val got = Clustering.nearDupClusters(docs, "doc_id", "text",
+      threshold = 0.5, maxBucketSize = 50)
+      .select("doc_id", "component")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (10L until 130L).foreach(i => got(i) shouldBe 10L)
+    got(1L) shouldBe 1L
+  }
+
   "nearDupClusters" should "cluster transitive near-dups to one representative" in {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),

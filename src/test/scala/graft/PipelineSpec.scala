@@ -217,6 +217,24 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     spark.read.parquet(dir).count() shouldBe 300
   }
 
+  it should "survive duplicate-heavy corpora and trainSample <= 0" in {
+    import graft.pipeline.Ivf
+    // one distinct vector duplicated 300x: the value-hash sample keeps
+    // it as a block or drops it entirely — the empty-sample fallback
+    // must train on the full corpus rather than crash
+    val dup = (0 until 300).map(i => (i.toLong, Array(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val d1 = java.nio.file.Files.createTempDirectory("graft-ivfd").toString + "/idx"
+    Ivf.buildIndex(dup, "vec_id", "embedding", d1, k = 1, iters = 2,
+      trainSample = 100L)
+    spark.read.parquet(d1).count() shouldBe 300
+    // trainSample <= 0 disables sampling (same convention as the caps)
+    val d2 = java.nio.file.Files.createTempDirectory("graft-ivfd0").toString + "/idx"
+    Ivf.buildIndex(dup, "vec_id", "embedding", d2, k = 1, iters = 1,
+      trainSample = 0L)
+    spark.read.parquet(d2).count() shouldBe 300
+  }
+
   it should "reject a query of mismatched dimensionality" in {
     val dir = java.nio.file.Files.createTempDirectory("graft-ann2").toString + "/idx"
     Similarity.buildIndex(vecs, "vec_id", "embedding", dir, dim = 4, numPlanes = 4)

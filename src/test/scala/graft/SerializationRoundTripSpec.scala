@@ -58,6 +58,12 @@ class SerializationRoundTripSpec extends SparqlSpecBase {
       Quad(Iri("urn:x"), Iri("urn:p"), Lit("v"), None)))
     (1 to 20).foreach { seed =>
       val lits = sample(Gen.listOfN(8, litGen), seed)
+      // grammar conformance: a raw line break inside a quoted string is
+      // invalid SPARQL — the serializer must emit \n escapes instead
+      lits.map(Sparql.serialize).foreach { s =>
+        s should not include "\n"
+        s should not include "\r"
+      }
       val values = lits.map(Sparql.serialize).mkString(" ")
       val rows = collect(base.sparql(s"SELECT ?v { VALUES ?v { $values } }"))
       withClue(s"seed $seed, literals $lits: ") {
