@@ -77,13 +77,18 @@ object QuadsIO {
 
   /** Canonical storage: Parquet, repartitioned by predicate then subject
     * so same-predicate scans touch few files (vertical-partitioning-lite)
-    * and same-subject stars co-locate within row groups. */
-  def writeParquet(quads: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    * and same-subject stars co-locate within row groups. zstd by
+    * default: RDF term columns are highly repetitive (shared IRI
+    * prefixes, low-cardinality predicates/datatypes), where zstd beats
+    * snappy ~1.5× on size at comparable scan speed — at 100 TB that is
+    * the scan-IO bottleneck, not CPU. */
+  def writeParquet(quads: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite,
+                   compression: String = "zstd"): Unit =
     quads
       .repartition(quads.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
         quads("p"), quads("s"))
       .sortWithinPartitions("p", "s")
-      .write.mode(mode).parquet(path)
+      .write.mode(mode).option("compression", compression).parquet(path)
 
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
