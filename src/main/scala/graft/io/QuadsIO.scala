@@ -96,8 +96,9 @@ object QuadsIO {
   /** Serialize one term-struct column to its N-Triples token — pure
     * column expressions (codegen'd, no UDF): IRIs `<…>`, blank nodes
     * `_:id`, literals with \\ \" \n \r \t escaping, `@lang` tags, and
-    * `^^<dt>` for non-xsd:string datatypes. */
-  private def ntToken(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    * `^^<dt>` for non-xsd:string datatypes. (Also the term syntax of
+    * W3C SPARQL 1.1 results TSV — see [[Sparql]] results writers.) */
+  private[graft] def ntToken(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     import graft.rdf.{TermKind, XSD}
     val lex = t.getField("lex")

@@ -41,6 +41,40 @@ object Sparql {
   /** Drop every registered endpoint (e.g. on session teardown). */
   def clearServices(): Unit = services.clear()
 
+  // ----- W3C SPARQL 1.1 Query Results exports (CSV / TSV) -----
+
+  /** Write SELECT results as SPARQL 1.1 Results CSV (one header line,
+    * bare lexical forms, unbound = empty) — distributed, one part file
+    * per partition like any Spark CSV sink. */
+  def writeResultsCsv(results: DataFrame, path: String): Unit =
+    Compiler.lexical(results)
+      .write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Write SELECT results as SPARQL 1.1 Results TSV: a `?var` header
+    * line and full term syntax per cell (`<iri>`, `"lit"@lang`,
+    * `"lit"^^<dt>`, `_:b`), unbound = empty — the lossless text form,
+    * serialized by the same codegen'd token expressions as the N-Quads
+    * writer. */
+  def writeResultsTsv(results: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val cols = results.columns
+    val header = cols.map("?" + _).mkString("\t")
+    val body = results.select(concat_ws("\t",
+      cols.map(c => coalesce(graft.io.QuadsIO.ntToken(results(c)), lit(""))): _*)
+      .as("value"))
+    // W3C TSV has ONE header line: emit it as its own single-row first
+    // partition (part-00000) so the concatenated part files in name
+    // order form a valid document — the write itself stays distributed
+    val spark = results.sparkSession
+    import scala.jdk.CollectionConverters._
+    val headerDf = spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(header)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+    headerDf.coalesce(1).union(body).write.mode("overwrite").text(path)
+  }
+
   private[sparql] def serviceFor(endpoint: String): Option[DataFrame] =
     Option(services.get(endpoint))
 

@@ -362,6 +362,31 @@ class ApiAndIoSpec extends SparqlSpecBase {
     text should include("<urn:g1> .")
   }
 
+  "results writers" should "emit W3C CSV and TSV forms" in {
+    import graft.sparql.Sparql
+    val quads = QuadsIO.fromQuads(spark, Seq(
+      Quad(Iri("urn:a"), Iri("urn:p"), Lit("v1"), None),
+      Quad(Iri("urn:b"), Iri("urn:p"), Lit("5", XSD.integer), None),
+      Quad(Iri("urn:c"), Iri("urn:q"), Lit("hi", lang = "en"), None)))
+    val res = quads.sparql(
+      "SELECT ?s ?o { ?s <urn:p> ?o OPTIONAL { ?s <urn:q> ?x } }")
+    val tmp = Files.createTempDirectory("graft-results")
+    Sparql.writeResultsCsv(res, tmp.resolve("csv").toString)
+    val csv = spark.read.option("header", "true")
+      .csv(tmp.resolve("csv").toString)
+    csv.columns.toSeq shouldBe Seq("s", "o")
+    csv.collect().map(_.getString(0)).toSet shouldBe Set("urn:a", "urn:b")
+    Sparql.writeResultsTsv(res, tmp.resolve("tsv").toString)
+    // concatenate part files in name order — header must come first
+    val dir = new java.io.File(tmp.resolve("tsv").toString)
+    val lines = dir.listFiles().filter(_.getName.startsWith("part-")).sorted
+      .flatMap(f => scala.io.Source.fromFile(f).getLines()).toSeq
+    lines.head shouldBe "?s\t?o"
+    lines.tail.toSet shouldBe Set(
+      "<urn:a>\t\"v1\"",
+      "<urn:b>\t\"5\"^^<http://www.w3.org/2001/XMLSchema#integer>")
+  }
+
   "sparqlLex" should "flatten results to lexical strings" in {
     val df = TestSpark.fixture("values.ttl").sparqlLex(
       """PREFIX ns: <http://example.org/ns#>
