@@ -421,6 +421,19 @@ object SparkEntry {
         t(s, d, "embeddings"), "vec_id", "embedding", dim = 64,
         numPlanes = 4, threshold = 0.2)
     },
+    "q_curate" -> { (s, d) =>
+      // the composed curation pipeline: quality-score → threshold →
+      // exact dedup (one surviving doc per content fingerprint), the
+      // oracle recomputing the same score and window-dedup in SQL
+      import graft.pipeline.{Dedup, TextAnalysis}
+      val docs = t(s, d, "documents")
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .filter(col("quality") >= 0.5)
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      Dedup.exact(docs.select(col("fp"), col("doc_id"), col("quality")),
+        "fp", "doc_id")
+        .select(col("doc_id"), col("quality"))
+    },
     "q_text_stats" -> { (s, d) =>
       import graft.pipeline.TextAnalysis._
       t(s, d, "documents").select(
@@ -702,6 +715,29 @@ object SparkEntry {
         |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
         |  ) AS BIGINT) AS cluster
         |FROM documents""".stripMargin,
+    "q_curate" ->
+      """WITH scored AS (
+        |  SELECT doc_id, text,
+        |    round(
+        |      least(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |              t -> t <> ''))/100.0, 1.0) * 0.4
+        |      + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+        |          ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))::DOUBLE
+        |               / length(text) END) * 5.0, 1.0)) * 0.3
+        |      + least((CASE WHEN len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |              t -> t <> '')) = 0 THEN 0.0
+        |          ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |              t -> t IN ('the','a','of','and','to','in','is')))::DOUBLE
+        |               / len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |              t -> t <> '')) END) * 4.0, 1.0) * 0.3,
+        |    6) AS quality
+        |  FROM documents)
+        |SELECT doc_id, quality FROM (
+        |  SELECT doc_id, quality, row_number() OVER (
+        |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |    ORDER BY doc_id) AS rn
+        |  FROM scored WHERE quality >= 0.5)
+        |WHERE rn = 1""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')) AS BIGINT) AS ntok,
