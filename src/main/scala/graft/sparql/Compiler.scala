@@ -231,6 +231,41 @@ object Compiler {
     parts.reduce(_ union _).dropDuplicates()
   }
 
+  /** CONSTRUCT over a STREAMING quads DataFrame: the same template
+    * instantiation as [[runConstruct]] minus what streams cannot do —
+    * no localCheckpoint (illegal on a streaming plan; the template
+    * branches re-read the incremental source instead), no final
+    * dropDuplicates (stateful — callers wanting set semantics add a
+    * watermark + dropDuplicatesWithinWatermark downstream; BAG output
+    * is the documented stream contract), and blank-node templates are
+    * rejected (per-solution uuid sharing across branches needs the
+    * materialization a stream cannot have). */
+  def runConstructStream(quads: DataFrame,
+                         template: List[(VarOrTerm, VarOrTerm, VarOrTerm)],
+                         op: Op): DataFrame = {
+    import graft.rdf.TermKind
+    require(!template.exists(t => Seq(t._1, t._2, t._3).exists {
+      case V(n) => n.startsWith("_anonbn_")
+      case _ => false
+    }), "blank-node CONSTRUCT templates are not streamable")
+    val bindings = new Compiler(quads).compile(op)
+    val ec = new ExprCompiler(n =>
+      if (bindings.columns.contains(n)) bindings(n) else TermFns.nullTerm)
+    def resolve(x: VarOrTerm): Column = x match {
+      case V(n) =>
+        if (bindings.columns.contains(n)) bindings(n) else TermFns.nullTerm
+      case T(t) => ec.termCol(t)
+    }
+    template.map { case (s, p, o) =>
+      bindings
+        .select(resolve(s).as("s"), resolve(p).as("p"), resolve(o).as("o"),
+          lit(null).cast(TermSchema.termType).as("g"))
+        .filter(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull &&
+          col("s").getField("kind") =!= TermKind.LITERAL &&
+          col("p").getField("kind") === TermKind.IRI)
+    }.reduce(_ union _)
+  }
+
   /** Flatten term-struct result columns to their lexical forms
     * (convenience for harness/oracle comparison). */
   def lexical(df: DataFrame): DataFrame =

@@ -44,13 +44,14 @@ object StreamingOps {
     * fail at submission with a clear message instead of at runtime
     * inside the stream. The compiled plan is the SAME column plan the
     * batch path runs — one engine, two execution modes. */
-  def sparqlStream(quadsStream: DataFrame, query: String): DataFrame = {
-    import graft.sparql.{Algebra, BgpOptimizer, Compiler, SparqlParser}
-    val (op0, dataset) = SparqlParser.parseAny(query) match {
-      case SparqlParser.SelectQuery(op, ds) => (op, ds)
-      case other => throw new IllegalArgumentException(
-        s"sparqlStream supports SELECT only, got ${other.getClass.getSimpleName}")
-    }
+  /** Hold an algebra tree to the streamable stateless subset: scans,
+    * FILTER, BIND, VALUES, UNION, projection, SERVICE (the service side
+    * is a registered STATIC dataset → stream-static join; its child is
+    * conservatively held to the same subset). Everything stateful
+    * (aggregates, ORDER/LIMIT, DISTINCT, OPTIONAL/MINUS/EXISTS, paths)
+    * fails at submission with a clear message. */
+  private def validateStreamable(op0: graft.sparql.Algebra.Op): Unit = {
+    import graft.sparql.Algebra
     def validateExpr(e: Algebra.Expr): Unit = e match {
       case _: Algebra.ExistsE => throw new IllegalArgumentException(
         "FILTER (NOT) EXISTS is not streamable (plans a semi-join of the stream)")
@@ -66,17 +67,42 @@ object StreamingOps {
       case Algebra.Filter(c, cond) => validateExpr(cond); validate(c)
       case Algebra.Extend(c, _, e) => validateExpr(e); validate(c)
       case Algebra.Project(c, _) => validate(c)
-      // the service side is a registered (static) dataset → the join is
-      // stream-static, which Spark executes incrementally; the child is
-      // conservatively held to the same subset
       case Algebra.Service(_, c, _) => validate(c)
       case other => throw new IllegalArgumentException(
         s"operator ${other.getClass.getSimpleName} is not streamable " +
           "(stateless subset: BGP/FILTER/BIND/VALUES/UNION/projection)")
     }
     validate(op0)
+  }
+
+  def sparqlStream(quadsStream: DataFrame, query: String): DataFrame = {
+    import graft.sparql.{BgpOptimizer, Compiler, SparqlParser}
+    val (op0, dataset) = SparqlParser.parseAny(query) match {
+      case SparqlParser.SelectQuery(op, ds) => (op, ds)
+      case other => throw new IllegalArgumentException(
+        s"sparqlStream supports SELECT only, got ${other.getClass.getSimpleName}")
+    }
+    validateStreamable(op0)
     Compiler.run(graft.sparql.Sparql.applyDataset(quadsStream, dataset),
       BgpOptimizer.optimize(op0))
+  }
+
+  /** Streaming CONSTRUCT: continuous RDF→RDF transformation — the WHERE
+    * pattern is held to the same stateless subset as [[sparqlStream]],
+    * the template instantiates per micro-batch, and output is a BAG of
+    * quads (dedup is stateful: add a watermark +
+    * dropDuplicatesWithinWatermark downstream for set semantics). */
+  def constructStream(quadsStream: DataFrame, query: String): DataFrame = {
+    import graft.sparql.{BgpOptimizer, Compiler, SparqlParser}
+    val (template, op0, dataset) = SparqlParser.parseAny(query) match {
+      case SparqlParser.ConstructQuery(t, op, ds) => (t, op, ds)
+      case other => throw new IllegalArgumentException(
+        s"constructStream supports CONSTRUCT only, got ${other.getClass.getSimpleName}")
+    }
+    validateStreamable(op0)
+    Compiler.runConstructStream(
+      graft.sparql.Sparql.applyDataset(quadsStream, dataset),
+      template, BgpOptimizer.optimize(op0))
   }
 
   /** Watermarked tumbling-window event aggregation (the events-table

@@ -141,6 +141,38 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
     } finally graft.sparql.Sparql.unregisterService(E + "dim")
   }
 
+  "streaming CONSTRUCT" should "instantiate templates per micro-batch" in {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, struct, lit}
+    val input = MemoryStream[(String, String)]
+    def iri(c: org.apache.spark.sql.Column) = struct(
+      lit(TermKind.IRI).as("kind"), c.as("lex"),
+      lit("").as("dt"), lit("").as("lang"))
+    val quadsStream = input.toDF.toDF("s0", "o0").select(
+      iri(col("s0")).as("s"), iri(lit("urn:p:knows")).as("p"),
+      iri(col("o0")).as("o"),
+      lit(null).cast(TermSchema.termType).as("g"))
+    val out = StreamingOps.constructStream(quadsStream,
+      """CONSTRUCT { ?b <urn:p:knownBy> ?a . ?a <urn:p:linked> "y" }
+        |WHERE { ?a <urn:p:knows> ?b }""".stripMargin)
+    val q = out.writeStream.format("memory").queryName("construct_out")
+      .outputMode("append").start()
+    try {
+      input.addData(("urn:x", "urn:y"))
+      q.processAllAvailable()
+      val rows = spark.table("construct_out").collect().map(r =>
+        (r.getStruct(0).getString(1), r.getStruct(1).getString(1),
+          r.getStruct(2).getString(1))).toSet
+      rows shouldBe Set(
+        ("urn:y", "urn:p:knownBy", "urn:x"),
+        ("urn:x", "urn:p:linked", "y"))
+    } finally q.stop()
+    // blank-node templates need per-solution materialization → rejected
+    an[IllegalArgumentException] should be thrownBy
+      StreamingOps.constructStream(quadsStream,
+        "CONSTRUCT { ?a <urn:p:via> [] } WHERE { ?a <urn:p:knows> ?b }")
+  }
+
   it should "reject stateful operators at submission time" in {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, String)]
