@@ -127,4 +127,52 @@ class AlgebraicLawsSpec extends SparqlSpecBase {
       counted.head("n") shouldBe Lit(rows.toString, XSD.integer)
     }
   }
+
+  /** Random graph with quads spread across named graphs g1/g2 plus the
+    * default graph. */
+  private def randomNamedGraph(seed: Int, n: Int): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val graphs = Seq(None, Some(Iri(E + "g1")), Some(Iri(E + "g2")))
+    val quads = (1 to n).map { _ =>
+      Quad(Iri(E + "s" + rnd.nextInt(6)), Iri(E + "p" + (rnd.nextInt(3) + 1)),
+        Lit(rnd.nextInt(4).toString, XSD.integer),
+        graphs(rnd.nextInt(graphs.size)))
+    }
+    QuadsIO.fromQuads(spark, quads.distinct)
+  }
+
+  "FROM g" should "equal GRAPH g on the same pattern" in {
+    seeds.take(5).foreach { s =>
+      val g = randomNamedGraph(s, 40)
+      val from = collect(g.sparql(P + s"SELECT ?a ?o FROM <${E}g1> { ?a :p1 ?o }"))
+      val graph = collect(g.sparql(P +
+        s"SELECT ?a ?o { GRAPH <${E}g1> { ?a :p1 ?o } }"))
+      assertResult(from, graph)
+    }
+  }
+
+  "FROM g1 g2" should "equal the union of the per-graph FROMs (bag)" in {
+    seeds.take(5).foreach { s =>
+      val g = randomNamedGraph(s, 40)
+      val both = collect(g.sparql(P +
+        s"SELECT ?a ?o FROM <${E}g1> FROM <${E}g2> { ?a :p1 ?o }"))
+      val g1 = collect(g.sparql(P + s"SELECT ?a ?o FROM <${E}g1> { ?a :p1 ?o }"))
+      val g2 = collect(g.sparql(P + s"SELECT ?a ?o FROM <${E}g2> { ?a :p1 ?o }"))
+      assertResult(both, g1 ++ g2)
+    }
+  }
+
+  "SERVICE over the same dataset" should "be an identity for the pattern" in {
+    import graft.sparql.Sparql
+    seeds.take(5).foreach { s =>
+      val g = randomGraph(s, 30)
+      Sparql.registerService(E + "self", g)
+      try {
+        val direct = collect(g.sparql(P + "SELECT ?x ?o { ?x :p1 ?o }"))
+        val viaSvc = collect(g.sparql(P +
+          s"SELECT ?x ?o { SERVICE <${E}self> { ?x :p1 ?o } }"))
+        assertResult(viaSvc, direct)
+      } finally Sparql.unregisterService(E + "self")
+    }
+  }
 }
