@@ -114,6 +114,20 @@ object SparkEntry {
         col("o").getField("lex").as("o"),
         col("g").getField("lex").as("g"))
     },
+    "q_update_graphmgmt" -> { (s, d) =>
+      // §3.2 graph management as a ';'-sequence: fold nation into the
+      // customer graph, move the merged graph to the default graph,
+      // drop the (now stale) nation graph — every quad ends up
+      // default-graph-tagged exactly once
+      val df = TpchQuads.graphQuads(s, d).sparqlUpdate(
+        """ADD <urn:graph:nation> TO <urn:graph:customer> ;
+          |MOVE <urn:graph:customer> TO DEFAULT ;
+          |DROP GRAPH <urn:graph:nation>""".stripMargin)
+      df.select(col("s").getField("lex").as("s"),
+        col("p").getField("lex").as("p"),
+        col("o").getField("lex").as("o"),
+        col("g").getField("lex").as("g"))
+    },
     "q_describe" -> { (s, d) =>
       // DESCRIBE (subject-form description): all quads of the matched
       // resources, flattened to lexicals for the oracle compare
@@ -555,6 +569,19 @@ object SparkEntry {
         |       'urn:r:'||n_regionkey::VARCHAR, 'urn:graph:nation' FROM nation
         |UNION ALL SELECT 'urn:n:'||n_nationkey::VARCHAR, 'urn:p:name2',
         |       n_name, 'urn:graph:nation' FROM nation""".stripMargin,
+    "q_update_graphmgmt" ->
+      """SELECT 'urn:c:'||c_custkey::VARCHAR AS s, 'urn:p:cname' AS p,
+        |       c_name AS o, NULL::VARCHAR AS g FROM customer
+        |UNION ALL SELECT 'urn:c:'||c_custkey::VARCHAR, 'urn:p:acctbal',
+        |       c_acctbal::DOUBLE::VARCHAR, NULL FROM customer
+        |UNION ALL SELECT 'urn:c:'||c_custkey::VARCHAR, 'urn:p:mktsegment',
+        |       c_mktsegment, NULL FROM customer
+        |UNION ALL SELECT 'urn:c:'||c_custkey::VARCHAR, 'urn:p:inNation',
+        |       'urn:n:'||c_nationkey::VARCHAR, NULL FROM customer
+        |UNION ALL SELECT 'urn:n:'||n_nationkey::VARCHAR, 'urn:p:nname',
+        |       n_name, NULL FROM nation
+        |UNION ALL SELECT 'urn:n:'||n_nationkey::VARCHAR, 'urn:p:inRegion',
+        |       'urn:r:'||n_regionkey::VARCHAR, NULL FROM nation""".stripMargin,
     "q_describe" ->
       """WITH c AS (SELECT * FROM customer
         |           WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000)

@@ -41,7 +41,20 @@ object Compiler {
     * preserved (documented source-duplicate contract), deletion
     * removes every copy of a matched quad, and insertion adds one copy
     * of each not-already-present quad. */
-  def runUpdate(quads: DataFrame, u: SparqlParser.Update): DataFrame = {
+  def runUpdate(quads: DataFrame, u: SparqlParser.Update): DataFrame =
+    u match {
+      case _: SparqlParser.InsertData | _: SparqlParser.DeleteData |
+           _: SparqlParser.Modify => runModify(quads, u)
+      case other => runGraphManagement(quads, other)
+    }
+
+  /** A ';'-separated update request: each operation sees the store
+    * state left by the previous one (lazily — the whole request is
+    * one composed plan; the caller materializes once). */
+  def runUpdates(quads: DataFrame, us: List[SparqlParser.Update]): DataFrame =
+    us.foldLeft(quads)(runUpdate)
+
+  private def runModify(quads: DataFrame, u: SparqlParser.Update): DataFrame = {
     import graft.rdf.TermKind
     val (del, ins, where, using, withGraph) = u match {
       case SparqlParser.InsertData(qs) =>
@@ -50,6 +63,8 @@ object Compiler {
         (qs, Nil, Singleton: Op, SparqlParser.NoDataset, None)
       case SparqlParser.Modify(d, i, w, us, wg) =>
         (d, i, BgpOptimizer.optimize(w), us, wg)
+      case other =>
+        throw new IllegalArgumentException(s"not a modify form: $other")
     }
     // dataset for WHERE matching: USING wins over WITH; WITH swaps the
     // default graph for the named graph g but — unlike FROM — leaves
@@ -114,6 +129,84 @@ object Compiler {
           i0("s") <=> afterDel("s") && i0("p") <=> afterDel("p") &&
             i0("o") <=> afterDel("o") && i0("g") <=> afterDel("g"), "left_anti")
         afterDel.union(fresh)
+    }
+  }
+
+  /** SPARQL 1.1 Update §3.2 graph management as pure quad-table
+    * transforms. Graphs exist exactly while they hold quads (the
+    * quad-set model — same as rdf4j's memory store), so CREATE is a
+    * no-op, DROP ≡ CLEAR, and the "graph does not exist" errors the
+    * spec lets stores raise never apply; SILENT is accepted
+    * everywhere and only changes LOAD (a failed read degrades to a
+    * no-op instead of throwing). ADD/COPY/MOVE follow §3.2.5-7: COPY
+    * clears the destination first, MOVE also clears the source, ADD
+    * keeps both; a same-graph source and destination is a no-op.
+    * Insertion adds one copy of each not-already-present quad
+    * (matching runModify's INSERT), while COPY/MOVE write the source's
+    * quad SET into the cleared destination. */
+  private def runGraphManagement(quads: DataFrame,
+                                 u: SparqlParser.Update): DataFrame = {
+    import SparqlParser._
+    val ec = new ExprCompiler(_ => TermFns.nullTerm)
+    def matches(ref: GraphRef): Column = ref match {
+      case DefaultRef => col("g").isNull
+      case NamedRef(i) =>
+        col("g").isNotNull && col("g").getField("lex") === i.lex
+      case AllNamedRef => col("g").isNotNull
+      case AllGraphsRef => lit(true)
+    }
+    def clear(df: DataFrame, ref: GraphRef): DataFrame = df.filter(!matches(ref))
+    def retag(df: DataFrame, ref: GraphRef): DataFrame = ref match {
+      case DefaultRef =>
+        df.withColumn("g", lit(null).cast(TermSchema.termType))
+      case NamedRef(i) => df.withColumn("g", ec.termCol(i))
+      case other =>
+        throw new IllegalArgumentException(s"not a target graph: $other")
+    }
+    // one copy of each not-already-present quad (INSERT semantics)
+    def insertInto(store: DataFrame, data: DataFrame): DataFrame = {
+      val d = data.dropDuplicates()
+      val fresh = d.join(store,
+        d("s") <=> store("s") && d("p") <=> store("p") &&
+          d("o") <=> store("o") && d("g") <=> store("g"), "left_anti")
+      store.union(fresh)
+    }
+    u match {
+      case Create(_, _) => quads // graphs exist implicitly
+      case Clear(ref, _) => clear(quads, ref)
+      case Drop(ref, _) => clear(quads, ref)
+      case AddGraph(src, dst, _) =>
+        if (src == dst) quads
+        else insertInto(quads, retag(quads.filter(matches(src)), dst))
+      case CopyGraph(src, dst, _) =>
+        if (src == dst) quads
+        else clear(quads, dst)
+          .union(retag(quads.filter(matches(src)), dst).dropDuplicates())
+      case MoveGraph(src, dst, _) =>
+        if (src == dst) quads
+        else clear(clear(quads, dst), src)
+          .union(retag(quads.filter(matches(src)), dst).dropDuplicates())
+      case Load(doc, into, silent) =>
+        val spark = quads.sparkSession
+        try {
+          val path = doc.lex match {
+            case p if p.startsWith("file://") => p.stripPrefix("file://")
+            case p if p.startsWith("file:") => p.stripPrefix("file:")
+            case p => p
+          }
+          val loaded = graft.io.QuadsIO.read(spark, path)
+          insertInto(quads, into match {
+            case Some(g) => loaded.withColumn("g", ec.termCol(g))
+            case None => loaded
+          })
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            if (silent) quads
+            else throw new IllegalArgumentException(
+              s"LOAD <${doc.lex}> failed: ${e.getMessage}", e)
+        }
+      case other =>
+        throw new IllegalArgumentException(s"not a graph-management form: $other")
     }
   }
 

@@ -75,6 +75,148 @@ object Sparql {
     headerDf.coalesce(1).union(body).write.mode("overwrite").text(path)
   }
 
+  /** One-line single-string-column DataFrame (header/footer parts for
+    * the concatenable text-document writers). */
+  private def oneLine(spark: org.apache.spark.sql.SparkSession,
+                      s: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(s)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+      .coalesce(1)
+  }
+
+  /** JSON string escaping as a pure column expression (same codegen'd
+    * regexp_replace chain as the N-Quads writer; control characters
+    * other than \n \r \t are not expected in term lexicals — the
+    * parsers reject raw controls). */
+  private def jsonEsc(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(c, "\\\\", "\\\\\\\\"),
+      "\"", "\\\\\""), "\n", "\\\\n"), "\r", "\\\\r"), "\t", "\\\\t")
+  }
+
+  /** One term-struct column → its SPARQL-results-JSON object
+    * (`{"type":"uri","value":…}` / bnode / literal with `xml:lang` or
+    * `datatype`) — pure column expressions. */
+  private def termJson(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import graft.rdf.TermKind
+    val lex = jsonEsc(t.getField("lex"))
+    val dt = t.getField("dt"); val lang = t.getField("lang")
+    when(t.getField("kind") === TermKind.IRI,
+      concat(lit("{\"type\":\"uri\",\"value\":\""), lex, lit("\"}")))
+      .when(t.getField("kind") === TermKind.BNODE,
+        concat(lit("{\"type\":\"bnode\",\"value\":\""), lex, lit("\"}")))
+      .otherwise(concat(lit("{\"type\":\"literal\",\"value\":\""), lex, lit("\""),
+        when(lang =!= "", concat(lit(",\"xml:lang\":\""), lang, lit("\"")))
+          .when(dt =!= "" && dt =!= XSD.string,
+            concat(lit(",\"datatype\":\""), jsonEsc(dt), lit("\"")))
+          .otherwise(lit("")),
+        lit("}")))
+  }
+
+  /** Write SELECT results as W3C SPARQL 1.1 Query Results JSON
+    * (sparql11-results-json): header and footer are their own
+    * single-line first/last partitions and each solution is one JSON
+    * object per line, so the part files concatenated in name order
+    * form one valid document. Unbound variables are omitted from
+    * their solution object, per spec. Serialization is codegen'd
+    * column expressions; the only extra cost is one zipWithIndex pass
+    * to place the between-solutions commas (the array separator needs
+    * to know which row is globally first). A single-boolean-column
+    * frame ([[Compiler.runAsk]]'s shape) writes the ASK form
+    * (`"boolean": …`) instead. */
+  def writeResultsJson(results: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = results.sparkSession
+    if (results.schema.length == 1 &&
+        results.schema.head.dataType == org.apache.spark.sql.types.BooleanType) {
+      val v = results.head().getBoolean(0) // ASK: single row by construction
+      oneLine(spark, s"""{"head":{},"boolean":$v}""")
+        .write.mode("overwrite").text(path)
+      return
+    }
+    val cols = results.columns
+    val header = "{\"head\":{\"vars\":[" +
+      cols.map("\"" + _ + "\"").mkString(",") + "]},\"results\":{\"bindings\":["
+    val parts = cols.map { c =>
+      val t = results(c)
+      when(t.isNotNull, concat(lit("\"" + c + "\":"), termJson(t)))
+        .otherwise(lit(null))
+    }
+    val body = results.select(
+      concat(lit("{"), concat_ws(",", parts: _*), lit("}")).as("value"))
+    val withComma = body.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row(if (i == 0L) r.getString(0) else "," + r.getString(0))
+    }
+    val bodyDf = spark.createDataFrame(withComma, body.schema)
+    oneLine(spark, header).union(bodyDf).union(oneLine(spark, "]}}"))
+      .write.mode("overwrite").text(path)
+  }
+
+  /** XML text escaping (&, <, >) as a column expression; the quote
+    * variant additionally escapes '"' for attribute values. */
+  private def xmlEsc(c: org.apache.spark.sql.Column,
+                     quote: Boolean = false): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val base = regexp_replace(regexp_replace(regexp_replace(
+      c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    if (quote) regexp_replace(base, "\"", "&quot;") else base
+  }
+
+  /** Write SELECT results as W3C SPARQL 1.1 Query Results XML
+    * (rdf-sparql-XMLres). Unlike JSON there is no between-results
+    * separator, so this writer is embarrassingly parallel: header and
+    * footer are single-line partitions, every `<result>` element is
+    * one independent line. A single-boolean-column frame writes the
+    * ASK form (`<boolean>`). */
+  def writeResultsXml(results: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.rdf.TermKind
+    val spark = results.sparkSession
+    val pre = "<?xml version=\"1.0\"?>\n" +
+      "<sparql xmlns=\"http://www.w3.org/2005/sparql-results#\">"
+    if (results.schema.length == 1 &&
+        results.schema.head.dataType == org.apache.spark.sql.types.BooleanType) {
+      val v = results.head().getBoolean(0)
+      oneLine(spark, s"$pre<head/><boolean>$v</boolean></sparql>")
+        .write.mode("overwrite").text(path)
+      return
+    }
+    val cols = results.columns
+    val header = pre + "<head>" +
+      cols.map(c => s"""<variable name="$c"/>""").mkString + "</head><results>"
+    def termXml(t: org.apache.spark.sql.Column) = {
+      val lex = xmlEsc(t.getField("lex"))
+      val dt = t.getField("dt"); val lang = t.getField("lang")
+      when(t.getField("kind") === TermKind.IRI,
+        concat(lit("<uri>"), lex, lit("</uri>")))
+        .when(t.getField("kind") === TermKind.BNODE,
+          concat(lit("<bnode>"), lex, lit("</bnode>")))
+        .otherwise(concat(
+          when(lang =!= "", concat(lit("<literal xml:lang=\""), lang, lit("\">")))
+            .when(dt =!= "" && dt =!= XSD.string,
+              concat(lit("<literal datatype=\""), xmlEsc(dt, quote = true), lit("\">")))
+            .otherwise(lit("<literal>")),
+          lex, lit("</literal>")))
+    }
+    val parts = cols.map { c =>
+      val t = results(c)
+      when(t.isNotNull, concat(lit("<binding name=\"" + c + "\">"),
+        termXml(t), lit("</binding>"))).otherwise(lit(null))
+    }
+    val body = results.select(
+      concat(lit("<result>"), concat_ws("", parts: _*), lit("</result>"))
+        .as("value"))
+    oneLine(spark, header).union(body)
+      .union(oneLine(spark, "</results></sparql>"))
+      .write.mode("overwrite").text(path)
+  }
+
   private[sparql] def serviceFor(endpoint: String): Option[DataFrame] =
     Option(services.get(endpoint))
 
@@ -154,12 +296,15 @@ object Sparql {
     def sparql(query: String, bindings: Map[String, Term]): DataFrame =
       sparql(preBind(query, bindings))
 
-    /** SPARQL 1.1 Update (INSERT DATA / DELETE DATA / DELETE WHERE /
-      * DELETE…INSERT…WHERE) as a pure transform: returns the updated
-      * quads DataFrame; write it back (e.g. QuadsIO.writeParquet) to
-      * commit — an atomic snapshot swap at scale. */
+    /** SPARQL 1.1 Update — the §3.1 data/pattern forms (INSERT DATA /
+      * DELETE DATA / DELETE WHERE / DELETE…INSERT…WHERE) and the §3.2
+      * graph-management forms (LOAD / CLEAR / DROP / CREATE / ADD /
+      * COPY / MOVE), with ';'-separated operation sequences — as a
+      * pure transform: returns the updated quads DataFrame; write it
+      * back (e.g. QuadsIO.writeParquet) to commit — an atomic
+      * snapshot swap at scale. */
     def sparqlUpdate(update: String): DataFrame =
-      Compiler.runUpdate(quads, SparqlParser.parseUpdate(update))
+      Compiler.runUpdates(quads, SparqlParser.parseUpdate(update))
 
     /** Execute and flatten term structs to lexical strings. */
     def sparqlLex(query: String): DataFrame =

@@ -218,15 +218,36 @@ final class SparqlParser(input: String) {
     q
   }
 
-  /** SPARQL 1.1 Update request: INSERT DATA | DELETE DATA |
-    * DELETE WHERE | DELETE tpl? INSERT tpl? WHERE pattern. Templates
-    * and quad data reuse the group-pattern grammar (so full triple
-    * syntax incl. GRAPH blocks and prefixed names works) restricted to
-    * plain quad patterns — FILTER/OPTIONAL/… in a template is an
-    * error, and DATA forms additionally require ground (variable-free)
-    * quads. */
-  def parseUpdateReq(): SparqlParser.Update = {
-    parsePrologue()
+  /** SPARQL 1.1 Update request: one or more operations separated by
+    * ';' (Update ::= Prologue (Update1 (';' Update)?)? — each
+    * operation may carry its own prologue, and prefixes accumulate
+    * across the request). Data/pattern forms (§3.1): INSERT DATA |
+    * DELETE DATA | DELETE WHERE | DELETE tpl? INSERT tpl? WHERE.
+    * Graph management (§3.2): LOAD, CLEAR, DROP, CREATE, ADD, COPY,
+    * MOVE. Templates and quad data reuse the group-pattern grammar
+    * (so full triple syntax incl. GRAPH blocks and prefixed names
+    * works) restricted to plain quad patterns — FILTER/OPTIONAL/… in
+    * a template is an error, and DATA forms additionally require
+    * ground (variable-free) quads. */
+  def parseUpdateReq(): List[SparqlParser.Update] = {
+    val out = mutable.ListBuffer.empty[SparqlParser.Update]
+    var go = true
+    while (go) {
+      parsePrologue()
+      skipWs()
+      if (eof) go = false // empty request / trailing ';' is grammatical
+      else {
+        out += parseUpdate1()
+        skipWs()
+        if (!eof && peek == ';') pos += 1 else go = false
+      }
+    }
+    skipWs()
+    if (!eof) err("trailing content after update")
+    out.toList
+  }
+
+  private def parseUpdate1(): SparqlParser.Update = {
     skipWs()
     // WITH <g>: default graph for the Modify form's templates and
     // (absent USING) its WHERE pattern
@@ -269,10 +290,72 @@ final class SparqlParser(input: String) {
           val (p, fs) = parseGroupPattern()
           SparqlParser.Modify(del, ins, applyFilters(p, fs), using, withGraph)
         }
-      } else err("expected INSERT or DELETE")
-    skipWs()
-    if (!eof) err("trailing content after update")
+      } else if (withGraph.isDefined)
+        err("WITH is only allowed on the DELETE/INSERT (Modify) form")
+      else if (tryKw("LOAD")) {
+        val silent = tryKw("SILENT")
+        val doc = parseConstIri()
+        val into =
+          if (tryKw("INTO")) { expectKw("GRAPH"); Some(parseConstIri()) }
+          else None
+        SparqlParser.Load(doc, into, silent)
+      } else if (tryKw("CLEAR")) {
+        val silent = tryKw("SILENT")
+        SparqlParser.Clear(parseGraphRefAll(), silent)
+      } else if (tryKw("DROP")) {
+        val silent = tryKw("SILENT")
+        SparqlParser.Drop(parseGraphRefAll(), silent)
+      } else if (tryKw("CREATE")) {
+        val silent = tryKw("SILENT")
+        expectKw("GRAPH")
+        SparqlParser.Create(parseConstIri(), silent)
+      } else if (tryKw("ADD")) {
+        val (src, dst, silent) = parseSrcDst()
+        SparqlParser.AddGraph(src, dst, silent)
+      } else if (tryKw("COPY")) {
+        val (src, dst, silent) = parseSrcDst()
+        SparqlParser.CopyGraph(src, dst, silent)
+      } else if (tryKw("MOVE")) {
+        val (src, dst, silent) = parseSrcDst()
+        SparqlParser.MoveGraph(src, dst, silent)
+      } else
+        err("expected an update operation (INSERT, DELETE, LOAD, " +
+          "CLEAR, DROP, CREATE, ADD, COPY or MOVE)")
     u
+  }
+
+  private def parseConstIri(): Term = {
+    skipWs()
+    Iri(if (peek == '<') parseIriRef() else parsePrefixedIri())
+  }
+
+  /** GraphRefAll ::= 'GRAPH' iri | 'DEFAULT' | 'NAMED' | 'ALL'. The
+    * bare keywords use kwNotPrefix so prefixed names like `DEFAULT:x`
+    * never shadow them (and are a parse error here anyway). */
+  private def parseGraphRefAll(): SparqlParser.GraphRef = {
+    skipWs()
+    if (kwNotPrefix("DEFAULT")) { pos += 7; SparqlParser.DefaultRef }
+    else if (kwNotPrefix("NAMED")) { pos += 5; SparqlParser.AllNamedRef }
+    else if (kwNotPrefix("ALL")) { pos += 3; SparqlParser.AllGraphsRef }
+    else { expectKw("GRAPH"); SparqlParser.NamedRef(parseConstIri()) }
+  }
+
+  /** GraphOrDefault ::= 'DEFAULT' | 'GRAPH'? iri. */
+  private def parseGraphOrDefault(): SparqlParser.GraphRef = {
+    skipWs()
+    if (kwNotPrefix("DEFAULT")) { pos += 7; SparqlParser.DefaultRef }
+    else {
+      if (kwNotPrefix("GRAPH")) pos += 5
+      SparqlParser.NamedRef(parseConstIri())
+    }
+  }
+
+  private def parseSrcDst(): (SparqlParser.GraphRef, SparqlParser.GraphRef, Boolean) = {
+    val silent = tryKw("SILENT")
+    val src = parseGraphOrDefault()
+    expectKw("TO")
+    val dst = parseGraphOrDefault()
+    (src, dst, silent)
   }
 
   private def templateQuads(op: Op, requireGround: Boolean): List[SparqlParser.QuadTpl] = {
@@ -1251,7 +1334,31 @@ object SparqlParser {
                           using: DatasetSpec = NoDataset,
                           withGraph: Option[Term] = None) extends Update
 
+  // ----- SPARQL 1.1 Update graph management (§3.2) -----
+  /** Graph reference: DEFAULT | GRAPH <iri>; CLEAR/DROP additionally
+    * accept NAMED (every named graph) and ALL. */
+  sealed trait GraphRef
+  case object DefaultRef extends GraphRef
+  final case class NamedRef(iri: Term) extends GraphRef
+  case object AllNamedRef extends GraphRef
+  case object AllGraphsRef extends GraphRef
+  /** LOAD <doc> (INTO GRAPH <g>)? — doc is a file path / file: IRI
+    * read by extension (QuadsIO.read); INTO retags every loaded quad. */
+  final case class Load(doc: Term, into: Option[Term],
+                        silent: Boolean) extends Update
+  final case class Clear(target: GraphRef, silent: Boolean) extends Update
+  final case class Drop(target: GraphRef, silent: Boolean) extends Update
+  final case class Create(graph: Term, silent: Boolean) extends Update
+  final case class AddGraph(src: GraphRef, dst: GraphRef,
+                            silent: Boolean) extends Update
+  final case class CopyGraph(src: GraphRef, dst: GraphRef,
+                             silent: Boolean) extends Update
+  final case class MoveGraph(src: GraphRef, dst: GraphRef,
+                             silent: Boolean) extends Update
+
   def parse(query: String): Op = new SparqlParser(query).parseQuery()
   def parseAny(query: String): Query = new SparqlParser(query).parseAnyQuery()
-  def parseUpdate(text: String): Update = new SparqlParser(text).parseUpdateReq()
+  /** Parse an update request: one or more ';'-separated operations. */
+  def parseUpdate(text: String): List[Update] =
+    new SparqlParser(text).parseUpdateReq()
 }
