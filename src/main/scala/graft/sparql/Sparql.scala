@@ -161,11 +161,11 @@ object Sparql {
   /** XML text escaping (&, <, >) as a column expression; the quote
     * variant additionally escapes '"' for attribute values. */
   private def xmlEsc(c: org.apache.spark.sql.Column,
-                     quote: Boolean = false): org.apache.spark.sql.Column = {
+                     quoteAttr: Boolean = false): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     val base = regexp_replace(regexp_replace(regexp_replace(
       c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
-    if (quote) regexp_replace(base, "\"", "&quot;") else base
+    if (quoteAttr) regexp_replace(base, "\"", "&quot;") else base
   }
 
   /** Write SELECT results as W3C SPARQL 1.1 Query Results XML
@@ -200,7 +200,7 @@ object Sparql {
         .otherwise(concat(
           when(lang =!= "", concat(lit("<literal xml:lang=\""), lang, lit("\">")))
             .when(dt =!= "" && dt =!= XSD.string,
-              concat(lit("<literal datatype=\""), xmlEsc(dt, quote = true), lit("\">")))
+              concat(lit("<literal datatype=\""), xmlEsc(dt, quoteAttr = true), lit("\">")))
             .otherwise(lit("<literal>")),
           lex, lit("</literal>")))
     }
