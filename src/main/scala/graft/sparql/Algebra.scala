@@ -80,8 +80,24 @@ object Algebra {
     * — the Spark-native reading of federation, where an "endpoint" is
     * another quads DataFrame (a different table, bucket or source).
     * With `silent`, an unregistered endpoint degrades to a single empty
-    * solution instead of an error (spec §2.2: SERVICE SILENT failure). */
-  final case class Service(endpoint: Term, child: Op, silent: Boolean) extends Op
+    * solution instead of an error (spec §2.2: SERVICE SILENT failure).
+    * A VARIABLE endpoint (spec §2.3 — evaluation order is
+    * implementation-defined there) iterates every registered endpoint:
+    * the child evaluates against each dataset with the variable bound
+    * to that endpoint's IRI, and the branches union — so a binding for
+    * the variable elsewhere in the query constrains the federation
+    * through the ordinary join. */
+  final case class Service(endpoint: VarOrTerm, child: Op, silent: Boolean) extends Op
+
+  /** A subtree already compiled to a DataFrame by an alternative scan
+    * path — today the dictionary-encoded BGP fast path
+    * ([[graft.io.DictStore]]), which runs a whole basic graph pattern
+    * as joins over integer term ids and hands back the materialized
+    * term-struct columns. Opaque leaf to every later pass; `varNames`
+    * is its column set (all assured: the fast path only swallows
+    * Scan/Join trees, whose variables are bound on every row). */
+  final case class Materialized(df: org.apache.spark.sql.DataFrame,
+                                varNames: List[String]) extends Op
 
   /** Zero hops: both ends bind to the same graph node (SURVEY.md §2.8). */
   final case class ZeroLengthPath(s: VarOrTerm, o: VarOrTerm,
@@ -113,7 +129,9 @@ object Algebra {
     case Group(_, keys, aggs) => keys.toSet ++ aggs.map(_._1)
     case Order(c, _) => vars(c)
     case Slice(c, _, _) => vars(c)
-    case Service(_, c, _) => vars(c)
+    case Service(e, c, _) => vars(c) ++
+      (e match { case V(n) => Set(n); case _ => Set.empty[String] })
+    case Materialized(_, vs) => vs.toSet
     case ZeroLengthPath(s, o, g) =>
       Set(s, o).collect { case V(n) => n } ++
         (g match { case GraphVar(n) => Set(n); case _ => Set.empty[String] })
@@ -148,9 +166,17 @@ object Algebra {
     // SILENT endpoint can never fail later — its child's assured vars
     // are safe (and keep equi-key join extraction); only an
     // unregistered SILENT endpoint degrades to one empty solution
-    case Service(e, c, silent) =>
-      if (!silent || Sparql.serviceFor(e.lex).isDefined) assuredVars(c)
-      else Set.empty
+    case Service(e, c, silent) => e match {
+      case T(t) =>
+        if (!silent || Sparql.serviceFor(t.lex).isDefined) assuredVars(c)
+        else Set.empty
+      // variable endpoint: every emitted row comes from some registered
+      // endpoint with the variable bound to its IRI
+      case V(n) => assuredVars(c) + n
+    }
+    // the fast path only swallows Scan/Join trees, whose variables are
+    // bound on every row — so the whole column set is assured
+    case Materialized(_, vs) => vs.toSet
   }
 
   /** Like [[vars]] but in first-appearance order (SELECT * ordering). */
@@ -174,7 +200,8 @@ object Algebra {
       case Group(_, keys, aggs) => seen ++= keys; seen ++= aggs.map(_._1)
       case Order(c, _) => walk(c)
       case Slice(c, _, _) => walk(c)
-      case Service(_, c, _) => walk(c)
+      case Service(e, c, _) => pos(e); walk(c)
+      case Materialized(_, vs) => seen ++= vs
       case ZeroLengthPath(s, o2, gs) => pos(s); pos(o2); g(gs)
       case ArbitraryLengthPath(s, o2, _, _, _, _, gs) => pos(s); pos(o2); g(gs)
     }

@@ -455,7 +455,7 @@ final class Compiler(quads: DataFrame) {
 
     case ZeroLengthPath(s, o, g) => compileZeroLength(s, o, g)
 
-    case Service(endpoint, child, silent) =>
+    case Service(T(endpoint), child, silent) =>
       Sparql.serviceFor(endpoint.lex) match {
         // the service pattern compiles against the REGISTERED dataset —
         // a fresh Compiler, so nested SERVICE/EXISTS inside it resolve
@@ -466,6 +466,30 @@ final class Compiler(quads: DataFrame) {
           s"no dataset registered for SERVICE <${endpoint.lex}> " +
             "(use Sparql.registerService, or SERVICE SILENT to tolerate)")
       }
+
+    case Service(V(epVar), child, _) =>
+      // variable endpoint: union over the registry snapshot, each branch
+      // evaluated against its dataset with the variable bound to the
+      // endpoint IRI (sorted for a deterministic plan). A child that
+      // already binds the variable keeps its binding and the branch
+      // filters on equality instead. An empty registry yields zero
+      // solutions (SILENT or not — iteration cannot fail).
+      val childCols = varsOrdered(child)
+      val branches = Sparql.registeredServices.toList.sortBy(_._1)
+        .map { case (iri, remote) =>
+          val base0 = new Compiler(remote).compile(child)
+          val base = childCols.filterNot(base0.columns.contains)
+            .foldLeft(base0)((d, v) => d.withColumn(v, nullTerm))
+          val epCol = exprs(base).termCol(graft.rdf.Iri(iri))
+          if (childCols.contains(epVar)) base.filter(base(epVar) === epCol)
+          else base.withColumn(epVar, epCol)
+        }
+      branches.reduceOption(_ unionByName _).getOrElse {
+        val cols = (childCols :+ epVar).distinct
+        spark.range(0).select(cols.map(nullTerm.as(_)): _*)
+      }
+
+    case Materialized(df, _) => df
 
     case alp: ArbitraryLengthPath => compileALP(alp)
   }

@@ -220,6 +220,13 @@ object Sparql {
   private[sparql] def serviceFor(endpoint: String): Option[DataFrame] =
     Option(services.get(endpoint))
 
+  /** Snapshot of every registered endpoint (variable-endpoint SERVICE
+    * iterates this). */
+  private[sparql] def registeredServices: Map[String, DataFrame] = {
+    import scala.jdk.CollectionConverters._
+    services.asScala.toMap
+  }
+
   /** Serialize a term into SPARQL surface syntax (for pre-binding).
     * Control characters use the grammar's string escapes — a raw line
     * break inside a quoted string is invalid SPARQL, so the output

@@ -683,12 +683,10 @@ final class SparqlParser(input: String) {
         skipWs()
         val silent = tryKw("SILENT")
         skipWs()
-        if (peek == '?' || peek == '$')
-          err("SERVICE with a variable endpoint is not supported " +
-            "(register datasets under constant IRIs via Sparql.registerService)")
         val endpoint = parseTermOrVar() match {
-          case T(t: graft.rdf.Iri) => t
-          case other => err(s"SERVICE endpoint must be an IRI, got $other")
+          case v @ V(_) => v
+          case t @ T(_: graft.rdf.Iri) => t
+          case other => err(s"SERVICE endpoint must be an IRI or variable, got $other")
         }
         // the service pattern runs against the REMOTE dataset's default
         // graph — an enclosing GRAPH context does not leak in (§2.1)

@@ -1,0 +1,212 @@
+package graft
+
+import graft.io.DictStore
+import graft.sparql.Algebra
+import graft.sparql.Sparql._
+import graft.sparql.Algebra.{Materialized, Op}
+import org.apache.spark.sql.DataFrame
+
+/** Dictionary-encoded store: differential equivalence against the
+  * term-struct path on every major query shape, plus rewrite-shape
+  * assertions (blocks swallowed, midpoints pruned) and plan checks
+  * (intra-block joins carry only long columns).
+  */
+class DictStoreSpec extends SparqlSpecBase {
+
+  private val stores = scala.collection.mutable.Map.empty[String, DictStore]
+  private def store(fixtureName: String): DictStore =
+    stores.getOrElseUpdate(fixtureName, {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-dict-${fixtureName.takeWhile(_ != '.')}")
+        .toString
+      DictStore.encode(TestSpark.fixture(fixtureName), dir)
+    })
+
+  /** Both paths must agree as multisets. */
+  private def same(fixtureName: String, query: String): Unit = {
+    val viaDict = collect(store(fixtureName).sparql(query))
+    val viaTerms = run(fixtureName, query)
+    assertResult(viaDict, viaTerms)
+  }
+
+  "DictStore" should "round-trip quads through encode/decode" in {
+    val fx = TestSpark.fixture("union.ttl")
+    val decoded = store("union.ttl").decode()
+    decoded.count() shouldBe fx.count()
+    // exact multiset equality of the four term columns
+    fx.exceptAll(decoded).count() shouldBe 0
+    decoded.exceptAll(fx).count() shouldBe 0
+  }
+
+  it should "answer a BGP join identically" in {
+    same("optionals.ttl",
+      """PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        |SELECT ?n ?m { ?x foaf:name ?n . ?x foaf:mbox ?m }""".stripMargin)
+  }
+
+  it should "handle constants absent from the dictionary (empty scan)" in {
+    val rows = collect(store("union.ttl").sparql(
+      "SELECT ?s { ?s <urn:p:never-in-this-data> ?o }"))
+    rows shouldBe empty
+  }
+
+  it should "agree on OPTIONAL around a swallowed block" in {
+    same("optionals.ttl",
+      """PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        |SELECT ?name ?mbox
+        |{ ?x foaf:name ?name . OPTIONAL { ?x foaf:mbox ?mbox } }""".stripMargin)
+  }
+
+  it should "agree on UNION of blocks" in {
+    same("union.ttl",
+      """PREFIX dc10: <http://purl.org/dc/elements/1.0/>
+        |PREFIX dc11: <http://purl.org/dc/elements/1.1/>
+        |SELECT ?title
+        |{ { ?book dc10:title ?title } UNION { ?book dc11:title ?title } }""".stripMargin)
+  }
+
+  it should "agree on FILTER over a block" in {
+    same("inner_filter.ttl",
+      """PREFIX : <http://example.com/>
+        |SELECT ?x ?v
+        |{ ?x :p ?v . ?x :q ?w . FILTER(?w < 4) }""".stripMargin)
+  }
+
+  it should "agree on aggregation over a block" in {
+    same("group_by.ttl",
+      """PREFIX : <http://books.example/>
+        |SELECT ?org (SUM(?lprice) AS ?totalPrice)
+        |{ ?org :affiliates ?auth . ?auth :writesBook ?book . ?book :price ?lprice }
+        |GROUP BY ?org""".stripMargin)
+  }
+
+  it should "agree on DISTINCT with pruned midpoints" in {
+    same("group_by.ttl",
+      """PREFIX : <http://books.example/>
+        |SELECT DISTINCT ?org
+        |{ ?org :affiliates ?auth . ?auth :writesBook ?book }""".stripMargin)
+  }
+
+  it should "agree on GRAPH const and GRAPH var scans" in {
+    same("graphs.trig",
+      """PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        |SELECT ?g ?name { GRAPH ?g { ?x foaf:name ?name } }""".stripMargin)
+    same("graphs.trig",
+      """PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        |SELECT ?name
+        |{ GRAPH <http://example.org/bob> { ?x foaf:name ?name } }""".stripMargin)
+  }
+
+  it should "agree on property paths (sequence and transitive)" in {
+    same("property_paths.ttl",
+      """PREFIX : <http://example/>
+        |SELECT ?name { ?order :item/:name ?name }""".stripMargin)
+    same("property_paths.ttl",
+      """PREFIX : <http://example/>
+        |SELECT ?a ?b { ?a (:item)+ ?b }""".stripMargin)
+  }
+
+  it should "agree on MINUS, EXISTS and subqueries around blocks" in {
+    same("minus.ttl",
+      """PREFIX : <http://example/>
+        |PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        |SELECT ?s { ?s ?p ?o MINUS { ?s foaf:givenName "Bob" } }""".stripMargin)
+    same("optionals.ttl",
+      """PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        |SELECT ?n
+        |{ ?x foaf:name ?n . FILTER EXISTS { ?x foaf:mbox ?m } }""".stripMargin)
+  }
+
+  it should "agree on ASK and CONSTRUCT" in {
+    val fx = "optionals.ttl"
+    val ask =
+      """PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        |ASK { ?x foaf:name ?n . ?x foaf:mbox ?m }""".stripMargin
+    store(fx).sparql(ask).collect().map(_.getBoolean(0)).toSeq shouldBe
+      TestSpark.fixture(fx).sparql(ask).collect().map(_.getBoolean(0)).toSeq
+    val q =
+      """PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        |CONSTRUCT { ?x <urn:p:contact> ?m } WHERE { ?x foaf:mbox ?m }""".stripMargin
+    val viaDict = store(fx).sparql(q).select("s", "p", "o")
+    val viaTerms = TestSpark.fixture(fx).sparql(q).select("s", "p", "o")
+    viaDict.exceptAll(viaTerms).count() shouldBe 0
+    viaTerms.exceptAll(viaDict).count() shouldBe 0
+  }
+
+  it should "agree on repeated variables in one pattern" in {
+    same("property_paths.ttl", "SELECT ?s ?p { ?s ?p ?s }")
+  }
+
+  // ----- rewrite-shape and plan assertions -----
+
+  private def parseOptimized(q: String): Op =
+    graft.sparql.SparqlParser.parseAny(q) match {
+      case graft.sparql.SparqlParser.SelectQuery(op, _) =>
+        graft.sparql.BgpOptimizer.optimize(op)
+      case other => fail(s"not a select: $other")
+    }
+
+  private def materializedLeaves(op: Op): List[Materialized] = {
+    val out = scala.collection.mutable.ListBuffer.empty[Materialized]
+    def walk(o: Op): Unit = o match {
+      case m: Materialized => out += m
+      case Algebra.Join(l, r) => walk(l); walk(r)
+      case Algebra.LeftJoin(l, r, _) => walk(l); walk(r)
+      case Algebra.Union(l, r) => walk(l); walk(r)
+      case Algebra.Minus(l, r) => walk(l); walk(r)
+      case Algebra.Filter(c, _) => walk(c)
+      case Algebra.Extend(c, _, _) => walk(c)
+      case Algebra.Project(c, _) => walk(c)
+      case Algebra.Distinct(c) => walk(c)
+      case Algebra.Reduced(c) => walk(c)
+      case Algebra.Group(c, _, _) => walk(c)
+      case Algebra.Order(c, _) => walk(c)
+      case Algebra.Slice(c, _, _) => walk(c)
+      case alp: Algebra.ArbitraryLengthPath => walk(alp.edge)
+      case _ => ()
+    }
+    walk(op)
+    out.toList
+  }
+
+  it should "swallow a whole BGP as one materialized block and prune midpoints" in {
+    val st = store("group_by.ttl")
+    val op = parseOptimized(
+      """PREFIX : <http://books.example/>
+        |SELECT ?org ?lprice
+        |{ ?org :affiliates ?auth . ?auth :writesBook ?book . ?book :price ?lprice }""".stripMargin)
+    val blocks = materializedLeaves(st.rewrite(op))
+    blocks should have size 1
+    // ?auth and ?book are block-internal midpoints: never materialized
+    blocks.head.varNames.toSet shouldBe Set("org", "lprice")
+  }
+
+  it should "keep midpoint variables that are referenced outside the block" in {
+    val st = store("group_by.ttl")
+    val op = parseOptimized(
+      """PREFIX : <http://books.example/>
+        |SELECT ?org ?auth
+        |{ ?org :affiliates ?auth . ?auth :writesBook ?book }""".stripMargin)
+    val blocks = materializedLeaves(st.rewrite(op))
+    blocks should have size 1
+    blocks.head.varNames.toSet shouldBe Set("org", "auth")
+  }
+
+  it should "join in id space: only long columns under the materialization" in {
+    val st = store("group_by.ttl")
+    val op = parseOptimized(
+      """PREFIX : <http://books.example/>
+        |SELECT ?org ?lprice
+        |{ ?org :affiliates ?auth . ?auth :writesBook ?book . ?book :price ?lprice }""".stripMargin)
+    val df: DataFrame = materializedLeaves(st.rewrite(op)).head.df
+    // the physical plan must contain the id-space joins; struct columns
+    // appear only above them (late materialization)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // the two intra-block joins run on long attributes (#nL = #nL) and
+    // constant predicates push down as long equality onto the parquet scan
+    val longJoins = raw"Join Inner, \(\w+#\d+L = \w+#\d+L\)".r
+      .findAllIn(plan).size
+    longJoins should be >= 2
+    plan should include regex raw"\(p#\d+L = \d+\)"
+  }
+}

@@ -62,11 +62,6 @@ class ServiceSpec extends SparqlSpecBase {
     rows.foreach(r => r.contains("city") shouldBe false)
   }
 
-  "a variable endpoint" should "be rejected at parse time" in {
-    an[IllegalArgumentException] should be thrownBy people.sparql(P +
-      "SELECT ?s { ?s :endpoint ?e . SERVICE ?e { ?s ?p ?o } }")
-  }
-
   "a correlated filter inside SERVICE within EXISTS" should "fail loudly" in
     withEndpoints {
       // silently evaluating ?p against NULL would be a wrong answer
@@ -82,6 +77,55 @@ class ServiceSpec extends SparqlSpecBase {
           |{ ?p :worksAt ?co . SERVICE SILENT <urn:sv:companies> { ?co :city ?city } }""".stripMargin)
       collect(df) should have size 2
       // registered → child's assured vars propagate → no nested-loop join
+      df.queryExecution.executedPlan.toString should not include "NestedLoop"
+    }
+
+  // ----- variable endpoints (§2.3: iterate the registry) -----
+
+  private lazy val companies2 = QuadsIO.fromQuads(spark, Seq(
+    Quad(Iri(E + "initech"), Iri(E + "city"), Lit("Austin"), None)))
+
+  private def withTwoEndpoints[A](body: => A): A = {
+    Sparql.registerService(E + "companies", companies)
+    Sparql.registerService(E + "companies2", companies2)
+    try body finally {
+      Sparql.unregisterService(E + "companies")
+      Sparql.unregisterService(E + "companies2")
+    }
+  }
+
+  "SERVICE ?var" should "iterate every registered endpoint and bind the variable" in
+    withTwoEndpoints {
+      val rows = collect(people.sparql(P +
+        """SELECT ?p ?ep ?city
+          |{ ?p :worksAt ?co . SERVICE ?ep { ?co :city ?city } }""".stripMargin))
+      rows.map(r => (r("p"), r("ep"), r("city"))).toSet shouldBe Set(
+        (iri(E + "alice"), iri(E + "companies"), str("Springfield")),
+        (iri(E + "bob"), iri(E + "companies"), str("Cypress Creek")),
+        (iri(E + "carol"), iri(E + "companies2"), str("Austin")))
+    }
+
+  it should "constrain through a VALUES binding of the endpoint variable" in
+    withTwoEndpoints {
+      val rows = collect(people.sparql(P +
+        """SELECT ?p ?city
+          |{ ?p :worksAt ?co . SERVICE ?ep { ?co :city ?city }
+          |  VALUES ?ep { <urn:sv:companies2> } }""".stripMargin))
+      rows.map(r => (r("p"), r("city"))).toSet shouldBe Set(
+        (iri(E + "carol"), str("Austin")))
+    }
+
+  it should "yield zero solutions when no endpoint is registered" in {
+    Sparql.clearServices()
+    collect(people.sparql(P +
+      "SELECT ?s ?ep { SERVICE ?ep { ?s :city ?c } }")) shouldBe empty
+  }
+
+  it should "treat the endpoint variable as assured (no nested-loop join)" in
+    withTwoEndpoints {
+      val df = people.sparql(P +
+        """SELECT ?p ?ep ?city
+          |{ ?p :worksAt ?co . SERVICE ?ep { ?co :city ?city } }""".stripMargin)
       df.queryExecution.executedPlan.toString should not include "NestedLoop"
     }
 
