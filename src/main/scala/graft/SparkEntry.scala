@@ -90,6 +90,19 @@ object SparkEntry {
           |  ?n :inRegion ?r . ?r :rname "ASIA" }""".stripMargin),
         "cname" -> "string", "nname" -> "string")
     },
+    "q_cbo_stats" -> { (s, d) =>
+      // cost-based BGP ordering: one ANALYZE pass (per-predicate counts
+      // + HLL distinct ends), then the greedy reorder runs on real
+      // estimated cardinalities instead of the structural heuristic.
+      // Stats change only the join order; the oracle pins the results.
+      val quads = cust(s, d).union(nationRegion(s, d))
+      out(quads.sparql(prologue +
+        """SELECT ?cname ?nname
+          |{ ?c :cname ?cname . ?c :inNation ?n . ?n :nname ?nname .
+          |  ?n :inRegion ?r . ?r :rname "EUROPE" }""".stripMargin,
+        quads.analyze()),
+        "cname" -> "string", "nname" -> "string")
+    },
     "q_optional" -> { (s, d) =>
       out(custOrders(s, d).sparql(prologue +
         """SELECT ?cname ?total
@@ -478,6 +491,36 @@ object SparkEntry {
         "fp", "doc_id")
         .select(col("doc_id"), col("quality"))
     },
+    "q_sample_det" -> { (s, d) =>
+      // deterministic portable sampling: the md5 bucket is replayable
+      // bit-for-bit in any SQL engine — the oracle recomputes the
+      // exact per-row keep/drop decision
+      graft.pipeline.Sampling.deterministicSample(
+        t(s, d, "documents"), "doc_id", 0.3, seed = 0, portable = true)
+        .select(col("doc_id"), col("lang"))
+    },
+    "q_sample_strat" -> { (s, d) =>
+      // stratified mixing: per-language keep rates re-weight corpus
+      // composition deterministically
+      graft.pipeline.Sampling.stratifiedSample(
+        t(s, d, "documents"), "lang", Map("en" -> 0.5, "de" -> 0.2),
+        keyCol = "doc_id", seed = 1, defaultRate = 0.05, portable = true)
+        .select(col("doc_id"), col("lang"))
+    },
+    "q_topk_group" -> { (s, d) =>
+      // curation selection: best-k documents per language by length,
+      // ties broken deterministically by doc_id
+      graft.pipeline.Curation.topKPerGroup(
+        t(s, d, "documents"), "lang", "n_chars", k = 5, tieCol = "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    },
+    "q_quantile_group" -> { (s, d) =>
+      // per-group quality gate: keep documents at/above their
+      // language's 75th length percentile
+      graft.pipeline.Curation.aboveGroupQuantile(
+        t(s, d, "documents"), "lang", "n_chars", q = 0.75)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    },
     "q_text_stats" -> { (s, d) =>
       import graft.pipeline.TextAnalysis._
       t(s, d, "documents").select(
@@ -571,6 +614,11 @@ object SparkEntry {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'""".stripMargin,
+    "q_cbo_stats" ->
+      """SELECT c_name AS cname, n_name AS nname
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'""".stripMargin,
     "q_optional" ->
       """SELECT c_name AS cname, COALESCE(o_totalprice, 0) AS total
         |FROM customer LEFT JOIN orders ON o_custkey = c_custkey""".stripMargin,
@@ -804,6 +852,30 @@ object SparkEntry {
         |    ORDER BY doc_id) AS rn
         |  FROM scored WHERE quality >= 0.5)
         |WHERE rn = 1""".stripMargin,
+    "q_sample_det" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 8))::BIGINT
+        |      % 1000000 < 300000""".stripMargin,
+    "q_sample_strat" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':1'), 1, 8))::BIGINT
+        |      % 1000000 <
+        |  CASE WHEN lang = 'de' THEN 200000
+        |       WHEN lang = 'en' THEN 500000
+        |       ELSE 50000 END""".stripMargin,
+    "q_topk_group" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars, row_number() OVER (
+        |    PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5""".stripMargin,
+    "q_quantile_group" ->
+      """WITH thr AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.75) AS t
+        |  FROM documents GROUP BY lang)
+        |SELECT doc_id, documents.lang AS lang, n_chars
+        |FROM documents JOIN thr ON documents.lang = thr.lang
+        |WHERE n_chars >= t""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')) AS BIGINT) AS ntok,

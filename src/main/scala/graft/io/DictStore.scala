@@ -55,7 +55,8 @@ import org.apache.spark.sql.types._
   */
 final class DictStore private (val spark: SparkSession,
                                val dict: DataFrame,
-                               val idQuads: DataFrame) {
+                               val idQuads: DataFrame,
+                               val stats: Option[graft.sparql.QuadsStats]) {
 
   /** Term-struct view of the store: the four id columns joined back
     * against the dictionary (g via left join — NULL g is the default
@@ -84,12 +85,12 @@ final class DictStore private (val spark: SparkSession,
     * view (the dataset clause filters on term lexicals). */
   def sparql(query: String): DataFrame = SparqlParser.parseAny(query) match {
     case SparqlParser.SelectQuery(op, ds) if ds.isEmpty =>
-      Compiler.run(decodedQuads, rewrite(BgpOptimizer.optimize(op)))
+      Compiler.run(decodedQuads, rewrite(BgpOptimizer.optimize(op, stats)))
     case SparqlParser.AskQuery(op, ds) if ds.isEmpty =>
-      Compiler.runAsk(decodedQuads, rewrite(BgpOptimizer.optimize(op)))
+      Compiler.runAsk(decodedQuads, rewrite(BgpOptimizer.optimize(op, stats)))
     case SparqlParser.ConstructQuery(template, op, ds) if ds.isEmpty =>
       Compiler.runConstruct(decodedQuads, template,
-        rewrite(BgpOptimizer.optimize(op)))
+        rewrite(BgpOptimizer.optimize(op, stats)))
     case _ => Sparql.QuadsOps(decodedQuads).sparql(query)
   }
 
@@ -310,12 +311,20 @@ object DictStore {
       .sortWithinPartitions("p", "s")
       .write.mode(SaveMode.Overwrite).option("compression", "zstd")
       .parquet(s"$path/quads")
+    // ANALYZE at ingest: per-predicate stats for cost-based join
+    // ordering, persisted as a sidecar so every later load gets them
+    // free (the one groupBy here is noise next to the encode joins)
+    graft.sparql.QuadsStats.write(spark,
+      graft.sparql.QuadsStats.compute(quads), s"$path/stats")
     load(spark, path)
   }
 
-  /** Open a persisted store. */
+  /** Open a persisted store (stats sidecar optional — stores written
+    * before ANALYZE-at-ingest still load, with structural ordering). */
   def load(spark: SparkSession, path: String): DictStore =
     new DictStore(spark,
       spark.read.parquet(s"$path/dict"),
-      spark.read.parquet(s"$path/quads"))
+      spark.read.parquet(s"$path/quads"),
+      try Some(graft.sparql.QuadsStats.read(spark, s"$path/stats"))
+      catch { case _: org.apache.spark.sql.AnalysisException => None })
 }

@@ -1,0 +1,50 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation selection operators (LLM-pipeline extension —
+  * SURVEY.md §2 has no reference counterpart).
+  */
+object Curation {
+
+  /** Keep the top `k` rows of each group by `scoreCol` descending,
+    * ties broken by ascending `tieCol` so the result is a function of
+    * the data alone (a nondeterministic top-k would defeat
+    * reproducible corpus builds). The canonical "best N documents per
+    * domain/language" selection.
+    *
+    * Shape at scale: one hash shuffle on `groupCol` + an in-partition
+    * sort — the same cost class as any groupBy. Rank is computed with
+    * `row_number` over a bounded window; no state beyond the sort.
+    * A group so hot it dwarfs a partition (a single domain holding a
+    * double-digit percentage of 100 TB) should be pre-split upstream
+    * (salt → per-salt top-k → re-top-k: top-k is
+    * merge-decomposable); for real corpora groups are domains or
+    * languages and fit comfortably. */
+  def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
+                   k: Int, tieCol: String): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(tieCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
+  /** Quantile threshold per group: keep rows whose `scoreCol` is at or
+    * above their group's `q`-quantile (e.g. "top quartile of quality
+    * within each language"). Exact per-group quantile via one
+    * aggregate + broadcast-joined thresholds — groups are
+    * low-cardinality strata, so the threshold table is tiny. */
+  def aboveGroupQuantile(df: DataFrame, groupCol: String, scoreCol: String,
+                         q: Double): DataFrame = {
+    require(q >= 0 && q <= 1, s"quantile $q not in [0,1]")
+    val thresholds = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($scoreCol, $q)").as("__thr"))
+    df.join(broadcast(thresholds), groupCol)
+      .filter(col(scoreCol) >= col("__thr"))
+      .drop("__thr")
+  }
+}

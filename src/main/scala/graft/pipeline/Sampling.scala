@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and data mixing for training-data pipelines.
+  *
+  * Everything here is MAP-ONLY — a sampling decision is a pure
+  * function of (stable key, seed), never of partitioning, task
+  * scheduling or row order. That is the property `df.sample()` cannot
+  * give you: Spark's sampler is seeded per-partition, so adding one
+  * input file reshuffles every decision. Hash-based sampling keeps
+  * decisions stable under repartitioning, incremental appends and
+  * re-runs — the requirements of a reproducible 100 TB corpus build
+  * (and of train/test splits that must never leak across runs).
+  *
+  * Two hash families:
+  *  - [[bucket]]: `xxhash64` — codegen'd, one 64-bit mix per row; the
+  *    production path.
+  *  - [[portableBucket]]: first 8 hex digits of `md5` — ~3× slower but
+  *    bit-identical SQL exists in every engine (DuckDB, Trino,
+  *    Postgres), so cross-engine audits can replay the exact sample.
+  *
+  * The reference engine has no sampling surface (SURVEY.md §2 — its
+  * only nondeterminism is rdf4j's SAMPLE aggregate); this family is
+  * part of the LLM-pipeline extension mandate.
+  */
+object Sampling {
+
+  /** Buckets per unit interval: rates resolve to 1/1e6 granularity. */
+  val Buckets = 1000000L
+
+  /** Deterministic bucket in [0, Buckets) from a stable key — the
+    * production sampler (codegen'd xxhash64; pmod for a non-negative
+    * remainder). Different seeds give independent samples. */
+  def bucket(key: Column, seed: Long = 0L): Column =
+    pmod(xxhash64(key, lit(seed)), lit(Buckets))
+
+  /** Portable bucket: identical arithmetic is expressible in standard
+    * SQL (`('0x' || substr(md5(key || ':' || seed), 1, 8))::BIGINT %
+    * 1000000`), so an external engine can reproduce the sample row for
+    * row. Key is taken as its string form. */
+  def portableBucket(key: Column, seed: Long = 0L): Column =
+    pmod(conv(substring(md5(concat(key.cast("string"),
+      lit(":" + seed.toString)).cast("binary")), 1, 8), 16, 10)
+      .cast("long"), lit(Buckets))
+
+  /** Keep each row iff its bucket falls below `fraction` — a
+    * deterministic Bernoulli sample, stable across runs/partitioning.
+    * `portable = true` switches to the md5 bucket. */
+  def deterministicSample(df: DataFrame, keyCol: String, fraction: Double,
+                          seed: Long = 0L,
+                          portable: Boolean = false): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction $fraction not in [0,1]")
+    val b = if (portable) portableBucket(col(keyCol), seed)
+            else bucket(col(keyCol), seed)
+    df.filter(b < lit((fraction * Buckets).toLong))
+  }
+
+  /** Disjoint deterministic split (train/validation/test): `weights`
+    * are relative and need not sum to 1. Returns one DataFrame per
+    * weight; every input row lands in exactly one split, decided by
+    * its key alone — append new data and old rows never migrate. */
+  def split(df: DataFrame, keyCol: String, weights: Seq[Double],
+            seed: Long = 0L): Seq[DataFrame] = {
+    require(weights.nonEmpty && weights.forall(_ > 0), "weights must be > 0")
+    val total = weights.sum
+    val cuts = weights.scanLeft(0.0)(_ + _)
+      .map(w => (w / total * Buckets).toLong)
+    val b = bucket(col(keyCol), seed)
+    cuts.sliding(2).toSeq.map { case Seq(lo, hi) =>
+      df.filter(b >= lit(lo) && b < lit(hi))
+    }
+  }
+
+  /** Stratified sampling / data mixing: per-stratum keep rates (e.g.
+    * language → rate, source → mixture weight). Rates compile to one
+    * codegen'd CASE over the broadcast-free literal map — strata sets
+    * are small (languages, domains) by construction; rows in strata
+    * absent from `rates` keep `defaultRate`. This IS the "data
+    * mixture" op: rates re-weight the corpus composition exactly and
+    * reproducibly. */
+  def stratifiedSample(df: DataFrame, strataCol: String,
+                       rates: Map[String, Double], keyCol: String,
+                       seed: Long = 0L, defaultRate: Double = 0.0,
+                       portable: Boolean = false): DataFrame = {
+    require((defaultRate +: rates.values.toSeq)
+      .forall(r => r >= 0 && r <= 1), "rates must be in [0,1]")
+    val b = if (portable) portableBucket(col(keyCol), seed)
+            else bucket(col(keyCol), seed)
+    val threshold = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit((defaultRate * Buckets).toLong)) { case (acc, (k, r)) =>
+        when(col(strataCol) === lit(k), lit((r * Buckets).toLong))
+          .otherwise(acc)
+      }
+    df.filter(b < threshold)
+  }
+}

@@ -303,6 +303,30 @@ object Sparql {
     def sparql(query: String, bindings: Map[String, Term]): DataFrame =
       sparql(preBind(query, bindings))
 
+    /** One statistics pass over this dataset (per-predicate counts +
+      * distinct subject/object estimates) for cost-based join
+      * ordering — compute once per dataset, reuse across queries. */
+    def analyze(): QuadsStats = QuadsStats.compute(quads)
+
+    /** Execute with cost-based BGP join ordering driven by `stats`
+      * (see [[QuadsStats]]). Same results as [[sparql(query*]] —
+      * statistics change only the join order. */
+    def sparql(query: String, stats: QuadsStats): DataFrame = {
+      val st = Some(stats)
+      SparqlParser.parseAny(query) match {
+        case SparqlParser.SelectQuery(op, ds) =>
+          Compiler.run(applyDataset(quads, ds), BgpOptimizer.optimize(op, st))
+        case SparqlParser.AskQuery(op, ds) =>
+          Compiler.runAsk(applyDataset(quads, ds), BgpOptimizer.optimize(op, st))
+        case SparqlParser.ConstructQuery(template, op, ds) =>
+          Compiler.runConstruct(applyDataset(quads, ds), template,
+            BgpOptimizer.optimize(op, st))
+        case SparqlParser.DescribeQuery(targets, star, op, ds) =>
+          Compiler.runDescribe(applyDataset(quads, ds), targets, star,
+            op.map(BgpOptimizer.optimize(_, st)))
+      }
+    }
+
     /** SPARQL 1.1 Update — the §3.1 data/pattern forms (INSERT DATA /
       * DELETE DATA / DELETE WHERE / DELETE…INSERT…WHERE) and the §3.2
       * graph-management forms (LOAD / CLEAR / DROP / CREATE / ADD /

@@ -1,0 +1,107 @@
+package graft
+
+import graft.pipeline.{Curation, Sampling}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Deterministic sampling, splits, stratified mixing, and curation
+  * selection: decisions must be pure functions of (key, seed) —
+  * stable under repartitioning and appends — and the portable bucket
+  * must match an independent md5 computation bit for bit. */
+class SamplingSpec extends AnyFlatSpec with Matchers {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val rows: DataFrame = (1 to 2000)
+    .map(i => (i.toLong, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr",
+      i % 100))
+    .toDF("id", "lang", "score")
+
+  "deterministicSample" should "be stable under repartitioning" in {
+    val a = Sampling.deterministicSample(rows, "id", 0.3, seed = 7)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.deterministicSample(rows.repartition(13), "id", 0.3, seed = 7)
+      .select("id").collect().map(_.getLong(0)).toSet
+    a shouldBe b
+    a.size.toDouble shouldBe 600.0 +- 80.0 // ~Binomial(2000, .3)
+  }
+
+  it should "give independent samples for different seeds" in {
+    val a = Sampling.deterministicSample(rows, "id", 0.5, seed = 1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.deterministicSample(rows, "id", 0.5, seed = 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    a should not be b
+    // overlap ≈ 25% of population for independent halves
+    (a intersect b).size.toDouble shouldBe 500.0 +- 120.0
+  }
+
+  "portableBucket" should "match an independent JVM md5 computation" in {
+    val got = rows.limit(50)
+      .select(col("id"), Sampling.portableBucket(col("id"), seed = 42).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (id, b) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:42".getBytes("UTF-8"))
+      val hex = md.take(4).map("%02x".format(_)).mkString
+      val expected = java.lang.Long.parseLong(hex, 16) % Sampling.Buckets
+      b shouldBe expected
+    }
+  }
+
+  "split" should "partition every row into exactly one part" in {
+    val parts = Sampling.split(rows, "id", Seq(0.8, 0.1, 0.1), seed = 3)
+    parts should have size 3
+    val sets = parts.map(_.select("id").collect().map(_.getLong(0)).toSet)
+    sets.map(_.size).sum shouldBe 2000
+    sets.combinations(2).foreach { case Seq(x, y) => (x intersect y) shouldBe empty }
+    sets.head.size.toDouble shouldBe 1600.0 +- 120.0
+  }
+
+  it should "never migrate rows when data is appended" in {
+    val half = rows.filter(col("id") <= 1000)
+    val fullParts = Sampling.split(rows, "id", Seq(0.5, 0.5), seed = 9)
+      .map(_.filter(col("id") <= 1000).select("id").collect().map(_.getLong(0)).toSet)
+    val halfParts = Sampling.split(half, "id", Seq(0.5, 0.5), seed = 9)
+      .map(_.select("id").collect().map(_.getLong(0)).toSet)
+    fullParts shouldBe halfParts
+  }
+
+  "stratifiedSample" should "apply per-stratum rates with a default" in {
+    val out = Sampling.stratifiedSample(rows, "lang",
+      Map("en" -> 1.0, "de" -> 0.2), keyCol = "id", seed = 5)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang("en") shouldBe 666 // rate 1.0 keeps every one of the 666 en rows
+    byLang("de").toDouble shouldBe (667 * 0.2) +- 50.0
+    byLang.get("fr") shouldBe None // defaultRate 0.0 drops the stratum
+  }
+
+  "topKPerGroup" should "keep the k best per group with deterministic ties" in {
+    val df = Seq(
+      ("a", 1L, 9), ("a", 2L, 9), ("a", 3L, 5), ("a", 4L, 1),
+      ("b", 5L, 7), ("b", 6L, 3),
+      ("c", 7L, 2)
+    ).toDF("g", "id", "score")
+    val out = Curation.topKPerGroup(df, "g", "score", k = 2, tieCol = "id")
+      .select("g", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // tie on score 9 broken by ascending id: 1 and 2 both fit in k=2
+    out shouldBe Set(("a", 1L), ("a", 2L), ("b", 5L), ("b", 6L), ("c", 7L))
+    val top1 = Curation.topKPerGroup(df, "g", "score", k = 1, tieCol = "id")
+      .select("g", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    top1 shouldBe Set(("a", 1L), ("b", 5L), ("c", 7L))
+  }
+
+  "aboveGroupQuantile" should "threshold within each group" in {
+    val df = Seq(
+      ("x", 1L, 10), ("x", 2L, 20), ("x", 3L, 30), ("x", 4L, 40),
+      ("y", 5L, 1), ("y", 6L, 2)
+    ).toDF("g", "id", "score")
+    val out = Curation.aboveGroupQuantile(df, "g", "score", 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // x median 25 → 30,40 survive; y median 1.5 → 2 survives
+    out shouldBe Set(3L, 4L, 6L)
+  }
+}
