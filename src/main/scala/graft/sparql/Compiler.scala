@@ -125,11 +125,22 @@ object Compiler {
       case Some(i0) =>
         // add only quads not already present AFTER deletion, so a quad
         // that is both deleted and re-inserted ends up present
-        val fresh = i0.join(afterDel,
-          i0("s") <=> afterDel("s") && i0("p") <=> afterDel("p") &&
-            i0("o") <=> afterDel("o") && i0("g") <=> afterDel("g"), "left_anti")
-        afterDel.union(fresh)
+        afterDel.union(antiPresent(i0, afterDel))
     }
+  }
+
+  /** Rows of `data` whose (s,p,o,g) quad is absent from `store`. Both
+    * sides share column names and often lineage (store is usually
+    * derived from the same scan), so the store side is renamed before
+    * the anti join — comparing same-lineage attributes would otherwise
+    * lean on Spark's dataset-id disambiguation (and warn "trivially
+    * true equals predicate"). */
+  private def antiPresent(data: DataFrame, store: DataFrame): DataFrame = {
+    val st = store.select(col("s").as("__xs"), col("p").as("__xp"),
+      col("o").as("__xo"), col("g").as("__xg"))
+    data.join(st,
+      data("s") <=> st("__xs") && data("p") <=> st("__xp") &&
+        data("o") <=> st("__xo") && data("g") <=> st("__xg"), "left_anti")
   }
 
   /** SPARQL 1.1 Update §3.2 graph management as pure quad-table
@@ -164,13 +175,8 @@ object Compiler {
         throw new IllegalArgumentException(s"not a target graph: $other")
     }
     // one copy of each not-already-present quad (INSERT semantics)
-    def insertInto(store: DataFrame, data: DataFrame): DataFrame = {
-      val d = data.dropDuplicates()
-      val fresh = d.join(store,
-        d("s") <=> store("s") && d("p") <=> store("p") &&
-          d("o") <=> store("o") && d("g") <=> store("g"), "left_anti")
-      store.union(fresh)
-    }
+    def insertInto(store: DataFrame, data: DataFrame): DataFrame =
+      store.union(antiPresent(data.dropDuplicates(), store))
     u match {
       case Create(_, _) => quads // graphs exist implicitly
       case Clear(ref, _) => clear(quads, ref)
