@@ -1,0 +1,194 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd text-hashing expressions: the per-document halves
+  * of MinHash and SimHash as SCALAR functions over the in-row token
+  * array.
+  *
+  * Why scalar, not aggregate: a signature is a pure function of one
+  * document, so computing it must not shuffle. The previous scale forms
+  * exploded tokens/shingle indices into row-per-token streams and
+  * re-assembled signatures with 64 codegen'd aggregates — correct and
+  * partial-aggregated, but it materialized corpus×tokens intermediate
+  * rows and paid a hash-aggregate probe per token. These expressions
+  * keep the whole loop inside one generated function call per row:
+  * signatures fuse into the parquet scan, and the first shuffle of the
+  * dedup pipeline is the (already tiny) banded candidate join.
+  *
+  * Hash parity is bit-for-bit with the Column forms used by the specs
+  * and by any persisted signature table:
+  *  - shingle hash   = xxhash64(shingle_string)          (seed 42)
+  *  - minhash h_i    = xxhash64(shingle_hash: long, i: int)
+  *    (seed chaining: hashInt(i, hashLong(s, 42)) — exactly Spark's
+  *    multi-argument xxhash64)
+  *  - simhash votes  = xxhash64(token_string) bit b, +1/-1
+  * all via Spark's own [[XXH64]] static methods.
+  */
+object TextHashExprs {
+
+  private val SEED = 42L // Spark's xxhash64 default seed
+
+  // ----- static helpers, called from generated code -----
+
+  /** Distinct xxhash64 values of the k-token shingles of `toks`
+    * (shingle string = k consecutive tokens joined by one space —
+    * byte-identical to concat_ws(" ", slice(ws, i+1, k))). First-seen
+    * order; fewer than k tokens → empty (callers gate on token count,
+    * matching the explode form's `sequence(0, n-k)` domain). */
+  def shingleHashes(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val parts = new Array[UTF8String](k)
+    val seen = new java.util.HashSet[java.lang.Long](Math.min(n, 1024))
+    val out = new Array[Long](n - k + 1)
+    var m = 0
+    var i = 0
+    while (i <= n - k) {
+      var j = 0
+      while (j < k) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      val h = XXH64.hashUTF8String(UTF8String.concatWs(SPACE, parts: _*), SEED)
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (m == out.length) out else java.util.Arrays.copyOf(out, m))
+  }
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** MinHash signature from precomputed shingle hashes: element i is
+    * min over hashes s of xxhash64(s, i). Empty input → null (no
+    * shingles means no signature — callers gate on token count). */
+  def minHashFromHashes(hs: ArrayData, numHashes: Int): ArrayData = {
+    val n = hs.numElements()
+    if (n == 0) return null
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var si = 0
+    while (si < n) {
+      val base = XXH64.hashLong(hs.getLong(si), SEED)
+      var i = 0
+      while (i < numHashes) {
+        val v = XXH64.hashInt(i, base)
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      si += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  /** 64-bit SimHash over the token array (unit weights): bit b set iff
+    * the sum over tokens of ±1 (sign of bit b of the token's xxhash64)
+    * is positive. Token-less input → 0L, matching the Column form. */
+  def simHashSig(toks: ArrayData): Long = {
+    val n = toks.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val h = XXH64.hashUTF8String(toks.getUTF8String(i), SEED)
+        var b = 0
+        while (b < 64) {
+          votes(b) += (((h >>> b).toInt & 1) << 1) - 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= 1L << b; b += 1 }
+    sig
+  }
+
+  // ----- expressions -----
+
+  private def checkArrayOf(e: Expression, et: DataType,
+                           what: String): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(t, _) if t == et => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$what expects array<$et>, got $other")
+    }
+
+  case class ShingleHashesExpr(child: Expression, k: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkArrayOf(child, StringType, prettyName)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "shingle_hashes"
+
+    override def nullSafeEval(a: Any): Any =
+      shingleHashes(a.asInstanceOf[ArrayData], k)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => s"""
+        |${ev.value} = graft.functions.TextHashExprs.shingleHashes($a, $k);
+        """.stripMargin)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  case class MinHashFromHashesExpr(child: Expression, numHashes: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkArrayOf(child, LongType, prettyName)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "minhash_from_hashes"
+
+    override def nullSafeEval(a: Any): Any =
+      minHashFromHashes(a.asInstanceOf[ArrayData], numHashes)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val tmp = ctx.freshName("mh")
+        s"""
+        |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+        |  graft.functions.TextHashExprs.minHashFromHashes($a, $numHashes);
+        |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+        """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  case class SimHashSigExpr(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkArrayOf(child, StringType, prettyName)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash_sig"
+
+    override def nullSafeEval(a: Any): Any =
+      simHashSig(a.asInstanceOf[ArrayData])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => s"""
+        |${ev.value} = graft.functions.TextHashExprs.simHashSig($a);
+        """.stripMargin)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  // ----- Column API -----
+  def shingleHashesCol(tokens: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      ShingleHashesExpr(GraftColumnBridge.expression(tokens), k))
+  def minHashFromHashesCol(hashes: Column, numHashes: Int): Column =
+    GraftColumnBridge.column(
+      MinHashFromHashesExpr(GraftColumnBridge.expression(hashes), numHashes))
+  def simHashSigCol(tokens: Column): Column =
+    GraftColumnBridge.column(
+      SimHashSigExpr(GraftColumnBridge.expression(tokens)))
+}

@@ -104,26 +104,25 @@ object Dedup {
     // shorter than shingleK tokens are left to exact dedup.
     val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("ws"))
       .filter(size(col("ws")) >= shingleK)
-    val shRows = toks
-      .select(col("id"), col("ws"),
-        explode(sequence(lit(0), size(col("ws")) - shingleK)).as("i"))
+    // signatures are MAP-ONLY: one native expression computes the
+    // distinct shingle-hash set in-row (the verification set) and a
+    // second derives all minhash mins from it — no explode, no
+    // aggregate, no shuffle until the banded candidate join; lazily
+    // checkpointed because three join branches (banding + both
+    // verification sides) consume it
+    val sigs = toks
       .select(col("id"),
-        xxhash64(concat_ws(" ",
-          slice(col("ws"), col("i") + 1, lit(shingleK)))).as("s"))
-    // ONE groupBy computes the verification set AND all minhash mins;
-    // lazily checkpointed because three join branches (banding + both
-    // verification sides) consume it — without it the whole shingle
-    // pipeline re-executes per branch
-    val sigCols = collect_set(col("s")).as("sh") +:
-      (0 until numHashes).map(i => min(xxhash64(col("s"), lit(i))).as(s"h$i"))
-    val sigs = shRows.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
+        graft.functions.TextHashExprs.shingleHashesCol(col("ws"), shingleK).as("sh"))
+      .select(col("id"), col("sh"),
+        graft.functions.TextHashExprs.minHashFromHashesCol(col("sh"), numHashes).as("mh"))
       .localCheckpoint(eager = false)
     val base = sigs.select(col("id"), col("sh"))
-    // one bucket hash per band; only (id, band, bucket) rides the
+    // one bucket hash per band (same murmur3 key values as the previous
+    // column-per-hash form); only (id, band, bucket) rides the
     // candidate shuffle — shingle arrays never fan out ×bands
     val banded = capBuckets(sigs.select(col("id"),
       posexplode(array((0 until bands).map { j =>
-        hash(((j * r) until ((j + 1) * r)).map(i => col(s"h$i")) :+ lit(j): _*)
+        hash(((j * r) until ((j + 1) * r)).map(i => col("mh")(i)) :+ lit(j): _*)
       }: _*)).as(Seq("band", "bucket"))), Seq("band", "bucket"), maxBucketSize)
     val pairs = banded.select(col("band"), col("bucket"), col("id").as("idA"))
       .join(banded.select(col("band"), col("bucket"), col("id").as("idB")),
@@ -156,31 +155,15 @@ object Dedup {
       })
   }
 
-  /** SimHash signatures via explode + 64 codegen'd sum-aggregates
-    * (single shuffle) — same result as [[simHash]], scale path.
-    * Token-less documents (which explode drops) are re-attached with
-    * signature 0, matching the column form. */
-  private def simHashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // a NULL sentinel token per doc keeps token-less documents in the
-    // groupBy (they'd otherwise vanish in the explode and need a
-    // re-attach join — one whole extra shuffle); its h is NULL and
-    // contributes 0 votes, so their signature is 0 as before. NULL text
-    // coalesces to "" so those docs keep a signature-0 row too.
-    val exploded = df.select(col(idCol).as("id"),
-      explode(concat(tokens(coalesce(col(textCol), lit(""))),
-        array(lit(null).cast("string")))).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-    val voteCols = (0 until 64).map(b =>
-      // guard on w, not h: xxhash64(NULL) yields the seed, not NULL
-      sum(when(col("w").isNull, 0L)
-        .when(call_function("shiftrightunsigned", col("h"), lit(b))
-          .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$b"))
-    val votes = exploded.groupBy(col("id")).agg(voteCols.head, voteCols.tail: _*)
-    votes.select(col("id"),
-      (0 until 64).map(b =>
-        when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
-        .reduce(_ + _).as("sig"))
-  }
+  /** SimHash signatures via one native scalar expression over the
+    * in-row token array — same result as [[simHash]], MAP-ONLY: no
+    * explode, no aggregate, no shuffle; the signature fuses into the
+    * scan. NULL text coalesces to "" so every document keeps a row
+    * (token-less → signature 0, matching the column form). */
+  private def simHashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.TextHashExprs.simHashSigCol(
+        tokens(coalesce(col(textCol), lit("")))).as("sig"))
 
   /** SimHash candidate pairs with a scale-safe banding scheme.
     *
