@@ -107,12 +107,19 @@ final class DictStore private (val spark: SparkSession,
     // nothing inside the tree references them again (CONSTRUCT
     // templates, DESCRIBE targets and pre-binding read them by name)
     val keepAlways = Algebra.vars(root)
+    // COUNT(DISTINCT *) counts distinct over ALL visible columns
+    // without naming any variable, so reference counting cannot see
+    // it — pruning a midpoint would shrink its distinct key. Disable
+    // pruning for the whole query when one exists anywhere.
+    val noPrune = usesDistinctStar(root)
     def go(op: Op): Op = op match {
       case b if isBlock(b) =>
         val blockRefs = countRefs(b)
-        val keep = Algebra.varsOrdered(b).filter(v =>
-          keepAlways.contains(v) ||
-            totalRefs.getOrElse(v, 0) > blockRefs.getOrElse(v, 0))
+        val keep =
+          if (noPrune) Algebra.varsOrdered(b)
+          else Algebra.varsOrdered(b).filter(v =>
+            keepAlways.contains(v) ||
+              totalRefs.getOrElse(v, 0) > blockRefs.getOrElse(v, 0))
         Materialized(compileBlock(b, keep), keep)
       case Join(l, r) => Join(go(l), go(r))
       case LeftJoin(l, r, c) => LeftJoin(go(l), go(r), c)
@@ -137,6 +144,39 @@ final class DictStore private (val spark: SparkSession,
     case _: Scan => true
     case Join(l, r) => isBlock(l) && isBlock(r)
     case _ => false
+  }
+
+  /** Any DISTINCT aggregate over `*` (expr = None) in the tree — the
+    * one shape whose result depends on columns no variable reference
+    * names (see [[rewrite]]). */
+  private def usesDistinctStar(op: Op): Boolean = {
+    def ex(e: Expr): Boolean = e match {
+      case AggE(_, true, None, _) => true
+      case AggE(_, _, eo, _) => eo.exists(ex)
+      case FuncE(_, args) => args.exists(ex)
+      case InE(x, l, _) => ex(x) || l.exists(ex)
+      case ExistsE(p, _) => usesDistinctStar(p)
+      case _ => false
+    }
+    op match {
+      case Join(l, r) => usesDistinctStar(l) || usesDistinctStar(r)
+      case LeftJoin(l, r, c) =>
+        usesDistinctStar(l) || usesDistinctStar(r) || c.exists(ex)
+      case Union(l, r) => usesDistinctStar(l) || usesDistinctStar(r)
+      case Minus(l, r) => usesDistinctStar(l) || usesDistinctStar(r)
+      case Filter(c, e) => usesDistinctStar(c) || ex(e)
+      case Extend(c, _, e) => usesDistinctStar(c) || ex(e)
+      case Project(c, _) => usesDistinctStar(c)
+      case Distinct(c) => usesDistinctStar(c)
+      case Reduced(c) => usesDistinctStar(c)
+      case Group(c, _, aggs) =>
+        usesDistinctStar(c) || aggs.exists(a => ex(a._2))
+      case Order(c, keys) => usesDistinctStar(c) || keys.exists(k => ex(k._1))
+      case Slice(c, _, _) => usesDistinctStar(c)
+      case Service(_, c, _) => usesDistinctStar(c)
+      case alp: ArbitraryLengthPath => usesDistinctStar(alp.edge)
+      case _ => false
+    }
   }
 
   /** Every variable reference anywhere in the tree, counted — the

@@ -35,14 +35,20 @@ object Curation {
 
   /** Quantile threshold per group: keep rows whose `scoreCol` is at or
     * above their group's `q`-quantile (e.g. "top quartile of quality
-    * within each language"). Exact per-group quantile via one
-    * aggregate + broadcast-joined thresholds — groups are
-    * low-cardinality strata, so the threshold table is tiny. */
+    * within each language"). One aggregate + broadcast-joined
+    * thresholds — groups are low-cardinality strata, so the threshold
+    * TABLE is tiny either way; what `exact` controls is the
+    * aggregation STATE: Spark's exact percentile buffers one counter
+    * per distinct score value per group (unbounded for continuous
+    * scores over billions of rows), while `exact = false` switches to
+    * approx_percentile's bounded t-digest sketch — the scale path. */
   def aboveGroupQuantile(df: DataFrame, groupCol: String, scoreCol: String,
-                         q: Double): DataFrame = {
+                         q: Double, exact: Boolean = true): DataFrame = {
     require(q >= 0 && q <= 1, s"quantile $q not in [0,1]")
+    val agg = if (exact) s"percentile($scoreCol, $q)"
+              else s"approx_percentile($scoreCol, $q, 10000)"
     val thresholds = df.groupBy(col(groupCol))
-      .agg(expr(s"percentile($scoreCol, $q)").as("__thr"))
+      .agg(expr(agg).as("__thr"))
     df.join(broadcast(thresholds), groupCol)
       .filter(col(scoreCol) >= col("__thr"))
       .drop("__thr")

@@ -54,7 +54,10 @@ object Sampling {
     require(fraction >= 0 && fraction <= 1, s"fraction $fraction not in [0,1]")
     val b = if (portable) portableBucket(col(keyCol), seed)
             else bucket(col(keyCol), seed)
-    df.filter(b < lit((fraction * Buckets).toLong))
+    // math.round, not toLong: truncation puts ~1.2% of 1e-6-granular
+    // rates one bucket below the documented threshold (0.000249 * 1e6
+    // = 248.99999999999997), breaking bit-identical external replay
+    df.filter(b < lit(math.round(fraction * Buckets)))
   }
 
   /** Disjoint deterministic split (train/validation/test): `weights`
@@ -66,7 +69,7 @@ object Sampling {
     require(weights.nonEmpty && weights.forall(_ > 0), "weights must be > 0")
     val total = weights.sum
     val cuts = weights.scanLeft(0.0)(_ + _)
-      .map(w => (w / total * Buckets).toLong)
+      .map(w => math.round(w / total * Buckets)) // round: see deterministicSample
     val b = bucket(col(keyCol), seed)
     cuts.sliding(2).toSeq.map { case Seq(lo, hi) =>
       df.filter(b >= lit(lo) && b < lit(hi))
@@ -89,9 +92,9 @@ object Sampling {
     val b = if (portable) portableBucket(col(keyCol), seed)
             else bucket(col(keyCol), seed)
     val threshold = rates.toSeq.sortBy(_._1)
-      .foldLeft(lit((defaultRate * Buckets).toLong)) { case (acc, (k, r)) =>
-        when(col(strataCol) === lit(k), lit((r * Buckets).toLong))
-          .otherwise(acc)
+      .foldLeft(lit(math.round(defaultRate * Buckets))) { case (acc, (k, r)) =>
+        when(col(strataCol) === lit(k), lit(math.round(r * Buckets)))
+          .otherwise(acc) // round: see deterministicSample
       }
     df.filter(b < threshold)
   }

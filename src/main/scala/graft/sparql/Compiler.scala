@@ -487,7 +487,12 @@ final class Compiler(quads: DataFrame) {
           val base = childCols.filterNot(base0.columns.contains)
             .foldLeft(base0)((d, v) => d.withColumn(v, nullTerm))
           val epCol = exprs(base).termCol(graft.rdf.Iri(iri))
-          if (childCols.contains(epVar)) base.filter(base(epVar) === epCol)
+          if (childCols.contains(epVar))
+            // compatibility semantics: a child solution with the
+            // endpoint var UNBOUND merges with {epVar → endpoint IRI}
+            // (so it survives, taking the IRI); a bound one must equal
+            base.filter(base(epVar).isNull || base(epVar) === epCol)
+              .withColumn(epVar, epCol)
           else base.withColumn(epVar, epCol)
         }
       branches.reduceOption(_ unionByName _).getOrElse {

@@ -31,9 +31,11 @@ import org.apache.spark.sql.functions._
   * The predicate table is capped at [[QuadsStats.MaxPredicates]]
   * entries (kept by descending count, so the head — the predicates
   * that matter for ordering — is exact); datasets beyond the cap fall
-  * back to `defaultCount` (the mean of the dropped tail) for unlisted
-  * predicates. Stats are advisory: they influence only join ORDER,
-  * never results, so staleness is safe.
+  * back to `defaultCount` (an upper bound on any tail predicate:
+  * no tail count can exceed the smallest kept count, nor the whole
+  * dropped quad mass) for unlisted predicates. Stats are advisory:
+  * they influence only join ORDER, never results, so staleness is
+  * safe.
   *
   * The reference has no counterpart — it executes joins strictly as
   * written (Interpreter.scala:438 via SURVEY.md §4).
@@ -107,7 +109,10 @@ object QuadsStats {
 
   /** One aggregation pass: per-predicate count + approx distinct
     * subjects/objects (HLL at default 5% error — ordering only needs
-    * the right magnitude). */
+    * the right magnitude). Every quad has exactly one predicate, so in
+    * the common (uncapped) case `total` is the sum of the per-predicate
+    * counts already in hand; only a dataset that trips the predicate
+    * cap pays a second scan for the grand total. */
   def compute(quads: DataFrame): QuadsStats = {
     val agg = quads.groupBy(col("p.lex").as("p"))
       .agg(count(lit(1)).as("n"),
@@ -116,18 +121,21 @@ object QuadsStats {
       .orderBy(col("n").desc)
       .limit(MaxPredicates + 1)
       .collect()
+    val capped = agg.length > MaxPredicates
     val kept = agg.take(MaxPredicates)
     val preds = kept.map { r =>
       r.getString(0) -> PredStat(r.getLong(1), r.getLong(2), r.getLong(3))
     }.toMap
-    val total = quads.count()
     val keptTotal = kept.map(_.getLong(1)).sum
+    val total = if (capped) quads.count() else keptTotal
     val defaultCount =
-      if (agg.length > MaxPredicates) {
-        val droppedPreds = math.max(1L, total - keptTotal) // unseen tail
-        // the tail is everything below the smallest kept count
+      if (capped) {
+        val droppedQuads = math.max(1L, total - keptTotal)
+        // upper bound for any one tail predicate: it cannot hold more
+        // quads than the smallest kept predicate (the table is sorted
+        // by count) nor more than the whole dropped mass
         math.min(kept.lastOption.map(_.getLong(1)).getOrElse(1L).toDouble,
-          droppedPreds.toDouble)
+          droppedQuads.toDouble)
       } else MinEstimate // complete table: unknown predicate ⇒ absent
     QuadsStats(total, preds, defaultCount)
   }
@@ -146,22 +154,37 @@ object QuadsStats {
     val predsStr = json.substring(json.indexOf("\"preds\":") + 8)
     val entry = """\{"p":"((?:[^"\\]|\\.)*)","n":(\d+),"ns":(\d+),"no":(\d+)\}""".r
     val preds = entry.findAllMatchIn(predsStr).map { m =>
-      val p = m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
-      p -> PredStat(m.group(2).toLong, m.group(3).toLong, m.group(4).toLong)
+      unescape(m.group(1)) -> PredStat(m.group(2).toLong, m.group(3).toLong,
+        m.group(4).toLong)
     }.toMap
     QuadsStats(total, preds, defaultCount)
   }
 
-  /** Persist stats as a one-row text file next to the data. */
-  def write(spark: SparkSession, stats: QuadsStats, path: String): Unit = {
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(
-      Seq(org.apache.spark.sql.Row(stats.toJson)).asJava,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("value",
-          org.apache.spark.sql.types.StringType, nullable = false))))
-      .coalesce(1).write.mode("overwrite").text(path)
+  /** Inverse of [[QuadsStats.toJson]]'s escaping — including the
+    * \\uXXXX control-character form (a predicate containing one must
+    * round-trip, or its estimate() lookups silently miss after a
+    * reload and fall back to defaultCount). */
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) s.charAt(i + 1) match {
+        case '"' => sb.append('"'); i += 2
+        case '\\' => sb.append('\\'); i += 2
+        case 'u' if i + 5 < s.length =>
+          sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+          i += 6
+        case _ => sb.append(c); i += 1
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
+
+  /** Persist stats as a one-row text file next to the data. */
+  def write(spark: SparkSession, stats: QuadsStats, path: String): Unit =
+    Sparql.oneLine(spark, stats.toJson)
+      .write.mode("overwrite").text(path)
 
   def read(spark: SparkSession, path: String): QuadsStats =
     fromJson(spark.read.text(path).head().getString(0))

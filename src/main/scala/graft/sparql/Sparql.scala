@@ -77,8 +77,8 @@ object Sparql {
 
   /** One-line single-string-column DataFrame (header/footer parts for
     * the concatenable text-document writers). */
-  private def oneLine(spark: org.apache.spark.sql.SparkSession,
-                      s: String): DataFrame = {
+  private[graft] def oneLine(spark: org.apache.spark.sql.SparkSession,
+                             s: String): DataFrame = {
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(
       Seq(org.apache.spark.sql.Row(s)).asJava,

@@ -44,6 +44,16 @@ class DictStoreSpec extends SparqlSpecBase {
         |SELECT ?n ?m { ?x foaf:name ?n . ?x foaf:mbox ?m }""".stripMargin)
   }
 
+  it should "agree on COUNT(DISTINCT *) over a block with prunable vars" in {
+    // COUNT(DISTINCT *) keys on ALL visible columns without naming a
+    // variable, so reference counting alone would prune the block vars
+    // and shrink the distinct key — rewrite() must disable pruning
+    same("optionals.ttl",
+      """PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        |SELECT (COUNT(DISTINCT *) AS ?c)
+        |{ ?x foaf:name ?n . ?x foaf:mbox ?m }""".stripMargin)
+  }
+
   it should "handle constants absent from the dictionary (empty scan)" in {
     val rows = collect(store("union.ttl").sparql(
       "SELECT ?s { ?s <urn:p:never-in-this-data> ?o }"))

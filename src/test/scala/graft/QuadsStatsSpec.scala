@@ -87,6 +87,14 @@ class QuadsStatsSpec extends SparqlSpecBase {
     back shouldBe tricky
   }
 
+  it should "round-trip control characters in predicate lexicals" in {
+    // toJson writes chars < 0x20 as \uXXXX; fromJson must decode them
+    // or estimate() lookups for that predicate silently miss
+    val tricky = QuadsStats(3,
+      Map("urn:p:tab\there\nnewline" -> QuadsStats.PredStat(3, 2, 1)), 0.5)
+    QuadsStats.fromJson(tricky.toJson) shouldBe tricky
+  }
+
   it should "persist and reload via the sidecar writer" in {
     val dir = java.nio.file.Files.createTempDirectory("graft-stats").toString
     QuadsStats.write(spark, stats, s"$dir/stats")

@@ -19,6 +19,20 @@ class SamplingSpec extends AnyFlatSpec with Matchers {
       i % 100))
     .toDF("id", "lang", "score")
 
+  it should "round the 1e-6-granular rate threshold instead of truncating" in {
+    // 0.000249 * 1e6 = 248.99999999999997 in double: truncation uses
+    // threshold 248 while the documented external replay uses 249 —
+    // plant a key whose bucket is exactly 248 and require it kept
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    def bucketOf(id: Long): Long = // = pmod(xxhash64(id, 0L), 1e6)
+      Math.floorMod(XXH64.hashLong(0L, XXH64.hashLong(id, 42L)), 1000000L)
+    val id248 = (0L to 20000000L).find(bucketOf(_) == 248L)
+    id248.isDefined shouldBe true
+    val df = Seq(id248.get).toDF("id")
+    Sampling.deterministicSample(df, "id", 0.000249, seed = 0)
+      .count() shouldBe 1L
+  }
+
   "deterministicSample" should "be stable under repartitioning" in {
     val a = Sampling.deterministicSample(rows, "id", 0.3, seed = 7)
       .select("id").collect().map(_.getLong(0)).toSet

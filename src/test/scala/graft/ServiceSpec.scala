@@ -115,6 +115,21 @@ class ServiceSpec extends SparqlSpecBase {
         (iri(E + "carol"), str("Austin")))
     }
 
+  it should "merge an optionally-unbound endpoint variable (not drop the row)" in
+    withTwoEndpoints {
+      // ?ep is bound inside the child only when the OPTIONAL matches —
+      // never, here. Per compatibility an unbound ?ep merges with the
+      // endpoint IRI; dropping those rows would be a wrong answer.
+      val rows = collect(people.sparql(P +
+        """SELECT ?p ?ep ?city
+          |{ ?p :worksAt ?co .
+          |  SERVICE ?ep { ?co :city ?city OPTIONAL { ?co :nosuch ?ep } } }""".stripMargin))
+      rows.map(r => (r("p"), r("ep"), r("city"))).toSet shouldBe Set(
+        (iri(E + "alice"), iri(E + "companies"), str("Springfield")),
+        (iri(E + "bob"), iri(E + "companies"), str("Cypress Creek")),
+        (iri(E + "carol"), iri(E + "companies2"), str("Austin")))
+    }
+
   it should "yield zero solutions when no endpoint is registered" in {
     Sparql.clearServices()
     collect(people.sparql(P +
