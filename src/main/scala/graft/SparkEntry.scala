@@ -473,6 +473,20 @@ object SparkEntry {
       graft.pipeline.Dedup.simHashCandidates(
         t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
     },
+    "q_dedup_incremental" -> { (s, d) => // rows-only: LSH not SQL-expressible
+      // the continuous-ingest operation: a new batch (odd doc_ids)
+      // deduped against the signed rest of the corpus via the
+      // broadcast-semi-join band prune — the corpus is never
+      // self-joined and its post-scan work scales with the batch
+      import graft.pipeline.Dedup
+      val docs = t(s, d, "documents")
+      Dedup.minHashCandidatesAgainst(
+        Dedup.minHashSignTable(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text"),
+        Dedup.minHashSignTable(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text"),
+        threshold = 0.3)
+    },
     "q_dedup_embedding" -> { (s, d) => // rows-only
       graft.pipeline.Dedup.embeddingCandidates(
         t(s, d, "embeddings"), "vec_id", "embedding", dim = 64,

@@ -281,18 +281,12 @@ final class DictStore private (val spark: SparkSession,
       case (c, T(t)) => df = df.filter(col(c) === lit(id(t)))
       case _ => ()
     }
-    val varPos = (Seq("s" -> sc.s, "p" -> sc.p, "o" -> sc.o).collect {
-      case (c, V(n)) => (c, n)
-    }) ++ (sc.g match { case GraphVar(n) => Seq(("g", n)); case _ => Seq.empty })
-    varPos.groupBy(_._2).values.filter(_.size > 1).foreach { dup =>
-      dup.sliding(2).foreach {
-        case Seq((c1, _), (c2, _)) => df = df.filter(col(c1) === col(c2))
-        case _ => ()
-      }
+    val varPos = Algebra.scanVarPositions(sc.s, sc.p, sc.o, sc.g)
+    Algebra.repeatedVarPairs(varPos).foreach { case (c1, c2) =>
+      df = df.filter(col(c1) === col(c2))
     }
-    val seen = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    varPos.foreach { case (c, n) => if (!seen.contains(n)) seen(n) = c }
-    df.select(seen.map { case (n, c) => col(c).as(n) }.toIndexedSeq: _*)
+    df.select(Algebra.firstOccurrence(varPos)
+      .map { case (n, c) => col(c).as(n) }.toIndexedSeq: _*)
   }
 
   /** Late materialization: swap each kept long column for its term

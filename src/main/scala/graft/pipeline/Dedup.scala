@@ -89,41 +89,48 @@ object Dedup {
       keyed.join(broadcast(oversized), keys, "left_anti")
     }
 
-  def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 64, bands: Int = 16,
-                        shingleK: Int = 3, threshold: Double = 0.5,
-                        maxBucketSize: Int = 100000): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    // Shingles MAP-ONLY: keep the token array in-row and slice it per
-    // shingle index — no window, so the (id, pos) shuffle+sort the
-    // window form paid is gone entirely, and everything stays codegen'd
-    // (the higher-order-function transform() form is interpreted
-    // row-at-a-time; sequence/explode/slice/concat_ws are not). Shingle
-    // HASHES (longs) are all that survives the first stage; texts
-    // shorter than shingleK tokens are left to exact dedup.
-    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("ws"))
+  /** Persistable MinHash signature table `(id, sh, mh)` — MAP-ONLY:
+    * one native expression computes the distinct shingle-hash set
+    * in-row (the verification set), a second derives all minhash mins
+    * from it; no explode, no aggregate, no shuffle. Texts shorter than
+    * `shingleK` tokens are dropped (left to [[exact]] dedup). Sign a
+    * corpus ONCE, persist this table, and every later re-banding,
+    * re-thresholding or incremental batch
+    * ([[minHashCandidatesAgainst]]) starts from it without re-reading
+    * the text. */
+  def minHashSignTable(df: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int = 64, shingleK: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("ws"))
       .filter(size(col("ws")) >= shingleK)
-    // signatures are MAP-ONLY: one native expression computes the
-    // distinct shingle-hash set in-row (the verification set) and a
-    // second derives all minhash mins from it — no explode, no
-    // aggregate, no shuffle until the banded candidate join; lazily
-    // checkpointed because three join branches (banding + both
-    // verification sides) consume it
-    val sigs = toks
       .select(col("id"),
         graft.functions.TextHashExprs.shingleHashesCol(col("ws"), shingleK).as("sh"))
       .select(col("id"), col("sh"),
         graft.functions.TextHashExprs.minHashFromHashesCol(col("sh"), numHashes).as("mh"))
-      .localCheckpoint(eager = false)
-    val base = sigs.select(col("id"), col("sh"))
-    // one bucket hash per band (same murmur3 key values as the previous
-    // column-per-hash form); only (id, band, bucket) rides the
-    // candidate shuffle — shingle arrays never fan out ×bands
-    val banded = capBuckets(sigs.select(col("id"),
+
+  /** `(id, band, bucket)` banding rows of a signature table — one
+    * murmur3 bucket per band over that band's slice of `mh`; only
+    * these three small columns ride the candidate shuffle. */
+  private def minHashBands(sigs: DataFrame, numHashes: Int,
+                           bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    sigs.select(col("id"),
       posexplode(array((0 until bands).map { j =>
         hash(((j * r) until ((j + 1) * r)).map(i => col("mh")(i)) :+ lit(j): _*)
-      }: _*)).as(Seq("band", "bucket"))), Seq("band", "bucket"), maxBucketSize)
+      }: _*)).as(Seq("band", "bucket")))
+  }
+
+  def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 64, bands: Int = 16,
+                        shingleK: Int = 3, threshold: Double = 0.5,
+                        maxBucketSize: Int = 100000): DataFrame = {
+    // lazily checkpointed because three join branches (banding + both
+    // verification sides) consume the signature table
+    val sigs = minHashSignTable(df, idCol, textCol, numHashes, shingleK)
+      .localCheckpoint(eager = false)
+    val base = sigs.select(col("id"), col("sh"))
+    val banded = capBuckets(minHashBands(sigs, numHashes, bands),
+      Seq("band", "bucket"), maxBucketSize)
     val pairs = banded.select(col("band"), col("bucket"), col("id").as("idA"))
       .join(banded.select(col("band"), col("bucket"), col("id").as("idB")),
         Seq("band", "bucket"))
@@ -137,6 +144,47 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("shA"), col("shB")))
       .filter(col("jaccard") >= threshold)
       .select(col("idA"), col("idB"), col("jaccard"))
+  }
+
+  /** Incremental dedup: near-duplicate pairs BETWEEN a (small) new
+    * batch and an existing signed corpus — the operation a continuous
+    * ingest pipeline actually runs. Both inputs are signature tables
+    * from [[minHashSignTable]] (the corpus one persisted; it is never
+    * re-signed and never self-joined). Output: (idNew, idCorpus,
+    * jaccard >= threshold).
+    *
+    * Scale shape: the corpus band rows are SEMI-JOINED against the
+    * broadcast set of the batch's (band, bucket) keys before any
+    * pair generation, so the corpus-side work after the scan is
+    * proportional to the batch's bucket population, not the corpus —
+    * and a corpus bands table persisted partitioned/bucketed by
+    * (band, bucket) turns even that scan into a pruned read. Within-
+    * batch duplicates are NOT reported (run [[minHashCandidates]] on
+    * the batch for those). */
+  def minHashCandidatesAgainst(newSigs: DataFrame, corpusSigs: DataFrame,
+                               numHashes: Int = 64, bands: Int = 16,
+                               threshold: Double = 0.5,
+                               maxBucketSize: Int = 100000): DataFrame = {
+    val nb = capBuckets(minHashBands(newSigs, numHashes, bands),
+      Seq("band", "bucket"), maxBucketSize)
+      .localCheckpoint(eager = false) // feeds the key set AND the pair join
+    val keys = nb.select("band", "bucket").distinct()
+    val cb = minHashBands(corpusSigs, numHashes, bands)
+      .join(broadcast(keys), Seq("band", "bucket"), "left_semi")
+    val pairs = nb.select(col("band"), col("bucket"), col("id").as("idNew"))
+      .join(cb.select(col("band"), col("bucket"), col("id").as("idCorpus")),
+        Seq("band", "bucket"))
+      .filter(col("idNew") =!= col("idCorpus"))
+      .select("idNew", "idCorpus")
+      .dropDuplicates("idNew", "idCorpus")
+    pairs
+      .join(newSigs.select(col("id").as("idNew"), col("sh").as("shA")),
+        Seq("idNew"))
+      .join(corpusSigs.select(col("id").as("idCorpus"), col("sh").as("shB")),
+        Seq("idCorpus"))
+      .withColumn("jaccard", jaccard(col("shA"), col("shB")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("idNew"), col("idCorpus"), col("jaccard"))
   }
 
   /** 64-bit SimHash over word tokens (unit weights): bit b of the
@@ -194,9 +242,11 @@ object Dedup {
   /** Candidate stage over precomputed signatures `(id: any, sig: long)`
     * — at scale the signature table is computed once and persisted, so
     * re-banding with a different radius never re-reads the corpus. */
-  def simHashCandidatesFromSigs(sigs: DataFrame, maxHamming: Int = 3,
-                                cleanChunks: Int = 2,
-                                maxBucketSize: Int = 100000): DataFrame = {
+  /** `(id, sig, k)` combination-key rows of a signature table `(id,
+    * sig)` — one xxhash64-mixed key per `cleanChunks`-combination of
+    * chunk values (see [[simHashCandidatesFromSigs]] for why). */
+  private def simHashKeys(sigs: DataFrame, maxHamming: Int,
+                          cleanChunks: Int): DataFrame = {
     require(cleanChunks >= 1, "cleanChunks must be >= 1")
     val m = maxHamming + cleanChunks
     require(m <= 64, "maxHamming + cleanChunks must be <= 64")
@@ -212,8 +262,13 @@ object Dedup {
     val keys = array(combos.zipWithIndex.map { case (combo, cid) =>
       xxhash64((lit(cid) +: combo.map(chunkVal)): _*)
     }: _*)
-    val keyed = capBuckets(
-      sigs.select(col("id"), col("sig"), explode(keys).as("k")),
+    sigs.select(col("id"), col("sig"), explode(keys).as("k"))
+  }
+
+  def simHashCandidatesFromSigs(sigs: DataFrame, maxHamming: Int = 3,
+                                cleanChunks: Int = 2,
+                                maxBucketSize: Int = 100000): DataFrame = {
+    val keyed = capBuckets(simHashKeys(sigs, maxHamming, cleanChunks),
       Seq("k"), maxBucketSize)
     val l = keyed.select(col("k"), col("id").as("idA"), col("sig").as("sigA"))
     val r = keyed.select(col("k"), col("id").as("idB"), col("sig").as("sigB"))
@@ -225,6 +280,38 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("idA"), col("idB"), col("hamming"))
   }
+
+  /** Incremental SimHash dedup: pairs within the Hamming radius
+    * BETWEEN a new batch and an existing signed corpus, both as
+    * `(id, sig)` signature tables (corpus persisted — computing one is
+    * map-only via the simhash_sig expression). Same semi-join shape as
+    * [[minHashCandidatesAgainst]]: corpus key rows are pruned against
+    * the broadcast batch key set before any pair generation, so
+    * post-scan corpus work scales with the batch. */
+  def simHashCandidatesAgainstSigs(newSigs: DataFrame, corpusSigs: DataFrame,
+                                   maxHamming: Int = 3, cleanChunks: Int = 2,
+                                   maxBucketSize: Int = 100000): DataFrame = {
+    val nk = capBuckets(simHashKeys(newSigs, maxHamming, cleanChunks),
+      Seq("k"), maxBucketSize)
+      .localCheckpoint(eager = false) // feeds the key set AND the pair join
+    val keys = nk.select("k").distinct()
+    val ck = simHashKeys(corpusSigs, maxHamming, cleanChunks)
+      .join(broadcast(keys), Seq("k"), "left_semi")
+    nk.select(col("k"), col("id").as("idNew"), col("sig").as("sigA"))
+      .join(ck.select(col("k"), col("id").as("idCorpus"), col("sig").as("sigB")),
+        Seq("k"))
+      .filter(col("idNew") =!= col("idCorpus"))
+      .select(col("idNew"), col("idCorpus"), col("sigA"), col("sigB"))
+      .dropDuplicates("idNew", "idCorpus")
+      .withColumn("hamming", bit_count(col("sigA").bitwiseXOR(col("sigB"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("idNew"), col("idCorpus"), col("hamming"))
+  }
+
+  /** Persistable SimHash signature table `(id, sig)` — map-only. */
+  def simHashSignTable(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame =
+    simHashSigs(df, idCol, textCol)
 
   // ----- embedding-space near-dup -----
   /** Deterministic pseudo-random hyperplanes (seeded). */

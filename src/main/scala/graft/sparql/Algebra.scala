@@ -209,6 +209,34 @@ object Algebra {
     seen.toList
   }
 
+  // ----- positional-variable mechanics of a quad-pattern scan -----
+  // Shared by the term-struct scan (Compiler.compileScan) and the
+  // id-space scan (DictStore.scanIds): which physical columns hold
+  // variables, which pairs a repeated variable equates, and the
+  // first-occurrence projection — identical algorithms regardless of
+  // whether the columns carry term structs or dictionary longs.
+
+  /** (physical column, variable name) for every variable position of a
+    * quad pattern, in s/p/o/g order. */
+  def scanVarPositions(s: VarOrTerm, p: VarOrTerm, o: VarOrTerm,
+                       g: GraphSpec): Seq[(String, String)] =
+    (Seq(("s", s), ("p", p), ("o", o)).collect { case (c, V(n)) => (c, n) }) ++
+      (g match { case GraphVar(n) => Seq(("g", n)); case _ => Seq.empty })
+
+  /** Column pairs a repeated variable (`?x :p ?x`) forces equal. */
+  def repeatedVarPairs(varPos: Seq[(String, String)]): Seq[(String, String)] =
+    varPos.groupBy(_._2).values.filter(_.size > 1).toSeq.flatMap { dup =>
+      dup.sliding(2).collect { case Seq((c1, _), (c2, _)) => (c1, c2) }.toSeq
+    }
+
+  /** (variable, physical column) of each variable's FIRST position —
+    * the scan's projection (later positions are equated duplicates). */
+  def firstOccurrence(varPos: Seq[(String, String)]): Seq[(String, String)] = {
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    varPos.foreach { case (c, n) => if (!seen.contains(n)) seen(n) = c }
+    seen.toSeq
+  }
+
   /** Flatten an &&-tree into its conjuncts (FILTER splitting and
     * correlated-EXISTS lifting both consume this). */
   def conjuncts(e: Expr): List[Expr] = e match {

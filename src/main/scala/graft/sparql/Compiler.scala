@@ -528,19 +528,13 @@ final class Compiler(quads: DataFrame) {
       case _ => ()
     }
     // repeated variables (?x :p ?x) → positional equality
-    val varPos = Seq(("s", s), ("p", p), ("o", o)).collect {
-      case (c, V(n)) => (c, n)
-    } ++ (g match { case GraphVar(n) => Seq(("g", n)); case _ => Seq.empty })
-    varPos.groupBy(_._2).values.filter(_.size > 1).foreach { dup =>
-      dup.sliding(2).foreach {
-        case Seq((c1, _), (c2, _)) => conds ::= (df(c1) === df(c2))
-        case _ => ()
-      }
+    val varPos = scanVarPositions(s, p, o, g)
+    repeatedVarPairs(varPos).foreach { case (c1, c2) =>
+      conds ::= (df(c1) === df(c2))
     }
     conds.foreach(c => df = df.filter(c))
-    val seen = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    varPos.foreach { case (c, n) => if (!seen.contains(n)) seen(n) = c }
-    df.select(seen.map { case (n, c) => col(c).as(n) }.toIndexedSeq: _*)
+    df.select(firstOccurrence(varPos)
+      .map { case (n, c) => col(c).as(n) }.toIndexedSeq: _*)
   }
 
   // ----- joins -----

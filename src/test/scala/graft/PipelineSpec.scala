@@ -45,6 +45,55 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     j shouldBe 1.0 +- 1e-9
   }
 
+  "incremental dedup" should "find cross-batch near-dups against a signed corpus only" in {
+    // corpus: docs 1-3; new batch: 10 (near-dup of 1), 11 (unrelated).
+    // Within-corpus and within-batch pairs must NOT be reported.
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (3L, "completely different content about spark query engines and columnar execution"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (11L, "yet another unrelated snippet of text mentioning nothing in common at all"))
+      .toDF("doc_id", "text")
+    val corpusSigs = Dedup.minHashSignTable(corpus, "doc_id", "text")
+    val batchSigs = Dedup.minHashSignTable(batch, "doc_id", "text")
+    val pairs = Dedup.minHashCandidatesAgainst(batchSigs, corpusSigs,
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((10L, 1L))
+    pairs should contain((10L, 2L))
+    pairs.foreach { case (n, c) =>
+      n should be >= 10L // left side is always the batch
+      c should be <= 3L  // right side is always the corpus
+    }
+    pairs.exists(_._1 == 11L) shouldBe false
+    // signature tables round-trip through parquet (the persisted-corpus path)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sigs").toString
+    corpusSigs.write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    Dedup.minHashCandidatesAgainst(batchSigs, reloaded, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe pairs
+  }
+
+  it should "find cross-batch SimHash pairs within the Hamming radius" in {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (3L, "completely different content about spark query engines and columnar execution"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (11L, "yet another unrelated snippet of text mentioning nothing in common at all"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simHashCandidatesAgainstSigs(
+      Dedup.simHashSignTable(batch, "doc_id", "text"),
+      Dedup.simHashSignTable(corpus, "doc_id", "text"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((10L, 1L)) // identical text → hamming 0
+    pairs.exists(p => p._1 == 10L && p._2 == 3L) shouldBe false
+  }
+
   "bucket-population caps" should "drop mega-buckets instead of going quadratic" in {
     // 300 identical docs = one hot bucket in EVERY band → cap² pairs
     // without the guard; with it the mega-cluster drops out of
