@@ -554,6 +554,18 @@ object SparkEntry {
         .head().getSeq[Float](0).map(_.toDouble)
       graft.pipeline.Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
     },
+    "q_sql_cosine" -> { (s, d) =>
+      // the SparkSessionExtensions / FunctionRegistry surface: the
+      // native codegen'd cosine runs from a plain spark.sql string
+      // (config path: spark.sql.extensions=graft.GraftExtensions)
+      graft.functions.GraftFunctions.register(s)
+      t(s, d, "embeddings").createOrReplaceTempView("embeddings_sqlv")
+      s.sql(
+        """SELECT a.vec_id AS ida, b.vec_id AS idb,
+          |  round(vec_cosine(a.embedding, b.embedding), 6) AS cos
+          |FROM embeddings_sqlv a JOIN embeddings_sqlv b
+          |  ON b.vec_id = a.vec_id + 1""".stripMargin)
+    },
     "q_ann_lsh" -> { (s, d) => // rows-only: approximate by construction
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") === 0).select("embedding")
@@ -921,6 +933,10 @@ object SparkEntry {
         |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
         |FROM embeddings a, embeddings b
         |WHERE a.vec_id = 0
-        |ORDER BY cos DESC, b.vec_id LIMIT 10""".stripMargin
+        |ORDER BY cos DESC, b.vec_id LIMIT 10""".stripMargin,
+    "q_sql_cosine" ->
+      """SELECT a.vec_id AS ida, b.vec_id AS idb,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1""".stripMargin
   )
 }

@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL registration of the native expression library, so `spark.sql`
+  * strings (and any SQL-speaking client of a session) can call the
+  * codegen'd text-hash / vector functions directly:
+  *
+  *   SELECT vec_cosine(a.embedding, b.embedding) FROM ...
+  *   SELECT simhash_sig(tokens) FROM ...
+  *
+  * Two entry points, the standard pair for a Spark library:
+  *  - config `spark.sql.extensions=graft.GraftExtensions` installs the
+  *    functions into every session of the application at build time
+  *    (the [[SparkSessionExtensions]] path);
+  *  - [[GraftFunctions.register]] adds them to an already-running
+  *    session.
+  *
+  * Only data-facing functions register here; the SPARQL-internal term
+  * expressions (TermMath) stay internal — their semantics only make
+  * sense on term structs produced by the compiler.
+  */
+object GraftFunctions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(getClass.getName, null, name, usage, "")
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def arity(name: String, n: Int, args: Seq[Expression]): Unit =
+    require(args.length == n,
+      s"$name expects $n arguments, got ${args.length}")
+
+  /** (name, usage, builder) for every public SQL function. */
+  private val functions: Seq[(String, String, Seq[Expression] => Expression)] =
+    Seq(
+      ("vec_dot", "vec_dot(a, b) - dot product of two float/double arrays",
+        { args => arity("vec_dot", 2, args)
+          VectorExprs.DotProduct(args(0), args(1)) }),
+      ("vec_cosine", "vec_cosine(a, b) - cosine similarity; NULL for zero norms",
+        { args => arity("vec_cosine", 2, args)
+          VectorExprs.CosineSim(args(0), args(1)) }),
+      ("shingle_hashes",
+        "shingle_hashes(tokens, k) - distinct xxhash64 values of k-token shingles",
+        { args => arity("shingle_hashes", 2, args)
+          TextHashExprs.ShingleHashesExpr(args(0), intLit(args(1), "k")) }),
+      ("minhash_from_hashes",
+        "minhash_from_hashes(hashes, n) - n-element MinHash vector over shingle hashes",
+        { args => arity("minhash_from_hashes", 2, args)
+          TextHashExprs.MinHashFromHashesExpr(args(0), intLit(args(1), "n")) }),
+      ("simhash_sig",
+        "simhash_sig(tokens) - 64-bit SimHash signature of a token array",
+        { args => arity("simhash_sig", 1, args)
+          TextHashExprs.SimHashSigExpr(args(0)) })
+    )
+
+  /** Register every function into a running session (idempotent:
+    * re-registration overwrites with identical definitions). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, usage, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), info(name, usage), builder)
+    }
+
+  private[graft] def inject(ext: SparkSessionExtensions): Unit =
+    functions.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+    }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.functions.{GraftFunctions, TextHashExprs}
+import graft.pipeline.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** SQL surface of the native function library: both registration paths
+  * (FunctionRegistry on a live session; SparkSessionExtensions via
+  * config) must expose the same codegen'd expressions to spark.sql
+  * strings, agreeing with the Column API. */
+class GraftFunctionsSpec extends AnyFlatSpec with Matchers {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  "GraftFunctions.register" should "expose vec_cosine / vec_dot to spark.sql" in {
+    GraftFunctions.register(spark)
+    Seq((1L, Array(1.0f, 0.0f), Array(0.0f, 2.0f)),
+      (2L, Array(1.0f, 1.0f), Array(1.0f, 1.0f)))
+      .toDF("id", "a", "b").createOrReplaceTempView("vecs_v")
+    val rows = spark.sql(
+      "SELECT id, vec_dot(a, b) AS d, round(vec_cosine(a, b), 9) AS c FROM vecs_v")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    rows shouldBe Set((1L, 0.0, 0.0), (2L, 2.0, 1.0))
+  }
+
+  it should "expose the text-hash functions, matching the Column API" in {
+    GraftFunctions.register(spark)
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text")
+      .withColumn("toks", Dedup.tokens(col("text")))
+    docs.createOrReplaceTempView("docs_v")
+    val viaSql = spark.sql(
+      """SELECT id, simhash_sig(toks) AS sig,
+        |  minhash_from_hashes(shingle_hashes(toks, 3), 8) AS mh
+        |FROM docs_v""".stripMargin).collect().head
+    val viaCol = docs.select(col("id"),
+      TextHashExprs.simHashSigCol(col("toks")).as("sig"),
+      TextHashExprs.minHashFromHashesCol(
+        TextHashExprs.shingleHashesCol(col("toks"), 3), 8).as("mh"))
+      .collect().head
+    viaSql.getLong(1) shouldBe viaCol.getLong(1)
+    viaSql.getSeq[Long](2) shouldBe viaCol.getSeq[Long](2)
+  }
+
+  it should "reject a non-literal k and wrong arity loudly" in {
+    GraftFunctions.register(spark)
+    Seq((1L, Array("a", "b", "c", "d")))
+      .toDF("id", "toks").createOrReplaceTempView("toks_v")
+    an[Exception] should be thrownBy
+      spark.sql("SELECT shingle_hashes(toks, id) FROM toks_v").collect()
+    an[Exception] should be thrownBy
+      spark.sql("SELECT vec_cosine(toks) FROM toks_v").collect()
+  }
+
+  "GraftExtensions" should "inject every function into a fresh registry" in {
+    // the spark.sql.extensions config path, exercised without a second
+    // SparkSession (getOrCreate would return the shared test session
+    // and silently skip extensions): apply the installer to a bare
+    // SparkSessionExtensions and materialize its registrations
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val reg = org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+      .builtin.clone()
+    org.apache.spark.sql.GraftTestBridge.registerFunctions(ext, reg)
+    Seq("vec_dot", "vec_cosine", "shingle_hashes", "minhash_from_hashes",
+      "simhash_sig").foreach { n =>
+      reg.functionExists(FunctionIdentifier(n)) shouldBe true
+    }
+    // and the injected builder produces the real expression
+    reg.lookupFunction(FunctionIdentifier("simhash_sig"),
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array("a", "b"),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)))) shouldBe
+      a[TextHashExprs.SimHashSigExpr]
+  }
+}
