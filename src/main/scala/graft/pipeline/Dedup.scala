@@ -110,15 +110,19 @@ object Dedup {
   /** `(id, band, bucket)` banding rows of a signature table — one
     * murmur3 bucket per band over that band's slice of `mh`; only
     * these three small columns ride the candidate shuffle. */
-  private def minHashBands(sigs: DataFrame, numHashes: Int,
-                           bands: Int): DataFrame = {
+  /** Per-band murmur3 bucket keys over the `mh` column, as an array. */
+  private def bandKeyArray(numHashes: Int, bands: Int): Column = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    sigs.select(col("id"),
-      posexplode(array((0 until bands).map { j =>
-        hash(((j * r) until ((j + 1) * r)).map(i => col("mh")(i)) :+ lit(j): _*)
-      }: _*)).as(Seq("band", "bucket")))
+    array((0 until bands).map { j =>
+      hash(((j * r) until ((j + 1) * r)).map(i => col("mh")(i)) :+ lit(j): _*)
+    }: _*)
   }
+
+  private def minHashBands(sigs: DataFrame, numHashes: Int,
+                           bands: Int): DataFrame =
+    sigs.select(col("id"),
+      posexplode(bandKeyArray(numHashes, bands)).as(Seq("band", "bucket")))
 
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, bands: Int = 16,
@@ -182,6 +186,33 @@ object Dedup {
         Seq("idNew"))
       .join(corpusSigs.select(col("id").as("idCorpus"), col("sh").as("shB")),
         Seq("idCorpus"))
+      .withColumn("jaccard", jaccard(col("shA"), col("shB")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("idNew"), col("idCorpus"), col("jaccard"))
+  }
+
+  /** STATELESS streaming variant of [[minHashCandidatesAgainst]]:
+    * `newSigs` may be a STREAMING signature table (each micro-batch is
+    * signed map-only — no aggregation state anywhere), stream-static-
+    * joined against the persisted corpus bands. Differences from the
+    * batch form, both forced by statelessness: no broadcast key-set
+    * prune (a streaming key set cannot be collected — the per-batch
+    * stream side is small, so the static side carries the join), and
+    * no pair dedup, so a pair surfaces once per agreeing band (≤
+    * `bands` times; callers with event time collapse duplicates with
+    * `dropDuplicatesWithinWatermark("idNew", "idCorpus")`). The
+    * verification shingle sets ride the band explode instead of
+    * joining back — a per-pair join of two streaming frames would be a
+    * stream-stream join needing watermarks. */
+  private[graft] def minHashCandidatesAgainstStream(
+      newSigs: DataFrame, corpusSigs: DataFrame, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val nb = newSigs.select(col("id").as("idNew"), col("sh").as("shA"),
+      posexplode(bandKeyArray(numHashes, bands)).as(Seq("band", "bucket")))
+    val cb = corpusSigs.select(col("id").as("idCorpus"), col("sh").as("shB"),
+      posexplode(bandKeyArray(numHashes, bands)).as(Seq("band", "bucket")))
+    nb.join(cb, Seq("band", "bucket"))
+      .filter(col("idNew") =!= col("idCorpus"))
       .withColumn("jaccard", jaccard(col("shA"), col("shB")))
       .filter(col("jaccard") >= threshold)
       .select(col("idNew"), col("idCorpus"), col("jaccard"))

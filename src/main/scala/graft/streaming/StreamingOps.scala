@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.pipeline.TextAnalysis
+import graft.pipeline.{Dedup, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -23,6 +23,24 @@ object StreamingOps {
       .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** Streaming NEAR-dup detection against a persisted signed corpus —
+    * the streaming face of [[graft.pipeline.Dedup.minHashCandidatesAgainst]].
+    * Each micro-batch of documents is signed MAP-ONLY (the scalar
+    * signature expressions keep this stateless — no aggregation state
+    * at all), banded, and stream-static-joined against the corpus
+    * bands; pairs verify with exact Jaccard. Output: one row per
+    * (streamed doc, corpus near-duplicate) with the id columns named
+    * (idNew, idCorpus). The corpus signature table comes from
+    * [[graft.pipeline.Dedup.minHashSignTable]], persisted once;
+    * re-sign and swap it to pick up corpus growth. */
+  def nearDupStream(docs: DataFrame, idCol: String, textCol: String,
+                    corpusSigs: DataFrame, numHashes: Int = 64,
+                    bands: Int = 16, shingleK: Int = 3,
+                    threshold: Double = 0.5): DataFrame =
+    Dedup.minHashCandidatesAgainstStream(
+      Dedup.minHashSignTable(docs, idCol, textCol, numHashes, shingleK),
+      corpusSigs, numHashes, bands, threshold)
 
   /** Streaming curation: attach quality signals and keep rows above
     * threshold — map-only, fuses into the source scan incrementally. */

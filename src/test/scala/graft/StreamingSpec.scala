@@ -34,6 +34,33 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
     } finally q.stop()
   }
 
+  "streaming near-dup" should "flag stream docs against a signed static corpus" in {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Dedup
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (101L, "completely different content about spark query engines and columnar execution"))
+      .toDF("doc_id", "text")
+    val corpusSigs = Dedup.minHashSignTable(corpus, "doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingOps.nearDupStream(
+      input.toDF.toDF("doc_id", "text"), "doc_id", "text", corpusSigs,
+      threshold = 0.5)
+    val q = out.writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+        (2L, "nothing remotely similar to anything in the reference corpus at all"))
+      q.processAllAvailable()
+      val rows = spark.table("neardup_out")
+        .select("idNew", "idCorpus").as[(Long, Long)].collect().toSet
+      rows should contain((1L, 100L)) // near-dup across stream/static
+      rows.exists(_._1 == 2L) shouldBe false
+      rows.foreach { case (_, c) => c should be >= 100L } // corpus side only
+    } finally q.stop()
+  }
+
   "streaming curation" should "attach signals and filter incrementally" in {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
