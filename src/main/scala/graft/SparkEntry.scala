@@ -521,6 +521,24 @@ object SparkEntry {
         keyCol = "doc_id", seed = 1, defaultRate = 0.05, portable = true)
         .select(col("doc_id"), col("lang"))
     },
+    "q_split" -> { (s, d) =>
+      // disjoint train/val/test split (70/20/10), portable buckets so
+      // the oracle reproduces every per-row assignment; entry returns
+      // the VALIDATION slice (an interior bucket range — both cut
+      // points exercised)
+      graft.pipeline.Sampling.split(
+        t(s, d, "documents"), "doc_id", Seq(0.7, 0.2, 0.1),
+        seed = 0, portable = true)(1)
+        .select(col("doc_id"), col("lang"))
+    },
+    "q_rolling_fp" -> { (s, d) => // rows-only: xxhash64 not in DuckDB
+      // partial-overlap fingerprints: 4 smallest distinct hashes of
+      // the 8-token windows, exploded to (doc_id, fp) rows
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(graft.pipeline.TextAnalysis.rollingFingerprints(
+            col("text"))).as("fp"))
+    },
     "q_topk_group" -> { (s, d) =>
       // curation selection: best-k documents per language by length,
       // ties broken deterministically by doc_id
@@ -889,6 +907,10 @@ object SparkEntry {
         |  CASE WHEN lang = 'de' THEN 200000
         |       WHEN lang = 'en' THEN 500000
         |       ELSE 50000 END""".stripMargin,
+    "q_split" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 8))::BIGINT
+        |      % 1000000 BETWEEN 700000 AND 899999""".stripMargin,
     "q_topk_group" ->
       """SELECT doc_id, lang, n_chars FROM (
         |  SELECT doc_id, lang, n_chars, row_number() OVER (

@@ -65,12 +65,13 @@ object Sampling {
     * weight; every input row lands in exactly one split, decided by
     * its key alone — append new data and old rows never migrate. */
   def split(df: DataFrame, keyCol: String, weights: Seq[Double],
-            seed: Long = 0L): Seq[DataFrame] = {
+            seed: Long = 0L, portable: Boolean = false): Seq[DataFrame] = {
     require(weights.nonEmpty && weights.forall(_ > 0), "weights must be > 0")
     val total = weights.sum
     val cuts = weights.scanLeft(0.0)(_ + _)
       .map(w => math.round(w / total * Buckets)) // round: see deterministicSample
-    val b = bucket(col(keyCol), seed)
+    val b = if (portable) portableBucket(col(keyCol), seed)
+            else bucket(col(keyCol), seed)
     cuts.sliding(2).toSeq.map { case Seq(lo, hi) =>
       df.filter(b >= lit(lo) && b < lit(hi))
     }

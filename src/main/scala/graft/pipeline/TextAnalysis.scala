@@ -74,12 +74,14 @@ object TextAnalysis {
 
   /** Rolling-hash window fingerprints (Rabin–Karp style) for partial-
     * overlap detection: hash of every `window`-token run, sampled to
-    * the numerically smallest `keep` hashes (winnowing-lite). */
+    * the numerically smallest `keep` DISTINCT hashes (winnowing-lite).
+    * The window hashes come from the native shingle expression — the
+    * whole computation is map-only generated code (the previous
+    * `transform(sequence…)` form was an interpreted per-row lambda). */
   def rollingFingerprints(text: Column, window: Int = 8, keep: Int = 4): Column = {
     val ts = Dedup.tokens(text)
     val hs = when(size(ts) >= window,
-      transform(sequence(lit(0), size(ts) - window),
-        i => xxhash64(concat_ws(" ", slice(ts, i + 1, lit(window))))))
+      graft.functions.TextHashExprs.shingleHashesCol(ts, window))
       .otherwise(array(xxhash64(concat_ws(" ", ts))))
     slice(array_sort(hs), 1, keep)
   }

@@ -74,6 +74,17 @@ class SamplingSpec extends AnyFlatSpec with Matchers {
     sets.head.size.toDouble shouldBe 1600.0 +- 120.0
   }
 
+  it should "partition exhaustively and disjointly in portable mode too" in {
+    val parts = Sampling.split(rows, "id", Seq(0.7, 0.2, 0.1), seed = 0,
+      portable = true)
+    val sets = parts.map(_.select("id").collect().map(_.getLong(0)).toSet)
+    sets.map(_.size).sum shouldBe 2000
+    sets.combinations(2).foreach { case Seq(a, b) =>
+      a.intersect(b) shouldBe empty
+    }
+    sets.reduce(_ ++ _) should have size 2000
+  }
+
   it should "never migrate rows when data is appended" in {
     val half = rows.filter(col("id") <= 1000)
     val fullParts = Sampling.split(rows, "id", Seq(0.5, 0.5), seed = 9)
