@@ -235,7 +235,10 @@ object Compiler {
     val varDf: Option[DataFrame] = opOpt.flatMap { op0 =>
       val b = new Compiler(quads).compile(op0)
       val names =
-        if (star) b.columns.toSeq
+        // DESCRIBE * mirrors SELECT *: user-visible variables only —
+        // parser-generated _anon columns (path midpoints, bnode
+        // property lists) are not resources the user asked about
+        if (star) b.columns.toSeq.filterNot(_.startsWith("_anon"))
         else vars.filter(b.columns.contains)
       // ONE pass over the WHERE solutions: stack the candidate columns
       // and explode (a per-variable select would re-execute the whole
@@ -454,9 +457,16 @@ final class Compiler(quads: DataFrame) {
       df.orderBy(cols: _*)
 
     case Slice(child, offset, limit) =>
+      // offset()/limit() take Int; a silent .toInt would WRAP above
+      // 2^31 (LIMIT 2^32+5 → limit(5)). A LIMIT beyond Int.MaxValue
+      // cannot constrain a Spark result that far anyway — clamp; an
+      // OFFSET that large cannot be honored — refuse loudly.
       var df = compileV(child)
+      if (offset > Int.MaxValue) throw new IllegalArgumentException(
+        s"OFFSET $offset exceeds the supported maximum ${Int.MaxValue}")
       if (offset > 0) df = df.offset(offset.toInt)
-      limit.foreach(n => df = df.limit(n.toInt))
+      limit.foreach(n =>
+        df = df.limit(math.min(n, Int.MaxValue.toLong).toInt))
       df
 
     case ZeroLengthPath(s, o, g) => compileZeroLength(s, o, g)

@@ -66,10 +66,15 @@ final class ExprCompiler(env: String => Column) {
     case FuncE("STRSTARTS", List(a, b)) => str2bool(a, b)(_.startsWith(_))
     case FuncE("STRENDS", List(a, b)) => str2bool(a, b)(_.endsWith(_))
     case FuncE("REGEX", args) =>
+      // safe expression, not rlike: an invalid pattern or flag is a
+      // SPARQL expression error (→ NULL), not a job-aborting
+      // PatternSyntaxException; XPath flags incl. q translate properly
       val v = value(args.head)
-      val pat = patternWithFlags(args(1), args.drop(2).headOption)
+      val flags = args.drop(2).headOption
+        .map(f => lex(value(f))).getOrElse(lit(""))
       when(v.isNull || !isStringish(v), nullBool)
-        .otherwise(call_function("rlike", lex(v), pat))
+        .otherwise(graft.functions.RegexExprs.regexMatch(
+          lex(v), lex(value(args(1))), flags))
     case FuncE("LANGMATCHES", List(a, b)) =>
       val tag = value(a); val range = value(b)
       val t = lower(lex(tag)); val r = lower(lex(range))
@@ -86,18 +91,6 @@ final class ExprCompiler(env: String => Column) {
     val va = value(a); val vb = value(b)
     when(va.isNull || vb.isNull || !isStringish(va) || !isStringish(vb), nullBool)
       .otherwise(f(lex(va), lex(vb)))
-  }
-
-  private def patternWithFlags(p: Expr, flags: Option[Expr]): Column = {
-    val pat = lex(value(p))
-    flags match {
-      case None => pat
-      case Some(f) =>
-        val fl = lex(value(f))
-        // embed flags: "i" → (?i), "s" → (?s), "m" → (?m), combos pass through
-        when(fl.isNull || fl === "", pat)
-          .otherwise(concat(lit("(?"), fl, lit(")"), pat))
-    }
   }
 
   /** Term-struct Column. */
@@ -147,12 +140,27 @@ final class ExprCompiler(env: String => Column) {
     case FuncE("STRLEN", List(a)) =>
       strishOp(a)(v => intTerm(length(lex(v))))
     case FuncE("SUBSTR", a :: b :: rest) =>
+      // XPath fn:substring: keep positions p with round(start) <= p <
+      // round(start) + round(len), intersected with [1, strlen].
+      // Spark's substr diverges for start < 1 (0 extends the window,
+      // negatives count from the END) and truncates instead of
+      // rounding — clamp/adjust explicitly. Arguments round via
+      // floor(x + 0.5) (fn:round half-up toward +inf), clamped into
+      // int range so the length arithmetic cannot overflow under ANSI.
       val v = value(a)
-      val start = numD(value(b)).try_cast(IntegerType)
-      val len = rest.headOption.map(r => numD(value(r)).try_cast(IntegerType))
+      def rnd(e: Expr): Column =
+        greatest(least(floor(numD(value(e)) + lit(0.5)).try_cast(LongType),
+          lit(Int.MaxValue.toLong)), lit(Int.MinValue.toLong))
+      val start = rnd(b)
+      val lenOpt = rest.headOption.map(rnd)
+      val s1 = greatest(start, lit(1L)).cast(IntegerType)
+      val len = lenOpt
+        .map(l => greatest(l + least(start - lit(1L), lit(0L)), lit(0L))
+          .cast(IntegerType))
         .getOrElse(lit(Int.MaxValue))
-      when(v.isNull || !isStringish(v) || start.isNull || len.isNull, nullTerm)
-        .otherwise(sameStrKind(v, lex(v).substr(start, len)))
+      when(v.isNull || !isStringish(v) || start.isNull ||
+        lenOpt.map(_.isNull).getOrElse(lit(false)), nullTerm)
+        .otherwise(sameStrKind(v, lex(v).substr(s1, len)))
     case FuncE("UCASE", List(a)) => strishOp(a)(v => sameStrKind(v, upper(lex(v))))
     case FuncE("LCASE", List(a)) => strishOp(a)(v => sameStrKind(v, lower(lex(v))))
     case FuncE("STRBEFORE", List(a, b)) =>
@@ -178,10 +186,12 @@ final class ExprCompiler(env: String => Column) {
       when(anyBad, nullTerm).otherwise(strTerm(concat(vs.map(lex): _*)))
     case FuncE("REPLACE", a :: p :: r :: rest) =>
       val v = value(a)
-      val pat = patternWithFlags(p, rest.headOption)
-      when(v.isNull || !isStringish(v), nullTerm)
-        .otherwise(sameStrKind(v,
-          call_function("regexp_replace", lex(v), pat, lex(value(r)))))
+      val flags = rest.headOption.map(f => lex(value(f))).getOrElse(lit(""))
+      // safe expression: invalid pattern/flags → NULL (see REGEX)
+      val rep = graft.functions.RegexExprs.regexReplace(
+        lex(v), lex(value(p)), lex(value(r)), flags)
+      when(v.isNull || !isStringish(v) || rep.isNull, nullTerm)
+        .otherwise(sameStrKind(v, rep))
     case FuncE("ABS", List(a)) => numericOp(a)(d => abs(d), d => abs(d))
     case FuncE("CEIL", List(a)) => numericOp(a)(ceil(_).cast(DEC), d => ceil(d).cast(DoubleType))
     case FuncE("FLOOR", List(a)) => numericOp(a)(floor(_).cast(DEC), d => floor(d).cast(DoubleType))

@@ -148,8 +148,12 @@ object Sparql {
       when(t.isNotNull, concat(lit("\"" + c + "\":"), termJson(t)))
         .otherwise(lit(null))
     }
+    // localCheckpoint: zipWithIndex launches its own counting job, so
+    // an unpersisted body would execute the ENTIRE query twice (once
+    // for the count, once for the write)
     val body = results.select(
       concat(lit("{"), concat_ws(",", parts: _*), lit("}")).as("value"))
+      .localCheckpoint()
     val withComma = body.rdd.zipWithIndex().map { case (r, i) =>
       org.apache.spark.sql.Row(if (i == 0L) r.getString(0) else "," + r.getString(0))
     }
@@ -248,12 +252,69 @@ object Sparql {
     * WHERE group: the variable stays projectable AND constrains every
     * pattern via the natural join, without corrupting the SELECT list. */
   def preBind(query: String, bindings: Map[String, Term]): String = {
-    val idx = query.indexOf('{')
+    val idx = whereGroupBrace(query)
     require(idx >= 0, "query has no WHERE group to bind into")
     val binds = bindings.map { case (name, term) =>
       s"BIND(${serialize(term)} AS ?$name)"
     }.mkString(" ", " ", " ")
     query.substring(0, idx + 1) + binds + query.substring(idx + 1)
+  }
+
+  /** Opening brace of the query's WHERE group: the '{' following the
+    * top-level WHERE keyword, or — WHERE is optional in the grammar —
+    * the first '{' at brace/paren depth 0. A naive `indexOf('{')`
+    * would hit the CONSTRUCT template or a `SELECT (EXISTS{…} AS ?e)`
+    * group instead. Scans outside strings, IRIs and comments; -1 when
+    * no group exists. (For the `CONSTRUCT WHERE { … }` shorthand this
+    * returns the shared template/pattern group, whose grammar admits
+    * only triple patterns — injecting a BIND there fails loudly at
+    * parse, which beats silently corrupting the template.) */
+  private[graft] def whereGroupBrace(query: String): Int = {
+    val n = query.length
+    var i = 0
+    var paren = 0
+    var brace = 0
+    var sawWhere = false
+    var firstBrace = -1
+    def wordChar(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < n) {
+      val c = query.charAt(i)
+      c match {
+        case '#' => while (i < n && query.charAt(i) != '\n') i += 1
+        case '<' => while (i < n && query.charAt(i) != '>') i += 1
+        case '\'' | '"' =>
+          val triple = i + 2 < n &&
+            query.charAt(i + 1) == c && query.charAt(i + 2) == c
+          if (triple) {
+            i += 3
+            while (i + 2 < n && !(query.charAt(i) == c &&
+              query.charAt(i + 1) == c && query.charAt(i + 2) == c)) i += 1
+            i += 2
+          } else {
+            i += 1
+            while (i < n && query.charAt(i) != c) {
+              if (query.charAt(i) == '\\') i += 1
+              i += 1
+            }
+          }
+        case '(' => paren += 1
+        case ')' => paren -= 1
+        case '{' =>
+          if (sawWhere) return i
+          if (paren == 0 && brace == 0 && firstBrace < 0) firstBrace = i
+          brace += 1
+        case '}' => brace -= 1
+        case ch if ch.isLetter =>
+          val start = i
+          while (i + 1 < n && wordChar(query.charAt(i + 1))) i += 1
+          if (paren == 0 && brace == 0 &&
+            query.substring(start, i + 1).equalsIgnoreCase("WHERE"))
+            sawWhere = true
+        case _ => ()
+      }
+      i += 1
+    }
+    firstBrace
   }
 
   /** Construct the query dataset per SPARQL 1.1 §13.2: `FROM` graphs
@@ -286,18 +347,25 @@ object Sparql {
       * SELECT → one term-struct column per variable; ASK → single
       * boolean `ask` row; CONSTRUCT/DESCRIBE → a quads DataFrame
       * (s,p,o,g). */
-    def sparql(query: String): DataFrame = SparqlParser.parseAny(query) match {
-      case SparqlParser.SelectQuery(op, ds) =>
-        Compiler.run(applyDataset(quads, ds), BgpOptimizer.optimize(op))
-      case SparqlParser.AskQuery(op, ds) =>
-        Compiler.runAsk(applyDataset(quads, ds), BgpOptimizer.optimize(op))
-      case SparqlParser.ConstructQuery(template, op, ds) =>
-        Compiler.runConstruct(applyDataset(quads, ds), template,
-          BgpOptimizer.optimize(op))
-      case SparqlParser.DescribeQuery(targets, star, op, ds) =>
-        Compiler.runDescribe(applyDataset(quads, ds), targets, star,
-          op.map(BgpOptimizer.optimize))
-    }
+    def sparql(query: String): DataFrame = dispatch(query, None)
+
+    /** The one parse-and-dispatch for both the structural and the
+      * stats-driven entry points — a single copy so a new query form
+      * or dataset rule cannot silently reach only one of them. */
+    private def dispatch(query: String,
+                         st: Option[QuadsStats]): DataFrame =
+      SparqlParser.parseAny(query) match {
+        case SparqlParser.SelectQuery(op, ds) =>
+          Compiler.run(applyDataset(quads, ds), BgpOptimizer.optimize(op, st))
+        case SparqlParser.AskQuery(op, ds) =>
+          Compiler.runAsk(applyDataset(quads, ds), BgpOptimizer.optimize(op, st))
+        case SparqlParser.ConstructQuery(template, op, ds) =>
+          Compiler.runConstruct(applyDataset(quads, ds), template,
+            BgpOptimizer.optimize(op, st))
+        case SparqlParser.DescribeQuery(targets, star, op, ds) =>
+          Compiler.runDescribe(applyDataset(quads, ds), targets, star,
+            op.map(BgpOptimizer.optimize(_, st)))
+      }
 
     /** Execute with pre-bound variables (textual substitution). */
     def sparql(query: String, bindings: Map[String, Term]): DataFrame =
@@ -311,21 +379,8 @@ object Sparql {
     /** Execute with cost-based BGP join ordering driven by `stats`
       * (see [[QuadsStats]]). Same results as [[sparql(query*]] —
       * statistics change only the join order. */
-    def sparql(query: String, stats: QuadsStats): DataFrame = {
-      val st = Some(stats)
-      SparqlParser.parseAny(query) match {
-        case SparqlParser.SelectQuery(op, ds) =>
-          Compiler.run(applyDataset(quads, ds), BgpOptimizer.optimize(op, st))
-        case SparqlParser.AskQuery(op, ds) =>
-          Compiler.runAsk(applyDataset(quads, ds), BgpOptimizer.optimize(op, st))
-        case SparqlParser.ConstructQuery(template, op, ds) =>
-          Compiler.runConstruct(applyDataset(quads, ds), template,
-            BgpOptimizer.optimize(op, st))
-        case SparqlParser.DescribeQuery(targets, star, op, ds) =>
-          Compiler.runDescribe(applyDataset(quads, ds), targets, star,
-            op.map(BgpOptimizer.optimize(_, st)))
-      }
-    }
+    def sparql(query: String, stats: QuadsStats): DataFrame =
+      dispatch(query, Some(stats))
 
     /** SPARQL 1.1 Update — the §3.1 data/pattern forms (INSERT DATA /
       * DELETE DATA / DELETE WHERE / DELETE…INSERT…WHERE) and the §3.2

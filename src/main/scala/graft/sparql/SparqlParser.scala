@@ -133,10 +133,24 @@ final class SparqlParser(input: String) {
         val (p, fs) = parseGroupPattern()
         SparqlParser.AskQuery(applyFilters(p, fs), datasetSpec)
       } else if (tryKw("CONSTRUCT")) {
-        val template = parseConstructTemplate()
+        // grammar rule 10, second alternative: `CONSTRUCT DatasetClause*
+        // WHERE '{' TriplesTemplate? '}'` — the group doubles as
+        // template and pattern (plain triples only, so templateQuads'
+        // flatten rejects anything else loudly)
+        skipWs()
+        val shorthand = peek != '{'
+        val explicitTemplate =
+          if (shorthand) Nil else parseConstructTemplate()
         parseDatasetClauses()
-        tryKw("WHERE") // grammar: WhereClause ::= 'WHERE'? GroupGraphPattern
+        if (shorthand) expectKw("WHERE")
+        else tryKw("WHERE") // WhereClause ::= 'WHERE'? GroupGraphPattern
         val (p, fs) = parseGroupPattern()
+        val template =
+          if (shorthand) {
+            if (fs.nonEmpty) err("FILTER not allowed in CONSTRUCT WHERE shorthand")
+            // template triples (default graph) mirror the pattern
+            templateQuads(p, requireGround = false).map(q => (q.s, q.p, q.o))
+          } else explicitTemplate
         var op = applyFilters(p, fs)
         // solution modifiers on the WHERE solutions
         val orderKeys = mutable.ArrayBuffer.empty[(Expr, Boolean)]
@@ -264,7 +278,7 @@ final class SparqlParser(input: String) {
       if (tryKw("INSERT")) {
         if (tryKw("DATA")) {
           if (withGraph.isDefined) err("WITH is not allowed on DATA forms")
-          SparqlParser.InsertData(parseQuadData())
+          SparqlParser.InsertData(parseQuadData(mintBNodes = true))
         } else {
           val ins = parseQuadTemplate()
           val using = parseUsing()
@@ -358,7 +372,8 @@ final class SparqlParser(input: String) {
     (src, dst, silent)
   }
 
-  private def templateQuads(op: Op, requireGround: Boolean): List[SparqlParser.QuadTpl] = {
+  private def templateQuads(op: Op, requireGround: Boolean,
+                            mintBNodes: Boolean = false): List[SparqlParser.QuadTpl] = {
     def flatten(o: Op): List[Scan] = o match {
       case s: Scan => List(s)
       case Join(l, r) => flatten(l) ++ flatten(r)
@@ -366,10 +381,24 @@ final class SparqlParser(input: String) {
       case other =>
         err(s"only plain quad patterns allowed here, got ${other.getClass.getSimpleName}")
     }
-    flatten(op).map { s =>
-      if (requireGround &&
-          Seq(s.s, s.p, s.o).exists(_.isInstanceOf[V]))
-        err("DATA forms require ground (variable-free) quads")
+    // §3.1.1: blank nodes in INSERT DATA mint FRESH nodes per
+    // operation (labels never join with existing store bnodes) —
+    // substitute each distinct label with one fresh term; DELETE DATA
+    // (mintBNodes = false) rejects them per the same section
+    val minted = mutable.Map.empty[String, Term]
+    def subst(x: VarOrTerm): VarOrTerm = x match {
+      case V(n) if mintBNodes && n.startsWith("_anonbn_") =>
+        T(minted.getOrElseUpdate(n, graft.rdf.BNode(
+          "ins" + java.util.UUID.randomUUID.toString.replace("-", ""))))
+      case other => other
+    }
+    flatten(op).map { s0 =>
+      val s = Scan(subst(s0.s), subst(s0.p), subst(s0.o), s0.g)
+      if (requireGround && Seq(s.s, s.p, s.o).exists {
+        case V(n) => if (n.startsWith("_anonbn_"))
+          err("blank nodes are not allowed in DELETE DATA") else true
+        case _ => false
+      }) err("DATA forms require ground (variable-free) quads")
       s.g match {
         case GraphVar(_) if requireGround =>
           err("DATA forms require a constant GRAPH")
@@ -385,10 +414,10 @@ final class SparqlParser(input: String) {
     templateQuads(p, requireGround = false)
   }
 
-  private def parseQuadData(): List[SparqlParser.QuadTpl] = {
+  private def parseQuadData(mintBNodes: Boolean = false): List[SparqlParser.QuadTpl] = {
     val (p, fs) = parseGroupPattern()
     if (fs.nonEmpty) err("FILTER not allowed in quad data")
-    templateQuads(p, requireGround = true)
+    templateQuads(p, requireGround = true, mintBNodes = mintBNodes)
   }
 
   /** CONSTRUCT template: plain triples only (vars, IRIs, literals,
@@ -564,6 +593,29 @@ final class SparqlParser(input: String) {
       val keys =
         if (hasGroupBy) groupKeys.toList
         else Nil // implicit single group
+      // §18.2.4: with grouping, a projected variable must be a GROUP
+      // BY key, an aggregate, or an expression over those (possibly
+      // via an earlier select alias) — anything else is a query
+      // error; padding it with NULLs would be a silent wrong answer
+      val legal = mutable.Set[String](keys: _*) ++= aggs.values
+      def plainVars(e: Expr): Set[String] = e match {
+        case VarE(n) => Set(n)
+        case FuncE(_, as) => as.flatMap(plainVars).toSet
+        case InE(x, l, _) => plainVars(x) ++ l.flatMap(plainVars)
+        case _ => Set.empty // constants; EXISTS correlates downstream
+      }
+      liftedItems.foreach {
+        case SelectVar(n) =>
+          if (!legal.contains(n))
+            err(s"SELECT ?$n: not a GROUP BY key or aggregate (§18.2.4)")
+        case SelectExpr(e, as) =>
+          val bad = plainVars(e) -- legal
+          if (bad.nonEmpty)
+            err(s"SELECT expression ?$as references " +
+              bad.toSeq.sorted.map("?" + _).mkString(", ") +
+              ": not GROUP BY keys or aggregates (§18.2.4)")
+          legal += as
+      }
       op = Group(op, keys, aggs.map { case (a, n) => n -> a }.toList)
       liftedHaving.foreach(h => op = Filter(op, h))
       liftedItems.foreach {
