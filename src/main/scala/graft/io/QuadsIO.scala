@@ -33,8 +33,14 @@ object QuadsIO {
     spark.createDataFrame(rows, TermSchema.quadType)
   }
 
-  private def readLocalText(path: String): String = {
-    val raw = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
+  /** Driver-side whole-file read through the Hadoop FileSystem API, so
+    * the small-file formats work on every filesystem the session can
+    * reach (HDFS, S3A, local…), not just java.nio local paths — the
+    * same resolution the distributed readers use. */
+  private def readDriverText(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val raw = fs.open(p)
     val in =
       if (path.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw) else raw
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -43,15 +49,15 @@ object QuadsIO {
 
   /** Driver-side parse of a (small) Turtle/TriG file into a quads DF. */
   def readTurtle(spark: SparkSession, path: String): DataFrame =
-    fromQuads(spark, TurtleParser.parse(readLocalText(path)))
+    fromQuads(spark, TurtleParser.parse(readDriverText(spark, path)))
 
   /** Driver-side parse of an RDF/XML file into a quads DF. */
   def readRdfXml(spark: SparkSession, path: String): DataFrame =
-    fromQuads(spark, graft.rdf.RdfXmlParser.parse(readLocalText(path)))
+    fromQuads(spark, graft.rdf.RdfXmlParser.parse(readDriverText(spark, path)))
 
   /** Driver-side parse of a JSON-LD file into a quads DF. */
   def readJsonLd(spark: SparkSession, path: String): DataFrame =
-    fromQuads(spark, graft.rdf.JsonLdParser.parse(readLocalText(path)))
+    fromQuads(spark, graft.rdf.JsonLdParser.parse(readDriverText(spark, path)))
 
   /** Format chosen by filename, like the reference's Rio dispatch
     * (TriplesReader.scala:62-74): N-Triples/N-Quads distributed,

@@ -148,6 +148,11 @@ object Clustering {
     val exactPairs = df
       .select(col(idCol).as("__id"),
         TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      // fingerprint(NULL text) is NULL; the window would partition all
+      // NULL rows TOGETHER and chain millions of unrelated failed-
+      // extraction documents into one mega-cluster (and one straggler
+      // partition) — NULL content is not duplicate content
+      .filter(col("__fp").isNotNull)
       .withColumn("__nxt", lead("__id", 1).over(w))
       .filter(col("__nxt").isNotNull)
       .select(col("__id").as("idA"), col("__nxt").as("idB"))

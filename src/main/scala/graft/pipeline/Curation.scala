@@ -45,12 +45,16 @@ object Curation {
   def aboveGroupQuantile(df: DataFrame, groupCol: String, scoreCol: String,
                          q: Double, exact: Boolean = true): DataFrame = {
     require(q >= 0 && q <= 1, s"quantile $q not in [0,1]")
-    val agg = if (exact) s"percentile($scoreCol, $q)"
-              else s"approx_percentile($scoreCol, $q, 10000)"
-    val thresholds = df.groupBy(col(groupCol))
-      .agg(expr(agg).as("__thr"))
-    df.join(broadcast(thresholds), groupCol)
+    // functions, not expr(s"percentile($scoreCol, ...)"): string
+    // interpolation broke on non-identifier column names
+    val agg = if (exact) percentile(col(scoreCol), lit(q))
+              else percentile_approx(col(scoreCol), lit(q), lit(10000))
+    val thresholds = df.groupBy(col(groupCol).as("__g"))
+      .agg(agg.as("__thr"))
+    // null-safe join: a NULL stratum is still a group (topKPerGroup's
+    // window keeps it; an inner equi-join would silently drop it)
+    df.join(broadcast(thresholds), col(groupCol) <=> col("__g"))
       .filter(col(scoreCol) >= col("__thr"))
-      .drop("__thr")
+      .drop("__g", "__thr")
   }
 }

@@ -20,12 +20,16 @@ import org.apache.spark.sql.types._
 object Dedup {
 
   /** Exact dedup: one surviving row per distinct `key`, the one with
-    * the smallest `tieBreak`. Single shuffle (groupBy + min_by); no
-    * window functions, no sort of the full data. */
+    * the smallest `tieBreak` — remaining columns break tieBreak TIES
+    * lexicographically, so the survivor is a pure function of the data
+    * (min_by alone picks an aggregation-order-dependent row on ties,
+    * which would break reproducible corpus builds). Single shuffle
+    * (groupBy + struct min); no window, no sort of the full data. */
   def exact(df: DataFrame, key: String, tieBreak: String): DataFrame = {
     val others = df.columns.filterNot(_ == key).toSeq
+    val ordered = tieBreak +: others.filterNot(_ == tieBreak)
     df.groupBy(col(key))
-      .agg(min_by(struct(others.map(col): _*), col(tieBreak)).as("__rest"))
+      .agg(min(struct(ordered.map(col): _*)).as("__rest"))
       .select(col(key) +: others.map(c => col(s"__rest.$c").as(c)): _*)
   }
 
@@ -47,14 +51,17 @@ object Dedup {
   }
 
   /** MinHash signature: array<long> of length `numHashes` over the
-    * shingle set. h_i(S) = min over shingles of xxhash64(s, seed=i) —
-    * independent seeded hashes instead of affine permutations, which
-    * would overflow-multiply under ANSI mode. Column form (interpreted
-    * higher-order fns) — the candidates pipeline uses the codegen'd
-    * explode+groupBy form instead. */
+    * shingle set. h_i(S) = min over shingles of
+    * xxhash64(xxhash64(shingle), i) — independent seeded hashes
+    * instead of affine permutations (which would overflow-multiply
+    * under ANSI mode), chained through the shingle's OWN hash so the
+    * values are IDENTICAL to [[minHashSignTable]]'s `mh` column: a
+    * signature from this Column form bands/joins correctly against a
+    * persisted signature table. (Interpreted higher-order fns — the
+    * pipeline itself uses the codegen'd native expressions.) */
   def minHashSignature(shinglesCol: Column, numHashes: Int = 64): Column =
     transform(sequence(lit(0), lit(numHashes - 1)), i =>
-      array_min(transform(shinglesCol, s => xxhash64(s, i))))
+      array_min(transform(shinglesCol, s => xxhash64(xxhash64(s), i))))
 
   /** Exact n-gram Jaccard similarity between two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column =
@@ -110,12 +117,22 @@ object Dedup {
   /** `(id, band, bucket)` banding rows of a signature table — one
     * murmur3 bucket per band over that band's slice of `mh`; only
     * these three small columns ride the candidate shuffle. */
-  /** Per-band murmur3 bucket keys over the `mh` column, as an array. */
+  /** Per-band murmur3 bucket keys over the `mh` column, as an array.
+    * The signature length is CHECKED against numHashes: indexing past
+    * a shorter persisted signature would yield NULLs that hash() skips,
+    * silently collapsing those bands into one global bucket for every
+    * document (all-pairs in the candidate join) — a config mismatch
+    * must fail loudly instead. */
   private def bandKeyArray(numHashes: Int, bands: Int): Column = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    val mh = when(size(col("mh")) === numHashes, col("mh"))
+      .otherwise(raise_error(concat(
+        lit("MinHash signature length "), size(col("mh")).cast("string"),
+        lit(s" != numHashes = $numHashes — banding must match the " +
+          "signature table's numHashes"))).cast("array<bigint>"))
     array((0 until bands).map { j =>
-      hash(((j * r) until ((j + 1) * r)).map(i => col("mh")(i)) :+ lit(j): _*)
+      hash(((j * r) until ((j + 1) * r)).map(i => mh(i)) :+ lit(j): _*)
     }: _*)
   }
 
@@ -173,8 +190,15 @@ object Dedup {
       Seq("band", "bucket"), maxBucketSize)
       .localCheckpoint(eager = false) // feeds the key set AND the pair join
     val keys = nb.select("band", "bucket").distinct()
-    val cb = minHashBands(corpusSigs, numHashes, bands)
-      .join(broadcast(keys), Seq("band", "bucket"), "left_semi")
+    // the corpus side is capped TOO (after the prune, so the count
+    // aggregate only scans surviving rows): one hot corpus bucket — a
+    // never-exact-deduped boilerplate cluster — would otherwise emit
+    // |bucket| pairs per agreeing band and void the bound the cap
+    // promises
+    val cb = capBuckets(
+      minHashBands(corpusSigs, numHashes, bands)
+        .join(broadcast(keys), Seq("band", "bucket"), "left_semi"),
+      Seq("band", "bucket"), maxBucketSize)
     val pairs = nb.select(col("band"), col("bucket"), col("id").as("idNew"))
       .join(cb.select(col("band"), col("bucket"), col("id").as("idCorpus")),
         Seq("band", "bucket"))
@@ -206,11 +230,17 @@ object Dedup {
     * stream-stream join needing watermarks. */
   private[graft] def minHashCandidatesAgainstStream(
       newSigs: DataFrame, corpusSigs: DataFrame, numHashes: Int = 64,
-      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+      bands: Int = 16, threshold: Double = 0.5,
+      maxBucketSize: Int = 100000): DataFrame = {
     val nb = newSigs.select(col("id").as("idNew"), col("sh").as("shA"),
       posexplode(bandKeyArray(numHashes, bands)).as(Seq("band", "bucket")))
-    val cb = corpusSigs.select(col("id").as("idCorpus"), col("sh").as("shB"),
-      posexplode(bandKeyArray(numHashes, bands)).as(Seq("band", "bucket")))
+    // the corpus side is STATIC, so its hot buckets can (and must) be
+    // capped like the batch path — a mega-bucket would otherwise fan
+    // every matching micro-batch row into |bucket| pairs
+    val cb = capBuckets(
+      corpusSigs.select(col("id").as("idCorpus"), col("sh").as("shB"),
+        posexplode(bandKeyArray(numHashes, bands)).as(Seq("band", "bucket"))),
+      Seq("band", "bucket"), maxBucketSize)
     nb.join(cb, Seq("band", "bucket"))
       .filter(col("idNew") =!= col("idCorpus"))
       .withColumn("jaccard", jaccard(col("shA"), col("shB")))
@@ -326,8 +356,11 @@ object Dedup {
       Seq("k"), maxBucketSize)
       .localCheckpoint(eager = false) // feeds the key set AND the pair join
     val keys = nk.select("k").distinct()
-    val ck = simHashKeys(corpusSigs, maxHamming, cleanChunks)
-      .join(broadcast(keys), Seq("k"), "left_semi")
+    // corpus side capped too — see minHashCandidatesAgainst
+    val ck = capBuckets(
+      simHashKeys(corpusSigs, maxHamming, cleanChunks)
+        .join(broadcast(keys), Seq("k"), "left_semi"),
+      Seq("k"), maxBucketSize)
     nk.select(col("k"), col("id").as("idNew"), col("sig").as("sigA"))
       .join(ck.select(col("k"), col("id").as("idCorpus"), col("sig").as("sigB")),
         Seq("k"))

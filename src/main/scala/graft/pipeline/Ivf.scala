@@ -63,7 +63,17 @@ object Ivf {
     // for duplicate-heavy corpora but the only partitioning-stable
     // choice; an empty sample (every dominant value hashed out) falls
     // back to full-corpus training instead of crashing.
-    val n = embAll.count()
+    // one pass: row count + dimensionality check (mixed-dimension
+    // embeddings — e.g. two model versions in one table — would crash
+    // the Lloyd update's k×dim matrix or silently truncate in
+    // NearestCentroid; fail loudly at train time instead)
+    val firstPass = embAll
+      .agg(count(lit(1)).as("n"),
+        count_distinct(size(col("e"))).as("dims")).head()
+    val n = firstPass.getLong(0)
+    require(firstPass.getLong(1) <= 1L,
+      s"embeddings have ${firstPass.getLong(1)} distinct dimensionalities — " +
+        "IVF requires uniform vectors; split by dimension first")
     val mod = if (trainSample <= 0) 1L else n / trainSample
     val emb =
       if (mod <= 1L) embAll // also avoids caching a full second copy

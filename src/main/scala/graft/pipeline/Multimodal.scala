@@ -256,12 +256,14 @@ object Multimodal {
           else None
         decoded.foreach { img =>
           vals(byteIdx) = ImageCodec.encodePng(ImageCodec.resize(img, w, h))
+          // meta rewritten ONLY for rows actually re-encoded — an
+          // undecodable image or an audio/video row keeps its original
+          // metadata; stamping (w, h) on an untouched payload would be
+          // metadata that lies about the bytes
+          val sr = Option(r.getStruct(metaIdx))
+            .map(m => if (m.isNullAt(2)) null else m.get(2)).orNull
+          vals(metaIdx) = Row(w, h, sr, "png")
         }
-        val fmt = if (decoded.isDefined) "png"
-          else Option(r.getStruct(metaIdx)).map(_.getString(3)).orNull
-        val sr = Option(r.getStruct(metaIdx))
-          .map(m => if (m.isNullAt(2)) null else m.get(2)).orNull
-        vals(metaIdx) = Row(w, h, sr, fmt)
         Row.fromSeq(vals.toSeq)
       }
     }

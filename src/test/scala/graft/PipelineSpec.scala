@@ -489,8 +489,12 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
       out(1L).getAs[Array[Byte]]("bytes")).get
     (resized.getWidth, resized.getHeight) shouldBe ((8, 8))
     out(1L).getStruct(3).getString(3) shouldBe "png"
-    // non-image payload untouched, meta rewritten
+    (out(1L).getStruct(3).getInt(0), out(1L).getStruct(3).getInt(1)) shouldBe ((8, 8))
+    // non-image payload untouched — and its meta must NOT be rewritten
+    // to the target dims (that would describe bytes that don't exist)
     out(2L).getAs[Array[Byte]]("bytes") shouldBe "noise".getBytes
-    out(2L).getStruct(3).getInt(0) shouldBe 8
+    out(2L).getStruct(3).isNullAt(0) shouldBe true
+    out(2L).getStruct(3).getInt(2) shouldBe 16000
+    out(2L).getStruct(3).getString(3) shouldBe "pcm"
   }
 }
