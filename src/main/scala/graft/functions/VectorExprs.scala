@@ -31,6 +31,28 @@ object VectorExprs {
       throw new IllegalArgumentException(
         s"expected array<float|double>, got $other")
   }
+
+  /** Analysis-time type validation — SQL users (vec_dot/vec_cosine via
+    * the FunctionRegistry) get an AnalysisException instead of an
+    * internal-looking codegen crash. */
+  private def checkVec(what: String, es: Expression*)
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    es.find(e => !e.dataType.isInstanceOf[ArrayType] ||
+        !(e.dataType.asInstanceOf[ArrayType].elementType == FloatType ||
+          e.dataType.asInstanceOf[ArrayType].elementType == DoubleType))
+      .map(e => TypeCheckResult.TypeCheckFailure(
+        s"$what expects array<float|double>, got ${e.dataType}"))
+      .getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
+
+  /** Loud length check for expressions carrying a fixed plane/centroid
+    * matrix: silently truncating a mismatched vector (config drift
+    * between signing runs) would quietly degrade recall/assignment. */
+  def requireDim(actual: Int, expected: Int, what: String): Unit =
+    if (actual != expected) throw new IllegalArgumentException(
+      s"$what: vector has $actual components, expected $expected — " +
+        "planes/centroids must be built for this embedding dimension")
   private def getter(et: DataType, arr: String, i: String): String =
     if (et == FloatType) s"$arr.getFloat($i)" else s"$arr.getDouble($i)"
   private def getD(a: ArrayData, et: DataType, i: Int): Double =
@@ -40,6 +62,10 @@ object VectorExprs {
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      checkVec(prettyName, left, right)
+    override def prettyName: String = "vec_dot"
     private lazy val (lt, rt) = (elemType(left), elemType(right))
 
     override def nullSafeEval(a: Any, b: Any): Any = {
@@ -76,6 +102,10 @@ object VectorExprs {
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      checkVec(prettyName, left, right)
+    override def prettyName: String = "vec_cosine"
     private lazy val (lt, rt) = (elemType(left), elemType(right))
 
     override def nullSafeEval(a: Any, b: Any): Any = {
@@ -122,7 +152,12 @@ object VectorExprs {
       extends UnaryExpression {
     require(planes.length <= 64,
       s"RHP signature is a 64-bit word: at most 64 planes, got ${planes.length}")
+    require(planes.isEmpty || planes.forall(_.length == planes(0).length),
+      "hyperplane rows must share one dimensionality")
     override def dataType: DataType = LongType
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      checkVec(prettyName, child)
     private lazy val et = elemType(child)
     private val numPlanes = planes.length
     private val dim = if (planes.isEmpty) 0 else planes(0).length
@@ -130,6 +165,7 @@ object VectorExprs {
 
     override def nullSafeEval(a: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
+      requireDim(x.numElements(), dim, prettyName)
       val n = math.min(x.numElements(), dim)
       var sig = 0L; var p = 0
       while (p < numPlanes) {
@@ -148,6 +184,8 @@ object VectorExprs {
         val p = ctx.freshName("p"); val s = ctx.freshName("s")
         val off = ctx.freshName("off"); val sig = ctx.freshName("sig")
         s"""
+           |graft.functions.VectorExprs.requireDim(
+           |  $a.numElements(), $dim, "rhp_signature");
            |int $n = java.lang.Math.min($a.numElements(), $dim);
            |long $sig = 0L;
            |for (int $p = 0; $p < $numPlanes; $p++) {
@@ -178,6 +216,11 @@ object VectorExprs {
   case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
       extends UnaryExpression {
     override def dataType: DataType = IntegerType
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      checkVec(prettyName, child)
+    require(centroids.isEmpty || centroids.forall(_.length == centroids(0).length),
+      "centroid rows must share one dimensionality")
     private lazy val et = elemType(child)
     private val k = centroids.length
     private val dim = if (centroids.isEmpty) 0 else centroids(0).length
@@ -185,6 +228,7 @@ object VectorExprs {
 
     override def nullSafeEval(a: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
+      requireDim(x.numElements(), dim, prettyName)
       val n = math.min(x.numElements(), dim)
       var best = 0; var bestDot = Double.NegativeInfinity; var c = 0
       while (c < k) {
@@ -204,6 +248,8 @@ object VectorExprs {
         val off = ctx.freshName("off"); val best = ctx.freshName("best")
         val bestDot = ctx.freshName("bestDot")
         s"""
+           |graft.functions.VectorExprs.requireDim(
+           |  $a.numElements(), $dim, "nearest_centroid");
            |int $n = java.lang.Math.min($a.numElements(), $dim);
            |int $best = 0;
            |double $bestDot = java.lang.Double.NEGATIVE_INFINITY;

@@ -117,28 +117,33 @@ object Dedup {
   /** `(id, band, bucket)` banding rows of a signature table — one
     * murmur3 bucket per band over that band's slice of `mh`; only
     * these three small columns ride the candidate shuffle. */
-  /** Per-band murmur3 bucket keys over the `mh` column, as an array.
-    * The signature length is CHECKED against numHashes: indexing past
-    * a shorter persisted signature would yield NULLs that hash() skips,
-    * silently collapsing those bands into one global bucket for every
-    * document (all-pairs in the candidate join) — a config mismatch
-    * must fail loudly instead. */
+  /** Per-band murmur3 bucket keys over the `mh` column, as an array. */
   private def bandKeyArray(numHashes: Int, bands: Int): Column = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val mh = when(size(col("mh")) === numHashes, col("mh"))
-      .otherwise(raise_error(concat(
-        lit("MinHash signature length "), size(col("mh")).cast("string"),
-        lit(s" != numHashes = $numHashes — banding must match the " +
-          "signature table's numHashes"))).cast("array<bigint>"))
     array((0 until bands).map { j =>
-      hash(((j * r) until ((j + 1) * r)).map(i => mh(i)) :+ lit(j): _*)
+      hash(((j * r) until ((j + 1) * r)).map(i => col("mh")(i)) :+ lit(j): _*)
     }: _*)
   }
 
+  /** Loud once-per-row signature-length check, as a FILTER (assert_true
+    * returns NULL when the predicate holds, throws otherwise). Indexing
+    * past a shorter persisted signature would yield NULLs that hash()
+    * skips, silently collapsing those bands into one global bucket for
+    * every document (all-pairs in the candidate join) — a numHashes
+    * config mismatch must fail loudly. A filter evaluates ONCE per row;
+    * wrapping the array expression itself would be re-inlined by
+    * Catalyst into every one of the 64 index sites (measured 2×
+    * slow-down). */
+  private def requireSigLength(sigs: DataFrame, numHashes: Int): DataFrame =
+    sigs.filter(assert_true(size(col("mh")) === numHashes, concat(
+      lit("MinHash signature length "), size(col("mh")).cast("string"),
+      lit(s" != numHashes = $numHashes — banding must match the " +
+        "signature table's numHashes"))).isNull)
+
   private def minHashBands(sigs: DataFrame, numHashes: Int,
                            bands: Int): DataFrame =
-    sigs.select(col("id"),
+    requireSigLength(sigs, numHashes).select(col("id"),
       posexplode(bandKeyArray(numHashes, bands)).as(Seq("band", "bucket")))
 
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
@@ -232,14 +237,16 @@ object Dedup {
       newSigs: DataFrame, corpusSigs: DataFrame, numHashes: Int = 64,
       bands: Int = 16, threshold: Double = 0.5,
       maxBucketSize: Int = 100000): DataFrame = {
-    val nb = newSigs.select(col("id").as("idNew"), col("sh").as("shA"),
-      posexplode(bandKeyArray(numHashes, bands)).as(Seq("band", "bucket")))
+    val nb = requireSigLength(newSigs, numHashes)
+      .select(col("id").as("idNew"), col("sh").as("shA"),
+        posexplode(bandKeyArray(numHashes, bands)).as(Seq("band", "bucket")))
     // the corpus side is STATIC, so its hot buckets can (and must) be
     // capped like the batch path — a mega-bucket would otherwise fan
     // every matching micro-batch row into |bucket| pairs
     val cb = capBuckets(
-      corpusSigs.select(col("id").as("idCorpus"), col("sh").as("shB"),
-        posexplode(bandKeyArray(numHashes, bands)).as(Seq("band", "bucket"))),
+      requireSigLength(corpusSigs, numHashes)
+        .select(col("id").as("idCorpus"), col("sh").as("shB"),
+          posexplode(bandKeyArray(numHashes, bands)).as(Seq("band", "bucket"))),
       Seq("band", "bucket"), maxBucketSize)
     nb.join(cb, Seq("band", "bucket"))
       .filter(col("idNew") =!= col("idCorpus"))

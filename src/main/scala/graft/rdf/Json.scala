@@ -99,7 +99,13 @@ private[rdf] object Json {
       while (!eof && (peek.isDigit || peek == '.' || peek == 'e' || peek == 'E' ||
              peek == '+' || peek == '-')) pos += 1
       if (pos == start) fail("bad number")
-      JNum(input.substring(start, pos))
+      val raw = input.substring(start, pos)
+      // the greedy scan accepts '-'/'.'/exponent chars ANYWHERE; hold
+      // the token to the actual JSON number grammar so "1-2"/"1.2.3"
+      // fail here instead of minting invalid typed literals downstream
+      if (!raw.matches("-?(0|[1-9][0-9]*)(\\.[0-9]+)?([eE][+-]?[0-9]+)?"))
+        fail(s"bad number '$raw'")
+      JNum(raw)
     }
   }
 }

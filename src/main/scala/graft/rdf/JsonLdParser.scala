@@ -214,6 +214,11 @@ object JsonLdParser {
                       case (Some(JStr(dt)), _) =>
                         Some(Lit(lex, ctx.expandIri(dt, forProperty = true).getOrElse(dt)))
                       case (_, Some(JStr(l))) => Some(Lit(lex, lang = l))
+                      case (_, Some(JNull)) =>
+                        // explicit "@language": null opts this value
+                        // OUT of the context default language — a
+                        // plain literal, not ctx.lang
+                        Some(Lit(lex))
                       case _ => v0 match {
                         case JNum(raw) => Some(numLit(raw))
                         case JBool(b) => Some(Lit(b.toString, XSD.boolean))

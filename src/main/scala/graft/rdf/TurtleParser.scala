@@ -90,11 +90,14 @@ final class TurtleParser(input: String) {
       node match {
         case Some(t) if peek == '{' =>
           // TriG labelOrSubject is iri | BlankNode — a collection can
-          // be a SUBJECT but never a graph label
+          // be a SUBJECT but never a graph label, and a literal can be
+          // neither
           if (startedCollection) err("a collection cannot name a graph")
+          if (t.isInstanceOf[Lit]) err("a literal cannot name a graph")
           pos += 1
           parseGraphBody(Some(t))
         case Some(t) =>
+          if (t.isInstanceOf[Lit]) err("a literal cannot be a subject")
           parsePredicateObjectList(t)
           expect('.')
         case None =>
@@ -364,6 +367,11 @@ object TurtleParser {
     * and \\UXXXXXXXX (surrogate pairs). */
   def decodeEscape(input: String, pos: Int,
                    fail: String => Nothing): (String, Int) = {
+    if (pos >= input.length) fail("escape at end of input")
+    def hex(from: Int, to: Int): Int =
+      try Integer.parseInt(input.substring(from, to), 16)
+      catch { case _: NumberFormatException =>
+        fail(s"bad hex digits in escape: '${input.substring(from, to)}'") }
     input.charAt(pos) match {
       case 't' => ("\t", pos + 1)
       case 'n' => ("\n", pos + 1)
@@ -372,12 +380,10 @@ object TurtleParser {
       case 'f' => ("\f", pos + 1)
       case 'u' =>
         if (pos + 5 > input.length) fail("truncated \\u escape")
-        (Integer.parseInt(input.substring(pos + 1, pos + 5), 16).toChar.toString,
-          pos + 5)
+        (hex(pos + 1, pos + 5).toChar.toString, pos + 5)
       case 'U' =>
         if (pos + 9 > input.length) fail("truncated \\U escape")
-        (new String(Character.toChars(
-          Integer.parseInt(input.substring(pos + 1, pos + 9), 16))), pos + 9)
+        (new String(Character.toChars(hex(pos + 1, pos + 9))), pos + 9)
       case other => (other.toString, pos + 1) // \" \' \\
     }
   }

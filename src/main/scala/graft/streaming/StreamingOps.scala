@@ -16,22 +16,33 @@ object StreamingOps {
 
   /** Streaming exact dedup on a content fingerprint. State is scoped
     * by the event-time watermark (dropDuplicatesWithinWatermark), so
-    * the dedup map cannot grow without bound on an infinite stream. */
+    * the dedup map cannot grow without bound on an infinite stream.
+    * NULL-text rows (fingerprint NULL — e.g. media-only documents)
+    * pass through UN-deduped: dropDuplicates treats NULL keys as
+    * equal, which would silently collapse all of them into one
+    * surviving row per window; NULL content is not duplicate
+    * content. */
   def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
-                  watermark: String = "1 hour"): DataFrame =
-    docs
+                  watermark: String = "1 hour"): DataFrame = {
+    val fpd = docs
       .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermark)
+    fpd.filter(col("fp").isNotNull)
       .dropDuplicatesWithinWatermark("fp")
+      .unionByName(fpd.filter(col("fp").isNull))
+  }
 
   /** Streaming NEAR-dup detection against a persisted signed corpus —
     * the streaming face of [[graft.pipeline.Dedup.minHashCandidatesAgainst]].
     * Each micro-batch of documents is signed MAP-ONLY (the scalar
     * signature expressions keep this stateless — no aggregation state
     * at all), banded, and stream-static-joined against the corpus
-    * bands; pairs verify with exact Jaccard. Output: one row per
-    * (streamed doc, corpus near-duplicate) with the id columns named
-    * (idNew, idCorpus). The corpus signature table comes from
+    * bands; pairs verify with exact Jaccard. Output rows are named
+    * (idNew, idCorpus) — NOTE a pair surfaces once PER AGREEING BAND
+    * (up to `bands` times): stateless streams cannot dedup pairs, so
+    * collapse with dropDuplicatesWithinWatermark("idNew", "idCorpus")
+    * given event time, or aggregate in foreachBatch, before counting
+    * matches. The corpus signature table comes from
     * [[graft.pipeline.Dedup.minHashSignTable]], persisted once;
     * re-sign and swap it to pick up corpus growth. */
   def nearDupStream(docs: DataFrame, idCol: String, textCol: String,
