@@ -41,18 +41,27 @@ object SparkEntry {
   private def nationRegion(s: SparkSession, d: String) =
     TpchQuads.nation(s, d).union(TpchQuads.region(s, d))
 
+  /** Cache directory under tmpdir for build-once artifacts (dict
+    * store, ANN/IVF indexes): keyed by the FULL sanitized data path —
+    * a 32-bit hashCode alone could collide two datasets — plus a
+    * format-version tag so a layout change in a later build never
+    * silently reuses an old store. */
+  private val CacheVersion = "v2"
+  private def tmpPath(prefix: String, d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${prefix}_" +
+      d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + CacheVersion
+
   /** Build-once-per-dataset dictionary-encoded store (tmp dir keyed by
     * the data dir, same reuse pattern as the ANN index entries). */
   private def dictStore(s: SparkSession, d: String): graft.io.DictStore = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_dict_" +
-      Integer.toHexString(d.hashCode)
+    val path = tmpPath("dict", d)
     if (new java.io.File(s"$path/quads/_SUCCESS").exists())
       graft.io.DictStore.load(s, path)
     else graft.io.DictStore.encode(cust(s, d).union(nationRegion(s, d)), path)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----- §2.1 scan / sources -----
     "q_scan" -> { (s, d) =>
       out(TpchQuads.nation(s, d).sparql(prologue +
@@ -396,10 +405,16 @@ object SparkEntry {
     },
     "q_events_window" -> { (s, d) =>
       // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-      // reader rejects — read nanos as long and convert
+      // reader rejects — read nanos as long and convert. The conf is
+      // also set in every main's session builder; setting it here too
+      // keeps the entry self-contained for ad-hoc sessions.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = t(s, d, "events") // exact: nanos → micros in integer math
-        .withColumn("ts2", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // `div`, NOT `/`: Spark's / casts integral operands to double,
+      // and ~1.8e18 ns exceeds double's 53-bit exact range — ~12% of
+      // rows would land 1 microsecond off, flipping hour buckets at
+      // boundaries vs the oracle's native nanosecond timestamps
+      val ev = t(s, d, "events")
+        .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
       ev.groupBy(date_trunc("hour", col("ts2")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum("value").as("total"))
         .select(col("hour"), col("event_type"), col("n"), col("total"))
@@ -597,8 +612,7 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).map(_.toDouble)
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ann_idx_" +
-        Integer.toHexString(d.hashCode)
+      val idx = tmpPath("ann_idx", d)
       graft.pipeline.Similarity.buildIndex(emb, "vec_id", "embedding", idx,
         dim = q.size, numPlanes = 6)
       graft.pipeline.Similarity.queryIndex(s, idx, q, 10)
@@ -618,8 +632,7 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).map(_.toDouble)
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ann_idx_" +
-        Integer.toHexString(d.hashCode)
+      val idx = tmpPath("ann_idx", d)
       if (!new java.io.File(s"$idx/_graft_ann_meta.json").exists())
         graft.pipeline.Similarity.buildIndex(emb, "vec_id", "embedding", idx,
           dim = q.size, numPlanes = 6)
@@ -631,8 +644,7 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).map(_.toDouble)
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_" +
-        Integer.toHexString(d.hashCode)
+      val idx = tmpPath("ivf_idx", d)
       graft.pipeline.Ivf.buildIndex(emb, "vec_id", "embedding", idx,
         k = 8, iters = 3)
       graft.pipeline.Ivf.queryIndex(s, idx, q, 10, nprobe = 3)
@@ -642,7 +654,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for nondeterministic entries
     * (q_sample, q_slice_noorder) → driver records rows-only check. */
-  def oracleSql: Map[String, String] = Map(
+  lazy val oracleSql: Map[String, String] = Map(
     "q_scan" ->
       "SELECT 'urn:n:'||n_nationkey::VARCHAR AS n, n_name AS nname FROM nation",
     "q_singleton" -> "SELECT CAST(1 AS BIGINT) AS x",
