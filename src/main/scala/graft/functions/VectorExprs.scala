@@ -152,7 +152,10 @@ object VectorExprs {
       extends UnaryExpression {
     require(planes.length <= 64,
       s"RHP signature is a 64-bit word: at most 64 planes, got ${planes.length}")
-    require(planes.isEmpty || planes.forall(_.length == planes(0).length),
+    require(planes.nonEmpty && planes(0).nonEmpty,
+      "RHP signature needs a non-empty plane matrix (>=1 plane of dim>=1); " +
+        "an empty matrix would reject every input row at eval time")
+    require(planes.forall(_.length == planes(0).length),
       "hyperplane rows must share one dimensionality")
     override def dataType: DataType = LongType
     override def checkInputDataTypes()
@@ -219,7 +222,10 @@ object VectorExprs {
     override def checkInputDataTypes()
         : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       checkVec(prettyName, child)
-    require(centroids.isEmpty || centroids.forall(_.length == centroids(0).length),
+    require(centroids.nonEmpty && centroids(0).nonEmpty,
+      "nearest-centroid needs a non-empty centroid matrix (>=1 centroid " +
+        "of dim>=1); an empty one would reject every input row at eval time")
+    require(centroids.forall(_.length == centroids(0).length),
       "centroid rows must share one dimensionality")
     private lazy val et = elemType(child)
     private val k = centroids.length

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.RowOrdering
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -26,10 +27,19 @@ object Dedup {
     * which would break reproducible corpus builds). Single shuffle
     * (groupBy + struct min); no window, no sort of the full data. */
   def exact(df: DataFrame, key: String, tieBreak: String): DataFrame = {
+    val unorderable = df.schema.fields
+      .filterNot(f => RowOrdering.isOrderable(f.dataType)).map(_.name)
+    require(unorderable.isEmpty,
+      s"exact() compares whole rows, so every column must be orderable; " +
+        s"map-typed columns are not: ${unorderable.mkString(", ")} — " +
+        "drop or serialize them (e.g. to_json) first")
     val others = df.columns.filterNot(_ == key).toSeq
     val ordered = tieBreak +: others.filterNot(_ == tieBreak)
+    // Struct ordering is NULLS FIRST; leading isNull field keeps rows
+    // with a NULL tieBreak from always winning their key group.
     df.groupBy(col(key))
-      .agg(min(struct(ordered.map(col): _*)).as("__rest"))
+      .agg(min(struct(col(tieBreak).isNull.as("__tb_null") +:
+        ordered.map(col): _*)).as("__rest"))
       .select(col(key) +: others.map(c => col(s"__rest.$c").as(c)): _*)
   }
 

@@ -383,7 +383,10 @@ object TurtleParser {
         (hex(pos + 1, pos + 5).toChar.toString, pos + 5)
       case 'U' =>
         if (pos + 9 > input.length) fail("truncated \\U escape")
-        (new String(Character.toChars(hex(pos + 1, pos + 9))), pos + 9)
+        val cp = hex(pos + 1, pos + 9)
+        if (!Character.isValidCodePoint(cp))
+          fail(f"invalid code point in \\U escape: U+$cp%X")
+        (new String(Character.toChars(cp)), pos + 9)
       case other => (other.toString, pos + 1) // \" \' \\
     }
   }

@@ -281,7 +281,20 @@ object Sparql {
       val c = query.charAt(i)
       c match {
         case '#' => while (i < n && query.charAt(i) != '\n') i += 1
-        case '<' => while (i < n && query.charAt(i) != '>') i += 1
+        case '<' =>
+          // Skip as an IRI only when '<' plausibly opens one: the next
+          // char must not be whitespace or '=' (then it's a comparison,
+          // e.g. `SELECT ((?a < ?b) AS ?c)`), and IRIREF admits no
+          // whitespace — so the scan stops at the first space/newline
+          // and an unclosed '<' cannot swallow the WHERE group.
+          if (i + 1 < n && !query.charAt(i + 1).isWhitespace &&
+            query.charAt(i + 1) != '=') {
+            var j = i + 1
+            while (j < n && query.charAt(j) != '>' &&
+              !query.charAt(j).isWhitespace) j += 1
+            if (j < n && query.charAt(j) == '>') i = j // consumed IRI
+            // else: no '>' before whitespace — a comparison; fall through
+          }
         case '\'' | '"' =>
           val triple = i + 2 < n &&
             query.charAt(i + 1) == c && query.charAt(i + 2) == c

@@ -3,6 +3,7 @@ package graft
 import graft.io.QuadsIO
 import graft.pipeline.{Dedup, Similarity}
 import graft.rdf._
+import graft.sparql.Sparql
 import graft.sparql.Sparql._
 import org.apache.spark.sql.functions.col
 
@@ -75,5 +76,53 @@ class AdviceFixesSpec extends SparqlSpecBase {
     the[IllegalArgumentException] thrownBy RdfXmlParser.parse(doc) should
       have message "property element contains more than one nested node element " +
         "(only rdf:parseType=\"Collection\" may hold several)"
+  }
+
+  // ----- round-6 advice items -----
+
+  "preBind" should "not be derailed by a '<' comparison in a SELECT expression" in {
+    val q = "SELECT ((?a < ?b) AS ?c) WHERE { ?x <urn:af:a> ?a ; <urn:af:b> ?b }"
+    val idx = Sparql.whereGroupBrace(q)
+    q.charAt(idx) shouldBe '{'
+    idx shouldBe q.indexOf("{ ?x")
+    // and a genuine IRI before WHERE still skips correctly
+    val q2 = "SELECT ?s FROM <urn:g> WHERE { ?s ?p ?o }"
+    q2.charAt(Sparql.whereGroupBrace(q2)) shouldBe '{'
+  }
+
+  "exact dedup" should "prefer a non-NULL tieBreak over NULL" in {
+    val s = spark; import s.implicits._
+    val df = Seq(("k", Option.empty[String], "nullRow"),
+      ("k", Some("b"), "keepMe")).toDF("key", "tb", "payload")
+    Dedup.exact(df, "key", "tb").select("payload").as[String].collect()
+      .toSeq shouldBe Seq("keepMe")
+  }
+
+  it should "reject map-typed columns with a clear message" in {
+    val s = spark; import s.implicits._
+    val df = Seq(("k", 1, Map("a" -> 1))).toDF("key", "tb", "m")
+    the[IllegalArgumentException] thrownBy Dedup.exact(df, "key", "tb") should
+      have message "requirement failed: exact() compares whole rows, so every " +
+        "column must be orderable; map-typed columns are not: m — " +
+        "drop or serialize them (e.g. to_json) first"
+  }
+
+  "\\U escapes" should "reject code points beyond U+10FFFF with a parse error" in {
+    val ex = the[IllegalArgumentException] thrownBy
+      TurtleParser.parse("<urn:a> <urn:p> \"\\U00110000\" .")
+    ex.getMessage should include("invalid code point")
+    // max valid code point still decodes
+    TurtleParser.parse("<urn:a> <urn:p> \"\\U0010FFFF\" .").head.o shouldBe
+      Lit(new String(Character.toChars(0x10FFFF)), XSD.string)
+  }
+
+  "empty plane/centroid matrices" should "be rejected at construction" in {
+    import graft.functions.VectorExprs
+    an[IllegalArgumentException] should be thrownBy
+      VectorExprs.rhpSignature(col("emb"), Seq.empty)
+    an[IllegalArgumentException] should be thrownBy
+      VectorExprs.nearestCentroid(col("emb"), Seq.empty)
+    an[IllegalArgumentException] should be thrownBy
+      VectorExprs.nearestCentroid(col("emb"), Seq(Seq.empty))
   }
 }
