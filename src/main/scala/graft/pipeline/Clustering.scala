@@ -52,10 +52,9 @@ object Clustering {
     // fresh checkpointed leaf: truncates lineage AND guards the
     // iterated-self-union exprId hazard (see memory: Catalyst Union
     // constraint rewrite with reused exprIds)
-    def leaf(df: DataFrame): DataFrame = {
-      val plan = df.localCheckpoint(true)
-      spark.createDataFrame(plan.rdd, df.schema)
-    }
+    def leaf(df: DataFrame): DataFrame =
+      org.apache.spark.sql.GraftColumnBridge.freshLeaf(
+        df.localCheckpoint(eager = true))
 
     def withMin(df: DataFrame, key: String): DataFrame =
       df.withColumn("m",

@@ -15,12 +15,13 @@ import org.apache.spark.sql.types._
   * re-encodes actual scaled payloads. The AUDIO path is real for the
   * JDK's built-in containers/encodings: [[AudioCodec]] decodes WAV/
   * AIFF/AU PCM through `javax.sound.sampled` and computes sample-
-  * derived features. VIDEO decode remains STUBBED behind [[StubCodec]]
-  * (no video codec ships with the JDK); its bytes→features signature
-  * is the contract a codec-backed version must satisfy, and all
-  * Spark-side plumbing (schema, batching, partitioning, output shape)
-  * is identical. Undecodable image/audio payloads (e.g. compressed
-  * formats the JDK lacks) fall back to the stub rather than erroring.
+  * derived features. The VIDEO path is real for ONE container/codec
+  * pair — MJPEG-in-AVI via [[VideoCodec]] (RIFF chunk walk + per-frame
+  * ImageIO, pure JDK); every other codec (H.264, VP9, …) has no
+  * pure-JVM decoder and falls back to [[StubCodec]], whose
+  * bytes→features signature is the contract a codec-backed version
+  * must satisfy. Undecodable payloads of any kind fall back to the
+  * stub rather than erroring.
   */
 object Multimodal {
 
@@ -206,10 +207,155 @@ object Multimodal {
     StructType(base.fields.filterNot(_.name == "bytes") :+
       StructField("features", ArrayType(FloatType), nullable = false))
 
+  /** Real video codec for ONE container/codec pair: MJPEG-in-AVI,
+    * decodable with nothing but the JDK (AVI is a RIFF chunk tree;
+    * each `##dc`/`##db` movi sub-chunk of an MJPEG stream is a
+    * standalone JPEG that `javax.imageio` reads). Anything else —
+    * H.264, VP9, MP4, MKV — has no pure-JVM decoder and falls back to
+    * [[StubCodec]]. Feature layout (dim 8): per-frame [[ImageCodec]]
+    * features averaged over ≤16 evenly-spaced frames — bounded work
+    * per row regardless of clip length. */
+  object VideoCodec {
+    val featureDim = 8
+    private val MaxFeatureFrames = 16
+
+    private def fourcc(b: Array[Byte], off: Int): String =
+      if (off + 4 <= b.length)
+        new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      else ""
+    private def u32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
+        ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+
+    /** JPEG payloads of the movi video sub-chunks, in stream order;
+      * None when the bytes are not a RIFF/AVI container. Walks the
+      * chunk tree iteratively — malformed sizes terminate the walk
+      * instead of reading out of bounds. */
+    def frameChunks(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
+      if (bytes.length < 12 || fourcc(bytes, 0) != "RIFF" ||
+        fourcc(bytes, 8) != "AVI ") return None
+      val frames = Seq.newBuilder[Array[Byte]]
+      def walk(from: Long, to: Long): Unit = {
+        var off = from
+        while (off + 8 <= to) {
+          val id = fourcc(bytes, off.toInt)
+          val size = u32(bytes, off.toInt + 4)
+          val body = off + 8
+          if (body + size > to) return // malformed size: stop, keep frames so far
+          if (id == "LIST") {
+            // every LIST recursed, not just movi: frames may sit in
+            // nested `rec ` lists inside movi
+            walk(body + 4, body + size)
+          } else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
+            id(2) == 'd' && (id(3) == 'c' || id(3) == 'b') && size > 0) {
+            frames += java.util.Arrays.copyOfRange(
+              bytes, body.toInt, (body + size).toInt)
+          }
+          off = body + size + (size & 1) // chunks pad to even offsets
+        }
+      }
+      walk(12L, bytes.length.toLong)
+      Some(frames.result())
+    }
+
+    /** bytes → decoded frames (≤ `maxFrames`, evenly spaced), None when
+      * not an AVI or no frame decodes as JPEG. */
+    def decodeFrames(bytes: Array[Byte],
+                     maxFrames: Int = MaxFeatureFrames): Option[Seq[java.awt.image.BufferedImage]] =
+      frameChunks(bytes).flatMap { chunks =>
+        if (chunks.isEmpty) None
+        else {
+          val stride = math.max(1, chunks.length / maxFrames)
+          val picked = chunks.indices.by(stride).take(maxFrames).map(chunks)
+          val imgs = picked.flatMap(ImageCodec.decode)
+          if (imgs.isEmpty) None else Some(imgs)
+        }
+      }
+
+    def features(frames: Seq[java.awt.image.BufferedImage]): Array[Float] = {
+      val acc = new Array[Float](featureDim)
+      frames.foreach { f =>
+        val v = ImageCodec.features(f)
+        var i = 0; while (i < featureDim) { acc(i) += v(i); i += 1 }
+      }
+      var i = 0; while (i < featureDim) { acc(i) /= frames.size; i += 1 }
+      acc
+    }
+
+    /** Minimal MJPEG-in-AVI writer (round-trip tests, demos): RIFF →
+      * hdrl (avih + one vids/MJPG strl) + movi with one `00dc` JPEG
+      * chunk per frame. Sizes little-endian, chunks even-padded. */
+    def encodeMjpegAvi(frames: Seq[java.awt.image.BufferedImage],
+                       fps: Int = 25): Array[Byte] = {
+      require(frames.nonEmpty, "need at least one frame")
+      val jpegs = frames.map { img =>
+        val rgb = ImageCodec.resize(img, img.getWidth, img.getHeight) // force TYPE_INT_RGB
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(rgb, "jpg", bos)
+        bos.toByteArray
+      }
+      val w = frames.head.getWidth; val h = frames.head.getHeight
+      val out = new java.io.ByteArrayOutputStream()
+      def le32(v: Long): Array[Byte] = Array(
+        (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+      def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        bos.write(id.getBytes("US-ASCII")); bos.write(le32(body.length))
+        bos.write(body)
+        if (body.length % 2 == 1) bos.write(0)
+        bos.toByteArray
+      }
+      def list(typ: String, bodies: Array[Byte]*): Array[Byte] = {
+        val inner = new java.io.ByteArrayOutputStream()
+        inner.write(typ.getBytes("US-ASCII")); bodies.foreach(inner.write)
+        chunk("LIST", inner.toByteArray)
+      }
+      val avih = {
+        val b = java.nio.ByteBuffer.allocate(56)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.putInt(1000000 / fps) // usec/frame
+        b.putInt(0).putInt(0).putInt(0x10) // maxbytes, padding, AVIF_HASINDEX off
+        b.putInt(jpegs.size).putInt(0).putInt(1).putInt(0)
+        b.putInt(w).putInt(h); b.putInt(0).putInt(0).putInt(0).putInt(0)
+        b.array()
+      }
+      val strh = {
+        val b = java.nio.ByteBuffer.allocate(56)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+        b.putInt(0).putShort(0.toShort).putShort(0.toShort).putInt(0)
+        b.putInt(1).putInt(fps) // scale, rate
+        b.putInt(0).putInt(jpegs.size).putInt(0).putInt(-1).putInt(0)
+        b.putShort(0.toShort).putShort(0.toShort)
+          .putShort(w.toShort).putShort(h.toShort)
+        b.array()
+      }
+      val strf = {
+        val b = java.nio.ByteBuffer.allocate(40)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.putInt(40).putInt(w).putInt(h).putShort(1.toShort).putShort(24.toShort)
+        b.put("MJPG".getBytes("US-ASCII"))
+        b.putInt(w * h * 3).putInt(0).putInt(0).putInt(0).putInt(0)
+        b.array()
+      }
+      val hdrl = list("hdrl", chunk("avih", avih),
+        list("strl", chunk("strh", strh), chunk("strf", strf)))
+      val movi = list("movi", jpegs.map(j => chunk("00dc", j)): _*)
+      val riffBody = new java.io.ByteArrayOutputStream()
+      riffBody.write("AVI ".getBytes("US-ASCII"))
+      riffBody.write(hdrl); riffBody.write(movi)
+      out.write("RIFF".getBytes("US-ASCII"))
+      out.write(le32(riffBody.size())); out.write(riffBody.toByteArray)
+      out.toByteArray
+    }
+  }
+
   /** Batch feature extraction: one pass per partition over the binary
     * column; bytes are dropped from the output (decode early, carry
     * features — at 100 TB you never shuffle raw media after decode).
     * Image rows whose payload ImageIO can decode get REAL pixel
+    * features, video rows that are MJPEG-in-AVI get REAL frame-averaged
     * features; everything else falls back to the stub. */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -229,6 +375,9 @@ object Multimodal {
           case "audio" =>
             AudioCodec.decode(bytes)
               .map { case (s, sr) => AudioCodec.features(s, sr) }
+              .getOrElse(StubCodec.features(bytes))
+          case "video" =>
+            VideoCodec.decodeFrames(bytes).map(VideoCodec.features)
               .getOrElse(StubCodec.features(bytes))
           case _ => StubCodec.features(bytes)
         }
@@ -280,12 +429,44 @@ object Multimodal {
 
   /** Frame sampling for video rows: explode n frame indices per video,
     * non-video rows pass through with frame_idx 0. The stub "frame" is
-    * the original payload; a codec version would cut real frames. */
+    * the original payload; [[cutFrames]] cuts real ones where a
+    * decoder exists. */
   def sampleFrames(media: DataFrame, n: Int): DataFrame = {
     require(n >= 1, s"frame count must be >= 1, got $n") // sequence(0, n-1)
     media.withColumn("frame_idx",
       explode(when(col("kind") === "video",
         sequence(lit(0), lit(n - 1))).otherwise(array(lit(0)))))
+  }
+
+  /** REAL frame cutting: MJPEG-in-AVI video rows yield ≤ n evenly-
+    * spaced frames re-encoded as PNG, one output row per frame with
+    * the bytes column replaced by the frame payload. Video the codec
+    * cannot decode falls back to [[sampleFrames]]' stub shape (payload
+    * repeated under each frame_idx); non-video rows pass through once
+    * with frame_idx 0. Same mapPartitions batch shape as
+    * [[extractFeatures]] — scales per partition, no driver work. */
+  def cutFrames(media: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"frame count must be >= 1, got $n")
+    val spark = media.sparkSession
+    val byteIdx = media.schema.fieldIndex("bytes")
+    val kindIdx = media.schema.fieldIndex("kind")
+    val outSchema = media.schema.add("frame_idx", IntegerType, nullable = false)
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val vals = r.toSeq
+        if (r.getString(kindIdx) != "video") Iterator(Row.fromSeq(vals :+ 0))
+        else VideoCodec.decodeFrames(r.getAs[Array[Byte]](byteIdx), n) match {
+          case Some(frames) =>
+            frames.iterator.zipWithIndex.map { case (img, i) =>
+              val arr = vals.toArray
+              arr(byteIdx) = ImageCodec.encodePng(img)
+              Row.fromSeq(arr.toSeq :+ i)
+            }
+          case None => (0 until n).iterator.map(i => Row.fromSeq(vals :+ i))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** Synthetic media table for tests/demos: payload bytes derived from

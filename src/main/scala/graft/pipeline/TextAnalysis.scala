@@ -85,4 +85,23 @@ object TextAnalysis {
       .otherwise(array(xxhash64(concat_ws(" ", ts))))
     slice(array_sort(hs), 1, keep)
   }
+
+  /** Portable variant of [[rollingFingerprints]]: 32-bit md5-prefix
+    * window hashes, replayable bit-for-bit in any SQL engine (same
+    * trick as [[Sampling.portableBucket]] — DuckDB:
+    * `('0x' || substr(md5(win), 1, 8))::BIGINT`). The xxhash64 form
+    * above is the throughput path (native codegen'd hashes); this one
+    * trades ~2× hash cost for cross-engine verifiability, so md5 — not
+    * the interpreted window lambda — dominates its runtime. */
+  def portableRollingFingerprints(text: Column, window: Int = 8,
+                                  keep: Int = 4): Column = {
+    val ts = Dedup.tokens(text)
+    def h(c: Column): Column =
+      conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+    val wins = when(size(ts) >= window,
+      transform(sequence(lit(0), size(ts) - window),
+        i => concat_ws(" ", slice(ts, i + 1, lit(window)))))
+      .otherwise(array(concat_ws(" ", ts)))
+    slice(array_sort(transform(wins, h(_))), 1, keep)
+  }
 }

@@ -76,6 +76,13 @@ final class TurtleParser(input: String) {
     } else if (startsWithIgnoreCase("base") && keywordBoundary(4)) {
       pos += 4; skipWs(); base = parseIriRef()
       skipWs(); if (peek == '.') pos += 1
+    } else if (startsWithIgnoreCase("graph") && keywordBoundary(5)) {
+      // TriG 1.1 `GRAPH labelOrSubject { … }` keyword form
+      pos += 5; skipWs()
+      val label = parseNode()
+      if (label.isInstanceOf[Lit]) err("a literal cannot name a graph")
+      skipWs(); expect('{')
+      parseGraphBody(Some(label))
     } else {
       // TriG graph block or plain triples
       val save = pos

@@ -3,7 +3,7 @@ package graft.sparql
 import graft.rdf.{Term, TermSchema}
 import Algebra._
 import TermFns._
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -51,8 +51,20 @@ object Compiler {
   /** A ';'-separated update request: each operation sees the store
     * state left by the previous one (lazily — the whole request is
     * one composed plan; the caller materializes once). */
+  /** A ';'-sequence applies each statement to the previous result. Left
+    * lazy, statement k's plan embeds statement k-1's WHOLE plan at every
+    * point it reads the store (an update reads it 2-3×: delete anti-join,
+    * insert anti-join, union) — plan size goes multiplicative in the
+    * number of statements. Materializing between statements (but not
+    * after the last, which stays a lazy transform for the caller) keeps
+    * the chain additive: each statement reads cached quad blocks once. */
   def runUpdates(quads: DataFrame, us: List[SparqlParser.Update]): DataFrame =
-    us.foldLeft(quads)(runUpdate)
+    us match {
+      case Nil => quads
+      case u :: Nil => runUpdate(quads, u)
+      case u :: rest => runUpdates(GraftColumnBridge.freshLeaf(
+        runUpdate(quads, u).localCheckpoint(eager = true)), rest)
+    }
 
   private def runModify(quads: DataFrame, u: SparqlParser.Update): DataFrame = {
     import graft.rdf.TermKind
@@ -262,10 +274,8 @@ object Compiler {
       case None => quads.limit(0)
       case Some(ts) =>
         import graft.rdf.TermKind
-        def materialize(df: DataFrame): DataFrame = {
-          val ck = df.localCheckpoint(eager = true)
-          spark.createDataFrame(ck.rdd, ck.schema)
-        }
+        def materialize(df: DataFrame): DataFrame =
+          GraftColumnBridge.freshLeaf(df.localCheckpoint(eager = true))
         var described = materialize(ts.dropDuplicates())
         var delta = described
         var result: DataFrame = null
@@ -937,10 +947,8 @@ final class Compiler(quads: DataFrame) {
     // self-joins/unions over localCheckpoint'd plans trip Catalyst's
     // attribute resolution (duplicate exprIds across both sides), so we
     // re-wrap the checkpointed RDD as a brand-new leaf plan.
-    def materialize(df: DataFrame): DataFrame = {
-      val ck = df.localCheckpoint(eager = true)
-      spark.createDataFrame(ck.rdd, ck.schema)
-    }
+    def materialize(df: DataFrame): DataFrame =
+      GraftColumnBridge.freshLeaf(df.localCheckpoint(eager = true))
     // Within GRAPH ?g, the closure must stay INSIDE one named graph:
     // the graph column rides the edge set and joins round-to-round.
     val gVar: Option[String] = alp.g match {

@@ -173,7 +173,7 @@ class ApiAndIoSpec extends SparqlSpecBase {
     val f = tmp.resolve("alias.jsonld")
     Files.writeString(f,
       """{ "@context": { "id": "@id" }, "id": "urn:x", "urn:p:x": "v" }""")
-    an[IllegalArgumentException] should be thrownBy QuadsIO.read(spark, f.toString)
+    readFails(f.toString)
   }
 
   it should "deserialize @list into rdf:first/rest chains" in {
@@ -238,7 +238,7 @@ class ApiAndIoSpec extends SparqlSpecBase {
     Files.writeString(f,
       """{ "@context": { "m": {"@id": "urn:p:m", "@container": "@id"} },
         |  "@id": "urn:a", "m": { "urn:x": {"urn:p:v": "1"} } }""".stripMargin)
-    an[IllegalArgumentException] should be thrownBy QuadsIO.read(spark, f.toString)
+    readFails(f.toString)
   }
 
   it should "reject @reverse loudly" in {
@@ -246,7 +246,7 @@ class ApiAndIoSpec extends SparqlSpecBase {
     val f = tmp.resolve("bad.jsonld")
     Files.writeString(f,
       """{ "@id": "urn:a", "urn:p:x": { "@reverse": {} } }""")
-    an[IllegalArgumentException] should be thrownBy QuadsIO.read(spark, f.toString)
+    readFails(f.toString)
   }
 
   it should "reject elements without a namespace (relative IRIs) loudly" in {
@@ -256,7 +256,7 @@ class ApiAndIoSpec extends SparqlSpecBase {
       """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">
         |  <rdf:Description rdf:about="urn:x"><name>Bob</name></rdf:Description>
         |</rdf:RDF>""".stripMargin)
-    an[IllegalArgumentException] should be thrownBy QuadsIO.read(spark, f.toString)
+    readFails(f.toString)
   }
 
   it should "expand rdf:li containers and parseType=Collection" in {
@@ -313,8 +313,7 @@ class ApiAndIoSpec extends SparqlSpecBase {
         |    <ex:html rdf:parseType="Literal"><b>hi</b></ex:html>
         |  </rdf:Description>
         |</rdf:RDF>""".stripMargin)
-    an[IllegalArgumentException] should be thrownBy
-      QuadsIO.read(spark, f.toString)
+    readFails(f.toString)
   }
 
   "N-Triples ingest" should "round-trip through parquet" in {
@@ -417,5 +416,89 @@ class ApiAndIoSpec extends SparqlSpecBase {
       plan should not include "Exchange hashpartitioning"
       star.count() shouldBe 150
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  "distributed multi-file ingest" should
+    "parse a mixed-format directory one file per task" in {
+    val tmp = Files.createTempDirectory("graft-multifile")
+    Files.writeString(tmp.resolve("a.ttl"),
+      "@prefix : <urn:mf:> . :s1 :p \"ttl\" .")
+    Files.writeString(tmp.resolve("b.trig"),
+      "@prefix : <urn:mf:> . GRAPH :g { :s2 :p \"trig\" . }")
+    Files.writeString(tmp.resolve("c.rdf"),
+      """<?xml version="1.0"?>
+        |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:mf="urn:mf:">
+        |  <rdf:Description rdf:about="urn:mf:s3"><mf:p>xml</mf:p></rdf:Description>
+        |</rdf:RDF>""".stripMargin)
+    Files.writeString(tmp.resolve("d.jsonld"),
+      """{"@id":"urn:mf:s4","urn:mf:p":"jsonld"}""")
+    Files.writeString(tmp.resolve("e.nt"),
+      "<urn:mf:s5> <urn:mf:p> \"nt\" .")
+    val gz = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(tmp.resolve("f.ttl.gz")))
+    gz.write("@prefix : <urn:mf:> . :s6 :p \"gz\" .".getBytes("UTF-8")); gz.close()
+
+    val quads = QuadsIO.read(spark, tmp.toString) // directory → readFiles
+    // default-graph pattern: everything except the TriG named-graph quad
+    val rows = collect(quads.sparql(
+      "SELECT ?s ?v { ?s <urn:mf:p> ?v }"))
+    rows.map(r => r("s") -> r("v")).toSet shouldBe Set(
+      iri("urn:mf:s1") -> str("ttl"),
+      iri("urn:mf:s3") -> str("xml"), iri("urn:mf:s4") -> str("jsonld"),
+      iri("urn:mf:s5") -> str("nt"), iri("urn:mf:s6") -> str("gz"))
+    // the TriG graph tag survives the fan-out
+    collect(quads.sparql(
+      "SELECT ?s { GRAPH <urn:mf:g> { ?s ?p ?o } }"))
+      .map(_("s")) shouldBe Seq(iri("urn:mf:s2"))
+    // glob form parses the same files
+    QuadsIO.read(spark, tmp.toString + "/*.ttl").count() shouldBe 1
+  }
+
+  it should "accept .n3 as Turtle and reject N3-only syntax loudly" in {
+    val tmp = Files.createTempDirectory("graft-n3")
+    Files.writeString(tmp.resolve("ok.n3"),
+      "@prefix : <urn:n3:> . :s :p \"turtle-subset\" .")
+    QuadsIO.read(spark, tmp.resolve("ok.n3").toString).count() shouldBe 1
+    // formulae are N3-only: the Turtle parser must error, not mis-parse
+    Files.writeString(tmp.resolve("bad.n3"),
+      "@prefix : <urn:n3:> . { :s :p :o } => { :s :q :o } .")
+    val ex = intercept[Exception] {
+      QuadsIO.read(spark, tmp.resolve("bad.n3").toString).count()
+    }
+    deepMessage(ex) should include("bad.n3")
+  }
+
+  /** Executor-side failures arrive wrapped in SparkException; collect
+    * messages down the cause chain. */
+  private def deepMessage(e: Throwable): String =
+    Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+
+  /** Whole-file reads are lazy (parse runs on executors at the first
+    * action); a malformed file must still fail loudly — with the
+    * parser's IllegalArgumentException in the cause chain. */
+  private def readFails(path: String): Unit = {
+    val ex = intercept[Exception](QuadsIO.read(spark, path).count())
+    Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(_.isInstanceOf[IllegalArgumentException]) shouldBe true
+  }
+
+  it should "reject TriX with a conversion pointer" in {
+    val ex = the[IllegalArgumentException] thrownBy
+      QuadsIO.read(spark, "/tmp/data.trix")
+    ex.getMessage should include("convert to TriG or N-Quads")
+  }
+
+  it should "surface the offending file path on parse errors" in {
+    val tmp = Files.createTempDirectory("graft-badfile")
+    Files.writeString(tmp.resolve("good.ttl"),
+      "@prefix : <urn:bf:> . :s :p \"ok\" .")
+    Files.writeString(tmp.resolve("broken.ttl"),
+      "@prefix : <urn:bf:> . :s :p ")
+    val ex = intercept[Exception] {
+      QuadsIO.read(spark, tmp.toString).count()
+    }
+    deepMessage(ex) should include("broken.ttl")
   }
 }

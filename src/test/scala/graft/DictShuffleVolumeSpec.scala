@@ -1,0 +1,96 @@
+package graft
+
+import graft.io.DictStore
+import graft.sources.TpchQuads
+import org.apache.spark.GraftListenerBridge
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
+/** Scale evidence for the dictionary-encoded store (SURVEY §11): the
+  * same BGP shuffles far fewer bytes when join keys are 8-byte ids
+  * than when they are term structs. Measured via SparkListener task
+  * metrics with broadcast joins and AQE disabled, so both plans are
+  * forced through real shuffle exchanges — at 100 TB neither side of a
+  * fact-fact join broadcasts, which is exactly the regime the dict
+  * store exists for. The COUNT form measures the §11 claim in
+  * isolation (pure BGP join shuffle, no result materialization); the
+  * projection form is reported for context — late materialization
+  * joins the string dictionary back in, which at toy scale costs
+  * bytes comparable to the BGP itself but at 100 TB touches only the
+  * post-filter survivors. The asserted floor is conservative (≥3×);
+  * the measured factor is logged for SURVEY §13. */
+class DictShuffleVolumeSpec extends SparqlSpecBase {
+
+  private val sf = "/root/testdata/sf0.01"
+  private val query =
+    """PREFIX : <urn:p:>
+      |SELECT ?cname ?nname
+      |{ ?c :cname ?cname . ?c :inNation ?n . ?n :nname ?nname .
+      |  ?n :inRegion ?r . ?r :rname "ASIA" }""".stripMargin
+  private val countQuery =
+    """PREFIX : <urn:p:>
+      |SELECT (COUNT(*) AS ?cnt)
+      |{ ?c :cname ?cname . ?c :inNation ?n . ?n :nname ?nname .
+      |  ?n :inRegion ?r . ?r :rname "ASIA" }""".stripMargin
+
+  /** (uncompressed exchange dataSize, compressed bytes hit the wire).
+    * dataSize is the §11 claim — bytes carried per shuffled row;
+    * bytesWritten additionally reflects lz4, which on synthetic
+    * TPC-H URNs compresses strings unrealistically well. */
+  private def shuffleBytes(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    val wire = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) wire.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val plan = df.queryExecution.executedPlan
+      plan.execute().foreachPartition((_: Iterator[_]) => ())
+      GraftListenerBridge.waitUntilEmpty(spark.sparkContext)
+      val dataSize = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.metrics("dataSize").value
+      }.sum
+      (dataSize, wire.get)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  "dict-encoded BGP joins" should "shuffle far fewer bytes than term-struct joins" in {
+    import graft.sparql.Sparql._
+    val quads = TpchQuads.customer(spark, sf)
+      .union(TpchQuads.nation(spark, sf)).union(TpchQuads.region(spark, sf))
+    val dictDir = java.nio.file.Files
+      .createTempDirectory("graft-dict-shufflevol").toString
+    val store = DictStore.encode(quads, dictDir)
+
+    val prevBroadcast =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // results must agree before the byte counts mean anything
+      val viaDict = collect(store.sparql(query))
+      val viaTerms = collect(quads.sparql(query))
+      viaDict.size shouldBe viaTerms.size
+      viaDict.toSet shouldBe viaTerms.toSet
+
+      val (dictBgp, dictBgpWire) = shuffleBytes(store.sparql(countQuery))
+      val (termBgp, termBgpWire) = shuffleBytes(quads.sparql(countQuery))
+      val (dictFull, _) = shuffleBytes(store.sparql(query))
+      val (termFull, _) = shuffleBytes(quads.sparql(query))
+      info(f"BGP-only shuffle dataSize: dict=$dictBgp%,d terms=$termBgp%,d " +
+        f"factor=${termBgp.toDouble / dictBgp.max(1)}%.1f× " +
+        f"(wire: $dictBgpWire%,d vs $termBgpWire%,d)")
+      info(f"with materialization: dict=$dictFull%,d terms=$termFull%,d " +
+        f"factor=${termFull.toDouble / dictFull.max(1)}%.1f×")
+      dictBgp should be > 0L // the BGP really shuffled
+      termBgp.toDouble should be > dictBgp.toDouble * 3
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+}

@@ -497,4 +497,61 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     out(2L).getStruct(3).getInt(2) shouldBe 16000
     out(2L).getStruct(3).getString(3) shouldBe "pcm"
   }
+
+  private def solidFrame(rgb: Int, w: Int = 16, h: Int = 16) = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    img
+  }
+
+  "video codec" should "round-trip MJPEG-in-AVI and compute REAL frame features" in {
+    val avi = Multimodal.VideoCodec.encodeMjpegAvi(
+      Seq(solidFrame(0xFF0000), solidFrame(0xFF0000), solidFrame(0xFF0000)))
+    val frames = Multimodal.VideoCodec.decodeFrames(avi).get
+    frames should have size 3
+    (frames.head.getWidth, frames.head.getHeight) shouldBe ((16, 16))
+    val f = Multimodal.VideoCodec.features(frames)
+    // red-dominant: mean R near 1, mean G/B near 0 (JPEG is lossy)
+    f(4) should be > 0.8f
+    f(5) should be < 0.2f
+    f(6) should be < 0.2f
+    // non-AVI bytes are rejected, not mis-parsed
+    Multimodal.VideoCodec.decodeFrames("notavi".getBytes) shouldBe None
+  }
+
+  it should "use the real video features in extractFeatures" in {
+    val avi = Multimodal.VideoCodec.encodeMjpegAvi(Seq(solidFrame(0x00FF00)))
+    val media = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "video", avi, Row(16, 16, null, "avi")),
+        Row(2L, "video", "undecodable".getBytes, Row(null, null, null, "mp4"))),
+      Multimodal.mediaSchema)
+    val out = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](r.length - 1)).toMap
+    out(1L)(5).toFloat should be > 0.8f // green channel
+    // undecodable video falls back to the deterministic stub
+    out(2L) shouldBe Multimodal.StubCodec.features("undecodable".getBytes).toSeq
+  }
+
+  it should "cut real PNG frames from MJPEG-in-AVI and fall back elsewhere" in {
+    val avi = Multimodal.VideoCodec.encodeMjpegAvi(
+      Seq(solidFrame(0x0000FF), solidFrame(0x0000FF), solidFrame(0x0000FF),
+        solidFrame(0x0000FF)))
+    val media = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "video", avi, Row(16, 16, null, "avi")),
+        Row(2L, "video", "undecodable".getBytes, Row(null, null, null, "mp4")),
+        Row(3L, "image", "img".getBytes, Row(4, 4, null, "raw"))),
+      Multimodal.mediaSchema)
+    val cut = Multimodal.cutFrames(media, 2).collect()
+    val byId = cut.groupBy(_.getLong(0))
+    byId(1L) should have size 2 // ≤ n evenly-spaced real frames
+    val png = Multimodal.ImageCodec.decode(
+      byId(1L).head.getAs[Array[Byte]]("bytes")).get
+    ((png.getRGB(8, 8) & 0xFF) > 200) shouldBe true // blue survived
+    byId(2L) should have size 2 // stub fallback: payload repeated
+    byId(2L).head.getAs[Array[Byte]]("bytes") shouldBe "undecodable".getBytes
+    byId(3L) should have size 1 // non-video passes through once
+  }
 }

@@ -60,6 +60,23 @@ class TurtleParserSpec extends AnyFlatSpec with Matchers {
       Some(Iri("tag:graph4"))))
   }
 
+  it should "parse the TriG 1.1 GRAPH keyword form" in {
+    val qs = TurtleParser.parse(
+      """@prefix : <urn:x:> .
+        |GRAPH :g1 { :s :p :o . }
+        |graph <urn:x:g2> { :s2 :p :o2 }
+        |:s3 :p :o3 .""".stripMargin)
+    qs should contain(Quad(Iri("urn:x:s"), Iri("urn:x:p"), Iri("urn:x:o"),
+      Some(Iri("urn:x:g1"))))
+    qs should contain(Quad(Iri("urn:x:s2"), Iri("urn:x:p"), Iri("urn:x:o2"),
+      Some(Iri("urn:x:g2"))))
+    qs should contain(Quad(Iri("urn:x:s3"), Iri("urn:x:p"), Iri("urn:x:o3"), None))
+    // `graph:x` stays a plain prefixed-name subject, not a keyword
+    TurtleParser.parse(
+      "@prefix graph: <urn:gp:> . graph:x <urn:p> \"v\" .").head.s shouldBe
+      Iri("urn:gp:x")
+  }
+
   it should "parse escaped quotes and apostrophes in literals" in {
     val qs = TurtleParser.parse(
       """@prefix : <urn:x:> . :s :p "Alice's \"Work\" Email" .""")
