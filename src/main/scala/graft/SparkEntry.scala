@@ -949,12 +949,12 @@ object SparkEntry {
         |), fps AS (
         |  SELECT doc_id,
         |    list_slice(
-        |      list_sort(list_transform(
+        |      list_sort(list_distinct(list_transform(
         |        CASE WHEN len(ts) >= 8
         |             THEN list_transform(generate_series(1, len(ts) - 7),
         |                                 i -> array_to_string(list_slice(ts, i, i + 7), ' '))
         |             ELSE [array_to_string(ts, ' ')] END,
-        |        w -> CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT))),
+        |        w -> CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)))),
         |      1, 4) AS fp4
         |  FROM toks
         |)

@@ -91,7 +91,11 @@ object QuadsIO {
       case other =>
         throw new IllegalArgumentException(s"unrecognized RDF extension .$other")
     } catch {
-      case e: IllegalArgumentException =>
+      // NonFatal, not just the parsers' IllegalArgumentException:
+      // malformed XML surfaces as XMLStreamException and a corrupt .gz
+      // as ZipException — in a 10k-file ingest the one thing the wrap
+      // must guarantee is WHICH file broke
+      case scala.util.control.NonFatal(e) =>
         throw new IllegalArgumentException(s"$path: ${e.getMessage}", e)
     }
   }

@@ -227,47 +227,65 @@ object Multimodal {
       (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
         ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
 
-    /** JPEG payloads of the movi video sub-chunks, in stream order;
-      * None when the bytes are not a RIFF/AVI container. Walks the
-      * chunk tree iteratively — malformed sizes terminate the walk
-      * instead of reading out of bounds. */
-    def frameChunks(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    /** (offset, length) of the movi video sub-chunk payloads, in stream
+      * order; None when the bytes are not a RIFF/AVI container. Walks
+      * the chunk tree with an explicit continuation stack — no
+      * recursion, so crafted deeply-nested LIST headers cannot
+      * StackOverflow a task — and records ranges only: bytes are
+      * copied later, for just the frames actually decoded. Malformed
+      * sizes abandon the current level, keeping frames found so far. */
+    private[pipeline] def frameChunkRanges(
+        bytes: Array[Byte]): Option[Seq[(Int, Int)]] = {
       if (bytes.length < 12 || fourcc(bytes, 0) != "RIFF" ||
         fourcc(bytes, 8) != "AVI ") return None
-      val frames = Seq.newBuilder[Array[Byte]]
-      def walk(from: Long, to: Long): Unit = {
-        var off = from
-        while (off + 8 <= to) {
+      val frames = Seq.newBuilder[(Int, Int)]
+      var off = 12L
+      var to = bytes.length.toLong
+      var stack = List.empty[(Long, Long)] // continuations of outer levels
+      var done = false
+      while (!done) {
+        if (off + 8 > to) {
+          stack match {
+            case (o, t) :: rest => off = o; to = t; stack = rest
+            case Nil => done = true
+          }
+        } else {
           val id = fourcc(bytes, off.toInt)
           val size = u32(bytes, off.toInt + 4)
           val body = off + 8
-          if (body + size > to) return // malformed size: stop, keep frames so far
-          if (id == "LIST") {
-            // every LIST recursed, not just movi: frames may sit in
-            // nested `rec ` lists inside movi
-            walk(body + 4, body + size)
-          } else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
-            id(2) == 'd' && (id(3) == 'c' || id(3) == 'b') && size > 0) {
-            frames += java.util.Arrays.copyOfRange(
-              bytes, body.toInt, (body + size).toInt)
+          if (body + size > to) {
+            off = to // malformed size: abandon this level
+          } else if (id == "LIST" && size >= 4) {
+            // every LIST descended, not just movi: frames may sit in
+            // nested `rec ` lists inside movi; resume after it later
+            stack = (body + size + (size & 1), to) :: stack
+            off = body + 4
+            to = body + size
+          } else {
+            if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
+              id(2) == 'd' && (id(3) == 'c' || id(3) == 'b') && size > 0)
+              frames += ((body.toInt, size.toInt))
+            off = body + size + (size & 1) // chunks pad to even offsets
           }
-          off = body + size + (size & 1) // chunks pad to even offsets
         }
       }
-      walk(12L, bytes.length.toLong)
       Some(frames.result())
     }
 
-    /** bytes → decoded frames (≤ `maxFrames`, evenly spaced), None when
-      * not an AVI or no frame decodes as JPEG. */
+    /** bytes → decoded frames (≤ `maxFrames`, evenly spaced — stride
+      * rounds UP so a (maxFrames+k)-frame clip samples across its whole
+      * duration, not just its head), None when not an AVI or no frame
+      * decodes as JPEG. Only the picked frames' bytes are copied. */
     def decodeFrames(bytes: Array[Byte],
                      maxFrames: Int = MaxFeatureFrames): Option[Seq[java.awt.image.BufferedImage]] =
-      frameChunks(bytes).flatMap { chunks =>
+      frameChunkRanges(bytes).flatMap { chunks =>
         if (chunks.isEmpty) None
         else {
-          val stride = math.max(1, chunks.length / maxFrames)
-          val picked = chunks.indices.by(stride).take(maxFrames).map(chunks)
-          val imgs = picked.flatMap(ImageCodec.decode)
+          val stride = math.max(1, (chunks.length + maxFrames - 1) / maxFrames)
+          val imgs = chunks.indices.by(stride).take(maxFrames)
+            .map(chunks)
+            .flatMap { case (o, len) => ImageCodec.decode(
+              java.util.Arrays.copyOfRange(bytes, o, o + len)) }
           if (imgs.isEmpty) None else Some(imgs)
         }
       }

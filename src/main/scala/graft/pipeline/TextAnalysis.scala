@@ -102,6 +102,9 @@ object TextAnalysis {
       transform(sequence(lit(0), size(ts) - window),
         i => concat_ws(" ", slice(ts, i + 1, lit(window)))))
       .otherwise(array(concat_ws(" ", ts)))
-    slice(array_sort(transform(wins, h(_))), 1, keep)
+    // array_distinct mirrors shingleHashes' HashSet dedup above: the
+    // fingerprints are the keep smallest DISTINCT window hashes, so
+    // repeated boilerplate windows can't crowd out real coverage
+    slice(array_sort(array_distinct(transform(wins, h(_)))), 1, keep)
   }
 }

@@ -77,8 +77,11 @@ final class TurtleParser(input: String) {
       pos += 4; skipWs(); base = parseIriRef()
       skipWs(); if (peek == '.') pos += 1
     } else if (startsWithIgnoreCase("graph") && keywordBoundary(5)) {
-      // TriG 1.1 `GRAPH labelOrSubject { … }` keyword form
+      // TriG 1.1 `GRAPH labelOrSubject { … }` keyword form.
+      // labelOrSubject is iri | BlankNode — same rejections as the
+      // label-before-'{' path: no collections, no literals.
       pos += 5; skipWs()
+      if (peek == '(') err("a collection cannot name a graph")
       val label = parseNode()
       if (label.isInstanceOf[Lit]) err("a literal cannot name a graph")
       skipWs(); expect('{')

@@ -500,5 +500,14 @@ class ApiAndIoSpec extends SparqlSpecBase {
       QuadsIO.read(spark, tmp.toString).count()
     }
     deepMessage(ex) should include("broken.ttl")
+    // non-IllegalArgument parser failures carry the path too: StAX
+    // throws XMLStreamException on truncated XML
+    val tmp2 = Files.createTempDirectory("graft-badxml")
+    Files.writeString(tmp2.resolve("trunc.rdf"),
+      """<?xml version="1.0"?><rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-""")
+    val ex2 = intercept[Exception] {
+      QuadsIO.read(spark, tmp2.toString).count()
+    }
+    deepMessage(ex2) should include("trunc.rdf")
   }
 }

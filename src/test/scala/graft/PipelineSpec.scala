@@ -360,6 +360,21 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     fps(1L).intersect(fps(3L)) shouldBe empty
   }
 
+  it should "keep DISTINCT window hashes in the portable fingerprints too" in {
+    // the same 8-token window repeated: both forms must dedup, so the
+    // kept fingerprints cover more than the boilerplate run
+    val boiler = "a b c d e f g h"
+    val df = Seq((1L, s"$boiler $boiler $boiler x y z w q r s t"))
+      .toDF("id", "text")
+      .select(
+        TextAnalysis.rollingFingerprints(col("text")).as("native"),
+        TextAnalysis.portableRollingFingerprints(col("text")).as("portable"))
+    val r = df.head()
+    val native = r.getSeq[Long](0); val portable = r.getSeq[Long](1)
+    native.distinct should have size native.size
+    portable.distinct should have size portable.size // no repeated hash kept
+  }
+
   "multimodal plumbing" should "extract fixed-width features and drop payload bytes" in {
     val media = spark.createDataFrame(
       java.util.Arrays.asList(
@@ -518,6 +533,36 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     f(6) should be < 0.2f
     // non-AVI bytes are rejected, not mis-parsed
     Multimodal.VideoCodec.decodeFrames("notavi".getBytes) shouldBe None
+  }
+
+  it should "sample frames across the WHOLE clip and survive hostile nesting" in {
+    // 3 distinct frames, maxFrames=2: ceil stride picks first AND last,
+    // not the first two (head-only sampling would miss the fade)
+    val avi = Multimodal.VideoCodec.encodeMjpegAvi(
+      Seq(solidFrame(0xFF0000), solidFrame(0x00FF00), solidFrame(0x0000FF)))
+    val two = Multimodal.VideoCodec.decodeFrames(avi, maxFrames = 2).get
+    two should have size 2
+    ((two.head.getRGB(8, 8) >> 16) & 0xFF) should be > 200 // red first
+    (two(1).getRGB(8, 8) & 0xFF) should be > 200 // BLUE last, not green
+    // a crafted AVI of ~50k nested LIST headers must not blow the stack
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("RIFF".getBytes("US-ASCII"))
+    val n = 50000
+    val inner = 4 + n * 12 // "AVI " + nested LIST headers
+    bos.write(Array[Byte]((inner & 0xFF).toByte, ((inner >> 8) & 0xFF).toByte,
+      ((inner >> 16) & 0xFF).toByte, ((inner >> 24) & 0xFF).toByte))
+    bos.write("AVI ".getBytes("US-ASCII"))
+    var remaining = n * 12
+    (1 to n).foreach { _ =>
+      remaining -= 12
+      val sz = remaining + 4
+      bos.write("LIST".getBytes("US-ASCII"))
+      bos.write(Array[Byte]((sz & 0xFF).toByte, ((sz >> 8) & 0xFF).toByte,
+        ((sz >> 16) & 0xFF).toByte, ((sz >> 24) & 0xFF).toByte))
+      bos.write("rec ".getBytes("US-ASCII"))
+    }
+    // no frames → None, and critically: no StackOverflowError
+    Multimodal.VideoCodec.decodeFrames(bos.toByteArray) shouldBe None
   }
 
   it should "use the real video features in extractFeatures" in {

@@ -75,6 +75,12 @@ class TurtleParserSpec extends AnyFlatSpec with Matchers {
     TurtleParser.parse(
       "@prefix graph: <urn:gp:> . graph:x <urn:p> \"v\" .").head.s shouldBe
       Iri("urn:gp:x")
+    // labelOrSubject is iri | BlankNode: collections and literals are
+    // invalid labels in the keyword form too
+    an[IllegalArgumentException] should be thrownBy TurtleParser.parse(
+      "@prefix : <urn:x:> . GRAPH (:a) { :s :p :o . }")
+    an[IllegalArgumentException] should be thrownBy TurtleParser.parse(
+      "@prefix : <urn:x:> . GRAPH \"g\" { :s :p :o . }")
   }
 
   it should "parse escaped quotes and apostrophes in literals" in {
