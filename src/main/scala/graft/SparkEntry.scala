@@ -572,13 +572,12 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     },
     "q_rolling_fp" -> { (s, d) =>
-      // partial-overlap fingerprints: 4 smallest hashes of the 8-token
-      // windows, exploded to (doc_id, fp) rows. Portable md5 hash so
-      // the DuckDB oracle replays every window hash bit-for-bit.
-      t(s, d, "documents").filter(col("text").isNotNull)
-        .select(col("doc_id"),
-          explode(graft.pipeline.TextAnalysis.portableRollingFingerprints(
-            col("text"))).as("fp"))
+      // partial-overlap fingerprints: 4 smallest distinct hashes of the
+      // 8-token windows as (doc_id, fp) rows. Portable md5 so the
+      // DuckDB oracle replays every window hash bit-for-bit; the table
+      // form keeps md5 in codegen (the array-lambda form interprets).
+      graft.pipeline.TextAnalysis.portableRollingFingerprintTable(
+        t(s, d, "documents"), "doc_id", "text")
     },
     "q_topk_group" -> { (s, d) =>
       // curation selection: best-k documents per language by length,

@@ -63,6 +63,54 @@ object TextHashExprs {
   }
   private val SPACE = UTF8String.fromString(" ")
 
+  private val MD5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Portable rolling fingerprints: the `keep` smallest DISTINCT
+    * md5-prefix window hashes. Window = k consecutive tokens joined by
+    * one space; hash = the first 4 md5 bytes of the window's UTF-8
+    * bytes as an unsigned 32-bit value — bit-identical to DuckDB's
+    * `('0x' || substr(md5(w), 1, 8))::BIGINT` and to Spark's
+    * `conv(substring(md5(w), 1, 8), 16, 10)`. Fewer than k tokens →
+    * one whole-text window (matching `concat_ws` over the full array,
+    * which for zero tokens is the empty string). */
+  def portableFingerprints(toks: ArrayData, k: Int, keep: Int): ArrayData = {
+    val md = MD5.get()
+    def h(s: UTF8String): Long = {
+      md.reset()
+      val d = md.digest(s.getBytes)
+      ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+    }
+    val n = toks.numElements()
+    val seen = new java.util.HashSet[java.lang.Long](Math.min(Math.max(n, 4), 1024))
+    val out: Array[Long] =
+      if (n < k) {
+        val parts = new Array[UTF8String](n)
+        var i = 0
+        while (i < n) { parts(i) = toks.getUTF8String(i); i += 1 }
+        Array(h(UTF8String.concatWs(SPACE, parts: _*)))
+      } else {
+        val parts = new Array[UTF8String](k)
+        val hs = new Array[Long](n - k + 1)
+        var m = 0
+        var i = 0
+        while (i <= n - k) {
+          var j = 0
+          while (j < k) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+          val v = h(UTF8String.concatWs(SPACE, parts: _*))
+          if (seen.add(v)) { hs(m) = v; m += 1 }
+          i += 1
+        }
+        java.util.Arrays.copyOf(hs, m)
+      }
+    java.util.Arrays.sort(out)
+    UnsafeArrayData.fromPrimitiveArray(
+      if (out.length <= keep) out else java.util.Arrays.copyOf(out, keep))
+  }
+
   /** MinHash signature from precomputed shingle hashes: element i is
     * min over hashes s of xxhash64(s, i). Empty input → null (no
     * shingles means no signature — callers gate on token count). */
@@ -163,6 +211,26 @@ object TextHashExprs {
       copy(child = newChild)
   }
 
+  case class PortableFpExpr(child: Expression, k: Int, keep: Int)
+      extends UnaryExpression {
+    require(k >= 1 && keep >= 1, s"window k=$k and keep=$keep must be >= 1")
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkArrayOf(child, StringType, prettyName)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "portable_fingerprints"
+
+    override def nullSafeEval(a: Any): Any =
+      portableFingerprints(a.asInstanceOf[ArrayData], k, keep)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => s"""
+        |${ev.value} = graft.functions.TextHashExprs.portableFingerprints($a, $k, $keep);
+        """.stripMargin)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   case class SimHashSigExpr(child: Expression) extends UnaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
       checkArrayOf(child, StringType, prettyName)
@@ -191,4 +259,7 @@ object TextHashExprs {
   def simHashSigCol(tokens: Column): Column =
     GraftColumnBridge.column(
       SimHashSigExpr(GraftColumnBridge.expression(tokens)))
+  def portableFingerprintsCol(tokens: Column, k: Int, keep: Int): Column =
+    GraftColumnBridge.column(
+      PortableFpExpr(GraftColumnBridge.expression(tokens), k, keep))
 }

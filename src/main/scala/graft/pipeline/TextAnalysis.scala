@@ -86,25 +86,29 @@ object TextAnalysis {
     slice(array_sort(hs), 1, keep)
   }
 
-  /** Portable variant of [[rollingFingerprints]]: 32-bit md5-prefix
-    * window hashes, replayable bit-for-bit in any SQL engine (same
-    * trick as [[Sampling.portableBucket]] — DuckDB:
-    * `('0x' || substr(md5(win), 1, 8))::BIGINT`). The xxhash64 form
-    * above is the throughput path (native codegen'd hashes); this one
-    * trades ~2× hash cost for cross-engine verifiability, so md5 — not
-    * the interpreted window lambda — dominates its runtime. */
+  /** Portable variant of [[rollingFingerprints]]: the `keep` smallest
+    * DISTINCT 32-bit md5-prefix window hashes, replayable bit-for-bit
+    * in any SQL engine (same trick as [[Sampling.portableBucket]] —
+    * DuckDB: `('0x' || substr(md5(win), 1, 8))::BIGINT`). Runs as ONE
+    * native codegen'd expression per row ([[graft.functions
+    * .TextHashExprs.portableFingerprints]]): building window strings
+    * with an interpreted `transform` lambda and hashing them with the
+    * md5/conv/cast expression tree measured ~8× slower at sf0.1 —
+    * per-element interpreted dispatch, not md5, was the cost. */
   def portableRollingFingerprints(text: Column, window: Int = 8,
-                                  keep: Int = 4): Column = {
-    val ts = Dedup.tokens(text)
-    def h(c: Column): Column =
-      conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
-    val wins = when(size(ts) >= window,
-      transform(sequence(lit(0), size(ts) - window),
-        i => concat_ws(" ", slice(ts, i + 1, lit(window)))))
-      .otherwise(array(concat_ws(" ", ts)))
-    // array_distinct mirrors shingleHashes' HashSet dedup above: the
-    // fingerprints are the keep smallest DISTINCT window hashes, so
-    // repeated boilerplate windows can't crowd out real coverage
-    slice(array_sort(array_distinct(transform(wins, h(_)))), 1, keep)
-  }
+                                  keep: Int = 4): Column =
+    graft.functions.TextHashExprs.portableFingerprintsCol(
+      Dedup.tokens(text), window, keep)
+
+  /** Corpus-scale portable fingerprinting: (id, fp) rows — the
+    * exploded form of [[portableRollingFingerprints]]. Map-only: the
+    * signature fuses into the scan, no shuffle anywhere; NULL-text
+    * rows yield no fingerprints (nothing to overlap on). */
+  def portableRollingFingerprintTable(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      window: Int = 8, keep: Int = 4): org.apache.spark.sql.DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(portableRollingFingerprints(col(textCol), window, keep))
+          .as("fp"))
 }
