@@ -515,16 +515,26 @@ object SparkEntry {
     },
     "q_dedup_incremental" -> { (s, d) => // rows-only: LSH not SQL-expressible
       // the continuous-ingest operation: a new batch (odd doc_ids)
-      // deduped against the signed rest of the corpus via the
-      // broadcast-semi-join band prune — the corpus is never
-      // self-joined and its post-scan work scales with the batch
+      // deduped against the PERSISTED signed corpus via the
+      // broadcast-semi-join band prune — the corpus is signed once
+      // (build-once parquet, like the dict/ANN artifacts) and never
+      // self-joined; per-batch work after the corpus scan scales with
+      // the batch. Honest toy-scale note: these synthetic docs (~300 B)
+      // are SMALLER than their signature rows, so reading persisted
+      // signatures costs more here than re-signing text would — at real
+      // web-doc sizes (10-100 KB) signatures are 10-100× smaller than
+      // text and the persisted shape wins, which is why it is the one
+      // benched
       import graft.pipeline.Dedup
       val docs = t(s, d, "documents")
+      val corpusPath = tmpPath("mh_corpus", d)
+      if (!new java.io.File(s"$corpusPath/_SUCCESS").exists())
+        Dedup.minHashSignTable(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text").write.mode("overwrite").parquet(corpusPath)
       Dedup.minHashCandidatesAgainst(
         Dedup.minHashSignTable(docs.filter(col("doc_id") % 2 === 1),
           "doc_id", "text"),
-        Dedup.minHashSignTable(docs.filter(col("doc_id") % 2 === 0),
-          "doc_id", "text"),
+        s.read.parquet(corpusPath),
         threshold = 0.3)
     },
     "q_dedup_embedding" -> { (s, d) => // rows-only
