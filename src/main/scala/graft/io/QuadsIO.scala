@@ -27,11 +27,27 @@ object QuadsIO {
     * through Hadoop's codec factory. Gzip is NOT line-splittable, so a
     * gzipped file is one task — reference parity (its Compression.AUTO
     * has the same constraint, TriplesReader.scala:38-39). At 100 TB:
-    * ship many medium gz files (or zstd/bzip2), not one giant one. */
-  def readNTriples(spark: SparkSession, path: String): DataFrame = {
-    val lines = spark.read.textFile(path)
-    val rows = lines.rdd.flatMap(l => TurtleParser.parseNTriplesLine(l).map(_.toRow))
-    spark.createDataFrame(rows, TermSchema.quadType)
+    * ship many medium gz files (or zstd/bzip2), not one giant one.
+    *
+    * `skipMalformed = true` is the dirty-corpus knob: lines that fail
+    * to parse are dropped instead of failing the whole load four
+    * task-retries later — strict remains the default so silent data
+    * loss is opt-in (count the drops by comparing against the raw
+    * non-blank line count when you need the number).
+    *
+    * The parse is a native codegen'd expression
+    * ([[graft.functions.NtParse]]): text scan → parse → filter →
+    * project is one whole-stage-codegen pipeline, no RDD hop, no
+    * Row-codec round-trip. */
+  def readNTriples(spark: SparkSession, path: String,
+                   skipMalformed: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read.text(path)
+      .select(graft.functions.NtParse
+        .parseNTripleCol(col("value"), permissive = skipMalformed).as("q"))
+      .filter(col("q").isNotNull)
+      .select(col("q.s").as("s"), col("q.p").as("p"),
+        col("q.o").as("o"), col("q.g").as("g"))
   }
 
   /** Driver-side whole-file read through the Hadoop FileSystem API, so

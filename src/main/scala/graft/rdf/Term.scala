@@ -124,6 +124,31 @@ object TermSchema {
       case TermKind.LITERAL => Lit(r.getString(1), r.getString(2), r.getString(3))
       case k => throw new IllegalArgumentException(s"unknown term kind: $k")
     })
+
+  // ----- InternalRow builders (native-expression ingest path) -----
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val EMPTY = UTF8String.fromString("")
+
+  private def toInternal(t: Term): InternalRow = t match {
+    case Iri(v) => new GenericInternalRow(
+      Array[Any](TermKind.IRI, UTF8String.fromString(v), EMPTY, EMPTY))
+    case BNode(id) => new GenericInternalRow(
+      Array[Any](TermKind.BNODE, UTF8String.fromString(id), EMPTY, EMPTY))
+    case Lit(lex, dt, lang) => new GenericInternalRow(
+      Array[Any](TermKind.LITERAL, UTF8String.fromString(lex),
+        UTF8String.fromString(dt), UTF8String.fromString(lang)))
+  }
+
+  /** Quad as an [[InternalRow]] of [[quadType]] — lets parsing
+    * expressions emit quads straight into generated code with no
+    * Row-codec round-trip. */
+  def quadToInternal(q: Quad): InternalRow = new GenericInternalRow(
+    Array[Any](toInternal(q.s), toInternal(q.p), toInternal(q.o),
+      q.g.map(toInternal).orNull))
 }
 
 final case class Quad(s: Term, p: Term, o: Term, g: Option[Term]) {

@@ -416,6 +416,13 @@ object TurtleParser {
       val o = p.parseNode()
       p.skipWs()
       val g = if (p.peek != '.') Some(p.parseNode()) else None
+      // the grammar is one statement per line: require the terminating
+      // '.' and allow only a comment after it — accepting a missing dot
+      // or trailing tokens would silently mis-parse corrupt dumps
+      p.skipWs()
+      p.expect('.')
+      p.skipWs()
+      if (!p.eof && p.peek != '#') p.err("trailing content after '.'")
       Some(Quad(s, pred, o, g))
     }
   }

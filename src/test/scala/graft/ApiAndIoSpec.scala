@@ -484,6 +484,24 @@ class ApiAndIoSpec extends SparqlSpecBase {
       .exists(_.isInstanceOf[IllegalArgumentException]) shouldBe true
   }
 
+  "skipMalformed N-Triples ingest" should "drop bad lines and count them" in {
+    val tmp = Files.createTempDirectory("graft-ntperm")
+    val f = tmp.resolve("dirty.nt")
+    Files.writeString(f,
+      """<urn:a> <urn:p> "ok1" .
+        |this line is garbage
+        |<urn:b> <urn:p> "ok2" .
+        |<urn:c> <urn:p> "missing dot"
+        |""".stripMargin)
+    // strict default: the load fails
+    intercept[Exception](QuadsIO.readNTriples(spark, f.toString).count())
+    // permissive: good lines survive, bad ones counted
+    val quads = QuadsIO.readNTriples(spark, f.toString, skipMalformed = true)
+    quads.count() shouldBe 2
+    collect(quads.sparql("SELECT ?s { ?s <urn:p> ?v }"))
+      .map(_("s")).toSet shouldBe Set(iri("urn:a"), iri("urn:b"))
+  }
+
   it should "reject TriX with a conversion pointer" in {
     val ex = the[IllegalArgumentException] thrownBy
       QuadsIO.read(spark, "/tmp/data.trix")

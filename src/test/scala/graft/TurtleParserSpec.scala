@@ -83,6 +83,18 @@ class TurtleParserSpec extends AnyFlatSpec with Matchers {
       "@prefix : <urn:x:> . GRAPH \"g\" { :s :p :o . }")
   }
 
+  it should "require the terminating dot and reject trailing junk on NT lines" in {
+    an[IllegalArgumentException] should be thrownBy
+      TurtleParser.parseNTriplesLine("<urn:a> <urn:p> <urn:o>") // missing '.'
+    an[IllegalArgumentException] should be thrownBy
+      TurtleParser.parseNTriplesLine("<urn:a> <urn:p> <urn:o> <urn:g> <urn:x> .")
+    an[IllegalArgumentException] should be thrownBy
+      TurtleParser.parseNTriplesLine("<urn:a> <urn:p> <urn:o> . <urn:b>")
+    // trailing comment after the dot is legal
+    TurtleParser.parseNTriplesLine("<urn:a> <urn:p> <urn:o> . # ok") shouldBe
+      Some(Quad(Iri("urn:a"), Iri("urn:p"), Iri("urn:o"), None))
+  }
+
   it should "parse escaped quotes and apostrophes in literals" in {
     val qs = TurtleParser.parse(
       """@prefix : <urn:x:> . :s :p "Alice's \"Work\" Email" .""")
