@@ -63,4 +63,47 @@ object NtParse {
   def parseNTripleCol(line: Column, permissive: Boolean): Column =
     GraftColumnBridge.column(
       ParseNTripleExpr(GraftColumnBridge.expression(line), permissive))
+
+  /** Static entry point for generated code: whole-file parse (any
+    * format QuadsIO.parseFile dispatches) to an array of quad structs. */
+  def parseFileQuads(path: UTF8String,
+                     content: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val out = graft.io.QuadsIO.parseFile(path.toString, content)
+      .map(q => TermSchema.quadToInternal(q): Any).toArray
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** (path, content) → array<quad struct>: the executor half of
+    * [[graft.io.QuadsIO.readFiles]], kept as a native expression so
+    * the explode + projection above it stay in whole-stage codegen. */
+  case class ParseRdfFileExpr(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (StringType, org.apache.spark.sql.types.BinaryType) =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (string path, binary content), got $other")
+      }
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(TermSchema.quadType,
+        containsNull = false)
+    override def prettyName: String = "parse_rdf_file"
+
+    override def nullSafeEval(p: Any, c: Any): Any =
+      parseFileQuads(p.asInstanceOf[UTF8String], c.asInstanceOf[Array[Byte]])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (p, c) => s"""
+        |${ev.value} = graft.functions.NtParse.parseFileQuads($p, $c);
+        """.stripMargin)
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def parseRdfFileCol(path: Column, content: Column): Column =
+    GraftColumnBridge.column(ParseRdfFileExpr(
+      GraftColumnBridge.expression(path), GraftColumnBridge.expression(content)))
 }

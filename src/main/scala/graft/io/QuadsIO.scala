@@ -133,12 +133,12 @@ object QuadsIO {
     * at 100 TB ship many medium files (same constraint as the
     * reference) or N-Quads, which splits within files. */
   def readFiles(spark: SparkSession, path: String): DataFrame = {
-    val files = spark.read.format("binaryFile").load(path)
-      .select("path", "content")
-    val rows = files.rdd.flatMap { r =>
-      parseFile(r.getString(0), r.getAs[Array[Byte]](1)).map(_.toRow)
-    }
-    spark.createDataFrame(rows, TermSchema.quadType)
+    import org.apache.spark.sql.functions.{col, explode}
+    spark.read.format("binaryFile").load(path)
+      .select(explode(graft.functions.NtParse
+        .parseRdfFileCol(col("path"), col("content"))).as("q"))
+      .select(col("q.s").as("s"), col("q.p").as("p"),
+        col("q.o").as("o"), col("q.g").as("g"))
   }
 
   /** Format chosen by filename, like the reference's Rio dispatch
