@@ -11,24 +11,33 @@ import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native N-Triples/N-Quads line parsing: one generated call per line,
-  * emitting the quad struct directly as an [[InternalRow]] — the whole
-  * ingest pipeline (text scan → parse → filter → project) stays inside
-  * whole-stage codegen with no RDD hop and no Row-codec round-trip.
+  * emitting a 0/1-element ARRAY of quad structs that the caller
+  * explodes — the whole ingest pipeline (text scan → parse → explode →
+  * project) stays inside generated code with no RDD hop and no
+  * Row-codec round-trip. The array-not-nullable-struct shape matters:
+  * a nullable scalar + `isNotNull` filter gets the parse expression
+  * DUPLICATED by filter pushdown (one copy in Filter, one in Project —
+  * every line parsed twice); explode evaluates it exactly once.
   *
-  * NULL result = nothing to emit: blank lines, comment lines, and — in
+  * Empty array = nothing to emit: blank lines, comment lines, and — in
   * permissive mode — lines that fail to parse (the dirty-corpus knob;
   * strict mode throws the parser's positioned error and fails the
   * load, which stays the default).
   */
 object NtParse {
 
+  private val NO_QUADS =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+
   /** Static entry point for generated code. */
-  def parseLine(line: UTF8String, permissive: Boolean): InternalRow =
+  def parseLine(line: UTF8String,
+                permissive: Boolean): org.apache.spark.sql.catalyst.util.ArrayData =
     try TurtleParser.parseNTriplesLine(line.toString) match {
-      case Some(q) => TermSchema.quadToInternal(q)
-      case None => null
+      case Some(q) => new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](TermSchema.quadToInternal(q)))
+      case None => NO_QUADS
     } catch {
-      case e: IllegalArgumentException => if (permissive) null else throw e
+      case e: IllegalArgumentException => if (permissive) NO_QUADS else throw e
     }
 
   case class ParseNTripleExpr(child: Expression, permissive: Boolean)
@@ -39,22 +48,18 @@ object NtParse {
         case other => TypeCheckResult.TypeCheckFailure(
           s"$prettyName expects string, got $other")
       }
-    override def dataType: DataType = TermSchema.quadType
-    override def nullable: Boolean = true
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(TermSchema.quadType,
+        containsNull = false)
     override def prettyName: String = "parse_ntriple"
 
     override def nullSafeEval(s: Any): Any =
       parseLine(s.asInstanceOf[UTF8String], permissive)
 
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, a => {
-        val tmp = ctx.freshName("quad")
-        s"""
-        |org.apache.spark.sql.catalyst.InternalRow $tmp =
-        |  graft.functions.NtParse.parseLine($a, $permissive);
-        |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
-        """.stripMargin
-      })
+      nullSafeCodeGen(ctx, ev, a => s"""
+        |${ev.value} = graft.functions.NtParse.parseLine($a, $permissive);
+        """.stripMargin)
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
@@ -65,18 +70,25 @@ object NtParse {
       ParseNTripleExpr(GraftColumnBridge.expression(line), permissive))
 
   /** Static entry point for generated code: whole-file parse (any
-    * format QuadsIO.parseFile dispatches) to an array of quad structs. */
-  def parseFileQuads(path: UTF8String,
-                     content: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val out = graft.io.QuadsIO.parseFile(path.toString, content)
-      .map(q => TermSchema.quadToInternal(q): Any).toArray
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
-  }
+    * format QuadsIO.parseFile dispatches) to an array of quad structs.
+    * In permissive mode an unparseable FILE yields zero quads (the
+    * whole file is dropped — heavier than a dropped line, which is
+    * why strict stays the default everywhere). */
+  def parseFileQuads(path: UTF8String, content: Array[Byte],
+                     permissive: Boolean): org.apache.spark.sql.catalyst.util.ArrayData =
+    try {
+      val out = graft.io.QuadsIO.parseFile(path.toString, content)
+        .map(q => TermSchema.quadToInternal(q): Any).toArray
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    } catch {
+      case e: IllegalArgumentException => if (permissive) NO_QUADS else throw e
+    }
 
   /** (path, content) → array<quad struct>: the executor half of
     * [[graft.io.QuadsIO.readFiles]], kept as a native expression so
     * the explode + projection above it stay in whole-stage codegen. */
-  case class ParseRdfFileExpr(left: Expression, right: Expression)
+  case class ParseRdfFileExpr(left: Expression, right: Expression,
+                              permissive: Boolean)
       extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
       (left.dataType, right.dataType) match {
@@ -91,11 +103,12 @@ object NtParse {
     override def prettyName: String = "parse_rdf_file"
 
     override def nullSafeEval(p: Any, c: Any): Any =
-      parseFileQuads(p.asInstanceOf[UTF8String], c.asInstanceOf[Array[Byte]])
+      parseFileQuads(p.asInstanceOf[UTF8String], c.asInstanceOf[Array[Byte]],
+        permissive)
 
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (p, c) => s"""
-        |${ev.value} = graft.functions.NtParse.parseFileQuads($p, $c);
+        |${ev.value} = graft.functions.NtParse.parseFileQuads($p, $c, $permissive);
         """.stripMargin)
 
     override protected def withNewChildrenInternal(
@@ -103,7 +116,9 @@ object NtParse {
       copy(left = newLeft, right = newRight)
   }
 
-  def parseRdfFileCol(path: Column, content: Column): Column =
+  def parseRdfFileCol(path: Column, content: Column,
+                      permissive: Boolean = false): Column =
     GraftColumnBridge.column(ParseRdfFileExpr(
-      GraftColumnBridge.expression(path), GraftColumnBridge.expression(content)))
+      GraftColumnBridge.expression(path), GraftColumnBridge.expression(content),
+      permissive))
 }

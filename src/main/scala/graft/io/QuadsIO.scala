@@ -32,20 +32,22 @@ object QuadsIO {
     * `skipMalformed = true` is the dirty-corpus knob: lines that fail
     * to parse are dropped instead of failing the whole load four
     * task-retries later — strict remains the default so silent data
-    * loss is opt-in (count the drops by comparing against the raw
-    * non-blank line count when you need the number).
+    * loss is opt-in (count the drops by comparing against the line
+    * count net of blank and `#`-comment lines, which are legitimately
+    * quad-less, when you need the number).
     *
     * The parse is a native codegen'd expression
-    * ([[graft.functions.NtParse]]): text scan → parse → filter →
-    * project is one whole-stage-codegen pipeline, no RDD hop, no
-    * Row-codec round-trip. */
+    * ([[graft.functions.NtParse]]) emitting a 0/1-quad array: text
+    * scan → parse → explode → project is one generated pipeline, no
+    * RDD hop, no Row codec — and the explode shape evaluates the parse
+    * exactly ONCE per line (a nullable scalar + isNotNull filter gets
+    * duplicated into the pushed-down Filter: every line parsed twice). */
   def readNTriples(spark: SparkSession, path: String,
                    skipMalformed: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, explode}
     spark.read.text(path)
-      .select(graft.functions.NtParse
-        .parseNTripleCol(col("value"), permissive = skipMalformed).as("q"))
-      .filter(col("q").isNotNull)
+      .select(explode(graft.functions.NtParse
+        .parseNTripleCol(col("value"), permissive = skipMalformed)).as("q"))
       .select(col("q.s").as("s"), col("q.p").as("p"),
         col("q.o").as("o"), col("q.g").as("g"))
   }
@@ -91,7 +93,9 @@ object QuadsIO {
     try extensionOf(base) match {
       case "nt" | "nq" | "ntriples" | "nquads" =>
         // whole-file fallback for mixed directories; pure .nt/.nq paths
-        // go through readNTriples and split WITHIN files instead
+        // go through readNTriples, which splits WITHIN files — route
+        // multi-GB N-Triples there: this path (like every whole-file
+        // format) materializes the file's quads in memory at once
         text.linesIterator.flatMap(TurtleParser.parseNTriplesLine)
       case "ttl" | "trig" | "turtle" | "n3" =>
         // .n3 files are overwhelmingly Turtle in practice; true
@@ -132,11 +136,13 @@ object QuadsIO {
     * formats are not splittable, so one huge Turtle file is one task —
     * at 100 TB ship many medium files (same constraint as the
     * reference) or N-Quads, which splits within files. */
-  def readFiles(spark: SparkSession, path: String): DataFrame = {
+  def readFiles(spark: SparkSession, path: String,
+                skipMalformed: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, explode}
     spark.read.format("binaryFile").load(path)
       .select(explode(graft.functions.NtParse
-        .parseRdfFileCol(col("path"), col("content"))).as("q"))
+        .parseRdfFileCol(col("path"), col("content"),
+          permissive = skipMalformed)).as("q"))
       .select(col("q.s").as("s"), col("q.p").as("p"),
         col("q.o").as("o"), col("q.g").as("g"))
   }
@@ -145,13 +151,17 @@ object QuadsIO {
     * (TriplesReader.scala:62-74): N-Triples/N-Quads split WITHIN files
     * (line-delimited), every other format parses one-file-per-task on
     * executors via [[readFiles]]; directories and globs fan out with
-    * per-file dispatch; `.gz` accepted on all. */
-  def read(spark: SparkSession, path: String): DataFrame = {
+    * per-file dispatch; `.gz` accepted on all. `skipMalformed` reaches
+    * both paths: dropped LINES for N-Triples/N-Quads, dropped FILES
+    * for whole-file formats. */
+  def read(spark: SparkSession, path: String,
+           skipMalformed: Boolean = false): DataFrame = {
     val base = if (path.toLowerCase.endsWith(".gz")) path.dropRight(3) else path
     extensionOf(base) match {
-      case "nt" | "nq" | "ntriples" | "nquads" => readNTriples(spark, path)
+      case "nt" | "nq" | "ntriples" | "nquads" =>
+        readNTriples(spark, path, skipMalformed)
       case "ttl" | "trig" | "turtle" | "n3" | "rdf" | "rdfs" | "owl" | "xml" |
-           "jsonld" | "json" | "" | "*" => readFiles(spark, path)
+           "jsonld" | "json" | "" | "*" => readFiles(spark, path, skipMalformed)
       case "trix" =>
         throw new IllegalArgumentException(
           "TriX is not supported; convert to TriG or N-Quads first " +

@@ -417,12 +417,22 @@ object TurtleParser {
       p.skipWs()
       val g = if (p.peek != '.') Some(p.parseNode()) else None
       // the grammar is one statement per line: require the terminating
-      // '.' and allow only a comment after it — accepting a missing dot
-      // or trailing tokens would silently mis-parse corrupt dumps
+      // '.' and nothing after it (skipWs consumes a trailing comment) —
+      // accepting a missing dot or trailing tokens would silently
+      // mis-parse corrupt dumps
       p.skipWs()
       p.expect('.')
       p.skipWs()
-      if (!p.eof && p.peek != '#') p.err("trailing content after '.'")
+      if (!p.eof) p.err("trailing content after '.'")
+      // N-Triples terms are IRIREF / blank node LABELS / literals only.
+      // Turtle-only [ … ] and ( … ) forms parse but push their
+      // rdf:first/rest / property-list triples into this throwaway
+      // parser's buffer — returning just the top quad would DROP them:
+      // silent data loss, not a dropped line
+      if (p.quads.nonEmpty)
+        p.err("Turtle-only syntax ([…] or (…)) is not N-Triples")
+      if (s.isInstanceOf[Lit]) p.err("a literal cannot be a subject")
+      if (g.exists(_.isInstanceOf[Lit])) p.err("a literal cannot label a graph")
       Some(Quad(s, pred, o, g))
     }
   }

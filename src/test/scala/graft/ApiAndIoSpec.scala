@@ -500,6 +500,32 @@ class ApiAndIoSpec extends SparqlSpecBase {
     quads.count() shouldBe 2
     collect(quads.sparql("SELECT ?s { ?s <urn:p> ?v }"))
       .map(_("s")).toSet shouldBe Set(iri("urn:a"), iri("urn:b"))
+    // the knob reaches the format-dispatch entry point too
+    QuadsIO.read(spark, f.toString, skipMalformed = true).count() shouldBe 2
+  }
+
+  it should "parse each line exactly once (no filter-pushdown duplication)" in {
+    val tmp = Files.createTempDirectory("graft-ntonce")
+    val f = tmp.resolve("one.nt")
+    Files.writeString(f, "<urn:a> <urn:p> \"v\" .\n")
+    val plan = QuadsIO.readNTriples(spark, f.toString)
+      .queryExecution.optimizedPlan.toString
+    // a nullable-scalar parse + isNotNull filter gets the expression
+    // duplicated into the pushed-down Filter — every line parsed twice
+    val occurrences = "parse_ntriple".r.findAllIn(plan).size
+    occurrences shouldBe 1
+  }
+
+  it should "drop unparseable whole files only when asked" in {
+    val tmp = Files.createTempDirectory("graft-permfiles")
+    Files.writeString(tmp.resolve("good.ttl"),
+      "@prefix : <urn:pf:> . :s :p \"ok\" .")
+    Files.writeString(tmp.resolve("broken.ttl"),
+      "@prefix : <urn:pf:> . :s :p ")
+    intercept[Exception](QuadsIO.read(spark, tmp.toString).count()) // strict
+    val quads = QuadsIO.read(spark, tmp.toString, skipMalformed = true)
+    collect(quads.sparql("SELECT ?s { ?s <urn:pf:p> ?o }"))
+      .map(_("s")) shouldBe Seq(iri("urn:pf:s"))
   }
 
   it should "reject TriX with a conversion pointer" in {

@@ -95,6 +95,22 @@ class TurtleParserSpec extends AnyFlatSpec with Matchers {
       Some(Quad(Iri("urn:a"), Iri("urn:p"), Iri("urn:o"), None))
   }
 
+  it should "reject Turtle-only syntax and literal subjects/graphs on NT lines" in {
+    // [...] and (...) emit auxiliary triples a single-quad return would
+    // silently drop — data loss, not a dropped line
+    an[IllegalArgumentException] should be thrownBy
+      TurtleParser.parseNTriplesLine("[ <urn:q> <urn:v> ] <urn:p> <urn:o> .")
+    an[IllegalArgumentException] should be thrownBy
+      TurtleParser.parseNTriplesLine("<urn:a> <urn:p> (\"x\") .")
+    an[IllegalArgumentException] should be thrownBy
+      TurtleParser.parseNTriplesLine("\"x\" <urn:p> <urn:o> .")
+    an[IllegalArgumentException] should be thrownBy
+      TurtleParser.parseNTriplesLine("<urn:a> <urn:p> <urn:o> \"g\" .")
+    // plain blank-node LABELS stay legal everywhere they were
+    TurtleParser.parseNTriplesLine("_:b <urn:p> _:c _:g .") shouldBe
+      Some(Quad(BNode("b"), Iri("urn:p"), BNode("c"), Some(BNode("g"))))
+  }
+
   it should "parse escaped quotes and apostrophes in literals" in {
     val qs = TurtleParser.parse(
       """@prefix : <urn:x:> . :s :p "Alice's \"Work\" Email" .""")
