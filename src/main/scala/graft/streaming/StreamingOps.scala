@@ -14,6 +14,23 @@ import org.apache.spark.sql.functions._
   */
 object StreamingOps {
 
+  /** Continuous N-Triples/N-Quads ingest: watch a directory for new
+    * line-delimited RDF files and emit quads incrementally — the
+    * streaming face of [[graft.io.QuadsIO.readNTriples]], same native
+    * parse expression (stateless map-only, so it composes with any
+    * downstream watermarked operator or writeStream sink). A 100 TB
+    * backfill (batch readNTriples) and its live tail (this) share one
+    * parse path. `skipMalformed` as in the batch reader. */
+  def ntriplesStream(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     skipMalformed: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.explode
+    spark.readStream.text(dir)
+      .select(explode(graft.functions.NtParse
+        .parseNTripleCol(col("value"), permissive = skipMalformed)).as("q"))
+      .select(col("q.s").as("s"), col("q.p").as("p"),
+        col("q.o").as("o"), col("q.g").as("g"))
+  }
+
   /** Streaming exact dedup on a content fingerprint. State is scoped
     * by the event-time watermark (dropDuplicatesWithinWatermark), so
     * the dedup map cannot grow without bound on an infinite stream.

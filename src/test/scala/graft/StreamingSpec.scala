@@ -220,4 +220,25 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
       StreamingOps.sparqlStream(quads,
         "SELECT ?s { ?s ?p ?o FILTER EXISTS { ?s <urn:q> ?v } }")
   }
+
+  "streaming N-Triples ingest" should "emit quads as files arrive" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ntstream")
+    val out = StreamingOps.ntriplesStream(spark, dir.toString,
+      skipMalformed = true)
+    val q = out.writeStream.format("memory").queryName("nt_stream_out")
+      .outputMode("append").start()
+    try {
+      java.nio.file.Files.writeString(dir.resolve("batch1.nt"),
+        "<urn:ns:a> <urn:ns:p> \"v1\" .\nnot a triple\n")
+      q.processAllAvailable()
+      java.nio.file.Files.writeString(dir.resolve("batch2.nq"),
+        "<urn:ns:b> <urn:ns:p> \"v2\" <urn:ns:g> .\n")
+      q.processAllAvailable()
+      val rows = spark.table("nt_stream_out")
+        .select(col("s.lex"), col("o.lex"), col("g.lex")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      rows shouldBe Set(("urn:ns:a", "v1", null),
+        ("urn:ns:b", "v2", "urn:ns:g"))
+    } finally q.stop()
+  }
 }
