@@ -59,7 +59,24 @@ object GraftFunctions {
       ("simhash_sig",
         "simhash_sig(tokens) - 64-bit SimHash signature of a token array",
         { args => arity("simhash_sig", 1, args)
-          TextHashExprs.SimHashSigExpr(args(0)) })
+          TextHashExprs.SimHashSigExpr(args(0)) }),
+      ("portable_fingerprints",
+        "portable_fingerprints(tokens, k, keep) - keep smallest distinct " +
+          "md5-prefix k-token window hashes (replayable in any SQL engine)",
+        { args => arity("portable_fingerprints", 3, args)
+          TextHashExprs.PortableFpExpr(args(0),
+            intLit(args(1), "k"), intLit(args(2), "keep")) }),
+      ("parse_ntriple",
+        "parse_ntriple(line, permissive) - 0/1-element array of quad structs " +
+          "from one N-Triples/N-Quads line; explode it (permissive: drop " +
+          "malformed lines instead of erroring)",
+        { args => arity("parse_ntriple", 2, args)
+          val perm = args(1) match {
+            case Literal(b: Boolean, _) => b
+            case other => throw new IllegalArgumentException(
+              s"permissive must be a boolean literal, got $other")
+          }
+          NtParse.ParseNTripleExpr(args(0), perm) })
     )
 
   /** Register every function into a running session (idempotent:

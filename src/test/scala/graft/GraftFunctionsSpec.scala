@@ -66,7 +66,7 @@ class GraftFunctionsSpec extends AnyFlatSpec with Matchers {
       .builtin.clone()
     org.apache.spark.sql.GraftTestBridge.registerFunctions(ext, reg)
     Seq("vec_dot", "vec_cosine", "shingle_hashes", "minhash_from_hashes",
-      "simhash_sig").foreach { n =>
+      "simhash_sig", "portable_fingerprints", "parse_ntriple").foreach { n =>
       reg.functionExists(FunctionIdentifier(n)) shouldBe true
     }
     // and the injected builder produces the real expression
@@ -76,5 +76,32 @@ class GraftFunctionsSpec extends AnyFlatSpec with Matchers {
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.StringType)))) shouldBe
       a[TextHashExprs.SimHashSigExpr]
+  }
+
+  it should "expose parse_ntriple and portable_fingerprints to spark.sql" in {
+    GraftFunctions.register(spark)
+    Seq("<urn:a> <urn:p> \"v\" .", "junk line", "# comment")
+      .toDF("value").createOrReplaceTempView("nt_lines_v")
+    val quads = spark.sql(
+      """SELECT q.s.lex AS s, q.o.lex AS o
+        |FROM (SELECT explode(parse_ntriple(value, true)) AS q
+        |      FROM nt_lines_v)""".stripMargin).collect()
+    quads.map(r => (r.getString(0), r.getString(1))).toSeq shouldBe
+      Seq(("urn:a", "v"))
+    // strict mode surfaces the parse error
+    intercept[Exception](spark.sql(
+      "SELECT explode(parse_ntriple(value, false)) FROM nt_lines_v").collect())
+
+    Seq((1L, "a b c d e f g h i j"))
+      .toDF("id", "text").createOrReplaceTempView("fp_docs_v")
+    val viaSql = spark.sql(
+      """SELECT portable_fingerprints(
+        |  filter(split(lower(trim(text)), '\\s+'), x -> x != ''), 8, 4) AS f
+        |FROM fp_docs_v""".stripMargin).head().getSeq[Long](0)
+    val viaCol = Seq((1L, "a b c d e f g h i j")).toDF("id", "text")
+      .select(graft.pipeline.TextAnalysis
+        .portableRollingFingerprints(col("text")).as("f"))
+      .head().getSeq[Long](0)
+    viaSql shouldBe viaCol
   }
 }
