@@ -97,6 +97,38 @@ object SparkEntry {
       quads.select(col("s").getField("lex").as("s"),
         col("p").getField("lex").as("p"), col("o").getField("lex").as("o"))
     },
+    "q_read_trix" -> { (s, d) =>
+      // Distributed TriX ingest: nation serialized once as one TriX
+      // file per region — nname quads in a per-region NAMED graph,
+      // region quads in the default graph — read back one-file-per-task
+      // and flattened to lexicals (TPC-H nation names are [A-Z ]+, so
+      // no XML escaping is needed when serializing the fixture).
+      val dir = new java.io.File(tmpPath("trixdir", d))
+      if (!new java.io.File(dir, "_DONE").exists()) {
+        dir.mkdirs()
+        t(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey")
+          .collect() // 25 rows — bounded driver-side serialization
+          .groupBy(_.get(2).toString).foreach { case (rk, rs) =>
+            val sb = new StringBuilder(
+              "<TriX xmlns=\"http://www.w3.org/2004/03/trix/trix-1/\">\n")
+            sb.append(s"<graph><uri>urn:g:r$rk</uri>\n")
+            rs.foreach(r => sb.append(s"<triple><uri>urn:n:${r.get(0)}</uri>" +
+              s"<uri>urn:p:nname</uri>" +
+              s"<plainLiteral>${r.getString(1)}</plainLiteral></triple>\n"))
+            sb.append("</graph>\n<graph>\n")
+            rs.foreach(r => sb.append(s"<triple><uri>urn:n:${r.get(0)}</uri>" +
+              s"<uri>urn:p:region</uri><uri>urn:r:$rk</uri></triple>\n"))
+            sb.append("</graph>\n</TriX>\n")
+            java.nio.file.Files.writeString(
+              new java.io.File(dir, s"region_$rk.trix").toPath, sb.toString)
+          }
+        new java.io.File(dir, "_DONE").createNewFile()
+      }
+      val quads = graft.io.QuadsIO.readFiles(s, dir.toString)
+      quads.select(col("s").getField("lex").as("s"),
+        col("p").getField("lex").as("p"), col("o").getField("lex").as("o"),
+        coalesce(col("g").getField("lex"), lit("")).as("g"))
+    },
     // ----- §2.3 joins -----
     "q_bgp_join" -> { (s, d) =>
       out(nationRegion(s, d).sparql(prologue +
@@ -699,6 +731,12 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'urn:n:'||n_nationkey::VARCHAR, 'urn:p:region',
         |       'urn:r:'||n_regionkey::VARCHAR FROM nation""".stripMargin,
+    "q_read_trix" ->
+      """SELECT 'urn:n:'||n_nationkey::VARCHAR AS s, 'urn:p:nname' AS p,
+        |       n_name AS o, 'urn:g:r'||n_regionkey::VARCHAR AS g FROM nation
+        |UNION ALL
+        |SELECT 'urn:n:'||n_nationkey::VARCHAR, 'urn:p:region',
+        |       'urn:r:'||n_regionkey::VARCHAR, '' FROM nation""".stripMargin,
     "q_bgp_join" ->
       """SELECT n_name AS nname, r_name AS rname
         |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin,

@@ -78,6 +78,10 @@ object QuadsIO {
   def readJsonLd(spark: SparkSession, path: String): DataFrame =
     fromQuads(spark, graft.rdf.JsonLdParser.parse(readDriverText(spark, path)))
 
+  /** Driver-side parse of a TriX file into a quads DF. */
+  def readTriX(spark: SparkSession, path: String): DataFrame =
+    fromQuads(spark, graft.rdf.TriXParser.parse(readDriverText(spark, path)))
+
   /** Extension-based per-FILE parse used by the distributed whole-file
     * reader; runs on executors. `.gz` wraps any base format. Parse
     * errors carry the offending file's path. */
@@ -104,10 +108,7 @@ object QuadsIO {
         TurtleParser.parse(text).iterator
       case "rdf" | "rdfs" | "owl" | "xml" => graft.rdf.RdfXmlParser.parse(text).iterator
       case "jsonld" | "json" => graft.rdf.JsonLdParser.parse(text).iterator
-      case "trix" =>
-        throw new IllegalArgumentException(
-          "TriX is not supported; convert to TriG or N-Quads first " +
-            "(e.g. `rdfpipe -i trix -o nquads` or rdf4j Rio)")
+      case "trix" => graft.rdf.TriXParser.parse(text).iterator
       case other =>
         throw new IllegalArgumentException(s"unrecognized RDF extension .$other")
     } catch {
@@ -161,11 +162,8 @@ object QuadsIO {
       case "nt" | "nq" | "ntriples" | "nquads" =>
         readNTriples(spark, path, skipMalformed)
       case "ttl" | "trig" | "turtle" | "n3" | "rdf" | "rdfs" | "owl" | "xml" |
-           "jsonld" | "json" | "" | "*" => readFiles(spark, path, skipMalformed)
-      case "trix" =>
-        throw new IllegalArgumentException(
-          "TriX is not supported; convert to TriG or N-Quads first " +
-            "(e.g. `rdfpipe -i trix -o nquads` or rdf4j Rio)")
+           "jsonld" | "json" | "trix" | "" | "*" =>
+        readFiles(spark, path, skipMalformed)
       case other =>
         throw new IllegalArgumentException(s"unrecognized RDF extension .$other")
     }

@@ -528,10 +528,17 @@ class ApiAndIoSpec extends SparqlSpecBase {
       .map(_("s")) shouldBe Seq(iri("urn:pf:s"))
   }
 
-  it should "reject TriX with a conversion pointer" in {
-    val ex = the[IllegalArgumentException] thrownBy
-      QuadsIO.read(spark, "/tmp/data.trix")
-    ex.getMessage should include("convert to TriG or N-Quads")
+  it should "dispatch .trix through the distributed whole-file reader" in {
+    // full TriX coverage lives in TriXParserSpec; this pins the
+    // extension dispatch (formerly a reject-with-pointer)
+    val tmp = Files.createTempDirectory("graft-trixdisp")
+    Files.writeString(tmp.resolve("a.trix"),
+      """<TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/"><graph>
+        |<triple><uri>urn:td:s</uri><uri>urn:td:p</uri>
+        |<plainLiteral>v</plainLiteral></triple></graph></TriX>""".stripMargin)
+    collect(QuadsIO.read(spark, tmp.resolve("a.trix").toString)
+      .sparql("SELECT ?s { ?s <urn:td:p> ?o }"))
+      .map(_("s")) shouldBe Seq(iri("urn:td:s"))
   }
 
   it should "surface the offending file path on parse errors" in {
