@@ -539,6 +539,14 @@ object SparkEntry {
       graft.pipeline.Dedup.minHashCandidates(
         t(s, d, "documents"), "doc_id", "text", threshold = 0.3)
     },
+    "q_dedup_minhash_portable" -> { (s, d) =>
+      // the SAME banded-LSH pipeline with the portable (md5 + affine
+      // mod 2^61-1) hash family, so the DuckDB oracle re-derives every
+      // shingle hash, signature value, band bucket and candidate pair
+      // bit-for-bit — the LSH family's end-to-end hash-checked entry
+      graft.pipeline.Dedup.portableMinHashCandidates(
+        t(s, d, "documents"), "doc_id", "text")
+    },
     "q_dedup_simhash" -> { (s, d) => // rows-only
       // Hamming ≤ 3 on 64-bit signatures — the published standard for
       // simhash near-dup at web scale (Manku et al., WWW'07)
@@ -721,6 +729,54 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for nondeterministic entries
     * (q_sample, q_slice_noorder) → driver records rows-only check. */
+  /** DuckDB replay of [[graft.pipeline.Dedup.portableMinHashCandidates]]:
+    * the affine coefficients come from the SAME
+    * [[graft.functions.TextHashExprs.portableCoeffs]] the Spark
+    * expression uses, inlined as list literals, so the oracle
+    * re-derives every shingle hash, signature value, band bucket,
+    * candidate pair and Jaccard score independently. */
+  private def portableMinHashOracle(numHashes: Int, bands: Int,
+                                    shingleK: Int, threshold: Double): String = {
+    val (as, bs) = graft.functions.TextHashExprs.portableCoeffs(numHashes)
+    val p = graft.functions.TextHashExprs.PortableMod
+    val r = numHashes / bands
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |                             x -> x <> '') AS ts
+       |  FROM documents WHERE text IS NOT NULL
+       |), sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(generate_series(1, len(ts) - ${shingleK - 1}),
+       |      i -> CAST(('0x' || substr(md5(array_to_string(
+       |             list_slice(ts, i, i + ${shingleK - 1}), ' ')), 1, 8)) AS BIGINT))) AS hs
+       |  FROM toks WHERE len(ts) >= $shingleK
+       |), shx AS (
+       |  SELECT doc_id, unnest(hs) AS x FROM sh
+       |), coef AS (
+       |  SELECT unnest(range($numHashes)) AS i,
+       |         unnest(${as.mkString("[", ", ", "]")}) AS a,
+       |         unnest(${bs.mkString("[", ", ", "]")}) AS b
+       |), mh AS (
+       |  SELECT s.doc_id, c.i, min((c.a * s.x + c.b) % $p) AS m
+       |  FROM shx s CROSS JOIN coef c GROUP BY s.doc_id, c.i
+       |), bands AS (
+       |  SELECT doc_id, i // $r AS band,
+       |         string_agg(m::VARCHAR, ':' ORDER BY i) AS bucket
+       |  FROM mh GROUP BY doc_id, i // $r
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.doc_id < b.doc_id
+       |)
+       |SELECT * FROM (
+       |  SELECT idA, idB,
+       |         len(list_intersect(sa.hs, sb.hs)) /
+       |         (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS jaccard
+       |  FROM cand JOIN sh sa ON cand.idA = sa.doc_id
+       |            JOIN sh sb ON cand.idB = sb.doc_id
+       |) WHERE jaccard >= $threshold""".stripMargin
+  }
+
   lazy val oracleSql: Map[String, String] = Map(
     "q_scan" ->
       "SELECT 'urn:n:'||n_nationkey::VARCHAR AS n, n_name AS nname FROM nation",
@@ -964,6 +1020,8 @@ object SparkEntry {
         |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
         |  ) AS BIGINT) AS cluster
         |FROM documents""".stripMargin,
+    "q_dedup_minhash_portable" -> portableMinHashOracle(
+      numHashes = 32, bands = 8, shingleK = 3, threshold = 0.5),
     "q_curate" ->
       """WITH scored AS (
         |  SELECT doc_id, text,

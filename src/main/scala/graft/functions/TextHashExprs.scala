@@ -133,6 +133,60 @@ object TextHashExprs {
     UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
+  // ----- portable MinHash (replayable in any SQL engine) -----
+
+  /** Modulus for the portable affine hash family: 2^61 - 1 (Mersenne
+    * prime). Operands are bounded so a*h + b < 2^63 — no overflow in
+    * Spark ANSI mode or any engine with signed 64-bit integers. */
+  val PortableMod: Long = (1L << 61) - 1
+
+  /** Deterministic affine coefficients (a_i, b_i) for the portable
+    * MinHash family h_i(x) = (a_i*x + b_i) mod [[PortableMod]] — derived
+    * from md5 so ANY engine (or a human) can re-derive them, and bounded
+    * (a_i < 2^30, b_i < 2^32, x < 2^32) so products stay below 2^63.
+    * The same arrays are inlined as literals into the DuckDB oracle. */
+  def portableCoeffs(numHashes: Int): (Array[Long], Array[Long]) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(s: String): Long = {
+      md.reset()
+      val d = md.digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+    }
+    val as = Array.tabulate(numHashes)(i => h32(s"graft:mh:a:$i") % ((1L << 30) - 1) + 1)
+    val bs = Array.tabulate(numHashes)(i => h32(s"graft:mh:b:$i"))
+    (as, bs)
+  }
+
+  private val coeffCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+
+  /** Portable MinHash signature from md5-prefix shingle hashes
+    * ([[portableFingerprints]] values, all < 2^32): element i is
+    * min over hashes x of (a_i*x + b_i) mod 2^61-1. The mod is what
+    * makes each h_i a permutation-like reshuffle — a plain affine map
+    * is monotone in x and every h_i would pick the same shingle.
+    * Empty input → null (callers gate on token count). */
+  def portableMinHash(hs: ArrayData, numHashes: Int): ArrayData = {
+    val n = hs.numElements()
+    if (n == 0) return null
+    val (as, bs) = coeffCache.computeIfAbsent(numHashes, portableCoeffs)
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var si = 0
+    while (si < n) {
+      val x = hs.getLong(si)
+      var i = 0
+      while (i < numHashes) {
+        val v = (as(i) * x + bs(i)) % PortableMod
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      si += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
   /** 64-bit SimHash over the token array (unit weights): bit b set iff
     * the sum over tokens of ±1 (sign of bit b of the token's xxhash64)
     * is positive. Token-less input → 0L, matching the Column form. */
@@ -231,6 +285,32 @@ object TextHashExprs {
       copy(child = newChild)
   }
 
+  case class PortableMinHashExpr(child: Expression, numHashes: Int)
+      extends UnaryExpression {
+    require(numHashes >= 1, s"numHashes=$numHashes must be >= 1")
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkArrayOf(child, LongType, prettyName)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "portable_minhash"
+
+    override def nullSafeEval(a: Any): Any =
+      portableMinHash(a.asInstanceOf[ArrayData], numHashes)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val tmp = ctx.freshName("pmh")
+        s"""
+        |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+        |  graft.functions.TextHashExprs.portableMinHash($a, $numHashes);
+        |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+        """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   case class SimHashSigExpr(child: Expression) extends UnaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
       checkArrayOf(child, StringType, prettyName)
@@ -262,4 +342,7 @@ object TextHashExprs {
   def portableFingerprintsCol(tokens: Column, k: Int, keep: Int): Column =
     GraftColumnBridge.column(
       PortableFpExpr(GraftColumnBridge.expression(tokens), k, keep))
+  def portableMinHashCol(hashes: Column, numHashes: Int): Column =
+    GraftColumnBridge.column(
+      PortableMinHashExpr(GraftColumnBridge.expression(hashes), numHashes))
 }

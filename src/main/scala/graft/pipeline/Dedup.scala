@@ -182,6 +182,66 @@ object Dedup {
       .select(col("idA"), col("idB"), col("jaccard"))
   }
 
+  /** Portable MinHash signature table `(id, sh, mh)` — same map-only
+    * shape as [[minHashSignTable]], but every hash is replayable in any
+    * SQL engine: shingle hashes are md5-prefix values
+    * ([[graft.functions.TextHashExprs.portableFingerprints]]) and the
+    * signature uses the affine family (a_i*x + b_i) mod 2^61-1 with
+    * md5-derived coefficients ([[graft.functions.TextHashExprs.portableCoeffs]]).
+    * ~3× the signing cost of the xxhash64 form (md5 per shingle) — use
+    * it when an external engine must audit or re-derive the exact
+    * candidate set (the DuckDB CORRECTNESS oracle does precisely that);
+    * the xxhash64 form remains the throughput path. */
+  def portableMinHashSignTable(df: DataFrame, idCol: String, textCol: String,
+                               numHashes: Int = 32, shingleK: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= shingleK)
+      .select(col("id"), graft.functions.TextHashExprs
+        .portableFingerprintsCol(col("ws"), shingleK, Int.MaxValue).as("sh"))
+      .select(col("id"), col("sh"), graft.functions.TextHashExprs
+        .portableMinHashCol(col("sh"), numHashes).as("mh"))
+
+  /** Per-band bucket keys for the portable path: the band's signature
+    * slice verbatim as a ':'-joined string — no engine-specific hash
+    * in the key, so an external engine reproduces the exact buckets. */
+  private def portableBandKeyArray(numHashes: Int, bands: Int): Column = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    array((0 until bands).map { j =>
+      concat_ws(":",
+        ((j * r) until ((j + 1) * r)).map(i => col("mh")(i).cast(StringType)): _*)
+    }: _*)
+  }
+
+  /** [[minHashCandidates]] with every hash portable/replayable —
+    * identical plan shape (map-only sign → banded candidate join →
+    * exact-Jaccard verify), different hash family. Output:
+    * (idA, idB, jaccard) with idA < idB and jaccard >= threshold. */
+  def portableMinHashCandidates(df: DataFrame, idCol: String, textCol: String,
+                                numHashes: Int = 32, bands: Int = 8,
+                                shingleK: Int = 3, threshold: Double = 0.5,
+                                maxBucketSize: Int = 100000): DataFrame = {
+    val sigs = portableMinHashSignTable(df, idCol, textCol, numHashes, shingleK)
+      .localCheckpoint(eager = false)
+    val base = sigs.select(col("id"), col("sh"))
+    val banded = capBuckets(
+      requireSigLength(sigs, numHashes).select(col("id"),
+        posexplode(portableBandKeyArray(numHashes, bands)).as(Seq("band", "bucket"))),
+      Seq("band", "bucket"), maxBucketSize)
+    val pairs = banded.select(col("band"), col("bucket"), col("id").as("idA"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("idB")),
+        Seq("band", "bucket"))
+      .filter(col("idA") < col("idB"))
+      .select("idA", "idB")
+      .dropDuplicates("idA", "idB")
+    pairs
+      .join(base.select(col("id").as("idA"), col("sh").as("shA")), Seq("idA"))
+      .join(base.select(col("id").as("idB"), col("sh").as("shB")), Seq("idB"))
+      .withColumn("jaccard", jaccard(col("shA"), col("shB")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("idA"), col("idB"), col("jaccard"))
+  }
+
   /** Incremental dedup: near-duplicate pairs BETWEEN a (small) new
     * batch and an existing signed corpus — the operation a continuous
     * ingest pipeline actually runs. Both inputs are signature tables

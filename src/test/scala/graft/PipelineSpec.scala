@@ -38,6 +38,46 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     cands should not contain ((3L, 5L))
   }
 
+  "portable MinHash-LSH" should "find the same planted pairs with replayable hashes" in {
+    val cands = Dedup.portableMinHashCandidates(docs, "doc_id", "text",
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    cands should contain((1L, 2L))
+    cands should contain((1L, 4L))
+    cands should not contain ((1L, 3L))
+  }
+
+  it should "match an independent reimplementation of the hash family" in {
+    import graft.functions.TextHashExprs
+    // expected values computed OUTSIDE the expression under test:
+    // md5-prefix shingle hashes and (a*x + b) mod 2^61-1 mins in plain
+    // Scala, guarding the constants and formula wiring end to end
+    val text = "alpha beta gamma delta beta gamma"
+    val toks = text.split(" ").toSeq
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(s: String): Long = {
+      md.reset()
+      val d = md.digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+    }
+    val shingleHashes = toks.sliding(3).map(_.mkString(" ")).map(h32).toSeq.distinct
+    val (as, bs) = TextHashExprs.portableCoeffs(8)
+    val expected = (0 until 8).map { i =>
+      shingleHashes.map(x => (as(i) * x + bs(i)) % TextHashExprs.PortableMod).min
+    }
+    val row = Seq(Tuple1(text)).toDF("text")
+      .select(TextHashExprs.portableMinHashCol(
+        TextHashExprs.portableFingerprintsCol(
+          Dedup.tokens(col("text")), 3, Int.MaxValue), 8).as("mh"))
+      .head()
+    row.getSeq[Long](0) shouldBe expected
+    // coefficient bounds guarantee no ANSI overflow: a < 2^30, b < 2^32
+    val (aAll, bAll) = TextHashExprs.portableCoeffs(256)
+    all(aAll) should (be >= 1L and be < (1L << 30))
+    all(bAll) should (be >= 0L and be < (1L << 32))
+  }
+
   it should "compute exact n-gram Jaccard on verified pairs" in {
     val j = Dedup.minHashCandidates(docs, "doc_id", "text", threshold = 0.1)
       .filter(col("idA") === 1 && col("idB") === 4)
