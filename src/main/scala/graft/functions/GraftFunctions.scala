@@ -66,6 +66,12 @@ object GraftFunctions {
         { args => arity("portable_fingerprints", 3, args)
           TextHashExprs.PortableFpExpr(args(0),
             intLit(args(1), "k"), intLit(args(2), "keep")) }),
+      ("portable_minhash",
+        "portable_minhash(hashes, n) - n-element MinHash vector over " +
+          "portable_fingerprints hashes via (a*x+b) mod 2^61-1 " +
+          "(md5-derived coefficients, replayable in any SQL engine)",
+        { args => arity("portable_minhash", 2, args)
+          TextHashExprs.PortableMinHashExpr(args(0), intLit(args(1), "n")) }),
       ("parse_ntriple",
         "parse_ntriple(line, permissive) - 0/1-element array of quad structs " +
           "from one N-Triples/N-Quads line; explode it (permissive: drop " +

@@ -66,7 +66,8 @@ class GraftFunctionsSpec extends AnyFlatSpec with Matchers {
       .builtin.clone()
     org.apache.spark.sql.GraftTestBridge.registerFunctions(ext, reg)
     Seq("vec_dot", "vec_cosine", "shingle_hashes", "minhash_from_hashes",
-      "simhash_sig", "portable_fingerprints", "parse_ntriple").foreach { n =>
+      "simhash_sig", "portable_fingerprints", "portable_minhash",
+      "parse_ntriple").foreach { n =>
       reg.functionExists(FunctionIdentifier(n)) shouldBe true
     }
     // and the injected builder produces the real expression
