@@ -31,6 +31,34 @@ object StreamingOps {
         col("q.o").as("o"), col("q.g").as("g"))
   }
 
+  /** Continuous whole-file RDF ingest: watch a directory for new
+    * Turtle/TriG/RDF-XML/JSON-LD/TriX (or mixed) files and emit quads
+    * incrementally — the streaming face of
+    * [[graft.io.QuadsIO.readFiles]], same per-file extension dispatch
+    * and native parse expression, one file per task. Stateless
+    * map-only, so it composes with any downstream watermarked operator
+    * or sink; a batch backfill via readFiles and its live tail share
+    * one parse path. `skipMalformed` drops undecodable FILES (batch
+    * semantics), not lines. */
+  def rdfFilesStream(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     skipMalformed: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.explode
+    import org.apache.spark.sql.types._
+    // file-based streaming sources require an explicit schema; this is
+    // BinaryFileFormat's fixed one
+    val binaryFileSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    spark.readStream.format("binaryFile").schema(binaryFileSchema).load(dir)
+      .select(explode(graft.functions.NtParse
+        .parseRdfFileCol(col("path"), col("content"),
+          permissive = skipMalformed)).as("q"))
+      .select(col("q.s").as("s"), col("q.p").as("p"),
+        col("q.o").as("o"), col("q.g").as("g"))
+  }
+
   /** Streaming exact dedup on a content fingerprint. State is scoped
     * by the event-time watermark (dropDuplicatesWithinWatermark), so
     * the dedup map cannot grow without bound on an infinite stream.

@@ -241,4 +241,29 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
         ("urn:ns:b", "v2", "urn:ns:g"))
     } finally q.stop()
   }
+
+  "streaming whole-file RDF ingest" should
+    "emit quads as Turtle/TriX files arrive" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft-filestream")
+    val out = StreamingOps.rdfFilesStream(spark, dir.toString)
+    val q = out.writeStream.format("memory").queryName("rdffile_stream_out")
+      .outputMode("append").start()
+    try {
+      java.nio.file.Files.writeString(dir.resolve("first.ttl"),
+        "@prefix : <urn:fs:> . :a :p \"ttl\" .")
+      q.processAllAvailable()
+      java.nio.file.Files.writeString(dir.resolve("second.trix"),
+        """<TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/"><graph>
+          |<uri>urn:fs:g</uri>
+          |<triple><uri>urn:fs:b</uri><uri>urn:fs:p</uri>
+          |<plainLiteral>trix</plainLiteral></triple></graph></TriX>"""
+          .stripMargin)
+      q.processAllAvailable()
+      val rows = spark.table("rdffile_stream_out")
+        .select(col("s.lex"), col("o.lex"), col("g.lex")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      rows shouldBe Set(("urn:fs:a", "ttl", null),
+        ("urn:fs:b", "trix", "urn:fs:g"))
+    } finally q.stop()
+  }
 }
