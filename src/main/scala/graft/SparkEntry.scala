@@ -547,6 +547,14 @@ object SparkEntry {
       graft.pipeline.Dedup.portableMinHashCandidates(
         t(s, d, "documents"), "doc_id", "text")
     },
+    "q_dedup_simhash_portable" -> { (s, d) =>
+      // the SAME pigeonhole pipeline with md5 token hashes and verbatim
+      // chunk-value bucket keys, so the DuckDB oracle re-derives every
+      // vote, signature bit, bucket and Hamming distance — the SimHash
+      // family's end-to-end hash-checked entry
+      graft.pipeline.Dedup.portableSimHashCandidates(
+        t(s, d, "documents"), "doc_id", "text")
+    },
     "q_dedup_simhash" -> { (s, d) => // rows-only
       // Hamming ≤ 3 on 64-bit signatures — the published standard for
       // simhash near-dup at web scale (Manku et al., WWW'07)
@@ -775,6 +783,65 @@ object SparkEntry {
        |  FROM cand JOIN sh sa ON cand.idA = sa.doc_id
        |            JOIN sh sb ON cand.idB = sb.doc_id
        |) WHERE jaccard >= $threshold""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.pipeline.Dedup.portableSimHashCandidates]]
+    * at the per-bit-vote level — DuckDB cannot shift into bit 63 of a
+    * BIGINT, so the oracle never materializes the 64-bit signature:
+    * chunk bucket values are summed from the bits of their own range
+    * (≤13 bits each) and Hamming distance is the count of differing
+    * bits. Chunk boundaries are generated from the same
+    * `i * 64 / m` split the Spark operator uses. */
+  private def portableSimHashOracle(maxHamming: Int, cleanChunks: Int): String = {
+    val m = maxHamming + cleanChunks
+    val lows = (0 to m).map(i => i * 64 / m)
+    val chunkCase = "CASE " +
+      (0 until m).map(i => s"WHEN b < ${lows(i + 1)} THEN $i").mkString(" ") + " END"
+    val loCase = "CASE " +
+      (0 until m).map(i => s"WHEN b < ${lows(i + 1)} THEN ${lows(i)}").mkString(" ") + " END"
+    val pivot = (0 until m)
+      .map(i => s"max(CASE WHEN c = $i THEN v END) AS c$i").mkString(", ")
+    val combos = (0 until m).combinations(cleanChunks).toSeq
+    val keyList = combos.zipWithIndex.map { case (combo, cid) =>
+      s"'$cid" + combo.map(i => s":' || c$i || '").mkString + "'"
+    }.mkString("[", ", ", "]")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(
+       |           lower(trim(coalesce(text, ''))), '\\s+'), x -> x <> '') AS ts
+       |  FROM documents
+       |), tokh AS (
+       |  SELECT doc_id, unnest(list_transform(ts,
+       |           t -> ('0x' || substr(md5(t), 1, 16))::UBIGINT)) AS h
+       |  FROM toks
+       |), grid AS (
+       |  SELECT doc_id, unnest(range(64)) AS b FROM (SELECT doc_id FROM documents)
+       |), votes AS (
+       |  SELECT t.doc_id, g.b,
+       |         CASE WHEN (t.h >> g.b) & 1 = 1 THEN 1 ELSE -1 END AS v
+       |  FROM tokh t JOIN (SELECT unnest(range(64)) AS b) g ON true
+       |), bits AS (
+       |  SELECT g.doc_id, g.b,
+       |         CASE WHEN coalesce(sum(v.v), 0) > 0 THEN 1 ELSE 0 END AS bit
+       |  FROM grid g LEFT JOIN votes v ON v.doc_id = g.doc_id AND v.b = g.b
+       |  GROUP BY g.doc_id, g.b
+       |), chunkv AS (
+       |  SELECT doc_id, $chunkCase AS c,
+       |         sum(bit * (1 << (b - ($loCase)))) AS v
+       |  FROM bits GROUP BY doc_id, 2
+       |), ch AS (
+       |  SELECT doc_id, $pivot FROM chunkv GROUP BY doc_id
+       |), keys AS (
+       |  SELECT doc_id, unnest($keyList) AS k FROM ch
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB
+       |  FROM keys a JOIN keys b ON a.k = b.k WHERE a.doc_id < b.doc_id
+       |)
+       |SELECT idA, idB, hamming FROM (
+       |  SELECT c.idA, c.idB, CAST(sum(abs(ba.bit - bb.bit)) AS BIGINT) AS hamming
+       |  FROM cand c JOIN bits ba ON ba.doc_id = c.idA
+       |              JOIN bits bb ON bb.doc_id = c.idB AND bb.b = ba.b
+       |  GROUP BY c.idA, c.idB
+       |) WHERE hamming <= $maxHamming""".stripMargin
   }
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -1022,6 +1089,8 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q_dedup_minhash_portable" -> portableMinHashOracle(
       numHashes = 32, bands = 8, shingleK = 3, threshold = 0.5),
+    "q_dedup_simhash_portable" -> portableSimHashOracle(
+      maxHamming = 3, cleanChunks = 2),
     "q_curate" ->
       """WITH scored AS (
         |  SELECT doc_id, text,

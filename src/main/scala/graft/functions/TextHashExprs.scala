@@ -187,6 +187,36 @@ object TextHashExprs {
     UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
+  /** Portable 64-bit SimHash: like [[simHashSig]] but the token hash
+    * is the first 8 md5 bytes (big-endian) — the bit pattern of
+    * `('0x' || substr(md5(t), 1, 16))::UBIGINT` in any SQL engine, so
+    * an external oracle re-derives every vote and bit. */
+  def portableSimHash(toks: ArrayData): Long = {
+    val md = MD5.get()
+    val n = toks.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(toks.getUTF8String(i).getBytes)
+        var h = 0L
+        var j = 0
+        while (j < 8) { h = (h << 8) | (d(j) & 0xFFL); j += 1 }
+        var b = 0
+        while (b < 64) {
+          votes(b) += (((h >>> b).toInt & 1) << 1) - 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= 1L << b; b += 1 }
+    sig
+  }
+
   /** 64-bit SimHash over the token array (unit weights): bit b set iff
     * the sum over tokens of ±1 (sign of bit b of the token's xxhash64)
     * is positive. Token-less input → 0L, matching the Column form. */
@@ -329,6 +359,24 @@ object TextHashExprs {
       copy(child = newChild)
   }
 
+  case class PortableSimHashExpr(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkArrayOf(child, StringType, prettyName)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "portable_simhash"
+
+    override def nullSafeEval(a: Any): Any =
+      portableSimHash(a.asInstanceOf[ArrayData])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => s"""
+        |${ev.value} = graft.functions.TextHashExprs.portableSimHash($a);
+        """.stripMargin)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ----- Column API -----
   def shingleHashesCol(tokens: Column, k: Int): Column =
     GraftColumnBridge.column(
@@ -345,4 +393,7 @@ object TextHashExprs {
   def portableMinHashCol(hashes: Column, numHashes: Int): Column =
     GraftColumnBridge.column(
       PortableMinHashExpr(GraftColumnBridge.expression(hashes), numHashes))
+  def portableSimHashCol(tokens: Column): Column =
+    GraftColumnBridge.column(
+      PortableSimHashExpr(GraftColumnBridge.expression(tokens)))
 }

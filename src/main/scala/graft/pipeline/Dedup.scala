@@ -403,6 +403,57 @@ object Dedup {
     sigs.select(col("id"), col("sig"), explode(keys).as("k"))
   }
 
+  /** [[simHashKeys]] with engine-neutral keys: the `cleanChunks`
+    * chunk values ride the key VERBATIM (':'-joined, cid-prefixed)
+    * instead of xxhash64-mixed, so an external SQL engine reproduces
+    * the exact buckets. Key width is bounded (≤ cleanChunks·20 chars
+    * for 13-bit chunks) — wider than a mixed long but still tiny
+    * relative to the rows it keys. */
+  private def portableSimHashKeys(sigs: DataFrame, maxHamming: Int,
+                                  cleanChunks: Int): DataFrame = {
+    require(cleanChunks >= 1, "cleanChunks must be >= 1")
+    val m = maxHamming + cleanChunks
+    require(m <= 64, "maxHamming + cleanChunks must be <= 64")
+    val lows = (0 to m).map(i => i * 64 / m)
+    def chunkVal(i: Int): Column = {
+      val width = lows(i + 1) - lows(i)
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      call_function("shiftrightunsigned", col("sig"), lit(lows(i)))
+        .bitwiseAND(lit(mask))
+    }
+    val combos = (0 until m).combinations(cleanChunks).toSeq
+    val keys = array(combos.zipWithIndex.map { case (combo, cid) =>
+      concat_ws(":",
+        (lit(cid.toString) +: combo.map(i => chunkVal(i).cast(StringType))): _*)
+    }: _*)
+    sigs.select(col("id"), col("sig"), explode(keys).as("k"))
+  }
+
+  /** [[simHashCandidates]] with every hash portable/replayable:
+    * md5-based token hashes ([[graft.functions.TextHashExprs.portableSimHash]])
+    * and verbatim chunk-value bucket keys — identical pigeonhole
+    * pipeline, reproducible bit-for-bit by an external SQL engine
+    * (the DuckDB CORRECTNESS oracle re-derives every vote, bit,
+    * bucket and Hamming distance). Output: (idA, idB, hamming). */
+  def portableSimHashCandidates(df: DataFrame, idCol: String, textCol: String,
+                                maxHamming: Int = 3, cleanChunks: Int = 2,
+                                maxBucketSize: Int = 100000): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+      graft.functions.TextHashExprs.portableSimHashCol(
+        tokens(coalesce(col(textCol), lit("")))).as("sig"))
+    val keyed = capBuckets(portableSimHashKeys(sigs, maxHamming, cleanChunks),
+      Seq("k"), maxBucketSize)
+    val l = keyed.select(col("k"), col("id").as("idA"), col("sig").as("sigA"))
+    val r = keyed.select(col("k"), col("id").as("idB"), col("sig").as("sigB"))
+    l.join(r, Seq("k"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"), col("sigA"), col("sigB"))
+      .dropDuplicates("idA", "idB")
+      .withColumn("hamming", bit_count(col("sigA").bitwiseXOR(col("sigB"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("idA"), col("idB"), col("hamming").cast(LongType).as("hamming"))
+  }
+
   def simHashCandidatesFromSigs(sigs: DataFrame, maxHamming: Int = 3,
                                 cleanChunks: Int = 2,
                                 maxBucketSize: Int = 100000): DataFrame = {

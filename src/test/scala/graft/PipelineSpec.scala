@@ -161,6 +161,35 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     epairs.count { case (a, b) => a >= 100L && b >= 100L } shouldBe 0
   }
 
+  "portable SimHash" should "pair identical text at distance 0 and match an independent reimplementation" in {
+    val cands = Dedup.portableSimHashCandidates(docs, "doc_id", "text",
+      maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    cands.find(c => c._1 == 1L && c._2 == 4L).map(_._3) shouldBe Some(0L)
+    cands.map(c => (c._1, c._2)) should contain((1L, 2L))
+    // expected signature computed OUTSIDE the expression under test:
+    // md5 first-8-byte token hashes and bit votes in plain Scala
+    val text = "alpha beta gamma beta"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h64(s: String): Long = {
+      md.reset()
+      md.digest(s.getBytes("UTF-8")).take(8)
+        .foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xFFL))
+    }
+    val votes = new Array[Int](64)
+    text.split(" ").foreach { t =>
+      val h = h64(t)
+      (0 until 64).foreach(b => votes(b) += (((h >>> b).toInt & 1) * 2) - 1)
+    }
+    val expected = (0 until 64)
+      .foldLeft(0L)((acc, b) => if (votes(b) > 0) acc | (1L << b) else acc)
+    import spark.implicits._
+    Seq(Tuple1(text)).toDF("text")
+      .select(graft.functions.TextHashExprs.portableSimHashCol(
+        Dedup.tokens(col("text"))).as("sig"))
+      .head().getLong(0) shouldBe expected
+  }
+
   "SimHash" should "give distance 0 for identical text and find near-dups" in {
     val sigs = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
