@@ -637,6 +637,37 @@ object SparkEntry {
       graft.pipeline.TextAnalysis.portableRollingFingerprintTable(
         t(s, d, "documents"), "doc_id", "text")
     },
+    "q_decontam_report" -> { (s, d) =>
+      // eval-set decontamination: the benchmark is 12-token passages
+      // extracted from every (doc_id % 97 == 0) document — eval
+      // passages whose SOURCE documents remain in the corpus, exactly
+      // the leak this operator exists to catch. Portable md5 window
+      // hashes, so the DuckDB oracle re-derives every window hash,
+      // hit count and bench-doc count bit-for-bit.
+      import graft.pipeline.{Decontaminate, Dedup}
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(col("text").isNotNull)
+        .select(col("doc_id").as("bench_id"), Dedup.tokens(col("text")).as("ts"))
+        .filter(col("bench_id") % 97 === 0 && size(col("ts")) >= 14)
+        .select(col("bench_id"),
+          concat_ws(" ", slice(col("ts"), 3, 12)).as("btext"))
+      Decontaminate.report(docs, "doc_id", "text",
+        bench, "bench_id", "btext")
+    },
+    "q_decontam_clean" -> { (s, d) =>
+      // the surviving corpus after dropping every document that shares
+      // >= 1 window with the benchmark passages above
+      import graft.pipeline.{Decontaminate, Dedup}
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(col("text").isNotNull)
+        .select(col("doc_id").as("bench_id"), Dedup.tokens(col("text")).as("ts"))
+        .filter(col("bench_id") % 97 === 0 && size(col("ts")) >= 14)
+        .select(col("bench_id"),
+          concat_ws(" ", slice(col("ts"), 3, 12)).as("btext"))
+      Decontaminate.clean(docs, "doc_id", "text",
+        bench, "bench_id", "btext")
+        .select(col("doc_id"), col("lang"))
+    },
     "q_topk_group" -> { (s, d) =>
       // curation selection: best-k documents per language by length,
       // ties broken deterministically by doc_id
@@ -843,6 +874,37 @@ object SparkEntry {
        |  GROUP BY c.idA, c.idB
        |) WHERE hamming <= $maxHamming""".stripMargin
   }
+
+  /** Shared CTE prefix for the decontamination oracle: the benchmark
+    * passages (12-token slices of every doc_id % 97 == 0 document) and
+    * the portable window-hash tables of both sides, replayed exactly as
+    * [[graft.pipeline.Decontaminate]] computes them. */
+  private def decontamOracle(tail: String): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |                             x -> x <> '') AS ts
+       |  FROM documents WHERE text IS NOT NULL
+       |), bench_txt AS (
+       |  SELECT doc_id AS bench_id, array_to_string(list_slice(ts, 3, 14), ' ') AS btext
+       |  FROM toks WHERE doc_id % 97 = 0 AND len(ts) >= 14
+       |), bfp AS (
+       |  SELECT bench_id, unnest(list_distinct(list_transform(
+       |    CASE WHEN len(bts) >= 8
+       |         THEN list_transform(generate_series(1, len(bts) - 7),
+       |                             i -> array_to_string(list_slice(bts, i, i + 7), ' '))
+       |         ELSE [array_to_string(bts, ' ')] END,
+       |    w -> CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)))) AS fp
+       |  FROM (SELECT bench_id, regexp_split_to_array(btext, ' ') AS bts FROM bench_txt)
+       |), tfp AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    CASE WHEN len(ts) >= 8
+       |         THEN list_transform(generate_series(1, len(ts) - 7),
+       |                             i -> array_to_string(list_slice(ts, i, i + 7), ' '))
+       |         ELSE [array_to_string(ts, ' ')] END,
+       |    w -> CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)))) AS fp
+       |  FROM toks
+       |)
+       |$tail""".stripMargin
 
   lazy val oracleSql: Map[String, String] = Map(
     "q_scan" ->
@@ -1133,6 +1195,15 @@ object SparkEntry {
         |  FROM toks
         |)
         |SELECT doc_id, unnest(fp4) AS fp FROM fps""".stripMargin,
+    "q_decontam_report" -> decontamOracle(
+      """SELECT t.doc_id, CAST(count(DISTINCT t.fp) AS BIGINT) AS hits,
+        |       CAST(count(DISTINCT b.bench_id) AS BIGINT) AS bench_docs
+        |FROM tfp t JOIN bfp b ON t.fp = b.fp GROUP BY t.doc_id""".stripMargin),
+    "q_decontam_clean" -> decontamOracle(
+      """SELECT doc_id, lang FROM documents
+        |WHERE doc_id NOT IN (
+        |  SELECT DISTINCT t.doc_id FROM tfp t JOIN bfp b ON t.fp = b.fp)"""
+        .stripMargin),
     "q_sample_det" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 8))::BIGINT
