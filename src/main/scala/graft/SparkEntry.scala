@@ -691,6 +691,31 @@ object SparkEntry {
         round(stopwordRatio(col("text")), 6).as("stop_ratio"),
         round(avgWordLen(col("text")), 6).as("awl"))
     },
+    "q_quality_repetition" -> { (s, d) =>
+      // Gopher-style repetition/layout signals (one native expression
+      // call per doc) over a deterministically built multi-line view of
+      // each document (the synthetic corpus is single-line): line 1 =
+      // chars 1-40, line 2 = a bullet over chars 11-35, line 3 = chars
+      // 1-40 again (planted duplicate), line 4 = chars 21-35 + ' ...';
+      // the oracle rebuilds the same text and recomputes every fraction
+      // from exploded lines/tokens/bigrams
+      val docs = t(s, d, "documents").filter(col("text").isNotNull)
+      docs.select(col("doc_id"), concat_ws("\n",
+          substring(col("text"), 1, 40),
+          concat(lit("- "), substring(col("text"), 11, 25)),
+          substring(col("text"), 1, 40),
+          concat(substring(col("text"), 21, 15), lit(" ..."))).as("txt"))
+        .select(col("doc_id"),
+          graft.pipeline.TextAnalysis.repetitionStats(col("txt")).as("st"))
+        .select(col("doc_id"),
+          col("st.n_lines").cast("bigint").as("n_lines"),
+          round(col("st.dup_line_frac"), 6).as("dup_line_frac"),
+          round(col("st.dup_line_char_frac"), 6).as("dup_line_char_frac"),
+          round(col("st.bullet_line_frac"), 6).as("bullet_line_frac"),
+          round(col("st.ellipsis_line_frac"), 6).as("ellipsis_line_frac"),
+          round(col("st.top_token_frac"), 6).as("top_token_frac"),
+          round(col("st.top_bigram_char_frac"), 6).as("top_bigram_char_frac"))
+    },
     "q_text_langid" -> { (s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         graft.pipeline.TextAnalysis.langId(col("text")).as("lang_pred"))
@@ -1245,6 +1270,61 @@ object SparkEntry {
         |           t -> length(t)))::DOUBLE
         |         / len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')) END, 6) AS awl
         |FROM documents""".stripMargin,
+    "q_quality_repetition" ->
+      """WITH built AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 40) || chr(10) || '- ' || substr(text, 11, 25) || chr(10) ||
+        |    substr(text, 1, 40) || chr(10) || substr(text, 21, 15) || ' ...' AS txt
+        |  FROM documents WHERE text IS NOT NULL
+        |), lx AS (
+        |  SELECT doc_id, trim(l) AS l
+        |  FROM (SELECT doc_id, unnest(string_split(txt, chr(10))) AS l FROM built)
+        |  WHERE trim(l) <> ''
+        |), lc AS (
+        |  SELECT doc_id, l, count(*) AS c, length(l) AS cl FROM lx GROUP BY doc_id, l
+        |), lagg AS (
+        |  SELECT doc_id,
+        |    CAST(sum(c) AS BIGINT) AS n_lines,
+        |    (sum(c) - count(*))::DOUBLE / sum(c) AS dlf,
+        |    sum(CASE WHEN c > 1 THEN c*cl ELSE 0 END)::DOUBLE / sum(c*cl) AS dlcf,
+        |    sum(CASE WHEN l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%' THEN c ELSE 0 END)::DOUBLE
+        |      / sum(c) AS blf,
+        |    sum(CASE WHEN l LIKE '%...' OR l LIKE '%…' THEN c ELSE 0 END)::DOUBLE
+        |      / sum(c) AS elf
+        |  FROM lc GROUP BY doc_id
+        |), tl AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(txt)), '\s+'),
+        |                             x -> x <> '') AS ts
+        |  FROM built
+        |), tc AS (
+        |  SELECT doc_id, t, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(ts) AS t FROM tl) GROUP BY doc_id, t
+        |), tagg AS (
+        |  SELECT doc_id, max(c)::DOUBLE / sum(c) AS ttf,
+        |         sum(c*length(t)) + sum(c) - 1 AS denom
+        |  FROM tc GROUP BY doc_id
+        |), bg AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ts)-1),
+        |           i -> array_to_string(list_slice(ts, i, i+1), ' '))) AS g
+        |  FROM tl WHERE len(ts) >= 2
+        |), bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g
+        |), bgm AS (SELECT doc_id, max(c) AS mc FROM bgc GROUP BY doc_id
+        |), bgt AS (
+        |  SELECT bgc.doc_id, mc, max(length(g)) AS ml
+        |  FROM bgc JOIN bgm ON bgc.doc_id = bgm.doc_id AND bgc.c = bgm.mc
+        |  GROUP BY bgc.doc_id, mc
+        |)
+        |SELECT l.doc_id, l.n_lines,
+        |  round(l.dlf, 6) AS dup_line_frac,
+        |  round(l.dlcf, 6) AS dup_line_char_frac,
+        |  round(l.blf, 6) AS bullet_line_frac,
+        |  round(l.elf, 6) AS ellipsis_line_frac,
+        |  round(t.ttf, 6) AS top_token_frac,
+        |  round(CASE WHEN b.mc IS NULL THEN 0.0
+        |        ELSE least(1.0, (b.mc * b.ml)::DOUBLE / t.denom) END, 6)
+        |    AS top_bigram_char_frac
+        |FROM lagg l JOIN tagg t ON l.doc_id = t.doc_id
+        |LEFT JOIN bgt b ON l.doc_id = b.doc_id""".stripMargin,
     "q_text_langid" ->
       """SELECT doc_id,
         |  CASE

@@ -72,6 +72,12 @@ object GraftFunctions {
           "(md5-derived coefficients, replayable in any SQL engine)",
         { args => arity("portable_minhash", 2, args)
           TextHashExprs.PortableMinHashExpr(args(0), intLit(args(1), "n")) }),
+      ("repetition_stats",
+        "repetition_stats(text) - struct of Gopher-style repetition/layout " +
+          "quality signals (dup-line/top-token/top-bigram fractions, " +
+          "bullet/ellipsis line shares)",
+        { args => arity("repetition_stats", 1, args)
+          RepetitionExprs.RepetitionStatsExpr(args(0)) }),
       ("parse_ntriple",
         "parse_ntriple(line, permissive) - 0/1-element array of quad structs " +
           "from one N-Triples/N-Quads line; explode it (permissive: drop " +

@@ -67,6 +67,16 @@ object TextAnalysis {
       .otherwise(lit("und"))
   }
 
+  /** Gopher-style repetition/layout quality signals (Rae et al.,
+    * arXiv:2112.11446 §A1.1) as ONE native codegen'd expression call:
+    * struct {n_lines, dup_line_frac, dup_line_char_frac,
+    * bullet_line_frac, ellipsis_line_frac, top_token_frac,
+    * top_bigram_char_frac}. One generated pass per document — fuses
+    * into the scan, no exploded line/token rows, no interpreted array
+    * lambdas. Signal definitions: [[graft.functions.RepetitionExprs]]. */
+  def repetitionStats(text: Column): Column =
+    graft.functions.RepetitionExprs.repetitionStatsCol(text)
+
   /** Canonical content fingerprint: md5 of the normalized text
     * (lowercased, whitespace collapsed) — the exact-dedup key. */
   def fingerprint(text: Column): Column =
