@@ -691,6 +691,22 @@ object SparkEntry {
         round(stopwordRatio(col("text")), 6).as("stop_ratio"),
         round(avgWordLen(col("text")), 6).as("awl"))
     },
+    "q_pii_scrub" -> { (s, d) =>
+      // planted PII: every document gets a synthetic email, IP and
+      // phone derived from its id appended; the oracle rebuilds the
+      // same augmented text and replays the identical RE2-compatible
+      // redaction chain (with 'g') and counts
+      val docs = t(s, d, "documents")
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 call +1 555-01"), (col("doc_id") % 10).cast("string"),
+        lit("-0199 soon"))
+      graft.pipeline.Scrub.scrubTable(
+        docs.select(col("doc_id"), aug.as("text")), "text")
+        .select(col("doc_id"), col("text").as("scrubbed"),
+          col("pii_emails"), col("pii_ips"), col("pii_phones"))
+    },
     "q_quality_repetition" -> { (s, d) =>
       // Gopher-style repetition/layout signals (one native expression
       // call per doc) over a deterministically built multi-line view of
@@ -1270,6 +1286,36 @@ object SparkEntry {
         |           t -> length(t)))::DOUBLE
         |         / len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')) END, 6) AS awl
         |FROM documents""".stripMargin,
+    "q_pii_scrub" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id::VARCHAR || '@example.com or 10.0.' ||
+        |    (doc_id % 256)::VARCHAR || '.7 call +1 555-01' ||
+        |    (doc_id % 10)::VARCHAR || '-0199 soon' AS t
+        |  FROM documents
+        |), e1 AS (
+        |  SELECT doc_id, t,
+        |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |                   '<EMAIL>', 'g') AS a
+        |  FROM aug
+        |), e2 AS (
+        |  SELECT doc_id, t, a,
+        |    regexp_replace(a, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+        |                   '<IP>', 'g') AS b
+        |  FROM e1
+        |)
+        |SELECT doc_id,
+        |  regexp_replace(b, '\+?\(?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g')
+        |    AS scrubbed,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS pii_emails,
+        |  CAST(len(regexp_extract_all(a,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT)
+        |    AS pii_ips,
+        |  CAST(len(regexp_extract_all(b,
+        |    '\+?\(?[0-9][0-9()\- ]{6,}[0-9]')) AS BIGINT) AS pii_phones
+        |FROM e2""".stripMargin,
     "q_quality_repetition" ->
       """WITH built AS (
         |  SELECT doc_id,

@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** PII scrubbing for training corpora: regex redaction of emails, IPv4
+  * addresses and phone-like digit runs, with per-document redaction
+  * counts — the standard pre-training privacy pass (the C4/refined-web
+  * style pipeline step).
+  *
+  * Every pattern is written in the common subset of Java regex and RE2
+  * (no lookaround, no backreferences), so an external engine replays
+  * the exact same redactions — the DuckDB CORRECTNESS oracle does, with
+  * `regexp_replace(..., 'g')`.
+  *
+  * Scale shape: pure map-only column expressions (codegen'd
+  * `regexp_replace`/`regexp_count` with constant patterns — compiled
+  * once per task, not per row); scrubbing fuses into the scan and
+  * shuffles nothing.
+  *
+  * Redaction order is load-bearing and mirrored by the counts: emails
+  * first (their local parts may contain digit runs a later pattern
+  * could half-match), then IPv4 (dots would otherwise split into
+  * phone-like runs), then phones on the already-redacted text.
+  */
+object Scrub {
+
+  /** Email addresses: local part, '@', dotted domain, ≥2-letter TLD. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 (syntactic — no 0-255 range check, matching the
+    * published curation filters' permissive form). */
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Phone-like runs: optional '+' and '(', then ≥8 chars of digits,
+    * spaces, parentheses and dashes, first and last being digits. */
+  val PhoneRe = "\\+?\\(?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  val EmailTag = "<EMAIL>"
+  val IpTag = "<IP>"
+  val PhoneTag = "<PHONE>"
+
+  /** `text` with emails, then IPv4s, then phone runs redacted. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, EmailTag),
+        Ipv4Re, IpTag),
+      PhoneRe, PhoneTag)
+
+  /** Redaction counts as struct{emails, ips, phones}; each pattern is
+    * counted on the text the scrub chain actually applies it to. */
+  def piiCounts(text: Column): Column = {
+    val afterEmail = regexp_replace(text, EmailRe, EmailTag)
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, IpTag)
+    struct(
+      regexp_count(text, lit(EmailRe)).cast(LongType).as("emails"),
+      regexp_count(afterEmail, lit(Ipv4Re)).cast(LongType).as("ips"),
+      regexp_count(afterIp, lit(PhoneRe)).cast(LongType).as("phones"))
+  }
+
+  /** Convenience: `df` with `textCol` scrubbed in place plus
+    * `pii_emails`/`pii_ips`/`pii_phones` count columns. */
+  def scrubTable(df: DataFrame, textCol: String): DataFrame = {
+    val c = piiCounts(col(textCol))
+    df.withColumn("__pii", c)
+      .withColumn(textCol, scrubPii(col(textCol)))
+      .withColumn("pii_emails", col("__pii.emails"))
+      .withColumn("pii_ips", col("__pii.ips"))
+      .withColumn("pii_phones", col("__pii.phones"))
+      .drop("__pii")
+  }
+}

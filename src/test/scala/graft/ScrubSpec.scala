@@ -1,0 +1,64 @@
+package graft
+
+import graft.pipeline.Scrub
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** PII scrubbing: planted emails/IPs/phones are redacted with correct
+  * counts, clean text passes through untouched, and the redaction
+  * order prevents cross-pattern half-matches. */
+class ScrubSpec extends AnyFlatSpec with Matchers {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def scrub(text: String): (String, Long, Long, Long) = {
+    val r = Seq(text).toDF("text")
+      .select(Scrub.scrubPii(col("text")).as("s"),
+        Scrub.piiCounts(col("text")).as("c"))
+      .select("s", "c.emails", "c.ips", "c.phones")
+      .collect().head
+    (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  "scrubPii" should "redact an email, an IP and a phone in one text" in {
+    val (s, e, i, p) =
+      scrub("mail a.user+tag@sub.example.org, host 192.168.0.1, call +1 555-010-9999 now")
+    s shouldBe "mail <EMAIL>, host <IP>, call <PHONE> now"
+    (e, i, p) shouldBe ((1L, 1L, 1L))
+  }
+
+  it should "pass clean text through untouched" in {
+    val (s, e, i, p) = scrub("no personal data in this sentence at all")
+    s shouldBe "no personal data in this sentence at all"
+    (e, i, p) shouldBe ((0L, 0L, 0L))
+  }
+
+  it should "not count an IP's digit runs as a phone" in {
+    // without the IP-before-phone order, 192.168.0.1 would survive as
+    // digit runs; and the phone pattern must not swallow dotted quads
+    val (s, _, i, p) = scrub("server at 10.20.30.40 port open")
+    s shouldBe "server at <IP> port open"
+    (i, p) shouldBe ((1L, 0L))
+  }
+
+  it should "redact multiple instances of the same kind" in {
+    val (s, e, _, _) = scrub("cc a@b.co and c@d.org please")
+    s shouldBe "cc <EMAIL> and <EMAIL> please"
+    e shouldBe 2L
+  }
+
+  it should "redact parenthesized and dashed phone forms" in {
+    val (s, _, _, p) = scrub("dial (555) 010-2222 or 555-010-3333")
+    s shouldBe "dial <PHONE> or <PHONE>"
+    p shouldBe 2L
+  }
+
+  "scrubTable" should "scrub in place and attach count columns" in {
+    val df = Seq((1L, "write to x@y.io"), (2L, "clean")).toDF("doc_id", "text")
+    val out = Scrub.scrubTable(df, "text").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    out(1L) shouldBe (("write to <EMAIL>", 1L))
+    out(2L) shouldBe (("clean", 0L))
+  }
+}
