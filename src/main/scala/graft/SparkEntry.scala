@@ -590,6 +590,17 @@ object SparkEntry {
         t(s, d, "embeddings"), "vec_id", "embedding", dim = 64,
         numPlanes = 4, threshold = 0.2)
     },
+    "q_dedup_embedding_portable" -> { (s, d) =>
+      // the SAME bucket-then-verify pipeline with md5-derived ±1
+      // planes whose exact literal values inline into the oracle SQL,
+      // so DuckDB re-derives every signature bit, bucket, candidate
+      // pair and cosine — the embedding family's end-to-end
+      // hash-checked entry (±1 × float dot products are exact in
+      // double, so the buckets cannot drift between engines)
+      graft.pipeline.Dedup.portableEmbeddingCandidates(
+        t(s, d, "embeddings"), "vec_id", "embedding", dim = 64,
+        numPlanes = 4, threshold = 0.2)
+    },
     "q_curate" -> { (s, d) =>
       // the composed curation pipeline: quality-score → threshold →
       // exact dedup (one surviving doc per content fingerprint), the
@@ -947,6 +958,36 @@ object SparkEntry {
        |)
        |$tail""".stripMargin
 
+  /** DuckDB replay of [[graft.pipeline.Dedup.portableEmbeddingCandidates]]:
+    * the md5-derived ±1 plane matrix is inlined as exact list literals,
+    * so the oracle independently recomputes every projection sign,
+    * signature bucket, candidate pair and verification cosine. */
+  private def portableEmbeddingOracle(numPlanes: Int, dim: Int,
+                                      threshold: Double): String = {
+    val sigExpr = graft.pipeline.Dedup
+      .portableHyperplaneLiterals(numPlanes, dim)
+      .zipWithIndex.map { case (pl, p) =>
+        s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $pl::DOUBLE[]) > 0" +
+          s" THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" +\n         ")
+    s"""WITH sigs AS (
+       |  SELECT vec_id,
+       |         $sigExpr AS bucket
+       |  FROM embeddings WHERE embedding IS NOT NULL
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS idA, b.vec_id AS idB
+       |  FROM sigs a JOIN sigs b ON a.bucket = b.bucket
+       |  WHERE a.vec_id < b.vec_id
+       |)
+       |SELECT idA, idB, round(c, 6) AS cos FROM (
+       |  SELECT cand.idA, cand.idB,
+       |         list_cosine_similarity(ea.embedding::DOUBLE[],
+       |                                eb.embedding::DOUBLE[]) AS c
+       |  FROM cand JOIN embeddings ea ON cand.idA = ea.vec_id
+       |            JOIN embeddings eb ON cand.idB = eb.vec_id
+       |) WHERE c >= $threshold""".stripMargin
+  }
+
   lazy val oracleSql: Map[String, String] = Map(
     "q_scan" ->
       "SELECT 'urn:n:'||n_nationkey::VARCHAR AS n, n_name AS nname FROM nation",
@@ -1190,6 +1231,8 @@ object SparkEntry {
         |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
         |  ) AS BIGINT) AS cluster
         |FROM documents""".stripMargin,
+    "q_dedup_embedding_portable" -> portableEmbeddingOracle(
+      numPlanes = 4, dim = 64, threshold = 0.2),
     "q_dedup_minhash_portable" -> portableMinHashOracle(
       numHashes = 32, bands = 8, shingleK = 3, threshold = 0.5),
     "q_dedup_simhash_portable" -> portableSimHashOracle(

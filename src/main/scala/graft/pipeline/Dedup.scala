@@ -536,10 +536,59 @@ object Dedup {
   def embeddingCandidates(df: DataFrame, idCol: String, embCol: String,
                           dim: Int, numPlanes: Int = 12,
                           threshold: Double = 0.9,
-                          maxBucketSize: Int = 100000): DataFrame = {
+                          maxBucketSize: Int = 100000): DataFrame =
+    embeddingCandidatesWith(df, idCol, embCol,
+      hyperplanes(numPlanes, dim), threshold, maxBucketSize, roundCos = false)
+
+  /** ±1 (Rademacher) hyperplanes derived from md5 bits: plane `p`
+    * element `i` is +1 when the first md5 byte of "p:i" is odd, else
+    * -1. Sign random projections preserve the cosine-LSH guarantee,
+    * and the exact literal values inline into an external engine's SQL
+    * — no float formatting, no precision loss. */
+  private[pipeline] def portableHyperplanes(numPlanes: Int,
+                                            dim: Int): Seq[Seq[Double]] = {
+    require(numPlanes <= 64,
+      s"RHP signature is a 64-bit word: at most 64 planes, got $numPlanes")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until numPlanes).map { p =>
+      (0 until dim).map { i =>
+        val d = md.digest(s"$p:$i".getBytes("UTF-8"))
+        if ((d(0) & 1) == 1) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** The ±1 plane matrix as SQL list literals, for inlining into an
+    * oracle query (one `[1.0, -1.0, ...]` literal per plane). */
+  def portableHyperplaneLiterals(numPlanes: Int, dim: Int): Seq[String] =
+    portableHyperplanes(numPlanes, dim).map(
+      _.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]"))
+
+  /** [[embeddingCandidates]] with a fully replayable hash family: the
+    * md5-derived ±1 planes of [[portableHyperplaneLiterals]], verbatim
+    * signature buckets, exact-cosine verification, cosine rounded to 6
+    * in the output — the embedding family's end-to-end hash-checked
+    * form (dot products of ±1 planes with float vectors are exact in
+    * double, so any engine reproduces the identical buckets). Same
+    * plan shape as the gaussian form: map-only signature → bucket
+    * self-join → cosine verify. */
+  def portableEmbeddingCandidates(df: DataFrame, idCol: String,
+                                  embCol: String, dim: Int,
+                                  numPlanes: Int = 4,
+                                  threshold: Double = 0.2,
+                                  maxBucketSize: Int = 100000): DataFrame =
+    embeddingCandidatesWith(df, idCol, embCol,
+      portableHyperplanes(numPlanes, dim), threshold, maxBucketSize,
+      roundCos = true)
+
+  private def embeddingCandidatesWith(df: DataFrame, idCol: String,
+                                      embCol: String,
+                                      planes: Seq[Seq[Double]],
+                                      threshold: Double, maxBucketSize: Int,
+                                      roundCos: Boolean): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(embCol).as("emb"))
     val sigs = capBuckets(base.select(col("id"),
-      rhpSignature(col("emb"), numPlanes, dim).as("bucket")),
+      graft.functions.VectorExprs.rhpSignature(col("emb"), planes).as("bucket")),
       Seq("bucket"), maxBucketSize)
       .localCheckpoint(eager = false) // both sides of the bucket join read it
     // candidate pairs carry ids only; vectors join back once per pair
@@ -553,6 +602,7 @@ object Dedup {
       .join(base.select(col("id").as("idB"), col("emb").as("embB")), Seq("idB"))
       .withColumn("cos", cosine(col("embA"), col("embB")))
       .filter(col("cos") >= threshold)
-      .select(col("idA"), col("idB"), col("cos"))
+      .select(col("idA"), col("idB"),
+        (if (roundCos) round(col("cos"), 6) else col("cos")).as("cos"))
   }
 }
