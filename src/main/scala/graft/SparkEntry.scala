@@ -747,6 +747,14 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"),
         graft.pipeline.TextAnalysis.langId(col("text")).as("lang_pred"))
     },
+    "q_bm25" -> { (s, d) =>
+      // keyword retrieval: BM25 top-10 for a three-term query; scores
+      // ranked ROUNDED (6 dp) with doc_id tie-break so libm ln and
+      // float summation order cannot flip the ranking between engines
+      graft.pipeline.Search.bm25TopK(t(s, d, "documents"),
+        "doc_id", "text", "spark join window", k = 10)
+        .select(col("id").as("doc_id"), col("score"))
+    },
     "q_ann_brute" -> { (s, d) =>
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") === 0).select("embedding")
@@ -986,6 +994,39 @@ object SparkEntry {
        |  FROM cand JOIN embeddings ea ON cand.idA = ea.vec_id
        |            JOIN embeddings eb ON cand.idB = eb.vec_id
        |) WHERE c >= $threshold""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.pipeline.Search.bm25TopK]]: the folded
+    * constants (k1+1, 1-b, ...) inline as round-trip double literals
+    * and every arithmetic step keeps the same association, so only
+    * libm `ln` and summation order can differ — both absorbed by
+    * ranking on the 6-decimal-rounded score. */
+  private def bm25Oracle(terms: Seq[String], k: Int,
+                         k1: Double, b: Double): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val k1p1 = k1 + 1
+    val omb = 1 - b
+    s"""WITH tl AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |                             x -> x <> '') AS ts
+       |  FROM documents
+       |), stats AS (
+       |  SELECT count(*) AS n, avg(len(ts)) AS avgdl FROM tl
+       |), tf AS (
+       |  SELECT doc_id, dl, t AS term, count(*) AS tf
+       |  FROM (SELECT doc_id, len(ts) AS dl, unnest(ts) AS t FROM tl)
+       |  WHERE t IN ($termList) GROUP BY doc_id, dl, t
+       |), dft AS (
+       |  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+       |), scored AS (
+       |  SELECT tf.doc_id,
+       |    sum( ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+       |         ((tf * $k1p1) / (tf + $k1 * ($omb + ($b * dl) / avgdl))) ) AS score
+       |  FROM tf JOIN dft USING (term) CROSS JOIN stats
+       |  GROUP BY tf.doc_id
+       |)
+       |SELECT doc_id, round(score, 6) AS score FROM scored
+       |ORDER BY round(score, 6) DESC, doc_id LIMIT $k""".stripMargin
   }
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -1427,6 +1468,8 @@ object SparkEntry {
         |             t -> t IN ('el','los','las','y'))) > 0 THEN 'es'
         |    ELSE 'und' END AS lang_pred
         |FROM documents""".stripMargin,
+    "q_bm25" -> bm25Oracle(Seq("spark", "join", "window"), k = 10,
+      k1 = 1.2, b = 0.75),
     "q_ann_brute" ->
       """SELECT b.vec_id,
         |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
