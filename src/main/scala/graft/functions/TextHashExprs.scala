@@ -377,6 +377,52 @@ object TextHashExprs {
       copy(child = newChild)
   }
 
+  /** How many elements of `arr` are present in the sorted `set`
+    * (binary search per element; `arr` is assumed deduplicated, as the
+    * fingerprint expressions emit). */
+  def countInSortedSet(arr: ArrayData, set: Array[Long]): Int = {
+    var c = 0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (java.util.Arrays.binarySearch(set, arr.getLong(i)) >= 0) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** Membership-count guard against a driver-built sorted hash set —
+    * the stateless form of a small-side semi-join (the set rides along
+    * as a codegen reference object, once per task). Built for streaming
+    * decontamination: a micro-batch row is checked map-only, with no
+    * stream join and no state. */
+  case class CountInSortedSetExpr(child: Expression, set: Array[Long])
+      extends UnaryExpression {
+    require(set.zip(set.drop(1)).forall { case (a, b) => a <= b },
+      "countInSortedSet needs an ascending-sorted set (binary search)")
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkArrayOf(child, LongType, prettyName)
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "count_in_sorted_set"
+
+    override def nullSafeEval(a: Any): Any =
+      countInSortedSet(a.asInstanceOf[ArrayData], set)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val setRef = ctx.addReferenceObj("sortedSet", set, "long[]")
+      nullSafeCodeGen(ctx, ev, a => s"""
+        |${ev.value} =
+        |  graft.functions.TextHashExprs.countInSortedSet($a, $setRef);
+        """.stripMargin)
+    }
+
+    // structural equality/explain must not walk the (large) set
+    override def flatArguments: Iterator[Any] = Iterator(child)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ----- Column API -----
   def shingleHashesCol(tokens: Column, k: Int): Column =
     GraftColumnBridge.column(
@@ -396,4 +442,7 @@ object TextHashExprs {
   def portableSimHashCol(tokens: Column): Column =
     GraftColumnBridge.column(
       PortableSimHashExpr(GraftColumnBridge.expression(tokens)))
+  def countInSortedSetCol(hashes: Column, set: Array[Long]): Column =
+    GraftColumnBridge.column(
+      CountInSortedSetExpr(GraftColumnBridge.expression(hashes), set))
 }

@@ -58,6 +58,18 @@ object Decontaminate {
       .filter(col("hits") >= minHits)
   }
 
+  /** The benchmark's distinct window hashes as a sorted driver-side
+    * array — the stateless-guard form for streams ([[graft.streaming
+    * .StreamingOps.decontaminateStream]]). The collect is bounded by
+    * the benchmark size, the same small-side contract as the batch
+    * broadcast (eval sets are MBs; a corpus-sized "benchmark" should
+    * use the joining [[clean]] instead). */
+  def benchFingerprintSet(bench: DataFrame, benchId: String,
+                          benchText: String, window: Int = 8): Array[Long] =
+    fingerprintTable(bench, benchId, benchText, window)
+      .select(col("fp")).distinct()
+      .collect().map(_.getLong(0)).sorted
+
   /** The decontaminated corpus: training rows whose document shares
     * fewer than `minHits` distinct window hashes with the benchmark.
     * Rows with NULL text carry no fingerprints and always survive. */

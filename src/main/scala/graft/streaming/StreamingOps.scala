@@ -98,6 +98,31 @@ object StreamingOps {
       Dedup.minHashSignTable(docs, idCol, textCol, numHashes, shingleK),
       corpusSigs, numHashes, bands, threshold)
 
+  /** Streaming decontamination: keep only stream rows sharing fewer
+    * than `minHits` window hashes with a STATIC benchmark set — the
+    * ingest-time guard of [[graft.pipeline.Decontaminate]]. The
+    * benchmark fingerprints are collected ONCE driver-side into a
+    * sorted array (bounded by the benchmark size — the batch path's
+    * small-side broadcast contract) and ride into the stream as a
+    * codegen reference, so the guard is a pure map-only filter: no
+    * state, no watermark, no stream join, and the stream's own
+    * fingerprints never leave their row. NULL-text rows carry no
+    * fingerprints and always survive. */
+  def decontaminateStream(docs: DataFrame, textCol: String,
+                          bench: DataFrame, benchId: String,
+                          benchText: String, window: Int = 8,
+                          minHits: Int = 1): DataFrame = {
+    val set = graft.pipeline.Decontaminate
+      .benchFingerprintSet(bench, benchId, benchText, window)
+    if (set.isEmpty) docs
+    else docs.filter(
+      coalesce(
+        graft.functions.TextHashExprs.countInSortedSetCol(
+          TextAnalysis.portableRollingFingerprints(
+            col(textCol), window, Int.MaxValue), set),
+        lit(0)) < minHits)
+  }
+
   /** Streaming curation: attach quality signals and keep rows above
     * threshold — map-only, fuses into the source scan incrementally. */
   def curateStream(docs: DataFrame, textCol: String,

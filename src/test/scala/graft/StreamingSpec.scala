@@ -34,6 +34,29 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
     } finally q.stop()
   }
 
+  "streaming decontamination" should "drop contaminated rows map-only" in {
+    implicit val sqlCtx = spark.sqlContext
+    val passage = "which spark operator shuffles the most data overall in production"
+    val bench = Seq((201L, passage), (202L, "tiny eval string"))
+      .toDF("bench_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingOps.decontaminateStream(
+      input.toDF.toDF("doc_id", "text"), "text", bench, "bench_id", "text")
+    val q = out.writeStream.format("memory").queryName("decontam_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, s"a training doc embedding the question $passage plus extra words"),
+        (2L, "an unrelated training document about parquet row groups"),
+        (3L, "tiny eval string"),
+        (4L, null.asInstanceOf[String]))
+      q.processAllAvailable()
+      val rows = spark.table("decontam_out").select("doc_id")
+        .as[Long].collect().toSet
+      rows shouldBe Set(2L, 4L) // 1 and 3 are contaminated; NULL survives
+    } finally q.stop()
+  }
+
   "streaming near-dup" should "flag stream docs against a signed static corpus" in {
     implicit val sqlCtx = spark.sqlContext
     import graft.pipeline.Dedup
