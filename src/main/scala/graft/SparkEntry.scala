@@ -780,6 +780,17 @@ object SparkEntry {
       graft.pipeline.Similarity.lshTopK(emb, "vec_id", "embedding", q, 10,
         numPlanes = 6)
     },
+    "q_ann_lsh_portable" -> { (s, d) =>
+      // the SAME probe-ring ANN with md5-derived ±1 planes and rounded
+      // ranking: the oracle re-derives the query's bucket, the Hamming-1
+      // probe ring, every candidate's bucket and the final ranking —
+      // approximate search made fully auditable
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      graft.pipeline.Similarity.portableLshTopK(
+        emb, "vec_id", "embedding", q, 10, numPlanes = 6)
+    },
     "q_ann_index" -> { (s, d) => // rows-only: approximate by construction
       // the persisted-index path: signatures computed once at build,
       // probe reads only the Hamming-1 bucket partitions
@@ -1029,6 +1040,37 @@ object SparkEntry {
        |ORDER BY round(score, 6) DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** DuckDB replay of [[graft.pipeline.Similarity.portableLshTopK]]:
+    * re-derives the query's bucket, the Hamming-1 probe ring, every
+    * candidate's bucket and the rounded-cosine ranking from the same
+    * inlined ±1 plane literals. */
+  private def portableAnnOracle(numPlanes: Int, dim: Int, k: Int): String = {
+    def sigExpr(c: String) = graft.pipeline.Dedup
+      .portableHyperplaneLiterals(numPlanes, dim).zipWithIndex
+      .map { case (pl, p) =>
+        s"(CASE WHEN list_dot_product($c::DOUBLE[], $pl::DOUBLE[]) > 0" +
+          s" THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" +\n         ")
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |qsig AS (SELECT ${sigExpr("qe")} AS qb FROM q),
+       |probes AS (
+       |  SELECT qb AS pb FROM qsig
+       |  UNION ALL
+       |  SELECT xor(qb, (1::BIGINT << b)) FROM qsig CROSS JOIN
+       |    (SELECT unnest(range($numPlanes)) AS b)
+       |), sigs AS (
+       |  SELECT vec_id, embedding, ${sigExpr("embedding")} AS bucket
+       |  FROM embeddings WHERE embedding IS NOT NULL
+       |)
+       |SELECT vec_id, round(c, 6) AS cos FROM (
+       |  SELECT s.vec_id,
+       |         list_cosine_similarity(s.embedding::DOUBLE[],
+       |                                (SELECT qe FROM q)::DOUBLE[]) AS c
+       |  FROM sigs s JOIN probes ON s.bucket = probes.pb
+       |)
+       |ORDER BY round(c, 6) DESC, vec_id LIMIT $k""".stripMargin
+  }
+
   lazy val oracleSql: Map[String, String] = Map(
     "q_scan" ->
       "SELECT 'urn:n:'||n_nationkey::VARCHAR AS n, n_name AS nname FROM nation",
@@ -1272,6 +1314,7 @@ object SparkEntry {
         |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
         |  ) AS BIGINT) AS cluster
         |FROM documents""".stripMargin,
+    "q_ann_lsh_portable" -> portableAnnOracle(numPlanes = 6, dim = 64, k = 10),
     "q_dedup_embedding_portable" -> portableEmbeddingOracle(
       numPlanes = 4, dim = 64, threshold = 0.2),
     "q_dedup_minhash_portable" -> portableMinHashOracle(

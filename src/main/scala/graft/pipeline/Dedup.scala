@@ -545,8 +545,7 @@ object Dedup {
     * -1. Sign random projections preserve the cosine-LSH guarantee,
     * and the exact literal values inline into an external engine's SQL
     * — no float formatting, no precision loss. */
-  private[pipeline] def portableHyperplanes(numPlanes: Int,
-                                            dim: Int): Seq[Seq[Double]] = {
+  def portableHyperplanes(numPlanes: Int, dim: Int): Seq[Seq[Double]] = {
     require(numPlanes <= 64,
       s"RHP signature is a 64-bit word: at most 64 planes, got $numPlanes")
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -58,6 +58,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** Driver-side signature of a literal query vector under the
+    * portable ±1 planes ([[Dedup.portableHyperplanes]]): same
+    * sequential sum, so any engine derives the identical bucket. */
+  def portableSignatureOf(query: Seq[Double], numPlanes: Int): Long = {
+    val planes = Dedup.portableHyperplanes(numPlanes, query.size)
+    planes.zipWithIndex.map { case (p, i) =>
+      if (p.zip(query).map { case (a, b) => a * b }.sum > 0) 1L << i else 0L
+    }.sum
+  }
+
+  /** [[lshTopK]] with the md5-derived ±1 plane family and the ranking
+    * on the 6-decimal-rounded cosine with id tie-break — deterministic
+    * end-to-end, so an external engine replays the exact probe ring,
+    * candidate set and ranking (the ANN family's hash-checked form;
+    * ±1 × float dot products are exact in double, so buckets cannot
+    * drift between engines). */
+  def portableLshTopK(df: DataFrame, idCol: String, embCol: String,
+                      query: Seq[Double], k: Int,
+                      numPlanes: Int = 6): DataFrame = {
+    val planes = Dedup.portableHyperplanes(numPlanes, query.size)
+    val qSig = portableSignatureOf(query, numPlanes)
+    val probes = qSig +: (0 until numPlanes).map(b => qSig ^ (1L << b))
+    df.select(col(idCol), col(embCol),
+      graft.functions.VectorExprs.rhpSignature(col(embCol), planes)
+        .as("bucket"))
+      .filter(col("bucket").isin(probes: _*))
+      .select(col(idCol),
+        round(cosine(col(embCol), typedLit(query)), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** All-pairs-free similarity join: for each left row, candidates from
     * the shared RHP bucket, exact cosine, keep pairs >= threshold.
     * Buckets over `maxBucketSize` drop out of candidate generation
