@@ -747,6 +747,13 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"),
         graft.pipeline.TextAnalysis.langId(col("text")).as("lang_pred"))
     },
+    "q_chunk" -> { (s, d) =>
+      // context-window chunking: 32-token chunks overlapping by 8; the
+      // oracle replays every chunk boundary, text and token count
+      graft.pipeline.TextAnalysis.chunkTable(
+        t(s, d, "documents"), "doc_id", "text",
+        chunkTokens = 32, overlap = 8)
+    },
     "q_bm25" -> { (s, d) =>
       // keyword retrieval: BM25 top-10 for a three-term query; scores
       // ranked ROUNDED (6 dp) with doc_id tie-break so libm ln and
@@ -1511,6 +1518,20 @@ object SparkEntry {
         |             t -> t IN ('el','los','las','y'))) > 0 THEN 'es'
         |    ELSE 'und' END AS lang_pred
         |FROM documents""".stripMargin,
+    "q_chunk" ->
+      """WITH tl AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                             x -> x <> '') AS ts
+        |  FROM documents WHERE text IS NOT NULL
+        |), ch AS (
+        |  SELECT doc_id, ts, len(ts) AS n,
+        |         unnest(generate_series(0, (greatest(1, len(ts) - 8) - 1) // 24)) AS j
+        |  FROM tl WHERE len(ts) > 0
+        |)
+        |SELECT doc_id, CAST(j AS BIGINT) AS chunk_idx,
+        |  array_to_string(list_slice(ts, j*24 + 1, j*24 + 32), ' ') AS chunk_text,
+        |  CAST(least(32, n - j*24) AS BIGINT) AS n_tokens
+        |FROM ch""".stripMargin,
     "q_bm25" -> bm25Oracle(Seq("spark", "join", "window"), k = 10,
       k1 = 1.2, b = 0.75),
     "q_ann_brute" ->

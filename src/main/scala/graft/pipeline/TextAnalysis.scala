@@ -110,6 +110,40 @@ object TextAnalysis {
     graft.functions.TextHashExprs.portableFingerprintsCol(
       Dedup.tokens(text), window, keep)
 
+  /** Context-window chunking: split each document into
+    * `chunkTokens`-token chunks overlapping by `overlap` tokens (stride
+    * = chunkTokens − overlap) — the training-prep step that turns
+    * documents into model-sized sequences. Chunk `j` starts at token
+    * `j*stride + 1`; chunks are emitted while the start is ≤
+    * max(1, n − overlap), so every token is covered, the final chunk
+    * ends at the document's last token, and no chunk is fully contained
+    * in its predecessor. Zero-token documents yield no chunks.
+    *
+    * Output: `(id, chunk_idx, chunk_text, n_tokens)`. Map-only
+    * (tokenize → per-row index explode → slice): chunking fuses into
+    * the scan and shuffles nothing. */
+  def chunkTable(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String, chunkTokens: Int = 512,
+                 overlap: Int = 64): org.apache.spark.sql.DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens=$chunkTokens must be >= 1")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap=$overlap must be in [0, chunkTokens)")
+    val stride = chunkTokens - overlap
+    val ts = Dedup.tokens(col(textCol))
+    df.select(col(idCol), ts.as("__ts"), size(ts).as("__n"))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__ts"), col("__n"),
+        posexplode(sequence(lit(0),
+          floor((greatest(lit(1), col("__n") - overlap) - 1) / stride)
+            .cast("int"))).as(Seq("__p", "j")))
+      .select(col(idCol), col("j").cast("long").as("chunk_idx"),
+        concat_ws(" ",
+          slice(col("__ts"), col("j") * stride + 1, lit(chunkTokens)))
+          .as("chunk_text"),
+        least(lit(chunkTokens), col("__n") - col("j") * stride)
+          .cast("long").as("n_tokens"))
+  }
+
   /** Corpus-scale portable fingerprinting: (id, fp) rows — the
     * exploded form of [[portableRollingFingerprints]]. Map-only: the
     * signature fuses into the scan, no shuffle anywhere; NULL-text
