@@ -72,6 +72,11 @@ object GraftFunctions {
           "(md5-derived coefficients, replayable in any SQL engine)",
         { args => arity("portable_minhash", 2, args)
           TextHashExprs.PortableMinHashExpr(args(0), intLit(args(1), "n")) }),
+      ("portable_simhash",
+        "portable_simhash(tokens) - 64-bit SimHash signature over md5 " +
+          "token hashes (replayable in any SQL engine)",
+        { args => arity("portable_simhash", 1, args)
+          TextHashExprs.PortableSimHashExpr(args(0)) }),
       ("repetition_stats",
         "repetition_stats(text) - struct of Gopher-style repetition/layout " +
           "quality signals (dup-line/top-token/top-bigram fractions, " +
