@@ -60,6 +60,18 @@ object SparkEntry {
     else graft.io.DictStore.encode(cust(s, d).union(nationRegion(s, d)), path)
   }
 
+  /** Benchmark passages for the decontamination entries: a 12-token
+    * slice of every (doc_id % 97 == 0) document — shared by BOTH
+    * battery entries so they cannot drift from the decontamOracle CTE
+    * that replays the same construction. */
+  private def benchPassages(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id").as("bench_id"),
+        graft.pipeline.Dedup.tokens(col("text")).as("ts"))
+      .filter(col("bench_id") % 97 === 0 && size(col("ts")) >= 14)
+      .select(col("bench_id"),
+        concat_ws(" ", slice(col("ts"), 3, 12)).as("btext"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----- §2.1 scan / sources -----
@@ -655,28 +667,16 @@ object SparkEntry {
       // the leak this operator exists to catch. Portable md5 window
       // hashes, so the DuckDB oracle re-derives every window hash,
       // hit count and bench-doc count bit-for-bit.
-      import graft.pipeline.{Decontaminate, Dedup}
       val docs = t(s, d, "documents")
-      val bench = docs.filter(col("text").isNotNull)
-        .select(col("doc_id").as("bench_id"), Dedup.tokens(col("text")).as("ts"))
-        .filter(col("bench_id") % 97 === 0 && size(col("ts")) >= 14)
-        .select(col("bench_id"),
-          concat_ws(" ", slice(col("ts"), 3, 12)).as("btext"))
-      Decontaminate.report(docs, "doc_id", "text",
-        bench, "bench_id", "btext")
+      graft.pipeline.Decontaminate.report(docs, "doc_id", "text",
+        benchPassages(docs), "bench_id", "btext")
     },
     "q_decontam_clean" -> { (s, d) =>
       // the surviving corpus after dropping every document that shares
       // >= 1 window with the benchmark passages above
-      import graft.pipeline.{Decontaminate, Dedup}
       val docs = t(s, d, "documents")
-      val bench = docs.filter(col("text").isNotNull)
-        .select(col("doc_id").as("bench_id"), Dedup.tokens(col("text")).as("ts"))
-        .filter(col("bench_id") % 97 === 0 && size(col("ts")) >= 14)
-        .select(col("bench_id"),
-          concat_ws(" ", slice(col("ts"), 3, 12)).as("btext"))
-      Decontaminate.clean(docs, "doc_id", "text",
-        bench, "bench_id", "btext")
+      graft.pipeline.Decontaminate.clean(docs, "doc_id", "text",
+        benchPassages(docs), "bench_id", "btext")
         .select(col("doc_id"), col("lang"))
     },
     "q_topk_group" -> { (s, d) =>
@@ -1027,7 +1027,7 @@ object SparkEntry {
     s"""WITH tl AS (
        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
        |                             x -> x <> '') AS ts
-       |  FROM documents
+       |  FROM documents WHERE text IS NOT NULL
        |), stats AS (
        |  SELECT count(*) AS n, avg(len(ts)) AS avgdl FROM tl
        |), tf AS (

@@ -398,8 +398,10 @@ object TextHashExprs {
     * stream join and no state. */
   case class CountInSortedSetExpr(child: Expression, set: Array[Long])
       extends UnaryExpression {
-    require(set.zip(set.drop(1)).forall { case (a, b) => a <= b },
-      "countInSortedSet needs an ascending-sorted set (binary search)")
+    // sortedness is validated ONCE in countInSortedSetCol — Catalyst
+    // copies expressions on every transform (and streams re-plan per
+    // micro-batch), so a per-copy O(n) check on a multi-million-entry
+    // set would be paid over and over
     override def checkInputDataTypes(): TypeCheckResult =
       checkArrayOf(child, LongType, prettyName)
     override def dataType: DataType = IntegerType
@@ -442,7 +444,14 @@ object TextHashExprs {
   def portableSimHashCol(tokens: Column): Column =
     GraftColumnBridge.column(
       PortableSimHashExpr(GraftColumnBridge.expression(tokens)))
-  def countInSortedSetCol(hashes: Column, set: Array[Long]): Column =
+  def countInSortedSetCol(hashes: Column, set: Array[Long]): Column = {
+    var i = 1 // allocation-free ascending check, once per plan build
+    while (i < set.length) {
+      require(set(i - 1) <= set(i),
+        "countInSortedSet needs an ascending-sorted set (binary search)")
+      i += 1
+    }
     GraftColumnBridge.column(
       CountInSortedSetExpr(GraftColumnBridge.expression(hashes), set))
+  }
 }

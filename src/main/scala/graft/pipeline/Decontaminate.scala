@@ -72,14 +72,28 @@ object Decontaminate {
 
   /** The decontaminated corpus: training rows whose document shares
     * fewer than `minHits` distinct window hashes with the benchmark.
-    * Rows with NULL text carry no fingerprints and always survive. */
+    * Rows with NULL text carry no fingerprints and always survive.
+    *
+    * Cheaper than filtering on [[report]]: at minHits = 1 contamination
+    * is mere existence (a semi-join, no aggregation at all), and above
+    * it only the fingerprint count is aggregated — never the
+    * bench-doc count, whose second countDistinct would force an Expand
+    * doubling the only shuffled stage of the pipeline. */
   def clean(train: DataFrame, trainId: String, trainText: String,
             bench: DataFrame, benchId: String, benchText: String,
             window: Int = 8, minHits: Int = 1,
             broadcastBench: Boolean = true): DataFrame = {
-    val contaminated = report(train, trainId, trainText,
-      bench, benchId, benchText, window, minHits, broadcastBench)
-      .select(col(trainId))
+    val trainFps = fingerprintTable(train, trainId, trainText, window)
+    val benchFps = fingerprintTable(bench, benchId, benchText, window)
+      .select(col("fp")).distinct()
+    val benchSide = if (broadcastBench) broadcast(benchFps) else benchFps
+    val matched = trainFps.join(benchSide, Seq("fp"), "left_semi")
+    val contaminated =
+      if (minHits <= 1) matched.select(col(trainId)).distinct()
+      else matched.groupBy(col(trainId))
+        .agg(countDistinct(col("fp")).as("hits"))
+        .filter(col("hits") >= minHits)
+        .select(col(trainId))
     train.join(contaminated, Seq(trainId), "left_anti")
   }
 }

@@ -220,7 +220,11 @@ object Dedup {
   def portableMinHashCandidates(df: DataFrame, idCol: String, textCol: String,
                                 numHashes: Int = 32, bands: Int = 8,
                                 shingleK: Int = 3, threshold: Double = 0.5,
-                                maxBucketSize: Int = 100000): DataFrame = {
+                                maxBucketSize: Int = 0): DataFrame = {
+    // default UNCAPPED: the portable form exists for exact external
+    // replay, and a bucket cap silently drops pairs an uncapped
+    // replayer would report — set a cap only if the replayer applies
+    // the identical cap
     val sigs = portableMinHashSignTable(df, idCol, textCol, numHashes, shingleK)
       .localCheckpoint(eager = false)
     val base = sigs.select(col("id"), col("sh"))
@@ -437,7 +441,9 @@ object Dedup {
     * bucket and Hamming distance). Output: (idA, idB, hamming). */
   def portableSimHashCandidates(df: DataFrame, idCol: String, textCol: String,
                                 maxHamming: Int = 3, cleanChunks: Int = 2,
-                                maxBucketSize: Int = 100000): DataFrame = {
+                                maxBucketSize: Int = 0): DataFrame = {
+    // default UNCAPPED — same exact-replay contract as
+    // [[portableMinHashCandidates]]
     val sigs = df.select(col(idCol).as("id"),
       graft.functions.TextHashExprs.portableSimHashCol(
         tokens(coalesce(col(textCol), lit("")))).as("sig"))
@@ -575,7 +581,10 @@ object Dedup {
                                   embCol: String, dim: Int,
                                   numPlanes: Int = 4,
                                   threshold: Double = 0.2,
-                                  maxBucketSize: Int = 100000): DataFrame =
+                                  maxBucketSize: Int = 0): DataFrame =
+    // default UNCAPPED — same exact-replay contract as
+    // [[portableMinHashCandidates]]: a cap would silently drop pairs
+    // an uncapped replayer reports
     embeddingCandidatesWith(df, idCol, embCol,
       portableHyperplanes(numPlanes, dim), threshold, maxBucketSize,
       roundCos = true)

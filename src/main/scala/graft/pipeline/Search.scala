@@ -29,7 +29,8 @@ object Search {
     * `(id, term, tf, dl)` — the term-filtered posting fragment. */
   private def postings(docs: DataFrame, idCol: String, textCol: String,
                        terms: Seq[String]): DataFrame =
-    docs.select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("ts"))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("ts"))
       .select(col("id"), size(col("ts")).as("dl"), explode(col("ts")).as("term"))
       .filter(col("term").isin(terms: _*))
       .groupBy("id", "dl", "term").agg(count(lit(1)).as("tf"))
@@ -38,11 +39,18 @@ object Search {
     * `(id, score)`, score unrounded. */
   def bm25(docs: DataFrame, idCol: String, textCol: String, query: String,
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val terms = query.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+    // lowercase via UTF8String so query terms case-fold EXACTLY like
+    // the corpus tokens (Spark's `lower`), not via the JVM default
+    // locale (tr_TR would fold "INDEX" to dotless-ı "ındex" and
+    // silently match nothing)
+    val terms = org.apache.spark.unsafe.types.UTF8String.fromString(query)
+      .toLowerCase.toString.trim.split("\\s+").filter(_.nonEmpty)
       .distinct.toSeq
     require(terms.nonEmpty, "query must contain at least one token")
-    val base = docs.select(col(idCol).as("id"),
-      Dedup.tokens(col(textCol)).as("ts"))
+    // NULL-text rows carry no tokens and must not skew avgdl: without
+    // the filter, legacy non-ANSI sessions evaluate size(NULL) as -1
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("ts"))
     // corpus stats: one row (document count + average doc length)
     val stats = base.select(size(col("ts")).as("dl"))
       .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))

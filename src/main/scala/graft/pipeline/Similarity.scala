@@ -31,14 +31,40 @@ object Similarity {
   def signature(emb: Column, numPlanes: Int, dim: Int): Column =
     Dedup.rhpSignature(emb, numPlanes, dim)
 
-  /** Driver-side signature of a literal query vector. */
-  def signatureOf(query: Seq[Double], numPlanes: Int): Long = {
-    require(numPlanes <= 64,
-      s"RHP signature is a 64-bit word: at most 64 planes, got $numPlanes")
-    val planes = hyperplanes(numPlanes, query.size)
+  /** Driver-side signature of a literal query vector under the given
+    * plane matrix (sequential sum, so an external engine derives the
+    * identical bucket from the same planes). */
+  def signatureOfPlanes(query: Seq[Double], planes: Seq[Seq[Double]]): Long = {
+    require(planes.size <= 64,
+      s"RHP signature is a 64-bit word: at most 64 planes, got ${planes.size}")
     planes.zipWithIndex.map { case (p, i) =>
       if (p.zip(query).map { case (a, b) => a * b }.sum > 0) 1L << i else 0L
     }.sum
+  }
+
+  /** Driver-side signature of a literal query vector. */
+  def signatureOf(query: Seq[Double], numPlanes: Int): Long =
+    signatureOfPlanes(query, hyperplanes(numPlanes, query.size))
+
+  /** Probe-ring search shared by [[lshTopK]] and [[portableLshTopK]]:
+    * the query's bucket plus its Hamming-1 ring, exact cosine ranking
+    * of the candidates. */
+  private def lshTopKWith(df: DataFrame, idCol: String, embCol: String,
+                          query: Seq[Double], k: Int,
+                          planes: Seq[Seq[Double]],
+                          roundCos: Boolean): DataFrame = {
+    val numPlanes = planes.size
+    val qSig = signatureOfPlanes(query, planes)
+    val probes = qSig +: (0 until numPlanes).map(b => qSig ^ (1L << b))
+    val cos = cosine(col(embCol), typedLit(query))
+    df.select(col(idCol), col(embCol),
+      graft.functions.VectorExprs.rhpSignature(col(embCol), planes)
+        .as("bucket"))
+      .filter(col("bucket").isin(probes: _*))
+      .select(col(idCol),
+        (if (roundCos) round(cos, 6) else cos).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
   }
 
   /** ANN top-k: probe the query's LSH bucket plus all buckets within
@@ -46,27 +72,15 @@ object Similarity {
     * bucketed table is the pre-computed "index" (bucket column persisted
     * + partitioned); the probe is a pushed-down IN-filter on it. */
   def lshTopK(df: DataFrame, idCol: String, embCol: String,
-              query: Seq[Double], k: Int, numPlanes: Int = 10): DataFrame = {
-    val dim = query.size
-    val qSig = signatureOf(query, numPlanes)
-    val probes = qSig +: (0 until numPlanes).map(b => qSig ^ (1L << b))
-    df.select(col(idCol), col(embCol),
-      signature(col(embCol), numPlanes, dim).as("bucket"))
-      .filter(col("bucket").isin(probes: _*))
-      .select(col(idCol), cosine(col(embCol), typedLit(query)).as("cos"))
-      .orderBy(col("cos").desc, col(idCol))
-      .limit(k)
-  }
+              query: Seq[Double], k: Int, numPlanes: Int = 10): DataFrame =
+    lshTopKWith(df, idCol, embCol, query, k,
+      hyperplanes(numPlanes, query.size), roundCos = false)
 
   /** Driver-side signature of a literal query vector under the
-    * portable ±1 planes ([[Dedup.portableHyperplanes]]): same
-    * sequential sum, so any engine derives the identical bucket. */
-  def portableSignatureOf(query: Seq[Double], numPlanes: Int): Long = {
-    val planes = Dedup.portableHyperplanes(numPlanes, query.size)
-    planes.zipWithIndex.map { case (p, i) =>
-      if (p.zip(query).map { case (a, b) => a * b }.sum > 0) 1L << i else 0L
-    }.sum
-  }
+    * portable ±1 planes ([[Dedup.portableHyperplanes]]). */
+  def portableSignatureOf(query: Seq[Double], numPlanes: Int): Long =
+    signatureOfPlanes(query,
+      Dedup.portableHyperplanes(numPlanes, query.size))
 
   /** [[lshTopK]] with the md5-derived ±1 plane family and the ranking
     * on the 6-decimal-rounded cosine with id tie-break — deterministic
@@ -76,19 +90,9 @@ object Similarity {
     * drift between engines). */
   def portableLshTopK(df: DataFrame, idCol: String, embCol: String,
                       query: Seq[Double], k: Int,
-                      numPlanes: Int = 6): DataFrame = {
-    val planes = Dedup.portableHyperplanes(numPlanes, query.size)
-    val qSig = portableSignatureOf(query, numPlanes)
-    val probes = qSig +: (0 until numPlanes).map(b => qSig ^ (1L << b))
-    df.select(col(idCol), col(embCol),
-      graft.functions.VectorExprs.rhpSignature(col(embCol), planes)
-        .as("bucket"))
-      .filter(col("bucket").isin(probes: _*))
-      .select(col(idCol),
-        round(cosine(col(embCol), typedLit(query)), 6).as("cos"))
-      .orderBy(col("cos").desc, col(idCol))
-      .limit(k)
-  }
+                      numPlanes: Int = 6): DataFrame =
+    lshTopKWith(df, idCol, embCol, query, k,
+      Dedup.portableHyperplanes(numPlanes, query.size), roundCos = true)
 
   /** All-pairs-free similarity join: for each left row, candidates from
     * the shared RHP bucket, exact cosine, keep pairs >= threshold.

@@ -50,7 +50,15 @@ class DecontaminateSpec extends AnyFlatSpec with Matchers {
     rep should not contain 4L
   }
 
-  "clean" should "drop contaminated rows and keep NULL-text rows" in {
+  "clean" should "honor minHits via the count-only aggregation path" in {
+    // doc 4 has exactly one shared hash; docs 1 and 5 share three
+    val kept = Decontaminate.clean(train, "doc_id", "text",
+      bench, "bench_id", "text", minHits = 2)
+      .collect().map(_.getLong(0)).toSet
+    kept shouldBe Set(2L, 3L, 4L)
+  }
+
+  it should "drop contaminated rows and keep NULL-text rows" in {
     val kept = Decontaminate.clean(train, "doc_id", "text",
       bench, "bench_id", "text")
       .collect().map(_.getLong(0)).toSet

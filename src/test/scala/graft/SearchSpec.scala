@@ -54,6 +54,24 @@ class SearchSpec extends AnyFlatSpec with Matchers {
     a shouldBe b
   }
 
+  it should "case-fold the query exactly like the corpus tokens" in {
+    val a = Search.bm25TopK(docs, "doc_id", "text", "SPARK Join", k = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = Search.bm25TopK(docs, "doc_id", "text", "spark join", k = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    a shouldBe b
+  }
+
+  it should "skip NULL-text rows in corpus statistics" in {
+    val withNull = docs.unionByName(
+      Seq((99L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val a = Search.bm25(withNull, "doc_id", "text", "spark join")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val b = Search.bm25(docs, "doc_id", "text", "spark join")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    a shouldBe b // a NULL doc must not perturb avgdl or N-dependent idf
+  }
+
   it should "reject an all-whitespace query" in {
     an[IllegalArgumentException] should be thrownBy
       Search.bm25(docs, "doc_id", "text", "   ")
