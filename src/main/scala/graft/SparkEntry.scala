@@ -642,6 +642,17 @@ object SparkEntry {
         keyCol = "doc_id", seed = 1, defaultRate = 0.05, portable = true)
         .select(col("doc_id"), col("lang"))
     },
+    "q_token_budget" -> { (s, d) =>
+      // token-budget composition: fill each language with documents in
+      // portable-hash order until 3000 tokens; the oracle replays the
+      // bucket, the window cumsum and the greedy-fill cut row-for-row
+      val docs = t(s, d, "documents")
+        .withColumn("ntok", graft.pipeline.TextAnalysis.tokenCount(col("text")))
+      graft.pipeline.Sampling.tokenBudgetSample(
+        docs, "lang", "ntok", "doc_id", budget = 3000, seed = 0,
+        portable = true)
+        .select(col("doc_id"), col("lang"))
+    },
     "q_split" -> { (s, d) =>
       // disjoint train/val/test split (70/20/10), portable buckets so
       // the oracle reproduces every per-row assignment; entry returns
@@ -1390,6 +1401,21 @@ object SparkEntry {
         |  CASE WHEN lang = 'de' THEN 200000
         |       WHEN lang = 'en' THEN 500000
         |       ELSE 50000 END""".stripMargin,
+    "q_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                         x -> x <> '')) AS BIGINT) AS ntok,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 8))::BIGINT
+        |      % 1000000 AS b
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang,
+        |    coalesce(sum(ntok) OVER (PARTITION BY lang ORDER BY b, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM d
+        |)
+        |SELECT doc_id, lang FROM c WHERE cum < 3000""".stripMargin,
     "q_split" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 8))::BIGINT

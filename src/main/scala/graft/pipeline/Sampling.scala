@@ -99,4 +99,40 @@ object Sampling {
       }
     df.filter(b < threshold)
   }
+
+  /** Token-budget corpus composition: fill each stratum with documents
+    * in deterministic hash order until `budget` tokens, keeping a row
+    * iff the tokens of all hash-earlier rows in its stratum total
+    * LESS THAN the budget (greedy fill — the boundary document may
+    * overflow it, so strata are never left short by an unlucky large
+    * tail). This is the "give me 10B tokens of French" op: exact token
+    * accounting, reproducible row-for-row (`portable = true` replays
+    * in any SQL engine via the md5 bucket and a window sum).
+    *
+    * Scale shape: ONE shuffle — a per-stratum window ordered by
+    * (bucket, key). Strata are corpus-composition units (language,
+    * source), so per-stratum sorts are the natural partitioning; for a
+    * single giant stratum, pre-thin with [[deterministicSample]] at an
+    * estimated rate first, then budget-fill the survivors.
+    *
+    * Unlike the rate samplers this is NOT append-stable: inserting a
+    * document shifts the cumulative sums after its hash position. It is
+    * deterministic for a given corpus — re-runs and repartitioning
+    * cannot change the selection. */
+  def tokenBudgetSample(df: DataFrame, strataCol: String, tokenCol: String,
+                        keyCol: String, budget: Long, seed: Long = 0L,
+                        portable: Boolean = false): DataFrame = {
+    require(budget >= 0, s"budget $budget must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val b = if (portable) portableBucket(col(keyCol), seed)
+            else bucket(col(keyCol), seed)
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("__tb_b"), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__tb_b", b)
+      .withColumn("__tb_cum",
+        coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .filter(col("__tb_cum") < budget)
+      .drop("__tb_b", "__tb_cum")
+  }
 }

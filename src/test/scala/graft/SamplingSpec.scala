@@ -119,6 +119,34 @@ class SamplingSpec extends AnyFlatSpec with Matchers {
     top1 shouldBe Set(("a", 1L), ("b", 5L), ("c", 7L))
   }
 
+  "tokenBudgetSample" should "fill each stratum in hash order up to the budget" in {
+    val df = Seq(
+      ("en", 1L, 100L), ("en", 2L, 100L), ("en", 3L, 100L), ("en", 4L, 100L),
+      ("de", 5L, 50L), ("de", 6L, 500L)
+    ).toDF("lang", "doc_id", "ntok")
+    val kept = Sampling.tokenBudgetSample(
+      df, "lang", "ntok", "doc_id", budget = 250, portable = true)
+      .select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // greedy fill in bucket order: cumBefore < 250 keeps rows until the
+    // stratum holds >= 250 tokens (boundary row may overflow)
+    val en = kept.filter(_._1 == "en")
+    en.size shouldBe 3 // 100+100+100 >= 250, third row overflows to 300
+    kept.filter(_._1 == "de").size should (be >= 1 and be <= 2)
+  }
+
+  it should "be deterministic under repartitioning and respect budget 0" in {
+    val df = (1L to 200L).map(i => ("en", i, 10L)).toDF("lang", "doc_id", "ntok")
+    val a = Sampling.tokenBudgetSample(df, "lang", "ntok", "doc_id", 500)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.tokenBudgetSample(df.repartition(13), "lang", "ntok",
+      "doc_id", 500).select("doc_id").collect().map(_.getLong(0)).toSet
+    a shouldBe b
+    a.size shouldBe 50 // 500 / 10 tokens each
+    Sampling.tokenBudgetSample(df, "lang", "ntok", "doc_id", 0)
+      .count() shouldBe 0L
+  }
+
   "aboveGroupQuantile" should "threshold within each group" in {
     val df = Seq(
       ("x", 1L, 10), ("x", 2L, 20), ("x", 3L, 30), ("x", 4L, 40),
