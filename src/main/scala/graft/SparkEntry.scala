@@ -758,6 +758,26 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"),
         graft.pipeline.TextAnalysis.langId(col("text")).as("lang_pred"))
     },
+    "q_embed_norm" -> { (s, d) =>
+      // L2 normalization, exploded so the oracle compares one value
+      // per (vector, position)
+      val emb = t(s, d, "embeddings").filter(col("embedding").isNotNull)
+      emb.select(col("vec_id"), posexplode(
+          graft.functions.VectorExprs.l2Normalize(col("embedding")))
+          .as(Seq("pos", "nv")))
+        .select(col("vec_id"), col("pos"), round(col("nv"), 6).as("nv"))
+    },
+    "q_embed_quant" -> { (s, d) =>
+      // int8 quantization: scale = max|v|/127, codes rounded
+      // half-away-from-zero — the SQL round() the oracle replays
+      val emb = t(s, d, "embeddings").filter(col("embedding").isNotNull)
+      emb.select(col("vec_id"),
+          graft.functions.VectorExprs.quantizeInt8(col("embedding")).as("qz"))
+        .select(col("vec_id"), round(col("qz.scale"), 6).as("scale"),
+          posexplode(col("qz.q")).as(Seq("pos", "qv8")))
+        .select(col("vec_id"), col("scale"), col("pos"),
+          col("qv8").cast("bigint").as("qv"))
+    },
     "q_chunk" -> { (s, d) =>
       // context-window chunking: 32-token chunks overlapping by 8; the
       // oracle replays every chunk boundary, text and token count
@@ -1544,6 +1564,32 @@ object SparkEntry {
         |             t -> t IN ('el','los','las','y'))) > 0 THEN 'es'
         |    ELSE 'und' END AS lang_pred
         |FROM documents""".stripMargin,
+    "q_embed_norm" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum(list_transform(embedding::DOUBLE[], v -> v*v)))
+        |           AS nrm
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |)
+        |SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+        |       round(embedding[i]::DOUBLE / nrm, 6) AS nv
+        |FROM (SELECT vec_id, embedding, nrm,
+        |        unnest(generate_series(1, len(embedding))) AS i
+        |      FROM n WHERE nrm > 0)""".stripMargin,
+    "q_embed_quant" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |         list_max(list_transform(embedding::DOUBLE[], v -> abs(v))) AS ma
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |)
+        |SELECT vec_id, round(ma / 127.0, 6) AS scale,
+        |       CAST(i - 1 AS INT) AS pos,
+        |       CAST(CASE WHEN ma = 0 THEN 0
+        |            ELSE round(embedding[i]::DOUBLE / (ma / 127.0)) END
+        |         AS BIGINT) AS qv
+        |FROM (SELECT vec_id, embedding, ma,
+        |        unnest(generate_series(1, len(embedding))) AS i
+        |      FROM m)""".stripMargin,
     "q_chunk" ->
       """WITH tl AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),

@@ -48,6 +48,15 @@ object GraftFunctions {
       ("vec_cosine", "vec_cosine(a, b) - cosine similarity; NULL for zero norms",
         { args => arity("vec_cosine", 2, args)
           VectorExprs.CosineSim(args(0), args(1)) }),
+      ("vec_l2_normalize",
+        "vec_l2_normalize(v) - unit-norm copy; NULL for zero/non-finite norms",
+        { args => arity("vec_l2_normalize", 1, args)
+          VectorExprs.L2Normalize(args(0)) }),
+      ("vec_quantize_int8",
+        "vec_quantize_int8(v) - struct{scale, q tinyint[]}: scale = " +
+          "max|v|/127, codes rounded half-away-from-zero",
+        { args => arity("vec_quantize_int8", 1, args)
+          VectorExprs.QuantizeInt8(args(0)) }),
       ("shingle_hashes",
         "shingle_hashes(tokens, k) - distinct xxhash64 values of k-token shingles",
         { args => arity("shingle_hashes", 2, args)

@@ -279,7 +279,136 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /** L2-normalized copy as array<double>; called from generated code.
+    * Returns null for zero / non-finite norms (a normalized direction
+    * does not exist) — callers surface that as a NULL column value. */
+  def l2NormalizeData(x: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = x.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      val v = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      ss += v * v
+      i += 1
+    }
+    val norm = Math.sqrt(ss)
+    if (norm == 0.0 || java.lang.Double.isNaN(norm) ||
+        java.lang.Double.isInfinite(norm)) return null
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      val v = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      out(i) = v / norm
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  /** Unit-norm copy of a vector (array<double>): NULL for zero or
+    * non-finite norms — the ANN-prep normalization pass as one
+    * generated traversal per row. */
+  case class L2Normalize(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      checkVec(prettyName, child)
+    private lazy val isFloat = elemType(child) == FloatType
+    override def prettyName: String = "vec_l2_normalize"
+
+    override def nullSafeEval(a: Any): Any =
+      l2NormalizeData(a.asInstanceOf[ArrayData], isFloat)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val tmp = ctx.freshName("norm")
+        s"""
+        |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+        |  graft.functions.VectorExprs.l2NormalizeData($a, $isFloat);
+        |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+        """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** int8 quantization; called from generated code. scale = maxAbs/127
+    * (0.0 for the all-zero vector, whose codes are all 0); code_i =
+    * round-half-away-from-zero(v_i / scale) clamped to [-127, 127] —
+    * half-away matches SQL `round`, where Java's Math.round would
+    * diverge on negative halves. Null for non-finite inputs. */
+  def quantizeInt8Data(x: ArrayData, isFloat: Boolean)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val n = x.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val v = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v))
+        return null
+      val a = Math.abs(v)
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    val scale = maxAbs / 127.0
+    val out = new Array[Byte](n)
+    if (scale != 0.0) {
+      i = 0
+      while (i < n) {
+        val v = (if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)) / scale
+        val r = if (v >= 0) Math.floor(v + 0.5) else Math.ceil(v - 0.5)
+        val c = if (r > 127.0) 127L else if (r < -127.0) -127L else r.toLong
+        out(i) = c.toByte
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scale,
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(out)))
+  }
+
+  val QuantSchema: StructType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("q", ArrayType(ByteType, containsNull = false),
+      nullable = false)))
+
+  /** Per-vector int8 quantization: struct{scale, q array<tinyint>} —
+    * the 4×-smaller ANN storage format, one generated traversal per
+    * row; dequantize as `q_i * scale`. */
+  case class QuantizeInt8(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = QuantSchema
+    override def nullable: Boolean = true
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      checkVec(prettyName, child)
+    private lazy val isFloat = elemType(child) == FloatType
+    override def prettyName: String = "vec_quantize_int8"
+
+    override def nullSafeEval(a: Any): Any =
+      quantizeInt8Data(a.asInstanceOf[ArrayData], isFloat)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val tmp = ctx.freshName("quant")
+        s"""
+        |org.apache.spark.sql.catalyst.InternalRow $tmp =
+        |  graft.functions.VectorExprs.quantizeInt8Data($a, $isFloat);
+        |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+        """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ----- Column API -----
+  def l2Normalize(v: Column): Column =
+    GraftColumnBridge.column(L2Normalize(GraftColumnBridge.expression(v)))
+  def quantizeInt8(v: Column): Column =
+    GraftColumnBridge.column(QuantizeInt8(GraftColumnBridge.expression(v)))
   def dot(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProduct(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
