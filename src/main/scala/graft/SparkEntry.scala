@@ -642,6 +642,12 @@ object SparkEntry {
         keyCol = "doc_id", seed = 1, defaultRate = 0.05, portable = true)
         .select(col("doc_id"), col("lang"))
     },
+    "q_corpus_report" -> { (s, d) =>
+      // the corpus card: per-language composition summary, exact
+      // percentiles over integer token lengths
+      graft.pipeline.Curation.corpusReport(
+        t(s, d, "documents"), "lang", "text")
+    },
     "q_token_budget" -> { (s, d) =>
       // token-budget composition: fill each language with documents in
       // portable-hash order until 3000 tokens; the oracle replays the
@@ -1421,6 +1427,21 @@ object SparkEntry {
         |  CASE WHEN lang = 'de' THEN 200000
         |       WHEN lang = 'en' THEN 500000
         |       ELSE 50000 END""".stripMargin,
+    "q_corpus_report" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                         x -> x <> '')) AS BIGINT) AS ntok,
+        |    CAST(length(text) AS BIGINT) AS nchar
+        |  FROM documents
+        |)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS total_tokens,
+        |  round(avg(ntok), 6) AS avg_tokens,
+        |  round(quantile_cont(ntok, 0.5), 6) AS p50_tokens,
+        |  round(quantile_cont(ntok, 0.9), 6) AS p90_tokens,
+        |  CAST(sum(nchar) AS BIGINT) AS total_chars
+        |FROM d GROUP BY lang""".stripMargin,
     "q_token_budget" ->
       """WITH d AS (
         |  SELECT doc_id, lang,

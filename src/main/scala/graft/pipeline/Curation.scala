@@ -57,4 +57,31 @@ object Curation {
       .filter(col(scoreCol) >= col("__thr"))
       .drop("__g", "__thr")
   }
+
+  /** Corpus card: per-stratum composition summary in ONE aggregation —
+    * document counts, token volume and mean, p50/p90 token lengths,
+    * character volume. The report every corpus build publishes next to
+    * the data; strata are composition units (language, source), so the
+    * output is dashboard-sized. NULL-text rows count as documents but
+    * contribute no tokens/chars (SQL aggregate NULL-skipping, mirrored
+    * by the oracle).
+    *
+    * Exact percentiles buffer one counter per distinct token LENGTH
+    * per stratum — lengths are small integers, so the state is bounded
+    * by construction (unlike continuous scores, where
+    * [[aboveGroupQuantile]]'s `exact = false` t-digest is the scale
+    * path). */
+  def corpusReport(df: DataFrame, strataCol: String,
+                   textCol: String): DataFrame = {
+    val ntok = TextAnalysis.tokenCount(col(textCol))
+    df.select(col(strataCol), ntok.as("__ntok"),
+        length(col(textCol)).cast("long").as("__nchar"))
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__ntok")).as("total_tokens"),
+        round(avg(col("__ntok")), 6).as("avg_tokens"),
+        round(percentile(col("__ntok"), lit(0.5)), 6).as("p50_tokens"),
+        round(percentile(col("__ntok"), lit(0.9)), 6).as("p90_tokens"),
+        sum(col("__nchar")).as("total_chars"))
+  }
 }

@@ -147,6 +147,22 @@ class SamplingSpec extends AnyFlatSpec with Matchers {
       .count() shouldBe 0L
   }
 
+  "corpusReport" should "summarize per-stratum composition" in {
+    val df = Seq(
+      ("en", "one two three"), ("en", "four five"),
+      ("de", "eins"), ("de", null.asInstanceOf[String])
+    ).toDF("lang", "text")
+    val rep = Curation.corpusReport(df, "lang", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    rep("en") shouldBe ((2L, 5L, 2.5, 2.5))   // docs, tokens, avg, p50
+    // NULL text: counted as a doc, contributes no tokens
+    rep("de")._1 shouldBe 2L
+    rep("de")._2 shouldBe 1L
+    rep("de")._3 shouldBe 1.0
+  }
+
   "aboveGroupQuantile" should "threshold within each group" in {
     val df = Seq(
       ("x", 1L, 10), ("x", 2L, 20), ("x", 3L, 30), ("x", 4L, 40),
