@@ -677,6 +677,14 @@ object SparkEntry {
       graft.pipeline.TextAnalysis.portableRollingFingerprintTable(
         t(s, d, "documents"), "doc_id", "text")
     },
+    "q_repeated_spans" -> { (s, d) =>
+      // cross-document repeated-span fractions (window-level substring
+      // dedup signal, Lee et al. arXiv:2107.06499): per document, how
+      // many of its distinct 8-token window hashes occur in >= 2 docs.
+      // Portable md5 hashes — the oracle replays every count.
+      graft.pipeline.Dedup.repeatedSpanStats(
+        t(s, d, "documents"), "doc_id", "text")
+    },
     "q_decontam_report" -> { (s, d) =>
       // eval-set decontamination: the benchmark is 12-token passages
       // extracted from every (doc_id % 97 == 0) document — eval
@@ -1407,6 +1415,29 @@ object SparkEntry {
         |  FROM toks
         |)
         |SELECT doc_id, unnest(fp4) AS fp FROM fps""".stripMargin,
+    "q_repeated_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                     x -> x <> '') AS ts
+        |  FROM documents WHERE text IS NOT NULL
+        |), wins AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    CASE WHEN len(ts) >= 8
+        |         THEN list_transform(generate_series(1, len(ts) - 7),
+        |                             i -> array_to_string(list_slice(ts, i, i + 7), ' '))
+        |         ELSE [array_to_string(ts, ' ')] END,
+        |    w -> CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)))) AS fp
+        |  FROM toks
+        |), shared AS (
+        |  SELECT fp FROM wins GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+        |)
+        |SELECT w.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_windows,
+        |       CAST(count(s.fp) AS BIGINT) AS dup_windows,
+        |       round(CAST(count(s.fp) AS DOUBLE) / count(*), 6) AS dup_frac
+        |FROM wins w LEFT JOIN shared s ON w.fp = s.fp
+        |GROUP BY w.doc_id""".stripMargin,
     "q_decontam_report" -> decontamOracle(
       """SELECT t.doc_id, CAST(count(DISTINCT t.fp) AS BIGINT) AS hits,
         |       CAST(count(DISTINCT b.bench_id) AS BIGINT) AS bench_docs

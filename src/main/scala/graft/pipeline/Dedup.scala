@@ -17,6 +17,8 @@ import org.apache.spark.sql.types._
   *  - [[jaccard]]          n-gram Jaccard verification expression
   *  - [[embeddingCandidates]] random-hyperplane LSH over embeddings
   *    with exact cosine verification of in-bucket candidates
+  *  - [[repeatedSpanStats]] cross-document repeated-span fractions
+  *    (window-level substring dedup signal)
   */
 object Dedup {
 
@@ -612,5 +614,64 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("idA"), col("idB"),
         (if (roundCos) round(col("cos"), 6) else col("cos")).as("cos"))
+  }
+
+  /** Cross-document repeated-span statistics — the corpus-level
+    * duplicated-text signal (window-granularity form of the
+    * suffix-array substring dedup of Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499):
+    * for each document, how much of it also appears verbatim elsewhere
+    * in the corpus. A span is a `window`-token run; a span is REPEATED
+    * when its hash occurs in at least `minDocs` distinct documents.
+    * Output: `(id, n_windows, dup_windows, dup_frac)` counted over the
+    * DISTINCT window hashes of each document. Documents shorter than
+    * `window` tokens contribute their whole token run as one span;
+    * NULL-text rows carry no spans and are absent from the output.
+    *
+    * Hashes are the portable md5-prefix window hashes of
+    * [[Decontaminate.fingerprintTable]], so an external SQL engine
+    * replays every count (and the rounded fraction) bit-for-bit.
+    *
+    * Scale shape: signing is one generated map-only pass fused into the
+    * scan, checkpointed once because inventory and rollup both read it;
+    * the shared-span inventory is ONE fp-keyed count (the signature
+    * expression already dedups within a document, so `(id, fp)` rows
+    * are globally distinct and a plain count — map-side partial, no
+    * distinct pre-shuffle — counts documents); the back-join keys on fp
+    * against one row per shared span (a mega-hot boilerplate span still
+    * produces one output row per occurrence — AQE splits any skewed
+    * partition), and the per-document rollup is the final aggregation.
+    * No all-pairs stage anywhere: cost is linear in total windows. */
+  def repeatedSpanStats(df: DataFrame, idCol: String, textCol: String,
+                        window: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2,
+      s"minDocs=$minDocs must be >= 2 (every span occurs in its own document)")
+    val fps = Decontaminate.fingerprintTable(df, idCol, textCol, window)
+      .localCheckpoint(eager = false) // read twice: inventory + back-join
+    val shared = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__docs")) // (id, fp) distinct ⇒ count = docs
+      .filter(col("__docs") >= minDocs)
+      .select(col("fp"), lit(1).as("__dup"))
+    fps.join(shared, Seq("fp"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("__dup"), lit(0))).as("dup_windows"))
+      .withColumn("dup_frac",
+        round(col("dup_windows").cast(DoubleType) /
+          col("n_windows").cast(DoubleType), 6))
+  }
+
+  /** The corpus minus documents over-duplicated at the span level:
+    * drops every document whose [[repeatedSpanStats]] `dup_frac`
+    * exceeds `maxDupFrac`. NULL-text rows carry no spans and always
+    * survive. The anti-join keys on `idCol` — the corpus is shuffled
+    * once, against an already-reduced offender list. */
+  def dropOverDuplicated(df: DataFrame, idCol: String, textCol: String,
+                         maxDupFrac: Double, window: Int = 8,
+                         minDocs: Int = 2): DataFrame = {
+    val over = repeatedSpanStats(df, idCol, textCol, window, minDocs)
+      .filter(col("dup_frac") > maxDupFrac)
+      .select(col(idCol))
+    df.join(over, Seq(idCol), "left_anti")
   }
 }
