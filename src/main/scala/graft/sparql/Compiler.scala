@@ -63,7 +63,7 @@ object Compiler {
       case Nil => quads
       case u :: Nil => runUpdate(quads, u)
       case u :: rest => runUpdates(GraftColumnBridge.freshLeaf(
-        runUpdate(quads, u).localCheckpoint(eager = true)), rest)
+        runUpdate(quads, u).localCheckpoint(eager = false)), rest)
     }
 
   private def runModify(quads: DataFrame, u: SparqlParser.Update): DataFrame = {
@@ -946,9 +946,12 @@ final class Compiler(quads: DataFrame) {
     // Materialize with FRESH attribute ids each round: iterative
     // self-joins/unions over localCheckpoint'd plans trip Catalyst's
     // attribute resolution (duplicate exprIds across both sides), so we
-    // re-wrap the checkpointed RDD as a brand-new leaf plan.
+    // re-wrap the checkpointed RDD as a brand-new leaf plan. LAZY
+    // checkpoint: the per-round emptiness probe (`isEmpty`) is the
+    // materialization trigger, so each round runs ONE job instead of a
+    // blocking checkpoint job followed by the probe.
     def materialize(df: DataFrame): DataFrame =
-      GraftColumnBridge.freshLeaf(df.localCheckpoint(eager = true))
+      GraftColumnBridge.freshLeaf(df.localCheckpoint(eager = false))
     // Within GRAPH ?g, the closure must stay INSIDE one named graph:
     // the graph column rides the edge set and joins round-to-round.
     val gVar: Option[String] = alp.g match {
