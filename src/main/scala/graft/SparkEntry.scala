@@ -488,6 +488,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("value").as("total"))
         .select(col("hour"), col("event_type"), col("n"), col("total"))
     },
+    "q_asof_join" -> { (s, d) =>
+      // ad-attribution shape: every click matched to the user's most
+      // recent view at or before it, but only within the last hour —
+      // one union + one window, never a pair join. Times are exact
+      // long MICROseconds (`div`, not `/`, per q_events_window's
+      // double-rounding lesson): DuckDB's timestamp is µs-precision,
+      // so µs is the finest unit the oracle can replay exactly.
+      val ev = t(s, d, "events").withColumn("ts", expr("ts div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      graft.pipeline.Temporal.asofJoin(
+        clicks, views, "user_id", "ts",
+        rightCols = Seq("event_id", "value"), rightTieCol = "event_id",
+        tolerance = Some(3600L * 1000 * 1000))
+    },
+    "q_sessionize" -> { (s, d) =>
+      // gap-based sessions: a new session after >10 min of silence;
+      // per-session bounds, event count and value total (µs times,
+      // same oracle-precision reasoning as q_asof_join)
+      graft.pipeline.Temporal.sessionize(
+        t(s, d, "events").select(col("user_id"),
+          expr("ts div 1000").as("ts"), col("value")),
+        "user_id", "ts", gap = 600L * 1000 * 1000,
+        aggs = Seq(sum(col("value")).as("total_value")))
+    },
     "q_ask" -> { (s, d) =>
       cust(s, d).sparql(prologue +
         """ASK { ?c :mktsegment "BUILDING" . ?c :acctbal ?b FILTER(?b > 9000) }""")
@@ -1333,6 +1360,57 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  CAST(COUNT(*) AS BIGINT) AS n, SUM(value) AS total
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // window replay of the as-of union (not DuckDB's ASOF JOIN
+    // keyword, whose equal-timestamp row choice is unspecified): the
+    // same (time, side, tie) order and running IGNORE NULLS carry
+    "q_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS t, value, event_type
+        |  FROM events
+        |), u AS (
+        |  SELECT user_id, t, 0 AS side, event_id AS ord,
+        |         event_id AS r_eid, value AS r_val, t AS r_t,
+        |         NULL::BIGINT AS l_eid, NULL::DOUBLE AS l_val
+        |  FROM ev WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, t, 1, NULL, NULL, NULL, NULL, event_id, value
+        |  FROM ev WHERE event_type = 'click'
+        |), m AS (
+        |  SELECT *, last_value(
+        |      CASE WHEN side = 0
+        |           THEN struct_pack(eid := r_eid, val := r_val, rt := r_t)
+        |      END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY t, side, ord
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mm
+        |  FROM u
+        |)
+        |SELECT l_eid AS event_id, user_id, t AS ts, l_val AS value,
+        |  CASE WHEN mm IS NOT NULL AND t - mm.rt <= 3600000000
+        |       THEN mm.eid END AS asof_event_id,
+        |  CASE WHEN mm IS NOT NULL AND t - mm.rt <= 3600000000
+        |       THEN mm.val END AS asof_value,
+        |  CASE WHEN mm IS NOT NULL AND t - mm.rt <= 3600000000
+        |       THEN mm.rt END AS asof_ts
+        |FROM m WHERE side = 1""".stripMargin,
+    "q_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS t, value FROM events
+        |), s AS (
+        |  SELECT user_id, t, value,
+        |    CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+        |              <= 600000000 THEN 0 ELSE 1 END AS st
+        |  FROM ev
+        |), i AS (
+        |  SELECT user_id, t, value,
+        |    CAST(SUM(st) OVER (PARTITION BY user_id ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_idx
+        |  FROM s
+        |)
+        |SELECT user_id, session_idx, MIN(t) AS session_start,
+        |  MAX(t) AS session_end, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  SUM(value) AS total_value
+        |FROM i GROUP BY 1, 2""".stripMargin,
     "q_ask" ->
       """SELECT EXISTS (SELECT 1 FROM customer
         |  WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000) AS ask""".stripMargin,

@@ -1,0 +1,133 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/** Temporal operators over keyed event streams (LLM-pipeline /
+  * analytics extension — SURVEY.md §2 has no reference counterpart;
+  * the brief names the as-of join as the canonical operator Spark
+  * lacks natively).
+  *
+  * Both operators are ONE hash shuffle on the key followed by an
+  * in-partition sort — the only shape that survives 100 TB of events.
+  * The naive as-of formulations (a range join, or a join-then-rank
+  * over all ≤-pairs) build O(left × right-history) intermediates;
+  * this one never materializes a pair at all.
+  */
+object Temporal {
+
+  /** As-of join: for each left row, the columns of the single most
+    * recent right row with `right.timeCol <= left.timeCol` and the
+    * same `keyCol` (ties at equal time match — the standard "price as
+    * of the trade" semantics), optionally only when the right row is
+    * within `tolerance` time units. Left rows with no match keep NULL
+    * matched columns (left-outer semantics). `timeCol` must be
+    * numeric on both sides (the battery convention: epoch nanos as
+    * long), so the tolerance subtraction is exact integer arithmetic.
+    *
+    * Determinism: among right rows sharing the greatest admissible
+    * time, the one with the largest `rightTieCol` wins, so the result
+    * is a pure function of the data — no "arbitrary row at equal
+    * timestamps" nondeterminism to break reproducible builds (or the
+    * bit-exact external replay the battery oracle performs).
+    *
+    * Shape at scale: both sides are tagged and UNIONED — never
+    * joined — then a single running `last(..., ignoreNulls = true)`
+    * window carries the latest right payload forward within each key
+    * partition, ordered by (time, side, tie) with right rows sorted
+    * before co-timed left rows. One exchange on the key, one sort, no
+    * join node, no pair blow-up: cost is linear in |left| + |right|
+    * regardless of how deep each key's right-side history runs. The
+    * window frame is running (UNBOUNDED PRECEDING → CURRENT ROW), so
+    * Spark evaluates it in a single streaming pass over each
+    * partition — state is one row's payload, not the history. */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               timeCol: String, rightCols: Seq[String],
+               rightTieCol: String, tolerance: Option[Long] = None,
+               rightPrefix: String = "asof_"): DataFrame = {
+    require(rightCols.nonEmpty, "rightCols must name at least one column")
+    require(!rightCols.contains(keyCol) && !rightCols.contains(timeCol),
+      s"rightCols must not repeat the key/time columns ($keyCol, $timeCol)")
+    tolerance.foreach(t => require(t > 0, s"tolerance must be positive, got $t"))
+    val leftCols = left.columns.toSeq
+    val outCols = rightCols.map(rightPrefix + _) :+ (rightPrefix + timeCol)
+    require(!leftCols.exists(outCols.contains),
+      s"prefixed output columns collide with left columns: " +
+        outCols.filter(leftCols.contains).mkString(", "))
+    // Carried payloads are typed STRUCTS (null literal of the same
+    // struct type on the other side keeps unionByName exact — no
+    // JSON/codec round-trip, nested/binary columns survive).
+    val rightSchema = right.schema
+    def rType(c: String) = rightSchema(rightSchema.fieldIndex(c)).dataType
+    val rPayloadType = StructType(
+      (rightCols :+ timeCol).map(c => StructField(rightPrefix + c, rType(c))) :+
+        StructField("__tie", rType(rightTieCol)))
+    val rPayload = struct(
+      (rightCols :+ timeCol).map(c => col(c).as(rightPrefix + c)) :+
+        col(rightTieCol).as("__tie"): _*)
+    val lPayloadType = StructType(left.schema.fields)
+    val taggedRight = right.select(
+      col(keyCol), col(timeCol).as("__t"), lit(0).as("__side"),
+      col(rightTieCol).as("__ord"),
+      rPayload.as("__r"), lit(null).cast(lPayloadType).as("__l"))
+    val taggedLeft = left.select(
+      col(keyCol), col(timeCol).as("__t"), lit(1).as("__side"),
+      lit(null).cast(rType(rightTieCol)).as("__ord"),
+      lit(null).cast(rPayloadType).as("__r"),
+      struct(leftCols.map(col): _*).as("__l"))
+    // right rows sort BEFORE co-timed left rows (side 0 < 1) so equal
+    // times match; among co-timed right rows the largest tie wins
+    // (last() picks by window order alone — asc ties, latest wins).
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__t"), col("__side"), col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched0 = col("__m")
+    val inTol = tolerance.map(t =>
+      col("__t") - matched0.getField(rightPrefix + timeCol) <= t)
+      .getOrElse(lit(true))
+    taggedRight.unionByName(taggedLeft)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__l"), when(matched0.isNotNull && inTol, matched0)
+        .as("__match"))
+      .select(leftCols.map(c => col(s"__l.$c").as(c)) ++
+        outCols.map(c => col(s"__match.$c").as(c)): _*)
+  }
+
+  /** Gap-based sessionization: events of one key belong to the same
+    * session while consecutive events are at most `gap` time units
+    * apart; a longer silence starts a new session. Returns one row per
+    * session: `(keyCol, session_idx, session_start, session_end,
+    * n_events, ...aggs)` where `session_idx` numbers a key's sessions
+    * from 1 in time order — deterministic, so session identities are
+    * stable across runs and engines. `timeCol` must be numeric (epoch
+    * nanos by battery convention); `gap` is in the same unit.
+    *
+    * Shape at scale: the classic two-window one-shuffle form — lag to
+    * flag session starts, running sum to assign indexes, then an
+    * ordinary groupBy rollup. All three stages share the SAME hash
+    * partitioning on the key, so Spark plans exactly one exchange;
+    * state never exceeds the in-partition sort. Skew note: keys are
+    * users/devices — a single key holding a partition-breaking share
+    * of 100 TB of events indicates a bot you want quarantined
+    * upstream, not a partitioning strategy. */
+  def sessionize(events: DataFrame, keyCol: String, timeCol: String,
+                 gap: Long, aggs: Seq[Column] = Nil): DataFrame = {
+    require(gap > 0, s"gap must be positive, got $gap")
+    val byTime = Window.partitionBy(col(keyCol)).orderBy(col(timeCol))
+    val isStart = when(
+      col(timeCol) - lag(col(timeCol), 1).over(byTime) <= gap, 0L)
+      .otherwise(1L) // first event of a key: lag is NULL → <= is NULL → 1
+    val runningIdx = sum(isStart).over(
+      byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    events
+      .withColumn("session_idx", runningIdx)
+      .groupBy(col(keyCol), col("session_idx"))
+      .agg(
+        min(col(timeCol)).as("session_start"),
+        (max(col(timeCol)).as("session_end") +:
+          count(lit(1)).as("n_events") +: aggs): _*)
+  }
+}

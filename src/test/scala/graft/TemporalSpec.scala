@@ -1,0 +1,119 @@
+package graft
+
+import graft.pipeline.Temporal
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** As-of join and sessionization: planted histories with known
+  * answers — equal-time matches, tolerance cut-offs, no-match NULLs,
+  * deterministic tie-breaks, gap boundaries — plus plan-shape checks
+  * (one exchange, no join node). */
+class TemporalSpec extends AnyFlatSpec with Matchers {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // trades (left) and quotes (right) of the classic as-of example;
+  // times are small longs (the operator only assumes numeric).
+  private lazy val trades: DataFrame = Seq(
+    (1L, 100L, "t-a"), // before any quote of key 1
+    (1L, 205L, "t-b"), // between quotes at 200 and 300
+    (1L, 300L, "t-c"), // EQUAL time to a quote → matches it
+    (2L, 500L, "t-d"), // key with a single old quote
+    (3L, 900L, "t-e")  // key with no quotes at all
+  ).toDF("k", "t", "trade")
+
+  private lazy val quotes: DataFrame = Seq(
+    (1L, 200L, 10.0, 1L),
+    (1L, 300L, 11.0, 2L),
+    (1L, 300L, 12.0, 3L), // co-timed duplicate: larger tie (qid=3) wins
+    (1L, 400L, 13.0, 4L), // in the future of every trade — never matches
+    (2L, 100L, 20.0, 5L)
+  ).toDF("k", "t", "px", "qid")
+
+  private def asofMap(tolerance: Option[Long]): Map[String, Option[(Double, Long)]] =
+    Temporal.asofJoin(trades, quotes, "k", "t",
+      rightCols = Seq("px"), rightTieCol = "qid", tolerance = tolerance)
+      .collect().map { r =>
+        r.getAs[String]("trade") ->
+          (if (r.isNullAt(r.fieldIndex("asof_px"))) None
+           else Some((r.getAs[Double]("asof_px"), r.getAs[Long]("asof_t"))))
+      }.toMap
+
+  "asofJoin" should "match the latest quote at or before each trade" in {
+    val m = asofMap(None)
+    m("t-a") shouldBe None                 // no quote yet
+    m("t-b") shouldBe Some((10.0, 200L))   // 300 is in the future
+    m("t-c") shouldBe Some((12.0, 300L))   // equal time; tie qid=3 wins
+    m("t-d") shouldBe Some((20.0, 100L))   // old quote still matches
+    m("t-e") shouldBe None                 // key never quoted
+  }
+
+  it should "null out matches older than the tolerance" in {
+    val m = asofMap(Some(50L))
+    m("t-b") shouldBe Some((10.0, 200L))   // 5 units old
+    m("t-c") shouldBe Some((12.0, 300L))   // 0 units old
+    m("t-d") shouldBe None                 // 400 units old > 50
+  }
+
+  it should "preserve every left row exactly once" in {
+    Temporal.asofJoin(trades, quotes, "k", "t", Seq("px"), "qid")
+      .count() shouldBe trades.count()
+  }
+
+  it should "plan one exchange and no join" in {
+    val df = Temporal.asofJoin(trades, quotes, "k", "t", Seq("px"), "qid")
+    df.write.mode("overwrite").format("noop").save() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    plan should not include "Join"
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+  }
+
+  it should "reject colliding output names and bad arguments" in {
+    an[IllegalArgumentException] should be thrownBy
+      Temporal.asofJoin(trades, quotes, "k", "t", Seq("t"), "qid")
+    an[IllegalArgumentException] should be thrownBy
+      Temporal.asofJoin(trades, quotes, "k", "t", Nil, "qid")
+    an[IllegalArgumentException] should be thrownBy
+      Temporal.asofJoin(trades, quotes, "k", "t", Seq("px"), "qid",
+        tolerance = Some(0L))
+    an[IllegalArgumentException] should be thrownBy
+      Temporal.asofJoin(
+        trades.withColumnRenamed("trade", "asof_px"), quotes,
+        "k", "t", Seq("px"), "qid")
+  }
+
+  // user 7: two sessions split by a silence of 100 (> gap 60); the
+  // boundary event at exactly gap distance STAYS in-session.
+  private lazy val events: DataFrame = Seq(
+    (7L, 1000L, 1.0),
+    (7L, 1060L, 2.0),  // exactly gap after → same session
+    (7L, 1160L, 3.0),  // 100 > 60 → NEW session
+    (8L, 5000L, 4.0)   // single-event session
+  ).toDF("u", "t", "v")
+
+  "sessionize" should "split on gaps strictly greater than the gap" in {
+    val bySession = Temporal.sessionize(events, "u", "t", gap = 60L,
+      aggs = Seq(sum(col("v")).as("total")))
+      .collect().map(r => (r.getAs[Long]("u"), r.getAs[Long]("session_idx")) ->
+        ((r.getAs[Long]("session_start"), r.getAs[Long]("session_end"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("total")))).toMap
+    bySession.keySet shouldBe Set((7L, 1L), (7L, 2L), (8L, 1L))
+    bySession((7L, 1L)) shouldBe ((1000L, 1060L, 2L, 3.0))
+    bySession((7L, 2L)) shouldBe ((1160L, 1160L, 1L, 3.0))
+    bySession((8L, 1L)) shouldBe ((5000L, 5000L, 1L, 4.0))
+  }
+
+  it should "plan one exchange" in {
+    val df = Temporal.sessionize(events, "u", "t", gap = 60L)
+    df.write.mode("overwrite").format("noop").save()
+    "Exchange hashpartitioning".r
+      .findAllIn(df.queryExecution.executedPlan.toString).size shouldBe 1
+  }
+
+  it should "reject non-positive gaps" in {
+    an[IllegalArgumentException] should be thrownBy
+      Temporal.sessionize(events, "u", "t", gap = 0L)
+  }
+}
