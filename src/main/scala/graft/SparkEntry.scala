@@ -505,6 +505,27 @@ object SparkEntry {
         rightCols = Seq("event_id", "value"), rightTieCol = "event_id",
         tolerance = Some(3600L * 1000 * 1000))
     },
+    "q_range_join" -> { (s, d) =>
+      // "how many lineitems were in transit on each March-1995 order
+      // date" — a point-in-interval join. Transit windows are
+      // deterministic functions of the keys (shipdate + 7..27 days) so
+      // the oracle replays them; the axis is integral day numbers.
+      // Bucket width 32 ≥ the longest interval → ≤ 2 buckets each.
+      val probes = t(s, d, "orders")
+        .filter(col("o_orderdate") >= "1995-03-01" &&
+          col("o_orderdate") < "1995-04-01")
+        .select(unix_date(to_date(col("o_orderdate"))).as("day")).distinct()
+      val iv = t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        unix_date(to_date(col("l_shipdate"))).as("lo"))
+        .withColumn("hi", col("lo") +
+          pmod(col("l_orderkey") * 7 + col("l_linenumber") * 3, lit(21)) + 7)
+      graft.pipeline.Temporal.rangeJoin(probes, iv, "day", "lo", "hi",
+        bucketWidth = 32L)
+        .groupBy(date_from_unix_date(col("day").cast("int")).as("probe_date"))
+        .agg(count(lit(1)).as("n_in_transit"),
+          sum(col("l_quantity")).as("qty_in_transit"))
+    },
     "q_sessionize" -> { (s, d) =>
       // gap-based sessions: a new session after >10 min of silence;
       // per-session bounds, event count and value total (µs times,
@@ -1392,6 +1413,22 @@ object SparkEntry {
         |  CASE WHEN mm IS NOT NULL AND t - mm.rt <= 3600000000
         |       THEN mm.rt END AS asof_ts
         |FROM m WHERE side = 1""".stripMargin,
+    "q_range_join" ->
+      """WITH probes AS (
+        |  SELECT DISTINCT CAST(o_orderdate AS DATE) AS pd FROM orders
+        |  WHERE o_orderdate >= '1995-03-01' AND o_orderdate < '1995-04-01'
+        |), iv AS (
+        |  SELECT l_quantity, CAST(l_shipdate AS DATE) AS lo,
+        |         CAST(l_shipdate AS DATE)
+        |           + CAST((l_orderkey * 7 + l_linenumber * 3) % 21 + 7
+        |                  AS INTEGER) AS hi
+        |  FROM lineitem
+        |)
+        |SELECT p.pd AS probe_date,
+        |  CAST(COUNT(*) AS BIGINT) AS n_in_transit,
+        |  SUM(l_quantity) AS qty_in_transit
+        |FROM probes p JOIN iv ON p.pd BETWEEN iv.lo AND iv.hi
+        |GROUP BY 1""".stripMargin,
     "q_sessionize" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) AS t, value FROM events

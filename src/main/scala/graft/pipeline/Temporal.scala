@@ -96,6 +96,54 @@ object Temporal {
         outCols.map(c => col(s"__match.$c").as(c)): _*)
   }
 
+  /** Range (point-in-interval) join: every `(point, interval)` pair
+    * with `loCol <= pointCol <= hiCol` (inclusive both ends), plus any
+    * `keyCols` equality. All three bound columns must be integral
+    * (days, epoch micros…, the battery convention).
+    *
+    * Shape at scale: Spark plans a raw BETWEEN join as
+    * BroadcastNestedLoopJoin — O(|points| × |intervals|) comparisons
+    * and a broadcast of one ENTIRE side, the canonical 100 TB
+    * scale-killer. This operator bucketizes the axis instead: each
+    * interval explodes to the `bucketWidth`-sized buckets it overlaps,
+    * each point owns exactly ONE bucket, and the pair generation is a
+    * plain hash equi-join on (keyCols…, bucket) — shuffled, AQE-skew-
+    * splittable, no broadcast of a big side, no quadratic comparison.
+    * The exact BETWEEN runs as a post-join filter. Each qualifying
+    * pair is emitted exactly once (the point's bucket is unique), so
+    * no dedup pass is needed. Pick `bucketWidth` near the typical
+    * interval length: expansion is ~len/width+1 rows per interval,
+    * while an over-wide bucket just grows the filtered-out join
+    * fan-out. Intervals with `hi < lo` match nothing and are dropped
+    * before exploding (Spark's `sequence` would otherwise run it
+    * BACKWARDS and fabricate buckets). */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, pointCol: String,
+                loCol: String, hiCol: String, bucketWidth: Long,
+                keyCols: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val overlap = points.columns.toSet
+      .intersect(intervals.columns.toSet) -- keyCols
+    require(overlap.isEmpty,
+      s"points and intervals share non-key columns: ${overlap.mkString(", ")}" +
+        " — rename one side first")
+    // floorDiv in exact integer math: `div` truncates toward zero
+    // (wrong for negative axes — correct with the mod sign), and
+    // double `/` loses exactness past 2^53
+    def floorDiv(c: String): String =
+      s"((`$c` div $bucketWidth) - (CASE WHEN `$c` % $bucketWidth < 0" +
+        s" THEN 1 ELSE 0 END))"
+    val p = points.withColumn("__bucket",
+      expr(floorDiv(pointCol)).cast("long"))
+    val iv = intervals
+      .filter(col(hiCol) >= col(loCol))
+      .withColumn("__bucket", explode(sequence(
+        expr(floorDiv(loCol)).cast("long"),
+        expr(floorDiv(hiCol)).cast("long"))))
+    p.join(iv, keyCols :+ "__bucket")
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bucket")
+  }
+
   /** Gap-based sessionization: events of one key belong to the same
     * session while consecutive events are at most `gap` time units
     * apart; a longer silence starts a new session. Returns one row per

@@ -215,4 +215,31 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n"), col("total_value"))
+
+  /** Streaming gap sessionization — the incremental face of
+    * [[graft.pipeline.Temporal.sessionize]]: Spark's native
+    * `session_window` merges events of one key into state while gaps
+    * stay under `gap`, and the watermark both bounds that state and
+    * FINALIZES sessions (a session row is emitted only once no
+    * event can extend it — append mode, so the sink sees each closed
+    * session exactly once; the batch operator is the replay path for
+    * reprocessing). `tsCol` must be a TIMESTAMP column here — event
+    * time with a watermark — unlike the batch form's numeric axis.
+    * Session identity differs from the batch form on purpose:
+    * streams have no stable per-key ordinal (a late-but-in-watermark
+    * event can merge two open sessions), so sessions are identified
+    * by their (key, start) instead of an index. */
+  def sessionizeStream(events: DataFrame, keyCol: String, tsCol: String,
+                       gap: String, watermark: String,
+                       aggs: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+    val agged = events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), aggs: _*)
+    agged.select(col(keyCol) +:
+      col("session_window.start").as("session_start") +:
+      col("session_window.end").as("session_end") +:
+      agged.columns.toSeq
+        .filterNot(c => c == "session_window" || c == keyCol).map(col): _*)
+  }
 }

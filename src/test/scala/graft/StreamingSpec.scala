@@ -289,4 +289,36 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
         ("urn:fs:b", "trix", "urn:fs:g"))
     } finally q.stop()
   }
+
+  "streaming sessionization" should
+    "emit a session only after the watermark closes it" in {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val out = StreamingOps.sessionizeStream(
+      input.toDF.toDF("user_id", "event_ts", "value"),
+      "user_id", "event_ts", gap = "10 minutes", watermark = "30 minutes",
+      aggs = Seq(org.apache.spark.sql.functions.sum(col("value"))
+        .as("total_value")))
+    val q = out.writeStream.format("memory").queryName("session_stream_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (7L, ts("2024-01-01 10:00:00"), 1.0),
+        (7L, ts("2024-01-01 10:05:00"), 2.0), // merges: gap 5 min
+        (8L, ts("2024-01-01 10:00:00"), 4.0))
+      q.processAllAvailable()
+      // sessions still open (watermark hasn't passed their close)
+      spark.table("session_stream_out").count() shouldBe 0L
+      // an event far in the future moves the watermark past 10:15+gap
+      input.addData((9L, ts("2024-01-01 12:00:00"), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("session_stream_out")
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("total_value"),
+          r.getAs[Timestamp]("session_start"))).toSet
+      rows shouldBe Set(
+        (7L, 2L, 3.0, ts("2024-01-01 10:00:00")), // merged 2-event session
+        (8L, 1L, 4.0, ts("2024-01-01 10:00:00")))
+    } finally q.stop()
+  }
 }

@@ -116,4 +116,55 @@ class TemporalSpec extends AnyFlatSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy
       Temporal.sessionize(events, "u", "t", gap = 0L)
   }
+
+  // intervals straddling bucket boundaries (width 10), inclusive
+  // endpoints, a backwards interval (matches nothing), and a
+  // negative-axis interval (floor-div, not truncate-div, semantics)
+  private lazy val intervals: DataFrame = Seq(
+    ("iv-a", 5L, 14L),   // crosses buckets 0 and 1
+    ("iv-b", 14L, 14L),  // single point
+    ("iv-c", 20L, 10L),  // backwards → dropped
+    ("iv-d", -15L, -5L)  // negative axis
+  ).toDF("iv", "lo", "hi")
+
+  private lazy val points: DataFrame =
+    Seq(("p1", 5L), ("p2", 14L), ("p3", 15L), ("p4", -10L), ("p5", 12L))
+      .toDF("p", "x")
+
+  "rangeJoin" should "emit each containing pair exactly once" in {
+    val pairs = Temporal.rangeJoin(points, intervals, "x", "lo", "hi",
+      bucketWidth = 10L)
+      .collect().map(r => (r.getAs[String]("p"), r.getAs[String]("iv"))).toSet
+    pairs shouldBe Set(
+      ("p1", "iv-a"), // lo endpoint inclusive
+      ("p2", "iv-a"), // hi endpoint inclusive
+      ("p2", "iv-b"), // degenerate interval
+      ("p5", "iv-a"),
+      ("p4", "iv-d")  // negative axis
+    )
+  }
+
+  it should "scope pairs by key columns when given" in {
+    val kp = points.withColumn("k", when(col("p") === "p1", "A").otherwise("B"))
+    val ki = intervals.withColumn("k", lit("A"))
+    val pairs = Temporal.rangeJoin(kp, ki, "x", "lo", "hi", 10L, Seq("k"))
+      .collect().map(r => (r.getAs[String]("p"), r.getAs[String]("iv"))).toSet
+    pairs shouldBe Set(("p1", "iv-a")) // only the key-A point survives
+  }
+
+  it should "plan an equi join, not a nested-loop join" in {
+    val df = Temporal.rangeJoin(points, intervals, "x", "lo", "hi", 10L)
+    df.write.mode("overwrite").format("noop").save()
+    val plan = df.queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+
+  it should "reject overlapping non-key columns and bad widths" in {
+    an[IllegalArgumentException] should be thrownBy
+      Temporal.rangeJoin(points, intervals.withColumnRenamed("iv", "p"),
+        "x", "lo", "hi", 10L)
+    an[IllegalArgumentException] should be thrownBy
+      Temporal.rangeJoin(points, intervals, "x", "lo", "hi", 0L)
+  }
 }
