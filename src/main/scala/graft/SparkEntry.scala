@@ -505,6 +505,13 @@ object SparkEntry {
         rightCols = Seq("event_id", "value"), rightTieCol = "event_id",
         tolerance = Some(3600L * 1000 * 1000))
     },
+    "q_kmv_distinct" -> { (s, d) =>
+      // approximate distinct users per event type via the KMV sketch
+      // (k=32 < the 150 true distinct → the estimator path runs);
+      // portable 48-bit hashes make the estimate itself replayable
+      graft.pipeline.Sketches.distinctCountSketch(
+        t(s, d, "events"), Seq("event_type"), "user_id", k = 32)
+    },
     "q_range_join" -> { (s, d) =>
       // "how many lineitems were in transit on each March-1995 order
       // date" — a point-in-interval join. Transit windows are
@@ -1413,6 +1420,26 @@ object SparkEntry {
         |  CASE WHEN mm IS NOT NULL AND t - mm.rt <= 3600000000
         |       THEN mm.rt END AS asof_ts
         |FROM m WHERE side = 1""".stripMargin,
+    // rank-<=-k window replay of the KMV state: same hashes, same kth
+    // minimum, same estimate arithmetic (31·2^48/kth, left-assoc)
+    "q_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+        |         AS BIGINT) AS hv
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+        |  FROM h
+        |)
+        |SELECT event_type,
+        |  CAST(COUNT(CASE WHEN rk <= 32 THEN 1 END) AS INTEGER) AS n_retained,
+        |  MAX(CASE WHEN rk <= 32 THEN hv END) AS kth_min,
+        |  CASE WHEN COUNT(*) < 32 THEN CAST(COUNT(*) AS DOUBLE)
+        |       ELSE 31.0 * 281474976710656.0 /
+        |            MAX(CASE WHEN rk <= 32 THEN hv END) END AS estimate
+        |FROM r GROUP BY 1""".stripMargin,
     "q_range_join" ->
       """WITH probes AS (
         |  SELECT DISTINCT CAST(o_orderdate AS DATE) AS pd FROM orders

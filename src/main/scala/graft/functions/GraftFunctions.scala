@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** SQL registration of the native expression library, so `spark.sql`
   * strings (and any SQL-speaking client of a session) can call the
@@ -31,6 +31,13 @@ object GraftFunctions {
 
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, LongType) => v
+    case Literal(v: Int, IntegerType) => v.toLong
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
   }
@@ -92,6 +99,14 @@ object GraftFunctions {
           "bullet/ellipsis line shares)",
         { args => arity("repetition_stats", 1, args)
           RepetitionExprs.RepetitionStatsExpr(args(0)) }),
+      ("kmv_distinct",
+        "kmv_distinct(hash, k, space) - aggregate: KMV (bottom-k) " +
+          "distinct-count sketch over an already-hashed LONG column; " +
+          "returns struct(n_retained, kth_min, estimate). Replayable: " +
+          "the state is the k smallest hashes",
+        { args => arity("kmv_distinct", 3, args)
+          SketchExprs.KmvSketch(args(0), intLit(args(1), "k"),
+            longLit(args(2), "space")).toAggregateExpression() }),
       ("parse_ntriple",
         "parse_ntriple(line, permissive) - 0/1-element array of quad structs " +
           "from one N-Triples/N-Quads line; explode it (permissive: drop " +

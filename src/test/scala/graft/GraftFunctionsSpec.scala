@@ -105,4 +105,20 @@ class GraftFunctionsSpec extends AnyFlatSpec with Matchers {
       .head().getSeq[Long](0)
     viaSql shouldBe viaCol
   }
+
+  it should "expose the kmv_distinct aggregate to spark.sql" in {
+    graft.functions.GraftFunctions.register(spark)
+    (1 to 100).map(i => ("g", i.toLong)).toDF("g", "v")
+      .createOrReplaceTempView("kmv_v")
+    val viaSql = spark.sql(
+      """SELECT kmv_distinct(
+        |  CAST(conv(substring(md5(CAST(v AS STRING)), 1, 12), 16, 10)
+        |       AS BIGINT), 16, 281474976710656) AS s
+        |FROM kmv_v GROUP BY g""".stripMargin)
+      .select("s.n_retained", "s.kth_min", "s.estimate").head()
+    val viaCol = graft.pipeline.Sketches
+      .distinctCountSketch(spark.table("kmv_v"), Seq("g"), "v", 16)
+      .select("n_retained", "kth_min", "estimate").head()
+    viaSql shouldBe viaCol
+  }
 }

@@ -1,0 +1,83 @@
+package graft
+
+import graft.pipeline.Sketches
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** KMV distinct-count sketch: exact below k, estimator above k
+  * (pinned against an independent plain-Scala replay of the k-min
+  * rule), merge correctness across partitions, NULL handling, and the
+  * partial-aggregation plan shape. */
+class SketchesSpec extends AnyFlatSpec with Matchers {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def md5hash48(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(6).map(b => f"$b%02x").mkString, 16)
+  }
+
+  "distinctCountSketch" should "be exact below k and estimate above" in {
+    // group A: 5 distinct values (< k=8 → exact); group B: 100 (> k)
+    val df = ((1 to 5).map(i => ("A", i.toLong)) ++
+      (1 to 200).map(i => ("B", (i % 100).toLong))).toDF("g", "v")
+      .repartition(7) // force multi-partition partials + merge
+    val rows = Sketches.distinctCountSketch(df, Seq("g"), "v", k = 8)
+      .collect().map(r => r.getAs[String]("g") ->
+        ((r.getAs[Int]("n_retained"), r.getAs[Long]("kth_min"),
+          r.getAs[Double]("estimate")))).toMap
+
+    rows("A")._1 shouldBe 5
+    rows("A")._3 shouldBe 5.0 // exact below k
+
+    // independent replay: k smallest 48-bit md5 hashes of B's values
+    val hashes = (0 until 100).map(i => md5hash48(i.toString)).sorted
+    val kth = hashes(7)
+    rows("B")._1 shouldBe 8
+    rows("B")._2 shouldBe kth
+    rows("B")._3 shouldBe 7.0 * Sketches.Space48.toDouble / kth.toDouble
+    // and the estimate lands in the promised error band (~1/sqrt(k-2))
+    rows("B")._3 shouldBe 100.0 +- 100.0 * 2.5 / math.sqrt(8.0 - 2)
+  }
+
+  it should "ignore NULL values and dedup repeated ones" in {
+    val df = Seq(Some(1L), Some(1L), Some(2L), None, None)
+      .map(v => ("g", v)).toDF("g", "v")
+    val r = Sketches.distinctCountSketch(df, Seq("g"), "v", k = 8)
+      .collect().head
+    r.getAs[Int]("n_retained") shouldBe 2
+    r.getAs[Double]("estimate") shouldBe 2.0
+  }
+
+  it should "partial-aggregate (map-side combine) before the shuffle" in {
+    val df = (1 to 1000).map(i => (i % 3, i.toLong)).toDF("g", "v")
+      .repartition(8)
+    val agg = Sketches.distinctCountSketch(df, Seq("g"), "v", k = 16)
+    agg.write.mode("overwrite").format("noop").save()
+    val plan = agg.queryExecution.executedPlan.toString
+    // two ObjectHashAggregate stages (partial + final) around the
+    // exchange: the sketch, not the rows, crosses the wire
+    "ObjectHashAggregate".r.findAllIn(plan).size should be >= 2
+  }
+
+  it should "give identical results however the data is partitioned" in {
+    val base = (1 to 500).map(i => ("g", i.toLong)).toDF("g", "v")
+    val a = Sketches.distinctCountSketch(base.repartition(1), Seq("g"), "v", 16)
+      .collect().head
+    val b = Sketches.distinctCountSketch(base.repartition(13), Seq("g"), "v", 16)
+      .collect().head
+    a.getAs[Long]("kth_min") shouldBe b.getAs[Long]("kth_min")
+    a.getAs[Double]("estimate") shouldBe b.getAs[Double]("estimate")
+  }
+
+  it should "reject bad arguments" in {
+    val df = Seq(("g", 1L)).toDF("g", "v")
+    an[IllegalArgumentException] should be thrownBy
+      Sketches.distinctCountSketch(df, Nil, "v", 8)
+    an[IllegalArgumentException] should be thrownBy
+      Sketches.distinctCountSketch(df, Seq("g"), "v", 1)
+  }
+}
