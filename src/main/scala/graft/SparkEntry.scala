@@ -689,6 +689,16 @@ object SparkEntry {
         t(s, d, "documents"), "doc_id", 0.3, seed = 0, portable = true)
         .select(col("doc_id"), col("lang"))
     },
+    "q_sample_weighted" -> { (s, d) =>
+      // quality-weighted thinning: keep probability grows with doc
+      // length (a stand-in for any quality score), per-row portable
+      // keep/drop the oracle replays exactly
+      val docs = t(s, d, "documents")
+        .withColumn("w", length(col("text")).cast("double") / 2000.0)
+      graft.pipeline.Sampling.weightedSample(
+        docs, "doc_id", "w", seed = 2, portable = true)
+        .select(col("doc_id"), col("lang"))
+    },
     "q_sample_strat" -> { (s, d) =>
       // stratified mixing: per-language keep rates re-weight corpus
       // composition deterministically
@@ -1593,6 +1603,12 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 8))::BIGINT
         |      % 1000000 < 300000""".stripMargin,
+    "q_sample_weighted" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':2'), 1, 8))::BIGINT
+        |      % 1000000 <
+        |  floor(least(1.0, greatest(0.0, length(text) / 2000.0)) * 1000000)
+        |""".stripMargin,
     "q_sample_strat" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':1'), 1, 8))::BIGINT

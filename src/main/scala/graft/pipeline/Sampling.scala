@@ -60,6 +60,26 @@ object Sampling {
     df.filter(b < lit(math.round(fraction * Buckets)))
   }
 
+  /** Per-row weighted deterministic sample: keep each row with
+    * probability `weightCol` (clamped to [0,1]; NULL weights drop),
+    * decided by the row's key bucket alone — the quality-weighted
+    * downsampling step of a corpus build ("keep high-quality docs,
+    * thin the boilerplate"), stable across runs, partitioning and
+    * appends like every sampler here. Map-only: no shuffle, fuses
+    * into the scan.
+    *
+    * The threshold uses floor() on BOTH sides of the replay contract
+    * (Scala's math.round is half-up, SQL round() half-away-from-zero
+    * or half-even by engine — floor is the one alignment every engine
+    * computes identically in IEEE doubles). */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     seed: Long = 0L, portable: Boolean = false): DataFrame = {
+    val b = if (portable) portableBucket(col(keyCol), seed)
+            else bucket(col(keyCol), seed)
+    val w = least(lit(1.0), greatest(lit(0.0), col(weightCol).cast("double")))
+    df.filter(b < floor(w * Buckets))
+  }
+
   /** Disjoint deterministic split (train/validation/test): `weights`
     * are relative and need not sum to 1. Returns one DataFrame per
     * weight; every input row lands in exactly one split, decided by

@@ -163,6 +163,37 @@ class SamplingSpec extends AnyFlatSpec with Matchers {
     rep("de")._3 shouldBe 1.0
   }
 
+  "weightedSample" should "honor per-row keep probabilities" in {
+    val df = (1 to 2000).map { i =>
+      (i.toLong, if (i % 2 == 0) 1.0 else 0.0)
+    }.toDF("id", "w")
+    val kept = Sampling.weightedSample(df, "id", "w")
+      .select("id").collect().map(_.getLong(0))
+    // weight 1 → always kept, weight 0 → never
+    kept should have size 1000
+    all(kept.map(_ % 2)) shouldBe 0L
+  }
+
+  it should "drop NULL weights, clamp out-of-range ones, and stay stable" in {
+    val df = Seq(
+      (1L, Some(5.0)),   // clamps to 1 → kept
+      (2L, Some(-3.0)),  // clamps to 0 → dropped
+      (3L, None)         // NULL → dropped
+    ).toDF("id", "w")
+    val kept = Sampling.weightedSample(df, "id", "w")
+      .select("id").collect().map(_.getLong(0)).toSet
+    kept shouldBe Set(1L)
+    // intermediate weights keep roughly their share, identically
+    // across partitionings (pure function of the key)
+    val mid = (1 to 4000).map(i => (i.toLong, 0.3)).toDF("id", "w")
+    val a = Sampling.weightedSample(mid.repartition(1), "id", "w")
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.weightedSample(mid.repartition(11), "id", "w")
+      .collect().map(_.getLong(0)).toSet
+    a shouldBe b
+    a.size.toDouble shouldBe (4000 * 0.3) +- 4000 * 0.3 * 0.2
+  }
+
   "aboveGroupQuantile" should "threshold within each group" in {
     val df = Seq(
       ("x", 1L, 10), ("x", 2L, 20), ("x", 3L, 30), ("x", 4L, 40),
