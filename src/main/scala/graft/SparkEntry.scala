@@ -495,6 +495,7 @@ object SparkEntry {
       // long MICROseconds (`div`, not `/`, per q_events_window's
       // double-rounding lesson): DuckDB's timestamp is µs-precision,
       // so µs is the finest unit the oracle can replay exactly.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = t(s, d, "events").withColumn("ts", expr("ts div 1000"))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))
@@ -537,6 +538,7 @@ object SparkEntry {
       // gap-based sessions: a new session after >10 min of silence;
       // per-session bounds, event count and value total (µs times,
       // same oracle-precision reasoning as q_asof_join)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       graft.pipeline.Temporal.sessionize(
         t(s, d, "events").select(col("user_id"),
           expr("ts div 1000").as("ts"), col("value")),

@@ -655,7 +655,7 @@ object Dedup {
     fps.join(shared, Seq("fp"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_windows"),
-        sum(coalesce(col("__dup"), lit(0))).as("dup_windows"))
+        count(col("__dup")).as("dup_windows")) // count skips unmatched NULLs
       .withColumn("dup_frac",
         round(col("dup_windows").cast(DoubleType) /
           col("n_windows").cast(DoubleType), 6))

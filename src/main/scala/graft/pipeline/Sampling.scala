@@ -61,7 +61,7 @@ object Sampling {
   }
 
   /** Per-row weighted deterministic sample: keep each row with
-    * probability `weightCol` (clamped to [0,1]; NULL weights drop),
+    * probability `weightCol` (clamped to [0,1]; NULL or NaN weights drop),
     * decided by the row's key bucket alone — the quality-weighted
     * downsampling step of a corpus build ("keep high-quality docs,
     * thin the boilerplate"), stable across runs, partitioning and
@@ -76,7 +76,12 @@ object Sampling {
                      seed: Long = 0L, portable: Boolean = false): DataFrame = {
     val b = if (portable) portableBucket(col(keyCol), seed)
             else bucket(col(keyCol), seed)
-    val w = least(lit(1.0), greatest(lit(0.0), col(weightCol).cast("double")))
+    // NaN explicitly → 0: Spark orders NaN ABOVE all doubles, so a
+    // NaN weight would sail through greatest/least and clamp to 1 —
+    // an invalid score must mean keep-never, like NULL, not keep-always
+    val w0 = col(weightCol).cast("double")
+    val w = when(isnan(w0), 0.0)
+      .otherwise(least(lit(1.0), greatest(lit(0.0), w0)))
     df.filter(b < floor(w * Buckets))
   }
 

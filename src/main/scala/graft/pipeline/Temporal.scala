@@ -33,6 +33,14 @@ object Temporal {
     * timestamps" nondeterminism to break reproducible builds (or the
     * bit-exact external replay the battery oracle performs).
     *
+    * NULL semantics follow the SQL equality-join convention: right
+    * rows with a NULL key or NULL time can never be a match (they are
+    * filtered before the union — without this, Spark's NULLS FIRST
+    * sort order would carry a null-time payload to every early left
+    * row, and NULL keys would attribute each other's data). Left rows
+    * always survive; a NULL-key or NULL-time left row simply gets no
+    * match.
+    *
     * Shape at scale: both sides are tagged and UNIONED — never
     * joined — then a single running `last(..., ignoreNulls = true)`
     * window carries the latest right payload forward within each key
@@ -68,10 +76,12 @@ object Temporal {
       (rightCols :+ timeCol).map(c => col(c).as(rightPrefix + c)) :+
         col(rightTieCol).as("__tie"): _*)
     val lPayloadType = StructType(left.schema.fields)
-    val taggedRight = right.select(
-      col(keyCol), col(timeCol).as("__t"), lit(0).as("__side"),
-      col(rightTieCol).as("__ord"),
-      rPayload.as("__r"), lit(null).cast(lPayloadType).as("__l"))
+    val taggedRight = right
+      .filter(col(keyCol).isNotNull && col(timeCol).isNotNull)
+      .select(
+        col(keyCol), col(timeCol).as("__t"), lit(0).as("__side"),
+        col(rightTieCol).as("__ord"),
+        rPayload.as("__r"), lit(null).cast(lPayloadType).as("__l"))
     val taggedLeft = left.select(
       col(keyCol), col(timeCol).as("__t"), lit(1).as("__side"),
       lit(null).cast(rType(rightTieCol)).as("__ord"),
@@ -126,19 +136,18 @@ object Temporal {
     require(overlap.isEmpty,
       s"points and intervals share non-key columns: ${overlap.mkString(", ")}" +
         " — rename one side first")
-    // floorDiv in exact integer math: `div` truncates toward zero
-    // (wrong for negative axes — correct with the mod sign), and
-    // double `/` loses exactness past 2^53
-    def floorDiv(c: String): String =
-      s"((`$c` div $bucketWidth) - (CASE WHEN `$c` % $bucketWidth < 0" +
-        s" THEN 1 ELSE 0 END))"
-    val p = points.withColumn("__bucket",
-      expr(floorDiv(pointCol)).cast("long"))
+    // floorDiv in exact math over the full long range: subtracting
+    // pmod (always non-negative) lands on the floor multiple for any
+    // sign, and the division runs in DECIMAL — double `/` would lose
+    // exactness past 2^53 (a nanosecond axis is ~2^60)
+    def floorDiv(c: Column): Column =
+      ((c.cast("decimal(38,0)") - pmod(c, lit(bucketWidth)))
+        / bucketWidth).cast("long")
+    val p = points.withColumn("__bucket", floorDiv(col(pointCol)))
     val iv = intervals
       .filter(col(hiCol) >= col(loCol))
       .withColumn("__bucket", explode(sequence(
-        expr(floorDiv(loCol)).cast("long"),
-        expr(floorDiv(hiCol)).cast("long"))))
+        floorDiv(col(loCol)), floorDiv(col(hiCol)))))
     p.join(iv, keyCols :+ "__bucket")
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bucket")
@@ -152,6 +161,10 @@ object Temporal {
     * from 1 in time order — deterministic, so session identities are
     * stable across runs and engines. `timeCol` must be numeric (epoch
     * nanos by battery convention); `gap` is in the same unit.
+    * NULL-key or NULL-time events belong to no session and are
+    * dropped (without this, Spark's NULLS FIRST ordering would both
+    * emit junk single-event sessions AND shift every real session's
+    * index, breaking the stable-identity guarantee above).
     *
     * Shape at scale: the classic two-window one-shuffle form — lag to
     * flag session starts, running sum to assign indexes, then an
@@ -171,6 +184,7 @@ object Temporal {
     val runningIdx = sum(isStart).over(
       byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     events
+      .filter(col(keyCol).isNotNull && col(timeCol).isNotNull)
       .withColumn("session_idx", runningIdx)
       .groupBy(col(keyCol), col("session_idx"))
       .agg(

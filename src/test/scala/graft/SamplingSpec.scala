@@ -176,9 +176,10 @@ class SamplingSpec extends AnyFlatSpec with Matchers {
 
   it should "drop NULL weights, clamp out-of-range ones, and stay stable" in {
     val df = Seq(
-      (1L, Some(5.0)),   // clamps to 1 → kept
-      (2L, Some(-3.0)),  // clamps to 0 → dropped
-      (3L, None)         // NULL → dropped
+      (1L, Some(5.0)),        // clamps to 1 → kept
+      (2L, Some(-3.0)),       // clamps to 0 → dropped
+      (3L, None),             // NULL → dropped
+      (4L, Some(Double.NaN))  // NaN → dropped (NOT clamped to 1)
     ).toDF("id", "w")
     val kept = Sampling.weightedSample(df, "id", "w")
       .select("id").collect().map(_.getLong(0)).toSet

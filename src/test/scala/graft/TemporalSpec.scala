@@ -70,6 +70,29 @@ class TemporalSpec extends AnyFlatSpec with Matchers {
     "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
   }
 
+  it should "never match NULL-key or NULL-time right rows" in {
+    // a NULL-time quote would otherwise sort FIRST and be carried to
+    // every early left row; NULL keys must not attribute each other
+    val dirtyQuotes = Seq(
+      (Some(1L), None, 66.0, 10L),         // NULL time
+      (None, Some(40L), 77.0, 11L),        // NULL key
+      (Some(1L), Some(200L), 10.0, 1L)
+    ).toDF("k", "t", "px", "qid")
+    val dirtyTrades = Seq(
+      (Some(1L), 100L, "early"),  // before any VALID quote
+      (None, 100L, "nullkey"),    // NULL-key left row: kept, no match
+      (Some(1L), 205L, "normal")
+    ).toDF("k", "t", "trade")
+    val m = Temporal.asofJoin(dirtyTrades, dirtyQuotes, "k", "t",
+      Seq("px"), "qid")
+      .collect().map(r => r.getAs[String]("trade") ->
+        Option(r.getAs[java.lang.Double]("asof_px"))).toMap
+    m should have size 3 // every left row survives
+    m("early") shouldBe None
+    m("nullkey") shouldBe None
+    m("normal") shouldBe Some(10.0)
+  }
+
   it should "reject colliding output names and bad arguments" in {
     an[IllegalArgumentException] should be thrownBy
       Temporal.asofJoin(trades, quotes, "k", "t", Seq("t"), "qid")
@@ -115,6 +138,17 @@ class TemporalSpec extends AnyFlatSpec with Matchers {
   it should "reject non-positive gaps" in {
     an[IllegalArgumentException] should be thrownBy
       Temporal.sessionize(events, "u", "t", gap = 0L)
+  }
+
+  it should "drop NULL-time events without shifting session numbering" in {
+    val dirty = Seq(
+      (7L, None, 0.5), (7L, None, 0.5), // would shift idx by 2 if kept
+      (7L, Some(1000L), 1.0), (7L, Some(1060L), 2.0)
+    ).toDF("u", "t", "v")
+    val rows = Temporal.sessionize(dirty, "u", "t", gap = 60L)
+      .collect().map(r => (r.getAs[Long]("session_idx"),
+        r.getAs[Long]("n_events")))
+    rows shouldBe Array((1L, 2L)) // one session, numbered from 1
   }
 
   // intervals straddling bucket boundaries (width 10), inclusive
