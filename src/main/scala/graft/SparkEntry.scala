@@ -506,6 +506,22 @@ object SparkEntry {
         rightCols = Seq("event_id", "value"), rightTieCol = "event_id",
         tolerance = Some(3600L * 1000 * 1000))
     },
+    "q_zorder_layout" -> { (s, d) =>
+      // z-order clustered rewrite of events on (user_id, value), read
+      // back and aggregated — the oracle replays the aggregate from
+      // the RAW table, proving the layout pass is content-identity;
+      // LayoutSpec separately proves the clustering (files touched)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val path = tmpPath("zorder_events", d)
+      graft.io.Layout.zorderWrite(
+        t(s, d, "events").select(col("event_id"), col("user_id"),
+          col("value")),
+        Seq("user_id", "value"), path, numFiles = 16)
+      s.read.parquet(path)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"),
+          sum(col("event_id")).as("id_sum"))
+    },
     "q_kmv_distinct" -> { (s, d) =>
       // approximate distinct users per event type via the KMV sketch
       // (k=32 < the 150 true distinct → the estimator path runs);
@@ -1432,6 +1448,11 @@ object SparkEntry {
         |  CASE WHEN mm IS NOT NULL AND t - mm.rt <= 3600000000
         |       THEN mm.rt END AS asof_ts
         |FROM m WHERE side = 1""".stripMargin,
+    "q_zorder_layout" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(value) AS total_value,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+        |FROM events GROUP BY 1""".stripMargin,
     // rank-<=-k window replay of the KMV state: same hashes, same kth
     // minimum, same estimate arithmetic (31·2^48/kth, left-assoc)
     "q_kmv_distinct" ->
