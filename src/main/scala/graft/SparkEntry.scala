@@ -760,6 +760,12 @@ object SparkEntry {
       graft.pipeline.TextAnalysis.portableRollingFingerprintTable(
         t(s, d, "documents"), "doc_id", "text")
     },
+    "q_lm_score" -> { (s, d) =>
+      // CCNet-shape statistical quality score: mean log-prob under the
+      // corpus's own add-α bigram LM — exact counts, 6-dp-rounded mean
+      graft.pipeline.TextAnalysis.bigramLogProbTable(
+        t(s, d, "documents"), "doc_id", "text")
+    },
     "q_repeated_spans" -> { (s, d) =>
       // cross-document repeated-span fractions (window-level substring
       // dedup signal, Lee et al. arXiv:2107.06499): per document, how
@@ -1590,6 +1596,32 @@ object SparkEntry {
         |  FROM toks
         |)
         |SELECT doc_id, unnest(fp4) AS fp FROM fps""".stripMargin,
+    "q_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                     x -> x <> '') AS ts
+        |  FROM documents WHERE text IS NOT NULL
+        |), bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, len(ts) - 1),
+        |           i -> struct_pack(w1 := ts[i], w2 := ts[i + 1]))) AS b
+        |  FROM toks WHERE len(ts) >= 2
+        |), bge AS (
+        |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg
+        |), bc AS (
+        |  SELECT w1, w2, COUNT(*) AS c12 FROM bge GROUP BY 1, 2
+        |), uc AS (
+        |  SELECT w1, COUNT(*) AS c1 FROM bge GROUP BY 1
+        |), v AS (
+        |  SELECT COUNT(DISTINCT w) AS nv
+        |  FROM (SELECT unnest(ts) AS w FROM toks)
+        |)
+        |SELECT bge.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  round(avg(ln((bc.c12 + 0.1) / (uc.c1 + 0.1 * v.nv))), 6)
+        |    AS avg_logprob
+        |FROM bge JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+        |GROUP BY 1""".stripMargin,
     "q_repeated_spans" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -155,4 +155,55 @@ object TextAnalysis {
       .select(col(idCol),
         explode(portableRollingFingerprints(col(textCol), window, keep))
           .as("fp"))
+
+  /** Statistical quality score: per-document mean log-probability
+    * under a corpus-trained add-α bigram language model — the CCNet
+    * shape (Wenzek et al., LREC '20: perplexity under a corpus LM
+    * separates fluent text from boilerplate/noise far better than any
+    * single heuristic; here the LM is the corpus's own bigram stats
+    * rather than an external model, so the pipeline is closed and the
+    * score exactly replayable). Higher (closer to 0) = more typical
+    * text. P(w2|w1) = (C(w1,w2) + α) / (C(w1) + α·V) with V the
+    * corpus vocabulary size. Output `(id, n_bigrams, avg_logprob)`
+    * (6-dp rounded — libm-ln/summation-order differences between
+    * engines are unobservable at 6 dp); documents with fewer than two
+    * tokens carry no bigrams and are absent.
+    *
+    * Scale shape: the bigram stream is exploded once and
+    * checkpoint-free — Spark reuses the hashpartitioning(w1, w2)
+    * exchange between the count aggregation and the stats join, so
+    * the count and the join-back cost ONE shuffle of the stream, the
+    * context-count join shuffles on w1, and the per-document rollup
+    * is the final aggregation. V broadcasts as a single row. A
+    * mega-hot bigram ("of the") is one row in the count table — join
+    * fan-out, no skewed build side; AQE splits any skewed partition. */
+  def bigramLogProbTable(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      alpha: Double = 0.1): org.apache.spark.sql.DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val ts = Dedup.tokens(col(textCol))
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), ts.as("__ts"))
+    val bigrams = toks
+      .filter(size(col("__ts")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("__ts")) - 2),
+        i => struct(element_at(col("__ts"), i + 1).as("w1"),
+          element_at(col("__ts"), i + 2).as("w2")))).as("__b"))
+      .select(col(idCol), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+    val bigramCounts = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__c12"))
+    val contextCounts = bigrams.groupBy(col("w1"))
+      .agg(count(lit(1)).as("__c1"))
+    val vocab = toks.select(explode(col("__ts")).as("__w"))
+      .agg(countDistinct(col("__w")).as("__v"))
+    bigrams
+      .join(bigramCounts, Seq("w1", "w2"))
+      .join(contextCounts, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("__c12") + alpha) /
+          (col("__c1") + lit(alpha) * col("__v")))), 6).as("avg_logprob"))
+  }
 }
