@@ -506,6 +506,18 @@ object SparkEntry {
         rightCols = Seq("event_id", "value"), rightTieCol = "event_id",
         tolerance = Some(3600L * 1000 * 1000))
     },
+    "q_kmv_rollup" -> { (s, d) =>
+      // the persisted-sketch workflow: per-DAY user sketches (the
+      // table you'd store) merged to the period total — k longs per
+      // day cross the merge, never the events. µs day buckets per the
+      // oracle-precision convention.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = t(s, d, "events")
+        .withColumn("day", expr("(ts div 1000) div 86400000000"))
+      val daily = graft.pipeline.Sketches.sketchTable(
+        ev, Seq("day"), "user_id", k = 32)
+      graft.pipeline.Sketches.mergeSketches(daily, Nil, k = 32)
+    },
     "q_zorder_layout" -> { (s, d) =>
       // z-order clustered rewrite of events on (user_id, value), read
       // back and aggregated — the oracle replays the aggregate from
@@ -1454,6 +1466,30 @@ object SparkEntry {
         |  CASE WHEN mm IS NOT NULL AND t - mm.rt <= 3600000000
         |       THEN mm.rt END AS asof_ts
         |FROM m WHERE side = 1""".stripMargin,
+    // two-level rank replay: per-day k-min sets, union, re-rank —
+    // exactly the merge the sketch rollup performs
+    "q_kmv_rollup" ->
+      """WITH h AS (
+        |  SELECT DISTINCT (epoch_us(ts) // 86400000000) AS day,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+        |         AS BIGINT) AS hv
+        |  FROM events
+        |), r AS (
+        |  SELECT day, hv,
+        |    row_number() OVER (PARTITION BY day ORDER BY hv) AS rk
+        |  FROM h
+        |), u AS (
+        |  SELECT DISTINCT hv FROM r WHERE rk <= 32
+        |), r2 AS (
+        |  SELECT hv, row_number() OVER (ORDER BY hv) AS rk FROM u
+        |)
+        |SELECT
+        |  CAST(COUNT(CASE WHEN rk <= 32 THEN 1 END) AS INTEGER) AS n_retained,
+        |  MAX(CASE WHEN rk <= 32 THEN hv END) AS kth_min,
+        |  CASE WHEN COUNT(*) < 32 THEN CAST(COUNT(*) AS DOUBLE)
+        |       ELSE 31.0 * 281474976710656.0 /
+        |            MAX(CASE WHEN rk <= 32 THEN hv END) END AS estimate
+        |FROM r2""".stripMargin,
     "q_zorder_layout" ->
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
         |  SUM(value) AS total_value,

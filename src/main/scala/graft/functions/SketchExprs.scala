@@ -41,8 +41,15 @@ object SketchExprs {
     * so partial aggregation (map-side combine) applies; the buffer
     * never exceeds k longs. Skew-immune: a hot group costs k longs per
     * partition, not its cardinality. */
+  /** With `emitState = true` the aggregate returns the raw sorted
+    * k-min hash ARRAY instead of the summary struct — the persistable
+    * sketch-table form: store one array per fine-grained group (per
+    * day, per shard), then roll coarser granularities up later by
+    * merging arrays instead of re-scanning 100 TB of history
+    * ([[graft.pipeline.Sketches.mergeSketches]]). */
   case class KmvSketch(
       child: Expression, k: Int, space: Long,
+      emitState: Boolean = false,
       override val mutableAggBufferOffset: Int = 0,
       override val inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
@@ -53,10 +60,12 @@ object SketchExprs {
 
     override def prettyName: String = "kmv_distinct"
     override def nullable: Boolean = false
-    override def dataType: DataType = StructType(Seq(
-      StructField("n_retained", IntegerType, nullable = false),
-      StructField("kth_min", LongType, nullable = true),
-      StructField("estimate", DoubleType, nullable = false)))
+    override def dataType: DataType =
+      if (emitState) ArrayType(LongType, containsNull = false)
+      else StructType(Seq(
+        StructField("n_retained", IntegerType, nullable = false),
+        StructField("kth_min", LongType, nullable = true),
+        StructField("estimate", DoubleType, nullable = false)))
 
     override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
       new java.util.TreeSet[java.lang.Long]()
@@ -87,14 +96,21 @@ object SketchExprs {
       buf
     }
 
-    override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
-      val n = buf.size
-      val kth: java.lang.Long = if (n == 0) null else buf.last
-      val est =
-        if (n < k) n.toDouble // saw the whole population: exact
-        else (k - 1).toDouble * space.toDouble / buf.last.toDouble
-      InternalRow(n, kth, est)
-    }
+    override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
+      if (emitState) {
+        val arr = new Array[Long](buf.size)
+        val it = buf.iterator()
+        var i = 0
+        while (it.hasNext) { arr(i) = it.next(); i += 1 }
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(arr)
+      } else {
+        val n = buf.size
+        val kth: java.lang.Long = if (n == 0) null else buf.last
+        val est =
+          if (n < k) n.toDouble // saw the whole population: exact
+          else (k - 1).toDouble * space.toDouble / buf.last.toDouble
+        InternalRow(n, kth, est)
+      }
 
     override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
       val bb = ByteBuffer.allocate(4 + 8 * buf.size)

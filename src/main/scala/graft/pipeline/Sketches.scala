@@ -53,4 +53,48 @@ object Sketches {
         col("__kmv.kth_min").as("kth_min") :+
         col("__kmv.estimate").as("estimate"): _*)
   }
+
+  /** Persistable sketch table: one sorted k-min hash array (`kmv`) per
+    * fine-grained group — the form you store per day/shard/partition
+    * so later rollups merge arrays instead of re-scanning history. */
+  def sketchTable(df: DataFrame, groupCols: Seq[String],
+                  valueCol: String, k: Int): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must name at least one column")
+    val sketch = GraftColumnBridge.column(
+      SketchExprs.KmvSketch(
+        GraftColumnBridge.expression(portableHash48(col(valueCol))),
+        k, Space48, emitState = true).toAggregateExpression())
+    df.groupBy(groupCols.map(col): _*)
+      .agg(sketch.as("kmv"))
+  }
+
+  /** Roll a [[sketchTable]] up to coarser groups: explode the stored
+    * arrays and re-sketch — KMV union is "k smallest of the union of
+    * retained hashes", so the merged estimate is EXACTLY what
+    * sketching the coarser group directly would produce whenever every
+    * fine sketch kept its full k (and a documented upper-bound
+    * approximation when a fine group had fewer). `coarserCols` ⊆ the
+    * sketch table's group columns (empty = grand total under a
+    * constant group). Input rows are sketch rows, so this scans
+    * k longs per fine group — rolling a year of daily sketches up
+    * costs seconds, not a 100 TB re-scan. */
+  def mergeSketches(sketches: DataFrame, coarserCols: Seq[String],
+                    k: Int): DataFrame = {
+    val grouped =
+      if (coarserCols.nonEmpty) sketches
+      else sketches.withColumn("__all", lit("all"))
+    val keys = if (coarserCols.nonEmpty) coarserCols else Seq("__all")
+    val sketch = GraftColumnBridge.column(
+      SketchExprs.KmvSketch(
+        GraftColumnBridge.expression(col("__hv")),
+        k, Space48).toAggregateExpression())
+    grouped
+      .select(keys.map(col) :+ explode(col("kmv")).as("__hv"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(sketch.as("__kmv"))
+      .select(coarserCols.map(col) :+
+        col("__kmv.n_retained").as("n_retained") :+
+        col("__kmv.kth_min").as("kth_min") :+
+        col("__kmv.estimate").as("estimate"): _*)
+  }
 }

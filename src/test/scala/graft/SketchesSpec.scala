@@ -80,4 +80,35 @@ class SketchesSpec extends AnyFlatSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy
       Sketches.distinctCountSketch(df, Seq("g"), "v", 1)
   }
+
+  "sketchTable + mergeSketches" should
+    "roll up to exactly the direct coarse sketch" in {
+    // fine groups (day, shard) each see >k distinct values, overlap
+    // across groups; rollup by day and the grand total must equal
+    // sketching those granularities directly
+    val df = (1 to 3000).map { i =>
+      (s"d${i % 3}", s"s${i % 5}", (i % 400).toLong)
+    }.toDF("day", "shard", "v")
+    val fine = Sketches.sketchTable(df, Seq("day", "shard"), "v", k = 16)
+    fine.count() shouldBe 15
+    fine.select(max(org.apache.spark.sql.functions.size(col("kmv"))))
+      .head().getInt(0) shouldBe 16
+
+    def rows(d: org.apache.spark.sql.DataFrame, keys: String*) =
+      d.collect().map(r => keys.map(r.getAs[String]).mkString("|") ->
+        ((r.getAs[Int]("n_retained"), r.getAs[Long]("kth_min"),
+          r.getAs[Double]("estimate")))).toMap
+
+    val viaMerge = rows(Sketches.mergeSketches(fine, Seq("day"), 16), "day")
+    val direct = rows(Sketches.distinctCountSketch(df, Seq("day"), "v", 16), "day")
+    viaMerge shouldBe direct
+
+    val total = Sketches.mergeSketches(fine, Nil, 16).collect().head
+    val directTotal = Sketches
+      .distinctCountSketch(df.withColumn("g", lit(1)), Seq("g"), "v", 16)
+      .collect().head
+    total.getAs[Long]("kth_min") shouldBe directTotal.getAs[Long]("kth_min")
+    total.getAs[Double]("estimate") shouldBe
+      directTotal.getAs[Double]("estimate")
+  }
 }
