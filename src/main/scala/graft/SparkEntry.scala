@@ -719,6 +719,23 @@ object SparkEntry {
         t(s, d, "documents"), "doc_id", 0.3, seed = 0, portable = true)
         .select(col("doc_id"), col("lang"))
     },
+    "q_mixture_plan" -> { (s, d) =>
+      // temperature mixture planning: sqrt-share reweighting of the
+      // per-source composition toward a half-size corpus. τ = 0.5 on
+      // purpose: Java Math.pow(n, 0.5) is bit-equal to DuckDB sqrt(n)
+      // (verified over 1..20000) while DuckDB pow(n, 0.5) differs by
+      // 1 ulp on ~0.1% of inputs — the oracle replays with sqrt
+      graft.pipeline.Sampling.temperatureRates(
+        t(s, d, "documents"), "source", tau = 0.5, targetFraction = 0.5)
+    },
+    "q_mixture_sample" -> { (s, d) =>
+      // ...and the applied plan: per-row deterministic keep at each
+      // source's temperature rate (thresholds replayed by the oracle)
+      graft.pipeline.Sampling.temperatureSample(
+        t(s, d, "documents"), "source", "doc_id",
+        tau = 0.5, targetFraction = 0.5)
+        .select(col("doc_id"), col("source"))
+    },
     "q_sample_weighted" -> { (s, d) =>
       // quality-weighted thinning: keep probability grows with doc
       // length (a stand-in for any quality score), per-row portable
@@ -1694,6 +1711,33 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 8))::BIGINT
         |      % 1000000 < 300000""".stripMargin,
+    "q_mixture_plan" ->
+      """WITH c AS (
+        |  SELECT source, COUNT(*) AS n FROM documents GROUP BY 1
+        |), t AS (
+        |  SELECT SUM(n) AS total, SUM(sqrt(CAST(n AS DOUBLE))) AS powsum
+        |  FROM c
+        |)
+        |SELECT c.source, CAST(c.n AS BIGINT) AS n,
+        |  round(c.n / CAST(t.total AS DOUBLE), 6) AS share,
+        |  round(least(1.0, sqrt(CAST(c.n AS DOUBLE)) / t.powsum
+        |    * t.total * 0.5 / c.n), 6) AS rate
+        |FROM c CROSS JOIN t""".stripMargin,
+    "q_mixture_sample" ->
+      """WITH c AS (
+        |  SELECT source, COUNT(*) AS n FROM documents GROUP BY 1
+        |), t AS (
+        |  SELECT SUM(n) AS total, SUM(sqrt(CAST(n AS DOUBLE))) AS powsum
+        |  FROM c
+        |), thr AS (
+        |  SELECT c.source,
+        |    CAST(round(least(1.0, sqrt(CAST(c.n AS DOUBLE)) / t.powsum
+        |      * t.total * 0.5 / c.n) * 1000000) AS BIGINT) AS thr
+        |  FROM c CROSS JOIN t
+        |)
+        |SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source)
+        |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':0'), 1, 8))::BIGINT
+        |      % 1000000 < thr.thr""".stripMargin,
     "q_sample_weighted" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':2'), 1, 8))::BIGINT

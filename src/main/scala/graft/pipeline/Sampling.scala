@@ -85,6 +85,66 @@ object Sampling {
     df.filter(b < floor(w * Buckets))
   }
 
+  /** Temperature-based mixture plan: per-stratum keep rates that
+    * reshape the corpus toward `q_s ∝ share_s^tau` (the multilingual /
+    * multi-source rebalancing rule — tau = 1 keeps natural proportions,
+    * tau → 0 approaches uniform, the τ ≈ 0.3–0.7 range upsamples rare
+    * strata the way multilingual LLM corpus builds do) at an overall
+    * `targetFraction` of the corpus. Returns `(strataCol, n, share,
+    * rate)` with rate capped at 1 (a rare stratum cannot be upsampled
+    * beyond itself without duplication — the capped mass is simply not
+    * redistributed, the standard simple form). Rates are 6-dp rounded:
+    * this is the auditable PLAN; apply it with [[temperatureSample]]
+    * (or hand literal rates to [[stratifiedSample]]).
+    *
+    * One aggregation over the corpus; everything else is arithmetic on
+    * the (tiny) stratum table. */
+  def temperatureRates(df: DataFrame, strataCol: String, tau: Double,
+                       targetFraction: Double): DataFrame = {
+    require(tau > 0, s"tau must be positive, got $tau")
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"targetFraction $targetFraction not in (0,1]")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("__total"),
+      sum(pow(col("n").cast("double"), tau)).as("__powsum"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("share", col("n").cast("double") / col("__total"))
+      // q_s = n^tau / powsum of the target mass; rate = kept_s / n_s
+      .withColumn("rate", least(lit(1.0),
+        pow(col("n").cast("double"), tau) / col("__powsum") *
+          col("__total").cast("double") * targetFraction /
+          col("n").cast("double")))
+      .select(col(strataCol), col("n"),
+        round(col("share"), 6).as("share"), round(col("rate"), 6).as("rate"))
+  }
+
+  /** Apply a [[temperatureRates]] plan: deterministic per-row keep at
+    * each stratum's rate, decided by the portable key bucket — the
+    * same append-stable, engine-replayable contract as every sampler
+    * here. The integer threshold is `round(rate · 1e6)` computed from
+    * the UNrounded rate on both sides of the replay. The stratum-rate
+    * table broadcasts back onto the corpus (strata are languages /
+    * sources — a handful of rows); the corpus itself never shuffles. */
+  def temperatureSample(df: DataFrame, strataCol: String, keyCol: String,
+                        tau: Double, targetFraction: Double,
+                        seed: Long = 0L): DataFrame = {
+    require(tau > 0, s"tau must be positive, got $tau")
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"targetFraction $targetFraction not in (0,1]")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val totals = counts.agg(sum(col("__n")).as("__total"),
+      sum(pow(col("__n").cast("double"), tau)).as("__powsum"))
+    val thresholds = counts.crossJoin(broadcast(totals))
+      .withColumn("__thr", round(least(lit(1.0),
+        pow(col("__n").cast("double"), tau) / col("__powsum") *
+          col("__total").cast("double") * targetFraction /
+          col("__n").cast("double")) * Buckets).cast("long"))
+      .select(col(strataCol), col("__thr"))
+    df.join(broadcast(thresholds), Seq(strataCol))
+      .filter(portableBucket(col(keyCol), seed) < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Disjoint deterministic split (train/validation/test): `weights`
     * are relative and need not sum to 1. Returns one DataFrame per
     * weight; every input row lands in exactly one split, decided by

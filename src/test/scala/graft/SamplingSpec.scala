@@ -195,6 +195,50 @@ class SamplingSpec extends AnyFlatSpec with Matchers {
     a.size.toDouble shouldBe (4000 * 0.3) +- 4000 * 0.3 * 0.2
   }
 
+  "temperatureRates" should "flatten shares toward uniform as tau drops" in {
+    // 900 'en' vs 100 'de': natural shares 0.9/0.1
+    val df = ((1 to 900).map(i => (i.toLong, "en")) ++
+      (901 to 1000).map(i => (i.toLong, "de"))).toDF("id", "lang")
+    val m = Sampling.temperatureRates(df, "lang", tau = 0.5,
+      targetFraction = 0.5)
+      .collect().map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("share"),
+          r.getAs[Double]("rate")))).toMap
+    m("en")._1 shouldBe 900L
+    m("en")._2 shouldBe 0.9
+    // sqrt weighting: q_en = 30/40, q_de = 10/40 of the 500-doc target
+    // → rates 375/900 and 125/100 (capped at 1)
+    m("en")._3 shouldBe (375.0 / 900) +- 1e-6
+    m("de")._3 shouldBe 1.0 // rare stratum upsample capped
+  }
+
+  it should "keep natural proportions at tau = 1" in {
+    val df = ((1 to 300).map(i => (i.toLong, "a")) ++
+      (301 to 400).map(i => (i.toLong, "b"))).toDF("id", "g")
+    val rates = Sampling.temperatureRates(df, "g", tau = 1.0,
+      targetFraction = 0.4)
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Double]("rate"))
+      .toMap
+    rates("a") shouldBe 0.4 +- 1e-6
+    rates("b") shouldBe 0.4 +- 1e-6
+  }
+
+  "temperatureSample" should "hit per-stratum targets deterministically" in {
+    val df = ((1 to 900).map(i => (i.toLong, "en")) ++
+      (901 to 1000).map(i => (i.toLong, "de"))).toDF("id", "lang")
+    val kept = Sampling.temperatureSample(df, "lang", "id",
+      tau = 0.5, targetFraction = 0.5)
+    val byLang = kept.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang("de") shouldBe 100L // rate capped at 1 → all kept
+    byLang("en").toDouble shouldBe 375.0 +- 375 * 0.15
+    // stable under repartitioning
+    val again = Sampling.temperatureSample(df.repartition(13), "lang", "id",
+      tau = 0.5, targetFraction = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    kept.select("id").collect().map(_.getLong(0)).toSet shouldBe again
+  }
+
   "aboveGroupQuantile" should "threshold within each group" in {
     val df = Seq(
       ("x", 1L, 10), ("x", 2L, 20), ("x", 3L, 30), ("x", 4L, 40),
