@@ -506,6 +506,21 @@ object SparkEntry {
         rightCols = Seq("event_id", "value"), rightTieCol = "event_id",
         tolerance = Some(3600L * 1000 * 1000))
     },
+    "q_asof_lookup" -> { (s, d) =>
+      // same attribution, via the broadcast-packed LOOKUP path (the
+      // streaming-compatible form) — same oracle as q_asof_join, so
+      // DuckDB independently certifies the two implementations agree
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = t(s, d, "events").withColumn("ts", expr("ts div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      graft.pipeline.Temporal.asofLookup(
+        clicks, views, "user_id", "ts",
+        rightCols = Seq("event_id", "value"), rightTieCol = "event_id",
+        tolerance = Some(3600L * 1000 * 1000))
+    },
     "q_kmv_rollup" -> { (s, d) =>
       // the persisted-sketch workflow: per-DAY user sketches (the
       // table you'd store) merged to the period total — k longs per
@@ -1120,6 +1135,39 @@ object SparkEntry {
     * passages (12-token slices of every doc_id % 97 == 0 document) and
     * the portable window-hash tables of both sides, replayed exactly as
     * [[graft.pipeline.Decontaminate]] computes them. */
+  /** Shared by q_asof_join and q_asof_lookup: both implement the
+    * same as-of semantics, so one DuckDB window replay certifies
+    * both (and that they agree with each other). */
+  private val asofOracle: String =
+    """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS t, value, event_type
+        |  FROM events
+        |), u AS (
+        |  SELECT user_id, t, 0 AS side, event_id AS ord,
+        |         event_id AS r_eid, value AS r_val, t AS r_t,
+        |         NULL::BIGINT AS l_eid, NULL::DOUBLE AS l_val
+        |  FROM ev WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, t, 1, NULL, NULL, NULL, NULL, event_id, value
+        |  FROM ev WHERE event_type = 'click'
+        |), m AS (
+        |  SELECT *, last_value(
+        |      CASE WHEN side = 0
+        |           THEN struct_pack(eid := r_eid, val := r_val, rt := r_t)
+        |      END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY t, side, ord
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mm
+        |  FROM u
+        |)
+        |SELECT l_eid AS event_id, user_id, t AS ts, l_val AS value,
+        |  CASE WHEN mm IS NOT NULL AND t - mm.rt <= 3600000000
+        |       THEN mm.eid END AS asof_event_id,
+        |  CASE WHEN mm IS NOT NULL AND t - mm.rt <= 3600000000
+        |       THEN mm.val END AS asof_value,
+        |  CASE WHEN mm IS NOT NULL AND t - mm.rt <= 3600000000
+        |       THEN mm.rt END AS asof_ts
+        |FROM m WHERE side = 1""".stripMargin
+
   private def decontamOracle(tail: String): String =
     s"""WITH toks AS (
        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
@@ -1454,35 +1502,8 @@ object SparkEntry {
     // window replay of the as-of union (not DuckDB's ASOF JOIN
     // keyword, whose equal-timestamp row choice is unspecified): the
     // same (time, side, tie) order and running IGNORE NULLS carry
-    "q_asof_join" ->
-      """WITH ev AS (
-        |  SELECT event_id, user_id, epoch_us(ts) AS t, value, event_type
-        |  FROM events
-        |), u AS (
-        |  SELECT user_id, t, 0 AS side, event_id AS ord,
-        |         event_id AS r_eid, value AS r_val, t AS r_t,
-        |         NULL::BIGINT AS l_eid, NULL::DOUBLE AS l_val
-        |  FROM ev WHERE event_type = 'view'
-        |  UNION ALL
-        |  SELECT user_id, t, 1, NULL, NULL, NULL, NULL, event_id, value
-        |  FROM ev WHERE event_type = 'click'
-        |), m AS (
-        |  SELECT *, last_value(
-        |      CASE WHEN side = 0
-        |           THEN struct_pack(eid := r_eid, val := r_val, rt := r_t)
-        |      END IGNORE NULLS)
-        |    OVER (PARTITION BY user_id ORDER BY t, side, ord
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mm
-        |  FROM u
-        |)
-        |SELECT l_eid AS event_id, user_id, t AS ts, l_val AS value,
-        |  CASE WHEN mm IS NOT NULL AND t - mm.rt <= 3600000000
-        |       THEN mm.eid END AS asof_event_id,
-        |  CASE WHEN mm IS NOT NULL AND t - mm.rt <= 3600000000
-        |       THEN mm.val END AS asof_value,
-        |  CASE WHEN mm IS NOT NULL AND t - mm.rt <= 3600000000
-        |       THEN mm.rt END AS asof_ts
-        |FROM m WHERE side = 1""".stripMargin,
+    "q_asof_join" -> asofOracle,
+    "q_asof_lookup" -> asofOracle,
     // two-level rank replay: per-day k-min sets, union, re-rank —
     // exactly the merge the sketch rollup performs
     "q_kmv_rollup" ->

@@ -106,6 +106,57 @@ object Temporal {
         outCols.map(c => col(s"__match.$c").as(c)): _*)
   }
 
+  /** Stream-compatible as-of LOOKUP against a bounded dimension: the
+    * same semantics as [[asofJoin]] (latest right row at or before
+    * each left row's time, same key, largest-tie determinism, NULL
+    * key/time right rows never match, optional tolerance) — but the
+    * right side is packed into one sorted per-key history array and
+    * broadcast, so the pick is a per-row probe with NO shuffle of the
+    * left side at all. Stateless map-side work: composes with a
+    * STREAMING left (append mode, no watermark, no stream-stream join
+    * state) — the live face of the batch as-of join.
+    *
+    * The trade-off, stated plainly: the whole dimension must fit a
+    * broadcast, and each probe scans the key's history (an
+    * interpreted higher-order filter, not codegen). Right for
+    * reference-data histories (prices per instrument, config
+    * versions, exchange rates — thousands of keys × bounded
+    * versions); wrong for a right side that is itself event-scale.
+    * There, use [[asofJoin]]. */
+  def asofLookup(left: DataFrame, dim: DataFrame, keyCol: String,
+                 timeCol: String, rightCols: Seq[String],
+                 rightTieCol: String, tolerance: Option[Long] = None,
+                 rightPrefix: String = "asof_"): DataFrame = {
+    require(rightCols.nonEmpty, "rightCols must name at least one column")
+    tolerance.foreach(t => require(t > 0, s"tolerance must be positive, got $t"))
+    val leftCols = left.columns.toSeq
+    val outCols = rightCols.map(rightPrefix + _) :+ (rightPrefix + timeCol)
+    require(!leftCols.exists(outCols.contains),
+      s"prefixed output columns collide with left columns: " +
+        outCols.filter(leftCols.contains).mkString(", "))
+    // sort key first, then tie, then payload: sort_array orders by
+    // (t, tie) so element_at(-1) is the latest-then-largest-tie row
+    val packed = dim
+      .filter(col(keyCol).isNotNull && col(timeCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(
+        col(timeCol).as("__t") +: col(rightTieCol).as("__tie") +:
+          rightCols.map(c => col(c).as(rightPrefix + c)): _*))).as("__hist"))
+    val hist = col("__hist")
+    // try_element_at: an empty filtered history (no admissible row)
+    // must yield NULL, not an ANSI out-of-bounds error
+    val m0 = try_element_at(
+      filter(hist, h => h.getField("__t") <= col(timeCol)), lit(-1))
+    val inTol = tolerance.map(t =>
+      col(timeCol) - m0.getField("__t") <= t).getOrElse(lit(true))
+    left
+      .join(broadcast(packed), Seq(keyCol), "left")
+      .withColumn("__m", when(hist.isNotNull && m0.isNotNull && inTol, m0))
+      .select(leftCols.map(col) ++
+        rightCols.map(c => col(s"__m.$rightPrefix$c").as(rightPrefix + c)) :+
+        col("__m.__t").as(rightPrefix + timeCol): _*)
+  }
+
   /** Range (point-in-interval) join: every `(point, interval)` pair
     * with `loCol <= pointCol <= hiCol` (inclusive both ends), plus any
     * `keyCols` equality. All three bound columns must be integral

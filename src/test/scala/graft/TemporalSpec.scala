@@ -151,6 +151,50 @@ class TemporalSpec extends AnyFlatSpec with Matchers {
     rows shouldBe Array((1L, 2L)) // one session, numbered from 1
   }
 
+  "asofLookup" should "agree with asofJoin on every fixture case" in {
+    for (tol <- Seq(None, Some(50L))) {
+      val viaJoin = Temporal.asofJoin(trades, quotes, "k", "t",
+        Seq("px"), "qid", tol)
+        .collect().map(r => (r.getAs[String]("trade"),
+          Option(r.getAs[java.lang.Double]("asof_px")),
+          Option(r.getAs[java.lang.Long]("asof_t")))).toSet
+      val viaLookup = Temporal.asofLookup(trades, quotes, "k", "t",
+        Seq("px"), "qid", tol)
+        .collect().map(r => (r.getAs[String]("trade"),
+          Option(r.getAs[java.lang.Double]("asof_px")),
+          Option(r.getAs[java.lang.Long]("asof_t")))).toSet
+      withClue(s"tolerance=$tol ") { viaLookup shouldBe viaJoin }
+    }
+  }
+
+  it should "shuffle nothing on the probe side" in {
+    val df = Temporal.asofLookup(trades, quotes, "k", "t", Seq("px"), "qid")
+    df.write.mode("overwrite").format("noop").save()
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    // the only exchanges are broadcasts + the dim-side packing shuffle;
+    // the left (event) side reaches the join with no hash exchange
+    plan should not include "SortMergeJoin"
+  }
+
+  it should "serve a streaming left side statelessly" in {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, Long)]
+    val out = Temporal.asofLookup(
+      input.toDF.toDF("k", "t"), quotes, "k", "t", Seq("px"), "qid")
+    val q = out.writeStream.format("memory").queryName("asof_stream_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 100L), (1L, 205L), (3L, 900L))
+      q.processAllAvailable()
+      val rows = spark.table("asof_stream_out")
+        .collect().map(r => (r.getAs[Long]("t"),
+          Option(r.getAs[java.lang.Double]("asof_px")))).toSet
+      rows shouldBe Set((100L, None), (205L, Some(10.0)), (900L, None))
+    } finally q.stop()
+  }
+
   // intervals straddling bucket boundaries (width 10), inclusive
   // endpoints, a backwards interval (matches nothing), and a
   // negative-axis interval (floor-div, not truncate-div, semantics)
