@@ -521,6 +521,19 @@ object SparkEntry {
         rightCols = Seq("event_id", "value"), rightTieCol = "event_id",
         tolerance = Some(3600L * 1000 * 1000))
     },
+    "q_salted_join" -> { (s, d) =>
+      // skew-proof orders⋈customer: the salted join must produce
+      // EXACTLY the plain join's result — the oracle is the plain SQL
+      // join, so DuckDB certifies salt-and-replicate changes nothing
+      val o = t(s, d, "orders").select(col("o_custkey").as("c_custkey"),
+        col("o_totalprice"))
+      val c = t(s, d, "customer").select(col("c_custkey"),
+        col("c_mktsegment"))
+      graft.pipeline.Skew.saltedJoin(o, c, Seq("c_custkey"), salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice")).as("total"))
+    },
     "q_kmv_rollup" -> { (s, d) =>
       // the persisted-sketch workflow: per-DAY user sketches (the
       // table you'd store) merged to the period total — k longs per
@@ -1504,6 +1517,11 @@ object SparkEntry {
     // same (time, side, tie) order and running IGNORE NULLS carry
     "q_asof_join" -> asofOracle,
     "q_asof_lookup" -> asofOracle,
+    "q_salted_join" ->
+      """SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  SUM(o.o_totalprice) AS total
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1""".stripMargin,
     // two-level rank replay: per-day k-min sets, union, re-rank —
     // exactly the merge the sketch rollup performs
     "q_kmv_rollup" ->

@@ -1,0 +1,56 @@
+package graft
+
+import graft.pipeline.Skew
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Salted join: multiset equivalence with the plain join on a skewed
+  * fixture (inner and left outer, NULL keys included), salt spread on
+  * the hot key, and argument validation. */
+class SkewSpec extends AnyFlatSpec with Matchers {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 90% of the fact rows share key 1 (the hot key); dim has extra and
+  // missing keys so outer semantics are exercised
+  private lazy val fact = ((1 to 900).map(i => (1L, i.toLong)) ++
+    (901 to 1000).map(i => ((i % 7 + 2).toLong, i.toLong)) :+
+    (99L, 9999L)) // no dim match
+    .toDF("k", "payload")
+  private lazy val dim = (1 to 8).map(i => (i.toLong, s"dim$i"))
+    .toDF("k", "attr")
+
+  private def multiset(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+
+  "saltedJoin" should "equal the plain inner join as a multiset" in {
+    multiset(Skew.saltedJoin(fact, dim, Seq("k"), salts = 8)
+      .select("k", "payload", "attr")) shouldBe
+      multiset(fact.join(dim, Seq("k")).select("k", "payload", "attr"))
+  }
+
+  it should "equal the plain left join, unmatched rows emitted once" in {
+    multiset(Skew.saltedJoin(fact, dim, Seq("k"), 8, "left")
+      .select("k", "payload", "attr")) shouldBe
+      multiset(fact.join(dim, Seq("k"), "left").select("k", "payload", "attr"))
+  }
+
+  it should "spread the hot key across many salts" in {
+    val salted = fact.withColumn("__salt",
+      pmod(xxhash64(fact.columns.map(col): _*), lit(8L)))
+    salted.filter(col("k") === 1L).select("__salt").distinct().count() should
+      be >= 6L
+  }
+
+  it should "reject unsupported join types and bad salt counts" in {
+    an[IllegalArgumentException] should be thrownBy
+      Skew.saltedJoin(fact, dim, Seq("k"), 8, "right")
+    an[IllegalArgumentException] should be thrownBy
+      Skew.saltedJoin(fact, dim, Seq("k"), 1)
+    an[IllegalArgumentException] should be thrownBy
+      Skew.saltedJoin(fact, dim, Nil, 8)
+    an[IllegalArgumentException] should be thrownBy
+      Skew.saltedJoin(fact.withColumn("__salt", lit(1)), dim, Seq("k"), 8)
+  }
+}
