@@ -521,6 +521,18 @@ object SparkEntry {
         rightCols = Seq("event_id", "value"), rightTieCol = "event_id",
         tolerance = Some(3600L * 1000 * 1000))
     },
+    "q_pagerank" -> { (s, d) =>
+      // 5-iteration PageRank over the supplier→part supply graph
+      // (every part is dangling — the uniform redistribution path
+      // carries real mass); fixed iterations make the computation a
+      // pure function the oracle unrolls in SQL
+      val e = t(s, d, "lineitem")
+        .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
+        .distinct()
+      graft.pipeline.PageRank.pageRank(e, iterations = 5)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+    },
     "q_salted_join" -> { (s, d) =>
       // skew-proof orders⋈customer: the salted join must produce
       // EXACTLY the plain join's result — the oracle is the plain SQL
@@ -1181,6 +1193,38 @@ object SparkEntry {
         |       THEN mm.rt END AS asof_ts
         |FROM m WHERE side = 1""".stripMargin
 
+  /** Unrolled fixed-iteration PageRank replay: one (dangling-mass,
+    * rank) CTE pair per iteration, same operation order as the Spark
+    * implementation so every double matches to summation-order noise
+    * (~1e-14, unobservable at the 6-dp round). */
+  private def pageRankOracle(iters: Int): String = {
+    val header =
+      """WITH e AS (
+        |  SELECT DISTINCT 's' || l_suppkey::VARCHAR AS src,
+        |                  'p' || l_partkey::VARCHAR AS dst FROM lineitem
+        |), nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        |od AS (SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS outdeg
+        |       FROM e GROUP BY 1),
+        |r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+        .stripMargin
+    val its = (1 to iters).map { i =>
+      s""",
+         |dm$i AS (SELECT COALESCE(SUM(rank), 0) AS dm FROM r${i - 1}
+         |  WHERE node NOT IN (SELECT node FROM od)),
+         |r$i AS (
+         |  SELECT nodes.node,
+         |    (1 - 0.85) / (SELECT n FROM nn) + 0.85 * (COALESCE(c.inr, 0)
+         |      + (SELECT dm FROM dm$i) / (SELECT n FROM nn)) AS rank
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(r.rank / od.outdeg) AS inr
+         |    FROM r${i - 1} r JOIN od ON od.node = r.node
+         |    JOIN e ON e.src = r.node GROUP BY 1) c ON c.node = nodes.node)"""
+        .stripMargin
+    }.mkString
+    header + its + s"\nSELECT node, round(rank, 6) AS rank FROM r$iters"
+  }
+
   private def decontamOracle(tail: String): String =
     s"""WITH toks AS (
        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
@@ -1517,6 +1561,7 @@ object SparkEntry {
     // same (time, side, tie) order and running IGNORE NULLS carry
     "q_asof_join" -> asofOracle,
     "q_asof_lookup" -> asofOracle,
+    "q_pagerank" -> pageRankOracle(5),
     "q_salted_join" ->
       """SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
         |  SUM(o.o_totalprice) AS total
