@@ -521,8 +521,17 @@ object SparkEntry {
         rightCols = Seq("event_id", "value"), rightTieCol = "event_id",
         tolerance = Some(3600L * 1000 * 1000))
     },
+    "q_rollup_report" -> { (s, d) =>
+      // multi-level corpus report in ONE pass: per-(lang, source)
+      // rows, per-lang subtotals and the grand total via native
+      // ROLLUP (Catalyst's Expand — no separate re-aggregations)
+      t(s, d, "documents")
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"))
+    },
     "q_pagerank" -> { (s, d) =>
-      // 5-iteration PageRank over the supplier→part supply graph
+      // 3-iteration PageRank over the supplier→part supply graph
       // (every part is dangling — the uniform redistribution path
       // carries real mass); fixed iterations make the computation a
       // pure function the oracle unrolls in SQL
@@ -530,7 +539,7 @@ object SparkEntry {
         .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
           concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
         .distinct()
-      graft.pipeline.PageRank.pageRank(e, iterations = 5)
+      graft.pipeline.PageRank.pageRank(e, iterations = 3)
         .select(col("node"), round(col("rank"), 6).as("rank"))
     },
     "q_salted_join" -> { (s, d) =>
@@ -1561,7 +1570,11 @@ object SparkEntry {
     // same (time, side, tie) order and running IGNORE NULLS carry
     "q_asof_join" -> asofOracle,
     "q_asof_lookup" -> asofOracle,
-    "q_pagerank" -> pageRankOracle(5),
+    "q_rollup_report" ->
+      """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
+    "q_pagerank" -> pageRankOracle(3),
     "q_salted_join" ->
       """SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
         |  SUM(o.o_totalprice) AS total

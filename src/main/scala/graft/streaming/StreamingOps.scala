@@ -216,6 +216,38 @@ object StreamingOps {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Watermarked stream-STREAM interval join: every (left, right) pair
+    * with equal `keyCol` whose event times are within
+    * [`lowerBound`, `upperBound`] of each other (e.g. "views within
+    * the hour before each click" = bounds ("-1 hour", "0 seconds") on
+    * right minus left... stated as right.ts BETWEEN left.ts + lower
+    * AND left.ts + upper). The time bounds are what make this FEASIBLE
+    * as a stream-stream join: they cap how long either side's rows
+    * stay in state, and the watermark evicts the rest — unbounded
+    * stream-stream equi-joins cannot exist. Inner join (Spark's
+    * append-mode stream-stream contract); right columns are prefixed.
+    *
+    * This is the pair-complete counterpart of the as-of family: as-of
+    * picks THE latest admissible right row; the interval join emits
+    * EVERY admissible pair. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+                         keyCol: String, tsCol: String,
+                         lowerBound: String, upperBound: String,
+                         watermark: String,
+                         rightPrefix: String = "r_"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark).alias("l")
+    val r0 = right.columns.foldLeft(right)((d, c) =>
+      d.withColumnRenamed(c, rightPrefix + c))
+    val r = r0.withWatermark(rightPrefix + tsCol, watermark).alias("r")
+    l.join(r,
+      col(keyCol) === col(rightPrefix + keyCol) &&
+        col(rightPrefix + tsCol) >= expr(
+          s"`$tsCol` + INTERVAL '$lowerBound'") &&
+        col(rightPrefix + tsCol) <= expr(
+          s"`$tsCol` + INTERVAL '$upperBound'"))
+      .drop(rightPrefix + keyCol)
+  }
+
   /** Streaming gap sessionization — the incremental face of
     * [[graft.pipeline.Temporal.sessionize]]: Spark's native
     * `session_window` merges events of one key into state while gaps

@@ -290,6 +290,34 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
     } finally q.stop()
   }
 
+  "streaming interval join" should
+    "pair events within the window and only those" in {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val views = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamingOps.intervalJoinStream(
+      clicks.toDF.toDF("user_id", "event_ts", "click"),
+      views.toDF.toDF("user_id", "event_ts", "view"),
+      "user_id", "event_ts",
+      lowerBound = "-1 hour", upperBound = "0 seconds",
+      watermark = "2 hours")
+    val q = out.writeStream.format("memory").queryName("ivj_out")
+      .outputMode("append").start()
+    try {
+      views.addData(
+        (1L, ts("2024-01-01 10:00:00"), "v-in"),      // 30 min before
+        (1L, ts("2024-01-01 08:00:00"), "v-too-old"), // > 1h before
+        (1L, ts("2024-01-01 11:00:00"), "v-after"),   // after the click
+        (2L, ts("2024-01-01 10:00:00"), "v-other-user"))
+      clicks.addData((1L, ts("2024-01-01 10:30:00"), "c1"))
+      q.processAllAvailable()
+      val rows = spark.table("ivj_out")
+        .select("click", "r_view").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      rows shouldBe Set(("c1", "v-in"))
+    } finally q.stop()
+  }
+
   "streaming sessionization" should
     "emit a session only after the watermark closes it" in {
     implicit val sqlCtx = spark.sqlContext
