@@ -61,6 +61,12 @@ object Layout {
     require(bits >= 1 && bits * cols.size <= 63,
       s"bits * cols must fit a long: $bits * ${cols.size}")
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    val nonNumeric = cols.filterNot(c =>
+      df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    require(nonNumeric.isEmpty,
+      s"clustering columns must be numeric — a silent cast-to-double " +
+        s"would bucket every row of a non-numeric column to 0 and " +
+        s"quietly destroy its clustering: ${nonNumeric.mkString(", ")}")
     val nBounds = (1 << bits) - 1
     val probs = (1 to nBounds).map(_.toDouble / (nBounds + 1)).toArray
     val doubled = cols.foldLeft(df)((d, c) =>

@@ -99,8 +99,11 @@ object Sampling {
     *
     * One aggregation over the corpus; everything else is arithmetic on
     * the (tiny) stratum table. */
-  def temperatureRates(df: DataFrame, strataCol: String, tau: Double,
-                       targetFraction: Double): DataFrame = {
+  /** Shared core of the temperature pair: per-stratum (n, share,
+    * UNrounded rate). NULL strata are a group like any other. */
+  private def rawTemperatureRates(df: DataFrame, strataCol: String,
+                                  tau: Double,
+                                  targetFraction: Double): DataFrame = {
     require(tau > 0, s"tau must be positive, got $tau")
     require(targetFraction > 0 && targetFraction <= 1,
       s"targetFraction $targetFraction not in (0,1]")
@@ -114,9 +117,13 @@ object Sampling {
         pow(col("n").cast("double"), tau) / col("__powsum") *
           col("__total").cast("double") * targetFraction /
           col("n").cast("double")))
+  }
+
+  def temperatureRates(df: DataFrame, strataCol: String, tau: Double,
+                       targetFraction: Double): DataFrame =
+    rawTemperatureRates(df, strataCol, tau, targetFraction)
       .select(col(strataCol), col("n"),
         round(col("share"), 6).as("share"), round(col("rate"), 6).as("rate"))
-  }
 
   /** Apply a [[temperatureRates]] plan: deterministic per-row keep at
     * each stratum's rate, decided by the portable key bucket — the
@@ -128,21 +135,15 @@ object Sampling {
   def temperatureSample(df: DataFrame, strataCol: String, keyCol: String,
                         tau: Double, targetFraction: Double,
                         seed: Long = 0L): DataFrame = {
-    require(tau > 0, s"tau must be positive, got $tau")
-    require(targetFraction > 0 && targetFraction <= 1,
-      s"targetFraction $targetFraction not in (0,1]")
-    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
-    val totals = counts.agg(sum(col("__n")).as("__total"),
-      sum(pow(col("__n").cast("double"), tau)).as("__powsum"))
-    val thresholds = counts.crossJoin(broadcast(totals))
-      .withColumn("__thr", round(least(lit(1.0),
-        pow(col("__n").cast("double"), tau) / col("__powsum") *
-          col("__total").cast("double") * targetFraction /
-          col("__n").cast("double")) * Buckets).cast("long"))
-      .select(col(strataCol), col("__thr"))
-    df.join(broadcast(thresholds), Seq(strataCol))
+    val thresholds = rawTemperatureRates(df, strataCol, tau, targetFraction)
+      .select(col(strataCol).as("__stratum"),
+        round(col("rate") * Buckets).cast("long").as("__thr"))
+    // null-SAFE join: a NULL stratum is a stratum (it was counted in
+    // the totals its rate came from) — an equi-join would silently
+    // delete its rows while still letting them dilute every rate
+    df.join(broadcast(thresholds), col(strataCol) <=> col("__stratum"))
       .filter(portableBucket(col(keyCol), seed) < col("__thr"))
-      .drop("__thr")
+      .drop("__stratum", "__thr")
   }
 
   /** Disjoint deterministic split (train/validation/test): `weights`

@@ -88,8 +88,12 @@ object Sketches {
       SketchExprs.KmvSketch(
         GraftColumnBridge.expression(col("__hv")),
         k, Space48).toAggregateExpression())
+    // explode_OUTER: a fine group whose sketch is empty (all-NULL
+    // values) must still surface its coarse group — update() skips
+    // the NULL hash, so such groups emit (0, null, 0.0) exactly as
+    // direct sketching would
     grouped
-      .select(keys.map(col) :+ explode(col("kmv")).as("__hv"): _*)
+      .select(keys.map(col) :+ explode_outer(col("kmv")).as("__hv"): _*)
       .groupBy(keys.map(col): _*)
       .agg(sketch.as("__kmv"))
       .select(coarserCols.map(col) :+

@@ -38,8 +38,14 @@ object Skew {
     }
     require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
       "a __salt column already exists")
+    // salt from a row-unique id, NOT row content: a hot key whose
+    // rows are byte-identical (the common pre-enrichment shape) would
+    // hash every copy to ONE salt and still meet in a single task.
+    // Salt values don't affect the result (each left row joins exactly
+    // the replica carrying its salt), so nondeterminism across retries
+    // is harmless.
     val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(salts.toLong)))
+      pmod(monotonically_increasing_id(), lit(salts.toLong)))
     val replicatedRight = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     saltedLeft.join(replicatedRight, keys :+ "__salt", jt).drop("__salt")

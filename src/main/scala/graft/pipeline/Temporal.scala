@@ -128,6 +128,8 @@ object Temporal {
                  rightTieCol: String, tolerance: Option[Long] = None,
                  rightPrefix: String = "asof_"): DataFrame = {
     require(rightCols.nonEmpty, "rightCols must name at least one column")
+    require(!rightCols.contains(keyCol) && !rightCols.contains(timeCol),
+      s"rightCols must not repeat the key/time columns ($keyCol, $timeCol)")
     tolerance.foreach(t => require(t > 0, s"tolerance must be positive, got $t"))
     val leftCols = left.columns.toSeq
     val outCols = rightCols.map(rightPrefix + _) :+ (rightPrefix + timeCol)
@@ -142,16 +144,21 @@ object Temporal {
       .agg(sort_array(collect_list(struct(
         col(timeCol).as("__t") +: col(rightTieCol).as("__tie") +:
           rightCols.map(c => col(c).as(rightPrefix + c)): _*))).as("__hist"))
-    val hist = col("__hist")
     // try_element_at: an empty filtered history (no admissible row)
-    // must yield NULL, not an ANSI out-of-bounds error
+    // must yield NULL, not an ANSI out-of-bounds error. The probe is
+    // materialized into ITS OWN column first — it is an interpreted
+    // history scan, and referencing it from the tolerance/null checks
+    // directly would re-run the scan per reference.
     val m0 = try_element_at(
-      filter(hist, h => h.getField("__t") <= col(timeCol)), lit(-1))
+      filter(col("__hist"), h => h.getField("__t") <= col(timeCol)),
+      lit(-1))
+    val probed = col("__m0")
     val inTol = tolerance.map(t =>
-      col(timeCol) - m0.getField("__t") <= t).getOrElse(lit(true))
+      col(timeCol) - probed.getField("__t") <= t).getOrElse(lit(true))
     left
       .join(broadcast(packed), Seq(keyCol), "left")
-      .withColumn("__m", when(hist.isNotNull && m0.isNotNull && inTol, m0))
+      .withColumn("__m0", m0)
+      .withColumn("__m", when(probed.isNotNull && inTol, probed))
       .select(leftCols.map(col) ++
         rightCols.map(c => col(s"__m.$rightPrefix$c").as(rightPrefix + c)) :+
         col("__m.__t").as(rightPrefix + timeCol): _*)

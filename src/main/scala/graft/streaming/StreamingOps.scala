@@ -235,9 +235,19 @@ object StreamingOps {
                          lowerBound: String, upperBound: String,
                          watermark: String,
                          rightPrefix: String = "r_"): DataFrame = {
+    val renamed = right.columns.map(rightPrefix + _)
+    require(!right.columns.exists(_.startsWith(rightPrefix)),
+      s"right columns already carry the prefix '$rightPrefix': " +
+        right.columns.filter(_.startsWith(rightPrefix)).mkString(", ") +
+        " — a rename cascade would corrupt them; pick another prefix")
+    require(!left.columns.exists(renamed.contains),
+      s"prefixed right columns collide with left columns: " +
+        renamed.filter(left.columns.contains).mkString(", "))
     val l = left.withWatermark(tsCol, watermark).alias("l")
-    val r0 = right.columns.foldLeft(right)((d, c) =>
-      d.withColumnRenamed(c, rightPrefix + c))
+    // one select, not a withColumnRenamed fold (a fold would cascade
+    // into columns renamed by earlier steps)
+    val r0 = right.select(right.columns.map(c =>
+      col(c).as(rightPrefix + c)): _*)
     val r = r0.withWatermark(rightPrefix + tsCol, watermark).alias("r")
     l.join(r,
       col(keyCol) === col(rightPrefix + keyCol) &&

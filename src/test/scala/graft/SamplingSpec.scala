@@ -223,6 +223,16 @@ class SamplingSpec extends AnyFlatSpec with Matchers {
     rates("b") shouldBe 0.4 +- 1e-6
   }
 
+  it should "sample NULL strata at their computed rate, not drop them" in {
+    // tau=1, target=1 → every stratum's rate is 1, including NULL:
+    // all rows survive (an equi-join would silently delete the NULLs
+    // while their count still diluted every other stratum's rate)
+    val df = (Seq((1L, Some("a")), (2L, Some("a")), (3L, None), (4L, None)))
+      .toDF("id", "g")
+    Sampling.temperatureSample(df, "g", "id", tau = 1.0,
+      targetFraction = 1.0).count() shouldBe 4L
+  }
+
   "temperatureSample" should "hit per-stratum targets deterministically" in {
     val df = ((1 to 900).map(i => (i.toLong, "en")) ++
       (901 to 1000).map(i => (i.toLong, "de"))).toDF("id", "lang")

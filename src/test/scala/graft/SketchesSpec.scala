@@ -111,4 +111,17 @@ class SketchesSpec extends AnyFlatSpec with Matchers {
     total.getAs[Double]("estimate") shouldBe
       directTotal.getAs[Double]("estimate")
   }
+
+  it should "keep coarse groups whose fine sketches are all empty" in {
+    // a day of all-NULL values sketches to an empty array; the rollup
+    // must still emit that day as (0, null, 0.0) like direct sketching
+    val df = Seq(("d1", Some(1L)), ("d2", None), ("d2", None))
+      .toDF("day", "v")
+    val fine = Sketches.sketchTable(df, Seq("day"), "v", k = 8)
+    val merged = Sketches.mergeSketches(fine, Seq("day"), 8)
+      .collect().map(r => r.getAs[String]("day") ->
+        ((r.getAs[Int]("n_retained"), r.getAs[Double]("estimate")))).toMap
+    merged.keySet shouldBe Set("d1", "d2")
+    merged("d2") shouldBe ((0, 0.0))
+  }
 }

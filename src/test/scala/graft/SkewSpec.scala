@@ -13,11 +13,14 @@ class SkewSpec extends AnyFlatSpec with Matchers {
   import spark.implicits._
 
   // 90% of the fact rows share key 1 (the hot key); dim has extra and
-  // missing keys so outer semantics are exercised
+  // missing keys so outer semantics are exercised; NULL keys must
+  // behave exactly as the plain join (never match; survive left outer)
   private lazy val fact = ((1 to 900).map(i => (1L, i.toLong)) ++
     (901 to 1000).map(i => ((i % 7 + 2).toLong, i.toLong)) :+
     (99L, 9999L)) // no dim match
     .toDF("k", "payload")
+    .union(Seq((null.asInstanceOf[java.lang.Long], 7777L),
+      (null.asInstanceOf[java.lang.Long], 8888L)).toDF("k", "payload"))
   private lazy val dim = (1 to 8).map(i => (i.toLong, s"dim$i"))
     .toDF("k", "attr")
 
@@ -36,11 +39,14 @@ class SkewSpec extends AnyFlatSpec with Matchers {
       multiset(fact.join(dim, Seq("k"), "left").select("k", "payload", "attr"))
   }
 
-  it should "spread the hot key across many salts" in {
-    val salted = fact.withColumn("__salt",
-      pmod(xxhash64(fact.columns.map(col): _*), lit(8L)))
-    salted.filter(col("k") === 1L).select("__salt").distinct().count() should
-      be >= 6L
+  it should "spread the hot key across many salts even for identical rows" in {
+    // row-unique salt source: byte-identical hot-key rows (the
+    // pre-enrichment shape) must still spread — a content hash puts
+    // them all in ONE salt
+    val dupes = (1 to 800).map(_ => (1L, 0L)).toDF("k", "payload")
+    val salted = dupes.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(8L)))
+    salted.select("__salt").distinct().count() should be >= 6L
   }
 
   it should "reject unsupported join types and bad salt counts" in {

@@ -291,7 +291,20 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
   }
 
   "streaming interval join" should
-    "pair events within the window and only those" in {
+    "reject prefix collisions before any stream starts" in {
+    val l = Seq((1L, ts("2024-01-01 10:00:00"), "x"))
+      .toDF("user_id", "event_ts", "r_view") // collides with prefixed right
+    val r = Seq((1L, ts("2024-01-01 10:00:00"), "v"))
+      .toDF("user_id", "event_ts", "view")
+    an[IllegalArgumentException] should be thrownBy
+      StreamingOps.intervalJoinStream(l, r, "user_id", "event_ts",
+        "-1 hour", "0 seconds", "2 hours")
+    an[IllegalArgumentException] should be thrownBy
+      StreamingOps.intervalJoinStream(r, l, "user_id", "event_ts",
+        "-1 hour", "0 seconds", "2 hours") // right already prefixed
+  }
+
+  it should "pair events within the window and only those" in {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp, String)]
     val views = MemoryStream[(Long, Timestamp, String)]

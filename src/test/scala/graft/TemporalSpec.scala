@@ -177,6 +177,11 @@ class TemporalSpec extends AnyFlatSpec with Matchers {
     plan should not include "SortMergeJoin"
   }
 
+  it should "reject rightCols repeating the key/time columns" in {
+    an[IllegalArgumentException] should be thrownBy
+      Temporal.asofLookup(trades, quotes, "k", "t", Seq("t", "px"), "qid")
+  }
+
   it should "serve a streaming left side statelessly" in {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
