@@ -55,17 +55,25 @@ object PageRank {
     // iteration joins ranks⋈edges without re-touching the degree table
     var ranks = leaf(nodes.join(outdeg, Seq("node"), "left")
       .select(col("node"), lit(1.0 / n).as("rank"), col("outdeg")))
+    // checkpointed leaves carry no stats, so the planner would
+    // sort-merge the ranks⋈edges join blind. The node count is already
+    // on the driver: broadcast the (node, rank, outdeg) side while it
+    // is dimension-sized, fall back to the shuffle join for graphs
+    // where a rank table is itself data-scale.
+    val broadcastRanks = n < 2e6
     for (_ <- 1 to iterations) {
       val dangling = ranks.filter(col("outdeg").isNull)
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
-      val contribs = ranks.filter(col("outdeg").isNotNull)
-        .join(e, ranks("node") === e("src"))
+      val active = ranks.filter(col("outdeg").isNotNull)
+      val contribs = (if (broadcastRanks) broadcast(active) else active)
+        .join(e, active("node") === e("src"))
         .select(col("dst").as("node"),
           (col("rank") / col("outdeg")).as("__c"))
         .groupBy(col("node"))
         .agg(sum(col("__c")).as("__in"))
       ranks = leaf(ranks.select(col("node"), col("outdeg"))
-        .join(contribs, Seq("node"), "left")
+        .join(if (broadcastRanks) broadcast(contribs) else contribs,
+          Seq("node"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("node"),
           (lit((1 - damping) / n) +
