@@ -838,6 +838,17 @@ object SparkEntry {
       graft.pipeline.TextAnalysis.portableRollingFingerprintTable(
         t(s, d, "documents"), "doc_id", "text")
     },
+    "q_vocab_topk" -> { (s, d) =>
+      // exact corpus heavy hitters: top-50 tokens by occurrence with
+      // (count desc, token asc) tie-break — partial-agg counts then a
+      // distributed top-k (TakeOrderedAndProject), never a full sort
+      t(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(explode(graft.pipeline.Dedup.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok").asc)
+        .limit(50)
+    },
     "q_lm_score" -> { (s, d) =>
       // CCNet-shape statistical quality score: mean log-prob under the
       // corpus's own add-α bigram LM — exact counts, 6-dp-rounded mean
@@ -1746,6 +1757,15 @@ object SparkEntry {
         |  FROM toks
         |)
         |SELECT doc_id, unnest(fp4) AS fp FROM fps""".stripMargin,
+    "q_vocab_topk" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'),
+        |    x -> x <> '')) AS tok
+        |  FROM documents WHERE text IS NOT NULL
+        |)
+        |SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks
+        |GROUP BY 1 ORDER BY n DESC, tok ASC LIMIT 50""".stripMargin,
     "q_lm_score" ->
       """WITH toks AS (
         |  SELECT doc_id,

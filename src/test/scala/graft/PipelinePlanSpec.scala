@@ -49,6 +49,17 @@ class PipelinePlanSpec extends AnyFlatSpec with Matchers {
     p should include("TakeOrderedAndProject")
   }
 
+  "vocabulary top-k" should "plan a distributed top-k after partial counts" in {
+    val p = finalPlan(docs
+      .select(org.apache.spark.sql.functions.explode(
+        graft.pipeline.Dedup.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc).limit(10))
+    p should include("TakeOrderedAndProject")
+  }
+
   "portableLshTopK" should "plan a distributed top-k over the probe ring" in {
     val emb = (1L to 40L)
       .map(i => (i, Array.fill(8)((i % 5).toFloat + 0.5f)))
