@@ -838,6 +838,20 @@ object SparkEntry {
       graft.pipeline.TextAnalysis.portableRollingFingerprintTable(
         t(s, d, "documents"), "doc_id", "text")
     },
+    "q_fuzzy_join" -> { (s, d) =>
+      // record linkage: same-nation customers whose names are within
+      // one edit — equi-join on the block key, banded Levenshtein
+      // verify; lid < rid halves the symmetric pairs
+      val c = t(s, d, "customer")
+      val lhs = c.select(col("c_nationkey").as("nk"),
+        col("c_name").as("lname"), col("c_custkey").as("lid"))
+      val rhs = c.select(col("c_nationkey").as("nk"),
+        col("c_name").as("rname"), col("c_custkey").as("rid"))
+      graft.pipeline.Fuzzy.blockedFuzzyJoin(
+        lhs, rhs, Seq("nk"), "lname", "rname", maxDist = 1)
+        .filter(col("lid") < col("rid"))
+        .select(col("lid"), col("rid"), col("edit_dist"))
+    },
     "q_vocab_topk" -> { (s, d) =>
       // exact corpus heavy hitters: top-50 tokens by occurrence with
       // (count desc, token asc) tie-break — partial-agg counts then a
@@ -1757,6 +1771,12 @@ object SparkEntry {
         |  FROM toks
         |)
         |SELECT doc_id, unnest(fp4) AS fp FROM fps""".stripMargin,
+    "q_fuzzy_join" ->
+      """SELECT a.c_custkey AS lid, b.c_custkey AS rid,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
     "q_vocab_topk" ->
       """WITH toks AS (
         |  SELECT unnest(list_filter(
