@@ -521,6 +521,24 @@ object SparkEntry {
         rightCols = Seq("event_id", "value"), rightTieCol = "event_id",
         tolerance = Some(3600L * 1000 * 1000))
     },
+    "q_funnel" -> { (s, d) =>
+      // ordered signup→view→click→purchase funnel per user: one
+      // conditional-min aggregation, row-local depth — no joins or
+      // windows however long the funnel
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.pipeline.Temporal.funnel(
+        t(s, d, "events").select(col("user_id"),
+          col("event_type"), expr("ts div 1000").as("ts")),
+        "user_id", "event_type", "ts",
+        Seq("signup", "view", "click", "purchase"))
+    },
+    "q_cube_report" -> { (s, d) =>
+      // all four grouping sets of (lang, source) in one pass via
+      // native CUBE (same Expand machinery as q_rollup_report)
+      t(s, d, "documents")
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+    },
     "q_rollup_report" -> { (s, d) =>
       // multi-level corpus report in ONE pass: per-(lang, source)
       // rows, per-lang subtotals and the grand total via native
@@ -1595,6 +1613,29 @@ object SparkEntry {
     // same (time, side, tie) order and running IGNORE NULLS carry
     "q_asof_join" -> asofOracle,
     "q_asof_lookup" -> asofOracle,
+    "q_funnel" ->
+      """WITH a AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t0,
+        |    MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t1,
+        |    MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t2,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t3
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT user_id, CAST(CASE
+        |  WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+        |   AND t2 IS NOT NULL AND t2 >= t1
+        |   AND t3 IS NOT NULL AND t3 >= t2 THEN 4
+        |  WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+        |   AND t2 IS NOT NULL AND t2 >= t1 THEN 3
+        |  WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0 THEN 2
+        |  WHEN t0 IS NOT NULL THEN 1
+        |  ELSE 0 END AS INTEGER) AS funnel_depth
+        |FROM a""".stripMargin,
+    "q_cube_report" ->
+      """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY CUBE (lang, source)""".stripMargin,
     "q_rollup_report" ->
       """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS chars

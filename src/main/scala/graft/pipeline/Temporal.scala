@@ -211,6 +211,40 @@ object Temporal {
       .drop("__bucket")
   }
 
+  /** Ordered-funnel analysis: how far each key progresses through
+    * `steps` IN ORDER (signup → click → purchase…). A step counts as
+    * reached when its earliest event is at or after the previous
+    * step's earliest event — the standard first-touch funnel rule,
+    * deterministic because only per-step MIN timestamps enter the
+    * comparison. Returns one row per key: `(keyCol, funnel_depth)`
+    * with depth in [0, steps.length]. Keys with no step-0 event score
+    * 0 (rows whose `stepCol` matches no step contribute nothing).
+    *
+    * Scale shape: ONE groupBy over the events with a conditional MIN
+    * per step (map-side partials absorb any hot key), then a pure
+    * row-local depth computation — no joins, no windows, one
+    * shuffle regardless of funnel length. */
+  def funnel(events: DataFrame, keyCol: String, stepCol: String,
+             timeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "steps must name at least one stage")
+    require(steps.distinct == steps, s"steps repeat: ${steps.mkString(", ")}")
+    val mins = steps.zipWithIndex.map { case (s, i) =>
+      min(when(col(stepCol) === s, col(timeCol))).as(s"__t$i")
+    }
+    // depth = longest prefix with every step present and times
+    // non-decreasing; folding 0→n-1 leaves the DEEPEST case outermost
+    val agged = events.groupBy(col(keyCol)).agg(mins.head, mins.tail: _*)
+    val depth = steps.indices.foldLeft(lit(0)) { (acc, i) =>
+      val reached = (0 to i).map { j =>
+        val present = col(s"__t$j").isNotNull
+        if (j == 0) present
+        else present && col(s"__t$j") >= col(s"__t${j - 1}")
+      }.reduce(_ && _)
+      when(reached, lit(i + 1)).otherwise(acc)
+    }
+    agged.select(col(keyCol), depth.cast("int").as("funnel_depth"))
+  }
+
   /** Gap-based sessionization: events of one key belong to the same
     * session while consecutive events are at most `gap` time units
     * apart; a longer silence starts a new session. Returns one row per

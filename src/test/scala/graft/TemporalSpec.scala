@@ -140,6 +140,35 @@ class TemporalSpec extends AnyFlatSpec with Matchers {
       Temporal.sessionize(events, "u", "t", gap = 0L)
   }
 
+  "funnel" should "measure ordered progress per key" in {
+    val ev = Seq(
+      (1L, "signup", 10L), (1L, "click", 20L), (1L, "buy", 30L), // full
+      (2L, "signup", 10L), (2L, "click", 20L),                   // depth 2
+      (3L, "click", 5L), (3L, "signup", 10L),  // click BEFORE signup
+      (4L, "buy", 10L),                        // skipped steps → 0
+      (5L, "signup", 10L), (5L, "buy", 5L), (5L, "click", 10L),
+      (6L, "other", 1L)                        // unknown step only
+    ).toDF("u", "step", "t")
+    val m = Temporal.funnel(ev, "u", "step", "t",
+      Seq("signup", "click", "buy"))
+      .collect().map(r => r.getAs[Long]("u") -> r.getAs[Int]("funnel_depth"))
+      .toMap
+    m(1L) shouldBe 3
+    m(2L) shouldBe 2
+    m(3L) shouldBe 1 // click's min precedes signup's → chain stops
+    m(4L) shouldBe 0
+    m(5L) shouldBe 2 // buy at t=5 < click at t=10 → depth stops at click
+    m(6L) shouldBe 0
+  }
+
+  it should "reject duplicate or empty steps" in {
+    val ev = Seq((1L, "a", 1L)).toDF("u", "step", "t")
+    an[IllegalArgumentException] should be thrownBy
+      Temporal.funnel(ev, "u", "step", "t", Nil)
+    an[IllegalArgumentException] should be thrownBy
+      Temporal.funnel(ev, "u", "step", "t", Seq("a", "a"))
+  }
+
   it should "drop NULL-time events without shifting session numbering" in {
     val dirty = Seq(
       (7L, None, 0.5), (7L, None, 0.5), // would shift idx by 2 if kept
