@@ -36,9 +36,18 @@ object Fuzzy {
     require(overlap.isEmpty,
       s"left and right share non-block columns: ${overlap.mkString(", ")}" +
         " — rename one side first")
+    require(!left.columns.contains("edit_dist") &&
+      !right.columns.contains("edit_dist"),
+      "an edit_dist column already exists — rename it first, or the " +
+        "output distance would silently overwrite it")
     left.join(right, blockCols)
       // banded levenshtein: returns -1 when the distance exceeds the
-      // threshold, so >= 0 IS the within-distance predicate
+      // threshold, so >= 0 IS the within-distance predicate. The
+      // filter pays one early-abandoning eval per CANDIDATE pair;
+      // only the (rare) survivors pay the second eval that produces
+      // the output distance — Catalyst has no cross-operator CSE, and
+      // any single-projection form would be pushdown-rewritten back
+      // into exactly this shape.
       .filter(levenshtein(col(leftCol), col(rightCol), maxDist) >= 0)
       .withColumn("edit_dist",
         levenshtein(col(leftCol), col(rightCol), maxDist))

@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
   * stays 1 every iteration — asserted in the spec).
   *
   * Scale shape: outdegrees are computed ONCE and live with the rank
-  * table; each iteration is one join of ranks to edges on src (both
-  * sides hash-partitioned on the same key — Spark reuses the
-  * partitioning across iterations) + one aggregation on dst; the
-  * dangling mass is a one-row aggregate that broadcasts. Each round's
+  * table; each iteration is one join of ranks to edges on src —
+  * broadcast while the rank table is dimension-sized (shuffle-free
+  * rounds), a hash shuffle join otherwise — plus one aggregation on
+  * dst; the dangling mass is a one-row aggregate that broadcasts.
+  * Each round's
   * rank table is re-leafed through a lazy local checkpoint (same
   * discipline as the SPARQL closure and CC), so lineage stays O(1)
   * across iterations. Hubs: a high-IN-degree node is one aggregation
@@ -32,9 +33,16 @@ object PageRank {
   /** Ranks for every node appearing in `edges` (two columns:
     * src, dst). Returns `(node, rank)`. Self-loops count as ordinary
     * edges; parallel edges weight double — dedup upstream if that is
-    * not intended. */
+    * not intended. `broadcastNodeLimit` gates the per-iteration join
+    * strategy: at or below it the rank table broadcasts (shuffle-free
+    * rounds — right for dimension-sized graphs); above it the rounds
+    * run as shuffle joins (right when the rank table is itself
+    * data-scale). Set it to 0 to force shuffle joins when nodes carry
+    * wide keys (a broadcast repeats EVERY iteration, so an oversized
+    * rank relation would stress the driver once per round). */
   def pageRank(edges: DataFrame, iterations: Int = 10,
-               damping: Double = 0.85): DataFrame = {
+               damping: Double = 0.85,
+               broadcastNodeLimit: Long = 500000): DataFrame = {
     require(edges.columns.length == 2,
       s"edges must have exactly two columns, got ${edges.columns.length}")
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
@@ -60,7 +68,7 @@ object PageRank {
     // on the driver: broadcast the (node, rank, outdeg) side while it
     // is dimension-sized, fall back to the shuffle join for graphs
     // where a rank table is itself data-scale.
-    val broadcastRanks = n < 2e6
+    val broadcastRanks = n <= broadcastNodeLimit
     for (_ <- 1 to iterations) {
       val dangling = ranks.filter(col("outdeg").isNull)
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))

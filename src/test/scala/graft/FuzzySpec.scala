@@ -50,5 +50,9 @@ class FuzzySpec extends AnyFlatSpec with Matchers {
         Seq("blk"), "lname", "lname", 1)
     an[IllegalArgumentException] should be thrownBy
       Fuzzy.blockedFuzzyJoin(l, r, Seq("blk"), "lname", "rname", -1)
+    an[IllegalArgumentException] should be thrownBy
+      Fuzzy.blockedFuzzyJoin(
+        l.withColumn("edit_dist", l("lid")), r, Seq("blk"),
+        "lname", "rname", 1) // would silently overwrite
   }
 }

@@ -169,7 +169,8 @@ class TemporalSpec extends AnyFlatSpec with Matchers {
       Temporal.funnel(ev, "u", "step", "t", Seq("a", "a"))
   }
 
-  it should "drop NULL-time events without shifting session numbering" in {
+  "sessionize (dirty input)" should
+    "drop NULL-time events without shifting session numbering" in {
     val dirty = Seq(
       (7L, None, 0.5), (7L, None, 0.5), // would shift idx by 2 if kept
       (7L, Some(1000L), 1.0), (7L, Some(1060L), 2.0)
