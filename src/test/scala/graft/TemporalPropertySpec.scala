@@ -52,6 +52,30 @@ class TemporalPropertySpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  "asofLookup" should "agree with asofJoin on random inputs" in {
+    for (seed <- 1 to 15) {
+      val lRows = sample(rowGen, seed).zipWithIndex
+        .map { case ((k, t, _), i) => (k, t, i.toLong) }
+      val rRows = sample(rowGen, seed + 3000).map { case (k, t, tie) =>
+        (k, t, tie, tie.toDouble / 7.0)
+      }.distinctBy(r => (r._1, r._2, r._3))
+      val left = lRows.toDF("k", "t", "lid")
+      val right = rRows.toDF("k", "t", "tie", "px")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getAs[Long]("lid") ->
+          ((Option(r.getAs[java.lang.Double]("asof_px")),
+            Option(r.getAs[java.lang.Long]("asof_t"))))).toMap
+      for (tol <- Seq(None, Some(4L))) {
+        withClue(s"seed=$seed tolerance=$tol ") {
+          rows(Temporal.asofLookup(left, right, "k", "t",
+            Seq("px"), "tie", tol)) shouldBe
+            rows(Temporal.asofJoin(left, right, "k", "t",
+              Seq("px"), "tie", tol))
+        }
+      }
+    }
+  }
+
   "sessionize" should "match a brute-force reference on random inputs" in {
     for (seed <- 1 to 25) {
       val rows = sample(rowGen, seed)
