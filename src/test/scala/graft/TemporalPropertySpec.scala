@@ -99,6 +99,55 @@ class TemporalPropertySpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  "funnel" should "match a brute-force reference on random inputs" in {
+    val steps = Seq("s0", "s1", "s2")
+    val evGen: Gen[List[(Long, String, Long)]] =
+      Gen.listOfN(40, for {
+        k <- Gen.choose(0L, 4L)
+        s <- Gen.oneOf("s0", "s1", "s2", "noise")
+        t <- Gen.choose(0L, 20L)
+      } yield (k, s, t))
+    for (seed <- 1 to 25) {
+      val rows = sample(evGen, seed)
+      val got = Temporal.funnel(rows.toDF("k", "s", "t"), "k", "s", "t", steps)
+        .collect().map(r => r.getAs[Long]("k") -> r.getAs[Int]("funnel_depth"))
+        .toMap
+      val expected = rows.groupBy(_._1).map { case (k, ev) =>
+        val mins = steps.map(st =>
+          ev.filter(_._2 == st).map(_._3).minOption)
+        val depth = Iterator.iterate(0)(_ + 1)
+          .takeWhile { d =>
+            d < steps.length && mins(d).isDefined &&
+              (d == 0 || mins(d).get >= mins(d - 1).get)
+          }.length
+        k -> depth
+      }
+      // reference only covers keys with at least one event, like funnel
+      withClue(s"seed=$seed ") { got shouldBe expected }
+    }
+  }
+
+  "saltedJoin" should "equal the plain join on random skewed inputs" in {
+    val factGen: Gen[List[(Long, Long)]] =
+      Gen.listOfN(60, for {
+        k <- Gen.frequency(5 -> Gen.const(1L), 2 -> Gen.choose(2L, 6L))
+        p <- Gen.choose(0L, 3L) // duplicates likely
+      } yield (k, p))
+    for (seed <- 1 to 15) {
+      val fact = sample(factGen, seed).toDF("k", "payload")
+      val dim = (1L to 4L).map(i => (i, s"d$i")).toDF("k", "attr")
+      def multiset(df: org.apache.spark.sql.DataFrame) =
+        df.select("k", "payload", "attr").collect().map(_.toSeq)
+          .groupBy(identity).view.mapValues(_.length).toMap
+      for (jt <- Seq("inner", "left")) {
+        withClue(s"seed=$seed joinType=$jt ") {
+          multiset(graft.pipeline.Skew.saltedJoin(fact, dim, Seq("k"), 5, jt)) shouldBe
+            multiset(fact.join(dim, Seq("k"), jt))
+        }
+      }
+    }
+  }
+
   "rangeJoin" should "match a brute-force reference on random inputs" in {
     for (seed <- 1 to 25) {
       val pts = sample(rowGen, seed).zipWithIndex
