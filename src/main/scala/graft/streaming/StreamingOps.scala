@@ -258,6 +258,59 @@ object StreamingOps {
       .drop(rightPrefix + keyCol)
   }
 
+  /** Stateful streaming funnel — the incremental face of
+    * [[graft.pipeline.Temporal.funnel]], and the one streaming shape
+    * that needs CUSTOM state (`mapGroupsWithState`): ordered-step
+    * progression is not a windowed aggregate — each key carries its
+    * per-step earliest-event times forward indefinitely, and a late
+    * out-of-order event can LOWER a step's minimum and re-order the
+    * chain, so the depth must be recomputed from retained state, not
+    * accumulated. Emits `(keyCol, funnel_depth)` for every key touched
+    * by each micro-batch (Update output mode — the sink sees a key's
+    * latest depth each time it changes). State per key is one
+    * `steps.length`-element array of optional longs — bounded and
+    * tiny; keys are retained for the life of the query (wire
+    * GroupStateTimeout eviction upstream if the key space is
+    * unbounded). `tsCol` must be numeric (the battery's epoch-µs
+    * convention); rows whose step matches no `steps` entry update
+    * nothing but still re-emit the key's current depth. */
+  def funnelStream(events: DataFrame, keyCol: String, stepCol: String,
+                   tsCol: String,
+                   steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "steps must name at least one stage")
+    require(steps.distinct == steps, s"steps repeat: ${steps.mkString(", ")}")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val n = steps.length
+    val stepIdx = steps.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (s, i)) =>
+        when(col(stepCol) === s, lit(i)).otherwise(acc)
+      }
+    def depthOf(mins: IndexedSeq[Option[Long]]): Int = {
+      var d = 0
+      while (d < n && mins(d).isDefined &&
+        (d == 0 || mins(d).get >= mins(d - 1).get)) d += 1
+      d
+    }
+    events
+      .select(col(keyCol).cast("string").as("__k"),
+        stepIdx.as("__si"), col(tsCol).cast("long").as("__t"))
+      .as[(String, Int, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Seq[Option[Long]], (String, Int)](
+        GroupStateTimeout.NoTimeout) { case (k, it, state) =>
+        val mins = state.getOption
+          .getOrElse(Seq.fill(n)(Option.empty[Long])).toArray
+        it.foreach { case (_, si, t) =>
+          if (si >= 0 && mins(si).forall(t < _)) mins(si) = Some(t)
+        }
+        state.update(mins.toSeq)
+        (k, depthOf(mins.toIndexedSeq))
+      }
+      .toDF(keyCol, "funnel_depth")
+  }
+
   /** Streaming gap sessionization — the incremental face of
     * [[graft.pipeline.Temporal.sessionize]]: Spark's native
     * `session_window` merges events of one key into state while gaps
