@@ -874,6 +874,33 @@ object SparkEntry {
         .filter(col("lid") =!= col("rid"))
         .select(col("lid"), col("rid"), col("edit_dist"))
     },
+    "q_diversity_report" -> { (s, d) =>
+      // dataset-card lexical diversity per language: type-token ratio
+      // and distinct-bigram share — two exploded aggregations joined
+      // on the (tiny) language key
+      val toks = t(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("lang"),
+          graft.pipeline.Dedup.tokens(col("text")).as("ts"))
+      val uni = toks.select(col("lang"), explode(col("ts")).as("tok"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("tok")).as("n_types"))
+      val bi = toks.filter(size(col("ts")) >= 2)
+        .select(col("lang"), explode(transform(
+          sequence(lit(0), size(col("ts")) - 2),
+          i => concat_ws(" ", element_at(col("ts"), i + 1),
+            element_at(col("ts"), i + 2)))).as("bg"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          countDistinct(col("bg")).as("n_bigram_types"))
+      uni.join(bi, Seq("lang"), "left")
+        .select(col("lang"), col("n_tokens"), col("n_types"),
+          round(col("n_types").cast("double") /
+            col("n_tokens").cast("double"), 6).as("ttr"),
+          round(col("n_bigram_types").cast("double") /
+            col("n_bigrams").cast("double"), 6).as("bigram_diversity"))
+    },
     "q_vocab_topk" -> { (s, d) =>
       // exact corpus heavy hitters: top-50 tokens by occurrence with
       // (count desc, token asc) tie-break — partial-agg counts then a
@@ -1823,6 +1850,29 @@ object SparkEntry {
         |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey <> b.c_custkey
         |WHERE a.c_acctbal > 9000
         |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+    "q_diversity_report" ->
+      """WITH toks AS (
+        |  SELECT lang,
+        |         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                     x -> x <> '') AS ts
+        |  FROM documents WHERE text IS NOT NULL
+        |), uni AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |         CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types
+        |  FROM (SELECT lang, unnest(ts) AS tok FROM toks) GROUP BY 1
+        |), bi AS (
+        |  SELECT lang, COUNT(*) AS nb, COUNT(DISTINCT bg) AS nbt
+        |  FROM (
+        |    SELECT lang, unnest(list_transform(
+        |      generate_series(1, len(ts) - 1),
+        |      i -> ts[i] || ' ' || ts[i + 1])) AS bg
+        |    FROM toks WHERE len(ts) >= 2
+        |  ) GROUP BY 1
+        |)
+        |SELECT u.lang, u.n_tokens, u.n_types,
+        |  round(CAST(u.n_types AS DOUBLE) / u.n_tokens, 6) AS ttr,
+        |  round(CAST(b.nbt AS DOUBLE) / b.nb, 6) AS bigram_diversity
+        |FROM uni u LEFT JOIN bi b ON u.lang = b.lang""".stripMargin,
     "q_vocab_topk" ->
       """WITH toks AS (
         |  SELECT unnest(list_filter(
