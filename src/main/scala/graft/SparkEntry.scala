@@ -22,6 +22,38 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Canonical events read: `ts` normalized to exact long
+    * MICROseconds since epoch, branching on the LOGICAL type the
+    * reader reports instead of assuming a physical parquet encoding.
+    * (The driver regenerated the table between rounds 7 and 8,
+    * switching TIMESTAMP(NANOS) → TIMESTAMP_NTZ(µs); six entries that
+    * hard-coded the nanos-as-long read died at analysis time. An
+    * engine reading customer-owned parquet must normalize by logical
+    * type at the boundary — encodings are the writer's business.)
+    * The DuckDB oracles use `epoch_us(ts)`, which is encoding-proof
+    * on their side already. */
+  private[graft] def eventsUs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    // lets a TIMESTAMP(NANOS) file (which the vectorized reader
+    // otherwise rejects) load as long; no-op for µs encodings
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = t(s, d, "events")
+    ev.schema("ts").dataType match {
+      case LongType =>
+        // `div`, NOT `/`: / casts integral operands to double and
+        // ~1.8e18 ns exceeds double's 53-bit exact range — ~12% of
+        // rows would land 1 µs off, flipping bucket boundaries
+        ev.withColumn("ts", expr("ts div 1000"))
+      case TimestampType | TimestampNTZType =>
+        // session TZ is pinned UTC in every main, so the NTZ→TZ cast
+        // is micros-identity and matches DuckDB's epoch_us(ts)
+        ev.withColumn("ts", unix_micros(col("ts").cast(TimestampType)))
+      case other => throw new IllegalStateException(
+        s"schema drift: $d/events.parquet column `ts` has logical type " +
+          s"$other; expected a timestamp (µs) or TIMESTAMP(NANOS)-as-long")
+    }
+  }
+
   /** Flatten term-struct vars to plainly-typed output columns. */
   private def out(df: DataFrame, cols: (String, String)*): DataFrame =
     df.select(cols.map { case (n, ty) =>
@@ -473,17 +505,8 @@ object SparkEntry {
         "max_size" -> "bigint")
     },
     "q_events_window" -> { (s, d) =>
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-      // reader rejects — read nanos as long and convert. The conf is
-      // also set in every main's session builder; setting it here too
-      // keeps the entry self-contained for ad-hoc sessions.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // `div`, NOT `/`: Spark's / casts integral operands to double,
-      // and ~1.8e18 ns exceeds double's 53-bit exact range — ~12% of
-      // rows would land 1 microsecond off, flipping hour buckets at
-      // boundaries vs the oracle's native nanosecond timestamps
-      val ev = t(s, d, "events")
-        .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+      val ev = eventsUs(s, d)
+        .withColumn("ts2", timestamp_micros(col("ts")))
       ev.groupBy(date_trunc("hour", col("ts2")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum("value").as("total"))
         .select(col("hour"), col("event_type"), col("n"), col("total"))
@@ -492,11 +515,9 @@ object SparkEntry {
       // ad-attribution shape: every click matched to the user's most
       // recent view at or before it, but only within the last hour —
       // one union + one window, never a pair join. Times are exact
-      // long MICROseconds (`div`, not `/`, per q_events_window's
-      // double-rounding lesson): DuckDB's timestamp is µs-precision,
-      // so µs is the finest unit the oracle can replay exactly.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = t(s, d, "events").withColumn("ts", expr("ts div 1000"))
+      // long MICROseconds (eventsUs): DuckDB's timestamp is
+      // µs-precision, so µs is the finest unit the oracle can replay.
+      val ev = eventsUs(s, d)
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))
       val views = ev.filter(col("event_type") === "view")
@@ -510,8 +531,7 @@ object SparkEntry {
       // same attribution, via the broadcast-packed LOOKUP path (the
       // streaming-compatible form) — same oracle as q_asof_join, so
       // DuckDB independently certifies the two implementations agree
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = t(s, d, "events").withColumn("ts", expr("ts div 1000"))
+      val ev = eventsUs(s, d)
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))
       val views = ev.filter(col("event_type") === "view")
@@ -525,10 +545,9 @@ object SparkEntry {
       // ordered signup→view→click→purchase funnel per user: one
       // conditional-min aggregation, row-local depth — no joins or
       // windows however long the funnel
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       graft.pipeline.Temporal.funnel(
-        t(s, d, "events").select(col("user_id"),
-          col("event_type"), expr("ts div 1000").as("ts")),
+        eventsUs(s, d).select(col("user_id"),
+          col("event_type"), col("ts")),
         "user_id", "event_type", "ts",
         Seq("signup", "view", "click", "purchase"))
     },
@@ -578,9 +597,8 @@ object SparkEntry {
       // table you'd store) merged to the period total — k longs per
       // day cross the merge, never the events. µs day buckets per the
       // oracle-precision convention.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = t(s, d, "events")
-        .withColumn("day", expr("(ts div 1000) div 86400000000"))
+      val ev = eventsUs(s, d)
+        .withColumn("day", expr("ts div 86400000000"))
       val daily = graft.pipeline.Sketches.sketchTable(
         ev, Seq("day"), "user_id", k = 32)
       graft.pipeline.Sketches.mergeSketches(daily, Nil, k = 32)
@@ -590,10 +608,9 @@ object SparkEntry {
       // back and aggregated — the oracle replays the aggregate from
       // the RAW table, proving the layout pass is content-identity;
       // LayoutSpec separately proves the clustering (files touched)
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val path = tmpPath("zorder_events", d)
       graft.io.Layout.zorderWrite(
-        t(s, d, "events").select(col("event_id"), col("user_id"),
+        eventsUs(s, d).select(col("event_id"), col("user_id"),
           col("value")),
         Seq("user_id", "value"), path, numFiles = 16)
       s.read.parquet(path)
@@ -606,7 +623,7 @@ object SparkEntry {
       // (k=32 < the 150 true distinct → the estimator path runs);
       // portable 48-bit hashes make the estimate itself replayable
       graft.pipeline.Sketches.distinctCountSketch(
-        t(s, d, "events"), Seq("event_type"), "user_id", k = 32)
+        eventsUs(s, d), Seq("event_type"), "user_id", k = 32)
     },
     "q_range_join" -> { (s, d) =>
       // "how many lineitems were in transit on each March-1995 order
@@ -633,10 +650,9 @@ object SparkEntry {
       // gap-based sessions: a new session after >10 min of silence;
       // per-session bounds, event count and value total (µs times,
       // same oracle-precision reasoning as q_asof_join)
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       graft.pipeline.Temporal.sessionize(
-        t(s, d, "events").select(col("user_id"),
-          expr("ts div 1000").as("ts"), col("value")),
+        eventsUs(s, d).select(col("user_id"),
+          col("ts"), col("value")),
         "user_id", "ts", gap = 600L * 1000 * 1000,
         aggs = Seq(sum(col("value")).as("total_value")))
     },
