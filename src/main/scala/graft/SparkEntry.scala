@@ -1255,10 +1255,6 @@ object SparkEntry {
        |) WHERE hamming <= $maxHamming""".stripMargin
   }
 
-  /** Shared CTE prefix for the decontamination oracle: the benchmark
-    * passages (12-token slices of every doc_id % 97 == 0 document) and
-    * the portable window-hash tables of both sides, replayed exactly as
-    * [[graft.pipeline.Decontaminate]] computes them. */
   /** Shared by q_asof_join and q_asof_lookup: both implement the
     * same as-of semantics, so one DuckDB window replay certifies
     * both (and that they agree with each other). */
@@ -1324,6 +1320,10 @@ object SparkEntry {
     header + its + s"\nSELECT node, round(rank, 6) AS rank FROM r$iters"
   }
 
+  /** Shared CTE prefix for the decontamination oracle: the benchmark
+    * passages (12-token slices of every doc_id % 97 == 0 document) and
+    * the portable window-hash tables of both sides, replayed exactly as
+    * [[graft.pipeline.Decontaminate]] computes them. */
   private def decontamOracle(tail: String): String =
     s"""WITH toks AS (
        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),

@@ -73,7 +73,13 @@ object Curation {
     * path). */
   def corpusReport(df: DataFrame, strataCol: String,
                    textCol: String): DataFrame = {
-    val ntok = TextAnalysis.tokenCount(col(textCol))
+    // NULL text must contribute NULL tokens under ANY session config:
+    // legacy non-ANSI sessions evaluate size(NULL) as -1, which would
+    // corrupt totals/averages/percentiles (the hazard bm25 guards at
+    // Search.scala:52); the explicit when() makes the scaladoc's
+    // NULL-skipping contract independent of spark.sql.ansi.enabled
+    val ntok = when(col(textCol).isNotNull,
+      TextAnalysis.tokenCount(col(textCol)))
     df.select(col(strataCol), ntok.as("__ntok"),
         length(col(textCol)).cast("long").as("__nchar"))
       .groupBy(col(strataCol))

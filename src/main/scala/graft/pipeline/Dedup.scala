@@ -218,7 +218,13 @@ object Dedup {
   /** [[minHashCandidates]] with every hash portable/replayable —
     * identical plan shape (map-only sign → banded candidate join →
     * exact-Jaccard verify), different hash family. Output:
-    * (idA, idB, jaccard) with idA < idB and jaccard >= threshold. */
+    * (idA, idB, jaccard) with idA < idB and jaccard >= threshold.
+    *
+    * @note `maxBucketSize` defaults to 0 (UNCAPPED) — a behavior
+    *       change from the original capped default, made so external
+    *       replays match bit-for-bit (see README "Behavior changes").
+    *       Production corpora should pass an explicit cap: a hot
+    *       bucket of boilerplate docs is O(n²) pairs uncapped. */
   def portableMinHashCandidates(df: DataFrame, idCol: String, textCol: String,
                                 numHashes: Int = 32, bands: Int = 8,
                                 shingleK: Int = 3, threshold: Double = 0.5,
@@ -440,7 +446,11 @@ object Dedup {
     * and verbatim chunk-value bucket keys — identical pigeonhole
     * pipeline, reproducible bit-for-bit by an external SQL engine
     * (the DuckDB CORRECTNESS oracle re-derives every vote, bit,
-    * bucket and Hamming distance). Output: (idA, idB, hamming). */
+    * bucket and Hamming distance). Output: (idA, idB, hamming).
+    *
+    * @note `maxBucketSize` defaults to 0 (UNCAPPED) for exact external
+    *       replay — same caveat as [[portableMinHashCandidates]]:
+    *       production corpora should pass an explicit cap. */
   def portableSimHashCandidates(df: DataFrame, idCol: String, textCol: String,
                                 maxHamming: Int = 3, cleanChunks: Int = 2,
                                 maxBucketSize: Int = 0): DataFrame = {

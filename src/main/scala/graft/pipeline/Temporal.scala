@@ -136,6 +136,12 @@ object Temporal {
     require(!leftCols.exists(outCols.contains),
       s"prefixed output columns collide with left columns: " +
         outCols.filter(leftCols.contains).mkString(", "))
+    // internal temp names must not be shadowed either (mirrors the
+    // __salt guard in Skew.saltedJoin — fail loudly, never silently)
+    val reserved = Seq("__hist", "__m0", "__m")
+    val clash = (leftCols ++ dim.columns).filter(reserved.contains).distinct
+    require(clash.isEmpty,
+      s"input columns collide with asofLookup temp names: ${clash.mkString(", ")}")
     // sort key first, then tie, then payload: sort_array orders by
     // (t, tie) so element_at(-1) is the latest-then-largest-tie row
     val packed = dim

@@ -273,7 +273,12 @@ object StreamingOps {
     * GroupStateTimeout eviction upstream if the key space is
     * unbounded). `tsCol` must be numeric (the battery's epoch-µs
     * convention); rows whose step matches no `steps` entry update
-    * nothing but still re-emit the key's current depth. */
+    * nothing but still re-emit the key's current depth. The emitted
+    * `keyCol` keeps the INPUT's type (matching the batch operator, so
+    * stream output joins back to batch results with no cast): the key
+    * rides through state in its canonical string form and is cast
+    * back on emit — exact for the atomic key types (integral, string,
+    * date) a funnel key should be. */
   def funnelStream(events: DataFrame, keyCol: String, stepCol: String,
                    tsCol: String,
                    steps: Seq[String]): DataFrame = {
@@ -308,7 +313,9 @@ object StreamingOps {
         state.update(mins.toSeq)
         (k, depthOf(mins.toIndexedSeq))
       }
-      .toDF(keyCol, "funnel_depth")
+      .toDF("__k", "funnel_depth")
+      .select(col("__k").cast(events.schema(keyCol).dataType).as(keyCol),
+        col("funnel_depth"))
   }
 
   /** Streaming gap sessionization — the incremental face of

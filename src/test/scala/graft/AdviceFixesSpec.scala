@@ -125,4 +125,41 @@ class AdviceFixesSpec extends SparqlSpecBase {
     an[IllegalArgumentException] should be thrownBy
       VectorExprs.nearestCentroid(col("emb"), Seq(Seq.empty))
   }
+
+  // round-7 advice items
+
+  "corpusReport" should "skip NULL text even under legacy sizeOfNull" in {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(("a", "one two three"), ("a", null), ("b", null))
+      .toDF("lang", "text")
+    // legacy mode makes size(NULL) = -1; the operator must not let
+    // that leak into token totals
+    s.conf.set("spark.sql.legacy.sizeOfNull", "true")
+    try {
+      val r = graft.pipeline.Curation.corpusReport(docs, "lang", "text")
+        .orderBy("lang").collect()
+      r.map(_.getLong(1)) shouldBe Array(2L, 1L)       // n_docs counts all
+      r(0).getLong(2) shouldBe 3L                      // tokens from non-NULL only
+      r(1).isNullAt(2) shouldBe true                   // all-NULL stratum: NULL, not -1
+    } finally s.conf.unset("spark.sql.legacy.sizeOfNull")
+  }
+
+  "asofLookup" should "reject input columns that shadow its temp names" in {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 10L, "x")).toDF("k", "t", "__m")
+    val dim = Seq((1L, 5L, 1.0)).toDF("k", "t", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.Temporal.asofLookup(left, dim, "k", "t",
+        rightCols = Seq("v"), rightTieCol = "v")
+    }
+    e.getMessage should include("__m")
+    val dimBad = Seq((1L, 5L, 1.0)).toDF("k", "t", "__hist")
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Temporal.asofLookup(
+        Seq((1L, 10L)).toDF("k", "t"), dimBad, "k", "t",
+        rightCols = Seq("__hist"), rightTieCol = "__hist")
+    }
+  }
 }

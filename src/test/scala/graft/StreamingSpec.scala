@@ -338,27 +338,31 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
     val out = StreamingOps.funnelStream(
       input.toDF.toDF("user_id", "step", "t"),
       "user_id", "step", "t", Seq("signup", "click", "buy"))
+    // the emitted key keeps the INPUT's type, matching batch funnel —
+    // stream output joins back to batch results with no cast
+    out.schema("user_id").dataType shouldBe
+      org.apache.spark.sql.types.LongType
     val q = out.writeStream.format("memory").queryName("funnel_stream_out")
       .outputMode("update").start()
     def depths() = spark.table("funnel_stream_out")
       .groupBy("user_id")
       .agg(org.apache.spark.sql.functions.last("funnel_depth").as("d"))
-      .collect().map(r => r.getAs[String]("user_id") -> r.getAs[Int]("d"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("d"))
       .toMap
     try {
       input.addData((1L, "signup", 10L), (2L, "click", 5L))
       q.processAllAvailable()
       // batch 1: user 1 reached depth 1; user 2 clicked before any
       // signup → 0
-      depths() shouldBe Map("1" -> 1, "2" -> 0)
+      depths() shouldBe Map(1L -> 1, 2L -> 0)
       input.addData((1L, "click", 20L), (1L, "buy", 30L), (2L, "signup", 3L))
       q.processAllAvailable()
       // state carried across batches: user 1 completes; user 2's LATE
       // signup at t=3 lands before the click → depth 2
-      depths() shouldBe Map("1" -> 3, "2" -> 2)
+      depths() shouldBe Map(1L -> 3, 2L -> 2)
       input.addData((1L, "click", 5L)) // late event BREAKS user 1's order
       q.processAllAvailable()
-      depths()("1") shouldBe 1 // click min now precedes signup
+      depths()(1L) shouldBe 1 // click min now precedes signup
     } finally q.stop()
   }
 
