@@ -656,6 +656,22 @@ object SparkEntry {
         "user_id", "ts", gap = 600L * 1000 * 1000,
         aggs = Seq(sum(col("value")).as("total_value")))
     },
+    "q_props_extract" -> { (s, d) =>
+      // typed extraction from the semi-structured props column:
+      // explicit-schema from_json ([[graft.pipeline.Semistructured]]'s
+      // scaladoc says why schema-on-read inference is a non-starter at
+      // 100 TB), then ordinary relational stats over the attribute
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val ev = graft.pipeline.Semistructured.extractJson(
+        eventsUs(s, d), "props",
+        StructType(Seq(StructField("k", LongType))), prefix = "p_")
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count(col("p_k")).as("n_k"),
+          sum(col("p_k")).as("sum_k"),
+          round(avg(col("p_k")), 6).as("avg_k"),
+          countDistinct(col("p_k")).as("n_distinct_k"))
+    },
     "q_ask" -> { (s, d) =>
       cust(s, d).sparql(prologue +
         """ASK { ?c :mktsegment "BUILDING" . ?c :acctbal ?b FILTER(?b > 9000) }""")
@@ -1655,6 +1671,15 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  CAST(COUNT(*) AS BIGINT) AS n, SUM(value) AS total
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_props_extract" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(k) AS BIGINT) AS n_k,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  round(AVG(k), 6) AS avg_k,
+        |  CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
+        |FROM (SELECT event_type, CAST(props::JSON->>'k' AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type""".stripMargin,
     // window replay of the as-of union (not DuckDB's ASOF JOIN
     // keyword, whose equal-timestamp row choice is unspecified): the
     // same (time, side, tie) order and running IGNORE NULLS carry
