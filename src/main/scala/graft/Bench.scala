@@ -10,7 +10,22 @@ import org.apache.spark.sql.SparkSession
   * masquerade as engine regressions (run-to-run spread of the median
   * total is <10%; a single measured pass swung >40%). Failures are
   * reported per-query (failed list + nonzero exit) instead of silently
-  * inflating the total. */
+  * inflating the total.
+  *
+  * Noise instrumentation (round-8 lesson: identical code measured
+  * 57.8 s one run and 109.9 s the next while a NO-OP baseline swung
+  * 18 s → 45 s — the host steals CPU/IO in multi-minute windows that
+  * median-of-passes cannot remove, so a consumer needs machine-readable
+  * validity evidence IN the output):
+  *   - `calib_before`/`calib_after`: median wall time of a fixed
+  *     engine-independent probe job run before and after the battery.
+  *     Comparing the two (and either against its quiet-window ~0.2 s
+  *     cost) flags contamination during the run itself.
+  *   - `process_cpu_sec` vs `wall_sec` (+ their ratio): on a quiet
+  *     host the battery is CPU-bound and the ratio is stable; external
+  *     contention inflates wall while process CPU stays flat, so a
+  *     ratio well below the machine's historical value marks the run
+  *     contaminated rather than the engine regressed. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -31,6 +46,24 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
 
+    val osBean = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    // fixed calibration probe: engine-independent arithmetic over an
+    // in-memory range — no IO, no shuffle, byte-identical work every
+    // round, so its wall time moves ONLY with host contention
+    def calibrate(): Double = medianOf((1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0, 50000000L, 1, cpus.toInt)
+        .selectExpr("sum(id * 2 + 1)").collect()
+      (System.nanoTime() - t0) / 1e9
+    })
+
     // untimed warm-up: session bring-up, codegen, parquet footers —
     // one query per input family (tpch quads, documents, embeddings)
     // and per heavy generated-code shape (the 64-column minhash/simhash
@@ -41,12 +74,12 @@ object Bench {
       try exec(q) catch { case _: Throwable => () }
     }
 
+    val calibBefore = calibrate()
+    val wall0 = System.nanoTime()
+    val cpu0 = osBean.getProcessCpuTime
+
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
+    def median(xs: Seq[Double]): Double = medianOf(xs)
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val times = (1 to passes).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -80,7 +113,11 @@ object Bench {
       case (k, _, m) if !failed.contains(k) => m
     }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin%.3f,"failed":$failedJson,"sf":"$sfDir"}""")
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+    val cpuSec = (osBean.getProcessCpuTime - cpu0) / 1e9
+    val calibAfter = calibrate()
+    val noise = f""""calib_before":$calibBefore%.3f,"calib_after":$calibAfter%.3f,"wall_sec":$wallSec%.3f,"process_cpu_sec":$cpuSec%.3f,"cpu_wall_ratio":${cpuSec / wallSec}%.2f"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin%.3f,"failed":$failedJson,$noise,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

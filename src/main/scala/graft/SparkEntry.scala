@@ -92,6 +92,15 @@ object SparkEntry {
     else graft.io.DictStore.encode(cust(s, d).union(nationRegion(s, d)), path)
   }
 
+  /** Dict store over the partOf chain (transitive-path battery data),
+    * cached like [[dictStore]]. */
+  private def dictPathStore(s: SparkSession, d: String): graft.io.DictStore = {
+    val path = tmpPath("dictpath", d)
+    if (new java.io.File(s"$path/quads/_SUCCESS").exists())
+      graft.io.DictStore.load(s, path)
+    else graft.io.DictStore.encode(TpchQuads.partOfChain(s, d), path)
+  }
+
   /** Benchmark passages for the decontamination entries: a 12-token
     * slice of every (doc_id % 97 == 0) document — shared by BOTH
     * battery entries so they cannot drift from the decontamOracle CTE
@@ -199,6 +208,27 @@ object SparkEntry {
           |{ ?c :cname ?cname . ?c :inNation ?n . ?n :nname ?nname .
           |  ?n :inRegion ?r . ?r :rname "ASIA" }""".stripMargin),
         "cname" -> "string", "nname" -> "string")
+    },
+    "q_dict_optional" -> { (s, d) =>
+      // id-space OPTIONAL (round-9 dict extension): the left-outer
+      // join runs on 8-byte ids and the dictionary joins back in
+      // afterward — LEFT OUTER for ?cname, so nations without
+      // MACHINERY customers keep their row with an unbound name
+      out(dictStore(s, d).sparql(prologue +
+        """SELECT ?nname ?cname
+          |{ ?n :nname ?nname . ?n :inRegion ?r . ?r :rname "ASIA" .
+          |  OPTIONAL { ?c :inNation ?n . ?c :mktsegment "MACHINERY" .
+          |             ?c :cname ?cname } }""".stripMargin),
+        "nname" -> "string", "cname" -> "string")
+    },
+    "q_dict_path" -> { (s, d) =>
+      // transitive closure in id space: the semi-naive rounds shuffle
+      // single longs and the dictionary decodes once at the end (same
+      // data and oracle as q_path_plus, so DuckDB certifies the two
+      // execution paths agree)
+      out(dictPathStore(s, d).sparql(prologue +
+        "SELECT ?s ?x { ?s :partOf+ ?x }"),
+        "s" -> "string", "x" -> "string")
     },
     "q_cbo_stats" -> { (s, d) =>
       // cost-based BGP ordering: one ANALYZE pass (per-predicate counts
@@ -1489,6 +1519,19 @@ object SparkEntry {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'""".stripMargin,
+    "q_dict_optional" ->
+      """SELECT n.n_name AS nname, c.c_name AS cname
+        |FROM nation n
+        |JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+        |LEFT JOIN customer c
+        |  ON c.c_nationkey = n.n_nationkey AND c.c_mktsegment = 'MACHINERY'""".stripMargin,
+    "q_dict_path" ->
+      """SELECT s, x FROM (
+        |  SELECT 'urn:c:'||c_custkey::VARCHAR AS s, 'urn:n:'||c_nationkey::VARCHAR AS x FROM customer
+        |  UNION ALL SELECT 'urn:n:'||n_nationkey::VARCHAR, 'urn:r:'||n_regionkey::VARCHAR FROM nation
+        |  UNION ALL SELECT 'urn:c:'||c_custkey::VARCHAR, 'urn:r:'||n_regionkey::VARCHAR
+        |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |)""".stripMargin,
     "q_cbo_stats" ->
       """SELECT c_name AS cname, n_name AS nname
         |FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -3,7 +3,7 @@ package graft.io
 import graft.rdf.{Term, TermSchema}
 import graft.sparql.{Algebra, BgpOptimizer, Compiler, ExprCompiler, Sparql, SparqlParser}
 import graft.sparql.Algebra._
-import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -43,15 +43,17 @@ import org.apache.spark.sql.types._
   *
   * Query execution ([[DictStore.sparql]]): the optimized algebra tree
   * is rewritten bottom-up — every maximal Scan/Join-only subtree (a
-  * BGP block) compiles to an id-space join pipeline and re-enters the
-  * tree as an [[Algebra.Materialized]] leaf carrying term-struct
-  * columns for exactly the variables referenced outside the block
-  * (unused midpoints are pruned BEFORE materialization; pruning a
-  * column never changes bag cardinality, so this is safe under any
-  * ancestor including DISTINCT). Everything else — OPTIONAL, UNION,
-  * MINUS, FILTER, aggregation, paths, EXISTS — runs unchanged on the
-  * standard compiler over [[decodedQuads]], so the fast path can never
-  * change semantics, only the plan under it.
+  * BGP block), and every spine of condition-free OPTIONAL / MINUS
+  * over such blocks whose shared vars are assured (see
+  * [[isExtBlock]]), compiles to an id-space join pipeline and
+  * re-enters the tree as an [[Algebra.Materialized]] leaf carrying
+  * term-struct columns for exactly the variables referenced outside
+  * the block (unused midpoints are pruned BEFORE materialization;
+  * pruning a column never changes bag cardinality, so this is safe
+  * under any ancestor including DISTINCT). Everything else —
+  * conditioned OPTIONAL, UNION, FILTER, aggregation, paths, EXISTS —
+  * runs unchanged on the standard compiler over [[decodedQuads]], so
+  * the fast path can never change semantics, only the plan under it.
   */
 final class DictStore private (val spark: SparkSession,
                                val dict: DataFrame,
@@ -113,14 +115,14 @@ final class DictStore private (val spark: SparkSession,
     // pruning for the whole query when one exists anywhere.
     val noPrune = usesDistinctStar(root)
     def go(op: Op): Op = op match {
-      case b if isBlock(b) =>
+      case b if isBlock(b) || isExtBlock(b) =>
         val blockRefs = countRefs(b)
         val keep =
           if (noPrune) Algebra.varsOrdered(b)
           else Algebra.varsOrdered(b).filter(v =>
             keepAlways.contains(v) ||
               totalRefs.getOrElse(v, 0) > blockRefs.getOrElse(v, 0))
-        Materialized(compileBlock(b, keep), keep)
+        Materialized(compileExtBlock(b, keep), keep)
       case Join(l, r) => Join(go(l), go(r))
       case LeftJoin(l, r, c) => LeftJoin(go(l), go(r), c)
       case Union(l, r) => Union(go(l), go(r))
@@ -133,6 +135,9 @@ final class DictStore private (val spark: SparkSession,
       case Group(c, k, a) => Group(go(c), k, a)
       case Order(c, k) => Order(go(c), k)
       case Slice(c, o, l) => Slice(go(c), o, l)
+      case alp: ArbitraryLengthPath if alpEligible(alp) =>
+        val (df, vs) = compileAlpIds(alp)
+        Materialized(df, vs)
       case alp: ArbitraryLengthPath => alp.copy(edge = go(alp.edge))
       case leaf => leaf // Scan handled by isBlock; Service/Values/… stay
     }
@@ -144,6 +149,44 @@ final class DictStore private (val spark: SparkSession,
     case _: Scan => true
     case Join(l, r) => isBlock(l) && isBlock(r)
     case _ => false
+  }
+
+  /** Extended id-space block: a spine of condition-free OPTIONAL and
+    * MINUS nodes whose left arm is itself an extended block and whose
+    * right arm is a pure BGP — at 100 TB these are exactly the
+    * shuffles that want 8-byte keys, so they should not force the
+    * whole query back onto term structs. Soundness guards, per node:
+    *  - every variable shared between the arms is ASSURED on both
+    *    sides (right is a BGP, so its vars are assured by definition;
+    *    the left-side check excludes vars introduced by an inner
+    *    OPTIONAL), which reduces SPARQL's compat join / MINUS
+    *    domain-overlap semantics to plain long equality — no NULL
+    *    matches-anything cases can arise;
+    *  - at least one shared variable (a shared-nothing OPTIONAL is a
+    *    cross product and a shared-nothing MINUS is the identity —
+    *    both stay on the standard compiler);
+    *  - no OPTIONAL condition (scalar FILTER conditions evaluate
+    *    term VALUES, which id space does not carry). */
+  private def isExtBlock(op: Op): Boolean = op match {
+    case b if isBlock(b) => true
+    case LeftJoin(l, r, None) => isExtSpine(l, r)
+    case Minus(l, r) => isExtSpine(l, r)
+    case _ => false
+  }
+
+  private def isExtSpine(l: Op, r: Op): Boolean =
+    isExtBlock(l) && isBlock(r) && {
+      val shared = Algebra.vars(l).intersect(Algebra.vars(r))
+      shared.nonEmpty && shared.subsetOf(assuredIdVars(l))
+    }
+
+  /** Vars bound in EVERY row of an extended block: all vars of pure
+    * BGPs; an OPTIONAL's right-only vars are merely possible. */
+  private def assuredIdVars(op: Op): Set[String] = op match {
+    case b if isBlock(b) => Algebra.vars(b)
+    case LeftJoin(l, _, _) => assuredIdVars(l)
+    case Minus(l, _) => assuredIdVars(l)
+    case _ => Set.empty
   }
 
   /** Any DISTINCT aggregate over `*` (expr = None) in the tree — the
@@ -222,6 +265,118 @@ final class DictStore private (val spark: SparkSession,
     }
   }
 
+  // ----- id-space transitive paths -----
+
+  /** The ALP shapes id space can express: a pure-BGP edge pattern, at
+    * least one variable endpoint (both-constant is an existence probe
+    * the standard compiler handles), and no zero-length with a
+    * constant endpoint (zero-length must bind a term to itself even
+    * when it is absent from the data — and an absent term has no
+    * dictionary id to carry through the closure). */
+  private def alpEligible(alp: ArbitraryLengthPath): Boolean = {
+    val constEnds = List(alp.s, alp.o).count { case T(_) => true; case _ => false }
+    isBlock(alp.edge) && constEnds < 2 && !(alp.includeZero && constEnds > 0)
+  }
+
+  /** ALP closure entirely in id space: the semi-naive rounds (shared
+    * loop — [[graft.sparql.Compiler.transitiveClosure]]) join and
+    * shuffle single longs instead of term structs, and the dictionary
+    * joins back in ONCE, after the closure converges. Mirrors
+    * `Compiler.compileALP`: backward walk from a constant object,
+    * per-named-graph closure under GRAPH ?g, cycle queries, var-var
+    * zero-length over the scoped graph's nodes. */
+  private def compileAlpIds(alp: ArbitraryLengthPath): (DataFrame, List[String]) = {
+    val endTerms = List(alp.s, alp.o).collect { case T(t) => t }
+    val gTerms = alp.g match { case GraphTerm(t) => List(t); case _ => Nil }
+    val consts = constIdsOf(
+      (scanConstTerms(allScans(alp.edge)) ++ endTerms ++ gTerms).distinct)
+    def cid(t: Term): Long = consts.getOrElse(t, -1L)
+
+    val gVar: Option[String] = alp.g match {
+      case GraphVar(n) => Some(n)
+      case _ => None
+    }
+    val gSel = gVar.map(n => col(n).as("g")).toSeq
+    val gKey = gVar.map(_ => "g").toSeq
+
+    val edgeFrame = flattenJoins(alp.edge).map(scanIds(_, consts))
+      .reduceLeft { (l, r) =>
+        val shared = l.columns.intersect(r.columns).toSeq
+        if (shared.isEmpty) l.crossJoin(r) else l.join(r, shared)
+      }
+    val edges = GraftColumnBridge.freshLeaf(
+      edgeFrame
+        .select(gSel ++ Seq(col(alp.innerS).as("src"),
+          col(alp.innerO).as("dst")): _*)
+        .dropDuplicates()
+        .localCheckpoint(eager = false))
+    val reversed = edges.select(
+      gVar.map(_ => col("g")).toSeq ++
+        Seq(col("dst").as("src"), col("src").as("dst")): _*)
+
+    // all node ids of the scoped graph (var-var zero-length)
+    def idGraphNodes(): DataFrame = {
+      val scoped = alp.g match {
+        case DefaultGraph => idQuads.filter(col("g").isNull)
+        case GraphTerm(t) => idQuads.filter(col("g") === lit(cid(t)))
+        case GraphVar(_) => idQuads.filter(col("g").isNotNull)
+      }
+      gVar match {
+        case Some(_) =>
+          scoped.select(col("s").as("node"), col("g"))
+            .union(scoped.select(col("o").as("node"), col("g")))
+            .dropDuplicates()
+        case None =>
+          scoped.select(col("s").as("node"))
+            .union(scoped.select(col("o").as("node")))
+            .dropDuplicates()
+      }
+    }
+
+    var paths = (alp.s, alp.o) match {
+      case (T(t), _) =>
+        graft.sparql.Compiler.transitiveClosure(edges,
+          edges.filter(col("src") === lit(cid(t))), gKey)
+      case (_, T(t)) =>
+        // constant OBJECT: walk backward, then flip pairs back
+        graft.sparql.Compiler.transitiveClosure(reversed,
+          reversed.filter(col("src") === lit(cid(t))), gKey)
+          .select(gVar.map(_ => col("g")).toSeq ++
+            Seq(col("dst").as("src"), col("src").as("dst")): _*)
+      case _ =>
+        var p = graft.sparql.Compiler.transitiveClosure(edges, edges, gKey)
+        if (alp.includeZero) {
+          val zero = gVar match {
+            case Some(_) => idGraphNodes()
+              .select(col("g"), col("node").as("src"), col("node").as("dst"))
+            case None => idGraphNodes()
+              .select(col("node").as("src"), col("node").as("dst"))
+          }
+          p = p.unionByName(zero).dropDuplicates()
+        }
+        p
+    }
+
+    val sel = scala.collection.mutable.ArrayBuffer.empty[Column]
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    gVar.foreach { n => sel += col("g").as(n); names += n }
+    (alp.s, alp.o) match {
+      case (V(n1), V(n2)) if n1 == n2 => // cycle query ?x p+ ?x
+        paths = paths.filter(col("src") === col("dst"))
+        sel += col("src").as(n1); names += n1
+      case _ =>
+        alp.s match {
+          case T(t) => paths = paths.filter(col("src") === lit(cid(t)))
+          case V(n) => sel += col("src").as(n); names += n
+        }
+        alp.o match {
+          case T(t) => paths = paths.filter(col("dst") === lit(cid(t)))
+          case V(n) => sel += col("dst").as(n); names += n
+        }
+    }
+    (materialize(paths.select(sel.toSeq: _*), names.toList), names.toList)
+  }
+
   // ----- id-space block compilation -----
 
   /** Compile a Scan/Join tree entirely in id space, then join the dict
@@ -229,14 +384,30 @@ final class DictStore private (val spark: SparkSession,
     * BgpOptimizer's (selectivity-greedy, connected); joins are plain
     * long equi-joins — every variable in a BGP is assured, so no
     * compat conditions and no null-safe comparisons are needed. */
-  private def compileBlock(block: Op, keep: List[String]): DataFrame = {
-    val leaves = flattenJoins(block)
-    val consts = constIds(leaves)
-    val joined = leaves.map(scanIds(_, consts)).reduceLeft { (l, r) =>
-      val shared = l.columns.intersect(r.columns).toSeq
-      if (shared.isEmpty) l.crossJoin(r) else l.join(r, shared)
+  /** Compile an extended block ([[isExtBlock]]) in id space: pure BGP
+    * sub-blocks reduce as long equi-joins; OPTIONAL becomes a
+    * left-outer join (unmatched right → NULL long ids), MINUS a
+    * left-anti join — both on the shared assured vars, so SPARQL
+    * compat is plain equality. One dict lookup covers the constants
+    * of ALL scans in the spine. */
+  private def compileExtBlock(block: Op, keep: List[String]): DataFrame = {
+    val consts = constIds(allScans(block))
+    def ids(op: Op): DataFrame = op match {
+      case b if isBlock(b) =>
+        flattenJoins(b).map(scanIds(_, consts)).reduceLeft { (l, r) =>
+          val shared = l.columns.intersect(r.columns).toSeq
+          if (shared.isEmpty) l.crossJoin(r) else l.join(r, shared)
+        }
+      case LeftJoin(l, r, None) =>
+        val (ld, rd) = (ids(l), ids(r))
+        ld.join(rd, ld.columns.intersect(rd.columns).toSeq, "left_outer")
+      case Minus(l, r) =>
+        val (ld, rd) = (ids(l), ids(r))
+        val shared = ld.columns.intersect(rd.columns).toSeq
+        ld.join(rd.select(shared.map(col): _*), shared, "left_anti")
+      case other => throw new IllegalStateException(s"not an ext block: $other")
     }
-    materialize(joined, keep)
+    materialize(ids(block), keep, Algebra.vars(block) -- assuredIdVars(block))
   }
 
   private def flattenJoins(op: Op): List[Scan] = op match {
@@ -245,17 +416,31 @@ final class DictStore private (val spark: SparkSession,
     case other => throw new IllegalStateException(s"not a BGP leaf: $other")
   }
 
+  /** Every Scan leaf of an extended block (constant-lookup scope). */
+  private def allScans(op: Op): List[Scan] = op match {
+    case s: Scan => List(s)
+    case Join(l, r) => allScans(l) ++ allScans(r)
+    case LeftJoin(l, r, _) => allScans(l) ++ allScans(r)
+    case Minus(l, r) => allScans(l) ++ allScans(r)
+    case _ => Nil
+  }
+
   /** One driver-side dict lookup for ALL constants of the block: a
     * single filtered scan of the dictionary (pushable term-struct
     * equality), collected to a Map. A constant absent from the dict
     * maps to id -1, which no quad carries — the scan legitimately
     * returns empty. */
-  private def constIds(leaves: List[Scan]): Map[Term, Long] = {
-    val ec = new ExprCompiler(_ => lit(null).cast(TermSchema.termType))
-    val terms = leaves.flatMap { sc =>
+  private def constIds(leaves: List[Scan]): Map[Term, Long] =
+    constIdsOf(scanConstTerms(leaves))
+
+  private def scanConstTerms(leaves: List[Scan]): List[Term] =
+    leaves.flatMap { sc =>
       List(sc.s, sc.p, sc.o).collect { case T(t) => t } ++
         (sc.g match { case GraphTerm(t) => List(t); case _ => Nil })
     }.distinct
+
+  private def constIdsOf(terms: List[Term]): Map[Term, Long] = {
+    val ec = new ExprCompiler(_ => lit(null).cast(TermSchema.termType))
     if (terms.isEmpty) Map.empty
     else {
       val cond = terms.map(t => col("term") === ec.termCol(t)).reduce(_ || _)
@@ -291,16 +476,20 @@ final class DictStore private (val spark: SparkSession,
 
   /** Late materialization: swap each kept long column for its term
     * struct via one dict join per variable (inner — every id in the
-    * store exists in the dict by construction). Pruned variables'
-    * long columns are dropped entirely. At extreme scale the dict side
-    * of these joins should be a bucketed table on `id`; with plain
-    * parquet AQE picks broadcast when the dict is small enough. */
-  private def materialize(idDf: DataFrame, keep: List[String]): DataFrame = {
+    * store exists in the dict by construction; LEFT OUTER for vars an
+    * OPTIONAL may have left NULL, preserving the row with an unbound
+    * term). Pruned variables' long columns are dropped entirely. At
+    * extreme scale the dict side of these joins should be a bucketed
+    * table on `id`; with plain parquet AQE picks broadcast when the
+    * dict is small enough. */
+  private def materialize(idDf: DataFrame, keep: List[String],
+                          nullable: Set[String] = Set.empty): DataFrame = {
     var df = idDf
     keep.zipWithIndex.foreach { case (v, i) =>
       if (df.columns.contains(v)) {
         val d = dict.select(col("id").as(s"__mid$i"), col("term").as(s"__mt$i"))
-        df = df.join(d, col(v) === col(s"__mid$i"))
+        df = df.join(d, col(v) === col(s"__mid$i"),
+            if (nullable.contains(v)) "left_outer" else "inner")
           .drop(v, s"__mid$i")
           .withColumnRenamed(s"__mt$i", v)
       }

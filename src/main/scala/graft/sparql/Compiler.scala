@@ -24,6 +24,50 @@ object Compiler {
 
   def run(quads: DataFrame, op: Op): DataFrame = new Compiler(quads).compile(op)
 
+  /** Semi-naive transitive closure over a `(g?, src, dst)` edge frame
+    * — representation-AGNOSTIC: the standard compiler closes over
+    * term-struct columns, the dict store's id-space path closes over
+    * 8-byte longs (so the per-round shuffles carry longs, not
+    * strings), both through this one loop. `start` seeds the walk;
+    * `gKey` is `Seq("g")` when the closure must stay inside one named
+    * graph (GRAPH ?g) and empty otherwise. Each round joins only the
+    * frontier to the edge set, anti-joins away already-seen pairs,
+    * and lazily checkpoints so plans stay bounded; the accumulated
+    * result is kept as a lazy union of per-round checkpointed leaves,
+    * re-materialized every 8 rounds to bound plan depth. */
+  private[graft] def transitiveClosure(ed: DataFrame, start: DataFrame,
+                                       gKey: Seq[String]): DataFrame = {
+    def materialize(df: DataFrame): DataFrame =
+      GraftColumnBridge.freshLeaf(df.localCheckpoint(eager = false))
+    var parts = List(materialize(start.dropDuplicates()))
+    var result = parts.head
+    var frontier = parts.head
+    var round = 0
+    var done = frontier.isEmpty
+    while (!done) {
+      val joinCond = (Seq(col("f.dst") === col("e.src")) ++
+        gKey.map(g => col(s"f.$g") === col(s"e.$g"))).reduce(_ && _)
+      val next = materialize(
+        frontier.alias("f")
+          .join(ed.alias("e"), joinCond)
+          .select(gKey.map(g => col(s"f.$g").as(g)) ++
+            Seq(col("f.src").as("src"), col("e.dst").as("dst")): _*)
+          .dropDuplicates()
+          .join(result, gKey ++ Seq("src", "dst"), "left_anti"))
+      if (next.isEmpty) done = true
+      else {
+        parts ::= next
+        round += 1
+        if (round % 8 == 0) {
+          result = materialize(parts.reduce(_ union _))
+          parts = List(result)
+        } else result = parts.reduce(_ union _)
+        frontier = next
+      }
+    }
+    result
+  }
+
   /** ASK: one row, one boolean column `ask` — lazily planned (the
     * pattern is limited to a single row before the existence count). */
   def runAsk(quads: DataFrame, op: Op): DataFrame =
@@ -965,42 +1009,10 @@ final class Compiler(quads: DataFrame) {
         .select(gSel ++ Seq(col(alp.innerS).as("src"), col(alp.innerO).as("dst")): _*)
         .dropDuplicates())
 
-    def closure(ed: DataFrame, start: DataFrame): DataFrame = {
-      // start: (g?, src, dst) seed pairs; semi-naive: only the frontier
-      // joins the edge set each round, seen pairs are anti-joined away.
-      // `result` is kept as a LAZY union of the per-round checkpointed
-      // leaves — each round already materialized `next`, so re-writing
-      // the whole accumulated closure every round would double the I/O.
-      // The union is re-materialized every few rounds only to bound
-      // plan depth on deep graphs.
-      var parts = List(materialize(start.dropDuplicates()))
-      var result = parts.head
-      var frontier = parts.head
-      var round = 0
-      var done = frontier.isEmpty
-      while (!done) {
-        val joinCond = (Seq(col("f.dst") === col("e.src")) ++
-          gVar.map(_ => col("f.g") === col("e.g"))).reduce(_ && _)
-        val next = materialize(
-          frontier.alias("f")
-            .join(ed.alias("e"), joinCond)
-            .select(gVar.map(_ => col("f.g").as("g")).toSeq ++
-              Seq(col("f.src").as("src"), col("e.dst").as("dst")): _*)
-            .dropDuplicates()
-            .join(result, gKey ++ Seq("src", "dst"), "left_anti"))
-        if (next.isEmpty) done = true
-        else {
-          parts ::= next
-          round += 1
-          if (round % 8 == 0) {
-            result = materialize(parts.reduce(_ union _))
-            parts = List(result)
-          } else result = parts.reduce(_ union _)
-          frontier = next
-        }
-      }
-      result
-    }
+    // start: (g?, src, dst) seed pairs; the shared semi-naive loop
+    // (Compiler.transitiveClosure — also the dict store's id-space path)
+    def closure(ed: DataFrame, start: DataFrame): DataFrame =
+      Compiler.transitiveClosure(ed, start, gKey)
 
     /** Zero-length (t,t) rows — per named graph under GRAPH ?g. */
     def zeroSelf(term: Column): DataFrame = gVar match {

@@ -93,4 +93,41 @@ class DictShuffleVolumeSpec extends SparqlSpecBase {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }
+
+  "id-space OPTIONAL" should "shuffle far fewer bytes than the term-struct left join" in {
+    import graft.sparql.Sparql._
+    // COUNT over an OPTIONAL spine: the left-outer join is the
+    // measured shuffle (no result materialization), exactly the shape
+    // the round-9 ext-block rewrite moved into id space
+    val optionalCount =
+      """PREFIX : <urn:p:>
+        |SELECT (COUNT(*) AS ?cnt)
+        |{ ?n :nname ?nname . ?n :inRegion ?r . ?r :rname "ASIA" .
+        |  OPTIONAL { ?c :inNation ?n . ?c :cname ?cname } }""".stripMargin
+    val quads = TpchQuads.customer(spark, sf)
+      .union(TpchQuads.nation(spark, sf)).union(TpchQuads.region(spark, sf))
+    val dictDir = java.nio.file.Files
+      .createTempDirectory("graft-dict-optvol").toString
+    val store = DictStore.encode(quads, dictDir)
+    val prevBroadcast =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val viaDict = collect(store.sparql(optionalCount))
+      val viaTerms = collect(quads.sparql(optionalCount))
+      viaDict shouldBe viaTerms
+      val (dictB, dictWire) = shuffleBytes(store.sparql(optionalCount))
+      val (termB, termWire) = shuffleBytes(quads.sparql(optionalCount))
+      info(f"OPTIONAL shuffle dataSize: dict=$dictB%,d terms=$termB%,d " +
+        f"factor=${termB.toDouble / dictB.max(1)}%.1f× " +
+        f"(wire: $dictWire%,d vs $termWire%,d)")
+      dictB should be > 0L
+      termB.toDouble should be > dictB.toDouble * 3
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
 }

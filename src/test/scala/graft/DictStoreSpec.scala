@@ -202,6 +202,139 @@ class DictStoreSpec extends SparqlSpecBase {
     blocks.head.varNames.toSet shouldBe Set("org", "auth")
   }
 
+  // ----- id-space OPTIONAL / MINUS / transitive paths -----
+
+  private def countNodes(op: Op)(p: PartialFunction[Op, Boolean]): Int = {
+    def hit(o: Op): Int = if (p.isDefinedAt(o) && p(o)) 1 else 0
+    def walk(o: Op): Int = hit(o) + (o match {
+      case Algebra.Join(l, r) => walk(l) + walk(r)
+      case Algebra.LeftJoin(l, r, _) => walk(l) + walk(r)
+      case Algebra.Union(l, r) => walk(l) + walk(r)
+      case Algebra.Minus(l, r) => walk(l) + walk(r)
+      case Algebra.Filter(c, _) => walk(c)
+      case Algebra.Extend(c, _, _) => walk(c)
+      case Algebra.Project(c, _) => walk(c)
+      case Algebra.Distinct(c) => walk(c)
+      case Algebra.Reduced(c) => walk(c)
+      case Algebra.Group(c, _, _) => walk(c)
+      case Algebra.Order(c, _) => walk(c)
+      case Algebra.Slice(c, _, _) => walk(c)
+      case alp: Algebra.ArbitraryLengthPath => walk(alp.edge)
+      case _ => 0
+    })
+    walk(op)
+  }
+
+  private val foafOptional =
+    """PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+      |SELECT ?name ?mbox
+      |{ ?x foaf:name ?name . OPTIONAL { ?x foaf:mbox ?mbox } }""".stripMargin
+
+  it should "swallow a condition-free OPTIONAL into one id-space block" in {
+    val st = store("optionals.ttl")
+    val rewritten = st.rewrite(parseOptimized(foafOptional))
+    countNodes(rewritten) { case _: Algebra.LeftJoin => true } shouldBe 0
+    val blocks = materializedLeaves(rewritten)
+    blocks should have size 1
+    blocks.head.varNames.toSet shouldBe Set("name", "mbox")
+    // the optional join itself runs on longs (LeftOuter over id columns)
+    val plan = blocks.head.df.queryExecution.optimizedPlan.toString
+    plan should include regex raw"Join LeftOuter, \(\w+#\d+L = \w+#\d+L\)"
+  }
+
+  it should "preserve rows with NULL optional vars through materialization" in {
+    // Bob has no mbox: the id-space left join leaves a NULL id and the
+    // dict materialization must keep the row (left_outer), not drop it
+    val rows = collect(store("optionals.ttl").sparql(foafOptional))
+    rows.exists(r => r.contains("name") && !r.contains("mbox")) shouldBe true
+    same("optionals.ttl", foafOptional)
+  }
+
+  it should "keep a conditioned OPTIONAL on the standard compiler" in {
+    val st = store("inner_filter.ttl")
+    val q =
+      """PREFIX : <http://example.com/>
+        |SELECT ?x ?w { ?x :p ?v . OPTIONAL { ?x :q ?w . FILTER(?w < 4) } }""".stripMargin
+    val rewritten = st.rewrite(parseOptimized(q))
+    countNodes(rewritten) { case _: Algebra.LeftJoin => true } shouldBe 1
+    same("inner_filter.ttl", q)
+  }
+
+  it should "swallow MINUS into an id-space anti join" in {
+    val st = store("minus.ttl")
+    val q =
+      """PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        |SELECT ?s { ?s ?p ?o MINUS { ?s foaf:givenName "Bob" } }""".stripMargin
+    val rewritten = st.rewrite(parseOptimized(q))
+    countNodes(rewritten) { case _: Algebra.Minus => true } shouldBe 0
+    val blocks = materializedLeaves(rewritten)
+    blocks should have size 1
+    blocks.head.df.queryExecution.optimizedPlan.toString should
+      include("Join LeftAnti")
+    same("minus.ttl", q)
+  }
+
+  it should "keep a shared-nothing MINUS on the standard compiler" in {
+    val st = store("minus.ttl")
+    val q =
+      """PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        |SELECT ?s { ?s foaf:givenName ?n MINUS { ?t foaf:familyName "Smith" } }""".stripMargin
+    countNodes(st.rewrite(parseOptimized(q))) {
+      case _: Algebra.Minus => true
+    } shouldBe 1
+    same("minus.ttl", q)
+  }
+
+  it should "stack OPTIONAL and MINUS in one id-space spine" in {
+    same("minus.ttl",
+      """PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        |SELECT ?s ?f
+        |{ ?s foaf:givenName ?n . OPTIONAL { ?s foaf:familyName ?f }
+        |  MINUS { ?s foaf:givenName "Bob" } }""".stripMargin)
+  }
+
+  it should "run eligible transitive paths in id space" in {
+    val st = store("chain.ttl")
+    val q =
+      """PREFIX : <http://example/>
+        |SELECT ?s ?o { ?s :next+ ?o }""".stripMargin
+    val rewritten = st.rewrite(parseOptimized(q))
+    countNodes(rewritten) {
+      case _: Algebra.ArbitraryLengthPath => true
+    } shouldBe 0
+    materializedLeaves(rewritten) should have size 1
+  }
+
+  it should "agree on every ALP shape over the chain fixture" in {
+    val P = "PREFIX : <http://example/>\n"
+    same("chain.ttl", P + "SELECT ?s ?o { ?s :next+ ?o }")
+    same("chain.ttl", P + "SELECT ?s ?o { ?s :next* ?o }")
+    same("chain.ttl", P + "SELECT ?o { :a :next+ ?o }")
+    same("chain.ttl", P + "SELECT ?s { ?s :next+ :d }")
+    same("chain.ttl", P + "SELECT ?x { ?x :next+ ?x }")
+    // zero-length with a constant endpoint: INELIGIBLE (the constant
+    // might be absent from the dict) — must fall back and still agree
+    same("chain.ttl", P + "SELECT ?o { :a :next* ?o }")
+    // constant absent from the data entirely: + is empty, * binds self
+    collect(store("chain.ttl").sparql(
+      P + "SELECT ?o { :nowhere :next+ ?o }")) shouldBe empty
+    same("chain.ttl", P + "SELECT ?o { :nowhere :next* ?o }")
+  }
+
+  it should "keep zero-length-with-constant ALP on the standard compiler" in {
+    val st = store("chain.ttl")
+    val q = "PREFIX : <http://example/>\nSELECT ?o { :a :next* ?o }"
+    countNodes(st.rewrite(parseOptimized(q))) {
+      case _: Algebra.ArbitraryLengthPath => true
+    } shouldBe 1
+  }
+
+  it should "agree on a per-graph transitive closure (GRAPH ?g)" in {
+    same("graphs.trig",
+      """PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        |SELECT ?g ?x ?m { GRAPH ?g { ?x (foaf:mbox)+ ?m } }""".stripMargin)
+  }
+
   it should "join in id space: only long columns under the materialization" in {
     val st = store("group_by.ttl")
     val op = parseOptimized(
