@@ -19,8 +19,80 @@ object SparkEntry {
 
   private val prologue = "PREFIX : <urn:p:>\n"
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    checkShape(df, s"$dir/$name.parquet", name)
+    df
+  }
+
+  // ----- schema-drift canary -----
+  // Round-8 lesson: the driver regenerated testdata mid-day and six
+  // entries died with analyzer stack traces. The battery asserts its
+  // expectations about driver-owned tables AT READ TIME, by LOGICAL
+  // shape — column names + type FAMILIES, never physical encodings —
+  // and tolerates extra columns (the driver ADDED events.props the
+  // same day). Drift fails with one line naming the table and column.
+  private object Shape {
+    import org.apache.spark.sql.types._
+    val integral: DataType => Boolean = {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val fractional: DataType => Boolean = {
+      case FloatType | DoubleType | _: DecimalType => true
+      case _ => false
+    }
+    val text: DataType => Boolean = _ == StringType
+    // every shape a calendar column has shipped with (currently
+    // timestamp[us]; to_date / string comparison handle all of these)
+    val dateish: DataType => Boolean = {
+      case StringType | DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    val floatVec: DataType => Boolean = {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+  }
+  private val expectedShapes: Map[String, Seq[(String, org.apache.spark.sql.types.DataType => Boolean)]] = {
+    import Shape._
+    Map(
+      "region" -> Seq("r_regionkey" -> integral, "r_name" -> text),
+      "nation" -> Seq("n_nationkey" -> integral, "n_name" -> text,
+        "n_regionkey" -> integral),
+      "customer" -> Seq("c_custkey" -> integral, "c_name" -> text,
+        "c_acctbal" -> fractional, "c_mktsegment" -> text,
+        "c_nationkey" -> integral),
+      "supplier" -> Seq("s_suppkey" -> integral, "s_name" -> text,
+        "s_acctbal" -> fractional, "s_nationkey" -> integral),
+      "part" -> Seq("p_partkey" -> integral, "p_brand" -> text,
+        "p_retailprice" -> fractional, "p_size" -> integral),
+      "orders" -> Seq("o_orderkey" -> integral, "o_custkey" -> integral,
+        "o_totalprice" -> fractional, "o_orderdate" -> dateish),
+      "lineitem" -> Seq("l_orderkey" -> integral, "l_partkey" -> integral,
+        "l_suppkey" -> integral, "l_linenumber" -> integral,
+        "l_quantity" -> fractional, "l_shipdate" -> dateish,
+        "l_returnflag" -> text),
+      // events.ts is handled separately ([[eventsUs]] normalizes it
+      // by logical type and is itself the ts canary)
+      "events" -> Seq("event_id" -> integral, "user_id" -> integral,
+        "event_type" -> text, "value" -> fractional, "props" -> text),
+      "documents" -> Seq("doc_id" -> integral, "text" -> text,
+        "lang" -> text, "source" -> text, "n_chars" -> integral),
+      "embeddings" -> Seq("vec_id" -> integral, "embedding" -> floatVec,
+        "label" -> integral))
+  }
+  private[graft] def checkShape(df: DataFrame, loc: String,
+                                table: String): Unit =
+    expectedShapes.get(table).foreach(_.foreach { case (c, ok) =>
+      require(df.columns.contains(c),
+        s"schema drift: $loc lost column `$c` " +
+          s"(have: ${df.columns.mkString(", ")})")
+      require(ok(df.schema(c).dataType),
+        s"schema drift: $loc column `$c` has logical type " +
+          s"${df.schema(c).dataType.simpleString}, outside the family " +
+          "the battery expects")
+    })
 
   /** Canonical events read: `ts` normalized to exact long
     * MICROseconds since epoch, branching on the LOGICAL type the

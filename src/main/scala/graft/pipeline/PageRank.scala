@@ -69,7 +69,7 @@ object PageRank {
     // is dimension-sized, fall back to the shuffle join for graphs
     // where a rank table is itself data-scale.
     val broadcastRanks = n <= broadcastNodeLimit
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val dangling = ranks.filter(col("outdeg").isNull)
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
       val active = ranks.filter(col("outdeg").isNotNull)
@@ -79,7 +79,7 @@ object PageRank {
           (col("rank") / col("outdeg")).as("__c"))
         .groupBy(col("node"))
         .agg(sum(col("__c")).as("__in"))
-      ranks = leaf(ranks.select(col("node"), col("outdeg"))
+      val next = ranks.select(col("node"), col("outdeg"))
         .join(if (broadcastRanks) broadcast(contribs) else contribs,
           Seq("node"), "left")
         .crossJoin(broadcast(dangling))
@@ -87,7 +87,11 @@ object PageRank {
           (lit((1 - damping) / n) +
             lit(damping) * (coalesce(col("__in"), lit(0.0)) +
               col("__dm") / n)).as("rank"),
-          col("outdeg")))
+          col("outdeg"))
+      // the LAST round stays un-checkpointed: one checkpoint saved,
+      // and the caller-visible plan keeps the iteration's join shape
+      // (the broadcast-vs-shuffle gate is spec-asserted on it)
+      ranks = if (i == iterations) next else leaf(next)
     }
     ranks.select(col("node"), col("rank"))
   }

@@ -24,7 +24,7 @@ class EventsEncodingSpec extends AnyFlatSpec with Matchers {
     micros.zipWithIndex.toDF("us", "event_id")
       .select(col("event_id").cast("long"), mkTs.as("ts"),
         lit(1L).as("user_id"), lit("view").as("event_type"),
-        lit(1.0).as("value"))
+        lit(1.0).as("value"), lit("""{"k": 1}""").as("props"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
     dir
   }
@@ -61,5 +61,28 @@ class EventsEncodingSpec extends AnyFlatSpec with Matchers {
     e.getMessage should include("schema drift")
     e.getMessage should include("events.parquet")
     e.getMessage should include("ts")
+  }
+
+  "the schema-drift canary" should "flag lost columns and family changes in one line" in {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "text", "en", "web", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    SparkEntry.checkShape(docs, "x/documents.parquet", "documents") // fine
+    // extra columns are tolerated — the driver ADDS columns mid-build
+    SparkEntry.checkShape(docs.withColumn("extra", lit(1)),
+      "x/documents.parquet", "documents")
+    val lost = intercept[IllegalArgumentException] {
+      SparkEntry.checkShape(docs.drop("lang"), "x/documents.parquet", "documents")
+    }
+    lost.getMessage should (include("documents.parquet") and
+      include("lang") and include("schema drift"))
+    val retyped = intercept[IllegalArgumentException] {
+      SparkEntry.checkShape(docs.withColumn("n_chars", lit("nope")),
+        "x/documents.parquet", "documents")
+    }
+    retyped.getMessage should (include("n_chars") and include("string"))
+    // unknown tables pass through unchecked (fixture/tmp reads)
+    SparkEntry.checkShape(docs, "x/other.parquet", "other")
   }
 }

@@ -47,6 +47,31 @@ class PageRankSpec extends AnyFlatSpec with Matchers {
     a.foreach { case (k, v) => v shouldBe b(k) +- 1e-12 }
   }
 
+  it should "broadcast dimension-sized rank tables and shuffle-join past the gate" in {
+    // at a 100x graph the rank table is node-scale and must NOT be
+    // broadcast once per iteration; broadcastNodeLimit gates the two
+    // plan shapes — force each and pin it in the executed plan
+    val edges = (1 to 200).map(i => (s"n${i % 40}", s"n${(i * 7) % 40}"))
+      .toDF("src", "dst")
+    def planOf(limit: Long): String =
+      PageRank.pageRank(edges, iterations = 2, broadcastNodeLimit = limit)
+        .queryExecution.executedPlan.toString
+    // dimension-sized: the ranks⋈edges join broadcasts the rank side
+    // (hash join keyed on node/src — not just the one-row dangling BNLJ)
+    planOf(500000) should include("BroadcastHashJoin")
+    // past the gate: no broadcast HASH join anywhere — every keyed join
+    // shuffles (the one-row dangling mass still rides a nested-loop
+    // broadcast, which is size-invariant and fine)
+    planOf(0) should not include "BroadcastHashJoin"
+    // both shapes must agree numerically
+    val a = PageRank.pageRank(edges, 3).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val b = PageRank.pageRank(edges, 3, broadcastNodeLimit = 0).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    a.keySet shouldBe b.keySet
+    a.foreach { case (k, v) => v shouldBe b(k) +- 1e-12 }
+  }
+
   it should "reject malformed arguments" in {
     val e = Seq(("a", "b")).toDF("src", "dst")
     an[IllegalArgumentException] should be thrownBy
