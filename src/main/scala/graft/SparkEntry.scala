@@ -293,6 +293,16 @@ object SparkEntry {
           |             ?c :cname ?cname } }""".stripMargin),
         "nname" -> "string", "cname" -> "string")
     },
+    "q_dict_not_exists" -> { (s, d) =>
+      // FILTER NOT EXISTS in id space: the anti join runs on 8-byte
+      // ids (semi/anti joins are the other big-shuffle shape the
+      // round-9 dict extension moves off term structs)
+      out(dictStore(s, d).sparql(prologue +
+        """SELECT ?cname
+          |{ ?c :cname ?cname .
+          |  FILTER NOT EXISTS { ?c :mktsegment "BUILDING" } }""".stripMargin),
+        "cname" -> "string")
+    },
     "q_dict_path" -> { (s, d) =>
       // transitive closure in id space: the semi-naive rounds shuffle
       // single longs and the dictionary decodes once at the end (same
@@ -1563,6 +1573,26 @@ object SparkEntry {
        |ORDER BY round(c, 6) DESC, vec_id LIMIT $k""".stripMargin
   }
 
+  /** Structural row-count invariants for the entries that ship no SQL
+    * oracle (SAMPLE / unordered LIMIT / hash-family-specific LSH
+    * candidate sets): [[Verify]] asserts these after each dump, so
+    * "rows-only" means CHECKED against a stated bound, not merely
+    * recorded (round-8 advice). Bounds hold at every scale factor:
+    * exact counts are structural (5 market segments; LIMIT 50; top-k
+    * k=10 over corpora ≫ 10), the ≥1 bounds reflect the planted
+    * near-duplicate groups in every documents build. */
+  val rowChecks: Map[String, (Long => Boolean, String)] = Map(
+    "q_sample" -> (((n: Long) => n == 5L, "exactly 5 (one per mktsegment)")),
+    "q_slice_noorder" -> (((n: Long) => n == 50L, "exactly 50 (LIMIT 50)")),
+    "q_ann_lsh" -> (((n: Long) => n == 10L, "exactly 10 (top-k)")),
+    "q_ann_index" -> (((n: Long) => n == 10L, "exactly 10 (top-k)")),
+    "q_ann_index_probe" -> (((n: Long) => n == 10L, "exactly 10 (top-k)")),
+    "q_ann_ivf" -> (((n: Long) => n == 10L, "exactly 10 (top-k)")),
+    "q_dedup_minhash" -> (((n: Long) => n >= 1L, ">= 1 (planted near-dups)")),
+    "q_dedup_simhash" -> (((n: Long) => n >= 1L, ">= 1 (planted near-dups)")),
+    "q_dedup_embedding" -> (((n: Long) => n >= 1L, ">= 1 (planted near-dups)")),
+    "q_dedup_incremental" -> (((n: Long) => n >= 1L, ">= 1 (planted near-dups)")))
+
   lazy val oracleSql: Map[String, String] = Map(
     "q_scan" ->
       "SELECT 'urn:n:'||n_nationkey::VARCHAR AS n, n_name AS nname FROM nation",
@@ -1597,6 +1627,8 @@ object SparkEntry {
         |JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
         |LEFT JOIN customer c
         |  ON c.c_nationkey = n.n_nationkey AND c.c_mktsegment = 'MACHINERY'""".stripMargin,
+    "q_dict_not_exists" ->
+      "SELECT c_name AS cname FROM customer WHERE c_mktsegment <> 'BUILDING'",
     "q_dict_path" ->
       """SELECT s, x FROM (
         |  SELECT 'urn:c:'||c_custkey::VARCHAR AS s, 'urn:n:'||c_nationkey::VARCHAR AS x FROM customer

@@ -49,9 +49,21 @@ object Verify {
         Files.walk(dest).sorted(java.util.Comparator.reverseOrder())
           .iterator().asScala.foreach(Files.delete)
       }
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(dest.toString)
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(dest.toString)
+        // no-oracle entries still get a CHECKED bound: the structural
+        // row-count invariants in SparkEntry.rowChecks (metadata-only
+        // count of the just-written parquet)
+        SparkEntry.rowChecks.get(name).foreach { case (ok, desc) =>
+          val n = spark.read.parquet(dest.toString).count()
+          if (!ok(n)) {
+            failed ::= name
+            System.err.println(
+              s"[verify] $name rows=$n violates expected bound: $desc")
+          }
+        }
+      } catch { case e: Throwable =>
         failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -127,7 +127,17 @@ final class DictStore private (val spark: SparkSession,
       case LeftJoin(l, r, c) => LeftJoin(go(l), go(r), c)
       case Union(l, r) => Union(go(l), go(r))
       case Minus(l, r) => Minus(go(l), go(r))
-      case Filter(c, e) => Filter(go(c), e)
+      case f @ Filter(c, e) => existsEligible(c, e) match {
+        case Some(exs) =>
+          val blockRefs = countRefs(f)
+          val keep =
+            if (noPrune) Algebra.varsOrdered(c)
+            else Algebra.varsOrdered(c).filter(v =>
+              keepAlways.contains(v) ||
+                totalRefs.getOrElse(v, 0) > blockRefs.getOrElse(v, 0))
+          Materialized(compileFilterExistsIds(c, exs, keep), keep)
+        case None => Filter(go(c), e)
+      }
       case Extend(c, n, e) => Extend(go(c), n, e)
       case Project(c, vs) => Project(go(c), vs)
       case Distinct(c) => Distinct(go(c))
@@ -392,22 +402,75 @@ final class DictStore private (val spark: SparkSession,
     * of ALL scans in the spine. */
   private def compileExtBlock(block: Op, keep: List[String]): DataFrame = {
     val consts = constIds(allScans(block))
-    def ids(op: Op): DataFrame = op match {
-      case b if isBlock(b) =>
-        flattenJoins(b).map(scanIds(_, consts)).reduceLeft { (l, r) =>
-          val shared = l.columns.intersect(r.columns).toSeq
-          if (shared.isEmpty) l.crossJoin(r) else l.join(r, shared)
-        }
-      case LeftJoin(l, r, None) =>
-        val (ld, rd) = (ids(l), ids(r))
-        ld.join(rd, ld.columns.intersect(rd.columns).toSeq, "left_outer")
-      case Minus(l, r) =>
-        val (ld, rd) = (ids(l), ids(r))
-        val shared = ld.columns.intersect(rd.columns).toSeq
-        ld.join(rd.select(shared.map(col): _*), shared, "left_anti")
-      case other => throw new IllegalStateException(s"not an ext block: $other")
+    materialize(idsOf(block, consts), keep,
+      Algebra.vars(block) -- assuredIdVars(block))
+  }
+
+  /** The id-space frame of an extended block, shared by the block,
+    * EXISTS and ALP compilers. */
+  private def idsOf(op: Op, consts: Map[Term, Long]): DataFrame = op match {
+    case b if isBlock(b) =>
+      flattenJoins(b).map(scanIds(_, consts)).reduceLeft { (l, r) =>
+        val shared = l.columns.intersect(r.columns).toSeq
+        if (shared.isEmpty) l.crossJoin(r) else l.join(r, shared)
+      }
+    case LeftJoin(l, r, None) =>
+      val (ld, rd) = (idsOf(l, consts), idsOf(r, consts))
+      ld.join(rd, ld.columns.intersect(rd.columns).toSeq, "left_outer")
+    case Minus(l, r) =>
+      val (ld, rd) = (idsOf(l, consts), idsOf(r, consts))
+      val shared = ld.columns.intersect(rd.columns).toSeq
+      ld.join(rd.select(shared.map(col): _*), shared, "left_anti")
+    case other => throw new IllegalStateException(s"not an ext block: $other")
+  }
+
+  // ----- id-space FILTER [NOT] EXISTS -----
+
+  private def conjunctsOf(e: Expr): List[Expr] = e match {
+    case FuncE("&&", args) => args.flatMap(conjunctsOf)
+    case other => List(other)
+  }
+
+  private def normNeg(e: Expr): Expr = e match {
+    case FuncE("!", List(inner)) => normNeg(inner) match {
+      case ExistsE(p, n) => ExistsE(p, !n)
+      case o => FuncE("!", List(o))
     }
-    materialize(ids(block), keep, Algebra.vars(block) -- assuredIdVars(block))
+    case o => o
+  }
+
+  /** FILTER conditions the id-space path can take whole: EVERY
+    * conjunct is [NOT] EXISTS over a pure BGP sharing ≥1 assured var
+    * with the (extended-block) child — then each lowers to a long
+    * semi/anti join, the exact shape the standard compiler uses on
+    * term structs. Scalar conjuncts need term VALUES → ineligible;
+    * patterns with inner FILTERs (correlated-lift cases) stay on the
+    * standard compiler too (isBlock admits only Scan/Join). */
+  private def existsEligible(c: Op, cond: Expr): Option[List[ExistsE]] = {
+    val cs = conjunctsOf(cond).map(normNeg)
+    val exs = cs.collect { case e: ExistsE => e }
+    val ok = exs.size == cs.size && exs.nonEmpty && isExtBlock(c) &&
+      exs.forall { case ExistsE(p, _) =>
+        isBlock(p) && {
+          val shared = Algebra.vars(c).intersect(Algebra.vars(p))
+          shared.nonEmpty && shared.subsetOf(assuredIdVars(c))
+        }
+      }
+    if (ok) Some(exs) else None
+  }
+
+  private def compileFilterExistsIds(child: Op, exs: List[ExistsE],
+                                     keep: List[String]): DataFrame = {
+    val consts = constIdsOf((scanConstTerms(allScans(child)) ++
+      exs.flatMap(e => scanConstTerms(allScans(e.pattern)))).distinct)
+    var df = idsOf(child, consts)
+    exs.foreach { case ExistsE(p, negated) =>
+      val pd = idsOf(p, consts)
+      val shared = df.columns.intersect(pd.columns).toSeq
+      df = df.join(pd.select(shared.map(col): _*), shared,
+        if (negated) "left_anti" else "left_semi")
+    }
+    materialize(df, keep, Algebra.vars(child) -- assuredIdVars(child))
   }
 
   private def flattenJoins(op: Op): List[Scan] = op match {

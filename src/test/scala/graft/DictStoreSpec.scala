@@ -293,6 +293,49 @@ class DictStoreSpec extends SparqlSpecBase {
         |  MINUS { ?s foaf:givenName "Bob" } }""".stripMargin)
   }
 
+  it should "lower FILTER [NOT] EXISTS to id-space semi/anti joins" in {
+    val st = store("optionals.ttl")
+    val q =
+      """PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        |SELECT ?n { ?x foaf:name ?n . FILTER NOT EXISTS { ?x foaf:mbox ?m } }""".stripMargin
+    val rewritten = st.rewrite(parseOptimized(q))
+    countNodes(rewritten) { case _: Algebra.Filter => true } shouldBe 0
+    val blocks = materializedLeaves(rewritten)
+    blocks should have size 1
+    blocks.head.df.queryExecution.optimizedPlan.toString should
+      include("Join LeftAnti")
+    same("optionals.ttl", q)
+    // positive EXISTS → semi join, same machinery
+    val q2 = q.replace("NOT EXISTS", "EXISTS")
+    val b2 = materializedLeaves(st.rewrite(parseOptimized(q2)))
+    b2 should have size 1
+    b2.head.df.queryExecution.optimizedPlan.toString should
+      include("Join LeftSemi")
+    same("optionals.ttl", q2)
+  }
+
+  it should "keep scalar-conjunct and correlated-filter EXISTS on the standard compiler" in {
+    val st = store("inner_filter.ttl")
+    // scalar conjunct alongside the EXISTS: needs term values
+    val q1 =
+      """PREFIX : <http://example.com/>
+        |SELECT ?x ?v { ?x :p ?v
+        |  FILTER(?v > 1 && EXISTS { ?x :q ?w }) }""".stripMargin
+    countNodes(st.rewrite(parseOptimized(q1))) {
+      case _: Algebra.Filter => true
+    } should be >= 1
+    same("inner_filter.ttl", q1)
+    // inner FILTER referencing the outer scope (correlated lift)
+    val q2 =
+      """PREFIX : <http://example.com/>
+        |SELECT ?x ?v { ?x :p ?v
+        |  FILTER EXISTS { ?x :q ?w FILTER(?w < ?v) } }""".stripMargin
+    countNodes(st.rewrite(parseOptimized(q2))) {
+      case _: Algebra.Filter => true
+    } should be >= 1
+    same("inner_filter.ttl", q2)
+  }
+
   it should "run eligible transitive paths in id space" in {
     val st = store("chain.ttl")
     val q =
