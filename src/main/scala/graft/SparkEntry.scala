@@ -293,6 +293,15 @@ object SparkEntry {
           |             ?c :cname ?cname } }""".stripMargin),
         "nname" -> "string", "cname" -> "string")
     },
+    "q_dict_count" -> { (s, d) =>
+      // COUNT stays in id space end-to-end: the groupBy shuffle
+      // carries long keys; only the nation-sized key column decodes
+      out(dictStore(s, d).sparql(prologue +
+        """SELECT ?nname (COUNT(?c) AS ?n) (COUNT(DISTINCT ?seg) AS ?nseg)
+          |{ ?n2 :nname ?nname . ?c :inNation ?n2 . ?c :mktsegment ?seg }
+          |GROUP BY ?nname""".stripMargin),
+        "nname" -> "string", "n" -> "bigint", "nseg" -> "bigint")
+    },
     "q_dict_not_exists" -> { (s, d) =>
       // FILTER NOT EXISTS in id space: the anti join runs on 8-byte
       // ids (semi/anti joins are the other big-shuffle shape the
@@ -1627,6 +1636,11 @@ object SparkEntry {
         |JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
         |LEFT JOIN customer c
         |  ON c.c_nationkey = n.n_nationkey AND c.c_mktsegment = 'MACHINERY'""".stripMargin,
+    "q_dict_count" ->
+      """SELECT n_name AS nname, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS nseg
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
     "q_dict_not_exists" ->
       "SELECT c_name AS cname FROM customer WHERE c_mktsegment <> 'BUILDING'",
     "q_dict_path" ->

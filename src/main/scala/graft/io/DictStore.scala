@@ -127,6 +127,9 @@ final class DictStore private (val spark: SparkSession,
       case LeftJoin(l, r, c) => LeftJoin(go(l), go(r), c)
       case Union(l, r) => Union(go(l), go(r))
       case Minus(l, r) => Minus(go(l), go(r))
+      case Group(c, keys, aggs) if groupCountEligible(c, keys, aggs) =>
+        Materialized(compileGroupCountIds(c, keys, aggs),
+          keys ++ aggs.map(_._1))
       case f @ Filter(c, e) => existsEligible(c, e) match {
         case Some(exs) =>
           val blockRefs = countRefs(f)
@@ -424,6 +427,46 @@ final class DictStore private (val spark: SparkSession,
     case other => throw new IllegalStateException(s"not an ext block: $other")
   }
 
+  // ----- id-space COUNT aggregation -----
+
+  /** COUNT-only aggregations stay in id space end-to-end: the groupBy
+    * shuffle carries long keys, and only the (group-sized, post-agg)
+    * key columns decode through the dictionary. Sound because counting
+    * is representation-blind — COUNT(?v) counts bound rows (id
+    * NULL-ness ⇔ term NULL-ness) and the dict is a bijection, so
+    * distinct ids ⇔ distinct terms. SUM/MIN/MAX/AVG need term VALUES
+    * and stay on the standard compiler. */
+  private def groupCountEligible(c: Op, keys: List[String],
+                                 aggs: List[(String, AggE)]): Boolean =
+    aggs.nonEmpty && isExtBlock(c) && keys.forall(Algebra.vars(c).contains) &&
+      aggs.forall { case (_, a) =>
+        a.func == "COUNT" && (a.expr match {
+          case None => true // COUNT(*) / COUNT(DISTINCT *) over the block's vars
+          case Some(VarE(v)) => Algebra.vars(c).contains(v)
+          case _ => false // COUNT(expr) evaluates term values
+        })
+      }
+
+  private def compileGroupCountIds(c: Op, keys: List[String],
+                                   aggs: List[(String, AggE)]): DataFrame = {
+    val df = idsOf(c, constIds(allScans(c)))
+    def aggCol(a: AggE): Column = a.expr match {
+      case None =>
+        if (a.distinct) count_distinct(struct(df.columns.map(col): _*))
+        else count(lit(1))
+      case Some(VarE(v)) =>
+        if (a.distinct) count_distinct(col(v)) else count(col(v))
+      case other => throw new IllegalStateException(s"not countable: $other")
+    }
+    val aggCols = aggs.map { case (n, a) =>
+      graft.sparql.TermFns.intTerm(aggCol(a)).as(n) }
+    val grouped =
+      if (keys.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+      else df.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    materialize(grouped, keys, Algebra.vars(c) -- assuredIdVars(c),
+      carry = aggs.map(_._1))
+  }
+
   // ----- id-space FILTER [NOT] EXISTS -----
 
   private def conjunctsOf(e: Expr): List[Expr] = e match {
@@ -546,7 +589,8 @@ final class DictStore private (val spark: SparkSession,
     * table on `id`; with plain parquet AQE picks broadcast when the
     * dict is small enough. */
   private def materialize(idDf: DataFrame, keep: List[String],
-                          nullable: Set[String] = Set.empty): DataFrame = {
+                          nullable: Set[String] = Set.empty,
+                          carry: List[String] = Nil): DataFrame = {
     var df = idDf
     keep.zipWithIndex.foreach { case (v, i) =>
       if (df.columns.contains(v)) {
@@ -557,7 +601,8 @@ final class DictStore private (val spark: SparkSession,
           .withColumnRenamed(s"__mt$i", v)
       }
     }
-    df.select(keep.filter(df.columns.contains).map(col): _*)
+    // `carry`: already-term columns to keep as-is (aggregate outputs)
+    df.select((keep.filter(df.columns.contains) ++ carry).map(col): _*)
   }
 }
 

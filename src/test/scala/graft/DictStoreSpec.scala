@@ -336,6 +336,64 @@ class DictStoreSpec extends SparqlSpecBase {
     same("inner_filter.ttl", q2)
   }
 
+  it should "keep COUNT aggregations in id space, decoding keys post-agg" in {
+    val st = store("group_by.ttl")
+    val q =
+      """PREFIX : <http://books.example/>
+        |SELECT ?org (COUNT(?book) AS ?n) (COUNT(DISTINCT ?auth) AS ?na)
+        |{ ?org :affiliates ?auth . ?auth :writesBook ?book }
+        |GROUP BY ?org""".stripMargin
+    val rewritten = st.rewrite(parseOptimized(q))
+    countNodes(rewritten) { case _: Algebra.Group => true } shouldBe 0
+    val blocks = materializedLeaves(rewritten)
+    blocks should have size 1
+    // aggregate outputs carry parser-internal names (?n/?na bind via
+    // Extend above) — the key var plus one column per aggregate
+    blocks.head.varNames.head shouldBe "org"
+    blocks.head.varNames should have size 3
+    // the aggregation itself runs BEFORE any dict join: under the
+    // Aggregate there are only long columns (no term structs)
+    val plan = blocks.head.df.queryExecution.optimizedPlan
+    val aggNode = plan.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.get
+    aggNode.child.output.forall(
+      _.dataType == org.apache.spark.sql.types.LongType) shouldBe true
+    same("group_by.ttl", q)
+  }
+
+  it should "agree on COUNT over optional vars and global COUNT in id space" in {
+    // COUNT(?mbox) counts only BOUND optional rows — NULL ids must
+    // stay NULL through the id-space left join
+    same("optionals.ttl",
+      """PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        |SELECT ?name (COUNT(?mbox) AS ?n)
+        |{ ?x foaf:name ?name . OPTIONAL { ?x foaf:mbox ?mbox } }
+        |GROUP BY ?name""".stripMargin)
+    same("optionals.ttl",
+      """PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        |SELECT (COUNT(*) AS ?c) { ?x foaf:name ?n }""".stripMargin)
+    // HAVING lifts to a Filter above the id-space aggregate
+    same("group_by.ttl",
+      """PREFIX : <http://books.example/>
+        |SELECT ?org (COUNT(?book) AS ?n)
+        |{ ?org :affiliates ?auth . ?auth :writesBook ?book }
+        |GROUP BY ?org HAVING(COUNT(?book) > 1)""".stripMargin)
+  }
+
+  it should "keep value aggregates (SUM/MIN/MAX/AVG) on the standard compiler" in {
+    val st = store("group_by.ttl")
+    val q =
+      """PREFIX : <http://books.example/>
+        |SELECT ?org (SUM(?p) AS ?t)
+        |{ ?org :affiliates ?auth . ?auth :writesBook ?b . ?b :price ?p }
+        |GROUP BY ?org""".stripMargin
+    countNodes(st.rewrite(parseOptimized(q))) {
+      case _: Algebra.Group => true
+    } shouldBe 1
+    same("group_by.ttl", q)
+  }
+
   it should "run eligible transitive paths in id space" in {
     val st = store("chain.ttl")
     val q =
