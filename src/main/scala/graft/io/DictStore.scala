@@ -130,6 +130,21 @@ final class DictStore private (val spark: SparkSession,
       case Group(c, keys, aggs) if groupCountEligible(c, keys, aggs) =>
         Materialized(compileGroupCountIds(c, keys, aggs),
           keys ++ aggs.map(_._1))
+      // DISTINCT/REDUCED directly over a (projected) block: dedup on
+      // long tuples, decode only the SURVIVING rows (bijection ⇒ id
+      // distinctness ≡ term distinctness, NULLs included)
+      case Distinct(Project(c, vs))
+        if isExtBlock(c) && vs.forall(Algebra.vars(c).contains) =>
+        Materialized(compileDistinctIds(c, vs), vs)
+      case Reduced(Project(c, vs))
+        if isExtBlock(c) && vs.forall(Algebra.vars(c).contains) =>
+        Materialized(compileDistinctIds(c, vs), vs)
+      case Distinct(c) if isExtBlock(c) =>
+        val vs = Algebra.varsOrdered(c)
+        Materialized(compileDistinctIds(c, vs), vs)
+      case Reduced(c) if isExtBlock(c) =>
+        val vs = Algebra.varsOrdered(c)
+        Materialized(compileDistinctIds(c, vs), vs)
       case f @ Filter(c, e) => existsEligible(c, e) match {
         case Some(exs) =>
           val blockRefs = countRefs(f)
@@ -465,6 +480,14 @@ final class DictStore private (val spark: SparkSession,
       else df.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
     materialize(grouped, keys, Algebra.vars(c) -- assuredIdVars(c),
       carry = aggs.map(_._1))
+  }
+
+  /** Project-then-distinct on long tuples; the dict joins in after
+    * the dedup, so it sees only surviving rows. */
+  private def compileDistinctIds(c: Op, vs: List[String]): DataFrame = {
+    val df = idsOf(c, constIds(allScans(c)))
+    materialize(df.select(vs.map(col): _*).dropDuplicates(),
+      vs, Algebra.vars(c) -- assuredIdVars(c))
   }
 
   // ----- id-space FILTER [NOT] EXISTS -----

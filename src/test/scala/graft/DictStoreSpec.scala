@@ -394,6 +394,40 @@ class DictStoreSpec extends SparqlSpecBase {
     same("group_by.ttl", q)
   }
 
+  it should "dedup DISTINCT on long tuples before materialization" in {
+    val st = store("group_by.ttl")
+    val q =
+      """PREFIX : <http://books.example/>
+        |SELECT DISTINCT ?org
+        |{ ?org :affiliates ?auth . ?auth :writesBook ?book }""".stripMargin
+    val rewritten = st.rewrite(parseOptimized(q))
+    countNodes(rewritten) { case _: Algebra.Distinct => true } shouldBe 0
+    val blocks = materializedLeaves(rewritten)
+    blocks should have size 1
+    // the dedup runs over long attributes, under the dict joins (the
+    // optimizer rewrites Deduplicate to a grouping-only Aggregate)
+    val plan = blocks.head.df.queryExecution.optimizedPlan
+    val dedupKeys = plan.collectFirst {
+      case d: org.apache.spark.sql.catalyst.plans.logical.Deduplicate =>
+        d.keys.map(_.dataType)
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+        if a.aggregateExpressions.length == a.groupingExpressions.length =>
+        a.groupingExpressions.map(_.dataType)
+    }.get
+    dedupKeys should not be empty
+    dedupKeys.forall(_ == org.apache.spark.sql.types.LongType) shouldBe true
+    same("group_by.ttl", q)
+    // DISTINCT over an OPTIONAL spine (NULL ids participate in dedup)
+    same("optionals.ttl",
+      """PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        |SELECT DISTINCT ?name ?mbox
+        |{ ?x foaf:name ?name . OPTIONAL { ?x foaf:mbox ?mbox } }""".stripMargin)
+    // REDUCED maps to the same id-space dedup
+    same("group_by.ttl",
+      """PREFIX : <http://books.example/>
+        |SELECT REDUCED ?org { ?org :affiliates ?auth }""".stripMargin)
+  }
+
   it should "run eligible transitive paths in id space" in {
     val st = store("chain.ttl")
     val q =
