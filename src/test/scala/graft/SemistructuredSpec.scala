@@ -70,6 +70,29 @@ class SemistructuredSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  "extractJson" should "compose with a streaming source (stateless projection)" in {
+    // a pure map: no state, no watermark — the streaming face of JSON
+    // attribute extraction is the same call as the batch face
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val out = Semistructured.extractJson(
+      input.toDF.toDF("id", "props"),
+      "props", StructType(Seq(StructField("k", LongType))), prefix = "p_")
+    out.isStreaming shouldBe true
+    val q = out.writeStream.format("memory").queryName("json_stream_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, """{"k": 5}"""), (2L, """garbage"""))
+      q.processAllAvailable()
+      val rows = s.table("json_stream_out").orderBy("id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      rows shouldBe Array((1L, Some(5L)), (2L, None))
+    } finally q.stop()
+  }
+
   "jsonAttr" should "extract one typed attribute by path" in {
     val r = df.select(col("id"),
         Semistructured.jsonAttr(col("props"), "$.k", LongType).as("k"))
