@@ -38,7 +38,10 @@ object Sketches {
     * Scale shape: one custom `TypedImperativeAggregate` with a
     * ≤k-long buffer; partial aggregation applies, so the shuffle
     * carries at most k longs per (partition, group) no matter how hot
-    * the group — cardinality never crosses the wire. */
+    * the group — cardinality never crosses the wire. The same call
+    * composes with a STREAMING input (Update mode): per-group state is
+    * the bounded sketch buffer, each micro-batch refreshes the
+    * estimate — SketchesSpec pins it. */
   def distinctCountSketch(df: DataFrame, groupCols: Seq[String],
                           valueCol: String, k: Int): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must name at least one column")

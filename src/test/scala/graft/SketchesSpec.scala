@@ -124,4 +124,35 @@ class SketchesSpec extends AnyFlatSpec with Matchers {
     merged.keySet shouldBe Set("d1", "d2")
     merged("d2") shouldBe ((0, 0.0))
   }
+
+  it should "run as a streaming aggregation with bounded per-group state" in {
+    // the same TypedImperativeAggregate drives a continuous streaming
+    // aggregate: per-group state is the ≤k-long sketch buffer (bounded
+    // however many distinct values flow through), Update mode emits
+    // each group's refreshed estimate per micro-batch
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    val out = Sketches.distinctCountSketch(
+      input.toDF.toDF("g", "v"), Seq("g"), "v", k = 32)
+    out.isStreaming shouldBe true
+    val q = out.writeStream.format("memory").queryName("kmv_stream_out")
+      .outputMode("update").start()
+    def latest() = s.table("kmv_stream_out")
+      .groupBy("g")
+      .agg(org.apache.spark.sql.functions.last("estimate").as("e"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    try {
+      input.addData(("a", 1L), ("a", 2L), ("a", 2L), ("b", 10L))
+      q.processAllAvailable()
+      latest() shouldBe Map("a" -> 2.0, "b" -> 1.0)
+      // state carries: the second batch ADDS to the first's sketch,
+      // repeated values do not inflate the distinct estimate
+      input.addData(("a", 3L), ("a", 1L), ("b", 11L), ("b", 10L))
+      q.processAllAvailable()
+      latest() shouldBe Map("a" -> 3.0, "b" -> 2.0)
+    } finally q.stop()
+  }
 }
