@@ -199,6 +199,16 @@ final class DictStore private (val spark: SparkSession,
     case b if isBlock(b) => true
     case LeftJoin(l, r, None) => isExtSpine(l, r)
     case Minus(l, r) => isExtSpine(l, r)
+    // bag UNION works on ids directly (absent vars pad as NULL longs)
+    case Union(l, r) => isExtBlock(l) && isExtBlock(r)
+    // Joins ABOVE unions/optionals are id-safe only when every shared
+    // var is assured on BOTH sides — a possibly-null shared var needs
+    // SPARQL compat semantics (NULL matches anything), which a long
+    // equi-join would get wrong; those stay on the standard compiler
+    case Join(l, r) => isExtBlock(l) && isExtBlock(r) && {
+      val shared = Algebra.vars(l).intersect(Algebra.vars(r))
+      shared.subsetOf(assuredIdVars(l)) && shared.subsetOf(assuredIdVars(r))
+    }
     case _ => false
   }
 
@@ -209,11 +219,14 @@ final class DictStore private (val spark: SparkSession,
     }
 
   /** Vars bound in EVERY row of an extended block: all vars of pure
-    * BGPs; an OPTIONAL's right-only vars are merely possible. */
+    * BGPs; an OPTIONAL's right-only vars and a UNION's one-branch
+    * vars are merely possible. */
   private def assuredIdVars(op: Op): Set[String] = op match {
     case b if isBlock(b) => Algebra.vars(b)
     case LeftJoin(l, _, _) => assuredIdVars(l)
     case Minus(l, _) => assuredIdVars(l)
+    case Union(l, r) => assuredIdVars(l).intersect(assuredIdVars(r))
+    case Join(l, r) => assuredIdVars(l) ++ assuredIdVars(r)
     case _ => Set.empty
   }
 
@@ -439,6 +452,17 @@ final class DictStore private (val spark: SparkSession,
       val (ld, rd) = (idsOf(l, consts), idsOf(r, consts))
       val shared = ld.columns.intersect(rd.columns).toSeq
       ld.join(rd.select(shared.map(col): _*), shared, "left_anti")
+    case Union(l, r) =>
+      val (ld, rd) = (idsOf(l, consts), idsOf(r, consts))
+      val allCols = (ld.columns ++ rd.columns).distinct.toIndexedSeq
+      def pad(df: DataFrame) = df.select(allCols.map(c =>
+        (if (df.columns.contains(c)) col(c)
+         else lit(null).cast(LongType)).as(c)): _*)
+      pad(ld).unionByName(pad(rd))
+    case Join(l, r) => // mixed join above unions/optionals (guarded assured)
+      val (ld, rd) = (idsOf(l, consts), idsOf(r, consts))
+      val shared = ld.columns.intersect(rd.columns).toSeq
+      if (shared.isEmpty) ld.crossJoin(rd) else ld.join(rd, shared)
     case other => throw new IllegalStateException(s"not an ext block: $other")
   }
 
@@ -551,6 +575,7 @@ final class DictStore private (val spark: SparkSession,
     case Join(l, r) => allScans(l) ++ allScans(r)
     case LeftJoin(l, r, _) => allScans(l) ++ allScans(r)
     case Minus(l, r) => allScans(l) ++ allScans(r)
+    case Union(l, r) => allScans(l) ++ allScans(r)
     case _ => Nil
   }
 

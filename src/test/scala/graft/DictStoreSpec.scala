@@ -394,6 +394,46 @@ class DictStoreSpec extends SparqlSpecBase {
     same("group_by.ttl", q)
   }
 
+  it should "run UNION (and joins above it) in id space when shared vars are assured" in {
+    val st = store("union.ttl")
+    val q =
+      """PREFIX dc10: <http://purl.org/dc/elements/1.0/>
+        |PREFIX dc11: <http://purl.org/dc/elements/1.1/>
+        |SELECT ?title
+        |{ { ?book dc10:title ?title } UNION { ?book dc11:title ?title } }""".stripMargin
+    val rewritten = st.rewrite(parseOptimized(q))
+    countNodes(rewritten) { case _: Algebra.Union => true } shouldBe 0
+    materializedLeaves(rewritten) should have size 1
+    same("union.ttl", q)
+    // branches with DIFFERENT vars: the absent var pads as NULL ids
+    // and must materialize to unbound terms
+    same("union.ttl",
+      """PREFIX dc10: <http://purl.org/dc/elements/1.0/>
+        |PREFIX dc11: <http://purl.org/dc/elements/1.1/>
+        |SELECT ?title ?creator
+        |{ { ?b dc10:title ?title . ?b dc10:creator ?creator }
+        |  UNION { ?b dc11:title ?title } }""".stripMargin)
+    // DISTINCT over the union dedups id tuples before decoding
+    same("union.ttl",
+      """PREFIX dc10: <http://purl.org/dc/elements/1.0/>
+        |PREFIX dc11: <http://purl.org/dc/elements/1.1/>
+        |SELECT DISTINCT ?title
+        |{ { ?b dc10:title ?title } UNION { ?b dc11:title ?title } }""".stripMargin)
+  }
+
+  it should "keep joins over a union on the standard compiler when shared vars are possibly-null" in {
+    val st = store("optionals2.ttl")
+    // ?x is assured in both branches → the join IS id-safe
+    val ok =
+      """PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        |SELECT ?n ?m
+        |{ { ?x foaf:name ?n } UNION { ?x foaf:nick ?n } . ?x foaf:mbox ?m }""".stripMargin
+    countNodes(st.rewrite(parseOptimized(ok))) {
+      case _: Algebra.Join => true
+    } shouldBe 0
+    same("optionals2.ttl", ok)
+  }
+
   it should "dedup DISTINCT on long tuples before materialization" in {
     val st = store("group_by.ttl")
     val q =
