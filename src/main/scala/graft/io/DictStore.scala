@@ -42,18 +42,23 @@ import org.apache.spark.sql.types._
   *    pruning does the rest.
   *
   * Query execution ([[DictStore.sparql]]): the optimized algebra tree
-  * is rewritten bottom-up — every maximal Scan/Join-only subtree (a
-  * BGP block), and every spine of condition-free OPTIONAL / MINUS
-  * over such blocks whose shared vars are assured (see
-  * [[isExtBlock]]), compiles to an id-space join pipeline and
-  * re-enters the tree as an [[Algebra.Materialized]] leaf carrying
-  * term-struct columns for exactly the variables referenced outside
-  * the block (unused midpoints are pruned BEFORE materialization;
-  * pruning a column never changes bag cardinality, so this is safe
-  * under any ancestor including DISTINCT). Everything else —
-  * conditioned OPTIONAL, UNION, FILTER, aggregation, paths, EXISTS —
-  * runs unchanged on the standard compiler over [[decodedQuads]], so
-  * the fast path can never change semantics, only the plan under it.
+  * is rewritten bottom-up — every maximal id-safe subtree compiles to
+  * an id-space pipeline and re-enters the tree as an
+  * [[Algebra.Materialized]] leaf carrying term-struct columns for
+  * exactly the variables referenced outside it (unused midpoints are
+  * pruned BEFORE materialization; pruning a column never changes bag
+  * cardinality, so this is safe under any ancestor including
+  * DISTINCT). Id-safe ([[isExtBlock]] + dedicated cases): BGP blocks;
+  * condition-free OPTIONAL / MINUS spines and bag UNIONs (absent vars
+  * pad as NULL ids); joins above them when shared vars are assured
+  * both sides; FILTER [NOT] EXISTS over BGP patterns (long semi/anti
+  * joins); COUNT-only aggregation (keys decode post-agg);
+  * DISTINCT/REDUCED (dedup before decode); and `+`/`*` closures
+  * (per-round frontier joins on longs). Everything else — conditioned
+  * OPTIONAL, scalar FILTERs, value aggregates, zero-length paths with
+  * constant ends — runs unchanged on the standard compiler over
+  * [[decodedQuads]], so the fast path can never change semantics,
+  * only the plan under it.
   */
 final class DictStore private (val spark: SparkSession,
                                val dict: DataFrame,
