@@ -172,6 +172,9 @@ final class DictStore private (val spark: SparkSession,
         val (df, vs) = compileAlpIds(alp)
         Materialized(df, vs)
       case alp: ArbitraryLengthPath => alp.copy(edge = go(alp.edge))
+      case ZeroLengthPath(V(sv), V(ov), g) =>
+        val (df, vs) = compileZeroLengthIds(sv, ov, g)
+        Materialized(df, vs)
       case leaf => leaf // Scan handled by isBlock; Service/Values/… stay
     }
     go(root)
@@ -360,25 +363,6 @@ final class DictStore private (val spark: SparkSession,
       gVar.map(_ => col("g")).toSeq ++
         Seq(col("dst").as("src"), col("src").as("dst")): _*)
 
-    // all node ids of the scoped graph (var-var zero-length)
-    def idGraphNodes(): DataFrame = {
-      val scoped = alp.g match {
-        case DefaultGraph => idQuads.filter(col("g").isNull)
-        case GraphTerm(t) => idQuads.filter(col("g") === lit(cid(t)))
-        case GraphVar(_) => idQuads.filter(col("g").isNotNull)
-      }
-      gVar match {
-        case Some(_) =>
-          scoped.select(col("s").as("node"), col("g"))
-            .union(scoped.select(col("o").as("node"), col("g")))
-            .dropDuplicates()
-        case None =>
-          scoped.select(col("s").as("node"))
-            .union(scoped.select(col("o").as("node")))
-            .dropDuplicates()
-      }
-    }
-
     var paths = (alp.s, alp.o) match {
       case (T(t), _) =>
         graft.sparql.Compiler.transitiveClosure(edges,
@@ -393,9 +377,9 @@ final class DictStore private (val spark: SparkSession,
         var p = graft.sparql.Compiler.transitiveClosure(edges, edges, gKey)
         if (alp.includeZero) {
           val zero = gVar match {
-            case Some(_) => idGraphNodes()
+            case Some(_) => idGraphNodes(alp.g, cid)
               .select(col("g"), col("node").as("src"), col("node").as("dst"))
-            case None => idGraphNodes()
+            case None => idGraphNodes(alp.g, cid)
               .select(col("node").as("src"), col("node").as("dst"))
           }
           p = p.unionByName(zero).dropDuplicates()
@@ -421,6 +405,45 @@ final class DictStore private (val spark: SparkSession,
         }
     }
     (materialize(paths.select(sel.toSeq: _*), names.toList), names.toList)
+  }
+
+  /** All node ids (subject or object position) of the scoped graph —
+    * zero-length path domain, shared by the ALP and ZeroLengthPath
+    * id-space compilers. */
+  private def idGraphNodes(g: GraphSpec, cid: Term => Long): DataFrame = {
+    val scoped = g match {
+      case DefaultGraph => idQuads.filter(col("g").isNull)
+      case GraphTerm(t) => idQuads.filter(col("g") === lit(cid(t)))
+      case GraphVar(_) => idQuads.filter(col("g").isNotNull)
+    }
+    g match {
+      case GraphVar(_) =>
+        scoped.select(col("s").as("node"), col("g"))
+          .union(scoped.select(col("o").as("node"), col("g")))
+          .dropDuplicates()
+      case _ =>
+        scoped.select(col("s").as("node"))
+          .union(scoped.select(col("o").as("node")))
+          .dropDuplicates()
+    }
+  }
+
+  /** Var-var zero-length path: every node of the scoped graph bound
+    * to itself, entirely in id space (constant-end zero-length must
+    * bind terms even when absent from the data — and hence the dict —
+    * so those stay on the standard compiler). */
+  private def compileZeroLengthIds(sv: String, ov: String,
+                                   g: GraphSpec): (DataFrame, List[String]) = {
+    val cids = constIdsOf(g match { case GraphTerm(t) => List(t); case _ => Nil })
+    val nodes = idGraphNodes(g, t => cids.getOrElse(t, -1L))
+    val gVar = g match { case GraphVar(n) => Some(n); case _ => None }
+    val gSel = gVar.map(_ => col("g")).toList
+    val names = gVar.toList ++ (if (sv == ov) List(sv) else List(sv, ov))
+    val df0 =
+      if (sv == ov) nodes.select(gSel :+ col("node").as(sv): _*)
+      else nodes.select(gSel ++ List(col("node").as(sv), col("node").as(ov)): _*)
+    val df = gVar.map(n => df0.withColumnRenamed("g", n)).getOrElse(df0)
+    (materialize(df, names), names)
   }
 
   // ----- id-space block compilation -----

@@ -496,6 +496,18 @@ class DictStoreSpec extends SparqlSpecBase {
     same("chain.ttl", P + "SELECT ?o { :nowhere :next* ?o }")
   }
 
+  it should "run var-var zero-length paths in id space" in {
+    val st = store("chain.ttl")
+    val q = "PREFIX : <http://example/>\nSELECT ?s ?o { ?s :next? ?o }"
+    val rewritten = st.rewrite(parseOptimized(q))
+    countNodes(rewritten) { case _: Algebra.ZeroLengthPath => true } shouldBe 0
+    same("chain.ttl", q)
+    // per-named-graph zero-length (GRAPH ?g binds alongside the pair)
+    same("graphs.trig",
+      """PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        |SELECT ?g ?x ?m { GRAPH ?g { ?x (foaf:mbox)? ?m } }""".stripMargin)
+  }
+
   it should "keep zero-length-with-constant ALP on the standard compiler" in {
     val st = store("chain.ttl")
     val q = "PREFIX : <http://example/>\nSELECT ?o { :a :next* ?o }"
