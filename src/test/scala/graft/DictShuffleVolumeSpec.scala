@@ -94,6 +94,65 @@ class DictShuffleVolumeSpec extends SparqlSpecBase {
     }
   }
 
+  /** Total shuffle bytes hitting the wire across ALL jobs of an
+    * eagerly-executing action (the transitive closure runs its rounds
+    * during compile, so per-plan dataSize cannot see them). */
+  private def wireBytes(run: => Unit): Long = {
+    val wire = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) wire.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      run
+      GraftListenerBridge.waitUntilEmpty(spark.sparkContext)
+      wire.get
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  "id-space transitive closure" should "shuffle fewer wire bytes than the term-struct closure" in {
+    import graft.sparql.Sparql._
+    val quads = TpchQuads.partOfChain(spark, sf)
+    val dictDir = java.nio.file.Files
+      .createTempDirectory("graft-dict-alpvol").toString
+    val store = DictStore.encode(quads, dictDir)
+    val q = "PREFIX : <urn:p:>\nSELECT ?s ?x { ?s :partOf+ ?x }"
+    val prevBroadcast =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val viaDict = collect(store.sparql(q))
+      val viaTerms = collect(quads.sparql(q))
+      viaDict.size shouldBe viaTerms.size
+      viaDict.toSet shouldBe viaTerms.toSet
+      // end-to-end wire bytes, closure rounds included (the dict side
+      // pays its final materialization joins inside this too)
+      val dictW = wireBytes(store.sparql(q).write.mode("overwrite")
+        .format("noop").save())
+      val termW = wireBytes(quads.sparql(q).write.mode("overwrite")
+        .format("noop").save())
+      info(f"ALP closure wire bytes: dict=$dictW%,d terms=$termW%,d " +
+        f"factor=${termW.toDouble / dictW.max(1)}%.1f×")
+      dictW should be > 0L
+      // strictly fewer, but the toy-scale factor is compressed (~1.1×):
+      // these synthetic URNs are 9-13 chars — barely wider than an
+      // 8-byte long — and lz4 squeezes their shared prefixes, while
+      // the forced-shuffle dict decode of the FULL closure result is
+      // charged to the dict side. The uncompressed per-row width claim
+      // (5.5× dataSize) is pinned by the BGP test above; real IRIs
+      // (30-80 bytes) widen both factors.
+      termW should be > dictW
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   "id-space OPTIONAL" should "shuffle far fewer bytes than the term-struct left join" in {
     import graft.sparql.Sparql._
     // COUNT over an OPTIONAL spine: the left-outer join is the
