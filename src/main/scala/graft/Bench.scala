@@ -82,7 +82,6 @@ object Bench {
     val cpu0 = osBean.getProcessCpuTime
 
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    def median(xs: Seq[Double]): Double = medianOf(xs)
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val times = (1 to passes).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -95,7 +94,7 @@ object Bench {
           None
         }
       }
-      (name, if (times.isEmpty) 0.0 else median(times),
+      (name, if (times.isEmpty) 0.0 else medianOf(times),
         if (times.isEmpty) 0.0 else times.min)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }

@@ -110,6 +110,9 @@ object SparkEntry {
     // otherwise rejects) load as long; no-op for µs encodings
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = t(s, d, "events")
+    require(ev.columns.contains("ts"),
+      s"schema drift: $d/events.parquet lost column `ts` " +
+        s"(have: ${ev.columns.mkString(", ")})")
     ev.schema("ts").dataType match {
       case LongType =>
         // `div`, NOT `/`: / casts integral operands to double and

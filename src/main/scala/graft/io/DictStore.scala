@@ -119,14 +119,20 @@ final class DictStore private (val spark: SparkSession,
     // it — pruning a midpoint would shrink its distinct key. Disable
     // pruning for the whole query when one exists anywhere.
     val noPrune = usesDistinctStar(root)
+    // vars a materialized subtree must keep: everything, or just those
+    // referenced again outside `scope` (shared by the block and
+    // Filter-EXISTS cases so the pruning rule cannot diverge)
+    def keepFor(scope: Op, produced: List[String]): List[String] =
+      if (noPrune) produced
+      else {
+        val scopeRefs = countRefs(scope)
+        produced.filter(v =>
+          keepAlways.contains(v) ||
+            totalRefs.getOrElse(v, 0) > scopeRefs.getOrElse(v, 0))
+      }
     def go(op: Op): Op = op match {
       case b if isBlock(b) || isExtBlock(b) =>
-        val blockRefs = countRefs(b)
-        val keep =
-          if (noPrune) Algebra.varsOrdered(b)
-          else Algebra.varsOrdered(b).filter(v =>
-            keepAlways.contains(v) ||
-              totalRefs.getOrElse(v, 0) > blockRefs.getOrElse(v, 0))
+        val keep = keepFor(b, Algebra.varsOrdered(b))
         Materialized(compileExtBlock(b, keep), keep)
       case Join(l, r) => Join(go(l), go(r))
       case LeftJoin(l, r, c) => LeftJoin(go(l), go(r), c)
@@ -152,12 +158,7 @@ final class DictStore private (val spark: SparkSession,
         Materialized(compileDistinctIds(c, vs), vs)
       case f @ Filter(c, e) => existsEligible(c, e) match {
         case Some(exs) =>
-          val blockRefs = countRefs(f)
-          val keep =
-            if (noPrune) Algebra.varsOrdered(c)
-            else Algebra.varsOrdered(c).filter(v =>
-              keepAlways.contains(v) ||
-                totalRefs.getOrElse(v, 0) > blockRefs.getOrElse(v, 0))
+          val keep = keepFor(f, Algebra.varsOrdered(c))
           Materialized(compileFilterExistsIds(c, exs, keep), keep)
         case None => Filter(go(c), e)
       }
@@ -327,27 +328,25 @@ final class DictStore private (val spark: SparkSession,
     isBlock(alp.edge) && constEnds < 2 && !(alp.includeZero && constEnds > 0)
   }
 
-  /** ALP closure entirely in id space: the semi-naive rounds (shared
-    * loop — [[graft.sparql.Compiler.transitiveClosure]]) join and
-    * shuffle single longs instead of term structs, and the dictionary
-    * joins back in ONCE, after the closure converges. Mirrors
-    * `Compiler.compileALP`: backward walk from a constant object,
-    * per-named-graph closure under GRAPH ?g, cycle queries, var-var
-    * zero-length over the scoped graph's nodes. */
+  /** ALP closure entirely in id space: the shared scaffolding
+    * ([[graft.sparql.Compiler.alpPaths]]/`alpFinish` over
+    * `transitiveClosure`) runs with dictionary-id constants and node
+    * domains, so the semi-naive rounds join and shuffle single longs
+    * and the dictionary joins back in ONCE, after convergence. The
+    * subtle path semantics (backward walk, per-graph closure, cycle
+    * queries, zero-length domains) exist only in the shared code. */
   private def compileAlpIds(alp: ArbitraryLengthPath): (DataFrame, List[String]) = {
     val endTerms = List(alp.s, alp.o).collect { case T(t) => t }
     val gTerms = alp.g match { case GraphTerm(t) => List(t); case _ => Nil }
     val consts = constIdsOf(
       (scanConstTerms(allScans(alp.edge)) ++ endTerms ++ gTerms).distinct)
     def cid(t: Term): Long = consts.getOrElse(t, -1L)
+    val cidCol: Term => Column = t => lit(cid(t))
 
-    val gVar: Option[String] = alp.g match {
+    val gSel = (alp.g match {
       case GraphVar(n) => Some(n)
       case _ => None
-    }
-    val gSel = gVar.map(n => col(n).as("g")).toSeq
-    val gKey = gVar.map(_ => "g").toSeq
-
+    }).map(n => col(n).as("g")).toSeq
     val edgeFrame = flattenJoins(alp.edge).map(scanIds(_, consts))
       .reduceLeft { (l, r) =>
         val shared = l.columns.intersect(r.columns).toSeq
@@ -359,52 +358,13 @@ final class DictStore private (val spark: SparkSession,
           col(alp.innerO).as("dst")): _*)
         .dropDuplicates()
         .localCheckpoint(eager = false))
-    val reversed = edges.select(
-      gVar.map(_ => col("g")).toSeq ++
-        Seq(col("dst").as("src"), col("src").as("dst")): _*)
 
-    var paths = (alp.s, alp.o) match {
-      case (T(t), _) =>
-        graft.sparql.Compiler.transitiveClosure(edges,
-          edges.filter(col("src") === lit(cid(t))), gKey)
-      case (_, T(t)) =>
-        // constant OBJECT: walk backward, then flip pairs back
-        graft.sparql.Compiler.transitiveClosure(reversed,
-          reversed.filter(col("src") === lit(cid(t))), gKey)
-          .select(gVar.map(_ => col("g")).toSeq ++
-            Seq(col("dst").as("src"), col("src").as("dst")): _*)
-      case _ =>
-        var p = graft.sparql.Compiler.transitiveClosure(edges, edges, gKey)
-        if (alp.includeZero) {
-          val zero = gVar match {
-            case Some(_) => idGraphNodes(alp.g, cid)
-              .select(col("g"), col("node").as("src"), col("node").as("dst"))
-            case None => idGraphNodes(alp.g, cid)
-              .select(col("node").as("src"), col("node").as("dst"))
-          }
-          p = p.unionByName(zero).dropDuplicates()
-        }
-        p
-    }
-
-    val sel = scala.collection.mutable.ArrayBuffer.empty[Column]
-    val names = scala.collection.mutable.ArrayBuffer.empty[String]
-    gVar.foreach { n => sel += col("g").as(n); names += n }
-    (alp.s, alp.o) match {
-      case (V(n1), V(n2)) if n1 == n2 => // cycle query ?x p+ ?x
-        paths = paths.filter(col("src") === col("dst"))
-        sel += col("src").as(n1); names += n1
-      case _ =>
-        alp.s match {
-          case T(t) => paths = paths.filter(col("src") === lit(cid(t)))
-          case V(n) => sel += col("src").as(n); names += n
-        }
-        alp.o match {
-          case T(t) => paths = paths.filter(col("dst") === lit(cid(t)))
-          case V(n) => sel += col("dst").as(n); names += n
-        }
-    }
-    (materialize(paths.select(sel.toSeq: _*), names.toList), names.toList)
+    val paths = graft.sparql.Compiler.alpPaths(alp, edges, cidCol,
+      () => idGraphNodes(alp.g, cid),
+      _ => throw new IllegalStateException(
+        "zero-length with a constant endpoint is ineligible in id space"))
+    val (df, names) = graft.sparql.Compiler.alpFinish(paths, alp, cidCol)
+    (materialize(df, names), names)
   }
 
   /** All node ids (subject or object position) of the scoped graph —

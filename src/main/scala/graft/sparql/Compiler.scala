@@ -68,6 +68,87 @@ object Compiler {
     result
   }
 
+  /** ALP scaffolding over an already-compiled `(g?, src, dst)` edge
+    * frame — shared, like [[transitiveClosure]], between the
+    * term-struct and dictionary-id representations so the subtle path
+    * semantics (constant-object BACKWARD walk + pair flip, per-graph
+    * zero-length domains, seed selection) exist exactly once.
+    * `constCol` encodes a constant endpoint for the representation
+    * (term-struct literal / dict id); `graphNodes` supplies the
+    * var-var zero-length domain as `(g?, node)` with the graph column
+    * named `g`; `zeroSelf` builds the constant-endpoint zero-length
+    * rows (the id path passes a thrower — its eligibility excludes
+    * that shape, since an absent term has no id). */
+  private[graft] def alpPaths(alp: ArbitraryLengthPath, edges: DataFrame,
+                              constCol: Term => Column,
+                              graphNodes: () => DataFrame,
+                              zeroSelf: Column => DataFrame): DataFrame = {
+    val gVar = alp.g match { case GraphVar(n) => Some(n); case _ => None }
+    val gKey = gVar.map(_ => "g").toSeq
+    val reversed = edges.select(
+      gVar.map(_ => col("g")).toSeq ++
+        Seq(col("dst").as("src"), col("src").as("dst")): _*)
+    (alp.s, alp.o) match {
+      case (T(t), _) =>
+        var paths = transitiveClosure(edges,
+          edges.filter(col("src") === constCol(t)), gKey)
+        if (alp.includeZero)
+          paths = paths.unionByName(zeroSelf(constCol(t))).dropDuplicates()
+        paths
+      case (_, T(t)) =>
+        // constant OBJECT: walk BACKWARD (reverse the edges, expand from
+        // t, flip pairs back) — a forward walk from t would only ever
+        // find direct predecessors
+        var paths = transitiveClosure(reversed,
+          reversed.filter(col("src") === constCol(t)), gKey)
+          .select(gVar.map(_ => col("g")).toSeq ++
+            Seq(col("dst").as("src"), col("src").as("dst")): _*)
+        if (alp.includeZero)
+          paths = paths.unionByName(zeroSelf(constCol(t))).dropDuplicates()
+        paths
+      case _ =>
+        var paths = transitiveClosure(edges, edges, gKey)
+        if (alp.includeZero) {
+          val zero = gVar match {
+            case Some(_) => graphNodes()
+              .select(col("g"), col("node").as("src"), col("node").as("dst"))
+            case None => graphNodes()
+              .select(col("node").as("src"), col("node").as("dst"))
+          }
+          paths = paths.unionByName(zero).dropDuplicates()
+        }
+        paths
+    }
+  }
+
+  /** Endpoint filters and output projection for a closed path set:
+    * cycle queries (`?x p+ ?x`), constant-end filters, both-constant
+    * existence probes. Returns the frame and its output names. */
+  private[graft] def alpFinish(paths: DataFrame, alp: ArbitraryLengthPath,
+                               constCol: Term => Column): (DataFrame, List[String]) = {
+    val gVar = alp.g match { case GraphVar(n) => Some(n); case _ => None }
+    var df = paths
+    val sel = scala.collection.mutable.ArrayBuffer.empty[Column]
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    gVar.foreach { n => sel += col("g").as(n); names += n }
+    (alp.s, alp.o) match {
+      case (V(n1), V(n2)) if n1 == n2 => // cycle query ?x p+ ?x
+        df = df.filter(col("src") === col("dst"))
+        sel += col("src").as(n1); names += n1
+      case _ =>
+        alp.s match {
+          case T(t) => df = df.filter(col("src") === constCol(t))
+          case V(n) => sel += col("src").as(n); names += n
+        }
+        alp.o match {
+          case T(t) => df = df.filter(col("dst") === constCol(t))
+          case V(n) => sel += col("dst").as(n); names += n
+        }
+    }
+    if (sel.isEmpty) (df.select().limit(1), Nil) // both constant: existence
+    else (df.select(sel.toSeq: _*), names.toList)
+  }
+
   /** ASK: one row, one boolean column `ask` — lazily planned (the
     * pattern is limited to a single row before the existence count). */
   def runAsk(quads: DataFrame, op: Op): DataFrame =
@@ -1009,11 +1090,6 @@ final class Compiler(quads: DataFrame) {
         .select(gSel ++ Seq(col(alp.innerS).as("src"), col(alp.innerO).as("dst")): _*)
         .dropDuplicates())
 
-    // start: (g?, src, dst) seed pairs; the shared semi-naive loop
-    // (Compiler.transitiveClosure — also the dict store's id-space path)
-    def closure(ed: DataFrame, start: DataFrame): DataFrame =
-      Compiler.transitiveClosure(ed, start, gKey)
-
     /** Zero-length (t,t) rows — per named graph under GRAPH ?g. */
     def zeroSelf(term: Column): DataFrame = gVar match {
       case Some(_) =>
@@ -1021,65 +1097,13 @@ final class Compiler(quads: DataFrame) {
       case None =>
         spark.range(1).select(term.as("src"), term.as("dst"))
     }
-
-    val reversed = edges.select(
-      gVar.map(_ => col("g")).toSeq ++
-        Seq(col("dst").as("src"), col("src").as("dst")): _*)
-
-    (alp.s, alp.o) match {
-      case (T(t), _) =>
-        val seed = edges.filter(col("src") === ec.termCol(t))
-        var paths = closure(edges, seed)
-        if (alp.includeZero)
-          paths = paths.unionByName(zeroSelf(ec.termCol(t))).dropDuplicates()
-        finishALP(paths, alp, gVar)
-      case (_, T(t)) =>
-        // constant OBJECT: walk BACKWARD (reverse the edges, expand from
-        // t, flip pairs back) — a forward walk from t would only ever
-        // find direct predecessors
-        val seed = reversed.filter(col("src") === ec.termCol(t))
-        var paths = closure(reversed, seed)
-          .select(gVar.map(_ => col("g")).toSeq ++
-            Seq(col("dst").as("src"), col("src").as("dst")): _*)
-        if (alp.includeZero)
-          paths = paths.unionByName(zeroSelf(ec.termCol(t))).dropDuplicates()
-        finishALP(paths, alp, gVar)
-      case _ =>
-        var paths = closure(edges, edges)
-        if (alp.includeZero) {
-          val zero = gVar match {
-            case Some(n) => graphNodes(alp.g)
-              .select(col(n).as("g"), col("node").as("src"), col("node").as("dst"))
-            case None => graphNodes(alp.g)
-              .select(col("node").as("src"), col("node").as("dst"))
-          }
-          paths = paths.unionByName(zero).dropDuplicates()
-        }
-        finishALP(paths, alp, gVar)
+    // zero-length var-var domain, graph column canonically named "g"
+    def nodes(): DataFrame = gVar match {
+      case Some(n) => graphNodes(alp.g).withColumnRenamed(n, "g")
+      case None => graphNodes(alp.g)
     }
-  }
 
-  private def finishALP(paths: DataFrame, alp: ArbitraryLengthPath,
-                        gVar: Option[String]): DataFrame = {
-    val ec = exprs(quads)
-    var df = paths
-    val sel = scala.collection.mutable.ArrayBuffer.empty[Column]
-    gVar.foreach(n => sel += col("g").as(n))
-    (alp.s, alp.o) match {
-      case (V(n1), V(n2)) if n1 == n2 => // cycle query ?x p+ ?x
-        df = df.filter(col("src") === col("dst"))
-        sel += col("src").as(n1)
-      case _ =>
-        alp.s match {
-          case T(t) => df = df.filter(col("src") === ec.termCol(t))
-          case V(n) => sel += col("src").as(n)
-        }
-        alp.o match {
-          case T(t) => df = df.filter(col("dst") === ec.termCol(t))
-          case V(n) => sel += col("dst").as(n)
-        }
-    }
-    if (sel.isEmpty) df.select().limit(1) // both constant: existence row(s)
-    else df.select(sel.toSeq: _*)
+    val paths = Compiler.alpPaths(alp, edges, ec.termCol, nodes, zeroSelf)
+    Compiler.alpFinish(paths, alp, ec.termCol)._1
   }
 }

@@ -284,6 +284,22 @@ object StreamingOps {
                    steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "steps must name at least one stage")
     require(steps.distinct == steps, s"steps repeat: ${steps.mkString(", ")}")
+    // the key rides state as its string form and is cast back on emit;
+    // that round-trip is exact ONLY for these types. Fail loudly on the
+    // rest: binary keys with invalid UTF-8 would silently MERGE, and
+    // float keys split -0.0/0.0 that the batch funnel groups together.
+    locally {
+      import org.apache.spark.sql.types._
+      val kt = events.schema(keyCol).dataType
+      val ok = kt match {
+        case StringType | ByteType | ShortType | IntegerType | LongType |
+             DateType | BooleanType => true
+        case _ => false
+      }
+      require(ok, s"funnelStream key `$keyCol` has type ${kt.simpleString}; " +
+        "only string/integral/date/boolean keys round-trip exactly " +
+        "through streaming state — cast or hash the key upstream")
+    }
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout

@@ -63,6 +63,20 @@ class EventsEncodingSpec extends AnyFlatSpec with Matchers {
     e.getMessage should include("ts")
   }
 
+  it should "fail legibly when ts disappears entirely" in {
+    // the most likely real drift — a lost/renamed column — must also
+    // produce the one-line message, not an analyzer stack trace
+    val dir = java.nio.file.Files.createTempDirectory("graft-evenc").toString
+    val s = spark
+    import s.implicits._
+    Seq((1L, 1L, "view", 1.0, """{"k": 1}"""))
+      .toDF("event_id", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalArgumentException](readBack(dir))
+    e.getMessage should include("schema drift")
+    e.getMessage should include("lost column `ts`")
+  }
+
   "the schema-drift canary" should "flag lost columns and family changes in one line" in {
     val s = spark
     import s.implicits._

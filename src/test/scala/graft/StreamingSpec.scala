@@ -342,6 +342,15 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
     // stream output joins back to batch results with no cast
     out.schema("user_id").dataType shouldBe
       org.apache.spark.sql.types.LongType
+    // keys whose string round-trip is lossy are rejected loudly
+    an[IllegalArgumentException] should be thrownBy StreamingOps.funnelStream(
+      input.toDF.toDF("user_id", "step", "t")
+        .withColumn("user_id", col("user_id").cast("string").cast("binary")),
+      "user_id", "step", "t", Seq("signup"))
+    an[IllegalArgumentException] should be thrownBy StreamingOps.funnelStream(
+      input.toDF.toDF("user_id", "step", "t")
+        .withColumn("user_id", col("user_id").cast("double")),
+      "user_id", "step", "t", Seq("signup"))
     val q = out.writeStream.format("memory").queryName("funnel_stream_out")
       .outputMode("update").start()
     def depths() = spark.table("funnel_stream_out")
