@@ -83,10 +83,18 @@ object Bench {
 
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      // (wall, process-CPU) per pass: contention arrives in mid-run
+      // bursts the before/after calibration probes cannot see (three
+      // identical-code runs inflated DIFFERENT entries 7-10×), but a
+      // burst inflates an entry's wall while its CPU stays flat — the
+      // per-entry ratio pins which medians to distrust
       val times = (1 to passes).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { exec(name); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
+        val t0 = System.nanoTime(); val c0 = osBean.getProcessCpuTime
+        try {
+          exec(name)
+          Some(((System.nanoTime() - t0) / 1e9,
+            (osBean.getProcessCpuTime - c0) / 1e9))
+        } catch { case e: Throwable =>
           if (!failed.contains(name)) {
             failed += name
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -94,32 +102,35 @@ object Bench {
           None
         }
       }
-      (name, if (times.isEmpty) 0.0 else medianOf(times),
-        if (times.isEmpty) 0.0 else times.min)
+      (name, if (times.isEmpty) 0.0 else medianOf(times.map(_._1)),
+        if (times.isEmpty) 0.0 else times.map(_._1).min,
+        if (times.isEmpty) 0.0 else medianOf(times.map(_._2)))
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     // min-of-passes alongside the median: the noise-resistant floor —
     // a host-contention window inflates medians near-uniformly, but
     // rarely all passes of all queries (observed identical-code totals
     // of 33.9/45.8/185 s under invisible neighbor load)
-    val qsMin = results.map { case (k, _, m) => "\"" + k + f"\":$m%.3f" }
+    val qsMin = results.map { case (k, _, m, _) => "\"" + k + f"\":$m%.3f" }
+      .mkString("{", ",", "}")
+    val qsCpu = results.map { case (k, _, _, c) => "\"" + k + f"\":$c%.3f" }
       .mkString("{", ",", "}")
     // total covers SUCCESSFUL queries only: a failed query's partial
     // elapsed time (parse-error-fast vs fails-after-100s) would make
     // cross-round totals incomparable for identical coverage
     val total = results.collect {
-      case (k, v, _) if !failed.contains(k) => v
+      case (k, v, _, _) if !failed.contains(k) => v
     }.sum
     val totalMin = results.collect {
-      case (k, _, m) if !failed.contains(k) => m
+      case (k, _, m, _) if !failed.contains(k) => m
     }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val cpuSec = (osBean.getProcessCpuTime - cpu0) / 1e9
     val calibAfter = calibrate()
     val noise = f""""calib_before":$calibBefore%.3f,"calib_after":$calibAfter%.3f,"wall_sec":$wallSec%.3f,"process_cpu_sec":$cpuSec%.3f,"cpu_wall_ratio":${cpuSec / wallSec}%.2f"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin%.3f,"failed":$failedJson,$noise,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_cpu":$qsCpu,"total_min":$totalMin%.3f,"failed":$failedJson,$noise,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
