@@ -156,10 +156,10 @@ final class DictStore private (val spark: SparkSession,
       case Reduced(c) if isExtBlock(c) =>
         val vs = Algebra.varsOrdered(c)
         Materialized(compileDistinctIds(c, vs), vs)
-      case f @ Filter(c, e) => existsEligible(c, e) match {
-        case Some(exs) =>
+      case f @ Filter(c, e) => filterEligible(c, e) match {
+        case Some(conjs) =>
           val keep = keepFor(f, Algebra.varsOrdered(c))
-          Materialized(compileFilterExistsIds(c, exs, keep), keep)
+          Materialized(compileFilterIds(c, conjs, keep), keep)
         case None => Filter(go(c), e)
       }
       case Extend(c, n, e) => Extend(go(c), n, e)
@@ -517,36 +517,75 @@ final class DictStore private (val spark: SparkSession,
     case o => o
   }
 
-  /** FILTER conditions the id-space path can take whole: EVERY
-    * conjunct is [NOT] EXISTS over a pure BGP sharing ≥1 assured var
-    * with the (extended-block) child — then each lowers to a long
-    * semi/anti join, the exact shape the standard compiler uses on
-    * term structs. Scalar conjuncts need term VALUES → ineligible;
-    * patterns with inner FILTERs (correlated-lift cases) stay on the
-    * standard compiler too (isBlock admits only Scan/Join). */
-  private def existsEligible(c: Op, cond: Expr): Option[List[ExistsE]] = {
+  /** FILTER conditions the id-space path can take whole — every
+    * conjunct must be one of:
+    *  - [NOT] EXISTS over a pure BGP sharing ≥1 assured var with the
+    *    (extended-block) child → a long semi/anti join, the exact
+    *    shape the standard compiler uses on term structs (patterns
+    *    with inner FILTERs — correlated-lift cases — are excluded by
+    *    isBlock, which admits only Scan/Join);
+    *  - a term-IDENTITY scalar test: `sameTerm(x, y)` for any
+    *    operands (sameTerm IS term identity, i.e. id equality), or
+    *    `=` between a variable and a constant IRI. The IRI
+    *    restriction matters: IRIs have no value-space aliasing,
+    *    whereas "1"^^xsd:int = "01"^^xsd:int holds across DIFFERENT
+    *    terms, so literal `=` is NOT id equality. The error cases
+    *    coincide too: `=` on an unbound var or a literal/IRI mix
+    *    errors → row dropped, exactly what a NULL/failed id equality
+    *    does.
+    * Everything else (value comparisons, arithmetic, negated
+    * equality — `!=` keeps rows id-inequality would keep wrongly)
+    * stays on the standard compiler. */
+  private def filterEligible(c: Op, cond: Expr): Option[List[Expr]] = {
     val cs = conjunctsOf(cond).map(normNeg)
-    val exs = cs.collect { case e: ExistsE => e }
-    val ok = exs.size == cs.size && exs.nonEmpty && isExtBlock(c) &&
-      exs.forall { case ExistsE(p, _) =>
+    def idPredOk(e: Expr): Boolean = e match {
+      case FuncE("SAMETERM", List(a, b)) =>
+        List(a, b).exists(_.isInstanceOf[VarE]) && List(a, b).forall {
+          case VarE(v) => Algebra.vars(c).contains(v)
+          case ConstE(_) => true
+          case _ => false
+        }
+      case FuncE("=", List(VarE(v), ConstE(_: graft.rdf.Iri))) =>
+        Algebra.vars(c).contains(v)
+      case FuncE("=", List(ConstE(_: graft.rdf.Iri), VarE(v))) =>
+        Algebra.vars(c).contains(v)
+      case _ => false
+    }
+    val ok = cs.nonEmpty && isExtBlock(c) && cs.forall {
+      case ExistsE(p, _) =>
         isBlock(p) && {
           val shared = Algebra.vars(c).intersect(Algebra.vars(p))
           shared.nonEmpty && shared.subsetOf(assuredIdVars(c))
         }
-      }
-    if (ok) Some(exs) else None
+      case e => idPredOk(e)
+    }
+    if (ok) Some(cs) else None
   }
 
-  private def compileFilterExistsIds(child: Op, exs: List[ExistsE],
-                                     keep: List[String]): DataFrame = {
-    val consts = constIdsOf((scanConstTerms(allScans(child)) ++
-      exs.flatMap(e => scanConstTerms(allScans(e.pattern)))).distinct)
+  private def compileFilterIds(child: Op, conjs: List[Expr],
+                               keep: List[String]): DataFrame = {
+    val condTerms = conjs.flatMap {
+      case ExistsE(p, _) => scanConstTerms(allScans(p))
+      case FuncE(_, args) => args.collect { case ConstE(t) => t }
+      case _ => Nil
+    }
+    val consts = constIdsOf(
+      (scanConstTerms(allScans(child)) ++ condTerms).distinct)
     var df = idsOf(child, consts)
-    exs.foreach { case ExistsE(p, negated) =>
-      val pd = idsOf(p, consts)
-      val shared = df.columns.intersect(pd.columns).toSeq
-      df = df.join(pd.select(shared.map(col): _*), shared,
-        if (negated) "left_anti" else "left_semi")
+    def operand(x: Expr): Column = x match {
+      case VarE(v) => col(v)
+      case ConstE(t) => lit(consts.getOrElse(t, -1L))
+      case other => throw new IllegalStateException(s"not an id operand: $other")
+    }
+    conjs.foreach {
+      case ExistsE(p, negated) =>
+        val pd = idsOf(p, consts)
+        val shared = df.columns.intersect(pd.columns).toSeq
+        df = df.join(pd.select(shared.map(col): _*), shared,
+          if (negated) "left_anti" else "left_semi")
+      case FuncE(_, List(a, b)) =>
+        df = df.filter(operand(a) === operand(b))
+      case other => throw new IllegalStateException(s"not id-expressible: $other")
     }
     materialize(df, keep, Algebra.vars(child) -- assuredIdVars(child))
   }

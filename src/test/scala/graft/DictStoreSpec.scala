@@ -314,6 +314,58 @@ class DictStoreSpec extends SparqlSpecBase {
     same("optionals.ttl", q2)
   }
 
+  it should "lower term-identity filters (sameTerm, = constant IRI) to id predicates" in {
+    val st = store("group_by.ttl")
+    val q =
+      """PREFIX : <http://books.example/>
+        |SELECT ?auth { ?org :affiliates ?auth . FILTER(?org = :org1) }""".stripMargin
+    val rewritten = st.rewrite(parseOptimized(q))
+    countNodes(rewritten) { case _: Algebra.Filter => true } shouldBe 0
+    same("group_by.ttl", q)
+    // reversed operand order; constant absent from the data → empty
+    same("group_by.ttl",
+      """PREFIX : <http://books.example/>
+        |SELECT ?auth { ?org :affiliates ?auth . FILTER(:org2 = ?org) }""".stripMargin)
+    collect(st.sparql(
+      """PREFIX : <http://books.example/>
+        |SELECT ?auth { ?org :affiliates ?auth . FILTER(?org = :nowhere) }""".stripMargin)) shouldBe empty
+    // sameTerm var-var and var-literal-constant (term identity works
+    // for ANY constant), and combined with EXISTS in one conjunction
+    same("property_paths.ttl",
+      """PREFIX : <http://example/>
+        |SELECT ?a ?b { ?a :price ?p . ?b :price ?q .
+        |  FILTER(sameTerm(?p, ?q)) }""".stripMargin)
+    same("group_by.ttl",
+      """PREFIX : <http://books.example/>
+        |SELECT ?b { ?b :price ?p . FILTER(sameTerm(?p, 7)) }""".stripMargin)
+    same("group_by.ttl",
+      """PREFIX : <http://books.example/>
+        |SELECT ?auth
+        |{ ?org :affiliates ?auth .
+        |  FILTER(?org = :org1 && EXISTS { ?auth :writesBook ?b }) }""".stripMargin)
+  }
+
+  it should "keep literal equality and negated equality on the standard compiler" in {
+    val st = store("group_by.ttl")
+    // numeric literal =: "1"^^int vs "01"^^int alias in value space,
+    // so this must NOT become an id predicate
+    val q1 =
+      """PREFIX : <http://books.example/>
+        |SELECT ?b { ?b :price ?p . FILTER(?p = 7) }""".stripMargin
+    countNodes(st.rewrite(parseOptimized(q1))) {
+      case _: Algebra.Filter => true
+    } shouldBe 1
+    same("group_by.ttl", q1)
+    // != keeps rows id-inequality would keep wrongly (error → drop)
+    val q2 =
+      """PREFIX : <http://books.example/>
+        |SELECT ?auth { ?org :affiliates ?auth . FILTER(?org != :org1) }""".stripMargin
+    countNodes(st.rewrite(parseOptimized(q2))) {
+      case _: Algebra.Filter => true
+    } shouldBe 1
+    same("group_by.ttl", q2)
+  }
+
   it should "keep scalar-conjunct and correlated-filter EXISTS on the standard compiler" in {
     val st = store("inner_filter.ttl")
     // scalar conjunct alongside the EXISTS: needs term values
