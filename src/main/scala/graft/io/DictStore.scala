@@ -53,12 +53,13 @@ import org.apache.spark.sql.types._
   * pad as NULL ids); joins above them when shared vars are assured
   * both sides; FILTER [NOT] EXISTS over BGP patterns (long semi/anti
   * joins); COUNT-only aggregation (keys decode post-agg);
-  * DISTINCT/REDUCED (dedup before decode); and `+`/`*` closures
-  * (per-round frontier joins on longs). Everything else — conditioned
-  * OPTIONAL, scalar FILTERs, value aggregates, zero-length paths with
-  * constant ends — runs unchanged on the standard compiler over
-  * [[decodedQuads]], so the fast path can never change semantics,
-  * only the plan under it.
+  * DISTINCT/REDUCED (dedup before decode); `+`/`*` closures
+  * (per-round frontier joins on longs); term-identity filters and
+  * right-side-only term-identity OPTIONAL conditions. Everything
+  * else — value-comparison FILTERs and OPTIONAL conditions, value
+  * aggregates, zero-length paths with constant ends — runs unchanged
+  * on the standard compiler over [[decodedQuads]], so the fast path
+  * can never change semantics, only the plan under it.
   */
 final class DictStore private (val spark: SparkSession,
                                val dict: DataFrame,
@@ -207,6 +208,14 @@ final class DictStore private (val spark: SparkSession,
   private def isExtBlock(op: Op): Boolean = op match {
     case b if isBlock(b) => true
     case LeftJoin(l, r, None) => isExtSpine(l, r)
+    // a conditioned OPTIONAL whose condition references only
+    // right-side vars is equivalent to filtering the right pattern
+    // first (the merged row's value IS the right row's value); when
+    // every conjunct is also a term-identity predicate, the whole
+    // thing stays in id space
+    case LeftJoin(l, r, Some(cond)) =>
+      isExtSpine(l, r) && conjunctsOf(cond).map(normNeg).forall(e =>
+        idPred(r, e) && exprVarsOf(e).subsetOf(Algebra.vars(r)))
     case Minus(l, r) => isExtSpine(l, r)
     // bag UNION works on ids directly (absent vars pad as NULL longs)
     case Union(l, r) => isExtBlock(l) && isExtBlock(r)
@@ -419,11 +428,59 @@ final class DictStore private (val spark: SparkSession,
     * left-anti join — both on the shared assured vars, so SPARQL
     * compat is plain equality. One dict lookup covers the constants
     * of ALL scans in the spine. */
-  private def compileExtBlock(block: Op, keep: List[String]): DataFrame = {
-    val consts = constIds(allScans(block))
-    materialize(idsOf(block, consts), keep,
-      Algebra.vars(block) -- assuredIdVars(block))
+  /** All constants an extended block's id compilation needs: scan
+    * constants plus ConstE terms inside OPTIONAL conditions. */
+  private def blockConsts(op: Op): Map[Term, Long] =
+    constIdsOf((scanConstTerms(allScans(op)) ++ condConstTerms(op)).distinct)
+
+  private def condConstTerms(op: Op): List[Term] = op match {
+    case LeftJoin(l, r, c) =>
+      condConstTerms(l) ++ condConstTerms(r) ++
+        c.toList.flatMap(conjunctsOf).flatMap {
+          case FuncE(_, args) => args.collect { case ConstE(t) => t }
+          case _ => Nil
+        }
+    case Join(l, r) => condConstTerms(l) ++ condConstTerms(r)
+    case Minus(l, r) => condConstTerms(l) ++ condConstTerms(r)
+    case Union(l, r) => condConstTerms(l) ++ condConstTerms(r)
+    case _ => Nil
   }
+
+  private def idOperand(x: Expr, consts: Map[Term, Long]): Column = x match {
+    case VarE(v) => col(v)
+    case ConstE(t) => lit(consts.getOrElse(t, -1L))
+    case other => throw new IllegalStateException(s"not an id operand: $other")
+  }
+
+  private def exprVarsOf(e: Expr): Set[String] = e match {
+    case VarE(n) => Set(n)
+    case ConstE(_) => Set.empty
+    case FuncE(_, args) => args.flatMap(exprVarsOf).toSet
+    case InE(x, l, _) => (x :: l).flatMap(exprVarsOf).toSet
+    case ExistsE(p, _) => Algebra.vars(p)
+    case AggE(_, _, eo, _) => eo.toList.flatMap(exprVarsOf).toSet
+  }
+
+  /** Term-IDENTITY predicate over `scope`'s vars: sameTerm for any
+    * operands; `=` only against a constant IRI (see [[filterEligible]]
+    * for why literal `=` cannot be an id predicate). */
+  private def idPred(scope: Op, e: Expr): Boolean = e match {
+    case FuncE("SAMETERM", List(a, b)) =>
+      List(a, b).exists(_.isInstanceOf[VarE]) && List(a, b).forall {
+        case VarE(v) => Algebra.vars(scope).contains(v)
+        case ConstE(_) => true
+        case _ => false
+      }
+    case FuncE("=", List(VarE(v), ConstE(_: graft.rdf.Iri))) =>
+      Algebra.vars(scope).contains(v)
+    case FuncE("=", List(ConstE(_: graft.rdf.Iri), VarE(v))) =>
+      Algebra.vars(scope).contains(v)
+    case _ => false
+  }
+
+  private def compileExtBlock(block: Op, keep: List[String]): DataFrame =
+    materialize(idsOf(block, blockConsts(block)), keep,
+      Algebra.vars(block) -- assuredIdVars(block))
 
   /** The id-space frame of an extended block, shared by the block,
     * EXISTS and ALP compilers. */
@@ -433,8 +490,17 @@ final class DictStore private (val spark: SparkSession,
         val shared = l.columns.intersect(r.columns).toSeq
         if (shared.isEmpty) l.crossJoin(r) else l.join(r, shared)
       }
-    case LeftJoin(l, r, None) =>
-      val (ld, rd) = (idsOf(l, consts), idsOf(r, consts))
+    case LeftJoin(l, r, cond) =>
+      val (ld, rd0) = (idsOf(l, consts), idsOf(r, consts))
+      // right-only term-identity conditions pre-filter the right side
+      // (guarded eligible in isExtBlock)
+      val rd = cond.toList.flatMap(conjunctsOf).map(normNeg)
+        .foldLeft(rd0) {
+          case (acc, FuncE(_, List(a, b))) =>
+            acc.filter(idOperand(a, consts) === idOperand(b, consts))
+          case (_, other) =>
+            throw new IllegalStateException(s"not id-expressible: $other")
+        }
       ld.join(rd, ld.columns.intersect(rd.columns).toSeq, "left_outer")
     case Minus(l, r) =>
       val (ld, rd) = (idsOf(l, consts), idsOf(r, consts))
@@ -476,7 +542,7 @@ final class DictStore private (val spark: SparkSession,
 
   private def compileGroupCountIds(c: Op, keys: List[String],
                                    aggs: List[(String, AggE)]): DataFrame = {
-    val df = idsOf(c, constIds(allScans(c)))
+    val df = idsOf(c, blockConsts(c))
     def aggCol(a: AggE): Column = a.expr match {
       case None =>
         if (a.distinct) count_distinct(struct(df.columns.map(col): _*))
@@ -497,7 +563,7 @@ final class DictStore private (val spark: SparkSession,
   /** Project-then-distinct on long tuples; the dict joins in after
     * the dedup, so it sees only surviving rows. */
   private def compileDistinctIds(c: Op, vs: List[String]): DataFrame = {
-    val df = idsOf(c, constIds(allScans(c)))
+    val df = idsOf(c, blockConsts(c))
     materialize(df.select(vs.map(col): _*).dropDuplicates(),
       vs, Algebra.vars(c) -- assuredIdVars(c))
   }
@@ -538,26 +604,13 @@ final class DictStore private (val spark: SparkSession,
     * stays on the standard compiler. */
   private def filterEligible(c: Op, cond: Expr): Option[List[Expr]] = {
     val cs = conjunctsOf(cond).map(normNeg)
-    def idPredOk(e: Expr): Boolean = e match {
-      case FuncE("SAMETERM", List(a, b)) =>
-        List(a, b).exists(_.isInstanceOf[VarE]) && List(a, b).forall {
-          case VarE(v) => Algebra.vars(c).contains(v)
-          case ConstE(_) => true
-          case _ => false
-        }
-      case FuncE("=", List(VarE(v), ConstE(_: graft.rdf.Iri))) =>
-        Algebra.vars(c).contains(v)
-      case FuncE("=", List(ConstE(_: graft.rdf.Iri), VarE(v))) =>
-        Algebra.vars(c).contains(v)
-      case _ => false
-    }
     val ok = cs.nonEmpty && isExtBlock(c) && cs.forall {
       case ExistsE(p, _) =>
         isBlock(p) && {
           val shared = Algebra.vars(c).intersect(Algebra.vars(p))
           shared.nonEmpty && shared.subsetOf(assuredIdVars(c))
         }
-      case e => idPredOk(e)
+      case e => idPred(c, e)
     }
     if (ok) Some(cs) else None
   }
@@ -569,14 +622,9 @@ final class DictStore private (val spark: SparkSession,
       case FuncE(_, args) => args.collect { case ConstE(t) => t }
       case _ => Nil
     }
-    val consts = constIdsOf(
-      (scanConstTerms(allScans(child)) ++ condTerms).distinct)
+    val consts = constIdsOf((scanConstTerms(allScans(child)) ++
+      condConstTerms(child) ++ condTerms).distinct)
     var df = idsOf(child, consts)
-    def operand(x: Expr): Column = x match {
-      case VarE(v) => col(v)
-      case ConstE(t) => lit(consts.getOrElse(t, -1L))
-      case other => throw new IllegalStateException(s"not an id operand: $other")
-    }
     conjs.foreach {
       case ExistsE(p, negated) =>
         val pd = idsOf(p, consts)
@@ -584,7 +632,7 @@ final class DictStore private (val spark: SparkSession,
         df = df.join(pd.select(shared.map(col): _*), shared,
           if (negated) "left_anti" else "left_semi")
       case FuncE(_, List(a, b)) =>
-        df = df.filter(operand(a) === operand(b))
+        df = df.filter(idOperand(a, consts) === idOperand(b, consts))
       case other => throw new IllegalStateException(s"not id-expressible: $other")
     }
     materialize(df, keep, Algebra.vars(child) -- assuredIdVars(child))

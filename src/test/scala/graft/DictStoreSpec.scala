@@ -250,7 +250,7 @@ class DictStoreSpec extends SparqlSpecBase {
     same("optionals.ttl", foafOptional)
   }
 
-  it should "keep a conditioned OPTIONAL on the standard compiler" in {
+  it should "keep a value-conditioned OPTIONAL on the standard compiler" in {
     val st = store("inner_filter.ttl")
     val q =
       """PREFIX : <http://example.com/>
@@ -258,6 +258,32 @@ class DictStoreSpec extends SparqlSpecBase {
     val rewritten = st.rewrite(parseOptimized(q))
     countNodes(rewritten) { case _: Algebra.LeftJoin => true } shouldBe 1
     same("inner_filter.ttl", q)
+  }
+
+  it should "swallow a right-only term-identity OPTIONAL condition into id space" in {
+    val st = store("group_by.ttl")
+    // the condition references only right-side vars and is an IRI
+    // equality → pre-filter the right id frame, stay condition-free
+    val q =
+      """PREFIX : <http://books.example/>
+        |SELECT ?org ?b
+        |{ ?org :affiliates ?auth .
+        |  OPTIONAL { ?auth :writesBook ?b . FILTER(?b = :book3) } }""".stripMargin
+    val rewritten = st.rewrite(parseOptimized(q))
+    countNodes(rewritten) { case _: Algebra.LeftJoin => true } shouldBe 0
+    materializedLeaves(rewritten) should have size 1
+    same("group_by.ttl", q)
+    // a LEFT-referencing identity condition must NOT be swallowed
+    // (filtering the right side would change which left rows match)
+    val q2 =
+      """PREFIX : <http://books.example/>
+        |SELECT ?org ?b
+        |{ ?org :affiliates ?auth .
+        |  OPTIONAL { ?auth :writesBook ?b . FILTER(?org = :org1) } }""".stripMargin
+    countNodes(st.rewrite(parseOptimized(q2))) {
+      case _: Algebra.LeftJoin => true
+    } shouldBe 1
+    same("group_by.ttl", q2)
   }
 
   it should "swallow MINUS into an id-space anti join" in {
