@@ -522,28 +522,36 @@ final class DictStore private (val spark: SparkSession,
 
   // ----- id-space COUNT aggregation -----
 
-  /** COUNT-only aggregations stay in id space end-to-end: the groupBy
-    * shuffle carries long keys, and only the (group-sized, post-agg)
-    * key columns decode through the dictionary. Sound because counting
-    * is representation-blind — COUNT(?v) counts bound rows (id
-    * NULL-ness ⇔ term NULL-ness) and the dict is a bijection, so
-    * distinct ids ⇔ distinct terms. SUM/MIN/MAX/AVG need term VALUES
-    * and stay on the standard compiler. */
+  /** COUNT/SAMPLE aggregations stay in id space end-to-end: the
+    * groupBy shuffle carries long keys, and only the (group-sized,
+    * post-agg) key and sample columns decode through the dictionary.
+    * Sound because both are representation-blind — COUNT(?v) counts
+    * bound rows (id NULL-ness ⇔ term NULL-ness) and the dict is a
+    * bijection, so distinct ids ⇔ distinct terms; SAMPLE may return
+    * ANY of the group's values by spec, and a decoded first-id IS one
+    * of them. SUM/MIN/MAX/AVG/GROUP_CONCAT need term VALUES (ids are
+    * assignment-ordered, not value-ordered) and stay on the standard
+    * compiler. */
   private def groupCountEligible(c: Op, keys: List[String],
                                  aggs: List[(String, AggE)]): Boolean =
     aggs.nonEmpty && isExtBlock(c) && keys.forall(Algebra.vars(c).contains) &&
       aggs.forall { case (_, a) =>
-        a.func == "COUNT" && (a.expr match {
+        (a.func == "COUNT" && (a.expr match {
           case None => true // COUNT(*) / COUNT(DISTINCT *) over the block's vars
           case Some(VarE(v)) => Algebra.vars(c).contains(v)
           case _ => false // COUNT(expr) evaluates term values
-        })
+        })) ||
+        (a.func == "SAMPLE" && (a.expr match {
+          case Some(VarE(v)) => Algebra.vars(c).contains(v)
+          case _ => false
+        }))
       }
 
   private def compileGroupCountIds(c: Op, keys: List[String],
                                    aggs: List[(String, AggE)]): DataFrame = {
     val df = idsOf(c, blockConsts(c))
-    def aggCol(a: AggE): Column = a.expr match {
+    val (sampleAggs, countAggs) = aggs.partition(_._2.func == "SAMPLE")
+    def countCol(a: AggE): Column = a.expr match {
       case None =>
         if (a.distinct) count_distinct(struct(df.columns.map(col): _*))
         else count(lit(1))
@@ -551,13 +559,21 @@ final class DictStore private (val spark: SparkSession,
         if (a.distinct) count_distinct(col(v)) else count(col(v))
       case other => throw new IllegalStateException(s"not countable: $other")
     }
-    val aggCols = aggs.map { case (n, a) =>
-      graft.sparql.TermFns.intTerm(aggCol(a)).as(n) }
+    val aggCols =
+      countAggs.map { case (n, a) =>
+        graft.sparql.TermFns.intTerm(countCol(a)).as(n) } ++
+      sampleAggs.map { case (n, a) =>
+        val Some(VarE(v)) = a.expr: @unchecked
+        first(col(v), ignoreNulls = true).as(n) // a group-member id
+      }
     val grouped =
       if (keys.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
       else df.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
-    materialize(grouped, keys, Algebra.vars(c) -- assuredIdVars(c),
-      carry = aggs.map(_._1))
+    // keys AND sampled ids decode; counts are already integer terms.
+    // Samples decode LEFT OUTER: an all-NULL group samples to unbound.
+    materialize(grouped, keys ++ sampleAggs.map(_._1),
+      (Algebra.vars(c) -- assuredIdVars(c)) ++ sampleAggs.map(_._1),
+      carry = countAggs.map(_._1))
   }
 
   /** Project-then-distinct on long tuples; the dict joins in after

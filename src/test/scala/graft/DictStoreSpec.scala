@@ -459,6 +459,33 @@ class DictStoreSpec extends SparqlSpecBase {
         |GROUP BY ?org HAVING(COUNT(?book) > 1)""".stripMargin)
   }
 
+  it should "run SAMPLE in id space, decoding a true group member" in {
+    val st = store("group_by.ttl")
+    val q =
+      """PREFIX : <http://books.example/>
+        |SELECT ?org (SAMPLE(?auth) AS ?a) (COUNT(?auth) AS ?n)
+        |{ ?org :affiliates ?auth } GROUP BY ?org""".stripMargin
+    val rewritten = st.rewrite(parseOptimized(q))
+    countNodes(rewritten) { case _: Algebra.Group => true } shouldBe 0
+    // SAMPLE is nondeterministic by spec: assert the decoded sample IS
+    // a member of its group (and counts match the standard compiler)
+    val viaDict = collect(st.sparql(q))
+    val members = run("group_by.ttl",
+      """PREFIX : <http://books.example/>
+        |SELECT ?org ?auth { ?org :affiliates ?auth }""".stripMargin)
+      .groupBy(_("org")).view.mapValues(_.map(_("auth")).toSet).toMap
+    viaDict should have size 2
+    viaDict.foreach { row =>
+      members(row("org")) should contain(row("a"))
+    }
+    viaDict.map(r => r("org") -> r("n")).toMap shouldBe
+      run("group_by.ttl",
+        """PREFIX : <http://books.example/>
+          |SELECT ?org (COUNT(?auth) AS ?n)
+          |{ ?org :affiliates ?auth } GROUP BY ?org""".stripMargin)
+        .map(r => r("org") -> r("n")).toMap
+  }
+
   it should "keep value aggregates (SUM/MIN/MAX/AVG) on the standard compiler" in {
     val st = store("group_by.ttl")
     val q =
