@@ -73,7 +73,7 @@ object Bench {
       "q_dedup_minhash", "q_dedup_simhash", "q_dedup_cluster",
       // dict stores: the one-time encode+load (disk-cached) and the
       // id-space join codegen both land here, not in measured passes
-      "q_dict_build", "q_dict_path").foreach { q =>
+      "q_dict_build", "q_dict_path", "q_dict_bucketed").foreach { q =>
       try exec(q) catch { case _: Throwable => () }
     }
 

@@ -176,6 +176,19 @@ object SparkEntry {
     else graft.io.DictStore.encode(TpchQuads.partOfChain(s, d), path)
   }
 
+  /** BUCKETED dict store over the same quads as [[dictStore]] — dict
+    * bucketed on id (materialization joins never shuffle the
+    * dictionary side), quads bucketed on s (star-BGP subject joins
+    * plan with zero exchanges). Cached on disk; re-attach recreates
+    * the catalog entries in a fresh session. */
+  private def dictBucketedStore(s: SparkSession, d: String): graft.io.DictStore = {
+    val path = tmpPath("dictbkt", d)
+    if (new java.io.File(s"$path/bucketed.json").exists())
+      graft.io.DictStore.loadBucketed(s, path)
+    else graft.io.DictStore.encodeBucketed(
+      cust(s, d).union(nationRegion(s, d)), path)
+  }
+
   /** Benchmark passages for the decontamination entries: a 12-token
     * slice of every (doc_id % 97 == 0) document — shared by BOTH
     * battery entries so they cannot drift from the decontamOracle CTE
@@ -314,6 +327,18 @@ object SparkEntry {
           |{ ?c :cname ?cname .
           |  FILTER NOT EXISTS { ?c :mktsegment "BUILDING" } }""".stripMargin),
         "cname" -> "string")
+    },
+    "q_dict_bucketed" -> { (s, d) =>
+      // bucketed store layout (round-9 scale work): quads bucketed on
+      // s → the customer-side star join (?c :cname / :mktsegment /
+      // :inNation) runs with ZERO exchanges; dict bucketed on id → no
+      // materialization join ever shuffles the term-count-sized
+      // dictionary side. Same semantics, strictly fewer shuffles.
+      out(dictBucketedStore(s, d).sparql(prologue +
+        """SELECT ?cname ?seg ?nname
+          |{ ?c :cname ?cname . ?c :mktsegment ?seg .
+          |  ?c :inNation ?n . ?n :nname ?nname }""".stripMargin),
+        "cname" -> "string", "seg" -> "string", "nname" -> "string")
     },
     "q_dict_path" -> { (s, d) =>
       // transitive closure in id space: the semi-naive rounds shuffle
@@ -1646,6 +1671,9 @@ object SparkEntry {
         |GROUP BY n_name""".stripMargin,
     "q_dict_not_exists" ->
       "SELECT c_name AS cname FROM customer WHERE c_mktsegment <> 'BUILDING'",
+    "q_dict_bucketed" ->
+      """SELECT c_name AS cname, c_mktsegment AS seg, n_name AS nname
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
     "q_dict_path" ->
       """SELECT s, x FROM (
         |  SELECT 'urn:c:'||c_custkey::VARCHAR AS s, 'urn:n:'||c_nationkey::VARCHAR AS x FROM customer

@@ -797,4 +797,122 @@ object DictStore {
       spark.read.parquet(s"$path/quads"),
       try Some(graft.sparql.QuadsStats.read(spark, s"$path/stats"))
       catch { case _: org.apache.spark.sql.AnalysisException => None })
+
+  // ----- bucketed layout -----
+
+  /** Catalog identifier for a bucketed store's tables: derived from the
+    * store path so re-attach is deterministic, suffixed to keep two
+    * paths with the same sanitized form apart. */
+  private def tableBase(path: String): String = {
+    val clean = path.replaceAll("[^A-Za-z0-9_]", "_").toLowerCase
+    val tail = if (clean.length > 96) clean.takeRight(96) else clean
+    f"graft_bkt_${tail}_${path.hashCode & 0x7fffffff}%08x"
+  }
+
+  /** One-time ingest into a BUCKETED layout — the 100 TB shape of the
+    * store. Two differences from [[encode]]'s plain-parquet layout,
+    * both invisible to query semantics (the class runs unchanged over
+    * the catalog tables):
+    *
+    *  - `dict` is bucketed on `id`: every late-materialization join
+    *    (and the [[DictStore.decodedQuads]] view) joins the dictionary
+    *    on `id`, so a bucketed dict side arrives pre-partitioned and
+    *    NEVER re-shuffles — at scale the dictionary is term-count-sized
+    *    (~10^11 rows for 100 TB of triples), which would otherwise be
+    *    the largest exchange of every query. Only the (intermediate-
+    *    result-sized, id-only) probe side moves.
+    *  - `quads` is bucketed on `s` and sorted by `(p, s)` within each
+    *    bucket: the subject–subject joins of star-shaped BGPs — the
+    *    dominant join shape in entity-centric queries — see BOTH sides
+    *    pre-partitioned on `s` and plan with zero exchanges, while the
+    *    within-bucket `(p, s)` sort keeps constant-predicate row-group
+    *    pruning as tight as the plain layout's `(p, s)` clustering.
+    *
+    * Spark's bucketing metadata lives in the session catalog, so the
+    * tables register under a path-derived name with their data at
+    * `path/{dict,quads}` (external) — [[loadBucketed]] re-attaches a
+    * fresh session to the same files. In production this catalog is the
+    * metastore; locally it is the session's, and re-attach recreates
+    * the table entries from the layout metadata persisted in
+    * `path/bucketed.json`. */
+  def encodeBucketed(quads: DataFrame, path: String,
+                     buckets: Int = 32): DictStore = {
+    val spark = quads.sparkSession
+    val base = tableBase(path)
+    val terms = quads.select(col("s").as("term"))
+      .unionByName(quads.select(col("p").as("term")))
+      .unionByName(quads.select(col("o").as("term")))
+      .unionByName(quads.filter(col("g").isNotNull).select(col("g").as("term")))
+      .distinct()
+    // ids frozen by the write, as in encode(); repartition on the
+    // bucket column first so each task owns whole buckets (one file
+    // per bucket, not one per task × bucket)
+    terms.select(monotonically_increasing_id().as("id"), col("term"))
+      .repartition(buckets, col("id"))
+      .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+      .option("path", s"$path/dict")
+      .bucketBy(buckets, "id").sortBy("id")
+      .saveAsTable(s"${base}_dict")
+    val dict = spark.table(s"${base}_dict")
+    def d(i: Int) = dict.select(col("id").as(s"__ei$i"), col("term").as(s"__et$i"))
+    quads
+      .join(d(0), col("s") === col("__et0"))
+      .join(d(1), col("p") === col("__et1"))
+      .join(d(2), col("o") === col("__et2"))
+      .join(d(3), col("g") === col("__et3"), "left_outer")
+      .select(col("__ei0").as("s"), col("__ei1").as("p"),
+        col("__ei2").as("o"), col("__ei3").as("g"))
+      .repartition(buckets, col("s"))
+      .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+      .option("path", s"$path/quads")
+      .bucketBy(buckets, "s").sortBy("p", "s")
+      .saveAsTable(s"${base}_quads")
+    graft.sparql.QuadsStats.write(spark,
+      graft.sparql.QuadsStats.compute(quads), s"$path/stats")
+    writeTextFile(s"$path/bucketed.json", s"""{"buckets": $buckets}""")
+    loadBucketed(spark, path)
+  }
+
+  /** Re-attach a bucketed store: if the catalog already has the
+    * tables, use them; otherwise recreate the (external) table entries
+    * over the existing files — the bucket spec in the CREATE must match
+    * the writer's for Spark to trust the file-name bucket ids, which
+    * `bucketed.json` guarantees. */
+  def loadBucketed(spark: SparkSession, path: String): DictStore = {
+    val buckets = """"buckets"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(readTextFile(s"$path/bucketed.json"))
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$path/bucketed.json: no bucket count — not a bucketed store"))
+    val base = tableBase(path)
+    val termSql = graft.rdf.TermSchema.termType.sql
+    if (!spark.catalog.tableExists(s"${base}_dict"))
+      spark.sql(
+        s"""CREATE TABLE ${base}_dict (id BIGINT, term $termSql)
+           |USING PARQUET
+           |CLUSTERED BY (id) SORTED BY (id) INTO $buckets BUCKETS
+           |LOCATION '$path/dict'""".stripMargin)
+    if (!spark.catalog.tableExists(s"${base}_quads"))
+      spark.sql(
+        s"""CREATE TABLE ${base}_quads (s BIGINT, p BIGINT, o BIGINT, g BIGINT)
+           |USING PARQUET
+           |CLUSTERED BY (s) SORTED BY (p, s) INTO $buckets BUCKETS
+           |LOCATION '$path/quads'""".stripMargin)
+    new DictStore(spark,
+      spark.table(s"${base}_dict"),
+      spark.table(s"${base}_quads"),
+      try Some(graft.sparql.QuadsStats.read(spark, s"$path/stats"))
+      catch { case _: org.apache.spark.sql.AnalysisException => None })
+  }
+
+  private def writeTextFile(p: String, text: String): Unit = {
+    val f = new java.io.File(p)
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.write(f.toPath,
+      text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def readTextFile(p: String): String =
+    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+      java.nio.charset.StandardCharsets.UTF_8)
 }
