@@ -318,6 +318,31 @@ object SparkEntry {
           |GROUP BY ?nname""".stripMargin),
         "nname" -> "string", "n" -> "bigint", "nseg" -> "bigint")
     },
+    "q_dict_minmax" -> { (s, d) =>
+      // MIN/MAX in id space: per-group comparisons run over (sort key,
+      // id) pairs joined in from the dictionary — the groupBy shuffle
+      // still carries long keys, and only the group-sized winners
+      // decode (round-9 continuation: value-order aggregates without
+      // an input-sized term decode)
+      out(dictStore(s, d).sparql(prologue +
+        """SELECT ?nname (MIN(?cname) AS ?lo) (MAX(?cname) AS ?hi)
+          |       (COUNT(?c) AS ?n)
+          |{ ?n2 :nname ?nname . ?c :inNation ?n2 . ?c :cname ?cname }
+          |GROUP BY ?nname""".stripMargin),
+        "nname" -> "string", "lo" -> "string", "hi" -> "string",
+        "n" -> "bigint")
+    },
+    "q_dict_topk" -> { (s, d) =>
+      // ORDER BY + LIMIT as id-space top-k: the TakeOrdered runs over
+      // (skey, long) rows and the dictionary decodes exactly 10 rows —
+      // same query and oracle as q_order_limit, so DuckDB certifies
+      // the late-decoded top-k agrees with the term-struct path
+      out(dictStore(s, d).sparql(prologue +
+        """SELECT ?cname ?bal
+          |{ ?c :cname ?cname . ?c :acctbal ?bal }
+          |ORDER BY DESC(?bal) ?cname LIMIT 10""".stripMargin),
+        "cname" -> "string", "bal" -> "double")
+    },
     "q_dict_not_exists" -> { (s, d) =>
       // FILTER NOT EXISTS in id space: the anti join runs on 8-byte
       // ids (semi/anti joins are the other big-shuffle shape the
@@ -1674,6 +1699,14 @@ object SparkEntry {
     "q_dict_bucketed" ->
       """SELECT c_name AS cname, c_mktsegment AS seg, n_name AS nname
         |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+    "q_dict_minmax" ->
+      """SELECT n_name AS nname, MIN(c_name) AS lo, MAX(c_name) AS hi,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q_dict_topk" ->
+      """SELECT c_name AS cname, c_acctbal AS bal FROM customer
+        |ORDER BY c_acctbal DESC, c_name LIMIT 10""".stripMargin,
     "q_dict_path" ->
       """SELECT s, x FROM (
         |  SELECT 'urn:c:'||c_custkey::VARCHAR AS s, 'urn:n:'||c_nationkey::VARCHAR AS x FROM customer

@@ -142,6 +142,19 @@ final class DictStore private (val spark: SparkSession,
       case Group(c, keys, aggs) if groupCountEligible(c, keys, aggs) =>
         Materialized(compileGroupCountIds(c, keys, aggs),
           keys ++ aggs.map(_._1))
+      // ORDER BY vars + LIMIT directly over a block: top-k in id
+      // space — sort keys join in from the dictionary, the limit runs
+      // over (skey, id) rows, and only the surviving k rows decode
+      case sl @ Slice(Order(c, keys), off, lim)
+        if orderSliceEligible(c, keys, off, lim) =>
+        val keep = keepFor(sl, Algebra.varsOrdered(c))
+        Materialized(compileTopKIds(c, keys, off, lim.get, keep), keep)
+      // plain SELECT stacks Slice(Project(Order(block))) — same top-k,
+      // the projection fixing exactly which vars decode
+      case Slice(Project(Order(c, keys), vs), off, lim)
+        if vs.forall(Algebra.vars(c).contains) &&
+          orderSliceEligible(c, keys, off, lim) =>
+        Materialized(compileTopKIds(c, keys, off, lim.get, vs), vs)
       // DISTINCT/REDUCED directly over a (projected) block: dedup on
       // long tuples, decode only the SURVIVING rows (bijection ⇒ id
       // distinctness ≡ term distinctness, NULLs included)
@@ -520,18 +533,22 @@ final class DictStore private (val spark: SparkSession,
     case other => throw new IllegalStateException(s"not an ext block: $other")
   }
 
-  // ----- id-space COUNT aggregation -----
+  // ----- id-space aggregation (COUNT/SAMPLE/MIN/MAX) -----
 
-  /** COUNT/SAMPLE aggregations stay in id space end-to-end: the
-    * groupBy shuffle carries long keys, and only the (group-sized,
-    * post-agg) key and sample columns decode through the dictionary.
-    * Sound because both are representation-blind — COUNT(?v) counts
-    * bound rows (id NULL-ness ⇔ term NULL-ness) and the dict is a
-    * bijection, so distinct ids ⇔ distinct terms; SAMPLE may return
-    * ANY of the group's values by spec, and a decoded first-id IS one
-    * of them. SUM/MIN/MAX/AVG/GROUP_CONCAT need term VALUES (ids are
-    * assignment-ordered, not value-ordered) and stay on the standard
-    * compiler. */
+  /** COUNT/SAMPLE/MIN/MAX aggregations stay in id space end-to-end:
+    * the groupBy shuffle carries long keys, and only the (group-sized,
+    * post-agg) key and per-group witness columns decode through the
+    * dictionary. Sound because all four are representation-blind —
+    * COUNT(?v) counts bound rows (id NULL-ness ⇔ term NULL-ness) and
+    * the dict is a bijection, so distinct ids ⇔ distinct terms;
+    * SAMPLE may return ANY of the group's values by spec, and a
+    * decoded first-id IS one of them; MIN/MAX compare through the SAME
+    * total-order sort key as the standard compiler, joined in from the
+    * dictionary per distinct aggregated var (a dict-sized projection,
+    * not an input-sized decode — and the key is injective on terms, so
+    * the id tiebreak can never pick a different value).
+    * SUM/AVG/GROUP_CONCAT genuinely consume term values row by row
+    * and stay on the standard compiler. */
   private def groupCountEligible(c: Op, keys: List[String],
                                  aggs: List[(String, AggE)]): Boolean =
     aggs.nonEmpty && isExtBlock(c) && keys.forall(Algebra.vars(c).contains) &&
@@ -541,16 +558,41 @@ final class DictStore private (val spark: SparkSession,
           case Some(VarE(v)) => Algebra.vars(c).contains(v)
           case _ => false // COUNT(expr) evaluates term values
         })) ||
-        (a.func == "SAMPLE" && (a.expr match {
+        (Set("SAMPLE", "MIN", "MAX").contains(a.func) && (a.expr match {
           case Some(VarE(v)) => Algebra.vars(c).contains(v)
           case _ => false
         }))
       }
 
+  /** Join the dictionary's sort key in for each of `vars` (as column
+    * `__sk_<var>`): the dict side is a projection `(id, sortKey(term))`
+    * computed on the fly — never persisted, so it always reflects the
+    * session's time zone, exactly like the standard compiler's row-side
+    * sortKey. LEFT OUTER for vars an OPTIONAL may have left NULL. */
+  private def joinSortKeys(df0: DataFrame, vars: List[String],
+                           nullable: Set[String]): DataFrame = {
+    var df = df0
+    vars.zipWithIndex.foreach { case (v, i) =>
+      val dsk = dict.select(col("id").as(s"__ski$i"),
+        graft.sparql.TermFns.sortKey(col("term")).as(skCol(v)))
+      df = df.join(dsk, col(v) === col(s"__ski$i"),
+        if (nullable.contains(v)) "left_outer" else "inner")
+        .drop(s"__ski$i")
+    }
+    df
+  }
+
+  private def skCol(v: String): String = s"__sk_$v"
+
   private def compileGroupCountIds(c: Op, keys: List[String],
                                    aggs: List[(String, AggE)]): DataFrame = {
-    val df = idsOf(c, blockConsts(c))
-    val (sampleAggs, countAggs) = aggs.partition(_._2.func == "SAMPLE")
+    val nullable = Algebra.vars(c) -- assuredIdVars(c)
+    val (mmAggs, rest) =
+      aggs.partition(a => a._2.func == "MIN" || a._2.func == "MAX")
+    val (sampleAggs, countAggs) = rest.partition(_._2.func == "SAMPLE")
+    val mmVars = mmAggs.map { case (_, a) =>
+      val Some(VarE(v)) = a.expr: @unchecked; v }.distinct
+    val df = joinSortKeys(idsOf(c, blockConsts(c)), mmVars, nullable)
     def countCol(a: AggE): Column = a.expr match {
       case None =>
         if (a.distinct) count_distinct(struct(df.columns.map(col): _*))
@@ -565,15 +607,69 @@ final class DictStore private (val spark: SparkSession,
       sampleAggs.map { case (n, a) =>
         val Some(VarE(v)) = a.expr: @unchecked
         first(col(v), ignoreNulls = true).as(n) // a group-member id
+      } ++
+      mmAggs.map { case (n, a) =>
+        val Some(VarE(v)) = a.expr: @unchecked
+        // same shape as the standard compiler's min(struct(sortKey,
+        // term)): NULL-out unbound rows so min/max skip them
+        val kt = when(col(v).isNotNull,
+          struct(col(skCol(v)).as("k"), col(v).as("t")))
+        (if (a.func == "MIN") min(kt) else max(kt)).as(n)
       }
     val grouped =
       if (keys.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
       else df.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
-    // keys AND sampled ids decode; counts are already integer terms.
-    // Samples decode LEFT OUTER: an all-NULL group samples to unbound.
-    materialize(grouped, keys ++ sampleAggs.map(_._1),
-      (Algebra.vars(c) -- assuredIdVars(c)) ++ sampleAggs.map(_._1),
+    // unwrap the min/max witness back to a bare id column
+    val unwrapped = mmAggs.foldLeft(grouped) { case (d, (n, _)) =>
+      d.withColumn(n, col(n).getField("t"))
+    }
+    // keys AND witness ids decode; counts are already integer terms.
+    // Witnesses decode LEFT OUTER: an all-NULL group has no min/max
+    // and SAMPLE of it is unbound.
+    materialize(unwrapped, keys ++ sampleAggs.map(_._1) ++ mmAggs.map(_._1),
+      nullable ++ sampleAggs.map(_._1) ++ mmAggs.map(_._1),
       carry = countAggs.map(_._1))
+  }
+
+  // ----- id-space ORDER BY + LIMIT (top-k with late decode) -----
+
+  /** Top-k over a block is id-expressible when every sort key is a
+    * plain variable of the block and the window is Int-sized: the sort
+    * total-orders (skey, id) rows, the limit keeps offset+k of them,
+    * and the dictionary decodes ONLY those — at scale this turns a
+    * full-result decode + TakeOrdered over term structs into a
+    * TakeOrdered over longs plus a k-row join. */
+  private def orderSliceEligible(c: Op, keys: List[(Expr, Boolean)],
+                                 off: Long, lim: Option[Long]): Boolean =
+    isExtBlock(c) && keys.nonEmpty &&
+      keys.forall {
+        case (VarE(v), _) => Algebra.vars(c).contains(v)
+        case _ => false
+      } &&
+      lim.exists(l => off >= 0 && l >= 0 && off + l > 0 &&
+        off + l <= Int.MaxValue)
+
+  private def compileTopKIds(c: Op, keys: List[(Expr, Boolean)],
+                             off: Long, lim: Long,
+                             keep: List[String]): DataFrame = {
+    val nullable = Algebra.vars(c) -- assuredIdVars(c)
+    val sortVars = keys.map { case (VarE(v), _) => v case other =>
+      throw new IllegalStateException(s"not a var sort key: $other") }.distinct
+    val df = joinSortKeys(idsOf(c, blockConsts(c)), sortVars, nullable)
+    // NULL skey ⇔ unbound var; Spark's default NULLS FIRST (asc) /
+    // NULLS LAST (desc) coincides with the standard compiler's rank-0
+    // unbound row, which sorts before every bound term
+    def sortCols = keys.map { case (VarE(v), asc) =>
+      if (asc) col(skCol(v)).asc else col(skCol(v)).desc
+    }
+    val topIds = df.orderBy(sortCols: _*).limit((off + lim).toInt)
+    // decode the k rows, re-establish the order on the CARRIED skeys
+    // (materialization joins do not preserve row order), then slice
+    val decoded = materialize(topIds, keep, nullable,
+      carry = sortVars.map(skCol))
+    val ordered = decoded.orderBy(sortCols: _*)
+      .select(keep.filter(decoded.columns.contains).map(col): _*)
+    (if (off > 0) ordered.offset(off.toInt) else ordered).limit(lim.toInt)
   }
 
   /** Project-then-distinct on long tuples; the dict joins in after

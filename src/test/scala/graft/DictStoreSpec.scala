@@ -486,7 +486,7 @@ class DictStoreSpec extends SparqlSpecBase {
         .map(r => r("org") -> r("n")).toMap
   }
 
-  it should "keep value aggregates (SUM/MIN/MAX/AVG) on the standard compiler" in {
+  it should "keep value aggregates (SUM/AVG/GROUP_CONCAT) on the standard compiler" in {
     val st = store("group_by.ttl")
     val q =
       """PREFIX : <http://books.example/>
@@ -497,6 +497,83 @@ class DictStoreSpec extends SparqlSpecBase {
       case _: Algebra.Group => true
     } shouldBe 1
     same("group_by.ttl", q)
+  }
+
+  it should "run MIN/MAX in id space through dict-joined sort keys" in {
+    val st = store("group_by.ttl")
+    val q =
+      """PREFIX : <http://books.example/>
+        |SELECT ?org (MIN(?p) AS ?lo) (MAX(?p) AS ?hi) (COUNT(?b) AS ?n)
+        |{ ?org :affiliates ?auth . ?auth :writesBook ?b . ?b :price ?p }
+        |GROUP BY ?org""".stripMargin
+    val rewritten = st.rewrite(parseOptimized(q))
+    countNodes(rewritten) { case _: Algebra.Group => true } shouldBe 0
+    // the aggregation's group keys are still longs (the skey join adds
+    // a sort-key struct column for ?p, but no term structs pre-agg)
+    val blocks = materializedLeaves(rewritten)
+    blocks should have size 1
+    val aggNode = blocks.head.df.queryExecution.optimizedPlan.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.get
+    aggNode.groupingExpressions.forall(
+      _.dataType == org.apache.spark.sql.types.LongType) shouldBe true
+    same("group_by.ttl", q)
+    // min/max over mixed types order by the same documented total
+    // order as the standard compiler (IRIs rank below numerics etc.)
+    same("property_paths.ttl",
+      """PREFIX : <http://example/>
+        |SELECT (MIN(?o) AS ?lo) (MAX(?o) AS ?hi) { ?s ?p ?o }""".stripMargin)
+    // MIN over an optional var: unbound rows are skipped; an all-NULL
+    // group yields unbound
+    same("optionals.ttl",
+      """PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        |SELECT ?name (MAX(?mbox) AS ?m)
+        |{ ?x foaf:name ?name . OPTIONAL { ?x foaf:mbox ?mbox } }
+        |GROUP BY ?name""".stripMargin)
+  }
+
+  it should "run ORDER BY + LIMIT as id-space top-k, decoding only k rows" in {
+    val st = store("group_by.ttl")
+    val q =
+      """PREFIX : <http://books.example/>
+        |SELECT ?b ?p { ?b :price ?p } ORDER BY DESC(?p) ?b LIMIT 2""".stripMargin
+    val rewritten = st.rewrite(parseOptimized(q))
+    countNodes(rewritten) { case _: Algebra.Order => true } shouldBe 0
+    countNodes(rewritten) { case _: Algebra.Slice => true } shouldBe 0
+    materializedLeaves(rewritten) should have size 1
+    // ordered comparison: the dict path must return the same ROWS in
+    // the same ORDER as the standard compiler
+    collect(st.sparql(q)) shouldBe run("group_by.ttl", q)
+    // OFFSET slices after the ordered decode
+    val q2 =
+      """PREFIX : <http://books.example/>
+        |SELECT ?b ?p { ?b :price ?p } ORDER BY ?p ?b LIMIT 2 OFFSET 1""".stripMargin
+    collect(st.sparql(q2)) shouldBe run("group_by.ttl", q2)
+    // sort var NOT in the projection: skeys carry, ids prune
+    val q3 =
+      """PREFIX : <http://books.example/>
+        |SELECT ?b { ?b :price ?p } ORDER BY DESC(?p) DESC(?b) LIMIT 2""".stripMargin
+    collect(st.sparql(q3)) shouldBe run("group_by.ttl", q3)
+  }
+
+  it should "keep expression sorts and LIMIT-less ORDER on the standard compiler" in {
+    val st = store("group_by.ttl")
+    // expression sort key → ineligible
+    val q1 =
+      """PREFIX : <http://books.example/>
+        |SELECT ?b ?p { ?b :price ?p } ORDER BY (?p + 1) LIMIT 2""".stripMargin
+    countNodes(st.rewrite(parseOptimized(q1))) {
+      case _: Algebra.Order => true
+    } shouldBe 1
+    collect(st.sparql(q1)) shouldBe run("group_by.ttl", q1)
+    // no LIMIT → full sort, nothing to prune: stays standard
+    val q2 =
+      """PREFIX : <http://books.example/>
+        |SELECT ?b ?p { ?b :price ?p } ORDER BY ?p ?b""".stripMargin
+    countNodes(st.rewrite(parseOptimized(q2))) {
+      case _: Algebra.Order => true
+    } shouldBe 1
+    collect(st.sparql(q2)) shouldBe run("group_by.ttl", q2)
   }
 
   it should "run UNION (and joins above it) in id space when shared vars are assured" in {
