@@ -318,6 +318,28 @@ object SparkEntry {
           |GROUP BY ?nname""".stripMargin),
         "nname" -> "string", "n" -> "bigint", "nseg" -> "bigint")
     },
+    "q_dict_filter" -> { (s, d) =>
+      // hybrid-decode value filter (round-9 continuation): the block
+      // runs on long ids, ONLY ?bal's term joins back in for the
+      // comparison (evaluated by the same ExprCompiler as the standard
+      // path), and the term column drops again before materialization
+      out(dictStore(s, d).sparql(prologue +
+        """SELECT ?cname ?bal
+          |{ ?c :cname ?cname . ?c :acctbal ?bal . ?c :inNation ?n .
+          |  ?n :nname ?nname FILTER(?bal > 5000 && ?nname != "NATION_7") }""".stripMargin),
+        "cname" -> "string", "bal" -> "double")
+    },
+    "q_dict_optional_cond" -> { (s, d) =>
+      // value-conditioned OPTIONAL in id space: the condition
+      // evaluates on the MERGED row during the long left-outer join,
+      // with only ?bal hybrid-decoded
+      out(dictStore(s, d).sparql(prologue +
+        """SELECT ?nname ?cname
+          |{ ?n :nname ?nname . ?n :inRegion ?r .
+          |  OPTIONAL { ?c :inNation ?n . ?c :cname ?cname .
+          |             ?c :acctbal ?bal . FILTER(?bal > 9000) } }""".stripMargin),
+        "nname" -> "string", "cname" -> "string")
+    },
     "q_dict_minmax" -> { (s, d) =>
       // MIN/MAX in id space: per-group comparisons run over (sort key,
       // id) pairs joined in from the dictionary — the groupBy shuffle
@@ -1699,6 +1721,14 @@ object SparkEntry {
     "q_dict_bucketed" ->
       """SELECT c_name AS cname, c_mktsegment AS seg, n_name AS nname
         |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+    "q_dict_filter" ->
+      """SELECT c_name AS cname, c_acctbal AS bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > 5000 AND n_name <> 'NATION_7'""".stripMargin,
+    "q_dict_optional_cond" ->
+      """SELECT n_name AS nname, c_name AS cname
+        |FROM nation LEFT JOIN customer
+        |  ON c_nationkey = n_nationkey AND c_acctbal > 9000""".stripMargin,
     "q_dict_minmax" ->
       """SELECT n_name AS nname, MIN(c_name) AS lo, MAX(c_name) AS hi,
         |  CAST(COUNT(*) AS BIGINT) AS n

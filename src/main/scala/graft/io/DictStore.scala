@@ -49,17 +49,22 @@ import org.apache.spark.sql.types._
   * pruned BEFORE materialization; pruning a column never changes bag
   * cardinality, so this is safe under any ancestor including
   * DISTINCT). Id-safe ([[isExtBlock]] + dedicated cases): BGP blocks;
-  * condition-free OPTIONAL / MINUS spines and bag UNIONs (absent vars
-  * pad as NULL ids); joins above them when shared vars are assured
-  * both sides; FILTER [NOT] EXISTS over BGP patterns (long semi/anti
-  * joins); COUNT-only aggregation (keys decode post-agg);
-  * DISTINCT/REDUCED (dedup before decode); `+`/`*` closures
-  * (per-round frontier joins on longs); term-identity filters and
-  * right-side-only term-identity OPTIONAL conditions. Everything
-  * else — value-comparison FILTERs and OPTIONAL conditions, value
-  * aggregates, zero-length paths with constant ends — runs unchanged
-  * on the standard compiler over [[decodedQuads]], so the fast path
-  * can never change semantics, only the plan under it.
+  * OPTIONAL / MINUS spines and bag UNIONs (absent vars pad as NULL
+  * ids); joins above them when shared vars are assured both sides;
+  * FILTER [NOT] EXISTS over BGP patterns (long semi/anti joins);
+  * COUNT/SAMPLE/MIN/MAX aggregation (keys decode post-agg; min/max
+  * compare dict-joined sort keys); ORDER BY + LIMIT top-k (sort on
+  * skeys, decode k rows); DISTINCT/REDUCED (dedup before decode);
+  * `+`/`*` closures (per-round frontier joins on longs);
+  * term-identity filters as long predicates; and ANY other scalar
+  * FILTER or OPTIONAL condition via the HYBRID decode — only the
+  * condition's variables join their terms back in and the predicate
+  * evaluates through the standard ExprCompiler, so value semantics
+  * are shared code, not a re-implementation. What still falls back to
+  * the standard compiler over [[decodedQuads]]: EXISTS with
+  * correlated inner filters, SUM/AVG/GROUP_CONCAT (they consume term
+  * values row by row), zero-length paths with constant ends — the
+  * fast path can never change semantics, only the plan under it.
   */
 final class DictStore private (val spark: SparkSession,
                                val dict: DataFrame,
@@ -216,19 +221,22 @@ final class DictStore private (val spark: SparkSession,
     *  - at least one shared variable (a shared-nothing OPTIONAL is a
     *    cross product and a shared-nothing MINUS is the identity —
     *    both stay on the standard compiler);
-    *  - no OPTIONAL condition (scalar FILTER conditions evaluate
-    *    term VALUES, which id space does not carry). */
+    *  - OPTIONAL conditions must be EXISTS-free scalars (evaluated on
+    *    the merged row via hybrid-decoded term columns, see the
+    *    LeftJoin case of [[idsOf]]). */
   private def isExtBlock(op: Op): Boolean = op match {
     case b if isBlock(b) => true
     case LeftJoin(l, r, None) => isExtSpine(l, r)
-    // a conditioned OPTIONAL whose condition references only
-    // right-side vars is equivalent to filtering the right pattern
-    // first (the merged row's value IS the right row's value); when
-    // every conjunct is also a term-identity predicate, the whole
-    // thing stays in id space
+    // a conditioned OPTIONAL stays in id space two ways: a right-only
+    // term-identity conjunct pre-filters the right pattern (the merged
+    // row's value IS the right row's value), and ANY other scalar
+    // conjunct without a nested EXISTS evaluates on the merged row
+    // during the join through hybrid-decoded term columns — the same
+    // ExprCompiler.bool the standard compiler's joinCompat uses
     case LeftJoin(l, r, Some(cond)) =>
       isExtSpine(l, r) && conjunctsOf(cond).map(normNeg).forall(e =>
-        idPred(r, e) && exprVarsOf(e).subsetOf(Algebra.vars(r)))
+        (idPred(r, e) && exprVarsOf(e).subsetOf(Algebra.vars(r))) ||
+          !hasExists(e))
     case Minus(l, r) => isExtSpine(l, r)
     // bag UNION works on ids directly (absent vars pad as NULL longs)
     case Union(l, r) => isExtBlock(l) && isExtBlock(r)
@@ -505,16 +513,48 @@ final class DictStore private (val spark: SparkSession,
       }
     case LeftJoin(l, r, cond) =>
       val (ld, rd0) = (idsOf(l, consts), idsOf(r, consts))
-      // right-only term-identity conditions pre-filter the right side
+      // right-only term-identity conditions pre-filter the right side;
+      // everything else evaluates on the MERGED row during the join
       // (guarded eligible in isExtBlock)
-      val rd = cond.toList.flatMap(conjunctsOf).map(normNeg)
-        .foldLeft(rd0) {
-          case (acc, FuncE(_, List(a, b))) =>
-            acc.filter(idOperand(a, consts) === idOperand(b, consts))
-          case (_, other) =>
-            throw new IllegalStateException(s"not id-expressible: $other")
-        }
-      ld.join(rd, ld.columns.intersect(rd.columns).toSeq, "left_outer")
+      val (preConjs, mergedConjs) = cond.toList.flatMap(conjunctsOf)
+        .map(normNeg).partition(e =>
+          idPred(r, e) && exprVarsOf(e).subsetOf(Algebra.vars(r)))
+      val rd = preConjs.foldLeft(rd0) {
+        case (acc, FuncE(_, List(a, b))) =>
+          acc.filter(idOperand(a, consts) === idOperand(b, consts))
+        case (_, other) =>
+          throw new IllegalStateException(s"not id-expressible: $other")
+      }
+      val shared = ld.columns.intersect(rd.columns).toSeq
+      if (mergedConjs.isEmpty) ld.join(rd, shared, "left_outer")
+      else {
+        // hybrid decode on the owning side: shared vars read the left
+        // copy (join equality makes the sides agree on matched rows),
+        // right-only vars the right copy — the merged-row resolver of
+        // the standard compiler's joinCompat, restricted to the vars
+        // the condition actually references
+        val condVars = mergedConjs.flatMap(exprVarsOf).distinct
+        val lNullable = Algebra.vars(l) -- assuredIdVars(l)
+        val ldD = decodeVars(ld,
+          condVars.filter(ld.columns.contains), lNullable)
+        val rdD = decodeVars(rd,
+          condVars.filter(v => !ld.columns.contains(v) &&
+            rd.columns.contains(v)), Set.empty) // right is a BGP: assured
+        val rename = shared.map(v => v -> s"__rj_$v").toMap
+        val rdR = rename.foldLeft(rdD) { case (d, (v, rv)) =>
+          d.withColumnRenamed(v, rv) }
+        val keyConds = shared.map(v => ldD(v) === rdR(rename(v)))
+        val ec = new ExprCompiler(n =>
+          if (ldD.columns.contains(tvCol(n))) ldD(tvCol(n))
+          else if (rdR.columns.contains(tvCol(n))) rdR(tvCol(n))
+          else graft.sparql.TermFns.nullTerm)
+        val joinCond = (keyConds :+ mergedConjs.map(ec.bool).reduce(_ && _))
+          .reduce(_ && _)
+        val outCols = (ld.columns ++ rd.columns).distinct.toIndexedSeq
+        ldD.join(rdR, joinCond, "left_outer")
+          .select(outCols.map(v =>
+            (if (ld.columns.contains(v)) ldD(v) else rdR(v)).as(v)): _*)
+      }
     case Minus(l, r) =>
       val (ld, rd) = (idsOf(l, consts), idsOf(r, consts))
       val shared = ld.columns.intersect(rd.columns).toSeq
@@ -695,6 +735,17 @@ final class DictStore private (val spark: SparkSession,
     case o => o
   }
 
+  /** Any [NOT] EXISTS anywhere inside a scalar expression — such a
+    * conjunct needs the standard compiler's correlated-subpattern
+    * machinery and blocks the hybrid decode. */
+  private def hasExists(e: Expr): Boolean = e match {
+    case _: ExistsE => true
+    case FuncE(_, args) => args.exists(hasExists)
+    case InE(x, l, _) => hasExists(x) || l.exists(hasExists)
+    case AggE(_, _, eo, _) => eo.exists(hasExists)
+    case _ => false
+  }
+
   /** FILTER conditions the id-space path can take whole — every
     * conjunct must be one of:
     *  - [NOT] EXISTS over a pure BGP sharing ≥1 assured var with the
@@ -710,10 +761,16 @@ final class DictStore private (val spark: SparkSession,
     *    terms, so literal `=` is NOT id equality. The error cases
     *    coincide too: `=` on an unbound var or a literal/IRI mix
     *    errors → row dropped, exactly what a NULL/failed id equality
-    *    does.
-    * Everything else (value comparisons, arithmetic, negated
-    * equality — `!=` keeps rows id-inequality would keep wrongly)
-    * stays on the standard compiler. */
+    *    does. These stay long predicates on the scan;
+    *  - ANY other scalar expression without a nested EXISTS — the
+    *    HYBRID decode: only the variables the condition references
+    *    join their terms back in (id → term, a dict-sized side), the
+    *    predicate evaluates through the SAME ExprCompiler.bool the
+    *    standard compiler uses (so value-space equality, comparisons,
+    *    casts, regex, error→NULL→drop are identical by construction),
+    *    and the term columns drop again before any downstream join.
+    *    At scale this filters early over longs-plus-one-term instead
+    *    of forcing the whole query back onto term structs. */
   private def filterEligible(c: Op, cond: Expr): Option[List[Expr]] = {
     val cs = conjunctsOf(cond).map(normNeg)
     val ok = cs.nonEmpty && isExtBlock(c) && cs.forall {
@@ -722,13 +779,43 @@ final class DictStore private (val spark: SparkSession,
           val shared = Algebra.vars(c).intersect(Algebra.vars(p))
           shared.nonEmpty && shared.subsetOf(assuredIdVars(c))
         }
-      case e => idPred(c, e)
+      case e => idPred(c, e) || !hasExists(e)
     }
     if (ok) Some(cs) else None
   }
 
+  /** Decode term columns for `vars` (as `__tv_<var>`) so a scalar
+    * condition can evaluate in the middle of an id-space pipeline:
+    * one dict join per distinct referenced var, LEFT OUTER where an
+    * OPTIONAL may have left the id NULL (unbound stays unbound). */
+  private def decodeVars(df0: DataFrame, vars: List[String],
+                         nullable: Set[String]): DataFrame = {
+    var df = df0
+    vars.zipWithIndex.foreach { case (v, i) =>
+      val d = dict.select(col("id").as(s"__tvi$i"), col("term").as(tvCol(v)))
+      df = df.join(d, col(v) === col(s"__tvi$i"),
+        if (nullable.contains(v)) "left_outer" else "inner")
+        .drop(s"__tvi$i")
+    }
+    df
+  }
+
+  private def tvCol(v: String): String = s"__tv_$v"
+
+  /** ExprCompiler whose variables resolve to the `__tv_` decoded term
+    * columns (vars without one are unbound, exactly like the standard
+    * compiler's missing-column case). */
+  private def tvExprCompiler(df: DataFrame): ExprCompiler =
+    new ExprCompiler(n =>
+      if (df.columns.contains(tvCol(n))) col(tvCol(n))
+      else graft.sparql.TermFns.nullTerm)
+
   private def compileFilterIds(child: Op, conjs: List[Expr],
                                keep: List[String]): DataFrame = {
+    val (existsConjs, scalarConjs) = conjs.partition(_.isInstanceOf[ExistsE])
+    // term-identity predicates run as long comparisons ON THE SCAN;
+    // everything else is a hybrid conjunct evaluated on decoded terms
+    val (idConjs, hybridConjs) = scalarConjs.partition(idPred(child, _))
     val condTerms = conjs.flatMap {
       case ExistsE(p, _) => scanConstTerms(allScans(p))
       case FuncE(_, args) => args.collect { case ConstE(t) => t }
@@ -736,18 +823,30 @@ final class DictStore private (val spark: SparkSession,
     }
     val consts = constIdsOf((scanConstTerms(allScans(child)) ++
       condConstTerms(child) ++ condTerms).distinct)
+    val nullable = Algebra.vars(child) -- assuredIdVars(child)
     var df = idsOf(child, consts)
-    conjs.foreach {
+    idConjs.foreach {
+      case FuncE(_, List(a, b)) =>
+        df = df.filter(idOperand(a, consts) === idOperand(b, consts))
+      case other => throw new IllegalStateException(s"not id-expressible: $other")
+    }
+    if (hybridConjs.nonEmpty) {
+      val condVars = hybridConjs.flatMap(exprVarsOf)
+        .filter(Algebra.vars(child).contains).distinct
+      val decoded = decodeVars(df, condVars, nullable)
+      val ec = tvExprCompiler(decoded)
+      df = decoded.filter(hybridConjs.map(ec.bool).reduce(_ && _))
+        .drop(condVars.map(tvCol): _*)
+    }
+    existsConjs.foreach {
       case ExistsE(p, negated) =>
         val pd = idsOf(p, consts)
         val shared = df.columns.intersect(pd.columns).toSeq
         df = df.join(pd.select(shared.map(col): _*), shared,
           if (negated) "left_anti" else "left_semi")
-      case FuncE(_, List(a, b)) =>
-        df = df.filter(idOperand(a, consts) === idOperand(b, consts))
-      case other => throw new IllegalStateException(s"not id-expressible: $other")
+      case other => throw new IllegalStateException(s"not an EXISTS: $other")
     }
-    materialize(df, keep, Algebra.vars(child) -- assuredIdVars(child))
+    materialize(df, keep, nullable)
   }
 
   private def flattenJoins(op: Op): List[Scan] = op match {

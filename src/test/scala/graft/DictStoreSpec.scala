@@ -250,14 +250,20 @@ class DictStoreSpec extends SparqlSpecBase {
     same("optionals.ttl", foafOptional)
   }
 
-  it should "keep a value-conditioned OPTIONAL on the standard compiler" in {
+  it should "run a value-conditioned OPTIONAL in id space via hybrid decode" in {
     val st = store("inner_filter.ttl")
     val q =
       """PREFIX : <http://example.com/>
         |SELECT ?x ?w { ?x :p ?v . OPTIONAL { ?x :q ?w . FILTER(?w < 4) } }""".stripMargin
     val rewritten = st.rewrite(parseOptimized(q))
-    countNodes(rewritten) { case _: Algebra.LeftJoin => true } shouldBe 1
+    countNodes(rewritten) { case _: Algebra.LeftJoin => true } shouldBe 0
+    materializedLeaves(rewritten) should have size 1
     same("inner_filter.ttl", q)
+    // condition referencing BOTH sides evaluates on the merged row
+    same("inner_filter.ttl",
+      """PREFIX : <http://example.com/>
+        |SELECT ?x ?v ?w
+        |{ ?x :p ?v . OPTIONAL { ?x :q ?w . FILTER(?w < ?v) } }""".stripMargin)
   }
 
   it should "swallow a right-only term-identity OPTIONAL condition into id space" in {
@@ -273,8 +279,9 @@ class DictStoreSpec extends SparqlSpecBase {
     countNodes(rewritten) { case _: Algebra.LeftJoin => true } shouldBe 0
     materializedLeaves(rewritten) should have size 1
     same("group_by.ttl", q)
-    // a LEFT-referencing identity condition must NOT be swallowed
-    // (filtering the right side would change which left rows match)
+    // a LEFT-referencing identity condition must NOT pre-filter the
+    // right side — it evaluates on the merged row (hybrid), and the
+    // whole spine still stays in id space
     val q2 =
       """PREFIX : <http://books.example/>
         |SELECT ?org ?b
@@ -282,7 +289,7 @@ class DictStoreSpec extends SparqlSpecBase {
         |  OPTIONAL { ?auth :writesBook ?b . FILTER(?org = :org1) } }""".stripMargin
     countNodes(st.rewrite(parseOptimized(q2))) {
       case _: Algebra.LeftJoin => true
-    } shouldBe 1
+    } shouldBe 0
     same("group_by.ttl", q2)
   }
 
@@ -371,39 +378,52 @@ class DictStoreSpec extends SparqlSpecBase {
         |  FILTER(?org = :org1 && EXISTS { ?auth :writesBook ?b }) }""".stripMargin)
   }
 
-  it should "keep literal equality and negated equality on the standard compiler" in {
+  it should "run value filters in id space via hybrid decode" in {
     val st = store("group_by.ttl")
     // numeric literal =: "1"^^int vs "01"^^int alias in value space,
-    // so this must NOT become an id predicate
+    // so this is NOT an id predicate — it decodes ?p's term and
+    // evaluates the standard value-equality predicate in id space
     val q1 =
       """PREFIX : <http://books.example/>
         |SELECT ?b { ?b :price ?p . FILTER(?p = 7) }""".stripMargin
-    countNodes(st.rewrite(parseOptimized(q1))) {
-      case _: Algebra.Filter => true
-    } shouldBe 1
+    val r1 = st.rewrite(parseOptimized(q1))
+    countNodes(r1) { case _: Algebra.Filter => true } shouldBe 0
+    materializedLeaves(r1) should have size 1
     same("group_by.ttl", q1)
-    // != keeps rows id-inequality would keep wrongly (error → drop)
+    // != keeps rows id-inequality would keep wrongly (error → drop) —
+    // hybrid evaluates true value-inequality
     val q2 =
       """PREFIX : <http://books.example/>
         |SELECT ?auth { ?org :affiliates ?auth . FILTER(?org != :org1) }""".stripMargin
     countNodes(st.rewrite(parseOptimized(q2))) {
       case _: Algebra.Filter => true
-    } shouldBe 1
+    } shouldBe 0
     same("group_by.ttl", q2)
+    // value comparison over an optional var (NULL ids decode to
+    // unbound → error → drop, same as the standard compiler)
+    same("optionals.ttl",
+      """PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        |SELECT ?name ?mbox
+        |{ ?x foaf:name ?name . OPTIONAL { ?x foaf:mbox ?mbox }
+        |  FILTER(STR(?mbox) > "mailto:b") }""".stripMargin)
+    // string/regex functions run on the decoded term too
+    same("optionals.ttl",
+      """PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        |SELECT ?name { ?x foaf:name ?name . FILTER(REGEX(?name, "^A")) }""".stripMargin)
   }
 
-  it should "keep scalar-conjunct and correlated-filter EXISTS on the standard compiler" in {
+  it should "mix scalar and EXISTS conjuncts in one id-space filter" in {
     val st = store("inner_filter.ttl")
-    // scalar conjunct alongside the EXISTS: needs term values
+    // scalar conjunct (hybrid decode) alongside an id-space EXISTS
     val q1 =
       """PREFIX : <http://example.com/>
         |SELECT ?x ?v { ?x :p ?v
         |  FILTER(?v > 1 && EXISTS { ?x :q ?w }) }""".stripMargin
-    countNodes(st.rewrite(parseOptimized(q1))) {
-      case _: Algebra.Filter => true
-    } should be >= 1
+    val r1 = st.rewrite(parseOptimized(q1))
+    countNodes(r1) { case _: Algebra.Filter => true } shouldBe 0
     same("inner_filter.ttl", q1)
     // inner FILTER referencing the outer scope (correlated lift)
+    // still needs the standard compiler's EXISTS machinery
     val q2 =
       """PREFIX : <http://example.com/>
         |SELECT ?x ?v { ?x :p ?v
