@@ -340,6 +340,18 @@ object SparkEntry {
           |             ?c :acctbal ?bal . FILTER(?bal > 9000) } }""".stripMargin),
         "nname" -> "string", "cname" -> "string")
     },
+    "q_dict_sum_avg" -> { (s, d) =>
+      // SUM/AVG in id space (round-9 continuation): the aggregated
+      // var hybrid-decodes pre-agg, the accumulator is the SAME shared
+      // code as the standard compiler (error poisoning, decimal/double
+      // promotion), and the group keys stay 8-byte longs through the
+      // shuffle with nation names decoding only post-agg
+      out(dictStore(s, d).sparql(prologue +
+        """SELECT ?nname (SUM(?bal) AS ?total) (AVG(?bal) AS ?avgbal)
+          |{ ?n2 :nname ?nname . ?c :inNation ?n2 . ?c :acctbal ?bal }
+          |GROUP BY ?nname""".stripMargin),
+        "nname" -> "string", "total" -> "double", "avgbal" -> "double")
+    },
     "q_dict_minmax" -> { (s, d) =>
       // MIN/MAX in id space: per-group comparisons run over (sort key,
       // id) pairs joined in from the dictionary — the groupBy shuffle
@@ -1729,6 +1741,11 @@ object SparkEntry {
       """SELECT n_name AS nname, c_name AS cname
         |FROM nation LEFT JOIN customer
         |  ON c_nationkey = n_nationkey AND c_acctbal > 9000""".stripMargin,
+    "q_dict_sum_avg" ->
+      """SELECT n_name AS nname, SUM(c_acctbal) AS total,
+        |  AVG(c_acctbal) AS avgbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
     "q_dict_minmax" ->
       """SELECT n_name AS nname, MIN(c_name) AS lo, MAX(c_name) AS hi,
         |  CAST(COUNT(*) AS BIGINT) AS n

@@ -575,20 +575,26 @@ final class DictStore private (val spark: SparkSession,
 
   // ----- id-space aggregation (COUNT/SAMPLE/MIN/MAX) -----
 
-  /** COUNT/SAMPLE/MIN/MAX aggregations stay in id space end-to-end:
-    * the groupBy shuffle carries long keys, and only the (group-sized,
-    * post-agg) key and per-group witness columns decode through the
-    * dictionary. Sound because all four are representation-blind —
-    * COUNT(?v) counts bound rows (id NULL-ness ⇔ term NULL-ness) and
-    * the dict is a bijection, so distinct ids ⇔ distinct terms;
-    * SAMPLE may return ANY of the group's values by spec, and a
-    * decoded first-id IS one of them; MIN/MAX compare through the SAME
-    * total-order sort key as the standard compiler, joined in from the
-    * dictionary per distinct aggregated var (a dict-sized projection,
-    * not an input-sized decode — and the key is injective on terms, so
-    * the id tiebreak can never pick a different value).
-    * SUM/AVG/GROUP_CONCAT genuinely consume term values row by row
-    * and stay on the standard compiler. */
+  /** Every SPARQL aggregate over a plain variable stays in id space:
+    * the groupBy shuffle carries long keys and only the (group-sized,
+    * post-agg) key and witness columns decode through the dictionary.
+    *  - COUNT/SAMPLE are representation-blind — COUNT(?v) counts bound
+    *    rows (id NULL-ness ⇔ term NULL-ness) and the dict is a
+    *    bijection, so distinct ids ⇔ distinct terms; SAMPLE may return
+    *    ANY group value by spec, and a decoded first-id IS one.
+    *  - MIN/MAX compare the SAME total-order sort key as the standard
+    *    compiler, joined in from a dictionary projection (the key is
+    *    injective on terms, so the id tiebreak is inert); only the
+    *    group-sized winners decode.
+    *  - SUM/AVG/GROUP_CONCAT genuinely consume term values row by
+    *    row, so the aggregated variable hybrid-decodes pre-agg — but
+    *    the accumulation runs through the SHARED
+    *    [[graft.sparql.Compiler.aggAccumulator]], the group keys stay
+    *    8-byte longs through the shuffle, and keys still decode only
+    *    post-agg. (DISTINCT SUM/AVG needs the standard compiler's
+    *    pre-dedup side pass and falls back.)
+    * COUNT(expr)/SUM(expr) over computed expressions stay on the
+    * standard compiler. */
   private def groupCountEligible(c: Op, keys: List[String],
                                  aggs: List[(String, AggE)]): Boolean =
     aggs.nonEmpty && isExtBlock(c) && keys.forall(Algebra.vars(c).contains) &&
@@ -599,6 +605,11 @@ final class DictStore private (val spark: SparkSession,
           case _ => false // COUNT(expr) evaluates term values
         })) ||
         (Set("SAMPLE", "MIN", "MAX").contains(a.func) && (a.expr match {
+          case Some(VarE(v)) => Algebra.vars(c).contains(v)
+          case _ => false
+        })) ||
+        (Set("SUM", "AVG", "GROUP_CONCAT").contains(a.func) &&
+          !(a.distinct && a.func != "GROUP_CONCAT") && (a.expr match {
           case Some(VarE(v)) => Algebra.vars(c).contains(v)
           case _ => false
         }))
@@ -629,10 +640,19 @@ final class DictStore private (val spark: SparkSession,
     val nullable = Algebra.vars(c) -- assuredIdVars(c)
     val (mmAggs, rest) =
       aggs.partition(a => a._2.func == "MIN" || a._2.func == "MAX")
-    val (sampleAggs, countAggs) = rest.partition(_._2.func == "SAMPLE")
-    val mmVars = mmAggs.map { case (_, a) =>
-      val Some(VarE(v)) = a.expr: @unchecked; v }.distinct
-    val df = joinSortKeys(idsOf(c, blockConsts(c)), mmVars, nullable)
+    val (valueAggs, rest2) = rest.partition(a =>
+      Set("SUM", "AVG", "GROUP_CONCAT").contains(a._2.func))
+    val (sampleAggs, countAggs) = rest2.partition(_._2.func == "SAMPLE")
+    def aggVar(a: AggE): String = {
+      val Some(VarE(v)) = a.expr: @unchecked; v
+    }
+    val mmVars = mmAggs.map(a => aggVar(a._2)).distinct
+    val valueVars = valueAggs.map(a => aggVar(a._2)).distinct
+    // MIN/MAX need only the dict's sort key; SUM/AVG/GROUP_CONCAT need
+    // the term value itself (hybrid decode of just the aggregated var)
+    val df = decodeVars(
+      joinSortKeys(idsOf(c, blockConsts(c)), mmVars, nullable),
+      valueVars, nullable)
     def countCol(a: AggE): Column = a.expr match {
       case None =>
         if (a.distinct) count_distinct(struct(df.columns.map(col): _*))
@@ -645,30 +665,36 @@ final class DictStore private (val spark: SparkSession,
       countAggs.map { case (n, a) =>
         graft.sparql.TermFns.intTerm(countCol(a)).as(n) } ++
       sampleAggs.map { case (n, a) =>
-        val Some(VarE(v)) = a.expr: @unchecked
-        first(col(v), ignoreNulls = true).as(n) // a group-member id
+        first(col(aggVar(a)), ignoreNulls = true).as(n) // a group-member id
       } ++
       mmAggs.map { case (n, a) =>
-        val Some(VarE(v)) = a.expr: @unchecked
+        val v = aggVar(a)
         // same shape as the standard compiler's min(struct(sortKey,
         // term)): NULL-out unbound rows so min/max skip them
         val kt = when(col(v).isNotNull,
           struct(col(skCol(v)).as("k"), col(v).as("t")))
         (if (a.func == "MIN") min(kt) else max(kt)).as(n)
+      } ++
+      valueAggs.map { case (n, a) =>
+        Compiler.aggAccumulator(Some(col(tvCol(aggVar(a)))), Nil, a).as(n)
       }
     val grouped =
       if (keys.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
       else df.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
-    // unwrap the min/max witness back to a bare id column
-    val unwrapped = mmAggs.foldLeft(grouped) { case (d, (n, _)) =>
+    // unwrap the min/max witness to a bare id; finish value aggregates
+    // to their term columns (shared finisher)
+    val unwrapped0 = mmAggs.foldLeft(grouped) { case (d, (n, _)) =>
       d.withColumn(n, col(n).getField("t"))
     }
-    // keys AND witness ids decode; counts are already integer terms.
-    // Witnesses decode LEFT OUTER: an all-NULL group has no min/max
-    // and SAMPLE of it is unbound.
+    val unwrapped = valueAggs.foldLeft(unwrapped0) { case (d, (n, a)) =>
+      d.withColumn(n, Compiler.aggFinish(col(n), a))
+    }
+    // keys AND witness ids decode; counts/value aggregates are already
+    // terms. Witnesses decode LEFT OUTER: an all-NULL group has no
+    // min/max and SAMPLE of it is unbound.
     materialize(unwrapped, keys ++ sampleAggs.map(_._1) ++ mmAggs.map(_._1),
       nullable ++ sampleAggs.map(_._1) ++ mmAggs.map(_._1),
-      carry = countAggs.map(_._1))
+      carry = countAggs.map(_._1) ++ valueAggs.map(_._1))
   }
 
   // ----- id-space ORDER BY + LIMIT (top-k with late decode) -----

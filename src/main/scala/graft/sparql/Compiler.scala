@@ -149,6 +149,86 @@ object Compiler {
     else (df.select(sel.toSeq: _*), names.toList)
   }
 
+  /** Per-aggregate accumulator — representation-AGNOSTIC, shared by
+    * the standard compiler's single-shuffle compileGroup and the dict
+    * store's id-space aggregation (which hybrid-decodes only the
+    * aggregated variable's term). `v` is the already-resolved value
+    * column (None for COUNT(*)); `allCols` are the visible columns for
+    * COUNT(DISTINCT *). Every aggregate reduces to ONE struct column
+    * so any mix still costs one shuffle; SUM/AVG carry their
+    * error-poisoning and type-promotion flags as sub-aggregates. */
+  private[graft] def aggAccumulator(v: Option[Column], allCols: Seq[Column],
+                                    a: AggE): Column = a.func match {
+    case "COUNT" =>
+      val c = v match {
+        case None =>
+          if (a.distinct) count_distinct(struct(allCols: _*))
+          else count(lit(1))
+        case Some(col0) =>
+          if (a.distinct) count_distinct(col0) else count(col0)
+      }
+      struct(c.as("n"))
+    case "SUM" | "AVG" =>
+      // DISTINCT SUM/AVG never reaches here — compileGroup rewrites
+      // it to a pre-deduplicated non-distinct pass (streaming memory
+      // instead of a per-group collect_set of all distinct terms).
+      val col0 = v.get
+      val dec = sum(numDec(col0))
+      val dbl = sum(numD(col0))
+      val cnt = count(col0)
+      struct(
+        dec.as("dec"), dbl.as("dbl"), cnt.as("cnt"),
+        // numD null on a numeric-typed term ⇔ invalid lexical form
+        // ("abc"^^xsd:integer) — also an evaluation error per spec
+        max(when(col0.isNull || !isNumeric(col0) || numD(col0).isNull, 1)
+          .otherwise(0)).as("poisoned"),
+        max(when(isFloating(col0), 1).otherwise(0)).as("anyFloat"),
+        max(when(isNumeric(col0) && !isIntegerTyped(col0) && !isFloating(col0), 1)
+          .otherwise(0)).as("anyDec"))
+    case "MIN" =>
+      struct(min(when(v.get.isNotNull,
+        struct(sortKey(v.get).as("k"), v.get.as("t")))).as("kt"))
+    case "MAX" =>
+      struct(max(when(v.get.isNotNull,
+        struct(sortKey(v.get).as("k"), v.get.as("t")))).as("kt"))
+    case "SAMPLE" =>
+      struct(first(v.get, ignoreNulls = true).as("t"))
+    case "GROUP_CONCAT" =>
+      val strs = when(v.get.isNotNull, lex(v.get))
+      val arr = if (a.distinct) collect_set(strs) else collect_list(strs)
+      struct(arr.as("items"))
+    case other => throw new IllegalArgumentException(s"unknown aggregate $other")
+  }
+
+  /** Finisher for [[aggAccumulator]]'s struct: the aggregate's term
+    * column (COUNT→integer term, SUM/AVG→promoted numeric or unbound
+    * when poisoned, MIN/MAX/SAMPLE→the witness value, GROUP_CONCAT→
+    * sorted-join string term). */
+  private[graft] def aggFinish(t: Column, a: AggE): Column = a.func match {
+    case "COUNT" => intTerm(t.getField("n"))
+    case "SUM" =>
+      val poisoned = t.getField("poisoned") === 1
+      val anyFloat = t.getField("anyFloat") === 1
+      val anyDec = t.getField("anyDec") === 1
+      when(poisoned, nullTerm)
+        .when(t.getField("cnt") === 0, intTerm(lit(0)))
+        .when(anyFloat, doubleTerm(t.getField("dbl")))
+        .when(anyDec, decTerm(t.getField("dec")))
+        .otherwise(intTermFromDec(t.getField("dec")))
+    case "AVG" =>
+      val poisoned = t.getField("poisoned") === 1
+      val anyFloat = t.getField("anyFloat") === 1
+      val avgDec = t.getField("dec") / t.getField("cnt")
+      when(poisoned, nullTerm)
+        .when(t.getField("cnt") === 0, intTerm(lit(0)))
+        .when(anyFloat, doubleTerm(t.getField("dbl") / t.getField("cnt")))
+        .otherwise(decTerm(avgDec.cast(DEC)))
+    case "MIN" | "MAX" => t.getField("kt").getField("t")
+    case "SAMPLE" => t.getField("t")
+    case "GROUP_CONCAT" =>
+      strTerm(array_join(array_sort(t.getField("items")), a.separator))
+  }
+
   /** ASK: one row, one boolean column `ask` — lazily planned (the
     * pattern is limited to a single row before the existence count). */
   def runAsk(quads: DataFrame, op: Op): DataFrame =
@@ -884,78 +964,11 @@ final class Compiler(quads: DataFrame) {
     val df = compileV(child)
     val ec = exprs(df)
 
-    def aggStruct(a: AggE): Column = {
-      val v = a.expr.map(ec.value)
-      a.func match {
-        case "COUNT" =>
-          val c = v match {
-            case None =>
-              if (a.distinct) count_distinct(struct(df.columns.map(col): _*))
-              else count(lit(1))
-            case Some(col0) =>
-              if (a.distinct) count_distinct(col0) else count(col0)
-          }
-          struct(c.as("n"))
-        case "SUM" | "AVG" =>
-          // DISTINCT SUM/AVG never reaches here — compileGroup rewrites
-          // it to a pre-deduplicated non-distinct pass (streaming memory
-          // instead of a per-group collect_set of all distinct terms).
-          val col0 = v.get
-          val dec = sum(numDec(col0))
-          val dbl = sum(numD(col0))
-          val cnt = count(col0)
-          struct(
-            dec.as("dec"), dbl.as("dbl"), cnt.as("cnt"),
-            // numD null on a numeric-typed term ⇔ invalid lexical form
-            // ("abc"^^xsd:integer) — also an evaluation error per spec
-            max(when(col0.isNull || !isNumeric(col0) || numD(col0).isNull, 1)
-              .otherwise(0)).as("poisoned"),
-            max(when(isFloating(col0), 1).otherwise(0)).as("anyFloat"),
-            max(when(isNumeric(col0) && !isIntegerTyped(col0) && !isFloating(col0), 1)
-              .otherwise(0)).as("anyDec"))
-        case "MIN" =>
-          struct(min(when(v.get.isNotNull,
-            struct(sortKey(v.get).as("k"), v.get.as("t")))).as("kt"))
-        case "MAX" =>
-          struct(max(when(v.get.isNotNull,
-            struct(sortKey(v.get).as("k"), v.get.as("t")))).as("kt"))
-        case "SAMPLE" =>
-          struct(first(v.get, ignoreNulls = true).as("t"))
-        case "GROUP_CONCAT" =>
-          val strs = when(v.get.isNotNull, lex(v.get))
-          val arr = if (a.distinct) collect_set(strs) else collect_list(strs)
-          struct(arr.as("items"))
-        case other => throw new IllegalArgumentException(s"unknown aggregate $other")
-      }
-    }
+    def aggStruct(a: AggE): Column =
+      Compiler.aggAccumulator(a.expr.map(ec.value), df.columns.map(col), a)
 
-    def finish(name: String, a: AggE): Column = {
-      val t = col(s"__agg_$name")
-      a.func match {
-        case "COUNT" => intTerm(t.getField("n"))
-        case "SUM" =>
-          val poisoned = t.getField("poisoned") === 1
-          val anyFloat = t.getField("anyFloat") === 1
-          val anyDec = t.getField("anyDec") === 1
-          when(poisoned, nullTerm)
-            .when(t.getField("cnt") === 0, intTerm(lit(0)))
-            .when(anyFloat, doubleTerm(t.getField("dbl")))
-            .when(anyDec, decTerm(t.getField("dec")))
-            .otherwise(intTermFromDec(t.getField("dec")))
-        case "AVG" =>
-          val poisoned = t.getField("poisoned") === 1
-          val anyFloat = t.getField("anyFloat") === 1
-          val avgDec = t.getField("dec") / t.getField("cnt")
-          when(poisoned, nullTerm)
-            .when(t.getField("cnt") === 0, intTerm(lit(0)))
-            .when(anyFloat, doubleTerm(t.getField("dbl") / t.getField("cnt")))
-            .otherwise(decTerm(avgDec.cast(DEC)))
-        case "MIN" | "MAX" => t.getField("kt").getField("t")
-        case "SAMPLE" => t.getField("t")
-        case "GROUP_CONCAT" =>
-          strTerm(array_join(array_sort(t.getField("items")), a.separator))
-      }
-    }
+    def finish(name: String, a: AggE): Column =
+      Compiler.aggFinish(col(s"__agg_$name"), a)
 
     // DISTINCT SUM/AVG: dedup (keys, term) FIRST, then aggregate the
     // deduped stream non-distinct — constant memory per group, where a
@@ -983,17 +996,9 @@ final class Compiler(quads: DataFrame) {
       val deduped = df
         .select(keys.map(col) :+ ec.value(a.expr.get).as("__v"): _*)
         .dropDuplicates()
-      val side = deduped.groupBy(keys.map(col): _*).agg {
-        val col0 = deduped("__v")
-        struct(
-          sum(numDec(col0)).as("dec"), sum(numD(col0)).as("dbl"),
-          count(col0).as("cnt"),
-          max(when(col0.isNull || !isNumeric(col0) || numD(col0).isNull, 1)
-            .otherwise(0)).as("poisoned"),
-          max(when(isFloating(col0), 1).otherwise(0)).as("anyFloat"),
-          max(when(isNumeric(col0) && !isIntegerTyped(col0) && !isFloating(col0), 1)
-            .otherwise(0)).as("anyDec")).as(s"__agg_$n")
-      }
+      val side = deduped.groupBy(keys.map(col): _*).agg(
+        Compiler.aggAccumulator(Some(deduped("__v")), Nil,
+          a.copy(distinct = false)).as(s"__agg_$n"))
       grouped =
         if (keys.isEmpty) grouped.crossJoin(side)
         else {

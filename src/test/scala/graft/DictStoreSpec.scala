@@ -506,11 +506,38 @@ class DictStoreSpec extends SparqlSpecBase {
         .map(r => r("org") -> r("n")).toMap
   }
 
-  it should "keep value aggregates (SUM/AVG/GROUP_CONCAT) on the standard compiler" in {
+  it should "run SUM/AVG/GROUP_CONCAT in id space with long group keys" in {
     val st = store("group_by.ttl")
     val q =
       """PREFIX : <http://books.example/>
-        |SELECT ?org (SUM(?p) AS ?t)
+        |SELECT ?org (SUM(?p) AS ?t) (AVG(?p) AS ?m)
+        |       (GROUP_CONCAT(?p; separator=",") AS ?g)
+        |{ ?org :affiliates ?auth . ?auth :writesBook ?b . ?b :price ?p }
+        |GROUP BY ?org""".stripMargin
+    val rewritten = st.rewrite(parseOptimized(q))
+    countNodes(rewritten) { case _: Algebra.Group => true } shouldBe 0
+    // the aggregation's group keys stay LONGS (only ?p's term column
+    // hybrid-decodes for the shared accumulator)
+    val blocks = materializedLeaves(rewritten)
+    blocks should have size 1
+    val aggNode = blocks.head.df.queryExecution.optimizedPlan.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.get
+    aggNode.groupingExpressions.forall(
+      _.dataType == org.apache.spark.sql.types.LongType) shouldBe true
+    same("group_by.ttl", q)
+    // error poisoning must ride along: a group mixing numbers with an
+    // IRI sums to unbound, exactly like the standard compiler
+    same("property_paths.ttl",
+      """PREFIX : <http://example/>
+        |SELECT ?s (SUM(?o) AS ?t) { ?s ?p ?o } GROUP BY ?s""".stripMargin)
+  }
+
+  it should "keep DISTINCT SUM/AVG on the standard compiler (pre-dedup side pass)" in {
+    val st = store("group_by.ttl")
+    val q =
+      """PREFIX : <http://books.example/>
+        |SELECT ?org (SUM(DISTINCT ?p) AS ?t)
         |{ ?org :affiliates ?auth . ?auth :writesBook ?b . ?b :price ?p }
         |GROUP BY ?org""".stripMargin
     countNodes(st.rewrite(parseOptimized(q))) {
