@@ -595,24 +595,21 @@ final class DictStore private (val spark: SparkSession,
     *    pre-dedup side pass and falls back.)
     * COUNT(expr)/SUM(expr) over computed expressions stay on the
     * standard compiler. */
+  private val aggFuncs =
+    Set("COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT")
+
   private def groupCountEligible(c: Op, keys: List[String],
                                  aggs: List[(String, AggE)]): Boolean =
     aggs.nonEmpty && isExtBlock(c) && keys.forall(Algebra.vars(c).contains) &&
       aggs.forall { case (_, a) =>
-        (a.func == "COUNT" && (a.expr match {
-          case None => true // COUNT(*) / COUNT(DISTINCT *) over the block's vars
-          case Some(VarE(v)) => Algebra.vars(c).contains(v)
-          case _ => false // COUNT(expr) evaluates term values
-        })) ||
-        (Set("SAMPLE", "MIN", "MAX").contains(a.func) && (a.expr match {
-          case Some(VarE(v)) => Algebra.vars(c).contains(v)
-          case _ => false
-        })) ||
-        (Set("SUM", "AVG", "GROUP_CONCAT").contains(a.func) &&
-          !(a.distinct && a.func != "GROUP_CONCAT") && (a.expr match {
-          case Some(VarE(v)) => Algebra.vars(c).contains(v)
-          case _ => false
-        }))
+        aggFuncs.contains(a.func) &&
+          // DISTINCT SUM/AVG needs the standard compiler's pre-dedup
+          // side pass
+          !(a.distinct && (a.func == "SUM" || a.func == "AVG")) &&
+          (a.expr match {
+            case None => a.func == "COUNT" // COUNT(*) / COUNT(DISTINCT *)
+            case Some(e) => !hasExists(e) // any scalar expr hybrid-decodes
+          })
       }
 
   /** Join the dictionary's sort key in for each of `vars` (as column
@@ -638,21 +635,30 @@ final class DictStore private (val spark: SparkSession,
   private def compileGroupCountIds(c: Op, keys: List[String],
                                    aggs: List[(String, AggE)]): DataFrame = {
     val nullable = Algebra.vars(c) -- assuredIdVars(c)
-    val (mmAggs, rest) =
-      aggs.partition(a => a._2.func == "MIN" || a._2.func == "MAX")
-    val (valueAggs, rest2) = rest.partition(a =>
-      Set("SUM", "AVG", "GROUP_CONCAT").contains(a._2.func))
-    val (sampleAggs, countAggs) = rest2.partition(_._2.func == "SAMPLE")
-    def aggVar(a: AggE): String = {
-      val Some(VarE(v)) = a.expr: @unchecked; v
+    // fast paths that never touch term values: COUNT/SAMPLE over a
+    // plain block var run on ids, MIN/MAX over one on dict sort keys
+    def plainVar(a: AggE): Option[String] = a.expr match {
+      case Some(VarE(v)) if Algebra.vars(c).contains(v) => Some(v)
+      case _ => None
     }
-    val mmVars = mmAggs.map(a => aggVar(a._2)).distinct
-    val valueVars = valueAggs.map(a => aggVar(a._2)).distinct
-    // MIN/MAX need only the dict's sort key; SUM/AVG/GROUP_CONCAT need
-    // the term value itself (hybrid decode of just the aggregated var)
+    val (countAggs, rest) = aggs.partition { case (_, a) =>
+      a.func == "COUNT" && (a.expr.isEmpty || plainVar(a).isDefined) }
+    val (sampleAggs, rest2) = rest.partition { case (_, a) =>
+      a.func == "SAMPLE" && plainVar(a).isDefined }
+    val (mmAggs, valueAggs) = rest2.partition { case (_, a) =>
+      (a.func == "MIN" || a.func == "MAX") && plainVar(a).isDefined }
+    // SUM/AVG/GROUP_CONCAT — and ANY aggregate over a computed
+    // expression — consume term values: hybrid-decode the referenced
+    // vars and feed the standard ExprCompiler value into the SHARED
+    // accumulator. Group keys stay longs either way.
+    val mmVars = mmAggs.map(a => plainVar(a._2).get).distinct
+    val valueVars = valueAggs
+      .flatMap(a => a._2.expr.toList.flatMap(exprVarsOf))
+      .filter(Algebra.vars(c).contains).distinct
     val df = decodeVars(
       joinSortKeys(idsOf(c, blockConsts(c)), mmVars, nullable),
       valueVars, nullable)
+    val tvEc = tvExprCompiler(df)
     def countCol(a: AggE): Column = a.expr match {
       case None =>
         if (a.distinct) count_distinct(struct(df.columns.map(col): _*))
@@ -665,10 +671,10 @@ final class DictStore private (val spark: SparkSession,
       countAggs.map { case (n, a) =>
         graft.sparql.TermFns.intTerm(countCol(a)).as(n) } ++
       sampleAggs.map { case (n, a) =>
-        first(col(aggVar(a)), ignoreNulls = true).as(n) // a group-member id
+        first(col(plainVar(a).get), ignoreNulls = true).as(n) // a member id
       } ++
       mmAggs.map { case (n, a) =>
-        val v = aggVar(a)
+        val v = plainVar(a).get
         // same shape as the standard compiler's min(struct(sortKey,
         // term)): NULL-out unbound rows so min/max skip them
         val kt = when(col(v).isNotNull,
@@ -676,7 +682,7 @@ final class DictStore private (val spark: SparkSession,
         (if (a.func == "MIN") min(kt) else max(kt)).as(n)
       } ++
       valueAggs.map { case (n, a) =>
-        Compiler.aggAccumulator(Some(col(tvCol(aggVar(a)))), Nil, a).as(n)
+        Compiler.aggAccumulator(Some(tvEc.value(a.expr.get)), Nil, a).as(n)
       }
     val grouped =
       if (keys.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
@@ -699,19 +705,20 @@ final class DictStore private (val spark: SparkSession,
 
   // ----- id-space ORDER BY + LIMIT (top-k with late decode) -----
 
-  /** Top-k over a block is id-expressible when every sort key is a
-    * plain variable of the block and the window is Int-sized: the sort
-    * total-orders (skey, id) rows, the limit keeps offset+k of them,
-    * and the dictionary decodes ONLY those — at scale this turns a
-    * full-result decode + TakeOrdered over term structs into a
-    * TakeOrdered over longs plus a k-row join. */
+  /** Top-k over a block is id-expressible when every sort key is an
+    * EXISTS-free scalar and the window is Int-sized: plain-variable
+    * keys take their sort key from a dictionary projection, computed
+    * keys hybrid-decode their variables and sort on
+    * sortKey(ExprCompiler.value) — the same key the standard
+    * compiler's ORDER BY builds. The sort total-orders (skey, id)
+    * rows, the limit keeps offset+k of them, and the dictionary
+    * decodes ONLY those — at scale this turns a full-result decode +
+    * TakeOrdered over term structs into a TakeOrdered over longs plus
+    * a k-row join. */
   private def orderSliceEligible(c: Op, keys: List[(Expr, Boolean)],
                                  off: Long, lim: Option[Long]): Boolean =
     isExtBlock(c) && keys.nonEmpty &&
-      keys.forall {
-        case (VarE(v), _) => Algebra.vars(c).contains(v)
-        case _ => false
-      } &&
+      keys.forall { case (e, _) => !hasExists(e) } &&
       lim.exists(l => off >= 0 && l >= 0 && off + l > 0 &&
         off + l <= Int.MaxValue)
 
@@ -719,20 +726,40 @@ final class DictStore private (val spark: SparkSession,
                              off: Long, lim: Long,
                              keep: List[String]): DataFrame = {
     val nullable = Algebra.vars(c) -- assuredIdVars(c)
-    val sortVars = keys.map { case (VarE(v), _) => v case other =>
-      throw new IllegalStateException(s"not a var sort key: $other") }.distinct
-    val df = joinSortKeys(idsOf(c, blockConsts(c)), sortVars, nullable)
+    val blockVars = Algebra.vars(c)
+    def isPlain(e: Expr): Boolean = e match {
+      case VarE(v) => blockVars.contains(v)
+      case _ => false
+    }
+    val sortVars = keys.collect { case (VarE(v), _) if isPlain(VarE(v)) => v }
+      .distinct
+    val exprKeys = keys.map(_._1).filterNot(isPlain).distinct
+    val exprVars = exprKeys.flatMap(exprVarsOf)
+      .filter(blockVars.contains).distinct
+    var df = decodeVars(
+      joinSortKeys(idsOf(c, blockConsts(c)), sortVars, nullable),
+      exprVars, nullable)
+    val tvEc = tvExprCompiler(df)
+    val exprSk = exprKeys.zipWithIndex.map { case (e, i) =>
+      e -> s"__ske_$i" }.toMap
+    exprSk.foreach { case (e, n) =>
+      df = df.withColumn(n, graft.sparql.TermFns.sortKey(tvEc.value(e))) }
+    df = df.drop(exprVars.map(tvCol): _*)
     // NULL skey ⇔ unbound var; Spark's default NULLS FIRST (asc) /
     // NULLS LAST (desc) coincides with the standard compiler's rank-0
-    // unbound row, which sorts before every bound term
-    def sortCols = keys.map { case (VarE(v), asc) =>
-      if (asc) col(skCol(v)).asc else col(skCol(v)).desc
+    // unbound row, which sorts before every bound term (computed keys
+    // are never NULL — sortKey itself maps unbound to rank 0)
+    def sortCols = keys.map { case (e, asc) =>
+      val k = if (isPlain(e)) {
+        val VarE(v) = e: @unchecked; col(skCol(v))
+      } else col(exprSk(e))
+      if (asc) k.asc else k.desc
     }
     val topIds = df.orderBy(sortCols: _*).limit((off + lim).toInt)
     // decode the k rows, re-establish the order on the CARRIED skeys
     // (materialization joins do not preserve row order), then slice
     val decoded = materialize(topIds, keep, nullable,
-      carry = sortVars.map(skCol))
+      carry = sortVars.map(skCol) ++ exprSk.values.toList)
     val ordered = decoded.orderBy(sortCols: _*)
       .select(keep.filter(decoded.columns.contains).map(col): _*)
     (if (off > 0) ordered.offset(off.toInt) else ordered).limit(lim.toInt)

@@ -533,6 +533,23 @@ class DictStoreSpec extends SparqlSpecBase {
         |SELECT ?s (SUM(?o) AS ?t) { ?s ?p ?o } GROUP BY ?s""".stripMargin)
   }
 
+  it should "aggregate computed expressions in id space" in {
+    val st = store("group_by.ttl")
+    val q =
+      """PREFIX : <http://books.example/>
+        |SELECT ?org (SUM(?p * 2) AS ?t) (MIN(STR(?b)) AS ?mb)
+        |{ ?org :affiliates ?a . ?a :writesBook ?b . ?b :price ?p }
+        |GROUP BY ?org""".stripMargin
+    val rewritten = st.rewrite(parseOptimized(q))
+    countNodes(rewritten) { case _: Algebra.Group => true } shouldBe 0
+    same("group_by.ttl", q)
+    // ungrouped global aggregate over an expression
+    same("group_by.ttl",
+      """PREFIX : <http://books.example/>
+        |SELECT (AVG(?p + 1) AS ?m) (COUNT(DISTINCT ?p) AS ?n)
+        |{ ?b :price ?p }""".stripMargin)
+  }
+
   it should "keep DISTINCT SUM/AVG on the standard compiler (pre-dedup side pass)" in {
     val st = store("group_by.ttl")
     val q =
@@ -603,16 +620,22 @@ class DictStoreSpec extends SparqlSpecBase {
     collect(st.sparql(q3)) shouldBe run("group_by.ttl", q3)
   }
 
-  it should "keep expression sorts and LIMIT-less ORDER on the standard compiler" in {
+  it should "sort top-k on computed expressions in id space" in {
     val st = store("group_by.ttl")
-    // expression sort key → ineligible
+    // expression sort key: hybrid-decode ?p, sort on
+    // sortKey(value(?p + 1)) — mixed with a plain-var tiebreak
     val q1 =
       """PREFIX : <http://books.example/>
-        |SELECT ?b ?p { ?b :price ?p } ORDER BY (?p + 1) LIMIT 2""".stripMargin
-    countNodes(st.rewrite(parseOptimized(q1))) {
-      case _: Algebra.Order => true
-    } shouldBe 1
+        |SELECT ?b ?p { ?b :price ?p } ORDER BY (?p + 1) ?b LIMIT 2""".stripMargin
+    val r1 = st.rewrite(parseOptimized(q1))
+    countNodes(r1) { case _: Algebra.Order => true } shouldBe 0
     collect(st.sparql(q1)) shouldBe run("group_by.ttl", q1)
+    val q1d = q1.replace("(?p + 1) ?b", "DESC(?p + 1) DESC(?b)")
+    collect(st.sparql(q1d)) shouldBe run("group_by.ttl", q1d)
+  }
+
+  it should "keep LIMIT-less ORDER on the standard compiler" in {
+    val st = store("group_by.ttl")
     // no LIMIT → full sort, nothing to prune: stays standard
     val q2 =
       """PREFIX : <http://books.example/>
