@@ -340,6 +340,16 @@ object SparkEntry {
           |             ?c :acctbal ?bal . FILTER(?bal > 9000) } }""".stripMargin),
         "nname" -> "string", "cname" -> "string")
     },
+    "q_dict_bind" -> { (s, d) =>
+      // BIND in id space: ?b hybrid-decodes, the arithmetic computes
+      // as a term column on the id frame, and ?cname still
+      // late-materializes (same query and oracle as q_bind_arith, so
+      // DuckDB certifies the two execution paths agree)
+      out(dictStore(s, d).sparql(prologue +
+        """SELECT ?cname ?dbl
+          |{ ?c :cname ?cname . ?c :acctbal ?b . BIND(?b * 2 - 100 AS ?dbl) }""".stripMargin),
+        "cname" -> "string", "dbl" -> "double")
+    },
     "q_dict_sum_avg" -> { (s, d) =>
       // SUM/AVG in id space (round-9 continuation): the aggregated
       // var hybrid-decodes pre-agg, the accumulator is the SAME shared
@@ -1741,6 +1751,8 @@ object SparkEntry {
       """SELECT n_name AS nname, c_name AS cname
         |FROM nation LEFT JOIN customer
         |  ON c_nationkey = n_nationkey AND c_acctbal > 9000""".stripMargin,
+    "q_dict_bind" ->
+      "SELECT c_name AS cname, c_acctbal * 2 - 100 AS dbl FROM customer",
     "q_dict_sum_avg" ->
       """SELECT n_name AS nname, SUM(c_acctbal) AS total,
         |  AVG(c_acctbal) AS avgbal

@@ -181,6 +181,14 @@ final class DictStore private (val spark: SparkSession,
           Materialized(compileFilterIds(c, conjs, keep), keep)
         case None => Filter(go(c), e)
       }
+      // BIND over a block: the expression's vars hybrid-decode, the
+      // bound value computes as a term column riding the id frame, and
+      // the block still materializes late (SPARQL scoping guarantees
+      // the bound name is fresh in the group pattern)
+      case ex @ Extend(c, n, e)
+        if isExtBlock(c) && !hasExists(e) && !Algebra.vars(c).contains(n) =>
+        val keep = keepFor(ex, Algebra.varsOrdered(c) :+ n)
+        Materialized(compileExtendIds(c, n, e, keep), keep)
       case Extend(c, n, e) => Extend(go(c), n, e)
       case Project(c, vs) => Project(go(c), vs)
       case Distinct(c) => Distinct(go(c))
@@ -900,6 +908,22 @@ final class DictStore private (val spark: SparkSession,
       case other => throw new IllegalStateException(s"not an EXISTS: $other")
     }
     materialize(df, keep, nullable)
+  }
+
+  /** BIND in id space: decode the expression's variables, compute the
+    * bound TERM column on the id frame (same ExprCompiler value as the
+    * standard compiler's Extend), drop the decoded inputs, and late-
+    * materialize everything else. The computed column is already a
+    * term, so it rides through [[materialize]] as `carry`. */
+  private def compileExtendIds(c: Op, n: String, e: Expr,
+                               keep: List[String]): DataFrame = {
+    val nullable = Algebra.vars(c) -- assuredIdVars(c)
+    val condVars = exprVarsOf(e).toList.filter(Algebra.vars(c).contains)
+    val df = decodeVars(idsOf(c, blockConsts(c)), condVars, nullable)
+    val bound = df.withColumn(n, tvExprCompiler(df).value(e))
+      .drop(condVars.map(tvCol): _*)
+    materialize(bound, keep.filterNot(_ == n), nullable,
+      carry = if (keep.contains(n)) List(n) else Nil)
   }
 
   private def flattenJoins(op: Op): List[Scan] = op match {

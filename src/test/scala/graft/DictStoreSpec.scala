@@ -550,6 +550,29 @@ class DictStoreSpec extends SparqlSpecBase {
         |{ ?b :price ?p }""".stripMargin)
   }
 
+  it should "compute BIND over a block in id space" in {
+    val st = store("group_by.ttl")
+    val q =
+      """PREFIX : <http://books.example/>
+        |SELECT ?b ?dbl { ?b :price ?p . BIND(?p * 2 AS ?dbl) }""".stripMargin
+    val rewritten = st.rewrite(parseOptimized(q))
+    countNodes(rewritten) { case _: Algebra.Extend => true } shouldBe 0
+    materializedLeaves(rewritten) should have size 1
+    same("group_by.ttl", q)
+    // the bound var feeding a later FILTER above the block (the filter
+    // runs on the materialized term column; values must agree)
+    same("group_by.ttl",
+      """PREFIX : <http://books.example/>
+        |SELECT ?b { ?b :price ?p . BIND(?p * 2 AS ?d) FILTER(?d > 10) }""".stripMargin)
+    // expression over an optional var: unbound rows bind an error →
+    // unbound, exactly like the standard compiler
+    same("optionals.ttl",
+      """PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        |SELECT ?name ?u
+        |{ ?x foaf:name ?name . OPTIONAL { ?x foaf:mbox ?mbox }
+        |  BIND(UCASE(STR(?mbox)) AS ?u) }""".stripMargin)
+  }
+
   it should "keep DISTINCT SUM/AVG on the standard compiler (pre-dedup side pass)" in {
     val st = store("group_by.ttl")
     val q =
