@@ -52,19 +52,23 @@ import org.apache.spark.sql.types._
   * OPTIONAL / MINUS spines and bag UNIONs (absent vars pad as NULL
   * ids); joins above them when shared vars are assured both sides;
   * FILTER [NOT] EXISTS over BGP patterns (long semi/anti joins);
-  * COUNT/SAMPLE/MIN/MAX aggregation (keys decode post-agg; min/max
-  * compare dict-joined sort keys); ORDER BY + LIMIT top-k (sort on
-  * skeys, decode k rows); DISTINCT/REDUCED (dedup before decode);
-  * `+`/`*` closures (per-round frontier joins on longs);
-  * term-identity filters as long predicates; and ANY other scalar
-  * FILTER or OPTIONAL condition via the HYBRID decode — only the
-  * condition's variables join their terms back in and the predicate
-  * evaluates through the standard ExprCompiler, so value semantics
-  * are shared code, not a re-implementation. What still falls back to
-  * the standard compiler over [[decodedQuads]]: EXISTS with
-  * correlated inner filters, SUM/AVG/GROUP_CONCAT (they consume term
-  * values row by row), zero-length paths with constant ends — the
-  * fast path can never change semantics, only the plan under it.
+  * EVERY SPARQL aggregate (keys decode post-agg; COUNT/SAMPLE over
+  * plain vars run on bare ids, MIN/MAX over plain vars compare
+  * dict-joined sort keys, and SUM/AVG/GROUP_CONCAT plus any aggregate
+  * over a computed expression hybrid-decode their inputs into the
+  * shared Compiler.aggAccumulator); ORDER BY + LIMIT top-k (sort on
+  * skeys — dict-joined or computed — and decode k rows);
+  * DISTINCT/REDUCED (dedup before decode); `+`/`*` closures
+  * (per-round frontier joins on longs); term-identity filters as
+  * long predicates; and ANY other scalar FILTER, OPTIONAL condition
+  * or BIND via the HYBRID decode — only the expression's variables
+  * join their terms back in and it evaluates through the standard
+  * ExprCompiler, so value semantics are shared code, not a
+  * re-implementation. What still falls back to the standard compiler
+  * over [[decodedQuads]]: EXISTS with correlated inner filters,
+  * DISTINCT SUM/AVG (needs the pre-dedup side pass), zero-length
+  * paths with constant ends — the fast path can never change
+  * semantics, only the plan under it.
   */
 final class DictStore private (val spark: SparkSession,
                                val dict: DataFrame,
@@ -581,7 +585,7 @@ final class DictStore private (val spark: SparkSession,
     case other => throw new IllegalStateException(s"not an ext block: $other")
   }
 
-  // ----- id-space aggregation (COUNT/SAMPLE/MIN/MAX) -----
+  // ----- id-space aggregation -----
 
   /** Every SPARQL aggregate over a plain variable stays in id space:
     * the groupBy shuffle carries long keys and only the (group-sized,
@@ -594,15 +598,14 @@ final class DictStore private (val spark: SparkSession,
     *    compiler, joined in from a dictionary projection (the key is
     *    injective on terms, so the id tiebreak is inert); only the
     *    group-sized winners decode.
-    *  - SUM/AVG/GROUP_CONCAT genuinely consume term values row by
-    *    row, so the aggregated variable hybrid-decodes pre-agg — but
-    *    the accumulation runs through the SHARED
-    *    [[graft.sparql.Compiler.aggAccumulator]], the group keys stay
+    *  - SUM/AVG/GROUP_CONCAT — and ANY aggregate over a computed
+    *    expression — genuinely consume term values, so their input
+    *    variables hybrid-decode pre-agg and the value feeds the SHARED
+    *    [[graft.sparql.Compiler.aggAccumulator]]; the group keys stay
     *    8-byte longs through the shuffle, and keys still decode only
-    *    post-agg. (DISTINCT SUM/AVG needs the standard compiler's
-    *    pre-dedup side pass and falls back.)
-    * COUNT(expr)/SUM(expr) over computed expressions stay on the
-    * standard compiler. */
+    *    post-agg.
+    * Only DISTINCT SUM/AVG (which needs the standard compiler's
+    * pre-dedup side pass) and nested-EXISTS expressions fall back. */
   private val aggFuncs =
     Set("COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT")
 
@@ -627,18 +630,35 @@ final class DictStore private (val spark: SparkSession,
     * sortKey. LEFT OUTER for vars an OPTIONAL may have left NULL. */
   private def joinSortKeys(df0: DataFrame, vars: List[String],
                            nullable: Set[String]): DataFrame = {
-    var df = df0
-    vars.zipWithIndex.foreach { case (v, i) =>
-      val dsk = dict.select(col("id").as(s"__ski$i"),
-        graft.sparql.TermFns.sortKey(col("term")).as(skCol(v)))
-      df = df.join(dsk, col(v) === col(s"__ski$i"),
-        if (nullable.contains(v)) "left_outer" else "inner")
-        .drop(s"__ski$i")
-    }
-    df
+    // a var whose term is ALREADY hybrid-decoded derives its sort key
+    // from that column — one dict join per var, never two
+    val (derivable, joinable) =
+      vars.partition(v => df0.columns.contains(tvCol(v)))
+    val joined = joinDictCols(df0, joinable, nullable,
+      graft.sparql.TermFns.sortKey, skCol)
+    derivable.foldLeft(joined)((d, v) =>
+      d.withColumn(skCol(v), graft.sparql.TermFns.sortKey(col(tvCol(v)))))
   }
 
   private def skCol(v: String): String = s"__sk_$v"
+
+  /** One dict join per var, projecting `proj(term)` as `name(var)` —
+    * LEFT OUTER where an OPTIONAL may have left the id NULL (unbound
+    * stays unbound). Shared by the term decode ([[decodeVars]]) and
+    * the sort-key join ([[joinSortKeys]]), so the two cannot drift. */
+  private def joinDictCols(df0: DataFrame, vars: List[String],
+                           nullable: Set[String], proj: Column => Column,
+                           name: String => String): DataFrame = {
+    var df = df0
+    vars.zipWithIndex.foreach { case (v, i) =>
+      val d = dict.select(col("id").as(s"__ji$i"),
+        proj(col("term")).as(name(v)))
+      df = df.join(d, col(v) === col(s"__ji$i"),
+        if (nullable.contains(v)) "left_outer" else "inner")
+        .drop(s"__ji$i")
+    }
+    df
+  }
 
   private def compileGroupCountIds(c: Op, keys: List[String],
                                    aggs: List[(String, AggE)]): DataFrame = {
@@ -663,9 +683,11 @@ final class DictStore private (val spark: SparkSession,
     val valueVars = valueAggs
       .flatMap(a => a._2.expr.toList.flatMap(exprVarsOf))
       .filter(Algebra.vars(c).contains).distinct
-    val df = decodeVars(
-      joinSortKeys(idsOf(c, blockConsts(c)), mmVars, nullable),
-      valueVars, nullable)
+    // value decode FIRST so joinSortKeys can derive a var's sort key
+    // from its already-decoded term instead of a second dict join
+    val df = joinSortKeys(
+      decodeVars(idsOf(c, blockConsts(c)), valueVars, nullable),
+      mmVars, nullable)
     val tvEc = tvExprCompiler(df)
     def countCol(a: AggE): Column = a.expr match {
       case None =>
@@ -744,9 +766,11 @@ final class DictStore private (val spark: SparkSession,
     val exprKeys = keys.map(_._1).filterNot(isPlain).distinct
     val exprVars = exprKeys.flatMap(exprVarsOf)
       .filter(blockVars.contains).distinct
-    var df = decodeVars(
-      joinSortKeys(idsOf(c, blockConsts(c)), sortVars, nullable),
-      exprVars, nullable)
+    // expr-var decode FIRST so joinSortKeys can derive a plain sort
+    // var's key from its already-decoded term instead of a second join
+    var df = joinSortKeys(
+      decodeVars(idsOf(c, blockConsts(c)), exprVars, nullable),
+      sortVars, nullable)
     val tvEc = tvExprCompiler(df)
     val exprSk = exprKeys.zipWithIndex.map { case (e, i) =>
       e -> s"__ske_$i" }.toMap
@@ -846,20 +870,11 @@ final class DictStore private (val spark: SparkSession,
   }
 
   /** Decode term columns for `vars` (as `__tv_<var>`) so a scalar
-    * condition can evaluate in the middle of an id-space pipeline:
-    * one dict join per distinct referenced var, LEFT OUTER where an
-    * OPTIONAL may have left the id NULL (unbound stays unbound). */
+    * condition can evaluate in the middle of an id-space pipeline. */
   private def decodeVars(df0: DataFrame, vars: List[String],
-                         nullable: Set[String]): DataFrame = {
-    var df = df0
-    vars.zipWithIndex.foreach { case (v, i) =>
-      val d = dict.select(col("id").as(s"__tvi$i"), col("term").as(tvCol(v)))
-      df = df.join(d, col(v) === col(s"__tvi$i"),
-        if (nullable.contains(v)) "left_outer" else "inner")
-        .drop(s"__tvi$i")
-    }
-    df
-  }
+                         nullable: Set[String]): DataFrame =
+    joinDictCols(df0, vars.filterNot(v => df0.columns.contains(tvCol(v))),
+      nullable, identity, tvCol)
 
   private def tvCol(v: String): String = s"__tv_$v"
 
@@ -1026,28 +1041,19 @@ object DictStore {
     * side when it fits. */
   def encode(quads: DataFrame, path: String): DictStore = {
     val spark = quads.sparkSession
-    val terms = quads.select(col("s").as("term"))
-      .unionByName(quads.select(col("p").as("term")))
-      .unionByName(quads.select(col("o").as("term")))
-      .unionByName(quads.filter(col("g").isNotNull).select(col("g").as("term")))
-      .distinct()
     // ids assigned once, then frozen by the write: everything downstream
     // (including the quads encode below) reads the PERSISTED dict, so
     // monotonically_increasing_id's task-retry nondeterminism can never
-    // produce two views of the same id space
-    terms.select(monotonically_increasing_id().as("id"), col("term"))
+    // produce two views of the same id space. CRITICAL: no shuffle may
+    // sit between the id assignment and the write — the assignment
+    // stage must BE the write stage, so each task's (id, term) file is
+    // internally consistent and exactly one attempt per task commits.
+    distinctTerms(quads)
+      .select(monotonically_increasing_id().as("id"), col("term"))
       .write.mode(SaveMode.Overwrite).option("compression", "zstd")
       .parquet(s"$path/dict")
     val dict = spark.read.parquet(s"$path/dict")
-    def d(i: Int) = dict.select(col("id").as(s"__ei$i"), col("term").as(s"__et$i"))
-    val encoded = quads
-      .join(d(0), col("s") === col("__et0"))
-      .join(d(1), col("p") === col("__et1"))
-      .join(d(2), col("o") === col("__et2"))
-      .join(d(3), col("g") === col("__et3"), "left_outer")
-      .select(col("__ei0").as("s"), col("__ei1").as("p"),
-        col("__ei2").as("o"), col("__ei3").as("g"))
-    encoded
+    encodeIds(quads, dict)
       .repartition(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt,
         col("p"), col("s"))
       .sortWithinPartitions("p", "s")
@@ -1059,6 +1065,28 @@ object DictStore {
     graft.sparql.QuadsStats.write(spark,
       graft.sparql.QuadsStats.compute(quads), s"$path/stats")
     load(spark, path)
+  }
+
+  /** Every distinct term of the four quad positions (NULL g is the
+    * default graph, not a term). Shared by both ingest layouts. */
+  private def distinctTerms(quads: DataFrame): DataFrame =
+    quads.select(col("s").as("term"))
+      .unionByName(quads.select(col("p").as("term")))
+      .unionByName(quads.select(col("o").as("term")))
+      .unionByName(quads.filter(col("g").isNotNull).select(col("g").as("term")))
+      .distinct()
+
+  /** The four encode joins against a FROZEN dict (s/p/o inner, g left
+    * outer). Shared by both ingest layouts. */
+  private def encodeIds(quads: DataFrame, dict: DataFrame): DataFrame = {
+    def d(i: Int) = dict.select(col("id").as(s"__ei$i"), col("term").as(s"__et$i"))
+    quads
+      .join(d(0), col("s") === col("__et0"))
+      .join(d(1), col("p") === col("__et1"))
+      .join(d(2), col("o") === col("__et2"))
+      .join(d(3), col("g") === col("__et3"), "left_outer")
+      .select(col("__ei0").as("s"), col("__ei1").as("p"),
+        col("__ei2").as("o"), col("__ei3").as("g"))
   }
 
   /** Open a persisted store (stats sidecar optional — stores written
@@ -1111,29 +1139,30 @@ object DictStore {
                      buckets: Int = 32): DictStore = {
     val spark = quads.sparkSession
     val base = tableBase(path)
-    val terms = quads.select(col("s").as("term"))
-      .unionByName(quads.select(col("p").as("term")))
-      .unionByName(quads.select(col("o").as("term")))
-      .unionByName(quads.filter(col("g").isNotNull).select(col("g").as("term")))
-      .distinct()
-    // ids frozen by the write, as in encode(); repartition on the
-    // bucket column first so each task owns whole buckets (one file
-    // per bucket, not one per task × bucket)
-    terms.select(monotonically_increasing_id().as("id"), col("term"))
+    // TWO-phase dict write. Ids must freeze in a write whose stage IS
+    // the assignment stage (see encode()): with a repartition between
+    // monotonically_increasing_id and the bucketed write, an upstream
+    // stage retry would re-assign ids for rows routed to not-yet-
+    // committed bucket files while already-committed files keep the
+    // old assignment — a silently non-bijective dictionary. So phase 1
+    // freezes (id, term) exactly like encode(), and phase 2 re-buckets
+    // the FROZEN copy (pure deterministic routing, retry-safe).
+    distinctTerms(quads)
+      .select(monotonically_increasing_id().as("id"), col("term"))
+      .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+      .parquet(s"$path/dict_ids")
+    spark.read.parquet(s"$path/dict_ids")
       .repartition(buckets, col("id"))
       .write.mode(SaveMode.Overwrite).option("compression", "zstd")
       .option("path", s"$path/dict")
       .bucketBy(buckets, "id").sortBy("id")
       .saveAsTable(s"${base}_dict")
+    deletePath(spark, s"$path/dict_ids")
     val dict = spark.table(s"${base}_dict")
-    def d(i: Int) = dict.select(col("id").as(s"__ei$i"), col("term").as(s"__et$i"))
-    quads
-      .join(d(0), col("s") === col("__et0"))
-      .join(d(1), col("p") === col("__et1"))
-      .join(d(2), col("o") === col("__et2"))
-      .join(d(3), col("g") === col("__et3"), "left_outer")
-      .select(col("__ei0").as("s"), col("__ei1").as("p"),
-        col("__ei2").as("o"), col("__ei3").as("g"))
+    // the encode-join output is a deterministic row set and the
+    // repartition routes by hash(s) — no assignment nondeterminism, so
+    // the quads can bucket in one pass
+    encodeIds(quads, dict)
       .repartition(buckets, col("s"))
       .write.mode(SaveMode.Overwrite).option("compression", "zstd")
       .option("path", s"$path/quads")
@@ -1141,7 +1170,7 @@ object DictStore {
       .saveAsTable(s"${base}_quads")
     graft.sparql.QuadsStats.write(spark,
       graft.sparql.QuadsStats.compute(quads), s"$path/stats")
-    writeTextFile(s"$path/bucketed.json", s"""{"buckets": $buckets}""")
+    writeTextFile(spark, s"$path/bucketed.json", s"""{"buckets": $buckets}""")
     loadBucketed(spark, path)
   }
 
@@ -1152,7 +1181,7 @@ object DictStore {
     * `bucketed.json` guarantees. */
   def loadBucketed(spark: SparkSession, path: String): DictStore = {
     val buckets = """"buckets"\s*:\s*(\d+)""".r
-      .findFirstMatchIn(readTextFile(s"$path/bucketed.json"))
+      .findFirstMatchIn(readTextFile(spark, s"$path/bucketed.json"))
       .map(_.group(1).toInt)
       .getOrElse(throw new IllegalArgumentException(
         s"$path/bucketed.json: no bucket count — not a bucketed store"))
@@ -1177,14 +1206,37 @@ object DictStore {
       catch { case _: org.apache.spark.sql.AnalysisException => None })
   }
 
-  private def writeTextFile(p: String, text: String): Unit = {
-    val f = new java.io.File(p)
-    f.getParentFile.mkdirs()
-    java.nio.file.Files.write(f.toPath,
-      text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  // marker I/O goes through the Hadoop FileSystem of the store path —
+  // a bucketed store can live on any filesystem Spark writes to
+  // (hdfs://, s3a://, file:…), not just the driver's local disk
+  private def hadoopFs(spark: SparkSession, p: String) = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    (hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
   }
 
-  private def readTextFile(p: String): String =
-    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
-      java.nio.charset.StandardCharsets.UTF_8)
+  private def writeTextFile(spark: SparkSession, p: String,
+                            text: String): Unit = {
+    val (fs, hp) = hadoopFs(spark, p)
+    val out = fs.create(hp, true)
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readTextFile(spark: SparkSession, p: String): String = {
+    val (fs, hp) = hadoopFs(spark, p)
+    val in = fs.open(hp)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  private def deletePath(spark: SparkSession, p: String): Unit = {
+    val (fs, hp) = hadoopFs(spark, p)
+    fs.delete(hp, true)
+    ()
+  }
 }

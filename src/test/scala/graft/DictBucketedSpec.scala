@@ -147,6 +147,16 @@ class DictBucketedSpec extends SparqlSpecBase {
     }
   }
 
+  it should "clean up the phase-1 frozen dict copy after bucketing" in {
+    // encodeBucketed freezes (id, term) in a plain write first (ids
+    // must not cross a shuffle before committing — see the scaladoc),
+    // then re-buckets the frozen copy and deletes it
+    val dir = java.nio.file.Files.createTempDirectory("graft-bkt-phases").toString
+    DictStore.encodeBucketed(TestSpark.fixture("union.ttl"), s"$dir/s", buckets = 2)
+    new java.io.File(s"$dir/s/dict_ids").exists() shouldBe false
+    new java.io.File(s"$dir/s/bucketed.json").exists() shouldBe true
+  }
+
   it should "refuse to load a non-bucketed path" in {
     val dir = java.nio.file.Files.createTempDirectory("graft-bkt-miss").toString
     an[Exception] should be thrownBy DictStore.loadBucketed(spark, dir)

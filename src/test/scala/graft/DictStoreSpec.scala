@@ -573,6 +573,28 @@ class DictStoreSpec extends SparqlSpecBase {
         |  BIND(UCASE(STR(?mbox)) AS ?u) }""".stripMargin)
   }
 
+  it should "pay one dict join for a var used by both MIN and SUM" in {
+    val st = store("group_by.ttl")
+    val q =
+      """PREFIX : <http://books.example/>
+        |SELECT ?org (MIN(?p) AS ?lo) (SUM(?p) AS ?t)
+        |{ ?org :affiliates ?a . ?a :writesBook ?b . ?b :price ?p }
+        |GROUP BY ?org""".stripMargin
+    val rewritten = st.rewrite(parseOptimized(q))
+    countNodes(rewritten) { case _: Algebra.Group => true } shouldBe 0
+    // under the Aggregate: 2 intra-block joins + exactly ONE dict
+    // decode join for ?p (the MIN sort key derives from the decoded
+    // term instead of a second dict join)
+    val blocks = materializedLeaves(rewritten)
+    val aggNode = blocks.head.df.queryExecution.optimizedPlan.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.get
+    aggNode.child.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.size shouldBe 3
+    same("group_by.ttl", q)
+  }
+
   it should "keep DISTINCT SUM/AVG on the standard compiler (pre-dedup side pass)" in {
     val st = store("group_by.ttl")
     val q =
