@@ -153,7 +153,7 @@ object SparkEntry {
     * a 32-bit hashCode alone could collide two datasets — plus a
     * format-version tag so a layout change in a later build never
     * silently reuses an old store. */
-  private val CacheVersion = "v2"
+  private val CacheVersion = "v3"
   private def tmpPath(prefix: String, d: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_${prefix}_" +
       d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + CacheVersion

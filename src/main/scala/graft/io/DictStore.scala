@@ -73,7 +73,8 @@ import org.apache.spark.sql.types._
 final class DictStore private (val spark: SparkSession,
                                val dict: DataFrame,
                                val idQuads: DataFrame,
-                               val stats: Option[graft.sparql.QuadsStats]) {
+                               val stats: Option[graft.sparql.QuadsStats],
+                               lookupDict: Option[DataFrame] = None) {
 
   /** Term-struct view of the store: the four id columns joined back
     * against the dictionary (g via left join — NULL g is the default
@@ -971,15 +972,39 @@ final class DictStore private (val spark: SparkSession,
         (sc.g match { case GraphTerm(t) => List(t); case _ => Nil })
     }.distinct
 
-  private def constIdsOf(terms: List[Term]): Map[Term, Long] = {
-    val ec = new ExprCompiler(_ => lit(null).cast(TermSchema.termType))
+  private def constIdsOf(terms: List[Term]): Map[Term, Long] =
     if (terms.isEmpty) Map.empty
-    else {
-      val cond = terms.map(t => col("term") === ec.termCol(t)).reduce(_ || _)
-      dict.filter(cond).select(col("term"), col("id")).collect().flatMap { r =>
-        TermSchema.fromRow(r.getStruct(0)).map(_ -> r.getLong(1))
-      }.toMap
+    else lookupFrame(terms).collect().flatMap { r =>
+      TermSchema.fromRow(r.getStruct(0)).map(_ -> r.getLong(1))
+    }.toMap
+
+  /** The (term, id) rows for a constant set, as a pruned dict scan.
+    * Term equality is decomposed into LEAF-field predicates
+    * (kind/lex/dt/lang conjunctions, OR'd per constant): unlike
+    * whole-struct equality — which Spark lists as pushed but parquet
+    * cannot evaluate against row-group statistics — every leaf
+    * comparison is genuinely parquet-prunable, so on a lex-clustered
+    * dictionary (both ingest paths range-partition + sort by
+    * `term.lex`) the per-query driver lookup touches the few row
+    * groups whose lex range covers the constants instead of scanning
+    * the term-count-sized dictionary. Bucketed stores read the
+    * lex-clustered `dict_by_lex` sidecar (same ids — phase 2
+    * re-buckets the same frozen rows); the id-bucketed table itself
+    * has no lex locality. */
+  private[graft] def lookupFrame(terms: List[Term]): DataFrame = {
+    import graft.rdf.{BNode, Iri, Lit, TermKind}
+    def leafEq(t: Term): Column = {
+      val (kind, dt, lang) = t match {
+        case _: Iri => (TermKind.IRI, "", "")
+        case _: BNode => (TermKind.BNODE, "", "")
+        case l: Lit => (TermKind.LITERAL, l.dt, l.lang)
+      }
+      col("term.kind") === lit(kind) && col("term.lex") === lit(t.lex) &&
+        col("term.dt") === lit(dt) && col("term.lang") === lit(lang)
     }
+    lookupDict.getOrElse(dict)
+      .filter(terms.map(leafEq).reduce(_ || _))
+      .select(col("term"), col("id"))
   }
 
   /** One quad-pattern scan over the long-encoded table: constant
@@ -1048,8 +1073,10 @@ object DictStore {
     // sit between the id assignment and the write — the assignment
     // stage must BE the write stage, so each task's (id, term) file is
     // internally consistent and exactly one attempt per task commits.
-    distinctTerms(quads)
-      .select(monotonically_increasing_id().as("id"), col("term"))
+    // (The lex range-partition + sort sit BEFORE the assignment inside
+    // that same stage: they make per-query constant lookups prune by
+    // row-group lex ranges — see [[DictStore.lookupFrame]].)
+    lexClusteredIds(quads)
       .write.mode(SaveMode.Overwrite).option("compression", "zstd")
       .parquet(s"$path/dict")
     val dict = spark.read.parquet(s"$path/dict")
@@ -1075,6 +1102,21 @@ object DictStore {
       .unionByName(quads.select(col("o").as("term")))
       .unionByName(quads.filter(col("g").isNotNull).select(col("g").as("term")))
       .distinct()
+
+  /** The frozen-id dict frame both ingest layouts write: distinct
+    * terms range-partitioned and sorted by `term.lex` (so files carry
+    * tight lex min/max for lookup pruning), with ids assigned INSIDE
+    * the write stage (after the range shuffle — see the retry-safety
+    * comments at the call sites). */
+  private def lexClusteredIds(quads: DataFrame): DataFrame = {
+    val spark = quads.sparkSession
+    distinctTerms(quads)
+      .repartitionByRange(
+        spark.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+        col("term.lex"))
+      .sortWithinPartitions(col("term.lex"))
+      .select(monotonically_increasing_id().as("id"), col("term"))
+  }
 
   /** The four encode joins against a FROZEN dict (s/p/o inner, g left
     * outer). Shared by both ingest layouts. */
@@ -1146,18 +1188,19 @@ object DictStore {
     // committed bucket files while already-committed files keep the
     // old assignment — a silently non-bijective dictionary. So phase 1
     // freezes (id, term) exactly like encode(), and phase 2 re-buckets
-    // the FROZEN copy (pure deterministic routing, retry-safe).
-    distinctTerms(quads)
-      .select(monotonically_increasing_id().as("id"), col("term"))
+    // the FROZEN copy (pure deterministic routing, retry-safe). The
+    // phase-1 copy is lex-clustered and KEPT as `dict_by_lex`: it is
+    // the pruned per-query constant-lookup side (the id-bucketed table
+    // has no lex locality), and its ids are identical by construction.
+    lexClusteredIds(quads)
       .write.mode(SaveMode.Overwrite).option("compression", "zstd")
-      .parquet(s"$path/dict_ids")
-    spark.read.parquet(s"$path/dict_ids")
+      .parquet(s"$path/dict_by_lex")
+    spark.read.parquet(s"$path/dict_by_lex")
       .repartition(buckets, col("id"))
       .write.mode(SaveMode.Overwrite).option("compression", "zstd")
       .option("path", s"$path/dict")
       .bucketBy(buckets, "id").sortBy("id")
       .saveAsTable(s"${base}_dict")
-    deletePath(spark, s"$path/dict_ids")
     val dict = spark.table(s"${base}_dict")
     // the encode-join output is a deterministic row set and the
     // repartition routes by hash(s) — no assignment nondeterminism, so
@@ -1203,6 +1246,10 @@ object DictStore {
       spark.table(s"${base}_dict"),
       spark.table(s"${base}_quads"),
       try Some(graft.sparql.QuadsStats.read(spark, s"$path/stats"))
+      catch { case _: org.apache.spark.sql.AnalysisException => None },
+      // lex-clustered lookup sidecar (absent on stores written before
+      // it existed — the bucketed table answers lookups unpruned then)
+      try Some(spark.read.parquet(s"$path/dict_by_lex"))
       catch { case _: org.apache.spark.sql.AnalysisException => None })
   }
 
@@ -1234,9 +1281,4 @@ object DictStore {
     } finally in.close()
   }
 
-  private def deletePath(spark: SparkSession, p: String): Unit = {
-    val (fs, hp) = hadoopFs(spark, p)
-    fs.delete(hp, true)
-    ()
-  }
 }

@@ -147,14 +147,32 @@ class DictBucketedSpec extends SparqlSpecBase {
     }
   }
 
-  it should "clean up the phase-1 frozen dict copy after bucketing" in {
-    // encodeBucketed freezes (id, term) in a plain write first (ids
-    // must not cross a shuffle before committing — see the scaladoc),
-    // then re-buckets the frozen copy and deletes it
+  it should "keep the lex-clustered phase-1 dict as the lookup sidecar" in {
+    // encodeBucketed freezes (id, term) in a plain lex-clustered write
+    // first (ids must not cross a shuffle before committing — see the
+    // scaladoc), re-buckets the frozen copy for the join side, and
+    // keeps the phase-1 copy as the pruned constant-lookup side
     val dir = java.nio.file.Files.createTempDirectory("graft-bkt-phases").toString
-    DictStore.encodeBucketed(TestSpark.fixture("union.ttl"), s"$dir/s", buckets = 2)
-    new java.io.File(s"$dir/s/dict_ids").exists() shouldBe false
+    val st = DictStore.encodeBucketed(
+      TestSpark.fixture("union.ttl"), s"$dir/s", buckets = 2)
+    new java.io.File(s"$dir/s/dict_by_lex").exists() shouldBe true
     new java.io.File(s"$dir/s/bucketed.json").exists() shouldBe true
+    // the sidecar and the bucketed table are the same (id, term) set
+    val side = spark.read.parquet(s"$dir/s/dict_by_lex")
+    side.exceptAll(st.dict).count() shouldBe 0
+    st.dict.exceptAll(side).count() shouldBe 0
+  }
+
+  it should "push constant lookups down to the dictionary by lex" in {
+    val (bucketed, plain) = bothStores("optionals.ttl")
+    val terms = List[graft.rdf.Term](
+      graft.rdf.Iri("http://xmlns.com/foaf/0.1/name"))
+    for (st <- Seq(bucketed, plain)) {
+      val plan = st.lookupFrame(terms).queryExecution.executedPlan.toString
+      // the redundant lex conjunct reaches the parquet scan, where the
+      // lex-clustered layout turns it into row-group pruning
+      plan should include regex raw"PushedFilters: \[[^\]]*term\.lex"
+    }
   }
 
   it should "refuse to load a non-bucketed path" in {
