@@ -340,6 +340,18 @@ object SparkEntry {
           |             ?c :acctbal ?bal . FILTER(?bal > 9000) } }""".stripMargin),
         "nname" -> "string", "cname" -> "string")
     },
+    "q_dict_values" -> { (s, d) =>
+      // VALUES probe list in id space: the constants resolve to ids
+      // driver-side and the probe joins the block as a local long
+      // relation (solution compatibility is term identity ≡ id
+      // equality) — the common "join the corpus against a small list"
+      // idiom without ever leaving id space
+      out(dictStore(s, d).sparql(prologue +
+        """SELECT ?cname ?seg
+          |{ ?c :cname ?cname . ?c :mktsegment ?seg .
+          |  VALUES ?seg { "MACHINERY" "BUILDING" } }""".stripMargin),
+        "cname" -> "string", "seg" -> "string")
+    },
     "q_dict_bind" -> { (s, d) =>
       // BIND in id space: ?b hybrid-decodes, the arithmetic computes
       // as a term column on the id frame, and ?cname still
@@ -1751,6 +1763,9 @@ object SparkEntry {
       """SELECT n_name AS nname, c_name AS cname
         |FROM nation LEFT JOIN customer
         |  ON c_nationkey = n_nationkey AND c_acctbal > 9000""".stripMargin,
+    "q_dict_values" ->
+      """SELECT c_name AS cname, c_mktsegment AS seg FROM customer
+        |WHERE c_mktsegment IN ('MACHINERY', 'BUILDING')""".stripMargin,
     "q_dict_bind" ->
       "SELECT c_name AS cname, c_acctbal * 2 - 100 AS dbl FROM customer",
     "q_dict_sum_avg" ->

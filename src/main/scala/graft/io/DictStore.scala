@@ -50,7 +50,10 @@ import org.apache.spark.sql.types._
   * cardinality, so this is safe under any ancestor including
   * DISTINCT). Id-safe ([[isExtBlock]] + dedicated cases): BGP blocks;
   * OPTIONAL / MINUS spines and bag UNIONs (absent vars pad as NULL
-  * ids); joins above them when shared vars are assured both sides;
+  * ids); joins above them when shared vars are assured both sides —
+  * including fully-defined VALUES probe lists, which join as local
+  * long relations (solution compatibility is term identity, which IS
+  * id equality);
   * FILTER [NOT] EXISTS over BGP patterns (long semi/anti joins);
   * EVERY SPARQL aggregate (keys decode post-agg; COUNT/SAMPLE over
   * plain vars run on bare ids, MIN/MAX over plain vars compare
@@ -65,10 +68,9 @@ import org.apache.spark.sql.types._
   * join their terms back in and it evaluates through the standard
   * ExprCompiler, so value semantics are shared code, not a
   * re-implementation. What still falls back to the standard compiler
-  * over [[decodedQuads]]: EXISTS with correlated inner filters,
-  * DISTINCT SUM/AVG (needs the pre-dedup side pass), zero-length
-  * paths with constant ends — the fast path can never change
-  * semantics, only the plan under it.
+  * over [[decodedQuads]]: EXISTS with correlated inner filters and
+  * zero-length paths with constant ends — the fast path can never
+  * change semantics, only the plan under it.
   */
 final class DictStore private (val spark: SparkSession,
                                val dict: DataFrame,
@@ -256,11 +258,34 @@ final class DictStore private (val spark: SparkSession,
     // Joins ABOVE unions/optionals are id-safe only when every shared
     // var is assured on BOTH sides — a possibly-null shared var needs
     // SPARQL compat semantics (NULL matches anything), which a long
-    // equi-join would get wrong; those stay on the standard compiler
-    case Join(l, r) => isExtBlock(l) && isExtBlock(r) && {
-      val shared = Algebra.vars(l).intersect(Algebra.vars(r))
-      shared.subsetOf(assuredIdVars(l)) && shared.subsetOf(assuredIdVars(r))
-    }
+    // equi-join would get wrong; those stay on the standard compiler.
+    // A fully-defined VALUES may sit on either side as a probe list
+    // when ALL its vars are shared with the data side: SPARQL solution
+    // compatibility is TERM identity, i.e. id equality, and a constant
+    // absent from the dictionary maps to sentinel -1, which no real id
+    // equals — the row correctly never joins. (Values-only vars are
+    // excluded because an unmatched -1 could never decode back to its
+    // term; two VALUES may not join each other — both sides could map
+    // DIFFERENT absent terms to -1 and falsely match.)
+    case Join(l, r) =>
+      def dataSide(x: Op) = isExtBlock(x)
+      def valuesSide(x: Op, other: Op) = idSafeValues(x) &&
+        Algebra.vars(x).subsetOf(Algebra.vars(other))
+      val ok = (dataSide(l) && dataSide(r)) ||
+        (dataSide(l) && valuesSide(r, l)) ||
+        (dataSide(r) && valuesSide(l, r))
+      ok && {
+        val shared = Algebra.vars(l).intersect(Algebra.vars(r))
+        shared.subsetOf(assuredIdVars(l)) && shared.subsetOf(assuredIdVars(r))
+      }
+    case _ => false
+  }
+
+  /** A VALUES block with no UNDEF anywhere — only then is every cell a
+    * constant term the dictionary can (fail to) resolve; an UNDEF cell
+    * needs compat NULL-matches-anything semantics. */
+  private def idSafeValues(op: Op): Boolean = op match {
+    case Values(_, rows) => rows.forall(_.forall(_.isDefined))
     case _ => false
   }
 
@@ -279,6 +304,7 @@ final class DictStore private (val spark: SparkSession,
     case Minus(l, _) => assuredIdVars(l)
     case Union(l, r) => assuredIdVars(l).intersect(assuredIdVars(r))
     case Join(l, r) => assuredIdVars(l) ++ assuredIdVars(r)
+    case v: Values if idSafeValues(v) => Algebra.vars(v)
     case _ => Set.empty
   }
 
@@ -477,6 +503,7 @@ final class DictStore private (val spark: SparkSession,
     case Join(l, r) => condConstTerms(l) ++ condConstTerms(r)
     case Minus(l, r) => condConstTerms(l) ++ condConstTerms(r)
     case Union(l, r) => condConstTerms(l) ++ condConstTerms(r)
+    case Values(_, rows) => rows.flatten.flatten
     case _ => Nil
   }
 
@@ -583,6 +610,14 @@ final class DictStore private (val spark: SparkSession,
       val (ld, rd) = (idsOf(l, consts), idsOf(r, consts))
       val shared = ld.columns.intersect(rd.columns).toSeq
       if (shared.isEmpty) ld.crossJoin(rd) else ld.join(rd, shared)
+    case Values(vs, rows) => // probe list as a local long relation
+      val schema = StructType(vs.map(StructField(_, LongType, nullable = false)))
+      val data = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      rows.foreach { r =>
+        data.add(org.apache.spark.sql.Row(
+          r.map(t => consts.getOrElse(t.get, -1L)): _*))
+      }
+      spark.createDataFrame(data, schema)
     case other => throw new IllegalStateException(s"not an ext block: $other")
   }
 
@@ -605,8 +640,11 @@ final class DictStore private (val spark: SparkSession,
     *    [[graft.sparql.Compiler.aggAccumulator]]; the group keys stay
     *    8-byte longs through the shuffle, and keys still decode only
     *    post-agg.
-    * Only DISTINCT SUM/AVG (which needs the standard compiler's
-    * pre-dedup side pass) and nested-EXISTS expressions fall back. */
+    *  - DISTINCT SUM/AVG transplants the standard compiler's pre-dedup
+    *    side pass: the dedup runs on LONG tuples (for a plain var the
+    *    id is the distinctness witness — bijection again) and only the
+    *    already-deduplicated stream decodes for accumulation.
+    * Only nested-EXISTS aggregate expressions fall back. */
   private val aggFuncs =
     Set("COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT")
 
@@ -615,9 +653,6 @@ final class DictStore private (val spark: SparkSession,
     aggs.nonEmpty && isExtBlock(c) && keys.forall(Algebra.vars(c).contains) &&
       aggs.forall { case (_, a) =>
         aggFuncs.contains(a.func) &&
-          // DISTINCT SUM/AVG needs the standard compiler's pre-dedup
-          // side pass
-          !(a.distinct && (a.func == "SUM" || a.func == "AVG")) &&
           (a.expr match {
             case None => a.func == "COUNT" // COUNT(*) / COUNT(DISTINCT *)
             case Some(e) => !hasExists(e) // any scalar expr hybrid-decodes
@@ -670,7 +705,11 @@ final class DictStore private (val spark: SparkSession,
       case Some(VarE(v)) if Algebra.vars(c).contains(v) => Some(v)
       case _ => None
     }
-    val (countAggs, rest) = aggs.partition { case (_, a) =>
+    // DISTINCT SUM/AVG takes the standard compiler's pre-dedup side
+    // pass, transplanted to id space (see below)
+    val (distAggs, aggs1) = aggs.partition { case (_, a) =>
+      a.distinct && (a.func == "SUM" || a.func == "AVG") }
+    val (countAggs, rest) = aggs1.partition { case (_, a) =>
       a.func == "COUNT" && (a.expr.isEmpty || plainVar(a).isDefined) }
     val (sampleAggs, rest2) = rest.partition { case (_, a) =>
       a.func == "SAMPLE" && plainVar(a).isDefined }
@@ -684,10 +723,10 @@ final class DictStore private (val spark: SparkSession,
     val valueVars = valueAggs
       .flatMap(a => a._2.expr.toList.flatMap(exprVarsOf))
       .filter(Algebra.vars(c).contains).distinct
+    val df0 = idsOf(c, blockConsts(c))
     // value decode FIRST so joinSortKeys can derive a var's sort key
     // from its already-decoded term instead of a second dict join
-    val df = joinSortKeys(
-      decodeVars(idsOf(c, blockConsts(c)), valueVars, nullable),
+    val df = joinSortKeys(decodeVars(df0, valueVars, nullable),
       mmVars, nullable)
     val tvEc = tvExprCompiler(df)
     def countCol(a: AggE): Column = a.expr match {
@@ -715,23 +754,76 @@ final class DictStore private (val spark: SparkSession,
       valueAggs.map { case (n, a) =>
         Compiler.aggAccumulator(Some(tvEc.value(a.expr.get)), Nil, a).as(n)
       }
-    val grouped =
-      if (keys.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+    var grouped =
+      if (aggCols.isEmpty) {
+        // all aggregates went to the DISTINCT side path; SPARQL still
+        // returns one solution per group (one total when ungrouped,
+        // even over an empty match) — same seeding as compileGroup
+        if (keys.isEmpty) df.sparkSession.range(1).select()
+        else df.select(keys.map(col): _*).dropDuplicates()
+      }
+      else if (keys.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
       else df.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    // DISTINCT SUM/AVG side pass in id space: dedup (long keys, value)
+    // FIRST — for a plain var the value is its 8-byte id (the dict
+    // bijection makes id-distinctness ≡ term-distinctness), for a
+    // computed expression the hybrid-evaluated term — then aggregate
+    // the deduped stream non-distinct through the shared accumulator
+    // and join back on the long keys (null-safe: an optional group key
+    // can be a NULL id)
+    distAggs.foreach { case (n, a) =>
+      val (dedup, valueCol) = plainVar(a) match {
+        case Some(v) =>
+          val d = df0.select((keys :+ v).distinct.map(col): _*).dropDuplicates()
+          (d, col(v))
+        case None =>
+          val vs = a.expr.toList.flatMap(exprVarsOf)
+            .filter(Algebra.vars(c).contains).distinct
+          val withTv = decodeVars(df0, vs, nullable)
+          val d = withTv
+            .select(keys.map(col) :+
+              tvExprCompiler(withTv).value(a.expr.get).as("__v"): _*)
+            .dropDuplicates()
+          (d, col("__v"))
+      }
+      // a plain-var dedup carries ids: decode the value for the
+      // accumulator (LEFT OUTER — unbound contributes like standard)
+      val (sideIn, vCol) = plainVar(a) match {
+        case Some(v) => (decodeVars(dedup, List(v), Set(v)), col(tvCol(v)))
+        case None => (dedup, valueCol)
+      }
+      val side =
+        if (keys.isEmpty)
+          sideIn.agg(Compiler.aggAccumulator(Some(vCol), Nil,
+            a.copy(distinct = false)).as(n))
+        else sideIn.groupBy(keys.map(col): _*)
+          .agg(Compiler.aggAccumulator(Some(vCol), Nil,
+            a.copy(distinct = false)).as(n))
+      grouped =
+        if (keys.isEmpty) grouped.crossJoin(side)
+        else {
+          val renamed = keys.foldLeft(side)((d, k) =>
+            d.withColumnRenamed(k, s"__k_$k"))
+          val cond = keys.map(k => grouped(k) <=> renamed(s"__k_$k"))
+            .reduce(_ && _)
+          grouped.join(renamed, cond, "inner")
+            .drop(keys.map(k => s"__k_$k"): _*)
+        }
+    }
     // unwrap the min/max witness to a bare id; finish value aggregates
     // to their term columns (shared finisher)
     val unwrapped0 = mmAggs.foldLeft(grouped) { case (d, (n, _)) =>
       d.withColumn(n, col(n).getField("t"))
     }
-    val unwrapped = valueAggs.foldLeft(unwrapped0) { case (d, (n, a)) =>
-      d.withColumn(n, Compiler.aggFinish(col(n), a))
+    val unwrapped = (valueAggs ++ distAggs).foldLeft(unwrapped0) {
+      case (d, (n, a)) => d.withColumn(n, Compiler.aggFinish(col(n), a))
     }
     // keys AND witness ids decode; counts/value aggregates are already
     // terms. Witnesses decode LEFT OUTER: an all-NULL group has no
     // min/max and SAMPLE of it is unbound.
     materialize(unwrapped, keys ++ sampleAggs.map(_._1) ++ mmAggs.map(_._1),
       nullable ++ sampleAggs.map(_._1) ++ mmAggs.map(_._1),
-      carry = countAggs.map(_._1) ++ valueAggs.map(_._1))
+      carry = countAggs.map(_._1) ++ valueAggs.map(_._1) ++ distAggs.map(_._1))
   }
 
   // ----- id-space ORDER BY + LIMIT (top-k with late decode) -----

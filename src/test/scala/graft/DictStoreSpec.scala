@@ -595,17 +595,75 @@ class DictStoreSpec extends SparqlSpecBase {
     same("group_by.ttl", q)
   }
 
-  it should "keep DISTINCT SUM/AVG on the standard compiler (pre-dedup side pass)" in {
+  it should "join a fully-defined VALUES probe list in id space" in {
     val st = store("group_by.ttl")
     val q =
       """PREFIX : <http://books.example/>
-        |SELECT ?org (SUM(DISTINCT ?p) AS ?t)
+        |SELECT ?org ?auth
+        |{ ?org :affiliates ?auth . VALUES ?org { :org1 } }""".stripMargin
+    val rewritten = st.rewrite(parseOptimized(q))
+    countNodes(rewritten) { case _: Algebra.Values => true } shouldBe 0
+    countNodes(rewritten) { case _: Algebra.Join => true } shouldBe 0
+    same("group_by.ttl", q)
+    // multi-var, multi-row probe list; one row names a term absent
+    // from the data — it must contribute nothing, not everything
+    same("group_by.ttl",
+      """PREFIX : <http://books.example/>
+        |SELECT ?org ?auth
+        |{ ?org :affiliates ?auth .
+        |  VALUES (?org ?auth) { (:org1 :auth1) (:org2 :auth9) } }""".stripMargin)
+    // duplicate probe rows multiply matches (bag semantics)
+    same("group_by.ttl",
+      """PREFIX : <http://books.example/>
+        |SELECT ?org ?auth
+        |{ ?org :affiliates ?auth . VALUES ?org { :org1 :org1 } }""".stripMargin)
+  }
+
+  it should "keep UNDEF and unshared-var VALUES on the standard compiler" in {
+    val st = store("group_by.ttl")
+    // UNDEF needs compat NULL-matches-anything semantics
+    val q1 =
+      """PREFIX : <http://books.example/>
+        |SELECT ?org ?auth
+        |{ ?org :affiliates ?auth .
+        |  VALUES (?org ?auth) { (:org1 UNDEF) } }""".stripMargin
+    countNodes(st.rewrite(parseOptimized(q1))) {
+      case _: Algebra.Values => true
+    } shouldBe 1
+    same("group_by.ttl", q1)
+    // a VALUES-only var could name a term absent from the dictionary —
+    // it must bind the original term, which id space cannot express
+    val q2 =
+      """PREFIX : <http://books.example/>
+        |SELECT ?org ?x
+        |{ ?org :affiliates ?auth . VALUES (?org ?x) { (:org1 :elsewhere) } }""".stripMargin
+    countNodes(st.rewrite(parseOptimized(q2))) {
+      case _: Algebra.Values => true
+    } shouldBe 1
+    same("group_by.ttl", q2)
+  }
+
+  it should "run DISTINCT SUM/AVG in id space via a long-tuple pre-dedup" in {
+    val st = store("group_by.ttl")
+    val q =
+      """PREFIX : <http://books.example/>
+        |SELECT ?org (SUM(DISTINCT ?p) AS ?t) (AVG(DISTINCT ?p) AS ?m)
+        |       (COUNT(?b) AS ?n)
         |{ ?org :affiliates ?auth . ?auth :writesBook ?b . ?b :price ?p }
         |GROUP BY ?org""".stripMargin
-    countNodes(st.rewrite(parseOptimized(q))) {
-      case _: Algebra.Group => true
-    } shouldBe 1
+    val rewritten = st.rewrite(parseOptimized(q))
+    countNodes(rewritten) { case _: Algebra.Group => true } shouldBe 0
     same("group_by.ttl", q)
+    // ungrouped, and ALL aggregates on the side path (seeded one row)
+    same("group_by.ttl",
+      """PREFIX : <http://books.example/>
+        |SELECT (SUM(DISTINCT ?p) AS ?t) { ?b :price ?p }""".stripMargin)
+    // DISTINCT over a computed expression dedups the evaluated value
+    same("group_by.ttl",
+      """PREFIX : <http://books.example/>
+        |SELECT ?org (SUM(DISTINCT ?p * 0) AS ?z)
+        |{ ?org :affiliates ?a . ?a :writesBook ?b . ?b :price ?p }
+        |GROUP BY ?org""".stripMargin)
   }
 
   it should "run MIN/MAX in id space through dict-joined sort keys" in {
