@@ -101,18 +101,54 @@ final class DictStore private (val spark: SparkSession,
 
   /** Execute a SPARQL query with the id-space BGP fast path. Query
     * forms and result schemas match [[Sparql.QuadsOps.sparql]].
-    * Queries with FROM / FROM NAMED fall back entirely to the decoded
-    * view (the dataset clause filters on term lexicals). */
+    * FROM / FROM NAMED apply as a pre-transform of the LONG quad
+    * table ([[withDataset]]), so dataset-scoped queries keep the full
+    * fast path. */
   def sparql(query: String): DataFrame = SparqlParser.parseAny(query) match {
-    case SparqlParser.SelectQuery(op, ds) if ds.isEmpty =>
-      Compiler.run(decodedQuads, rewrite(BgpOptimizer.optimize(op, stats)))
-    case SparqlParser.AskQuery(op, ds) if ds.isEmpty =>
-      Compiler.runAsk(decodedQuads, rewrite(BgpOptimizer.optimize(op, stats)))
-    case SparqlParser.ConstructQuery(template, op, ds) if ds.isEmpty =>
-      Compiler.runConstruct(decodedQuads, template,
-        rewrite(BgpOptimizer.optimize(op, stats)))
+    case SparqlParser.SelectQuery(op, ds) =>
+      val st = withDataset(ds)
+      Compiler.run(st.decodedQuads, st.rewrite(BgpOptimizer.optimize(op, stats)))
+    case SparqlParser.AskQuery(op, ds) =>
+      val st = withDataset(ds)
+      Compiler.runAsk(st.decodedQuads, st.rewrite(BgpOptimizer.optimize(op, stats)))
+    case SparqlParser.ConstructQuery(template, op, ds) =>
+      val st = withDataset(ds)
+      Compiler.runConstruct(st.decodedQuads, template,
+        st.rewrite(BgpOptimizer.optimize(op, stats)))
     case _ => Sparql.QuadsOps(decodedQuads).sparql(query)
   }
+
+  /** The dataset-scoped view of this store: [[Sparql.applyDataset]]'s
+    * graph selection and default-graph retag transplanted to the long
+    * quad table — FROM graphs filter by g id and retag to NULL (the
+    * default graph), FROM NAMED restricts the named graphs, bag
+    * semantics throughout. Graph names resolve by LEXICAL like the
+    * term-struct path (a lex-pruned dict lookup); only graph-name
+    * terms can occupy the g position, so lex-based ids are exact. */
+  private def withDataset(ds: SparqlParser.DatasetSpec): DictStore =
+    if (ds.isEmpty) this
+    else {
+      def ids(sel: Seq[Term]): Seq[Long] = {
+        val lexes = sel.map(_.lex).distinct
+        lookupDict.getOrElse(dict)
+          .filter(col("term.lex").isin(lexes: _*))
+          .select(col("id")).collect().map(_.getLong(0)).toSeq
+      }
+      def graphs(sel: Seq[Term]) = {
+        val selIds = ids(sel)
+        idQuads.filter(col("g").isNotNull &&
+          (if (selIds.isEmpty) lit(false) else col("g").isin(selIds: _*)))
+      }
+      val default =
+        if (ds.from.isEmpty) None
+        else Some(graphs(ds.from)
+          .withColumn("g", lit(null).cast(LongType)))
+      val named =
+        if (ds.fromNamed.isEmpty) None else Some(graphs(ds.fromNamed))
+      val scoped = (default ++ named).reduceOption(_ union _)
+        .getOrElse(idQuads.limit(0))
+      new DictStore(spark, dict, scoped, stats, lookupDict)
+    }
 
   // ----- the BGP block rewriter -----
 

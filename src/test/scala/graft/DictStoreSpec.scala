@@ -595,6 +595,36 @@ class DictStoreSpec extends SparqlSpecBase {
     same("group_by.ttl", q)
   }
 
+  it should "apply FROM / FROM NAMED on the long quad table" in {
+    // the dataset clause pre-transforms idQuads (graph ids filter +
+    // default retag), so scoped queries keep the whole id fast path
+    same("graphs.trig",
+      """PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        |SELECT ?name FROM <http://example.org/bob>
+        |{ ?x foaf:name ?name }""".stripMargin)
+    // two FROM graphs merge into the default graph (bag semantics)
+    same("graphs.trig",
+      """PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        |SELECT ?name
+        |FROM <http://example.org/bob> FROM <http://example.org/alice>
+        |{ ?x foaf:name ?name }""".stripMargin)
+    // FROM NAMED restricts GRAPH enumeration; unlisted graphs vanish
+    same("graphs.trig",
+      """PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        |SELECT ?g ?name FROM NAMED <http://example.org/alice>
+        |{ GRAPH ?g { ?x foaf:name ?name } }""".stripMargin)
+    // FROM-only dataset: named graphs are EMPTY
+    same("graphs.trig",
+      """PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        |SELECT ?g ?name FROM <http://example.org/bob>
+        |{ GRAPH ?g { ?x foaf:name ?name } }""".stripMargin)
+    // a FROM graph absent from the data: zero rows, not an error
+    same("graphs.trig",
+      """PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        |SELECT ?name FROM <http://example.org/nowhere>
+        |{ ?x foaf:name ?name }""".stripMargin)
+  }
+
   it should "join a fully-defined VALUES probe list in id space" in {
     val st = store("group_by.ttl")
     val q =
