@@ -153,6 +153,45 @@ class DictShuffleVolumeSpec extends SparqlSpecBase {
     }
   }
 
+  "id-space SUM aggregation" should "shuffle fewer bytes than term-struct grouping" in {
+    import graft.sparql.Sparql._
+    // group keys stay longs and only ?bal hybrid-decodes; the standard
+    // path shuffles term-struct rows into the groupBy. The dict side
+    // pays its two dictionary joins inside the same measurement, so
+    // the factor is an honest end-to-end comparison.
+    val aggQuery =
+      """PREFIX : <urn:p:>
+        |SELECT ?nname (SUM(?bal) AS ?t)
+        |{ ?n2 :nname ?nname . ?c :inNation ?n2 . ?c :acctbal ?bal }
+        |GROUP BY ?nname""".stripMargin
+    val quads = TpchQuads.customer(spark, sf)
+      .union(TpchQuads.nation(spark, sf))
+    val dictDir = java.nio.file.Files
+      .createTempDirectory("graft-dict-aggvol").toString
+    val store = DictStore.encode(quads, dictDir)
+    val prevBroadcast =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // double SUM is addition-order-dependent: compare at the base
+      // class's numeric tolerance, not bit-exactly
+      assertResult(collect(store.sparql(aggQuery)),
+        collect(quads.sparql(aggQuery)))
+      val (dictB, dictWire) = shuffleBytes(store.sparql(aggQuery))
+      val (termB, termWire) = shuffleBytes(quads.sparql(aggQuery))
+      info(f"SUM agg shuffle dataSize: dict=$dictB%,d terms=$termB%,d " +
+        f"factor=${termB.toDouble / dictB.max(1)}%.1f× " +
+        f"(wire: $dictWire%,d vs $termWire%,d)")
+      dictB should be > 0L
+      termB should be > dictB
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   "id-space OPTIONAL" should "shuffle far fewer bytes than the term-struct left join" in {
     import graft.sparql.Sparql._
     // COUNT over an OPTIONAL spine: the left-outer join is the
