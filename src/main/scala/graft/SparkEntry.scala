@@ -855,6 +855,52 @@ object SparkEntry {
       graft.pipeline.Sketches.distinctCountSketch(
         eventsUs(s, d), Seq("event_type"), "user_id", k = 32)
     },
+    "q_heavy_hitters" -> { (s, d) =>
+      // top-5 users per event type via the Space-Saving sketch; m=1024
+      // comfortably exceeds the distinct-user cardinality so every
+      // count is exact and err = 0 — the regime the oracle replays
+      // with GROUP BY + rank (the eviction regime is property-tested
+      // in SketchFamilySpec, where only ε-bounds are deterministic)
+      graft.pipeline.Sketches.heavyHitters(
+        eventsUs(s, d), Seq("event_type"), "user_id", m = 1024, topK = 5)
+    },
+    "q_hh_rollup" -> { (s, d) =>
+      // persisted heavy-hitter workflow: per-DAY user sketch tables
+      // (m counters per day cross the merge, never the events) rolled
+      // up to the period's global top-5 by PODS '12 re-insertion;
+      // no fine sketch evicts at this cardinality → the rollup is
+      // exactly the direct sketch and the oracle replays it
+      val ev = eventsUs(s, d)
+        .withColumn("day", expr("ts div 86400000000"))
+      val daily = graft.pipeline.Sketches.heavyHitterTable(
+        ev, Seq("day"), "user_id", m = 1024)
+      graft.pipeline.Sketches.mergeHeavyHitters(
+        daily, Nil, m = 1024, topK = 5)
+    },
+    "q_quantile_sketch" -> { (s, d) =>
+      // per-event-type value quantiles from the bottom-k-by-hash
+      // uniform sample (k=4096). The oracle replays the SAMPLE itself
+      // (rank ≤ k over the portable hash of event_id), so the entry
+      // hash-checks in BOTH regimes — exact when a group fits k,
+      // sampled when it doesn't — robust to driver data regeneration
+      graft.pipeline.Sketches.quantileSketch(
+        eventsUs(s, d), Seq("event_type"), "value", "event_id",
+        k = 4096, probs = Seq(0.5, 0.9, 0.99))
+    },
+    "q_quantile_rollup" -> { (s, d) =>
+      // persisted quantile workflow: per-day bottom-k sample tables
+      // merged to the period's global quantiles. k=512 < the row count
+      // at sf0.01, so this exercises the true SAMPLING path end to
+      // end: bottom-k union of per-day bottom-ks IS the global
+      // bottom-k (any globally small hash is small within its day),
+      // which is what the oracle's global rank-≤-k replay asserts
+      val ev = eventsUs(s, d)
+        .withColumn("day", expr("ts div 86400000000"))
+      val daily = graft.pipeline.Sketches.quantileSketchTable(
+        ev, Seq("day"), "value", "event_id", k = 512)
+      graft.pipeline.Sketches.mergeQuantileSketches(
+        daily, Nil, k = 512, probs = Seq(0.5, 0.9, 0.99))
+    },
     "q_range_join" -> { (s, d) =>
       // "how many lineitems were in transit on each March-1995 order
       // date" — a point-in-interval join. Transit windows are
@@ -2066,6 +2112,89 @@ object SparkEntry {
         |       ELSE 31.0 * 281474976710656.0 /
         |            MAX(CASE WHEN rk <= 32 THEN hv END) END AS estimate
         |FROM r GROUP BY 1""".stripMargin,
+    // exact-regime Space-Saving replay: distinct users << m=1024 so no
+    // counter ever evicts — counts are plain GROUP BY counts, err = 0,
+    // rank order is the sketch's (count desc, item asc) tie-break
+    "q_heavy_hitters" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(user_id AS VARCHAR) AS item,
+        |         COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT event_type, item, cnt, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY cnt DESC, item ASC) AS rk
+        |  FROM c
+        |)
+        |SELECT event_type, CAST(rk AS INTEGER) AS rank, item,
+        |       CAST(cnt AS BIGINT) AS count, CAST(0 AS BIGINT) AS err
+        |FROM r WHERE rk <= 5""".stripMargin,
+    "q_hh_rollup" ->
+      """WITH c AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS item, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1
+        |), r AS (
+        |  SELECT item, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, item ASC) AS rk
+        |  FROM c
+        |)
+        |SELECT CAST(rk AS INTEGER) AS rank, item,
+        |       CAST(cnt AS BIGINT) AS count, CAST(0 AS BIGINT) AS err
+        |FROM r WHERE rk <= 5""".stripMargin,
+    // sample replay: rank ≤ k over the portable hash of event_id
+    // (duplicate hashes keep MIN(value) — the sketch's collision
+    // rule), then nearest-rank-below quantiles over the sample. Valid
+    // in both the exact and the sampled regime.
+    "q_quantile_sketch" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))
+        |         AS BIGINT) AS hv,
+        |    value FROM events
+        |), d AS (
+        |  SELECT event_type, hv, MIN(value) AS v FROM h GROUP BY 1, 2
+        |), r AS (
+        |  SELECT event_type, hv, v, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY hv) AS hrk
+        |  FROM d
+        |), o AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS rk,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM r WHERE hrk <= 4096
+        |)
+        |SELECT event_type, CAST(MAX(n) AS INTEGER) AS n_retained,
+        |  MAX(CASE WHEN rk = CAST(floor(CAST(0.5 AS DOUBLE) * (n - 1))
+        |                          AS BIGINT) + 1 THEN v END) AS q_50,
+        |  MAX(CASE WHEN rk = CAST(floor(CAST(0.9 AS DOUBLE) * (n - 1))
+        |                          AS BIGINT) + 1 THEN v END) AS q_90,
+        |  MAX(CASE WHEN rk = CAST(floor(CAST(0.99 AS DOUBLE) * (n - 1))
+        |                          AS BIGINT) + 1 THEN v END) AS q_99
+        |FROM o GROUP BY 1""".stripMargin,
+    // global rank-≤-512 replay: the bottom-k union of per-day
+    // bottom-ks IS the global bottom-k, so the day granularity of the
+    // sketch table is invisible to the oracle
+    "q_quantile_rollup" ->
+      """WITH h AS (
+        |  SELECT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))
+        |         AS BIGINT) AS hv,
+        |    value FROM events
+        |), d AS (
+        |  SELECT hv, MIN(value) AS v FROM h GROUP BY 1
+        |), r AS (
+        |  SELECT hv, v, row_number() OVER (ORDER BY hv) AS hrk FROM d
+        |), o AS (
+        |  SELECT v, row_number() OVER (ORDER BY v) AS rk,
+        |    COUNT(*) OVER () AS n
+        |  FROM r WHERE hrk <= 512
+        |)
+        |SELECT CAST(MAX(n) AS INTEGER) AS n_retained,
+        |  MAX(CASE WHEN rk = CAST(floor(CAST(0.5 AS DOUBLE) * (n - 1))
+        |                          AS BIGINT) + 1 THEN v END) AS q_50,
+        |  MAX(CASE WHEN rk = CAST(floor(CAST(0.9 AS DOUBLE) * (n - 1))
+        |                          AS BIGINT) + 1 THEN v END) AS q_90,
+        |  MAX(CASE WHEN rk = CAST(floor(CAST(0.99 AS DOUBLE) * (n - 1))
+        |                          AS BIGINT) + 1 THEN v END) AS q_99
+        |FROM o""".stripMargin,
     "q_range_join" ->
       """WITH probes AS (
         |  SELECT DISTINCT CAST(o_orderdate AS DATE) AS pd FROM orders

@@ -1,12 +1,15 @@
 package graft.functions
 
 import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, TernaryLike, UnaryLike}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Mergeable sketch aggregates (custom Catalyst
   * `TypedImperativeAggregate`s — the SURVEY §2.10 extension surface).
@@ -135,5 +138,295 @@ object SketchExprs {
       copy(inputAggBufferOffset = newOffset)
     override protected def withNewChildInternal(newChild: Expression): KmvSketch =
       copy(child = newChild)
+  }
+
+  /** Space-Saving heavy-hitters sketch (Metwally, Agrawal & El Abbadi,
+    * ICDT '05) over a STRING item column, with the summary-reinsertion
+    * merge of Agarwal et al., "Mergeable Summaries" (PODS '12).
+    *
+    * State: at most `m` counters `(item → (count, err))`. A present
+    * item's arrival adds its weight to `count`; a new item beyond
+    * capacity evicts the minimum-count counter and INHERITS its count
+    * as both starting mass and overestimate bound (`err`). The
+    * classical guarantees follow: `count` never underestimates the
+    * item's true frequency, `count − err` never overestimates it, and
+    * every item with true frequency > N/m is retained.
+    *
+    * `weight`/`errw` generalize the unit update so a PERSISTED sketch
+    * rolls up through the same operator: re-inserting a stored counter
+    * `(item, count, err)` as weight=count, errw=err is exactly the
+    * PODS '12 re-insertion merge (on eviction the victim's count adds
+    * to the incoming `err` too). Raw-data callers pass weight=1,
+    * errw=0.
+    *
+    * Determinism: with NO evictions (distinct items ≤ m in every
+    * partial) the counters are exact, err is 0, and the output is a
+    * pure function of the input multiset — the battery oracle replays
+    * it with GROUP BY + ORDER BY. Under eviction pressure the retained
+    * SET can depend on Spark's partition-merge order (inherent to every
+    * counter-based summary); the ε-bounds above still hold and the
+    * property spec asserts those instead. Output: the full counter
+    * array sorted (count desc, err asc, item asc) — top-k selection is
+    * a downstream `slice`, not the aggregate's business.
+    *
+    * Scale shape: partial aggregation applies; a hot group crosses the
+    * shuffle as ≤ m counters per partition regardless of cardinality
+    * (the [[KmvSketch]] argument, applied to frequency). */
+  case class SpaceSavingTopK(
+      item: Expression, weight: Expression, errw: Expression, m: Int,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.HashMap[String, Array[Long]]]
+    with TernaryLike[Expression] {
+
+    require(m >= 1, s"Space-Saving needs m >= 1 counters, got $m")
+
+    override def first: Expression = item
+    override def second: Expression = weight
+    override def third: Expression = errw
+
+    override def prettyName: String = "topk_freq"
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("item", StringType, nullable = false),
+      StructField("count", LongType, nullable = false),
+      StructField("err", LongType, nullable = false))),
+      containsNull = false)
+
+    override def createAggregationBuffer(): java.util.HashMap[String, Array[Long]] =
+      new java.util.HashMap[String, Array[Long]]()
+
+    private def insert(buf: java.util.HashMap[String, Array[Long]],
+                       key: String, w: Long, e: Long): Unit = {
+      val cur = buf.get(key)
+      if (cur != null) { cur(0) += w; cur(1) += e; return }
+      if (buf.size < m) { buf.put(key, Array(w, e)); return }
+      // evict the minimum-count counter; fixed tie-break (max err,
+      // then max key) keeps single-sequence evaluation deterministic
+      var vKey: String = null
+      var vCnt = Long.MaxValue
+      var vErr = -1L
+      val it = buf.entrySet().iterator()
+      while (it.hasNext) {
+        val en = it.next()
+        val c = en.getValue()(0); val er = en.getValue()(1)
+        if (c < vCnt || (c == vCnt && (er > vErr ||
+            (er == vErr && (vKey == null || en.getKey.compareTo(vKey) > 0))))) {
+          vKey = en.getKey; vCnt = c; vErr = er
+        }
+      }
+      buf.remove(vKey)
+      buf.put(key, Array(vCnt + w, vCnt + e))
+    }
+
+    override def update(buf: java.util.HashMap[String, Array[Long]],
+                        input: InternalRow): java.util.HashMap[String, Array[Long]] = {
+      val k = item.eval(input)
+      if (k != null) {
+        val w = weight.eval(input)
+        if (w != null) {
+          val e = errw.eval(input)
+          insert(buf, k.toString, w.asInstanceOf[Long],
+            if (e == null) 0L else e.asInstanceOf[Long])
+        }
+      }
+      buf
+    }
+
+    override def merge(buf: java.util.HashMap[String, Array[Long]],
+                       other: java.util.HashMap[String, Array[Long]]): java.util.HashMap[String, Array[Long]] = {
+      val it = other.entrySet().iterator()
+      while (it.hasNext) {
+        val en = it.next()
+        insert(buf, en.getKey, en.getValue()(0), en.getValue()(1))
+      }
+      buf
+    }
+
+    override def eval(buf: java.util.HashMap[String, Array[Long]]): Any = {
+      val entries = new Array[(String, Long, Long)](buf.size)
+      val it = buf.entrySet().iterator()
+      var i = 0
+      while (it.hasNext) {
+        val en = it.next()
+        entries(i) = (en.getKey, en.getValue()(0), en.getValue()(1))
+        i += 1
+      }
+      val sorted = entries.sortWith { (a, b) =>
+        if (a._2 != b._2) a._2 > b._2
+        else if (a._3 != b._3) a._3 < b._3
+        else a._1 < b._1
+      }
+      new GenericArrayData(sorted.map { case (k, c, e) =>
+        InternalRow(UTF8String.fromString(k), c, e)
+      }.toArray[Any])
+    }
+
+    override def serialize(buf: java.util.HashMap[String, Array[Long]]): Array[Byte] = {
+      var bytes = 4
+      val it0 = buf.entrySet().iterator()
+      while (it0.hasNext) {
+        bytes += 4 + it0.next().getKey.getBytes(StandardCharsets.UTF_8).length + 16
+      }
+      val bb = ByteBuffer.allocate(bytes)
+      bb.putInt(buf.size)
+      val it = buf.entrySet().iterator()
+      while (it.hasNext) {
+        val en = it.next()
+        val kb = en.getKey.getBytes(StandardCharsets.UTF_8)
+        bb.putInt(kb.length); bb.put(kb)
+        bb.putLong(en.getValue()(0)); bb.putLong(en.getValue()(1))
+      }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Array[Long]] = {
+      val bb = ByteBuffer.wrap(bytes)
+      val n = bb.getInt
+      val buf = new java.util.HashMap[String, Array[Long]](n * 2)
+      var i = 0
+      while (i < n) {
+        val len = bb.getInt
+        val kb = new Array[Byte](len); bb.get(kb)
+        buf.put(new String(kb, StandardCharsets.UTF_8),
+          Array(bb.getLong, bb.getLong))
+        i += 1
+      }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): SpaceSavingTopK =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): SpaceSavingTopK =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression,
+        newThird: Expression): SpaceSavingTopK =
+      copy(item = newFirst, weight = newSecond, errw = newThird)
+  }
+
+  /** Bottom-k-by-hash uniform sample — the quantile-sketch member of
+    * the portable-hash family. Keeps the `k` rows whose 48-bit
+    * portable hash of a UNIQUE row key is smallest, carrying one
+    * DOUBLE measure per retained row. Because the hash is a fixed
+    * pseudorandom permutation of row identities, the retained set is a
+    * uniform k-sample WITHOUT replacement that is (a) deterministic,
+    * (b) order- and partition-independent (bottom-k union is
+    * associative and commutative, same argument as [[KmvSketch]]), and
+    * (c) externally replayable: any engine reproduces it with
+    * `row_number() OVER (ORDER BY hash) <= k`. Rank-based statistics
+    * (quantiles) read off the sorted sample with standard
+    * sampling error O(1/√k) in rank; when a group has ≤ k rows the
+    * sample IS the group and every quantile is exact.
+    *
+    * A KLL sketch (Karnin-Lang-Liberty, FOCS '16) achieves a better
+    * ε-vs-space trade, but its compaction is randomized — two runs
+    * disagree, and nothing outside the engine can audit the result.
+    * This repo's discipline is replayability first; the sample's
+    * √k error is priced in the scaladoc of the callers.
+    *
+    * Hash collisions (two distinct rows, same 48-bit hash) resolve
+    * deterministically to the SMALLER measure; the oracle replays that
+    * with `min(v) … GROUP BY hash`. Output: `array<struct<h, v>>`
+    * sorted by hash — the canonical persistable state; quantile
+    * extraction is downstream column arithmetic. */
+  case class BottomKSample(
+      hash: Expression, value: Expression, k: Int,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeMap[java.lang.Long, java.lang.Double]]
+    with BinaryLike[Expression] {
+
+    require(k >= 1, s"bottom-k sample needs k >= 1, got $k")
+
+    override def left: Expression = hash
+    override def right: Expression = value
+
+    override def prettyName: String = "bottomk_sample"
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("h", LongType, nullable = false),
+      StructField("v", DoubleType, nullable = false))),
+      containsNull = false)
+
+    override def createAggregationBuffer(): java.util.TreeMap[java.lang.Long, java.lang.Double] =
+      new java.util.TreeMap[java.lang.Long, java.lang.Double]()
+
+    private def insert(buf: java.util.TreeMap[java.lang.Long, java.lang.Double],
+                       h: Long, v: Double): Unit = {
+      val cur = buf.get(h)
+      if (cur != null) {
+        if (v < cur) { buf.put(h, v); () }
+      } else if (buf.size < k) {
+        buf.put(h, v); ()
+      } else if (h < buf.lastKey) {
+        buf.put(h, v); buf.pollLastEntry(); ()
+      }
+    }
+
+    override def update(buf: java.util.TreeMap[java.lang.Long, java.lang.Double],
+                        input: InternalRow): java.util.TreeMap[java.lang.Long, java.lang.Double] = {
+      val h = hash.eval(input)
+      if (h != null) {
+        val v = value.eval(input)
+        if (v != null) {
+          insert(buf, h.asInstanceOf[Long], v.asInstanceOf[Double])
+        }
+      }
+      buf
+    }
+
+    override def merge(buf: java.util.TreeMap[java.lang.Long, java.lang.Double],
+                       other: java.util.TreeMap[java.lang.Long, java.lang.Double]): java.util.TreeMap[java.lang.Long, java.lang.Double] = {
+      val it = other.entrySet().iterator()
+      while (it.hasNext) {
+        val en = it.next()
+        insert(buf, en.getKey, en.getValue)
+      }
+      buf
+    }
+
+    override def eval(buf: java.util.TreeMap[java.lang.Long, java.lang.Double]): Any = {
+      val out = new Array[Any](buf.size)
+      val it = buf.entrySet().iterator()
+      var i = 0
+      while (it.hasNext) {
+        val en = it.next()
+        out(i) = InternalRow(en.getKey.longValue(), en.getValue.doubleValue())
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def serialize(buf: java.util.TreeMap[java.lang.Long, java.lang.Double]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(4 + 16 * buf.size)
+      bb.putInt(buf.size)
+      val it = buf.entrySet().iterator()
+      while (it.hasNext) {
+        val en = it.next()
+        bb.putLong(en.getKey); bb.putDouble(en.getValue)
+      }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): java.util.TreeMap[java.lang.Long, java.lang.Double] = {
+      val bb = ByteBuffer.wrap(bytes)
+      val n = bb.getInt
+      val buf = new java.util.TreeMap[java.lang.Long, java.lang.Double]()
+      var i = 0
+      while (i < n) {
+        buf.put(bb.getLong, bb.getDouble)
+        i += 1
+      }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): BottomKSample =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): BottomKSample =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): BottomKSample =
+      copy(hash = newLeft, value = newRight)
   }
 }

@@ -104,4 +104,161 @@ object Sketches {
         col("__kmv.kth_min").as("kth_min") :+
         col("__kmv.estimate").as("estimate"): _*)
   }
+
+  private def ssAgg(item: Column, weight: Column, errw: Column,
+                    m: Int): Column =
+    GraftColumnBridge.column(
+      SketchExprs.SpaceSavingTopK(
+        GraftColumnBridge.expression(item),
+        GraftColumnBridge.expression(weight.cast("long")),
+        GraftColumnBridge.expression(errw.cast("long")),
+        m).toAggregateExpression())
+
+  /** Top-`topK` most frequent `valueCol` values per group via the
+    * Space-Saving sketch ([[graft.functions.SketchExprs.SpaceSavingTopK]]).
+    * Output: `(groupCols…, rank, item, count, err)` — `count` is an
+    * overestimate by at most `err` (exact, `err = 0`, whenever a
+    * group's distinct cardinality stays within `m` per partial).
+    *
+    * Why not groupBy-count + window top-k (q_vocab_topk's shape): that
+    * is EXACT but shuffles one row per DISTINCT value — at 100 TB a
+    * URL/token/user column has billions of distinct values and the
+    * count shuffle is the bottleneck. The sketch bounds the wire cost
+    * at m counters per (partition, group): frequency crosses the
+    * shuffle, cardinality never does. Size m ≥ distinct/ε for the
+    * ε-guarantee; m ≥ a few × topK / tail-skew in practice. */
+  def heavyHitters(df: DataFrame, groupCols: Seq[String],
+                   valueCol: String, m: Int, topK: Int): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must name at least one column")
+    require(topK >= 1 && topK <= m, s"need 1 <= topK=$topK <= m=$m")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(ssAgg(col(valueCol).cast("string"), lit(1L), lit(0L), m)
+        .as("__ss"))
+      .select(groupCols.map(col) :+
+        posexplode(slice(col("__ss"), 1, topK)): _*)
+      .select(groupCols.map(col) :+
+        (col("pos") + 1).cast("int").as("rank") :+
+        col("col.item").as("item") :+
+        col("col.count").as("count") :+
+        col("col.err").as("err"): _*)
+  }
+
+  /** Persistable heavy-hitter sketch table: the full m-counter
+    * Space-Saving state per fine-grained group — store per day/shard,
+    * roll up later with [[mergeHeavyHitters]] at m-counters-per-row
+    * cost instead of a history re-scan. */
+  def heavyHitterTable(df: DataFrame, groupCols: Seq[String],
+                       valueCol: String, m: Int): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must name at least one column")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(ssAgg(col(valueCol).cast("string"), lit(1L), lit(0L), m)
+        .as("hh"))
+  }
+
+  /** Roll a [[heavyHitterTable]] up to coarser groups via the
+    * PODS '12 re-insertion merge: each stored counter re-enters the
+    * sketch as (weight = count, err = err), so common items sum their
+    * counts and an evicted minimum adds its mass to the incoming
+    * error bound. When no fine sketch ever evicted (err = 0
+    * everywhere) and the union of items fits m, the rollup is exact —
+    * identical to sketching the coarse group directly. */
+  def mergeHeavyHitters(sketches: DataFrame, coarserCols: Seq[String],
+                        m: Int, topK: Int): DataFrame = {
+    require(topK >= 1 && topK <= m, s"need 1 <= topK=$topK <= m=$m")
+    val grouped =
+      if (coarserCols.nonEmpty) sketches
+      else sketches.withColumn("__all", lit("all"))
+    val keys = if (coarserCols.nonEmpty) coarserCols else Seq("__all")
+    grouped
+      .select(keys.map(col) :+ explode_outer(col("hh")).as("__c"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(ssAgg(col("__c.item"), col("__c.count"), col("__c.err"), m)
+        .as("__ss"))
+      .select(keys.map(col) :+
+        posexplode(slice(col("__ss"), 1, topK)): _*)
+      .select(coarserCols.map(col) :+
+        (col("pos") + 1).cast("int").as("rank") :+
+        col("col.item").as("item") :+
+        col("col.count").as("count") :+
+        col("col.err").as("err"): _*)
+  }
+
+  private def bkAgg(hash: Column, value: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      SketchExprs.BottomKSample(
+        GraftColumnBridge.expression(hash),
+        GraftColumnBridge.expression(value.cast("double")),
+        k).toAggregateExpression())
+
+  /** Project a bottom-k sample state array onto nearest-rank-below
+    * quantile columns `q_<pct>`: sort the retained measures, index at
+    * `floor(p·(n−1))` (0-based). `get` is null-safe, so an empty
+    * group yields NULL quantiles. */
+  private def quantileCols(state: Column, probs: Seq[Double]): Seq[Column] = {
+    val vals = array_sort(transform(state, x => x.getField("v")))
+    val n = size(vals)
+    probs.map { p =>
+      get(vals, floor(lit(p) * (n - 1).cast("double")).cast("int"))
+        .as(f"q_${math.round(p * 100)}%d")
+    }
+  }
+
+  /** Per-group quantiles of `valueCol` from a deterministic uniform
+    * k-sample: the k rows whose portable 48-bit hash of `idCol` (a
+    * unique row key) is smallest
+    * ([[graft.functions.SketchExprs.BottomKSample]]). Output:
+    * `(groupCols…, n_retained, q_<pct>…)`, nearest-rank-below
+    * convention. Exact whenever a group has ≤ k rows; otherwise the
+    * standard √k sampling error in rank — the price of a sample any
+    * external engine can replay hash-for-hash (a KLL sketch is
+    * tighter per byte but randomized, hence unauditable).
+    *
+    * Scale shape: one partial-aggregating shuffle of ≤ k (hash,
+    * measure) pairs per (partition, group) — contrast
+    * `percentile_approx` (same shape but engine-opaque state) and an
+    * EXACT sort-based quantile, which shuffles every row. */
+  def quantileSketch(df: DataFrame, groupCols: Seq[String],
+                     valueCol: String, idCol: String, k: Int,
+                     probs: Seq[Double]): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must name at least one column")
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      s"probs must lie in [0, 1], got $probs")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(bkAgg(portableHash48(col(idCol)), col(valueCol), k).as("__bk"))
+      .select((groupCols.map(col) :+
+        size(col("__bk")).as("n_retained")) ++
+        quantileCols(col("__bk"), probs): _*)
+  }
+
+  /** Persistable quantile sketch table: one bottom-k (hash, measure)
+    * array per fine-grained group. */
+  def quantileSketchTable(df: DataFrame, groupCols: Seq[String],
+                          valueCol: String, idCol: String,
+                          k: Int): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must name at least one column")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(bkAgg(portableHash48(col(idCol)), col(valueCol), k).as("qsk"))
+  }
+
+  /** Roll a [[quantileSketchTable]] up to coarser groups: bottom-k
+    * union of the stored samples. Whenever every fine sketch retained
+    * its whole group (or its full k), the merged sample is EXACTLY
+    * the bottom-k of the coarse group — same determinism argument as
+    * [[mergeSketches]]. */
+  def mergeQuantileSketches(sketches: DataFrame, coarserCols: Seq[String],
+                            k: Int, probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      s"probs must lie in [0, 1], got $probs")
+    val grouped =
+      if (coarserCols.nonEmpty) sketches
+      else sketches.withColumn("__all", lit("all"))
+    val keys = if (coarserCols.nonEmpty) coarserCols else Seq("__all")
+    grouped
+      .select(keys.map(col) :+ explode_outer(col("qsk")).as("__s"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(bkAgg(col("__s.h"), col("__s.v"), k).as("__bk"))
+      .select((coarserCols.map(col) :+
+        size(col("__bk")).as("n_retained")) ++
+        quantileCols(col("__bk"), probs): _*)
+  }
 }
