@@ -960,13 +960,62 @@ final class DictStore private (val spark: SparkSession,
     case _ => false
   }
 
+  /** Decompose an EXISTS pattern that is a BGP join tree with
+    * interior FILTERs into (the pure block, each filter conjunct
+    * tagged with the variable scope of its position's child) —
+    * the id-space mirror of the standard compiler's
+    * [[graft.sparql.Compiler]] compileExists strip. The position
+    * scope decides local-vs-correlated downstream AND gates
+    * eligibility: a local conjunct that references a SIBLING
+    * branch's variable would evaluate unbound at its position but
+    * bound after the block join, so such patterns fall back. */
+  private def stripFilters(op: Op): Option[(Op, List[(Expr, Set[String])])] =
+    op match {
+      case Filter(c, e) => stripFilters(c).map { case (c2, cs) =>
+        (c2, cs ++ conjunctsOf(e).map(normNeg)
+          .map(x => (x, Algebra.vars(c2))))
+      }
+      case Join(a, b) =>
+        for ((a2, ca) <- stripFilters(a); (b2, cb) <- stripFilters(b))
+          yield (Join(a2, b2), ca ++ cb)
+      case s: Scan => Some((s, Nil))
+      case _ => None
+    }
+
+  /** An EXISTS pattern the id path can run: strips to a pure block
+    * whose shared vars with the outer child are assured there, with
+    * every stripped conjunct an EXISTS-free scalar that does not
+    * reach outside its position scope except toward the OUTER query
+    * (the correlated case — those evaluate on the merged row inside
+    * the semi/anti join, exactly like the standard compiler's lifted
+    * conjuncts). */
+  private def existsEligible(c: Op, p: Op): Boolean =
+    stripFilters(p).exists { case (cleaned, tagged) =>
+      val shared = Algebra.vars(c).intersect(Algebra.vars(cleaned))
+      shared.nonEmpty && shared.subsetOf(assuredIdVars(c)) &&
+        tagged.forall { case (e, scope) =>
+          !hasExists(e) && {
+            val siblingRefs =
+              (exprVarsOf(e) -- scope).intersect(Algebra.vars(cleaned))
+            val correlated =
+              (exprVarsOf(e) -- scope).intersect(Algebra.vars(c)).nonEmpty
+            // correlated conjuncts evaluate post-join over the full
+            // scope (sibling refs included, same as the standard
+            // env); a LOCAL one evaluates at its position, so any
+            // sibling reference would diverge — fall back
+            correlated || siblingRefs.isEmpty
+          }
+        }
+    }
+
   /** FILTER conditions the id-space path can take whole — every
     * conjunct must be one of:
-    *  - [NOT] EXISTS over a pure BGP sharing ≥1 assured var with the
-    *    (extended-block) child → a long semi/anti join, the exact
-    *    shape the standard compiler uses on term structs (patterns
-    *    with inner FILTERs — correlated-lift cases — are excluded by
-    *    isBlock, which admits only Scan/Join);
+    *  - [NOT] EXISTS over a BGP (with optional interior scalar
+    *    FILTERs, correlated or not — see [[existsEligible]]) sharing
+    *    ≥1 assured var with the (extended-block) child → a long
+    *    semi/anti join; correlated conjuncts join the condition on
+    *    hybrid-decoded term columns, the exact shape the standard
+    *    compiler uses on term structs;
     *  - a term-IDENTITY scalar test: `sameTerm(x, y)` for any
     *    operands (sameTerm IS term identity, i.e. id equality), or
     *    `=` between a variable and a constant IRI. The IRI
@@ -988,11 +1037,7 @@ final class DictStore private (val spark: SparkSession,
   private def filterEligible(c: Op, cond: Expr): Option[List[Expr]] = {
     val cs = conjunctsOf(cond).map(normNeg)
     val ok = cs.nonEmpty && isExtBlock(c) && cs.forall {
-      case ExistsE(p, _) =>
-        isBlock(p) && {
-          val shared = Algebra.vars(c).intersect(Algebra.vars(p))
-          shared.nonEmpty && shared.subsetOf(assuredIdVars(c))
-        }
+      case ExistsE(p, _) => existsEligible(c, p)
       case e => idPred(c, e) || !hasExists(e)
     }
     if (ok) Some(cs) else None
@@ -1045,10 +1090,57 @@ final class DictStore private (val spark: SparkSession,
     }
     existsConjs.foreach {
       case ExistsE(p, negated) =>
-        val pd = idsOf(p, consts)
-        val shared = df.columns.intersect(pd.columns).toSeq
-        df = df.join(pd.select(shared.map(col): _*), shared,
-          if (negated) "left_anti" else "left_semi")
+        val (cleaned, tagged) = stripFilters(p).getOrElse(
+          throw new IllegalStateException(s"ineligible EXISTS pattern: $p"))
+        val cleanedVars = Algebra.vars(cleaned)
+        val leftVars = Algebra.vars(child)
+        // the standard compiler's partition rule: a conjunct reaching
+        // outside its position scope toward the outer query lifts
+        // into the join condition; everything else filters the
+        // subpattern at its position (eligibility guaranteed no
+        // local conjunct references a sibling branch, so evaluating
+        // locals on the joined block frame is position-equivalent)
+        val (corr, local) = tagged.partition { case (e, scope) =>
+          (exprVarsOf(e) -- scope).intersect(leftVars).nonEmpty
+        }
+        var pd = idsOf(cleaned, consts)
+        if (local.nonEmpty) {
+          val lv = local.flatMap(t => exprVarsOf(t._1))
+            .filter(cleanedVars.contains).distinct
+          val dec = decodeVars(pd, lv, Set.empty) // pure block: assured
+          val ec = tvExprCompiler(dec)
+          pd = dec.filter(local.map(t => ec.bool(t._1)).reduce(_ && _))
+            .drop(lv.map(tvCol): _*)
+        }
+        if (corr.isEmpty) {
+          val shared = df.columns.intersect(pd.columns).toSeq
+          df = df.join(pd.select(shared.map(col): _*), shared,
+            if (negated) "left_anti" else "left_semi")
+        } else {
+          // correlated semi/anti join: long equality on the shared
+          // assured vars carries the join, the lifted conjuncts
+          // evaluate on hybrid-decoded term columns from BOTH frames
+          // (sub side wins name resolution, like the standard env)
+          val corrEs = corr.map(_._1)
+          val corrVars = corrEs.flatMap(exprVarsOf).distinct
+          val subCorrVars = corrVars.filter(cleanedVars.contains)
+          val outerCorrVars = corrVars.filter(v =>
+            !cleanedVars.contains(v) && df.columns.contains(v))
+          val shared = df.columns.intersect(pd.columns).toSeq
+          val pdD = decodeVars(pd, subCorrVars, Set.empty)
+          val dfD = decodeVars(df, outerCorrVars, nullable)
+          val pdR = pdD.columns.foldLeft(pdD)((d, v) =>
+            d.withColumnRenamed(v, s"__ex_$v"))
+          val keyConds = shared.map(v => dfD(v) === pdR(s"__ex_$v"))
+          val ec = new ExprCompiler(n =>
+            if (pdD.columns.contains(tvCol(n))) pdR(s"__ex_${tvCol(n)}")
+            else if (dfD.columns.contains(tvCol(n))) dfD(tvCol(n))
+            else graft.sparql.TermFns.nullTerm)
+          val joinCond = (keyConds ++ corrEs.map(ec.bool)).reduce(_ && _)
+          df = dfD.join(pdR, joinCond,
+            if (negated) "left_anti" else "left_semi")
+            .drop(outerCorrVars.map(tvCol): _*)
+        }
       case other => throw new IllegalStateException(s"not an EXISTS: $other")
     }
     materialize(df, keep, nullable)
@@ -1083,6 +1175,7 @@ final class DictStore private (val spark: SparkSession,
     case LeftJoin(l, r, _) => allScans(l) ++ allScans(r)
     case Minus(l, r) => allScans(l) ++ allScans(r)
     case Union(l, r) => allScans(l) ++ allScans(r)
+    case Filter(c, _) => allScans(c)
     case _ => Nil
   }
 

@@ -422,16 +422,58 @@ class DictStoreSpec extends SparqlSpecBase {
     val r1 = st.rewrite(parseOptimized(q1))
     countNodes(r1) { case _: Algebra.Filter => true } shouldBe 0
     same("inner_filter.ttl", q1)
-    // inner FILTER referencing the outer scope (correlated lift)
-    // still needs the standard compiler's EXISTS machinery
+    // inner FILTER referencing the outer scope (correlated lift) now
+    // runs in id space too: long equality carries the semi join,
+    // the lifted conjunct evaluates on hybrid-decoded terms
     val q2 =
       """PREFIX : <http://example.com/>
         |SELECT ?x ?v { ?x :p ?v
         |  FILTER EXISTS { ?x :q ?w FILTER(?w < ?v) } }""".stripMargin
     countNodes(st.rewrite(parseOptimized(q2))) {
       case _: Algebra.Filter => true
-    } should be >= 1
+    } shouldBe 0
     same("inner_filter.ttl", q2)
+  }
+
+  it should "run correlated EXISTS inner filters in id space" in {
+    val st = store("inner_filter.ttl")
+    // correlated NOT EXISTS → anti join with the lifted condition in
+    // the join predicate (not a post-hoc filter)
+    val q1 =
+      """PREFIX : <http://example.com/>
+        |SELECT ?x ?v { ?x :p ?v
+        |  FILTER NOT EXISTS { ?x :q ?w FILTER(?w > ?v) } }""".stripMargin
+    val r1 = st.rewrite(parseOptimized(q1))
+    countNodes(r1) { case _: Algebra.Filter => true } shouldBe 0
+    val blocks = materializedLeaves(r1)
+    blocks should have size 1
+    blocks.head.df.queryExecution.optimizedPlan.toString should
+      include("Join LeftAnti")
+    same("inner_filter.ttl", q1)
+    // LOCAL + CORRELATED conjuncts in one inner filter: the local one
+    // pre-filters the subpattern, the correlated one joins
+    same("inner_filter.ttl",
+      """PREFIX : <http://example.com/>
+        |SELECT ?x ?v { ?x :p ?v
+        |  FILTER EXISTS { ?x :q ?w FILTER(?w > 1 && ?w < ?v + 3) } }""".stripMargin)
+    // correlated condition over an UNASSURED outer var (OPTIONAL):
+    // unbound decodes to an unbound term → error → no match, exactly
+    // the standard compiler's env semantics
+    same("optionals.ttl",
+      """PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        |SELECT ?name ?mbox
+        |{ ?x foaf:name ?name . OPTIONAL { ?x foaf:mbox ?mbox }
+        |  FILTER EXISTS { ?x foaf:name ?n2 FILTER(STR(?n2) <= STR(?mbox)) } }""".stripMargin)
+    // a local conjunct referencing a SIBLING branch variable would
+    // evaluate differently at-position vs post-join — must fall back
+    val qSibling =
+      """PREFIX : <http://example.com/>
+        |SELECT ?x ?v { ?x :p ?v
+        |  FILTER EXISTS { { ?x :q ?w FILTER(?u > 0) } ?x :p ?u } }""".stripMargin
+    countNodes(st.rewrite(parseOptimized(qSibling))) {
+      case _: Algebra.Filter => true
+    } should be >= 1
+    same("inner_filter.ttl", qSibling)
   }
 
   it should "keep COUNT aggregations in id space, decoding keys post-agg" in {
