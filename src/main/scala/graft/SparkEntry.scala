@@ -409,6 +409,19 @@ object SparkEntry {
           |  FILTER NOT EXISTS { ?c :mktsegment "BUILDING" } }""".stripMargin),
         "cname" -> "string")
     },
+    "q_dict_exists_corr" -> { (s, d) =>
+      // correlated EXISTS in id space (round-9 closure): the inner
+      // FILTER references the outer ?bal, so the lifted conjunct
+      // evaluates on hybrid-decoded terms INSIDE the long semi join —
+      // "customers whose nation has a richer customer" never leaves
+      // id space until the final decode
+      out(dictStore(s, d).sparql(prologue +
+        """SELECT ?cname
+          |{ ?c :cname ?cname . ?c :acctbal ?bal . ?c :inNation ?n .
+          |  FILTER EXISTS { ?c2 :inNation ?n . ?c2 :acctbal ?b2
+          |                  FILTER(?b2 > ?bal) } }""".stripMargin),
+        "cname" -> "string")
+    },
     "q_dict_bucketed" -> { (s, d) =>
       // bucketed store layout (round-9 scale work): quads bucketed on
       // s → the customer-side star join (?c :cname / :mktsegment /
@@ -947,6 +960,23 @@ object SparkEntry {
           sum(col("p_k")).as("sum_k"),
           round(avg(col("p_k")), 6).as("avg_k"),
           countDistinct(col("p_k")).as("n_distinct_k"))
+    },
+    "q_props_variant" -> { (s, d) =>
+      // the VARIANT face of the same column: parse ONCE into the
+      // binary encoding (the form you persist when the attribute set
+      // is open-ended — later path probes walk bytes, and parquet
+      // shreds hot fields into typed, stats-bearing subcolumns), then
+      // a typed path probe and ordinary relational stats
+      val ev = graft.pipeline.Semistructured.toVariant(
+        eventsUs(s, d), "props", "pv")
+      ev.select(col("event_type"),
+        graft.pipeline.Semistructured.variantAttr(col("pv"), "$.k", "long")
+          .as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          sum(col("k")).as("sum_k"))
     },
     "q_ask" -> { (s, d) =>
       cust(s, d).sparql(prologue +
@@ -1798,6 +1828,11 @@ object SparkEntry {
         |GROUP BY n_name""".stripMargin,
     "q_dict_not_exists" ->
       "SELECT c_name AS cname FROM customer WHERE c_mktsegment <> 'BUILDING'",
+    "q_dict_exists_corr" ->
+      """SELECT c.c_name AS cname FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM customer c2
+        |              WHERE c2.c_nationkey = c.c_nationkey
+        |                AND c2.c_acctbal > c.c_acctbal)""".stripMargin,
     "q_dict_bucketed" ->
       """SELECT c_name AS cname, c_mktsegment AS seg, n_name AS nname
         |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
@@ -2022,6 +2057,13 @@ object SparkEntry {
         |  CAST(SUM(k) AS BIGINT) AS sum_k,
         |  round(AVG(k), 6) AS avg_k,
         |  CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
+        |FROM (SELECT event_type, CAST(props::JSON->>'k' AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type""".stripMargin,
+    "q_props_variant" ->
+      """SELECT event_type, CAST(COUNT(k) AS BIGINT) AS n_k,
+        |  MIN(k) AS min_k, MAX(k) AS max_k,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k
         |FROM (SELECT event_type, CAST(props::JSON->>'k' AS BIGINT) AS k
         |      FROM events)
         |GROUP BY event_type""".stripMargin,

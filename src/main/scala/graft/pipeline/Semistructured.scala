@@ -52,4 +52,35 @@ object Semistructured {
     * (one parse) over repeated path probes. */
   def jsonAttr(jsonCol: Column, path: String, as: DataType): Column =
     get_json_object(jsonCol, path).cast(as)
+
+  /** Parse a JSON-string column into Spark's native VARIANT type —
+    * the column you PERSIST when the attribute set is open-ended.
+    *
+    * Where [[extractJson]] is the right call for a declared contract,
+    * VARIANT is the 100 TB answer for the undeclared remainder: the
+    * text parses ONCE (here, at ingest) into a binary encoding, and
+    * every later query's `variant_get` path probe is a direct binary
+    * walk — no re-tokenizing the string per query per attribute.
+    * Parquet writers shred frequent variant fields into typed
+    * subcolumns with statistics, so pruning and predicate pushdown
+    * reach into the semi-structured data the way they reach typed
+    * columns; a JSON string column offers neither. Malformed
+    * documents become NULL (`try_parse_json`), same PERMISSIVE
+    * posture as [[extractJson]]. */
+  def toVariant(df: DataFrame, jsonCol: String,
+                variantCol: String): DataFrame = {
+    require(df.columns.contains(jsonCol), s"no column $jsonCol")
+    require(!df.columns.contains(variantCol),
+      s"column $variantCol already exists")
+    df.withColumn(variantCol, try_parse_json(col(jsonCol)))
+  }
+
+  /** One attribute out of a VARIANT column: `try_variant_get` with an
+    * explicit target type (a path probe into the binary encoding —
+    * no JSON text in sight). Missing paths and uncastable values
+    * yield NULL, never errors. `targetType` is a Spark SQL type
+    * string (`"long"`, `"string"`, `"double"`, …). */
+  def variantAttr(variantCol: Column, path: String,
+                  targetType: String): Column =
+    try_variant_get(variantCol, path, targetType)
 }

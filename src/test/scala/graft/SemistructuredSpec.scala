@@ -100,4 +100,47 @@ class SemistructuredSpec extends AnyFlatSpec with Matchers {
       .map(x => if (x.isNullAt(1)) None else Some(x.getLong(1)))
     r shouldBe Array(Some(7L), Some(-3L), None, None, None)
   }
+
+  "toVariant + variantAttr" should
+    "parse once into VARIANT and probe typed paths, NULL on bad rows" in {
+    val v = Semistructured.toVariant(df, "props", "pv")
+    v.schema("pv").dataType shouldBe VariantType
+    val r = v.select(col("id"),
+        Semistructured.variantAttr(col("pv"), "$.k", "long").as("k"),
+        Semistructured.variantAttr(col("pv"), "$.tag", "string").as("tag"))
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0),
+        if (x.isNullAt(1)) None else Some(x.getLong(1)),
+        Option(x.getString(2))))
+    r shouldBe Array(
+      (1L, Some(7L), Some("a")),
+      (2L, Some(-3L), None),
+      (3L, None, Some("b")),
+      (4L, None, None), // malformed → NULL variant (try_parse_json)
+      (5L, None, None))
+    // uncastable value at the path → NULL, not an error
+    val bad = Semistructured.variantAttr(col("pv"), "$.tag", "long")
+    v.filter(col("id") === 1L).select(bad.as("t")).collect()
+      .head.isNullAt(0) shouldBe true
+  }
+
+  it should "round-trip VARIANT through parquet and refuse collisions" in {
+    // the persisted form: write the parsed binary, read it back, probe
+    val dir = java.nio.file.Files.createTempDirectory("graft-variant").toString
+    Semistructured.toVariant(df, "props", "pv").drop("props")
+      .write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    back.schema("pv").dataType shouldBe VariantType
+    val ks = back.select(col("id"),
+        Semistructured.variantAttr(col("pv"), "$.k", "long").as("k"))
+      .orderBy("id").collect()
+      .map(x => if (x.isNullAt(1)) None else Some(x.getLong(1)))
+    ks shouldBe Array(Some(7L), Some(-3L), None, None, None)
+    intercept[IllegalArgumentException] {
+      Semistructured.toVariant(df, "props", "id")
+    }
+    intercept[IllegalArgumentException] {
+      Semistructured.toVariant(df, "nope", "pv")
+    }
+  }
 }
