@@ -107,6 +107,25 @@ object GraftFunctions {
         { args => arity("kmv_distinct", 3, args)
           SketchExprs.KmvSketch(args(0), intLit(args(1), "k"),
             longLit(args(2), "space")).toAggregateExpression() }),
+      ("topk_freq",
+        "topk_freq(item, weight, err, m) - aggregate: Space-Saving " +
+          "heavy-hitter sketch over a STRING item column; returns " +
+          "array<struct(item, count, err)> sorted by count desc " +
+          "(count overestimates by at most err; exact while distinct " +
+          "<= m). Pass weight=1, err=0 for raw data; stored counters " +
+          "re-insert as (count, err) to merge persisted sketches",
+        { args => arity("topk_freq", 4, args)
+          SketchExprs.SpaceSavingTopK(args(0), args(1), args(2),
+            intLit(args(3), "m")).toAggregateExpression() }),
+      ("bottomk_sample",
+        "bottomk_sample(hash, value, k) - aggregate: deterministic " +
+          "uniform k-sample (rows whose LONG hash of a unique row key " +
+          "is smallest) carrying a DOUBLE measure; returns " +
+          "array<struct(h, v)> sorted by hash — read quantiles off " +
+          "the sorted measures",
+        { args => arity("bottomk_sample", 3, args)
+          SketchExprs.BottomKSample(args(0), args(1),
+            intLit(args(2), "k")).toAggregateExpression() }),
       ("parse_ntriple",
         "parse_ntriple(line, permissive) - 0/1-element array of quad structs " +
           "from one N-Triples/N-Quads line; explode it (permissive: drop " +

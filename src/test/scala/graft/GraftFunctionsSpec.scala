@@ -121,4 +121,27 @@ class GraftFunctionsSpec extends AnyFlatSpec with Matchers {
       .select("n_retained", "kth_min", "estimate").head()
     viaSql shouldBe viaCol
   }
+
+  it should "expose topk_freq and bottomk_sample aggregates to spark.sql" in {
+    graft.functions.GraftFunctions.register(spark)
+    (1 to 30).flatMap(i => Seq.fill(i)(("g", s"w$i", i.toLong)))
+      .toDF("g", "w", "id").createOrReplaceTempView("sk_v")
+    // heavy hitters: SQL face returns the full sorted counter array
+    val hh = spark.sql(
+      "SELECT topk_freq(w, 1L, 0L, 64) AS s FROM sk_v GROUP BY g")
+      .select(explode(col("s")).as("c"))
+      .select("c.item", "c.count", "c.err")
+      .limit(2).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    hh shouldBe Array(("w30", 30L, 0L), ("w29", 29L, 0L))
+    // bottom-k sample: same retained set as the Column-level sketch
+    val viaSql = spark.sql(
+      """SELECT bottomk_sample(
+        |  CAST(conv(substring(md5(CAST(id AS STRING)), 1, 12), 16, 10)
+        |       AS BIGINT), CAST(id AS DOUBLE), 8) AS s
+        |FROM sk_v GROUP BY g""".stripMargin)
+      .select(col("s")).head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    viaSql should have size 8
+    viaSql.map(_._1) shouldBe viaSql.map(_._1).sorted
+  }
 }

@@ -188,4 +188,34 @@ class SketchFamilySpec extends AnyFlatSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy
       Sketches.heavyHitters(df, Seq("g"), "v", m = 8, topK = 9)
   }
+
+  "heavyHitters over a stream" should
+    "track trending items with bounded per-group state" in {
+    // the same TypedImperativeAggregate drives an Update-mode
+    // streaming aggregation: per-group state is the ≤m-counter
+    // Space-Saving buffer, each micro-batch refreshes the top-k
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val out = Sketches.heavyHitters(
+      input.toDF.toDF("g", "v"), Seq("g"), "v", m = 16, topK = 2)
+    out.isStreaming shouldBe true
+    val q = out.writeStream.format("memory").queryName("hh_stream_out")
+      .outputMode("complete").start()
+    def top() = s.table("hh_stream_out")
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Int]("rank"),
+        r.getAs[String]("item"), r.getAs[Long]("count"))).sorted.toList
+    try {
+      input.addData(("a", "x"), ("a", "x"), ("a", "y"), ("b", "z"))
+      q.processAllAvailable()
+      top() shouldBe List(("a", 1, "x", 2L), ("a", 2, "y", 1L),
+        ("b", 1, "z", 1L))
+      // counts accumulate across batches; the leader can change
+      input.addData(("a", "y"), ("a", "y"), ("b", "z"))
+      q.processAllAvailable()
+      top() shouldBe List(("a", 1, "y", 3L), ("a", 2, "x", 2L),
+        ("b", 1, "z", 2L))
+    } finally q.stop()
+  }
 }
