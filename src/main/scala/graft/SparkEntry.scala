@@ -835,6 +835,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice")).as("total"))
     },
+    "q_skew_aware_join" -> { (s, d) =>
+      // sketch-driven partial salting: one Space-Saving pass finds
+      // the hot users (>0.2% of events each), ONLY their rows salt
+      // and replicate — the oracle is again the plain join, so DuckDB
+      // certifies detection + selective salting changes nothing
+      val ev = eventsUs(s, d).select(col("user_id"), col("value"))
+      val dim = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_u"))
+      graft.pipeline.Skew.skewAwareJoin(ev, dim, Seq("user_id"),
+        salts = 8, m = 256, hotShare = 0.002)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value")).as("total_value"),
+          max(col("n_u")).as("n_u"))
+    },
     "q_kmv_rollup" -> { (s, d) =>
       // the persisted-sketch workflow: per-DAY user sketches (the
       // table you'd store) merged to the period total — k longs per
@@ -2104,6 +2119,15 @@ object SparkEntry {
       """SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
         |  SUM(o.o_totalprice) AS total
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1""".stripMargin,
+    "q_skew_aware_join" ->
+      """WITH dim AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_u
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(e.value) AS total_value, MAX(d.n_u) AS n_u
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
         |GROUP BY 1""".stripMargin,
     // two-level rank replay: per-day k-min sets, union, re-rank —
     // exactly the merge the sketch rollup performs

@@ -1,6 +1,8 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import graft.functions.SketchExprs
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation operators. AQE's skew-join handling splits
@@ -49,5 +51,81 @@ object Skew {
     val replicatedRight = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     saltedLeft.join(replicatedRight, keys :+ "__salt", jt).drop("__salt")
+  }
+
+  /** Join keys rendered as ONE string for hot-key detection and
+    * matching — the SAME expression on both sides, so type formatting
+    * can never disagree. `concat_ws` skips NULLs; a NULL key never
+    * equi-joins anyway, so the ambiguity is inert. */
+  private def keyString(keys: Seq[String]): Column =
+    concat_ws("\u0001", keys.map(k => col(k).cast("string")): _*)
+
+  /** Detect hot join keys in ONE bounded-state pass: a Space-Saving
+    * sketch ([[graft.functions.SketchExprs.SpaceSavingTopK]]) plus a
+    * row count in the same aggregation. Returns the keys whose
+    * sketched frequency is ≥ `minShare` of the rows. The sketch
+    * OVERESTIMATES by at most `err`, so this returns a superset of
+    * the truly-hot keys — exactly the safe direction for salting
+    * (salting a lukewarm key costs a few replicas; missing a hot one
+    * costs the straggler). At 100 TB this pass shuffles m counters
+    * per partition, never the keys. */
+  def detectHotKeys(df: DataFrame, keys: Seq[String], m: Int,
+                    minShare: Double): Seq[String] = {
+    require(keys.nonEmpty, "need at least one join key")
+    require(minShare > 0 && minShare <= 1, s"minShare in (0,1], got $minShare")
+    val sketch = GraftColumnBridge.column(
+      SketchExprs.SpaceSavingTopK(
+        GraftColumnBridge.expression(keyString(keys)),
+        GraftColumnBridge.expression(lit(1L)),
+        GraftColumnBridge.expression(lit(0L)), m).toAggregateExpression())
+    val row = df.agg(count(lit(1)).as("n"), sketch.as("ss")).head()
+    val n = row.getLong(0)
+    val floor = minShare * n
+    row.getSeq[org.apache.spark.sql.Row](1)
+      .filter(_.getLong(1) >= floor).map(_.getString(0))
+  }
+
+  /** [[saltedJoin]] with the replication bill scoped to the keys that
+    * need it: ONE sketch pass over the left side finds keys holding
+    * ≥ `hotShare` of its rows, hot left rows salt across `salts`
+    * sub-partitions, and the right side replicates ONLY for hot keys
+    * — cold keys join 1:1. Result multiset identical to the plain
+    * join (same argument as saltedJoin; the salt picks which replica,
+    * never whether a match exists). Falls back to the plain join when
+    * nothing is hot.
+    *
+    * This is the production shape at scale: blanket salting multiplies
+    * the ENTIRE right shuffle by `salts`, which is exactly the cost
+    * that made someone reach for salting in the first place. Here the
+    * right shuffles (1 + salts·hotKeyFraction)× instead. */
+  def skewAwareJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                    salts: Int, joinType: String = "inner",
+                    m: Int = 1024, hotShare: Double = 0.01): DataFrame = {
+    require(keys.nonEmpty, "need at least one join key")
+    require(salts >= 2, s"salts must be >= 2, got $salts")
+    val jt = joinType.toLowerCase match {
+      case "inner" => "inner"
+      case "left" | "left_outer" | "leftouter" => "left"
+      case other => throw new IllegalArgumentException(
+        s"skewAwareJoin supports inner/left joins, got '$other' — for a " +
+          "right outer join, swap the sides and salt the other way")
+    }
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "a __salt column already exists")
+    val hot = detectHotKeys(left, keys, m, hotShare)
+    if (hot.isEmpty) left.join(right, keys, jt)
+    else {
+      // ≤ m hot-key strings ride into generated code as an InSet —
+      // no extra join to tag rows
+      val saltedLeft = left.withColumn("__salt",
+        when(keyString(keys).isin(hot: _*),
+          pmod(monotonically_increasing_id(), lit(salts.toLong)))
+          .otherwise(lit(0L)))
+      val replicatedRight = right.withColumn("__salt",
+        explode(when(keyString(keys).isin(hot: _*),
+          sequence(lit(0L), lit(salts.toLong - 1)))
+          .otherwise(array(lit(0L)))))
+      saltedLeft.join(replicatedRight, keys :+ "__salt", jt).drop("__salt")
+    }
   }
 }

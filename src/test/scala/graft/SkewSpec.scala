@@ -59,4 +59,44 @@ class SkewSpec extends AnyFlatSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy
       Skew.saltedJoin(fact.withColumn("__salt", lit(1)), dim, Seq("k"), 8)
   }
+
+  "detectHotKeys" should "find exactly the keys above the share floor" in {
+    // key 1 holds ~90% of fact; every other key is far below 10%
+    Skew.detectHotKeys(fact, Seq("k"), m = 64, minShare = 0.1) shouldBe Seq("1")
+    // a floor nothing reaches → empty
+    Skew.detectHotKeys(fact, Seq("k"), m = 64, minShare = 0.95) shouldBe empty
+    // multi-column keys detect on the composite
+    val two = fact.withColumn("k2", lit("x"))
+    Skew.detectHotKeys(two, Seq("k", "k2"), 64, 0.1) shouldBe Seq("1\u0001x")
+  }
+
+  "skewAwareJoin" should "equal the plain inner and left joins" in {
+    for (jt <- Seq("inner", "left")) {
+      multiset(Skew.skewAwareJoin(fact, dim, Seq("k"), salts = 8,
+        joinType = jt, m = 64, hotShare = 0.1)
+        .select("k", "payload", "attr")) shouldBe
+        multiset(fact.join(dim, Seq("k"), jt).select("k", "payload", "attr"))
+    }
+  }
+
+  it should "replicate the right side only for hot keys" in {
+    // peek at the operator's internals via the same construction: the
+    // replicated right under hotShare=0.1 must carry dim once per cold
+    // key and `salts` times for the single hot key
+    val hot = Skew.detectHotKeys(fact, Seq("k"), 64, 0.1)
+    hot shouldBe Seq("1")
+    val replicated = dim.withColumn("__salt",
+      explode(when(concat_ws("", col("k").cast("string")).isin(hot: _*),
+        sequence(lit(0L), lit(7L))).otherwise(array(lit(0L)))))
+    replicated.count() shouldBe (dim.count() - 1) + 8
+  }
+
+  it should "fall back to the plain join when nothing is hot" in {
+    val uniform = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("k", "payload")
+    val j = Skew.skewAwareJoin(uniform, dim, Seq("k"), salts = 8,
+      m = 64, hotShare = 0.5)
+    j.columns should not contain "__salt"
+    multiset(j.select("k", "payload", "attr")) shouldBe
+      multiset(uniform.join(dim, Seq("k")).select("k", "payload", "attr"))
+  }
 }
