@@ -1,0 +1,75 @@
+package graft
+
+import graft.plans.PlanLint
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Plan lint: catches the shapes that die at scale (cartesian,
+  * nested-loop, oversized broadcast, unpushed scan filters), stays
+  * quiet on healthy plans, and lints a sample of battery entries. */
+class PlanLintSpec extends AnyFlatSpec with Matchers {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def errRules(fs: Seq[PlanLint.Finding]) =
+    fs.filter(_.severity == "error").map(_.rule).toSet
+
+  "PlanLint" should "flag a cartesian product and a nested-loop join" in {
+    val a = (1 to 10).toDF("x")
+    val b = (1 to 10).toDF("y")
+    errRules(PlanLint.lint(a.crossJoin(b))) should
+      contain atLeastOneOf ("cartesian-product", "nested-loop-join")
+    // non-equi condition → BroadcastNestedLoopJoin (or cartesian)
+    val nonEqui = a.join(b, col("x") < col("y"))
+    errRules(PlanLint.lint(nonEqui)) should
+      contain atLeastOneOf ("cartesian-product", "nested-loop-join")
+    an[AssertionError] should be thrownBy PlanLint.assertClean(a.crossJoin(b))
+    // an explicit allow turns the same plan green — visibly, by rule name
+    noException should be thrownBy PlanLint.assertClean(a.crossJoin(b),
+      allowRules = Set("cartesian-product", "nested-loop-join"))
+  }
+
+  it should "flag an oversized broadcast by its logical estimate" in {
+    val big = spark.range(1000000).toDF("k").withColumn("pad", lit("x" * 100))
+    val smallThreshold = 1024L // 1 KB: anything real exceeds it
+    val j = spark.range(10).toDF("k").join(broadcast(big), Seq("k"))
+    errRules(PlanLint.lint(j, maxBroadcastBytes = smallThreshold)) should
+      contain("oversized-broadcast")
+    // same join, sane threshold → clean
+    errRules(PlanLint.lint(spark.range(10).toDF("k")
+      .join(broadcast((1 to 5).toDF("k")), Seq("k")))) shouldBe empty
+  }
+
+  it should "warn on a filter above a scan that pushed nothing" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lint").toString
+    (1 to 100).map(i => (i.toLong, s"w$i")).toDF("k", "w")
+      .write.mode("overwrite").parquet(dir)
+    val t = spark.read.parquet(dir)
+    // unpushable predicate (function of the column) → warn
+    val unpushed = t.filter(expr("length(w) > 2"))
+    PlanLint.lint(unpushed).filter(_.severity == "warn")
+      .map(_.rule) should contain("unpushed-scan-filter")
+    // plain comparison pushes → no warn
+    val pushed = t.filter(col("k") > 50)
+    PlanLint.lint(pushed).filter(_.severity == "warn") shouldBe empty
+  }
+
+  it should "report exchange and codegen telemetry" in {
+    val agg = (1 to 100).map(i => (i % 3, i)).toDF("g", "v")
+      .groupBy("g").agg(sum("v"))
+    val info = PlanLint.lint(agg).filter(_.severity == "info").map(_.rule)
+    info should contain allOf ("exchange-count", "codegen-spans")
+  }
+
+  it should "pass a sample of battery entries with zero error findings" in {
+    val sf = "/root/testdata/sf0.001"
+    for (name <- Seq("q1_agg", "q_salted_join", "q_skew_aware_join",
+      "q_heavy_hitters", "q_quantile_sketch", "q_range_join",
+      "q_props_variant", "q_bgp_join"))
+      withClue(name) {
+        noException should be thrownBy PlanLint.assertClean(
+          SparkEntry.queries(name)(spark, sf))
+      }
+  }
+}
