@@ -1305,6 +1305,25 @@ object SparkEntry {
         t(s, d, "documents"), "lang", "n_chars", k = 5, tieCol = "doc_id")
         .select(col("doc_id"), col("lang"), col("n_chars"))
     },
+    "q_pipeline_e2e" -> { (s, d) =>
+      // the full curation chain as ONE lineage: exact dedup →
+      // benchmark decontamination → quality gate → portable 30%
+      // sample → per-language corpus report. Each stage is
+      // individually oracle-checked elsewhere; this entry proves they
+      // COMPOSE — no column collisions, no cross-stage
+      // nondeterminism — by replaying the whole chain in SQL
+      val docs = t(s, d, "documents")
+      val deduped = graft.pipeline.Dedup.exact(docs, "text", "doc_id")
+      val decont = graft.pipeline.Decontaminate.clean(
+        deduped, "doc_id", "text", benchPassages(docs), "bench_id", "btext")
+      val gated = decont.filter(col("n_chars") >= 200)
+      val sampled = graft.pipeline.Sampling.deterministicSample(
+        gated, "doc_id", fraction = 0.3, seed = 0L, portable = true)
+      sampled.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("min_doc_id"))
+    },
     "q_quantile_group" -> { (s, d) =>
       // per-group quality gate: keep documents at/above their
       // language's 75th length percentile
@@ -2475,6 +2494,32 @@ object SparkEntry {
         |WHERE doc_id NOT IN (
         |  SELECT DISTINCT t.doc_id FROM tfp t JOIN bfp b ON t.fp = b.fp)"""
         .stripMargin),
+    // the full-chain replay: the decontam CTEs (toks/bench_txt/bfp/tfp)
+    // extend with dedup → clean → gate → portable sample → report;
+    // note bfp/tfp fingerprint the ORIGINAL corpus — dropping a
+    // duplicate doc upstream cannot un-contaminate a surviving one,
+    // and the Spark side passes the pre-dedup docs as the benchmark
+    // source for exactly that reason
+    "q_pipeline_e2e" -> decontamOracle(
+      """, dedup AS (
+        |  SELECT * FROM (
+        |    SELECT d.*, row_number() OVER (PARTITION BY text
+        |                                   ORDER BY doc_id) AS rk
+        |    FROM documents d) WHERE rk = 1
+        |), cleaned AS (
+        |  SELECT * FROM dedup WHERE doc_id NOT IN (
+        |    SELECT DISTINCT t.doc_id FROM tfp t JOIN bfp b ON t.fp = b.fp)
+        |), gated AS (
+        |  SELECT * FROM cleaned WHERE n_chars >= 200
+        |), sampled AS (
+        |  SELECT * FROM gated
+        |  WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 8))::BIGINT
+        |        % 1000000 < 300000
+        |)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+        |FROM sampled GROUP BY 1""".stripMargin),
     "q_sample_det" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 8))::BIGINT
