@@ -103,6 +103,68 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
     } finally q.stop()
   }
 
+  "the streaming curation chain" should
+    "compose dedup → decontaminate → curate → sample with batch parity" in {
+    // the q_pipeline_e2e chain's streaming face: the SAME operator
+    // calls chain over a stream — dedup is the only stateful stage,
+    // everything downstream stays map-only and fuses incrementally
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.{Dedup, Sampling, TextAnalysis}
+    val passage = "which spark operator shuffles the most data overall in production today"
+    val bench = Seq((900L, passage)).toDF("bench_id", "btext")
+    // ids chosen against the portable sample buckets at fraction
+    // 0.93: the dup pair (2,3) falls INSIDE the sample under either
+    // survivor, so the paths' different dedup tie-breaks (arrival vs
+    // min id) cannot leak into the sampler; 31 is the sampled-out doc
+    val rows = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog and runs to the river",
+        ts("2024-01-01 10:00:00")),
+      (3L, "the quick brown fox jumps over the lazy dog and runs to the river",
+        ts("2024-01-01 10:00:01")), // exact dup → one survives
+      (5L, s"a long training document embedding $passage plus extra words here",
+        ts("2024-01-01 10:00:02")), // contaminated → dropped
+      (7L, "another clean document about parquet row groups and columnar reads",
+        ts("2024-01-01 10:00:03")),
+      (8L, "!!!! ???? ####", ts("2024-01-01 10:00:04")), // junk → dropped
+      (31L, "a perfectly fine document that the deterministic sampler excludes",
+        ts("2024-01-01 10:00:05"))) // bucket 985400 ≥ 930000 → sampled out
+
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val chained = Sampling.deterministicSample(
+      StreamingOps.curateStream(
+        StreamingOps.decontaminateStream(
+          StreamingOps.dedupStream(
+            input.toDF.toDF("doc_id", "text", "event_ts"),
+            "text", "event_ts"),
+          "text", bench, "bench_id", "btext"),
+        "text", minQuality = 0.2),
+      "doc_id", fraction = 0.93, portable = true)
+    chained.isStreaming shouldBe true
+    val q = chained.writeStream.format("memory")
+      .queryName("curation_chain_out").outputMode("append").start()
+    val streamTexts = try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      spark.table("curation_chain_out").select("text").as[String]
+        .collect().sorted.toSeq
+    } finally q.stop()
+
+    // batch replay of the same chain over the same rows (dedup keeps
+    // ONE of each text group on both paths; compare surviving TEXTS —
+    // arrival order picks the stream's survivor, min id the batch's)
+    val batch = Sampling.deterministicSample(
+      Dedup.exact(rows.toDF("doc_id", "text", "event_ts"), "text", "doc_id")
+        .transform(d => graft.pipeline.Decontaminate.clean(
+          d, "doc_id", "text", bench, "bench_id", "btext"))
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .filter(col("quality") >= 0.2),
+      "doc_id", fraction = 0.93, portable = true)
+    val batchTexts = batch.select("text").as[String].collect().sorted.toSeq
+    streamTexts shouldBe batchTexts
+    streamTexts.exists(_.contains("quick brown fox")) shouldBe true
+    streamTexts.exists(_.contains(passage)) shouldBe false
+  }
+
   "streaming event aggregation" should "count per window and type with watermark" in {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
