@@ -92,4 +92,55 @@ object Layout {
                    predicate: Column): Long =
     spark.read.parquet(path).filter(predicate)
       .select(input_file_name()).distinct().count()
+
+  /** Bin-pack a parquet directory into ~`targetFileBytes` files — the
+    * small-file compaction every long-lived table needs (streaming
+    * sinks and incremental appends leave thousands of KB-sized files;
+    * at 100 TB the scan's task-scheduling overhead and the
+    * metastore's file listing dominate before a single row is read).
+    *
+    * The output file count derives from the ACTUAL on-disk bytes
+    * (listed through the path's Hadoop FileSystem, so hdfs:// / s3a://
+    * work like local paths — same discipline as the dict store's
+    * markers), so compressed size is preserved ~1:1. Content is
+    * untouched — round-trip identity is what the spec and the battery
+    * oracle assert.
+    *
+    * Without `sortCols` the rewrite is `coalesce` — NO shuffle: source
+    * splits merge map-side, the cheapest possible compaction. With
+    * `sortCols` the rewrite range-partitions and sorts, paying one
+    * shuffle to (re-)establish clustering while compacting — the
+    * combined "compact + cluster" maintenance pass.
+    *
+    * Writes to `outPath`, never in place: swap the directory
+    * atomically after validation, the same snapshot discipline as
+    * SPARQL Update write-back. Returns the output file count. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetFileBytes: Long, sortCols: Seq[String] = Nil): Int = {
+    require(targetFileBytes > 0,
+      s"targetFileBytes must be positive, got $targetFileBytes")
+    require(inPath != outPath, "compact writes a NEW directory (swap " +
+      "after validation); in-place overwrite would destroy the input " +
+      "on job failure")
+    val hPath = new org.apache.hadoop.fs.Path(inPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(hPath).iterator
+      .filter(_.isFile)
+      // skip bookkeeping: _SUCCESS markers and hidden .crc checksums
+      .filter { f =>
+        val n = f.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map(_.getLen).sum
+    val n = math.max(1L,
+      math.ceil(totalBytes.toDouble / targetFileBytes).toLong).toInt
+    val df = spark.read.parquet(inPath)
+    val out =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(n, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.coalesce(n)
+    out.write.mode("overwrite").parquet(outPath)
+    n
+  }
 }

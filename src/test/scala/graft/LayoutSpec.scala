@@ -61,4 +61,50 @@ class LayoutSpec extends AnyFlatSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy
       Layout.zorderWrite(data, Seq("k", "v"), tmp("x"), 8, bits = 32)
   }
+
+  "compact" should "bin-pack small files content-identically without a shuffle" in {
+    val in = tmp("compact-in")
+    data.repartition(64).write.mode("overwrite").parquet(in)
+    def parquetFiles(p: String) = new java.io.File(p).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).toSeq
+    val smallFiles = parquetFiles(in)
+    smallFiles.size shouldBe 64
+    val total = smallFiles.map(_.length).sum
+
+    val out = tmp("compact-out")
+    // target ≈ a quarter of the data per file → 4 output files
+    // (ceil division in the target so total/target is exactly 4)
+    val n = Layout.compact(spark, in, out, targetFileBytes = (total + 3) / 4)
+    n shouldBe 4
+    parquetFiles(out).size should be <= 4
+    // content identity, exact multiset
+    val a = spark.read.parquet(in); val b = spark.read.parquet(out)
+    b.count() shouldBe 20000
+    a.exceptAll(b).count() shouldBe 0
+    b.exceptAll(a).count() shouldBe 0
+    // the no-sortCols path is coalesce: NO exchange anywhere
+    spark.read.parquet(in).coalesce(4).queryExecution.executedPlan
+      .toString should not include "Exchange"
+  }
+
+  it should "re-establish clustering when compacting with sortCols" in {
+    val in = tmp("compact-sort-in")
+    data.repartition(64).write.mode("overwrite").parquet(in) // scattered
+    val out = tmp("compact-sort-out")
+    val total = new java.io.File(in).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).map(_.length).sum
+    Layout.compact(spark, in, out, total / 8, sortCols = Seq("k"))
+    spark.read.parquet(out).count() shouldBe 20000
+    // range-clustered on k: a selective k predicate touches few files
+    Layout.filesTouched(spark, out, col("k") === 42L) should be <= 2L
+  }
+
+  it should "refuse in-place compaction and bad targets" in {
+    an[IllegalArgumentException] should be thrownBy
+      Layout.compact(spark, "/x", "/x", 1024)
+    an[IllegalArgumentException] should be thrownBy
+      Layout.compact(spark, "/x", "/y", 0)
+  }
 }
