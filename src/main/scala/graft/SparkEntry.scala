@@ -861,6 +861,25 @@ object SparkEntry {
         ev, Seq("day"), "user_id", k = 32)
       graft.pipeline.Sketches.mergeSketches(daily, Nil, k = 32)
     },
+    "q_compact" -> { (s, d) =>
+      // small-file compaction: scatter events over 64 tiny files,
+      // bin-pack them back to a handful with Layout.compact (coalesce
+      // — no shuffle), and aggregate the result; the oracle replays
+      // the aggregate from the RAW table, proving the maintenance
+      // pass is content-identity. File-count/no-shuffle properties
+      // are pinned in LayoutSpec.
+      val scattered = tmpPath("compact_in", d)
+      val packed = tmpPath("compact_out", d)
+      eventsUs(s, d).select(col("event_id"), col("user_id"), col("value"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(scattered)
+      graft.io.Layout.compact(s, scattered, packed,
+        targetFileBytes = 256L * 1024)
+      s.read.parquet(packed)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"),
+          sum(col("event_id")).as("id_sum"))
+    },
     "q_zorder_layout" -> { (s, d) =>
       // z-order clustered rewrite of events on (user_id, value), read
       // back and aggregated — the oracle replays the aggregate from
@@ -1426,6 +1445,18 @@ object SparkEntry {
         .head().getSeq[Float](0).map(_.toDouble)
       graft.pipeline.Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
     },
+    "q_hybrid_search" -> { (s, d) =>
+      // hybrid retrieval: BM25 keyword pool + embedding cosine pool
+      // fused by reciprocal rank (RRF needs no score calibration —
+      // ranks are scale-free); both arms rank deterministically, so
+      // the oracle replays pools, ranks and fused scores exactly
+      val emb = t(s, d, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      graft.pipeline.Search.hybridTopK(
+        t(s, d, "documents"), "doc_id", "text", "spark join window",
+        emb, "vec_id", "embedding", qv, k = 10, poolK = 50)
+    },
     "q_sql_cosine" -> { (s, d) =>
       // the SparkSessionExtensions / FunctionRegistry surface: the
       // native codegen'd cosine runs from a plain spark.sql string
@@ -1742,8 +1773,7 @@ object SparkEntry {
     * and every arithmetic step keeps the same association, so only
     * libm `ln` and summation order can differ — both absorbed by
     * ranking on the 6-decimal-rounded score. */
-  private def bm25Oracle(terms: Seq[String], k: Int,
-                         k1: Double, b: Double): String = {
+  private def bm25Ctes(terms: Seq[String], k1: Double, b: Double): String = {
     val termList = terms.map(t => s"'$t'").mkString(", ")
     val k1p1 = k1 + 1
     val omb = 1 - b
@@ -1765,10 +1795,15 @@ object SparkEntry {
        |         ((tf * $k1p1) / (tf + $k1 * ($omb + ($b * dl) / avgdl))) ) AS score
        |  FROM tf JOIN dft USING (term) CROSS JOIN stats
        |  GROUP BY tf.doc_id
-       |)
-       |SELECT doc_id, round(score, 6) AS score FROM scored
-       |ORDER BY round(score, 6) DESC, doc_id LIMIT $k""".stripMargin
+       |)""".stripMargin
   }
+
+  private def bm25Oracle(terms: Seq[String], k: Int,
+                         k1: Double, b: Double): String =
+    bm25Ctes(terms, k1, b) +
+      s"""
+         |SELECT doc_id, round(score, 6) AS score FROM scored
+         |ORDER BY round(score, 6) DESC, doc_id LIMIT $k""".stripMargin
 
   /** DuckDB replay of [[graft.pipeline.Similarity.portableLshTopK]]:
     * re-derives the query's bucket, the Hamming-1 probe ring, every
@@ -2173,6 +2208,13 @@ object SparkEntry {
         |            MAX(CASE WHEN rk <= 32 THEN hv END) END AS estimate
         |FROM r2""".stripMargin,
     "q_zorder_layout" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(value) AS total_value,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+        |FROM events GROUP BY 1""".stripMargin,
+    // same content-identity oracle as q_zorder_layout: the compaction
+    // pass must change file layout, never rows
+    "q_compact" ->
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
         |  SUM(value) AS total_value,
         |  CAST(SUM(event_id) AS BIGINT) AS id_sum
@@ -2764,6 +2806,32 @@ object SparkEntry {
         |FROM ch""".stripMargin,
     "q_bm25" -> bm25Oracle(Seq("spark", "join", "window"), k = 10,
       k1 = 1.2, b = 0.75),
+    // hybrid fusion replay: BM25 pool ranks + cosine pool ranks +
+    // reciprocal-rank scores, all recomputed independently
+    "q_hybrid_search" -> (bm25Ctes(Seq("spark", "join", "window"),
+      k1 = 1.2, b = 0.75) +
+      """, kw AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id AS id, CAST(row_number() OVER (
+        |      ORDER BY round(score, 6) DESC, doc_id) AS INTEGER) AS kw_rank
+        |    FROM scored) WHERE kw_rank <= 50
+        |), vec AS (
+        |  SELECT * FROM (
+        |    SELECT id, CAST(row_number() OVER (
+        |      ORDER BY cos DESC, id) AS INTEGER) AS vec_rank
+        |    FROM (SELECT b.vec_id AS id,
+        |            list_cosine_similarity(a.embedding::DOUBLE[],
+        |                                   b.embedding::DOUBLE[]) AS cos
+        |          FROM embeddings a, embeddings b WHERE a.vec_id = 0))
+        |  WHERE vec_rank <= 50
+        |), fused AS (
+        |  SELECT coalesce(kw.id, vec.id) AS id, kw_rank, vec_rank,
+        |    coalesce(CAST(1 AS DOUBLE) / (60 + kw_rank), 0) +
+        |    coalesce(CAST(1 AS DOUBLE) / (60 + vec_rank), 0) AS rrf
+        |  FROM kw FULL JOIN vec ON kw.id = vec.id
+        |)
+        |SELECT id, kw_rank, vec_rank, rrf FROM fused
+        |ORDER BY rrf DESC, id LIMIT 10""".stripMargin),
     "q_ann_brute" ->
       """SELECT b.vec_id,
         |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos

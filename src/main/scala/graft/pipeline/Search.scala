@@ -80,4 +80,65 @@ object Search {
       .select(col("id"), round(col("score"), 6).as("score"))
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR '09)
+    * of pre-ranked candidate lists: each list contributes
+    * `1 / (rrfK + rank)` for the documents it ranked; documents
+    * missing from a list contribute 0 from it. RRF is the standard
+    * keyword-plus-vector fusion precisely because it needs NO score
+    * calibration — ranks are scale-free, so a BM25 log-sum and a
+    * cosine in [−1, 1] combine without tuning.
+    *
+    * `rankings` maps a label to a `(id, <label>_rank)` frame; output
+    * is `(id, <label>_rank…, rrf)`, ordered by (rrf desc, id),
+    * top `k`. Inputs are top-poolK lists — pool-sized, NOT
+    * corpus-sized — so the fusion join is trivially small; all the
+    * scale machinery lives in the rankers that produced the pools. */
+  def rrfFuse(rankings: Seq[(String, DataFrame)], k: Int,
+              rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(rrfK >= 1, s"rrfK must be >= 1, got $rrfK")
+    val named = rankings.map { case (label, df) =>
+      label -> df.select(col("id"), col("rank").as(s"${label}_rank"))
+    }
+    val joined = named.map(_._2).reduce(_.join(_, Seq("id"), "full_outer"))
+    val rrf = named.map { case (label, _) =>
+      coalesce(lit(1.0) / (lit(rrfK) + col(s"${label}_rank")), lit(0.0))
+    }.reduce(_ + _)
+    joined.withColumn("rrf", rrf)
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Hybrid retrieval: BM25 keyword top-`poolK` fused with embedding
+    * cosine top-`poolK` by [[rrfFuse]]. Output
+    * `(id, kw_rank, vec_rank, rrf)` — a NULL rank means that ranker's
+    * pool missed the document. The brute-force vector arm is the
+    * REFERENCE ranker; at scale substitute the bucketed LSH / IVF
+    * top-k ([[Similarity.portableLshTopK]], [[Ivf.queryIndex]]) —
+    * fusion is rank-based, so swapping the arm changes nothing else.
+    * Ranks are deterministic on both arms (rounded BM25 score + id
+    * tie-break; cosine + id tie-break), so the fused list replays
+    * externally. */
+  def hybridTopK(docs: DataFrame, idCol: String, textCol: String,
+                 query: String,
+                 emb: DataFrame, embIdCol: String, embCol: String,
+                 queryVec: Seq[Double], k: Int, poolK: Int,
+                 rrfK: Int = 60,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1 && poolK >= k, s"need 1 <= k=$k <= poolK=$poolK")
+    // pool-sized frames: the un-partitioned row_number window is k
+    // rows on one task, not a corpus sort
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("id"))
+    val kw = bm25TopK(docs, idCol, textCol, query, poolK, k1, b)
+      .withColumn("rank", row_number().over(w))
+    val vw = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cos").desc, col("id"))
+    val vec = Similarity
+      .bruteForceTopK(emb, embIdCol, embCol, queryVec, poolK)
+      .select(col(embIdCol).as("id"), col("cos"))
+      .withColumn("rank", row_number().over(vw))
+    rrfFuse(Seq("kw" -> kw, "vec" -> vec), k, rrfK)
+  }
 }

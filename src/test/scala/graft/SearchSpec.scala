@@ -76,4 +76,46 @@ class SearchSpec extends AnyFlatSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy
       Search.bm25(docs, "doc_id", "text", "   ")
   }
+
+  "rrfFuse" should "fuse rankings with missing documents scoring 0 there" in {
+    val kw = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val vec = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
+    val fused = Search.rrfFuse(Seq("kw" -> kw, "vec" -> vec), k = 10, rrfK = 60)
+      .collect().map(r => (r.getLong(0), r.getDouble(r.fieldIndex("rrf"))))
+    // doc 20 appears in both lists → highest fused score
+    fused.head._1 shouldBe 20L
+    fused.head._2 shouldBe (1.0 / 62 + 1.0 / 61)
+    val m = fused.toMap
+    m(10L) shouldBe 1.0 / 61 // kw only
+    m(40L) shouldBe 1.0 / 62 // vec only
+    m.keySet shouldBe Set(10L, 20L, 30L, 40L)
+  }
+
+  "hybridTopK" should "surface keyword-only and vector-only hits" in {
+    val corpus = Seq(
+      (1L, "spark shuffle join internals explained with diagrams today"),
+      (2L, "gardening tips for tomatoes in raised beds this spring"),
+      (3L, "spark window functions and join strategies compared"))
+      .toDF("doc_id", "text")
+    // embeddings: doc 2 is closest to the query vector, docs 1/3 not
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.7f, 0.7f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Search.hybridTopK(corpus, "doc_id", "text", "spark join",
+      emb, "vec_id", "embedding", Seq(0.0, 1.0, 0.0), k = 3, poolK = 3)
+      .collect().map(r => (r.getLong(0),
+        Option(r.getAs[Integer]("kw_rank")).map(_.toInt),
+        Option(r.getAs[Integer]("vec_rank")).map(_.toInt)))
+    val byId = out.map(o => o._1 -> o).toMap
+    byId(2L)._2 shouldBe None  // no keyword hit
+    byId(2L)._3 shouldBe Some(1) // best vector
+    byId(1L)._2.isDefined shouldBe true
+    // a doc in both pools must outrank single-arm docs of similar rank
+    out.map(_._1).toSet shouldBe Set(1L, 2L, 3L)
+    an[IllegalArgumentException] should be thrownBy
+      Search.hybridTopK(corpus, "doc_id", "text", "spark",
+        emb, "vec_id", "embedding", Seq(1.0, 0.0, 0.0), k = 5, poolK = 3)
+  }
 }
