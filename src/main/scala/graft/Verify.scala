@@ -42,6 +42,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     var failed = List.empty[String]
+    // plan-shape telemetry alongside correctness: per entry, the
+    // PlanLint error rules its pre-execution plan carries (empty for
+    // a scale-clean plan). Pure telemetry — SPARQL semantics force a
+    // handful of cartesians (disjoint-domain MINUS, zero-length path
+    // domains), so Verify records rather than gates; the clean-entry
+    // count is asserted sample-wise in PlanLintSpec.
+    var lint = List.empty[(String, Seq[String])]
     SparkEntry.queries.foreach { case (name, fn) =>
       val dest = Paths.get(outDir, name)
       if (Files.exists(dest)) { // stale result from an earlier run
@@ -50,7 +57,12 @@ object Verify {
           .iterator().asScala.foreach(Files.delete)
       }
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        val df = fn(spark, sfDir)
+        try {
+          lint ::= name -> graft.plans.PlanLint.lint(df)
+            .filter(_.severity == "error").map(_.rule).distinct
+        } catch { case _: Throwable => () } // telemetry must not fail a run
+        df.coalesce(1).write.mode("overwrite")
           .parquet(dest.toString)
         // no-oracle entries still get a CHECKED bound: the structural
         // row-count invariants in SparkEntry.rowChecks (metadata-only
@@ -69,6 +81,14 @@ object Verify {
       }
     }
     writeOracleJson(outDir)
+    val lintJson = lint.sortBy(_._1).map { case (n, rules) =>
+      s""""$n": [${rules.map(r => s""""$r"""").mkString(", ")}]"""
+    }.mkString("{", ",\n ", "}")
+    Files.writeString(Paths.get(s"$outDir/plan_lint.json"), lintJson)
+    val dirty = lint.count(_._2.nonEmpty)
+    System.err.println(
+      s"[verify] plan lint: ${lint.size - dirty}/${lint.size} entries " +
+        s"error-free (details in plan_lint.json)")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[verify] FAILED entries: ${failed.sorted.mkString(", ")}")

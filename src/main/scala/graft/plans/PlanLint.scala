@@ -45,7 +45,8 @@ object PlanLint {
     * `broadcast()` hints slapped onto fact tables (the single most
     * common way a working notebook job kills a production driver). */
   def lint(df: DataFrame,
-           maxBroadcastBytes: Long = 80L * 1024 * 1024): Seq[Finding] = {
+           maxBroadcastBytes: Long = 80L * 1024 * 1024,
+           smallBroadcastBytes: Long = 1024 * 1024): Seq[Finding] = {
     val nodes = walk(df.queryExecution.executedPlan)
     val findings = Seq.newBuilder[Finding]
 
@@ -56,10 +57,28 @@ object PlanLint {
             "receive a full copy of a side; restructure toward an " +
             "equi-join key or pre-aggregate")
       case b: BroadcastNestedLoopJoinExec =>
-        findings += Finding("nested-loop-join", "error", b.nodeName,
-          s"non-equi ${b.joinType} join evaluates the condition per row " +
-            "pair against a broadcast copy; bucketize the condition " +
-            "(range join) or derive an equi key")
+        // a TINY build side (a 1-row corpus-stats aggregate, a scalar
+        // subquery) is the standard cross-join-with-a-scalar shape —
+        // per-row work is O(1), not O(|build|); demote to info
+        val buildChild = b.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
+        }
+        val buildEst = walk(buildChild).collectFirst {
+          case e: BroadcastExchangeExec =>
+            e.child.logicalLink.map(_.stats.sizeInBytes)
+        }.flatten
+        if (buildEst.exists(_ <= smallBroadcastBytes))
+          findings += Finding("scalar-nested-loop", "info", b.nodeName,
+            s"non-equi ${b.joinType} join over a tiny (≤ " +
+              s"$smallBroadcastBytes B estimated) broadcast side — the " +
+              "scalar-subquery shape, fine as long as that side stays " +
+              "tiny at scale")
+        else
+          findings += Finding("nested-loop-join", "error", b.nodeName,
+            s"non-equi ${b.joinType} join evaluates the condition per " +
+              "row pair against a broadcast copy; bucketize the " +
+              "condition (range join) or derive an equi key")
       case e: BroadcastExchangeExec =>
         val est = e.child.logicalLink.map(_.stats.sizeInBytes)
         est.filter(_ > maxBroadcastBytes).foreach { sz =>

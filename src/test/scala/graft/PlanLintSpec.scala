@@ -16,18 +16,32 @@ class PlanLintSpec extends AnyFlatSpec with Matchers {
     fs.filter(_.severity == "error").map(_.rule).toSet
 
   "PlanLint" should "flag a cartesian product and a nested-loop join" in {
-    val a = (1 to 10).toDF("x")
-    val b = (1 to 10).toDF("y")
-    errRules(PlanLint.lint(a.crossJoin(b))) should
+    // both sides too big to broadcast → CartesianProduct / pair-wise
+    // nested loop, the shapes that die at scale
+    val bigA = spark.range(3000000).toDF("x")
+    val bigB = spark.range(3000000).toDF("y")
+    errRules(PlanLint.lint(bigA.crossJoin(bigB))) should
       contain atLeastOneOf ("cartesian-product", "nested-loop-join")
-    // non-equi condition → BroadcastNestedLoopJoin (or cartesian)
-    val nonEqui = a.join(b, col("x") < col("y"))
+    val nonEqui = bigA.join(bigB, col("x") < col("y"))
     errRules(PlanLint.lint(nonEqui)) should
       contain atLeastOneOf ("cartesian-product", "nested-loop-join")
-    an[AssertionError] should be thrownBy PlanLint.assertClean(a.crossJoin(b))
+    an[AssertionError] should be thrownBy
+      PlanLint.assertClean(bigA.crossJoin(bigB))
     // an explicit allow turns the same plan green — visibly, by rule name
-    noException should be thrownBy PlanLint.assertClean(a.crossJoin(b),
+    noException should be thrownBy PlanLint.assertClean(bigA.crossJoin(bigB),
       allowRules = Set("cartesian-product", "nested-loop-join"))
+  }
+
+  it should "demote a TINY-build-side nested loop to info" in {
+    // the scalar-subquery / corpus-stats shape: a 1-row aggregate
+    // cross-joined onto a table is O(1) extra work per row, not a
+    // scale hazard — info, not error
+    val corpus = spark.range(1000).toDF("x")
+    val stats = corpus.agg(avg(col("x")).as("m"))
+    val withStats = corpus.crossJoin(stats).filter(col("x") > col("m") - 10)
+    errRules(PlanLint.lint(withStats)) shouldBe empty
+    PlanLint.lint(withStats).filter(_.severity == "info")
+      .map(_.rule) should contain("scalar-nested-loop")
   }
 
   it should "flag an oversized broadcast by its logical estimate" in {
