@@ -182,46 +182,56 @@ final class DictStore private (val spark: SparkSession,
     def go(op: Op): Op = op match {
       case b if isBlock(b) || isExtBlock(b) =>
         val keep = keepFor(b, Algebra.varsOrdered(b))
-        Materialized(compileExtBlock(b, keep), keep)
+        Materialized(compileExtBlock(b, keep), keep,
+          assuredIdVars(b) intersect keep.toSet)
       case Join(l, r) => Join(go(l), go(r))
       case LeftJoin(l, r, c) => LeftJoin(go(l), go(r), c)
       case Union(l, r) => Union(go(l), go(r))
       case Minus(l, r) => Minus(go(l), go(r))
       case Group(c, keys, aggs) if groupCountEligible(c, keys, aggs) =>
+        // group keys over assured vars stay assured; aggregate
+        // outputs can be NULL (empty-group SAMPLE, poisoned SUM)
         Materialized(compileGroupCountIds(c, keys, aggs),
-          keys ++ aggs.map(_._1))
+          keys ++ aggs.map(_._1), keys.toSet intersect assuredIdVars(c))
       // ORDER BY vars + LIMIT directly over a block: top-k in id
       // space — sort keys join in from the dictionary, the limit runs
       // over (skey, id) rows, and only the surviving k rows decode
       case sl @ Slice(Order(c, keys), off, lim)
         if orderSliceEligible(c, keys, off, lim) =>
         val keep = keepFor(sl, Algebra.varsOrdered(c))
-        Materialized(compileTopKIds(c, keys, off, lim.get, keep), keep)
+        Materialized(compileTopKIds(c, keys, off, lim.get, keep), keep,
+          assuredIdVars(c) intersect keep.toSet)
       // plain SELECT stacks Slice(Project(Order(block))) — same top-k,
       // the projection fixing exactly which vars decode
       case Slice(Project(Order(c, keys), vs), off, lim)
         if vs.forall(Algebra.vars(c).contains) &&
           orderSliceEligible(c, keys, off, lim) =>
-        Materialized(compileTopKIds(c, keys, off, lim.get, vs), vs)
+        Materialized(compileTopKIds(c, keys, off, lim.get, vs), vs,
+          assuredIdVars(c) intersect vs.toSet)
       // DISTINCT/REDUCED directly over a (projected) block: dedup on
       // long tuples, decode only the SURVIVING rows (bijection ⇒ id
       // distinctness ≡ term distinctness, NULLs included)
       case Distinct(Project(c, vs))
         if isExtBlock(c) && vs.forall(Algebra.vars(c).contains) =>
-        Materialized(compileDistinctIds(c, vs), vs)
+        Materialized(compileDistinctIds(c, vs), vs,
+          assuredIdVars(c) intersect vs.toSet)
       case Reduced(Project(c, vs))
         if isExtBlock(c) && vs.forall(Algebra.vars(c).contains) =>
-        Materialized(compileDistinctIds(c, vs), vs)
+        Materialized(compileDistinctIds(c, vs), vs,
+          assuredIdVars(c) intersect vs.toSet)
       case Distinct(c) if isExtBlock(c) =>
         val vs = Algebra.varsOrdered(c)
-        Materialized(compileDistinctIds(c, vs), vs)
+        Materialized(compileDistinctIds(c, vs), vs,
+          assuredIdVars(c) intersect vs.toSet)
       case Reduced(c) if isExtBlock(c) =>
         val vs = Algebra.varsOrdered(c)
-        Materialized(compileDistinctIds(c, vs), vs)
+        Materialized(compileDistinctIds(c, vs), vs,
+          assuredIdVars(c) intersect vs.toSet)
       case f @ Filter(c, e) => filterEligible(c, e) match {
         case Some(conjs) =>
           val keep = keepFor(f, Algebra.varsOrdered(c))
-          Materialized(compileFilterIds(c, conjs, keep), keep)
+          Materialized(compileFilterIds(c, conjs, keep), keep,
+            assuredIdVars(c) intersect keep.toSet)
         case None => Filter(go(c), e)
       }
       // BIND over a block: the expression's vars hybrid-decode, the
@@ -230,8 +240,10 @@ final class DictStore private (val spark: SparkSession,
       // the bound name is fresh in the group pattern)
       case ex @ Extend(c, n, e)
         if isExtBlock(c) && !hasExists(e) && !Algebra.vars(c).contains(n) =>
+        // the bound name is NOT assured (the expression may error)
         val keep = keepFor(ex, Algebra.varsOrdered(c) :+ n)
-        Materialized(compileExtendIds(c, n, e, keep), keep)
+        Materialized(compileExtendIds(c, n, e, keep), keep,
+          assuredIdVars(c) intersect keep.toSet)
       case Extend(c, n, e) => Extend(go(c), n, e)
       case Project(c, vs) => Project(go(c), vs)
       case Distinct(c) => Distinct(go(c))
@@ -241,11 +253,11 @@ final class DictStore private (val spark: SparkSession,
       case Slice(c, o, l) => Slice(go(c), o, l)
       case alp: ArbitraryLengthPath if alpEligible(alp) =>
         val (df, vs) = compileAlpIds(alp)
-        Materialized(df, vs)
+        Materialized(df, vs, vs.toSet) // path endpoints bind every row
       case alp: ArbitraryLengthPath => alp.copy(edge = go(alp.edge))
       case ZeroLengthPath(V(sv), V(ov), g) =>
         val (df, vs) = compileZeroLengthIds(sv, ov, g)
-        Materialized(df, vs)
+        Materialized(df, vs, vs.toSet)
       case leaf => leaf // Scan handled by isBlock; Service/Values/… stay
     }
     go(root)
@@ -413,7 +425,7 @@ final class DictStore private (val spark: SparkSession,
       case Order(c, keys) => refs(c) ++ keys.flatMap { case (e, _) => ex(e) }
       case Slice(c, _, _) => refs(c)
       case Service(e, c, _) => pos(e) ++ refs(c)
-      case Materialized(_, vs) => vs
+      case Materialized(_, vs, _) => vs
       case ZeroLengthPath(s, o, g) => pos(s) ++ pos(o) ++ gs(g)
       case ArbitraryLengthPath(s, o, e, is, io, _, g) =>
         pos(s) ++ pos(o) ++ refs(e) ++ List(is, io) ++ gs(g)

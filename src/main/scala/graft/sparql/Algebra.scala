@@ -94,10 +94,14 @@ object Algebra {
     * ([[graft.io.DictStore]]), which runs a whole basic graph pattern
     * as joins over integer term ids and hands back the materialized
     * term-struct columns. Opaque leaf to every later pass; `varNames`
-    * is its column set (all assured: the fast path only swallows
-    * Scan/Join trees, whose variables are bound on every row). */
+    * is its column set and `assured` the subset bound on EVERY row —
+    * the swallowed subtree's assured vars, which downstream joins
+    * need to pick plain-equality vs compat keys (an OPTIONAL- or
+    * UNION-introduced column can be NULL, and treating it as assured
+    * would silently drop compat matches). */
   final case class Materialized(df: org.apache.spark.sql.DataFrame,
-                                varNames: List[String]) extends Op
+                                varNames: List[String],
+                                assured: Set[String]) extends Op
 
   /** Zero hops: both ends bind to the same graph node (SURVEY.md §2.8). */
   final case class ZeroLengthPath(s: VarOrTerm, o: VarOrTerm,
@@ -131,7 +135,7 @@ object Algebra {
     case Slice(c, _, _) => vars(c)
     case Service(e, c, _) => vars(c) ++
       (e match { case V(n) => Set(n); case _ => Set.empty[String] })
-    case Materialized(_, vs) => vs.toSet
+    case Materialized(_, vs, _) => vs.toSet
     case ZeroLengthPath(s, o, g) =>
       Set(s, o).collect { case V(n) => n } ++
         (g match { case GraphVar(n) => Set(n); case _ => Set.empty[String] })
@@ -176,7 +180,7 @@ object Algebra {
     }
     // the fast path only swallows Scan/Join trees, whose variables are
     // bound on every row — so the whole column set is assured
-    case Materialized(_, vs) => vs.toSet
+    case Materialized(_, _, assured) => assured
   }
 
   /** Like [[vars]] but in first-appearance order (SELECT * ordering). */
@@ -201,7 +205,7 @@ object Algebra {
       case Order(c, _) => walk(c)
       case Slice(c, _, _) => walk(c)
       case Service(e, c, _) => pos(e); walk(c)
-      case Materialized(_, vs) => seen ++= vs
+      case Materialized(_, vs, _) => seen ++= vs
       case ZeroLengthPath(s, o2, gs) => pos(s); pos(o2); g(gs)
       case ArbitraryLengthPath(s, o2, _, _, _, _, gs) => pos(s); pos(o2); g(gs)
     }

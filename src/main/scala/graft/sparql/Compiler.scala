@@ -725,7 +725,7 @@ final class Compiler(quads: DataFrame) {
         spark.range(0).select(cols.map(nullTerm.as(_)): _*)
       }
 
-    case Materialized(df, _) => df
+    case Materialized(df, _, _) => df
 
     case alp: ArbitraryLengthPath => compileALP(alp)
   }
@@ -961,7 +961,13 @@ final class Compiler(quads: DataFrame) {
     * rides along as flag sub-aggregates in the same pass. */
   private def compileGroup(child: Op, keys: List[String],
                            aggs: List[(String, AggE)]): DataFrame = {
-    val df = compileV(child)
+    // GROUP BY on a variable the pattern never binds (e.g. one scoped
+    // inside MINUS) is legal SPARQL: every solution maps it to
+    // unbound, producing a single group with an unbound key — pad it
+    // like compileV pads pattern vars
+    val df0 = compileV(child)
+    val df = keys.filterNot(df0.columns.contains)
+      .foldLeft(df0)((d, v) => d.withColumn(v, nullTerm))
     val ec = exprs(df)
 
     def aggStruct(a: AggE): Column =
