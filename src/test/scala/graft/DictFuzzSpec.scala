@@ -42,6 +42,11 @@ class DictFuzzSpec extends AnyFlatSpec with Matchers {
       .createTempDirectory("graft-dict-fuzz").toString
     DictStore.encode(quads, dir)
   }
+  private lazy val bucketed = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dict-fuzz-b").toString
+    DictStore.encodeBucketed(quads, dir, buckets = 4)
+  }
 
   private val prologue = "PREFIX : <http://fz.example/>\n"
 
@@ -96,7 +101,22 @@ class DictFuzzSpec extends AnyFlatSpec with Matchers {
     private def group(depth: Int): String = {
       val base = bgp(Nil, 1 + rnd.nextInt(2))
       if (depth == 0) return base
-      rnd.nextInt(7) match {
+      rnd.nextInt(9) match {
+        case 7 => // BIND of an arithmetic/string expression
+          val scope = varsIn(base)
+          val fresh = vars.find(v => !base.contains(v))
+          (scope.headOption, fresh) match {
+            case (Some(v), Some(f)) =>
+              val e = if (rnd.nextBoolean()) s"$v + ${rnd.nextInt(5)}"
+                      else s"STR($v)"
+              s"$base BIND($e AS $f)"
+            case _ => base
+          }
+        case 8 => // transitive path (ALP closure in both engines)
+          val s = subject(varsIn(base))
+          val o = pick(vars)
+          val op = if (rnd.nextBoolean()) "+" else "*"
+          s"$base $s :p$op $o ."
         case 0 => // OPTIONAL, sometimes conditioned
           val opt = bgp(varsIn(base), 1)
           val cond =
@@ -193,6 +213,10 @@ class DictFuzzSpec extends AnyFlatSpec with Matchers {
               s"${e.getMessage}\n$q", e)
           }
         multiset(viaDict) shouldBe multiset(viaTerms)
+        // every third query also runs on the BUCKETED store layout —
+        // same rewriter over catalog-bucketed tables
+        if (i % 3 == 0)
+          multiset(bindings(bucketed.sparql(q))) shouldBe multiset(viaTerms)
         if (viaTerms.nonEmpty) nonEmpty += 1
       }
     }
