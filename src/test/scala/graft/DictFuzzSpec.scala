@@ -32,6 +32,9 @@ class DictFuzzSpec extends AnyFlatSpec with Matchers {
       sb.append(s":n$i :q ${rnd.nextInt(10)} .\n")
       if (i % 3 != 0) sb.append(s""":n$i :r "w${rnd.nextInt(5)}" .\n""")
     }
+    // two named graphs so GRAPH ?g / GRAPH :gK shapes have data
+    sb.append(":g1 { :n0 :p :n3 . :n2 :q 7 . :n4 :r \"w1\" . }\n")
+    sb.append(":g2 { :n1 :p :n0 . :n5 :q 3 . }\n")
     sb.toString
   }
 
@@ -88,12 +91,18 @@ class DictFuzzSpec extends AnyFlatSpec with Matchers {
     private def filterCond(scope: Seq[String]): String = {
       if (scope.isEmpty) return "1 = 1"
       val v = pick(scope)
-      rnd.nextInt(5) match {
+      rnd.nextInt(9) match {
         case 0 => s"$v > ${rnd.nextInt(10)}"
         case 1 => s"$v = :n${rnd.nextInt(12)}"
         case 2 => s"sameTerm($v, ${rnd.nextInt(10)})"
         case 3 => s"""REGEX(STR($v), "w|n${rnd.nextInt(12)}")"""
-        case _ => s"BOUND($v)"
+        case 4 => s"BOUND($v)"
+        // hybrid-decode error semantics: arithmetic on non-numeric
+        // terms and casts must error → NULL → drop identically
+        case 5 => s"$v + ${rnd.nextInt(3)} > ${rnd.nextInt(12)}"
+        case 6 => s"STRLEN(STR($v)) > ${1 + rnd.nextInt(3)}"
+        case 7 => s"IF(BOUND($v), $v > ${rnd.nextInt(8)}, true)"
+        case _ => s"!sameTerm($v, :n${rnd.nextInt(12)})"
       }
     }
 
@@ -101,7 +110,9 @@ class DictFuzzSpec extends AnyFlatSpec with Matchers {
     private def group(depth: Int): String = {
       val base = bgp(Nil, 1 + rnd.nextInt(2))
       if (depth == 0) return base
-      rnd.nextInt(9) match {
+      rnd.nextInt(11) match {
+        case 9 => s"GRAPH ?g { ${bgp(Nil, 1 + rnd.nextInt(2))} } $base"
+        case 10 => s"GRAPH :g${1 + rnd.nextInt(2)} { ${bgp(Nil, 1)} } $base"
         case 7 => // BIND of an arithmetic/string expression
           val scope = varsIn(base)
           val fresh = vars.find(v => !base.contains(v))
