@@ -110,9 +110,18 @@ class DictFuzzSpec extends AnyFlatSpec with Matchers {
     private def group(depth: Int): String = {
       val base = bgp(Nil, 1 + rnd.nextInt(2))
       if (depth == 0) return base
-      rnd.nextInt(11) match {
+      rnd.nextInt(12) match {
         case 9 => s"GRAPH ?g { ${bgp(Nil, 1 + rnd.nextInt(2))} } $base"
         case 10 => s"GRAPH :g${1 + rnd.nextInt(2)} { ${bgp(Nil, 1)} } $base"
+        case 11 => // sub-SELECT aggregate joined into the group
+          val inner = bgp(Nil, 1 + rnd.nextInt(2))
+          varsIn(inner) match {
+            case Seq() => base
+            case vs =>
+              val g = pick(vs)
+              s"$base { SELECT $g (COUNT(*) AS ?cnt${rnd.nextInt(3)}) " +
+                s"{ $inner } GROUP BY $g }"
+          }
         case 7 => // BIND of an arithmetic/string expression
           val scope = varsIn(base)
           val fresh = vars.find(v => !base.contains(v))
