@@ -35,6 +35,10 @@ class DictFuzzSpec extends AnyFlatSpec with Matchers {
     // two named graphs so GRAPH ?g / GRAPH :gK shapes have data
     sb.append(":g1 { :n0 :p :n3 . :n2 :q 7 . :n4 :r \"w1\" . }\n")
     sb.append(":g2 { :n1 :p :n0 . :n5 :q 3 . }\n")
+    // heterogeneous values: negative/decimal/double numbers, unicode
+    // and case-varied strings — comparison/regex/sort-key stress
+    sb.append(":n0 :q -3 . :n1 :q 2.5 . :n2 :q 1.0e1 .\n")
+    sb.append(":n3 :r \"wüñ∂\" . :n4 :r \"W2\" .\n")
     sb.toString
   }
 
@@ -163,9 +167,22 @@ class DictFuzzSpec extends AnyFlatSpec with Matchers {
       }
     }
 
+    /** Optional FROM / FROM NAMED dataset clause (the id-space
+      * dataset path: graph-id filter + default-graph retag). */
+    private def datasetClause(): String =
+      if (rnd.nextDouble() >= 0.15) ""
+      else rnd.nextInt(3) match {
+        case 0 => s"FROM :g${1 + rnd.nextInt(2)} "
+        case 1 => s"FROM NAMED :g${1 + rnd.nextInt(2)} "
+        case _ => "FROM :g1 FROM NAMED :g2 "
+      }
+
     def query(): String = {
       val pat = group(1 + rnd.nextInt(2))
       val inScope = varsIn(pat)
+      val ds = datasetClause()
+      if (rnd.nextDouble() < 0.1)
+        return s"${prologue}ASK $ds{ $pat }"
       val proj =
         if (inScope.isEmpty || rnd.nextDouble() < 0.3) "*"
         else rnd.shuffle(inScope).take(1 + rnd.nextInt(inScope.size))
@@ -173,8 +190,8 @@ class DictFuzzSpec extends AnyFlatSpec with Matchers {
       val distinct = if (rnd.nextDouble() < 0.25) "DISTINCT " else ""
       if (rnd.nextDouble() < 0.15 && inScope.nonEmpty) {
         val g = pick(inScope)
-        s"${prologue}SELECT $g (COUNT(*) AS ?cnt) { $pat } GROUP BY $g"
-      } else s"${prologue}SELECT $distinct$proj { $pat }"
+        s"${prologue}SELECT $g (COUNT(*) AS ?cnt) $ds{ $pat } GROUP BY $g"
+      } else s"${prologue}SELECT $distinct$proj $ds{ $pat }"
     }
   }
 
@@ -226,18 +243,32 @@ class DictFuzzSpec extends AnyFlatSpec with Matchers {
     for (i <- 0 until 90) {
       val q = gen.query()
       withClue(s"query #$i:\n$q\n") {
-        val (viaDict, viaTerms) =
-          try (bindings(store.sparql(q)), bindings(quads.sparql(q)))
-          catch { case e: Throwable =>
-            fail(s"query #$i raised ${e.getClass.getSimpleName}: " +
-              s"${e.getMessage}\n$q", e)
-          }
-        multiset(viaDict) shouldBe multiset(viaTerms)
-        // every third query also runs on the BUCKETED store layout —
-        // same rewriter over catalog-bucketed tables
-        if (i % 3 == 0)
-          multiset(bindings(bucketed.sparql(q))) shouldBe multiset(viaTerms)
-        if (viaTerms.nonEmpty) nonEmpty += 1
+        if (q.startsWith(s"${prologue}ASK")) {
+          // ASK returns one boolean row, not term structs
+          val expect =
+            try quads.sparql(q).collect().map(_.toSeq).toSeq
+            catch { case e: Throwable =>
+              fail(s"query #$i raised ${e.getClass.getSimpleName}: " +
+                s"${e.getMessage}\n$q", e)
+            }
+          store.sparql(q).collect().map(_.toSeq).toSeq shouldBe expect
+          if (i % 3 == 0)
+            bucketed.sparql(q).collect().map(_.toSeq).toSeq shouldBe expect
+          nonEmpty += 1
+        } else {
+          val (viaDict, viaTerms) =
+            try (bindings(store.sparql(q)), bindings(quads.sparql(q)))
+            catch { case e: Throwable =>
+              fail(s"query #$i raised ${e.getClass.getSimpleName}: " +
+                s"${e.getMessage}\n$q", e)
+            }
+          multiset(viaDict) shouldBe multiset(viaTerms)
+          // every third query also runs on the BUCKETED store layout —
+          // same rewriter over catalog-bucketed tables
+          if (i % 3 == 0)
+            multiset(bindings(bucketed.sparql(q))) shouldBe multiset(viaTerms)
+          if (viaTerms.nonEmpty) nonEmpty += 1
+        }
       }
     }
     // the generator must produce a meaningfully non-trivial corpus —
