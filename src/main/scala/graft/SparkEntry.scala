@@ -839,12 +839,12 @@ object SparkEntry {
       // sketch-driven partial salting: one Space-Saving pass finds
       // the hot users (>0.2% of events each), ONLY their rows salt
       // and replicate — the oracle is again the plain join, so DuckDB
-      // certifies detection + selective salting changes nothing
-      val ev = eventsUs(s, d).select(col("user_id"), col("value"))
-      val dim = ev.groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_u"))
-      graft.pipeline.Skew.skewAwareJoin(ev, dim, Seq("user_id"),
-        salts = 8, m = 256, hotShare = 0.002)
+      // certifies detection + selective salting changes nothing.
+      // m=1024 ≥ 1/hotShare: the retention guarantee's precondition
+      graft.pipeline.Skew.skewAwareJoin(
+        eventsUs(s, d).select(col("user_id"), col("value")),
+        eventsUs(s, d).groupBy(col("user_id")).agg(count(lit(1)).as("n_u")),
+        Seq("user_id"), salts = 8, m = 1024, hotShare = 0.002)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"),
           sum(col("value")).as("total_value"),
@@ -2820,8 +2820,8 @@ object SparkEntry {
         |    SELECT id, CAST(row_number() OVER (
         |      ORDER BY cos DESC, id) AS INTEGER) AS vec_rank
         |    FROM (SELECT b.vec_id AS id,
-        |            list_cosine_similarity(a.embedding::DOUBLE[],
-        |                                   b.embedding::DOUBLE[]) AS cos
+        |            round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |                                         b.embedding::DOUBLE[]), 6) AS cos
         |          FROM embeddings a, embeddings b WHERE a.vec_id = 0))
         |  WHERE vec_rank <= 50
         |), fused AS (

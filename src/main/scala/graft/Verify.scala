@@ -61,7 +61,11 @@ object Verify {
         try {
           lint ::= name -> graft.plans.PlanLint.lint(df)
             .filter(_.severity == "error").map(_.rule).distinct
-        } catch { case _: Throwable => () } // telemetry must not fail a run
+        } catch { // telemetry must not fail a run — but fatal errors
+          // (OOM, interrupts) must still propagate
+          case scala.util.control.NonFatal(e) =>
+            lint ::= name -> Seq(s"lint-crashed: ${e.getClass.getSimpleName}")
+        }
         df.coalesce(1).write.mode("overwrite")
           .parquet(dest.toString)
         // no-oracle entries still get a CHECKED bound: the structural

@@ -28,6 +28,28 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object SketchExprs {
 
+  /** Numeric coercion for aggregate inputs: SQL callers pass INT
+    * literals (`topk_freq(w, 1, 0, 64)` per its own usage doc) whose
+    * eval yields java.lang.Integer — a raw asInstanceOf[Long] would
+    * ClassCastException at execution. (`AbstractDataType` is
+    * private[sql], so the ImplicitCastInputTypes route is not open to
+    * an external library; runtime widening is.) */
+  private def asLong(v: Any): Long = v match {
+    case l: java.lang.Long => l
+    case n: java.lang.Number => n.longValue()
+    case d: Decimal => d.toLong
+    case other => throw new IllegalArgumentException(
+      s"numeric argument expected, got ${other.getClass.getName}")
+  }
+
+  private def asDouble(v: Any): Double = v match {
+    case d: java.lang.Double => d
+    case n: java.lang.Number => n.doubleValue()
+    case d: Decimal => d.toDouble
+    case other => throw new IllegalArgumentException(
+      s"numeric argument expected, got ${other.getClass.getName}")
+  }
+
   /** K-Minimum-Values distinct-count sketch (Bar-Yossef et al.,
     * RANDOM '02; the "bottom-k" form surveyed in Cohen & Kaplan, PODS
     * '07) over an already-hashed LONG column. Keeps the k smallest
@@ -226,8 +248,8 @@ object SketchExprs {
         val w = weight.eval(input)
         if (w != null) {
           val e = errw.eval(input)
-          insert(buf, k.toString, w.asInstanceOf[Long],
-            if (e == null) 0L else e.asInstanceOf[Long])
+          insert(buf, k.toString, asLong(w),
+            if (e == null) 0L else asLong(e))
         }
       }
       buf
@@ -263,19 +285,24 @@ object SketchExprs {
     }
 
     override def serialize(buf: java.util.HashMap[String, Array[Long]]): Array[Byte] = {
+      // encode each key ONCE (serialize runs per shuffle row on the
+      // partial-aggregation hot path)
+      val encoded = new Array[(Array[Byte], Array[Long])](buf.size)
       var bytes = 4
+      var i = 0
       val it0 = buf.entrySet().iterator()
       while (it0.hasNext) {
-        bytes += 4 + it0.next().getKey.getBytes(StandardCharsets.UTF_8).length + 16
+        val en = it0.next()
+        val kb = en.getKey.getBytes(StandardCharsets.UTF_8)
+        encoded(i) = (kb, en.getValue)
+        bytes += 4 + kb.length + 16
+        i += 1
       }
       val bb = ByteBuffer.allocate(bytes)
       bb.putInt(buf.size)
-      val it = buf.entrySet().iterator()
-      while (it.hasNext) {
-        val en = it.next()
-        val kb = en.getKey.getBytes(StandardCharsets.UTF_8)
+      encoded.foreach { case (kb, cnts) =>
         bb.putInt(kb.length); bb.put(kb)
-        bb.putLong(en.getValue()(0)); bb.putLong(en.getValue()(1))
+        bb.putLong(cnts(0)); bb.putLong(cnts(1))
       }
       bb.array()
     }
@@ -370,7 +397,7 @@ object SketchExprs {
       if (h != null) {
         val v = value.eval(input)
         if (v != null) {
-          insert(buf, h.asInstanceOf[Long], v.asInstanceOf[Double])
+          insert(buf, asLong(h), asDouble(v))
         }
       }
       buf

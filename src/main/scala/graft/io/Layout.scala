@@ -119,19 +119,30 @@ object Layout {
               targetFileBytes: Long, sortCols: Seq[String] = Nil): Int = {
     require(targetFileBytes > 0,
       s"targetFileBytes must be positive, got $targetFileBytes")
-    require(inPath != outPath, "compact writes a NEW directory (swap " +
-      "after validation); in-place overwrite would destroy the input " +
-      "on job failure")
     val hPath = new org.apache.hadoop.fs.Path(inPath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.listStatus(hPath).iterator
-      .filter(_.isFile)
+    // compare QUALIFIED paths — "/t" vs "/t/" (or a relative alias)
+    // must not slip past the in-place guard, and writing INSIDE the
+    // input directory is the same hazard
+    val qIn = fs.makeQualified(hPath).toString.stripSuffix("/")
+    val qOut = fs.makeQualified(new org.apache.hadoop.fs.Path(outPath))
+      .toString.stripSuffix("/")
+    require(qOut != qIn && !qOut.startsWith(qIn + "/"),
+      "compact writes a NEW directory (swap after validation); an " +
+        "in-place or nested overwrite would destroy the input on " +
+        "job failure")
+    // RECURSIVE listing: partitioned layouts nest files under
+    // key=value directories — a top-level listStatus would see only
+    // directories, size the input as 0 bytes and coalesce everything
+    // into one file
+    var totalBytes = 0L
+    val files = fs.listFiles(hPath, true)
+    while (files.hasNext) {
+      val f = files.next()
+      val n = f.getPath.getName
       // skip bookkeeping: _SUCCESS markers and hidden .crc checksums
-      .filter { f =>
-        val n = f.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      }
-      .map(_.getLen).sum
+      if (!n.startsWith("_") && !n.startsWith(".")) totalBytes += f.getLen
+    }
     val n = math.max(1L,
       math.ceil(totalBytes.toDouble / targetFileBytes).toLong).toInt
     val df = spark.read.parquet(inPath)

@@ -133,11 +133,17 @@ object Search {
       .orderBy(col("score").desc, col("id"))
     val kw = bm25TopK(docs, idCol, textCol, query, poolK, k1, b)
       .withColumn("rank", row_number().over(w))
+    // rank the vector arm on the ROUNDED cosine (same discipline as
+    // bm25TopK's rounded score): last-ulp disagreement between this
+    // engine's codegen'd cosine and an external replayer's must not
+    // be able to swap ranks and shift every fused score downstream
     val vw = org.apache.spark.sql.expressions.Window
       .orderBy(col("cos").desc, col("id"))
-    val vec = Similarity
-      .bruteForceTopK(emb, embIdCol, embCol, queryVec, poolK)
-      .select(col(embIdCol).as("id"), col("cos"))
+    val vec = emb
+      .select(col(embIdCol).as("id"),
+        round(Dedup.cosine(col(embCol), typedLit(queryVec)), 6).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(poolK)
       .withColumn("rank", row_number().over(vw))
     rrfFuse(Seq("kw" -> kw, "vec" -> vec), k, rrfK)
   }

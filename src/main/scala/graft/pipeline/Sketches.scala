@@ -105,8 +105,8 @@ object Sketches {
         col("__kmv.estimate").as("estimate"): _*)
   }
 
-  private def ssAgg(item: Column, weight: Column, errw: Column,
-                    m: Int): Column =
+  private[pipeline] def ssAgg(item: Column, weight: Column, errw: Column,
+                              m: Int): Column =
     GraftColumnBridge.column(
       SketchExprs.SpaceSavingTopK(
         GraftColumnBridge.expression(item),
@@ -134,8 +134,12 @@ object Sketches {
     df.groupBy(groupCols.map(col): _*)
       .agg(ssAgg(col(valueCol).cast("string"), lit(1L), lit(0L), m)
         .as("__ss"))
+      // OUTER explode: a group whose items were all NULL still
+      // surfaces (with a NULL rank/item row) — consistent with
+      // quantileSketch's n_retained=0 row, so downstream joins on
+      // group keys never silently lose observed groups
       .select(groupCols.map(col) :+
-        posexplode(slice(col("__ss"), 1, topK)): _*)
+        posexplode_outer(slice(col("__ss"), 1, topK)): _*)
       .select(groupCols.map(col) :+
         (col("pos") + 1).cast("int").as("rank") :+
         col("col.item").as("item") :+
@@ -175,7 +179,7 @@ object Sketches {
       .agg(ssAgg(col("__c.item"), col("__c.count"), col("__c.err"), m)
         .as("__ss"))
       .select(keys.map(col) :+
-        posexplode(slice(col("__ss"), 1, topK)): _*)
+        posexplode_outer(slice(col("__ss"), 1, topK)): _*)
       .select(coarserCols.map(col) :+
         (col("pos") + 1).cast("int").as("rank") :+
         col("col.item").as("item") :+

@@ -1,7 +1,5 @@
 package graft.pipeline
 
-import graft.functions.SketchExprs
-import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -67,17 +65,20 @@ object Skew {
     * OVERESTIMATES by at most `err`, so this returns a superset of
     * the truly-hot keys — exactly the safe direction for salting
     * (salting a lukewarm key costs a few replicas; missing a hot one
-    * costs the straggler). At 100 TB this pass shuffles m counters
-    * per partition, never the keys. */
+    * costs the straggler). That superset guarantee holds only while
+    * `minShare ≥ 1/m` (Space-Saving retains every item above N/m and
+    * can evict below it), so the precondition is enforced: size m to
+    * the share you care about, not vice versa. At 100 TB this pass
+    * shuffles m counters per partition, never the keys. */
   def detectHotKeys(df: DataFrame, keys: Seq[String], m: Int,
                     minShare: Double): Seq[String] = {
     require(keys.nonEmpty, "need at least one join key")
     require(minShare > 0 && minShare <= 1, s"minShare in (0,1], got $minShare")
-    val sketch = GraftColumnBridge.column(
-      SketchExprs.SpaceSavingTopK(
-        GraftColumnBridge.expression(keyString(keys)),
-        GraftColumnBridge.expression(lit(1L)),
-        GraftColumnBridge.expression(lit(0L)), m).toAggregateExpression())
+    require(minShare * m >= 1.0,
+      s"minShare=$minShare below 1/m=${1.0 / m}: Space-Saving only " +
+        "guarantees retention of keys above N/m, so a key could be " +
+        "hot by this floor yet evicted — raise m or the floor")
+    val sketch = Sketches.ssAgg(keyString(keys), lit(1L), lit(0L), m)
     val row = df.agg(count(lit(1)).as("n"), sketch.as("ss")).head()
     val n = row.getLong(0)
     val floor = minShare * n

@@ -30,12 +30,19 @@ object PlanLint {
     override def toString: String = s"[$severity] $rule at $node: $detail"
   }
 
-  /** Collect over the physical plan INCLUDING what AQE wraps and the
-    * build sides of exchanges (plan.collect alone stops at
-    * AdaptiveSparkPlanExec leaves). */
+  /** Collect over the physical plan INCLUDING what AQE wraps —
+    * pre-execution (AdaptiveSparkPlanExec root) AND post-execution,
+    * where materialized stages appear as QueryStageExec leaves whose
+    * subtree lives in `.plan`, not `.children`, and reused exchanges
+    * hide their original subtree the same way (plan.collect alone
+    * stops at all three). */
   private def walk(p: SparkPlan): Seq[SparkPlan] =
     p +: (p match {
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walk(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        walk(r.child)
       case other => other.children.flatMap(walk)
     })
 

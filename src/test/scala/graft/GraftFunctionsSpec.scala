@@ -126,9 +126,11 @@ class GraftFunctionsSpec extends AnyFlatSpec with Matchers {
     graft.functions.GraftFunctions.register(spark)
     (1 to 30).flatMap(i => Seq.fill(i)(("g", s"w$i", i.toLong)))
       .toDF("g", "w", "id").createOrReplaceTempView("sk_v")
-    // heavy hitters: SQL face returns the full sorted counter array
+    // heavy hitters: SQL face returns the full sorted counter array;
+    // INT literals (the documented calling convention) must coerce,
+    // not ClassCastException
     val hh = spark.sql(
-      "SELECT topk_freq(w, 1L, 0L, 64) AS s FROM sk_v GROUP BY g")
+      "SELECT topk_freq(w, 1, 0, 64) AS s FROM sk_v GROUP BY g")
       .select(explode(col("s")).as("c"))
       .select("c.item", "c.count", "c.err")
       .limit(2).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

@@ -106,5 +106,27 @@ class LayoutSpec extends AnyFlatSpec with Matchers {
       Layout.compact(spark, "/x", "/x", 1024)
     an[IllegalArgumentException] should be thrownBy
       Layout.compact(spark, "/x", "/y", 0)
+    // a trailing slash or a nested output must not slip past the guard
+    an[IllegalArgumentException] should be thrownBy
+      Layout.compact(spark, "/x", "/x/", 1024)
+    an[IllegalArgumentException] should be thrownBy
+      Layout.compact(spark, "/x", "/x/sub", 1024)
+  }
+
+  it should "size partitioned (nested-directory) inputs recursively" in {
+    // a top-level listing would see only key=... directories and size
+    // the input as 0 bytes → 1 giant output file
+    val in = tmp("compact-part-in")
+    data.withColumn("part", col("id") % 4)
+      .write.mode("overwrite").partitionBy("part").parquet(in)
+    val total = java.nio.file.Files.walk(java.nio.file.Paths.get(in))
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        !p.getFileName.toString.startsWith("_") &&
+        !p.getFileName.toString.startsWith("."))
+      .mapToLong(p => java.nio.file.Files.size(p)).sum()
+    val out = tmp("compact-part-out")
+    val n = Layout.compact(spark, in, out, (total + 1) / 2)
+    n shouldBe 2
+    spark.read.parquet(out).count() shouldBe 20000
   }
 }

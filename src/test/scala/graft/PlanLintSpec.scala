@@ -76,6 +76,18 @@ class PlanLintSpec extends AnyFlatSpec with Matchers {
     info should contain allOf ("exchange-count", "codegen-spans")
   }
 
+  it should "see through materialized AQE query stages after execution" in {
+    // after an action, AQE replaces exchanges with QueryStageExec
+    // leaves whose subtree lives in .plan — the walk must descend or a
+    // post-execution lint reports a falsely clean, exchange-free plan
+    val agg = spark.range(1000).toDF("v").withColumn("g", col("v") % 7)
+      .groupBy("g").agg(sum("v"))
+    agg.count() // materialize the stages
+    val exchanges = PlanLint.lint(agg)
+      .find(f => f.rule == "exchange-count").get.detail
+    exchanges should not startWith "0 "
+  }
+
   it should "pass a sample of battery entries with zero error findings" in {
     val sf = "/root/testdata/sf0.001"
     for (name <- Seq("q1_agg", "q_salted_join", "q_skew_aware_join",

@@ -75,6 +75,18 @@ class SketchFamilySpec extends AnyFlatSpec with Matchers {
     a shouldBe b
   }
 
+  it should "keep a group whose items were all NULL (outer explode)" in {
+    // consistent with quantileSketch's n_retained=0 row: an observed
+    // group with nothing measurable still surfaces, so joins on the
+    // group key don't silently lose it
+    val df = Seq(("g", Some("a")), ("h", None), ("h", None)).toDF("g", "v")
+    val rows = Sketches.heavyHitters(df, Seq("g"), "v", m = 8, topK = 3)
+      .collect().map(r => (r.getAs[String]("g"),
+        Option(r.getAs[Integer]("rank")), Option(r.getAs[String]("item"))))
+    rows.toSet shouldBe Set(("g", Some(1: Integer), Some("a")),
+      ("h", None, None))
+  }
+
   "heavyHitterTable + mergeHeavyHitters" should
     "roll up to exactly the direct coarse sketch in the exact regime" in {
     val df = (1 to 1200).map { i =>

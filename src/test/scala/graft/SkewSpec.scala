@@ -65,6 +65,9 @@ class SkewSpec extends AnyFlatSpec with Matchers {
     Skew.detectHotKeys(fact, Seq("k"), m = 64, minShare = 0.1) shouldBe Seq("1")
     // a floor nothing reaches → empty
     Skew.detectHotKeys(fact, Seq("k"), m = 64, minShare = 0.95) shouldBe empty
+    // a floor below 1/m voids the retention guarantee → rejected
+    an[IllegalArgumentException] should be thrownBy
+      Skew.detectHotKeys(fact, Seq("k"), m = 64, minShare = 0.001)
     // multi-column keys detect on the composite
     val two = fact.withColumn("k2", lit("x"))
     Skew.detectHotKeys(two, Seq("k", "k2"), 64, 0.1) shouldBe Seq("1\u0001x")
