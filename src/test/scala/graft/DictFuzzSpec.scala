@@ -141,16 +141,21 @@ class DictFuzzSpec extends AnyFlatSpec with Matchers {
           val o = pick(vars)
           val op = if (rnd.nextBoolean()) "+" else "*"
           s"$base $s :p$op $o ."
-        case 0 => // OPTIONAL, sometimes conditioned
-          val opt = bgp(varsIn(base), 1)
+        case 0 => // OPTIONAL, sometimes conditioned, sometimes complex
+          val opt = if (rnd.nextDouble() < 0.25) group(depth - 1)
+                    else bgp(varsIn(base), 1)
           val cond =
             if (rnd.nextBoolean()) "" else s" FILTER(${filterCond(varsIn(opt))})"
           s"$base OPTIONAL { $opt$cond }"
         case 1 => s"{ ${group(depth - 1)} } UNION { ${group(depth - 1)} }"
         case 2 => s"$base MINUS { ${bgp(varsIn(base), 1)} }"
         case 3 => s"$base FILTER(${filterCond(varsIn(base))})"
-        case 4 => // [NOT] EXISTS, sometimes with a correlated inner filter
-          val inner = bgp(varsIn(base), 1)
+        case 4 => // [NOT] EXISTS, sometimes with a correlated inner
+          // filter, sometimes a COMPLEX inner pattern (which either
+          // engine may legitimately reject — the harness accepts
+          // both-reject as agreement)
+          val inner = if (rnd.nextDouble() < 0.25) group(depth - 1)
+                      else bgp(varsIn(base), 1)
           val innerScope = varsIn(inner) ++ varsIn(base)
           val innerFilter =
             if (rnd.nextBoolean()) ""
@@ -246,31 +251,29 @@ class DictFuzzSpec extends AnyFlatSpec with Matchers {
     for (i <- 0 until 90) {
       val q = gen.query()
       withClue(s"query #$i:\n$q\n") {
+        // an engine may legitimately REJECT a generated query (e.g.
+        // correlated filters under UNION inside EXISTS) — agreement
+        // then means BOTH paths reject; one rejecting while the other
+        // answers is a divergence
+        def attempt[T](f: => T): Either[String, T] =
+          try Right(f)
+          catch { case e: Throwable => Left(e.getClass.getSimpleName) }
         if (q.startsWith(s"${prologue}ASK")) {
           // ASK returns one boolean row, not term structs
-          val expect =
-            try quads.sparql(q).collect().map(_.toSeq).toSeq
-            catch { case e: Throwable =>
-              fail(s"query #$i raised ${e.getClass.getSimpleName}: " +
-                s"${e.getMessage}\n$q", e)
-            }
-          store.sparql(q).collect().map(_.toSeq).toSeq shouldBe expect
+          val expect = attempt(quads.sparql(q).collect().map(_.toSeq).toSeq)
+          attempt(store.sparql(q).collect().map(_.toSeq).toSeq) shouldBe expect
           if (i % 3 == 0)
-            bucketed.sparql(q).collect().map(_.toSeq).toSeq shouldBe expect
-          nonEmpty += 1
+            attempt(bucketed.sparql(q).collect().map(_.toSeq).toSeq) shouldBe
+              expect
+          if (expect.isRight) nonEmpty += 1
         } else {
-          val (viaDict, viaTerms) =
-            try (bindings(store.sparql(q)), bindings(quads.sparql(q)))
-            catch { case e: Throwable =>
-              fail(s"query #$i raised ${e.getClass.getSimpleName}: " +
-                s"${e.getMessage}\n$q", e)
-            }
-          multiset(viaDict) shouldBe multiset(viaTerms)
+          val viaTerms = attempt(multiset(bindings(quads.sparql(q))))
+          attempt(multiset(bindings(store.sparql(q)))) shouldBe viaTerms
           // every third query also runs on the BUCKETED store layout —
           // same rewriter over catalog-bucketed tables
           if (i % 3 == 0)
-            multiset(bindings(bucketed.sparql(q))) shouldBe multiset(viaTerms)
-          if (viaTerms.nonEmpty) nonEmpty += 1
+            attempt(multiset(bindings(bucketed.sparql(q)))) shouldBe viaTerms
+          if (viaTerms.exists(_.nonEmpty)) nonEmpty += 1
         }
       }
     }
