@@ -161,7 +161,21 @@ object StreamingOps {
     def validate(op: Algebra.Op): Unit = op match {
       case Algebra.Scan(_, _, _, _) | Algebra.Singleton |
            Algebra.Values(_, _) => ()
-      case Algebra.Join(l, r) => validate(l); validate(r)
+      case Algebra.Join(l, r) =>
+        // a BGP join over ONE stream is a stream-stream self-join:
+        // Spark executes it only with an EQUALITY predicate, which the
+        // compiler produces exactly when ≥1 shared var is assured on
+        // BOTH sides. A shared-nothing (cross) or compat-only
+        // (possibly-null shared vars) join would fail at RUNTIME
+        // inside the stream — reject it here, at submission, instead
+        val shared = Algebra.vars(l).intersect(Algebra.vars(r))
+        val assured = Algebra.assuredVars(l).intersect(Algebra.assuredVars(r))
+        if (shared.intersect(assured).isEmpty)
+          throw new IllegalArgumentException(
+            "join without an assured shared variable is not streamable " +
+              "(a stream-stream join needs an equality key; Spark " +
+              "rejects cross/compat-only joins at runtime)")
+        validate(l); validate(r)
       case Algebra.Union(l, r) => validate(l); validate(r)
       case Algebra.Filter(c, cond) => validateExpr(cond); validate(c)
       case Algebra.Extend(c, _, e) => validateExpr(e); validate(c)

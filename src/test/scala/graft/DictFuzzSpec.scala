@@ -282,4 +282,46 @@ class DictFuzzSpec extends AnyFlatSpec with Matchers {
     // for the DEFAULT seed (explored seeds yield 29-40 non-empty)
     if (seed.isEmpty) nonEmpty should be >= 30
   }
+
+  it should "agree between batch and STREAMING execution on the " +
+    "stateless subset" in {
+    // the fourth execution path: the same compiled column plan over a
+    // readStream source. Queries outside the validated stateless
+    // subset (aggregates, DISTINCT, OPTIONAL/MINUS/EXISTS, paths) are
+    // rejected at submission and skipped; accepted ones must append
+    // exactly the batch multiset from one micro-batch of the fixture
+    import graft.streaming.StreamingOps
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-fuzz-stream").toString
+    quads.write.mode("overwrite").parquet(dir)
+    val schema = quads.schema
+    val gen = new Gen(20260815)
+    var ran = 0
+    var skipped = 0
+    var i = 0
+    while (ran < 12 && i < 80) {
+      val q = gen.query()
+      i += 1
+      val streamed =
+        try Some(StreamingOps.sparqlStream(
+          spark.readStream.schema(schema).parquet(dir), q))
+        catch { case _: IllegalArgumentException => skipped += 1; None }
+      streamed.foreach { out =>
+        withClue(s"stream query #$i:\n$q\n") {
+          val sink = s"fuzz_stream_out_$ran"
+          val sq = out.writeStream.format("memory").queryName(sink)
+            .outputMode("append").start()
+          try {
+            sq.processAllAvailable()
+            multiset(bindings(spark.table(sink))) shouldBe
+              multiset(bindings(quads.sparql(q)))
+          } finally sq.stop()
+          ran += 1
+        }
+      }
+    }
+    withClue(s"ran=$ran skipped=$skipped of $i generated: ") {
+      ran should be >= 8 // the subset must actually get exercised
+    }
+  }
 }
