@@ -383,7 +383,12 @@ object SketchExprs {
                        h: Long, v: Double): Unit = {
       val cur = buf.get(h)
       if (cur != null) {
-        if (v < cur) { buf.put(h, v); () }
+        // total order (Double.compare): `v < cur` is order-dependent
+        // when a measure is NaN (NaN never compares less), breaking
+        // the documented min(v)-replay determinism — NaN sorts ABOVE
+        // every finite value, so finite always wins regardless of
+        // insertion order
+        if (java.lang.Double.compare(v, cur) < 0) { buf.put(h, v); () }
       } else if (buf.size < k) {
         buf.put(h, v); ()
       } else if (h < buf.lastKey) {

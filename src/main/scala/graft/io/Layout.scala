@@ -127,10 +127,12 @@ object Layout {
     val qIn = fs.makeQualified(hPath).toString.stripSuffix("/")
     val qOut = fs.makeQualified(new org.apache.hadoop.fs.Path(outPath))
       .toString.stripSuffix("/")
-    require(qOut != qIn && !qOut.startsWith(qIn + "/"),
+    require(qOut != qIn && !qOut.startsWith(qIn + "/") &&
+      !qIn.startsWith(qOut + "/"),
       "compact writes a NEW directory (swap after validation); an " +
-        "in-place or nested overwrite would destroy the input on " +
-        "job failure")
+        "in-place, nested, or ancestor overwrite would destroy the " +
+        "input — mode(overwrite) deletes outPath recursively before " +
+        "the lazy read runs")
     // RECURSIVE listing: partitioned layouts nest files under
     // key=value directories — a top-level listStatus would see only
     // directories, size the input as 0 bytes and coalesce everything

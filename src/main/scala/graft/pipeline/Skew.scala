@@ -53,10 +53,16 @@ object Skew {
 
   /** Join keys rendered as ONE string for hot-key detection and
     * matching — the SAME expression on both sides, so type formatting
-    * can never disagree. `concat_ws` skips NULLs; a NULL key never
-    * equi-joins anyway, so the ambiguity is inert. */
+    * can never disagree. NULL components are encoded EXPLICITLY
+    * (`concat_ws` silently drops them), otherwise composite keys like
+    * ("a", NULL), (NULL, "a") and ("a") all collapse to "a" — their
+    * pooled count could spuriously flag a cold key as hot and inflate
+    * replication (safe direction, but wasteful). The NUL-prefixed
+    * sentinel cannot be forged by any cast output (casts never emit
+    * \u0000). */
   private def keyString(keys: Seq[String]): Column =
-    concat_ws("\u0001", keys.map(k => col(k).cast("string")): _*)
+    concat_ws("\u0001", keys.map(k =>
+      coalesce(col(k).cast("string"), lit("\u0000null"))): _*)
 
   /** Detect hot join keys in ONE bounded-state pass: a Space-Saving
     * sketch ([[graft.functions.SketchExprs.SpaceSavingTopK]]) plus a

@@ -167,14 +167,24 @@ object StreamingOps {
         // compiler produces exactly when ≥1 shared var is assured on
         // BOTH sides. A shared-nothing (cross) or compat-only
         // (possibly-null shared vars) join would fail at RUNTIME
-        // inside the stream — reject it here, at submission, instead
-        val shared = Algebra.vars(l).intersect(Algebra.vars(r))
-        val assured = Algebra.assuredVars(l).intersect(Algebra.assuredVars(r))
-        if (shared.intersect(assured).isEmpty)
-          throw new IllegalArgumentException(
-            "join without an assured shared variable is not streamable " +
-              "(a stream-stream join needs an equality key; Spark " +
-              "rejects cross/compat-only joins at runtime)")
+        // inside the stream — reject it here, at submission, instead.
+        // EXEMPT joins where one side is a static local relation
+        // (Singleton — parser output for `{ {} ?s ?p ?o }` — or
+        // VALUES): those compile to a 1-row/local-relation
+        // stream-static join Spark runs fine, equality key or not
+        def isLocal(op: Algebra.Op): Boolean = op match {
+          case Algebra.Singleton | Algebra.Values(_, _) => true
+          case _ => false
+        }
+        if (!isLocal(l) && !isLocal(r)) {
+          val shared = Algebra.vars(l).intersect(Algebra.vars(r))
+          val assured = Algebra.assuredVars(l).intersect(Algebra.assuredVars(r))
+          if (shared.intersect(assured).isEmpty)
+            throw new IllegalArgumentException(
+              "join without an assured shared variable is not streamable " +
+                "(a stream-stream join needs an equality key; Spark " +
+                "rejects cross/compat-only joins at runtime)")
+        }
         validate(l); validate(r)
       case Algebra.Union(l, r) => validate(l); validate(r)
       case Algebra.Filter(c, cond) => validateExpr(cond); validate(c)

@@ -162,4 +162,81 @@ class AdviceFixesSpec extends SparqlSpecBase {
         rightCols = Seq("__hist"), rightTieCol = "__hist")
     }
   }
+
+  // ----- round-9 advice items -----
+
+  "compact" should "reject an outPath that is an ANCESTOR of inPath" in {
+    val base = java.nio.file.Files.createTempDirectory("compact-anc")
+    val in = base.resolve("data")
+    val s = spark; import s.implicits._
+    Seq(1, 2, 3).toDF("x").write.parquet(in.toString)
+    // overwrite-mode would recursively delete `base` — including the
+    // input — before the lazy read ran
+    an[IllegalArgumentException] should be thrownBy
+      graft.io.Layout.compact(spark, in.toString, base.toString, 1024L)
+    // the input must be untouched by the rejected call
+    spark.read.parquet(in.toString).count() shouldBe 3L
+    // a sibling output still works
+    graft.io.Layout.compact(spark, in.toString,
+      base.resolve("out").toString, 1024L)
+    spark.read.parquet(base.resolve("out").toString).count() shouldBe 3L
+  }
+
+  "bottom-k sample" should "retain the finite measure over NaN in either insertion order" in {
+    val s = spark; import s.implicits._
+    // same id → same 48-bit hash → the collision-resolution branch;
+    // min(v) under TOTAL order must keep 2.0 whichever row arrives first
+    for (rows <- Seq(
+        Seq(("k", 1L, Double.NaN), ("k", 1L, 2.0)),
+        Seq(("k", 1L, 2.0), ("k", 1L, Double.NaN)))) {
+      val df = rows.toDF("g", "id", "v").coalesce(1)
+      val st = graft.pipeline.Sketches
+        .quantileSketchTable(df, Seq("g"), "v", "id", k = 4)
+        .select(org.apache.spark.sql.functions.explode(col("qsk")).as("e"))
+        .select("e.v").as[Double].collect()
+      st shouldBe Array(2.0)
+    }
+  }
+
+  "sparqlStream" should "accept joins against Singleton and VALUES sides" in {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val quads = input.toDF.selectExpr(
+      "named_struct('kind', 0, 'lex', _1, 'dt', '', 'lang', '') as s",
+      "named_struct('kind', 0, 'lex', _2, 'dt', '', 'lang', '') as p",
+      "named_struct('kind', 0, 'lex', _2, 'dt', '', 'lang', '') as o",
+      "cast(null as struct<kind:int,lex:string,dt:string,lang:string>) as g")
+    // `{ {} ?s ?p ?o }` parses to Join(Singleton, Scan) — a 1-row
+    // local-relation join, streamable even without an equality key
+    noException should be thrownBy graft.streaming.StreamingOps
+      .sparqlStream(quads, "SELECT ?s { {} ?s ?p ?o }")
+    // stream-static join against a VALUES side whose shared var has an
+    // UNDEF row (so ?s is not assured on the VALUES side)
+    noException should be thrownBy graft.streaming.StreamingOps
+      .sparqlStream(quads,
+        "SELECT ?s { ?s ?p ?o VALUES ?s { <urn:af:a> UNDEF } }")
+    // scan-vs-scan without a shared assured var stays rejected
+    an[IllegalArgumentException] should be thrownBy
+      graft.streaming.StreamingOps.sparqlStream(quads,
+        "SELECT * { ?a <urn:af:p> ?b . ?c <urn:af:q> ?d }")
+  }
+
+  "hot-key detection" should "not pool NULL-bearing composite keys with their non-NULL projections" in {
+    val s = spark; import s.implicits._
+    // ("a", NULL) ×5 and (NULL, "a") ×5 must NOT pool into one "a"
+    // key of count 10; with 90 cold rows and minShare 0.08, pooling
+    // would spuriously flag "a" as hot
+    val rows = Seq.fill(5)((Option("a"), Option.empty[String])) ++
+      Seq.fill(5)((Option.empty[String], Option("a"))) ++
+      (1 to 90).map(i => (Option(s"c$i"), Option(s"c$i")))
+    val df = rows.toDF("k1", "k2")
+    graft.pipeline.Skew.detectHotKeys(df, Seq("k1", "k2"),
+      m = 64, minShare = 0.08) shouldBe empty
+    // genuinely hot composite keys are still caught
+    val hotRows = Seq.fill(20)((Option("h"), Option("h"))) ++
+      (1 to 80).map(i => (Option(s"c$i"), Option(s"c$i")))
+    graft.pipeline.Skew.detectHotKeys(hotRows.toDF("k1", "k2"),
+      Seq("k1", "k2"), m = 64, minShare = 0.1) should have size 1
+  }
 }
