@@ -129,8 +129,28 @@ object Bench {
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val cpuSec = (osBean.getProcessCpuTime - cpu0) / 1e9
     val calibAfter = calibrate()
+    // per-entry PlanLint ERROR counts next to the latencies: a plan
+    // regression (new cartesian, oversized broadcast) becomes
+    // machine-visible in the SAME artifact as a time regression.
+    // Planning only — runs OUTSIDE the timed window, never executes.
+    val lintCounts = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val n = try graft.plans.PlanLint
+        .lint(SparkEntry.queries(name)(spark, sfDir))
+        .count(_.severity == "error")
+      catch { case scala.util.control.NonFatal(_) => -1 } // -1 = lint crashed
+      "\"" + name + s"""\":$n"""
+    }.mkString("{", ",", "}")
     val noise = f""""calib_before":$calibBefore%.3f,"calib_after":$calibAfter%.3f,"wall_sec":$wallSec%.3f,"process_cpu_sec":$cpuSec%.3f,"cpu_wall_ratio":${cpuSec / wallSec}%.2f"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_cpu":$qsCpu,"total_min":$totalMin%.3f,"failed":$failedJson,$noise,"sf":"$sfDir"}""")
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_cpu":$qsCpu,"lint_errors":$lintCounts,"total_min":$totalMin%.3f,"failed":$failedJson,$noise,"sf":"$sfDir"}"""
+    println(json)
+    // ALSO write to a file: the driver captures the sbt log tail, and
+    // round 9's record lost its per-entry wall medians to tail
+    // truncation ("parsed": null). A file cannot be truncated by log
+    // capture; overwritten each run, committed with the round artifacts.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
+      json + "\n")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
