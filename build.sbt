@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // forward the fuzz-seed exploration hook into the FORKED test JVM —
+  // `sbt -Dgraft.fuzz.seed=N test` otherwise sets it only on the sbt
+  // JVM and the fuzz specs silently run their default seeds
+  sys.props.get("graft.fuzz.seed").map(s => s"-Dgraft.fuzz.seed=$s").toSeq
