@@ -902,6 +902,34 @@ object SparkEntry {
       graft.pipeline.Sketches.distinctCountSketch(
         eventsUs(s, d), Seq("event_type"), "user_id", k = 32)
     },
+    "q_cm_freq" -> { (s, d) =>
+      // Count-Min point-frequency estimates: one global 4×256 sketch
+      // of event_type arrivals, then literal-item lookups (incl. an
+      // item that never arrived — CM answers ≤ noise for those too).
+      // Cellwise arithmetic over portable md5 buckets → the oracle
+      // replays cells AND estimates bit-for-bit in every regime
+      val ev = eventsUs(s, d).withColumn("__all", lit("all"))
+      val sk = graft.pipeline.Sketches.cmSketchTable(
+        ev, Seq("__all"), "event_type", depth = 4, width = 256)
+      graft.pipeline.Sketches.cmEstimates(sk, Nil,
+        Seq("click", "view", "purchase", "signup", "error",
+          "never_seen_item"), depth = 4, width = 256)
+    },
+    "q_cm_rollup" -> { (s, d) =>
+      // persisted-CM workflow: per-DAY sketch tables (4·256 longs per
+      // day cross the merge, never the events) rolled up by cellwise
+      // sum — vector addition, so the rollup equals the direct global
+      // sketch EXACTLY and shares q_cm_freq's oracle
+      val ev = eventsUs(s, d)
+        .withColumn("day", expr("ts div 86400000000"))
+      val daily = graft.pipeline.Sketches.cmSketchTable(
+        ev, Seq("day"), "event_type", depth = 4, width = 256)
+      val merged = graft.pipeline.Sketches.mergeCmSketches(
+        daily, Nil, depth = 4, width = 256)
+      graft.pipeline.Sketches.cmEstimates(merged, Nil,
+        Seq("click", "view", "purchase", "signup", "error",
+          "never_seen_item"), depth = 4, width = 256)
+    },
     "q_heavy_hitters" -> { (s, d) =>
       // top-5 users per event type via the Space-Saving sketch; m=1024
       // comfortably exceeds the distinct-user cardinality so every
@@ -2239,6 +2267,53 @@ object SparkEntry {
         |       ELSE 31.0 * 281474976710656.0 /
         |            MAX(CASE WHEN rk <= 32 THEN hv END) END AS estimate
         |FROM r GROUP BY 1""".stripMargin,
+    // full CM replay: rebuild every touched cell (md5 bucket per
+    // depth-row, counts as weights), look each literal item's buckets
+    // up, take the min — empty buckets read 0 via the LEFT JOIN
+    "q_cm_freq" ->
+      """WITH cells AS (
+        |  SELECT r.r AS r,
+        |    CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' ||
+        |          event_type), 1, 12)) AS BIGINT) % 256 AS c,
+        |    CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM events, (SELECT unnest(range(4)) AS r) r
+        |  WHERE event_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |), items AS (
+        |  SELECT unnest(['click','view','purchase','signup','error',
+        |                 'never_seen_item']) AS item
+        |), q AS (
+        |  SELECT item, r.r AS r,
+        |    CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' ||
+        |          item), 1, 12)) AS BIGINT) % 256 AS c
+        |  FROM items, (SELECT unnest(range(4)) AS r) r
+        |)
+        |SELECT q.item AS item, MIN(COALESCE(cells.v, 0)) AS est
+        |FROM q LEFT JOIN cells ON q.r = cells.r AND q.c = cells.c
+        |GROUP BY 1""".stripMargin,
+    // the rollup is cellwise-sum-exact, so it replays against the SAME
+    // direct-sketch oracle as q_cm_freq
+    "q_cm_rollup" ->
+      """WITH cells AS (
+        |  SELECT r.r AS r,
+        |    CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' ||
+        |          event_type), 1, 12)) AS BIGINT) % 256 AS c,
+        |    CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM events, (SELECT unnest(range(4)) AS r) r
+        |  WHERE event_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |), items AS (
+        |  SELECT unnest(['click','view','purchase','signup','error',
+        |                 'never_seen_item']) AS item
+        |), q AS (
+        |  SELECT item, r.r AS r,
+        |    CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' ||
+        |          item), 1, 12)) AS BIGINT) % 256 AS c
+        |  FROM items, (SELECT unnest(range(4)) AS r) r
+        |)
+        |SELECT q.item AS item, MIN(COALESCE(cells.v, 0)) AS est
+        |FROM q LEFT JOIN cells ON q.r = cells.r AND q.c = cells.c
+        |GROUP BY 1""".stripMargin,
     // exact-regime Space-Saving replay: distinct users << m=1024 so no
     // counter ever evicts — counts are plain GROUP BY counts, err = 0,
     // rank order is the sketch's (count desc, item asc) tie-break

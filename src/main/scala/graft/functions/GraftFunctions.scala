@@ -117,6 +117,17 @@ object GraftFunctions {
         { args => arity("topk_freq", 4, args)
           SketchExprs.SpaceSavingTopK(args(0), args(1), args(2),
             intLit(args(3), "m")).toAggregateExpression() }),
+      ("cm_sketch",
+        "cm_sketch(item, weight, depth, width) - aggregate: Count-Min " +
+          "frequency sketch over a STRING item column; returns the " +
+          "depth*width cell array (row-major). Point estimate of an " +
+          "item = min over rows r of cm[r*width + bucket_r(item)]; " +
+          "merge persisted sketches by cellwise sum — exactly " +
+          "reproducible in every regime",
+        { args => arity("cm_sketch", 4, args)
+          SketchExprs.CmSketch(args(0), args(1),
+            intLit(args(2), "depth"),
+            intLit(args(3), "width")).toAggregateExpression() }),
       ("bottomk_sample",
         "bottomk_sample(hash, value, k) - aggregate: deterministic " +
           "uniform k-sample (rows whose LONG hash of a unique row key " +

@@ -461,4 +461,124 @@ object SketchExprs {
         newLeft: Expression, newRight: Expression): BottomKSample =
       copy(hash = newLeft, value = newRight)
   }
+
+  /** The portable row-hash shared by [[CmSketch]] and its driver-side
+    * replay: the first 12 hex digits of md5("r:item") as a long —
+    * DuckDB spells the identical value
+    * `('0x' || substr(md5(r || ':' || item), 1, 12))::BIGINT`. */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private[graft] def cmHash48(row: Int, item: String): Long = {
+    val md = md5Local.get() // per-row × per-depth hot path: no
+    md.reset()              // per-call getInstance allocation
+    val d = md.digest((row.toString + ":" + item)
+      .getBytes(StandardCharsets.UTF_8))
+    // first 12 hex digits = top 6 bytes, big-endian
+    ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+      ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+      ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+  }
+
+  /** Count-Min sketch (Cormode & Muthukrishnan, J. Algorithms '05)
+    * over a STRING item column with a LONG weight: `depth` rows of
+    * `width` counters; each arrival adds its weight to one counter per
+    * row, the row's bucket chosen by a per-row portable hash
+    * ([[cmHash48]] mod width). A point-frequency query reads the MIN
+    * of its `depth` counters — never an underestimate for
+    * non-negative weights, over by at most `e/width · N` with
+    * probability `1 − e^-depth`.
+    *
+    * The family member that completes the mergeable-summary set (KMV
+    * cardinality, Space-Saving top-k, bottom-k quantiles): frequency
+    * POINT LOOKUP over items nobody pre-declared — top-k only answers
+    * for items the sketch retained; CM answers for any item, including
+    * one that never arrived (answer ≤ noise bound).
+    *
+    * Merge is cellwise sum — exactly associative AND commutative with
+    * no eviction anywhere, so unlike Space-Saving under pressure the
+    * result is a pure function of the input multiset in EVERY regime:
+    * the battery oracle replays sketch cells and estimates
+    * bit-for-bit at any scale. Output: the `depth·width` cell array,
+    * row-major — estimates are downstream column arithmetic
+    * ([[graft.pipeline.Sketches.cmEstimates]]), persistence/rollup is
+    * a cellwise-sum GROUP BY ([[graft.pipeline.Sketches.mergeCmSketches]]).
+    *
+    * Scale shape: partial aggregation applies; a group crosses the
+    * shuffle as `depth·width` longs per partition regardless of item
+    * cardinality or skew. Size `width ≥ e/ε` for additive error
+    * `ε·N`; `depth = 4` gives the standard 98% confidence. */
+  case class CmSketch(
+      item: Expression, weight: Expression, depth: Int, width: Int,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]]
+    with BinaryLike[Expression] {
+
+    require(depth >= 1 && depth <= 16,
+      s"CM depth must lie in [1, 16], got $depth")
+    require(width >= 1, s"CM width must be positive, got $width")
+    require(depth.toLong * width <= (1L << 22),
+      s"CM state depth*width=${depth.toLong * width} exceeds 4M cells — " +
+        "this buffer crosses the shuffle per (partition, group); size " +
+        "width to the error bound, not the cardinality")
+
+    override def left: Expression = item
+    override def right: Expression = weight
+
+    override def prettyName: String = "cm_sketch"
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def createAggregationBuffer(): Array[Long] =
+      new Array[Long](depth * width)
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val k = item.eval(input)
+      if (k != null) {
+        val w = weight.eval(input)
+        if (w != null) {
+          val s = k.toString
+          val wl = asLong(w)
+          var r = 0
+          while (r < depth) {
+            buf(r * width + (cmHash48(r, s) % width).toInt) += wl
+            r += 1
+          }
+        }
+      }
+      buf
+    }
+
+    override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < buf.length) { buf(i) += other(i); i += 1 }
+      buf
+    }
+
+    override def eval(buf: Array[Long]): Any =
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(buf)
+
+    override def serialize(buf: Array[Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 * buf.length)
+      bb.asLongBuffer().put(buf)
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val buf = new Array[Long](bytes.length / 8)
+      ByteBuffer.wrap(bytes).asLongBuffer().get(buf)
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): CmSketch =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): CmSketch =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): CmSketch =
+      copy(item = newLeft, weight = newRight)
+  }
 }

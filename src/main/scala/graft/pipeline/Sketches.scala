@@ -187,6 +187,79 @@ object Sketches {
         col("col.err").as("err"): _*)
   }
 
+  private def cmAgg(item: Column, weight: Column,
+                    depth: Int, width: Int): Column =
+    GraftColumnBridge.column(
+      SketchExprs.CmSketch(
+        GraftColumnBridge.expression(item.cast("string")),
+        GraftColumnBridge.expression(weight.cast("long")),
+        depth, width).toAggregateExpression())
+
+  /** Persistable Count-Min sketch table: one `depth·width` row-major
+    * cell array (`cm`) per fine-grained group, counting occurrences of
+    * `valueCol` weighted by `weightCol` (pass `lit(1)`-like column
+    * name `null` → unit weights). The form you store per day/shard so
+    * point-frequency queries and rollups never re-scan history.
+    * Determinism: cellwise sums of portable hashes — a pure function
+    * of the input multiset in every regime (no eviction, unlike
+    * Space-Saving), so the oracle hash-checks cells at any scale. */
+  def cmSketchTable(df: DataFrame, groupCols: Seq[String],
+                    valueCol: String, depth: Int, width: Int,
+                    weightCol: Option[String] = None): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must name at least one column")
+    val w = weightCol.map(col).getOrElse(lit(1L))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(cmAgg(col(valueCol), w, depth, width).as("cm"))
+  }
+
+  /** Roll a [[cmSketchTable]] up to coarser groups by cellwise sum —
+    * CM's merge IS vector addition, so the rollup equals sketching the
+    * coarse group directly, EXACTLY, in every regime. One shuffle of
+    * `depth·width` cells per fine group (posexplode → sum → repack);
+    * rolling a year of daily sketches costs seconds, never a
+    * 100 TB re-scan. */
+  def mergeCmSketches(sketches: DataFrame, coarserCols: Seq[String],
+                      depth: Int, width: Int): DataFrame = {
+    val grouped =
+      if (coarserCols.nonEmpty) sketches
+      else sketches.withColumn("__all", lit("all"))
+    val keys = if (coarserCols.nonEmpty) coarserCols else Seq("__all")
+    grouped
+      .select(keys.map(col) :+ posexplode(col("cm")): _*)
+      .groupBy((keys :+ "pos").map(col): _*)
+      .agg(sum(col("col")).as("cell"))
+      .groupBy(keys.map(col): _*)
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cell")))),
+        x => x.getField("cell")).as("cm"))
+      .select((coarserCols.map(col) :+ col("cm")): _*)
+  }
+
+  /** Point-frequency estimates for literal `items` against every
+    * sketch row of a [[cmSketchTable]]/[[mergeCmSketches]] output:
+    * `est = min over rows r of cm[r·width + bucket_r(item)]` — the
+    * classic CM read, never an underestimate for non-negative
+    * weights. The buckets of a LITERAL item are driver-computable
+    * (the same md5 convention DuckDB replays), so the lookup compiles
+    * to `least(element_at…)` column arithmetic — no UDF, no join, no
+    * shuffle; output one row per (sketch row × item). */
+  def cmEstimates(sketches: DataFrame, groupCols: Seq[String],
+                  items: Seq[String], depth: Int, width: Int): DataFrame = {
+    require(items.nonEmpty, "need at least one queried item")
+    val lookups = items.map { it =>
+      val cells = (0 until depth).map { r =>
+        element_at(col("cm"),
+          r * width + (SketchExprs.cmHash48(r, it) % width).toInt + 1)
+      }
+      struct(lit(it).as("item"),
+        (if (cells.size == 1) cells.head else least(cells: _*)).as("est"))
+    }
+    sketches
+      .select(groupCols.map(col) :+ explode(array(lookups: _*)).as("__q"): _*)
+      .select(groupCols.map(col) :+
+        col("__q.item").as("item") :+ col("__q.est").as("est"): _*)
+  }
+
   private def bkAgg(hash: Column, value: Column, k: Int): Column =
     GraftColumnBridge.column(
       SketchExprs.BottomKSample(

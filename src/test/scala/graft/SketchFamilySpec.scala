@@ -230,4 +230,90 @@ class SketchFamilySpec extends AnyFlatSpec with Matchers {
         ("b", 1, "z", 2L))
     } finally q.stop()
   }
+
+  // ---------------------------------------------------------- count-min
+
+  private def cmEsts(d: DataFrame) =
+    d.collect().map(r =>
+      (r.getAs[String]("item"), r.getAs[Long]("est"))).toMap
+
+  "cmSketchTable + cmEstimates" should
+    "read exact counts when the width is collision-sparse" in {
+    val df = (1 to 20).flatMap(i => Seq.fill(i)(("g", s"w$i")))
+      .toDF("g", "v").repartition(7)
+    val sk = Sketches.cmSketchTable(df, Seq("g"), "v", depth = 4, width = 512)
+    val est = cmEsts(Sketches.cmEstimates(sk, Seq("g"),
+      (1 to 20).map(i => s"w$i") :+ "absent", depth = 4, width = 512))
+    (1 to 20).foreach(i => est(s"w$i") shouldBe i.toLong)
+    est("absent") shouldBe 0L
+  }
+
+  it should "never underestimate under heavy collision pressure" in {
+    // 400 distinct items into width 16: most buckets collide, so
+    // estimates inflate — the CM guarantee is one-sided
+    val truth = (1 to 400).map(i => s"w$i" -> ((i % 7) + 1).toLong).toMap
+    val df = truth.toSeq.flatMap { case (w, n) => Seq.fill(n.toInt)(("g", w)) }
+      .toDF("g", "v").repartition(5)
+    val sk = Sketches.cmSketchTable(df, Seq("g"), "v", depth = 4, width = 16)
+    val est = cmEsts(Sketches.cmEstimates(sk, Seq("g"),
+      truth.keys.toSeq.sorted, depth = 4, width = 16))
+    truth.foreach { case (w, n) => est(w) should be >= n }
+  }
+
+  it should "respect weights and skip NULL items" in {
+    val df = Seq(("g", "a", 5L), ("g", "a", 2L), ("g", "b", 1L),
+      ("g", null, 100L)).toDF("g", "v", "w")
+    val sk = Sketches.cmSketchTable(df, Seq("g"), "v", depth = 2,
+      width = 128, weightCol = Some("w"))
+    val est = cmEsts(Sketches.cmEstimates(sk, Seq("g"), Seq("a", "b"),
+      depth = 2, width = 128))
+    est shouldBe Map("a" -> 7L, "b" -> 1L)
+  }
+
+  "mergeCmSketches" should "equal the direct sketch exactly (cellwise sum)" in {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 600).map(_ =>
+      (s"d${rnd.nextInt(5)}", s"w${rnd.nextInt(80)}"))
+    val df = rows.toDF("day", "v").repartition(6)
+    val daily = Sketches.cmSketchTable(df, Seq("day"), "v",
+      depth = 4, width = 32)
+    val merged = Sketches.mergeCmSketches(daily, Nil, depth = 4, width = 32)
+    val direct = Sketches.cmSketchTable(
+      df.withColumn("__all", lit("all")), Seq("__all"), "v",
+      depth = 4, width = 32)
+    merged.select("cm").collect().map(_.getSeq[Long](0)).toSeq shouldBe
+      direct.select("cm").collect().map(_.getSeq[Long](0)).toSeq
+    // and a partial rollup (to a coarser, non-empty key set) keeps keys
+    val byPair = df.withColumn("pair", expr("substring(day, 1, 1)"))
+    val fine = Sketches.cmSketchTable(byPair, Seq("day", "pair"), "v",
+      depth = 4, width = 32)
+    val up = Sketches.mergeCmSketches(fine, Seq("pair"), depth = 4, width = 32)
+    up.columns.toSeq shouldBe Seq("pair", "cm")
+    up.count() shouldBe 1L
+  }
+
+  "cm_sketch" should "be callable from SQL and agree with the API" in {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(("a", 1L), ("a", 1L), ("b", 1L)).toDF("v", "w")
+    df.createOrReplaceTempView("cm_sql_in")
+    val cells = spark.sql(
+      "SELECT cm_sketch(v, w, 2, 64) AS cm FROM cm_sql_in")
+      .collect().head.getSeq[Long](0)
+    val api = Sketches.cmSketchTable(
+      df.withColumn("g", lit("g")), Seq("g"), "v", depth = 2, width = 64,
+      weightCol = Some("w"))
+      .select("cm").collect().head.getSeq[Long](0)
+    cells shouldBe api
+    cells.sum shouldBe 6L // 3 arrivals × 2 depth rows × weight 1
+  }
+
+  it should "match the documented DuckDB bucket replay" in {
+    // the same '0x'||substr(md5(r||':'||item),1,12) convention the
+    // oracle uses — pinned here so a hash change cannot slip through
+    // as a mere battery mismatch
+    graft.functions.SketchExprs.cmHash48(0, "click") shouldBe
+      md5hash48("0:click")
+    graft.functions.SketchExprs.cmHash48(3, "wüñ∂") shouldBe
+      md5hash48("3:wüñ∂")
+  }
 }
