@@ -67,10 +67,15 @@ import org.apache.spark.sql.types._
   * or BIND via the HYBRID decode — only the expression's variables
   * join their terms back in and it evaluates through the standard
   * ExprCompiler, so value semantics are shared code, not a
-  * re-implementation. What still falls back to the standard compiler
-  * over [[decodedQuads]]: EXISTS with correlated inner filters and
-  * zero-length paths with constant ends — the fast path can never
-  * change semantics, only the plan under it.
+  * re-implementation; zero-length paths in every endpoint shape
+  * (var-var enumerates scoped nodes in id space; constant ends bind
+  * from the literal — the term may be dict-absent — with named graphs
+  * enumerated in id space), and `*` with a constant end as
+  * Distinct(zero ∪ id-space `+` closure). The one remaining
+  * standard-compiler fallback: BOTH-constant `*`/`+` existence probes
+  * (a driver-bounded boolean over one closure; no variable to carry
+  * ids for). The fast path can never change semantics, only the plan
+  * under it.
   */
 final class DictStore private (val spark: SparkSession,
                                val dict: DataFrame,
@@ -254,9 +259,28 @@ final class DictStore private (val spark: SparkSession,
       case alp: ArbitraryLengthPath if alpEligible(alp) =>
         val (df, vs) = compileAlpIds(alp)
         Materialized(df, vs, vs.toSet) // path endpoints bind every row
+      // `*` with ONE constant end: split into zero ∪ plus. ALP output
+      // is set-semantics over its bindings, so Distinct(Union(·,·)) is
+      // exact; the zero branch binds the (possibly dict-absent)
+      // constant from its literal, and the plus branch closes in id
+      // space — the closure, the expensive part, keeps 8-byte keys
+      case alp: ArbitraryLengthPath
+        if alp.includeZero && isBlock(alp.edge) &&
+          List(alp.s, alp.o).count {
+            case T(_) => true; case _ => false } == 1 =>
+        go(Distinct(Union(ZeroLengthPath(alp.s, alp.o, alp.g),
+          alp.copy(includeZero = false))))
       case alp: ArbitraryLengthPath => alp.copy(edge = go(alp.edge))
       case ZeroLengthPath(V(sv), V(ov), g) =>
         val (df, vs) = compileZeroLengthIds(sv, ov, g)
+        Materialized(df, vs, vs.toSet)
+      // constant-end zero-length: a driver-built constant row — the
+      // term may be ABSENT from the data and hence the dictionary, so
+      // the binding comes from the literal, not an id; only the
+      // named-graph enumeration (under GRAPH ?g) touches the store,
+      // and it runs in id space with a k-row decode
+      case zl: ZeroLengthPath =>
+        val (df, vs) = compileZeroLengthConstIds(zl)
         Materialized(df, vs, vs.toSet)
       case leaf => leaf // Scan handled by isBlock; Service/Values/… stay
     }
@@ -434,12 +458,13 @@ final class DictStore private (val spark: SparkSession,
 
   // ----- id-space transitive paths -----
 
-  /** The ALP shapes id space can express: a pure-BGP edge pattern, at
-    * least one variable endpoint (both-constant is an existence probe
-    * the standard compiler handles), and no zero-length with a
-    * constant endpoint (zero-length must bind a term to itself even
-    * when it is absent from the data — and an absent term has no
-    * dictionary id to carry through the closure). */
+  /** The ALP shapes this DIRECT id-space compile expresses: a
+    * pure-BGP edge pattern, at least one variable endpoint
+    * (both-constant is an existence probe the standard compiler
+    * handles), and no zero-length with a constant endpoint — that
+    * shape is instead SPLIT by the rewriter into
+    * Distinct(ZeroLengthPath ∪ `+`-closure), whose plus branch lands
+    * back here. */
   private def alpEligible(alp: ArbitraryLengthPath): Boolean = {
     val constEnds = List(alp.s, alp.o).count { case T(_) => true; case _ => false }
     isBlock(alp.edge) && constEnds < 2 && !(alp.includeZero && constEnds > 0)
@@ -505,10 +530,45 @@ final class DictStore private (val spark: SparkSession,
     }
   }
 
+  /** Constant-end (and both-constant) zero-length path: ≤ 1 row per
+    * graph context, built on the driver from the LITERAL term — a
+    * zero-length path binds a constant to itself even when the term
+    * is absent from the data, and an absent term has no dictionary
+    * id, so the binding must come from the literal. Under GRAPH ?g
+    * the named-graph set enumerates in id space (distinct over one
+    * long column) and decodes k rows. Mirrors the standard compiler's
+    * `compileZeroLength` constant cases exactly, including the
+    * empty-but-typed frame for unequal constant ends. */
+  private def compileZeroLengthConstIds(
+      zl: ZeroLengthPath): (DataFrame, List[String]) = {
+    val ec = new graft.sparql.ExprCompiler(_ => graft.sparql.TermFns.nullTerm)
+    val gVar = zl.g match { case GraphVar(n) => Some(n); case _ => None }
+    val binds: List[(String, Column)] = (zl.s, zl.o) match {
+      case (T(_), T(_)) => Nil // row presence decided below
+      case (V(sv), T(t)) => List(sv -> ec.termCol(t))
+      case (T(t), V(ov)) => List(ov -> ec.termCol(t))
+      case (V(_), V(_)) => throw new IllegalStateException(
+        "var-var zero-length is compiled by compileZeroLengthIds")
+    }
+    val names = gVar.toList ++ binds.map(_._1)
+    val bothConstEmpty = (zl.s, zl.o) match {
+      case (T(ts), T(to)) => ts != to
+      case _ => false
+    }
+    val base: DataFrame = gVar match {
+      case Some(n) =>
+        // named graphs in id space; decode the k surviving graph terms
+        materialize(idQuads.filter(col("g").isNotNull)
+          .select(col("g").as(n)).dropDuplicates(), List(n))
+      case None => spark.range(1).toDF()
+    }
+    val rows = if (bothConstEmpty) base.limit(0) else base
+    val df = binds.foldLeft(rows) { case (d, (v, c)) => d.withColumn(v, c) }
+    (df.select(names.map(col): _*), names)
+  }
+
   /** Var-var zero-length path: every node of the scoped graph bound
-    * to itself, entirely in id space (constant-end zero-length must
-    * bind terms even when absent from the data — and hence the dict —
-    * so those stay on the standard compiler). */
+    * to itself, entirely in id space. */
   private def compileZeroLengthIds(sv: String, ov: String,
                                    g: GraphSpec): (DataFrame, List[String]) = {
     val cids = constIdsOf(g match { case GraphTerm(t) => List(t); case _ => Nil })

@@ -136,10 +136,16 @@ class DictFuzzSpec extends AnyFlatSpec with Matchers {
               s"$base BIND($e AS $f)"
             case _ => base
           }
-        case 8 => // transitive path (ALP closure in both engines)
-          val s = subject(varsIn(base))
+        case 8 => // path: transitive closure or zero-or-one — subject
+          // may be a CONSTANT, covering the round-10 constant-end
+          // zero-length split (zero ∪ id-space plus) and the
+          // dict-absent-term binding edge
+          val s = if (rnd.nextDouble() < 0.2) s":fresh${rnd.nextInt(3)}"
+                  else subject(varsIn(base))
           val o = pick(vars)
-          val op = if (rnd.nextBoolean()) "+" else "*"
+          val op = rnd.nextInt(3) match {
+            case 0 => "+"; case 1 => "*"; case _ => "?"
+          }
           s"$base $s :p$op $o ."
         case 0 => // OPTIONAL, sometimes conditioned, sometimes complex
           val opt = if (rnd.nextDouble() < 0.25) group(depth - 1)

@@ -935,12 +935,19 @@ class DictStoreSpec extends SparqlSpecBase {
         |SELECT ?g ?x ?m { GRAPH ?g { ?x (foaf:mbox)? ?m } }""".stripMargin)
   }
 
-  it should "keep zero-length-with-constant ALP on the standard compiler" in {
+  it should "split zero-length-with-constant ALP into zero ∪ id-space plus" in {
+    // until round 10 this shape was the rewriter's last standard-
+    // compiler fallback; now the `+` closure must land in id space
+    // (a Materialized leaf) with no residual path node in the tree
     val st = store("chain.ttl")
     val q = "PREFIX : <http://example/>\nSELECT ?o { :a :next* ?o }"
-    countNodes(st.rewrite(parseOptimized(q))) {
+    val rewritten = st.rewrite(parseOptimized(q))
+    countNodes(rewritten) {
       case _: Algebra.ArbitraryLengthPath => true
-    } shouldBe 1
+      case _: Algebra.ZeroLengthPath => true
+    } shouldBe 0
+    materializedLeaves(rewritten).size should be >= 1
+    same("chain.ttl", q)
   }
 
   it should "agree on a per-graph transitive closure (GRAPH ?g)" in {
@@ -965,5 +972,72 @@ class DictStoreSpec extends SparqlSpecBase {
       .findAllIn(plan).size
     longJoins should be >= 2
     plan should include regex raw"\(p#\d+L = \d+\)"
+  }
+
+  // ----- constant-end zero-length paths (round-10 closure) -----
+
+  it should "agree on ?/* paths with constant ends, including dict-absent terms" in {
+    val P = "PREFIX : <http://example/>\n"
+    // zero-or-one from a PRESENT constant (zero row + one-hop rows)
+    same("property_paths.ttl", P + "SELECT ?x { :order :item? ?x }")
+    // zero-or-one from a term ABSENT from the data (and the dict):
+    // must still bind ?x = :ghost exactly once
+    same("property_paths.ttl", P + "SELECT ?x { :ghost :item? ?x }")
+    collect(store("property_paths.ttl").sparql(
+      P + "SELECT ?x { :ghost :item? ?x }")) shouldBe
+      Seq(Map("x" -> graft.rdf.Iri("http://example/ghost")))
+    // constant OBJECT end
+    same("property_paths.ttl", P + "SELECT ?x { ?x :item? :z1 }")
+    same("property_paths.ttl", P + "SELECT ?x { ?x :item* :z1 }")
+    // `*` from a constant: zero ∪ id-space plus closure
+    same("property_paths.ttl", P + "SELECT ?x { :order :item* ?x }")
+    same("property_paths.ttl", P + "SELECT ?x { :ghost :item* ?x }")
+    // both-constant probes (zero-length equal / unequal, and `*`) —
+    // ASK returns a plain boolean row, so compare directly
+    def ask(q: String): Unit = {
+      val viaDict = store("property_paths.ttl").sparql(P + q)
+        .collect().map(_.getBoolean(0)).toSeq
+      val viaTerms = TestSpark.fixture("property_paths.ttl").sparql(P + q)
+        .collect().map(_.getBoolean(0)).toSeq
+      withClue(q) { viaDict shouldBe viaTerms }
+    }
+    ask("ASK { :order :item? :order }")
+    ask("ASK { :order :item? :z9 }")
+    ask("ASK { :order :item* :z1 }")
+  }
+
+  it should "close a cyclic `*` from a constant with set semantics" in {
+    import graft.rdf.Iri
+    val E = "http://cyc.example/"
+    val quads = graft.io.QuadsIO.fromQuads(spark, Seq(
+      graft.rdf.Quad(Iri(E + "a"), Iri(E + "p"), Iri(E + "b"), None),
+      graft.rdf.Quad(Iri(E + "b"), Iri(E + "p"), Iri(E + "c"), None),
+      graft.rdf.Quad(Iri(E + "c"), Iri(E + "p"), Iri(E + "a"), None)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-dict-cyc").toString
+    val st = DictStore.encode(quads, dir)
+    val q = s"PREFIX : <$E>\nSELECT ?x { :a :p* ?x }"
+    // the cycle re-reaches :a via p+ AND the zero branch binds it —
+    // exactly one solution per node, never two for :a
+    val got = collect(st.sparql(q))
+    assertResult(got, collect(quads.sparql(q)))
+    got.map(_("x")).toSet shouldBe
+      Set(Iri(E + "a"), Iri(E + "b"), Iri(E + "c"))
+    got should have size 3
+  }
+
+  it should "repeat constant-end zero-length per named graph under GRAPH ?g" in {
+    val P = "PREFIX foaf: <http://xmlns.com/foaf/0.1/>\n" +
+      "PREFIX ex: <http://example.org/>\n"
+    same("graphs.trig", P + "SELECT ?g ?x { GRAPH ?g { ex:ghost foaf:mbox? ?x } }")
+    same("graphs.trig", P + "SELECT ?g ?x { GRAPH ?g { ex:ghost (foaf:mbox)* ?x } }")
+    // and the rewrite truly bypasses the standard fallback: no
+    // ZeroLengthPath or ArbitraryLengthPath survives in the tree
+    val st = store("graphs.trig")
+    val op = parseOptimized(
+      P + "SELECT ?g ?x { GRAPH ?g { ex:ghost (foaf:mbox)* ?x } }")
+    countNodes(st.rewrite(op)) {
+      case _: Algebra.ZeroLengthPath => true
+      case _: Algebra.ArbitraryLengthPath => true
+    } shouldBe 0
   }
 }
