@@ -270,6 +270,33 @@ object SparkEntry {
         col("p").getField("lex").as("p"), col("o").getField("lex").as("o"),
         coalesce(col("g").getField("lex"), lit("")).as("g"))
     },
+    "q_read_rj" -> { (s, d) =>
+      // Distributed RDF/JSON ingest: nation serialized as one .rj file
+      // per region (subject → predicate → value-object arrays; the
+      // format is triples-only), read back one-file-per-task. TPC-H
+      // nation names are [A-Z ]+ — no JSON escaping needed.
+      val dir = new java.io.File(tmpPath("rjdir", d))
+      if (!new java.io.File(dir, "_DONE").exists()) {
+        dir.mkdirs()
+        t(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey")
+          .collect() // 25 rows — bounded driver-side serialization
+          .groupBy(_.get(2).toString).foreach { case (rk, rs) =>
+            val subjects = rs.map { r =>
+              s"""  "urn:n:${r.get(0)}": {
+                 |    "urn:p:nname": [{"value": "${r.getString(1)}", "type": "literal"}],
+                 |    "urn:p:region": [{"value": "urn:r:$rk", "type": "uri"}]
+                 |  }""".stripMargin
+            }
+            java.nio.file.Files.writeString(
+              new java.io.File(dir, s"region_$rk.rj").toPath,
+              subjects.mkString("{\n", ",\n", "\n}\n"))
+          }
+        new java.io.File(dir, "_DONE").createNewFile()
+      }
+      graft.io.QuadsIO.readFiles(s, dir.toString)
+        .select(col("s").getField("lex").as("s"),
+          col("p").getField("lex").as("p"), col("o").getField("lex").as("o"))
+    },
     // ----- §2.3 joins -----
     "q_bgp_join" -> { (s, d) =>
       out(nationRegion(s, d).sparql(prologue +
@@ -1900,6 +1927,12 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'urn:n:'||n_nationkey::VARCHAR, 'urn:p:region',
         |       'urn:r:'||n_regionkey::VARCHAR, '' FROM nation""".stripMargin,
+    "q_read_rj" ->
+      """SELECT 'urn:n:'||n_nationkey::VARCHAR AS s, 'urn:p:nname' AS p,
+        |       n_name AS o FROM nation
+        |UNION ALL
+        |SELECT 'urn:n:'||n_nationkey::VARCHAR, 'urn:p:region',
+        |       'urn:r:'||n_regionkey::VARCHAR FROM nation""".stripMargin,
     "q_bgp_join" ->
       """SELECT n_name AS nname, r_name AS rname
         |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin,

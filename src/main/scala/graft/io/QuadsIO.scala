@@ -108,6 +108,7 @@ object QuadsIO {
         TurtleParser.parse(text).iterator
       case "rdf" | "rdfs" | "owl" | "xml" => graft.rdf.RdfXmlParser.parse(text).iterator
       case "jsonld" | "json" => graft.rdf.JsonLdParser.parse(text).iterator
+      case "rj" => graft.rdf.RdfJsonParser.parse(text).iterator
       case "trix" => graft.rdf.TriXParser.parse(text).iterator
       case other =>
         throw new IllegalArgumentException(s"unrecognized RDF extension .$other")
@@ -162,7 +163,7 @@ object QuadsIO {
       case "nt" | "nq" | "ntriples" | "nquads" =>
         readNTriples(spark, path, skipMalformed)
       case "ttl" | "trig" | "turtle" | "n3" | "rdf" | "rdfs" | "owl" | "xml" |
-           "jsonld" | "json" | "trix" | "" | "*" =>
+           "jsonld" | "json" | "rj" | "trix" | "" | "*" =>
         readFiles(spark, path, skipMalformed)
       case other =>
         throw new IllegalArgumentException(s"unrecognized RDF extension .$other")
