@@ -958,13 +958,17 @@ object SparkEntry {
           "never_seen_item"), depth = 4, width = 256)
     },
     "q_heavy_hitters" -> { (s, d) =>
-      // top-5 users per event type via the Space-Saving sketch; m=1024
-      // comfortably exceeds the distinct-user cardinality so every
-      // count is exact and err = 0 — the regime the oracle replays
-      // with GROUP BY + rank (the eviction regime is property-tested
-      // in SketchFamilySpec, where only ε-bounds are deterministic)
+      // top-5 users per event type via the Space-Saving sketch; m=4096
+      // exceeds the distinct-user cardinality through sf0.1 (150/1500
+      // distinct at sf0.01/sf0.1) so every count is exact and err = 0
+      // — the regime the oracle replays with GROUP BY + rank. The
+      // round-10 sf0.1 sweep caught the m=1024 regime flip at 1500
+      // distinct: counts stayed within the ε-bounds (0 violations)
+      // but exact replay demands headroom. The eviction regime is
+      // property-tested in SketchFamilySpec, where only ε-bounds are
+      // deterministic.
       graft.pipeline.Sketches.heavyHitters(
-        eventsUs(s, d), Seq("event_type"), "user_id", m = 1024, topK = 5)
+        eventsUs(s, d), Seq("event_type"), "user_id", m = 4096, topK = 5)
     },
     "q_hh_rollup" -> { (s, d) =>
       // persisted heavy-hitter workflow: per-DAY user sketch tables
@@ -975,9 +979,9 @@ object SparkEntry {
       val ev = eventsUs(s, d)
         .withColumn("day", expr("ts div 86400000000"))
       val daily = graft.pipeline.Sketches.heavyHitterTable(
-        ev, Seq("day"), "user_id", m = 1024)
+        ev, Seq("day"), "user_id", m = 4096)
       graft.pipeline.Sketches.mergeHeavyHitters(
-        daily, Nil, m = 1024, topK = 5)
+        daily, Nil, m = 4096, topK = 5)
     },
     "q_quantile_sketch" -> { (s, d) =>
       // per-event-type value quantiles from the bottom-k-by-hash

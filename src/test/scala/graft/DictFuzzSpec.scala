@@ -199,9 +199,26 @@ class DictFuzzSpec extends AnyFlatSpec with Matchers {
         else rnd.shuffle(inScope).take(1 + rnd.nextInt(inScope.size))
           .mkString(" ")
       val distinct = if (rnd.nextDouble() < 0.25) "DISTINCT " else ""
-      if (rnd.nextDouble() < 0.15 && inScope.nonEmpty) {
+      if (rnd.nextDouble() < 0.2 && inScope.nonEmpty) {
+        // aggregate forms beyond COUNT: SUM/AVG error-poisoning on
+        // non-numeric terms, MIN/MAX total value order, sorted
+        // GROUP_CONCAT, COUNT DISTINCT — all deterministic, so the
+        // four execution paths must agree bit-for-bit; HAVING lifts
+        // to a filter above the group on both engines
         val g = pick(inScope)
-        s"${prologue}SELECT $g (COUNT(*) AS ?cnt) $ds{ $pat } GROUP BY $g"
+        val m = pick(inScope)
+        val agg = rnd.nextInt(6) match {
+          case 0 => "COUNT(*)"
+          case 1 => s"SUM($m)"
+          case 2 => s"MIN($m)"
+          case 3 => s"MAX($m)"
+          case 4 => s"COUNT(DISTINCT $m)"
+          case _ => s"""GROUP_CONCAT($m; SEPARATOR="|")"""
+        }
+        val having =
+          if (rnd.nextDouble() < 0.3) s" HAVING(COUNT(*) > ${rnd.nextInt(3)})"
+          else ""
+        s"${prologue}SELECT $g ($agg AS ?cnt) $ds{ $pat } GROUP BY $g$having"
       } else s"${prologue}SELECT $distinct$proj $ds{ $pat }"
     }
   }
@@ -305,7 +322,10 @@ class DictFuzzSpec extends AnyFlatSpec with Matchers {
     var ran = 0
     var skipped = 0
     var i = 0
-    while (ran < 12 && i < 80) {
+    // the generator's round-10 growth (aggregate forms, `?` paths,
+    // constant path ends) shrank the stream-eligible fraction; scan
+    // further to keep 12 accepted queries
+    while (ran < 12 && i < 400) {
       val q = gen.query()
       i += 1
       val streamed =

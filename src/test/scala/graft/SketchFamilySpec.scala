@@ -292,6 +292,32 @@ class SketchFamilySpec extends AnyFlatSpec with Matchers {
     up.count() shouldBe 1L
   }
 
+  "a streaming CM sketch" should "accumulate cells across micro-batches" in {
+    // same composition story as the trending-items face: the
+    // TypedImperativeAggregate IS the per-group streaming state
+    // (depth·width longs), each micro-batch folds in cellwise
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val out = Sketches.cmSketchTable(
+      input.toDF.toDF("g", "v"), Seq("g"), "v", depth = 2, width = 64)
+    out.isStreaming shouldBe true
+    val q = out.writeStream.format("memory").queryName("cm_stream_out")
+      .outputMode("complete").start()
+    def est(items: Seq[String]) = cmEsts(Sketches.cmEstimates(
+      s.table("cm_stream_out"), Seq("g"), items, depth = 2, width = 64))
+    try {
+      input.addData(("a", "x"), ("a", "x"), ("a", "y"))
+      q.processAllAvailable()
+      est(Seq("x", "y")) shouldBe Map("x" -> 2L, "y" -> 1L)
+      input.addData(("a", "x"))
+      q.processAllAvailable()
+      est(Seq("x", "y")) shouldBe Map("x" -> 3L, "y" -> 1L)
+    } finally q.stop()
+  }
+
   "cm_sketch" should "be callable from SQL and agree with the API" in {
     graft.functions.GraftFunctions.register(spark)
     val df = Seq(("a", 1L), ("a", 1L), ("b", 1L)).toDF("v", "w")
