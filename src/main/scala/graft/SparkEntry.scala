@@ -1269,6 +1269,26 @@ object SparkEntry {
         portable = true)
         .select(col("doc_id"), col("lang"))
     },
+    "q_shuffle_det" -> { (s, d) =>
+      // deterministic global corpus shuffle: contiguous 0-based rank
+      // in the portable-hash permutation, computed by the two-phase
+      // range-partition + per-partition-window scheme (no
+      // single-partition window; one range shuffle). The oracle
+      // replays the permutation with one row_number window.
+      graft.pipeline.Packing.shuffleRank(
+        t(s, d, "documents").select(col("doc_id")), "doc_id")
+    },
+    "q_pack" -> { (s, d) =>
+      // concat-and-chunk sequence packing over the shuffle order:
+      // documents concatenate in hash order, the stream cuts every
+      // 4096 tokens (n_chars as the length column — already in the
+      // table, no tokenizer divergence), (seq_id, seq_offset) from
+      // the scalable global prefix sum
+      graft.pipeline.Packing.packSequences(
+        t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", budget = 4096L)
+        .select(col("doc_id"), col("seq_id"), col("seq_offset"))
+    },
     "q_split" -> { (s, d) =>
       // disjoint train/val/test split (70/20/10), portable buckets so
       // the oracle reproduces every per-row assignment; entry returns
@@ -2748,6 +2768,24 @@ object SparkEntry {
         |  FROM d
         |)
         |SELECT doc_id, lang FROM c WHERE cum < 3000""".stripMargin,
+    "q_shuffle_det" ->
+      """SELECT doc_id, CAST(row_number() OVER (ORDER BY
+        |  ('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 12))::BIGINT,
+        |  doc_id) - 1 AS BIGINT) AS shuffle_rank
+        |FROM documents""".stripMargin,
+    "q_pack" ->
+      """WITH o AS (
+        |  SELECT doc_id, n_chars,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 12))::BIGINT AS h
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |), c AS (
+        |  SELECT doc_id, coalesce(sum(n_chars) OVER (ORDER BY h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+        |  FROM o
+        |)
+        |SELECT doc_id, CAST(pfx // 4096 AS BIGINT) AS seq_id,
+        |       CAST(pfx % 4096 AS BIGINT) AS seq_offset
+        |FROM c""".stripMargin,
     "q_split" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 8))::BIGINT
