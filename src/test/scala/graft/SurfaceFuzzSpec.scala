@@ -113,9 +113,12 @@ class SurfaceFuzzSpec extends AnyFlatSpec with Matchers {
 
   /** §16.2 / §3.1.3 instantiation, on the driver: substitute each
     * solution into the template, skip quads with an unbound component,
-    * a literal subject, a non-IRI predicate, or a non-IRI graph. */
+    * a literal subject, a non-IRI predicate, or a non-IRI graph.
+    * `defaultG` is the template-target default graph (Some under
+    * `WITH g`, per §3.1.3). */
   private def instantiate(tpls: Seq[Tpl],
-                          sols: Seq[Map[String, Term]]): Set[Quad] = {
+                          sols: Seq[Map[String, Term]],
+                          defaultG: Option[Iri] = None): Set[Quad] = {
     def resolve(c: Comp, sol: Map[String, Term]): Option[Term] = c match {
       case Left(v) => sol.get(v.stripPrefix("?"))
       case Right(t) => Some(t)
@@ -129,7 +132,8 @@ class SurfaceFuzzSpec extends AnyFlatSpec with Matchers {
       if !s.isInstanceOf[Lit] && p.isInstanceOf[Iri]
       g = t.g.map(resolve(_, sol))
       if g.forall(_.exists(_.isInstanceOf[Iri]))
-    } yield Quad(s, p, o, g.flatten.map(_.asInstanceOf[Iri]))).toSet
+    } yield Quad(s, p, o,
+      g.flatten.map(_.asInstanceOf[Iri]).orElse(defaultG))).toSet
   }
 
   private final class SGen(seed: Int) {
@@ -288,23 +292,34 @@ class SurfaceFuzzSpec extends AnyFlatSpec with Matchers {
       val gen = new SGen(seed * 1000 + i)
       var expected: Set[Quad] = baseQuads.toSet
       val stmts = Seq.newBuilder[String]
+
+      // §3.2 graph refs as (syntax, client predicate, retag target)
+      def refOf(k: Int): (String, Quad => Boolean, Option[Iri]) = k match {
+        case 0 => ("DEFAULT", q => q.g.isEmpty, None)
+        case 1 => ("GRAPH :g1", q => q.g.contains(iri("g1")), Some(iri("g1")))
+        case _ => ("GRAPH :g2", q => q.g.contains(iri("g2")), Some(iri("g2")))
+      }
+
       for (_ <- 0 to gen.rnd.nextInt(2)) {
-        gen.rnd.nextInt(4) match {
+        gen.rnd.nextInt(8) match {
           case 0 => // INSERT DATA: mix of fresh and already-present quads
             val fresh = (0 until 1 + gen.rnd.nextInt(2)).map { _ =>
               val g = if (gen.rnd.nextDouble() < 0.3)
                 Some(iri(s"g${1 + gen.rnd.nextInt(2)}")) else None
               Quad(iri(s"x${gen.rnd.nextInt(6)}"), iri("p"),
                 gen.groundTerm(2), g)
-            } ++ (if (gen.rnd.nextBoolean())
+            } ++ (if (gen.rnd.nextBoolean() && expected.nonEmpty)
               Seq(gen.pick(expected.toSeq.sortBy(_.toString))) else Nil)
             stmts += s"INSERT DATA { ${renderData(fresh)} }"
             expected = expected ++ fresh
           case 1 => // DELETE DATA: mix of present and absent quads
-            val present = (0 until 1 + gen.rnd.nextInt(2)).map(_ =>
-              gen.pick(expected.toSeq.sortBy(_.toString)))
+            val present =
+              if (expected.isEmpty) Nil
+              else (0 until 1 + gen.rnd.nextInt(2)).map(_ =>
+                gen.pick(expected.toSeq.sortBy(_.toString)))
             val absent = Quad(iri("nope"), iri("p"), Lit("z"), None)
-            val doomed = present ++ (if (gen.rnd.nextBoolean()) Seq(absent) else Nil)
+            val doomed = present ++
+              (if (gen.rnd.nextBoolean() || present.isEmpty) Seq(absent) else Nil)
             stmts += s"DELETE DATA { ${renderData(doomed)} }"
             expected = expected -- doomed
           case 2 => // DELETE WHERE: pattern doubles as template
@@ -318,7 +333,7 @@ class SurfaceFuzzSpec extends AnyFlatSpec with Matchers {
             val sols = bindings(QuadsIO.fromQuads(spark, expected.toSeq)
               .sparql(s"${prologue}SELECT * { ${pats.map(_.text).mkString(" ")} }"))
             expected = expected -- instantiate(pats, sols)
-          case _ => // DELETE/INSERT WHERE over the current state
+          case 3 => // DELETE/INSERT WHERE over the current state
             val pat = gen.bgp(Nil, 1 + gen.rnd.nextInt(2))
             val scope = gen.varsIn(pat)
             val del = gen.template(scope, 1, withGraph = true)
@@ -328,6 +343,52 @@ class SurfaceFuzzSpec extends AnyFlatSpec with Matchers {
             val sols = bindings(QuadsIO.fromQuads(spark, expected.toSeq)
               .sparql(s"${prologue}SELECT * { $pat }"))
             expected = expected -- instantiate(del, sols) ++ instantiate(ins, sols)
+          case 4 => // CLEAR / DROP (equivalent under the quad-set model)
+            val kw = if (gen.rnd.nextBoolean()) "CLEAR" else "DROP"
+            gen.rnd.nextInt(5) match {
+              case 0 => stmts += s"$kw NAMED"
+                expected = expected.filter(_.g.isEmpty)
+              case 1 => stmts += s"$kw ALL"
+                expected = Set.empty
+              case k =>
+                val (syn, m, _) = refOf(k - 2)
+                stmts += s"$kw $syn"
+                expected = expected.filterNot(m)
+            }
+          case 5 => // ADD: insert source's quads into destination
+            val (ss, sm, _) = refOf(gen.rnd.nextInt(3))
+            val (ds, _, dg) = refOf(gen.rnd.nextInt(3))
+            stmts += s"ADD ${ss.stripPrefix("GRAPH ")} TO ${ds.stripPrefix("GRAPH ")}"
+            if (ss != ds)
+              expected = expected ++ expected.filter(sm).map(_.copy(g = dg))
+          case 6 => // COPY / MOVE: overwrite destination (± drop source)
+            val move = gen.rnd.nextBoolean()
+            val (ss, sm, _) = refOf(gen.rnd.nextInt(3))
+            val (ds, dm, dg) = refOf(gen.rnd.nextInt(3))
+            stmts += s"${if (move) "MOVE" else "COPY"} " +
+              s"${ss.stripPrefix("GRAPH ")} TO ${ds.stripPrefix("GRAPH ")}"
+            if (ss != ds) {
+              val src = expected.filter(sm)
+              expected = expected.filterNot(dm) --
+                (if (move) src else Set.empty) ++ src.map(_.copy(g = dg))
+            }
+          case _ => // WITH: match against g-as-default, templates target g
+            val g = iri(s"g${1 + gen.rnd.nextInt(2)}")
+            val pat = gen.bgp(Nil, 1)
+            val scope = gen.varsIn(pat)
+            val del = gen.template(scope, 1, withGraph = false)
+            val ins = gen.template(scope, 1, withGraph = false)
+            stmts += s"WITH <${g.lex}> " +
+              s"DELETE { ${del.map(_.text).mkString(" ")} } " +
+              s"INSERT { ${ins.map(_.text).mkString(" ")} } WHERE { $pat }"
+            // §3.1.3 match dataset: the store's named graphs stay
+            // addressable AND g's quads appear retagged as default
+            val matchSet = expected.filter(_.g.nonEmpty) ++
+              expected.filter(_.g.contains(g)).map(_.copy(g = None))
+            val sols = bindings(QuadsIO.fromQuads(spark, matchSet.toSeq)
+              .sparql(s"${prologue}SELECT * { $pat }"))
+            expected = expected -- instantiate(del, sols, Some(g)) ++
+              instantiate(ins, sols, Some(g))
         }
       }
       val update = prologue + stmts.result().mkString(" ;\n")
