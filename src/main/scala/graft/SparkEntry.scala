@@ -1234,6 +1234,21 @@ object SparkEntry {
         tau = 0.5, targetFraction = 0.5)
         .select(col("doc_id"), col("source"))
     },
+    "q_pack_e2e" -> { (s, d) =>
+      // mixture → pack, chained: temperature-sample the corpus per
+      // source, then pack each surviving component into 2048-token
+      // sequences (per-group windows — seq ids are within-source).
+      // The oracle replays BOTH stages: threshold keep/drop, then the
+      // per-source prefix window over the same hash order.
+      val kept = graft.pipeline.Sampling.temperatureSample(
+        t(s, d, "documents"), "source", "doc_id",
+        tau = 0.5, targetFraction = 0.5)
+      graft.pipeline.Packing.packSequencesBy(
+        kept.select(col("doc_id"), col("source"), col("n_chars")),
+        Seq("source"), "doc_id", "n_chars", budget = 2048L)
+        .select(col("doc_id"), col("source"),
+          col("seq_id"), col("seq_offset"))
+    },
     "q_sample_weighted" -> { (s, d) =>
       // quality-weighted thinning: keep probability grows with doc
       // length (a stand-in for any quality score), per-row portable
@@ -2725,6 +2740,34 @@ object SparkEntry {
         |SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source)
         |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':0'), 1, 8))::BIGINT
         |      % 1000000 < thr.thr""".stripMargin,
+    "q_pack_e2e" ->
+      """WITH c AS (
+        |  SELECT source, COUNT(*) AS n FROM documents GROUP BY 1
+        |), t AS (
+        |  SELECT SUM(n) AS total, SUM(sqrt(CAST(n AS DOUBLE))) AS powsum
+        |  FROM c
+        |), thr AS (
+        |  SELECT c.source,
+        |    CAST(round(least(1.0, sqrt(CAST(c.n AS DOUBLE)) / t.powsum
+        |      * t.total * 0.5 / c.n) * 1000000) AS BIGINT) AS thr
+        |  FROM c CROSS JOIN t
+        |), kept AS (
+        |  SELECT d.doc_id, d.source, d.n_chars
+        |  FROM documents d JOIN thr USING (source)
+        |  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':0'), 1, 8))::BIGINT
+        |        % 1000000 < thr.thr
+        |), o AS (
+        |  SELECT doc_id, source, n_chars,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 12))::BIGINT AS h
+        |  FROM kept WHERE n_chars IS NOT NULL
+        |), p AS (
+        |  SELECT doc_id, source,
+        |    coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+        |  FROM o
+        |)
+        |SELECT doc_id, source, CAST(pfx // 2048 AS BIGINT) AS seq_id,
+        |       CAST(pfx % 2048 AS BIGINT) AS seq_offset FROM p""".stripMargin,
     "q_sample_weighted" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':2'), 1, 8))::BIGINT

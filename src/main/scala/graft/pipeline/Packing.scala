@@ -122,4 +122,35 @@ object Packing {
       .withColumn("seq_offset", col("__prefix") % budget)
       .drop("__ord", "__pid", "__row_off", "__tok_off", "__prefix")
   }
+
+  /** Per-group sequence packing: [[packSequences]] independently
+    * inside each `groupCols` stratum (each mixture component packs
+    * its own sequence stream — the usual shape when components carry
+    * different sampling temperatures or epoch counts). `seq_id` is
+    * unique only WITHIN a group; prepend the group columns for a
+    * global key. Unlike the global form this needs no two-phase
+    * trick: the window partitions by the group columns, so state and
+    * sort stay per-stratum — one hash shuffle on the groups. A single
+    * giant stratum degrades to one partition's worth of window work;
+    * for that shape use the global [[packSequences]] per component
+    * instead. */
+  def packSequencesBy(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                      tokenCol: String, budget: Long,
+                      seed: Long = 0L): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must name at least one column")
+    require(budget > 0, s"token budget must be positive, got $budget")
+    require(!df.columns.contains("__ord"),
+      "input already has a __ord column — rename it first")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__ord"), col(keyCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.filter(col(tokenCol).isNotNull)
+      .withColumn("__ord", ordKey(col(keyCol), seed))
+      .withColumn("__prefix",
+        coalesce(sum(col(tokenCol).cast("long")).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"__prefix div ${budget}L"))
+      .withColumn("seq_offset", col("__prefix") % budget)
+      .drop("__ord", "__prefix")
+  }
 }

@@ -99,6 +99,28 @@ class PackingSpec extends AnyFlatSpec with Matchers {
       .filter(_.severity == "error") shouldBe empty
   }
 
+  "packSequencesBy" should "pack each group independently, matching the global form per group" in {
+    val grouped = (0L until 60L).map(i => (i, s"src${i % 3}", 10L + i % 5))
+      .toDF("id", "src", "toks").repartition(5)
+    val by = Packing.packSequencesBy(grouped, Seq("src"), "id", "toks", 32L)
+      .select("id", "src", "seq_id", "seq_offset").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val perGroup = (0 until 3).flatMap { g =>
+      Packing.packSequences(grouped.filter(col("src") === s"src$g"),
+        "id", "toks", 32L)
+        .select("id", "src", "seq_id", "seq_offset").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    }.toSet
+    by shouldBe perGroup
+    // and no partition-less window in the grouped plan either
+    val plan = Packing.packSequencesBy(grouped, Seq("src"), "id", "toks", 32L)
+      .queryExecution.executedPlan.toString
+    plan.linesIterator.filter(_.trim.startsWith("Window")).foreach { l =>
+      l should include("src")
+    }
+  }
+
   it should "pack an empty corpus to an empty result" in {
     val empty = Seq.empty[(Long, Long)].toDF("id", "toks")
     Packing.packSequences(empty, "id", "toks", 64L).count() shouldBe 0L
