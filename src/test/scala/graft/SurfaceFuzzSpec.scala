@@ -428,6 +428,88 @@ class SurfaceFuzzSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  // ----- 2b. DESCRIBE: engine CBD vs driver closure -----
+
+  /** Concise Bounded Description on the driver: subject quads of every
+    * described term, plus — transitively — the quads of blank nodes
+    * reached in object position (mirrors Compiler.runDescribe; the
+    * anti-join against the seen set is the `-- described`). */
+  private def cbd(targets: Set[Term], quads: Set[Quad]): Set[Quad] = {
+    var described = targets
+    var delta = targets
+    var result = Set.empty[Quad]
+    while (delta.nonEmpty) {
+      val nq = quads.filter(q => delta.contains(q.s))
+      result ++= nq
+      val bn: Set[Term] =
+        nq.collect { case q if q.o.isInstanceOf[BNode] => q.o } -- described
+      described ++= bn
+      delta = bn
+    }
+    result
+  }
+
+  "DESCRIBE fuzzing" should
+    "agree with the driver-side Concise Bounded Description closure" in {
+    // fixture with blank-node structure: per-subject address bnodes,
+    // a two-level chain, and a bnode CYCLE (closure must terminate)
+    val bq = baseQuads ++ (0 until 5).flatMap { i =>
+      Seq(
+        Quad(iri(s"n$i"), iri("addr"), BNode(s"a$i"), None),
+        Quad(BNode(s"a$i"), iri("street"), Lit(s"s$i"), None),
+        Quad(BNode(s"a$i"), iri("next"), BNode(s"b$i"), None),
+        Quad(BNode(s"b$i"), iri("zip"), Lit(i.toString, XSD.integer), None))
+    } ++ Seq(
+      Quad(iri("n0"), iri("loop"), BNode("c1"), None),
+      Quad(BNode("c1"), iri("next"), BNode("c2"), None),
+      Quad(BNode("c2"), iri("next"), BNode("c1"), None))
+    val store = QuadsIO.fromQuads(spark, bq).cache()
+    val seeds = seedsOr(Seq(91, 92, 93))
+    var nonEmpty = 0
+    for (seed <- seeds; i <- 0 until 10) {
+      val gen = new SGen(seed * 1000 + i)
+      val (q, targets) = gen.rnd.nextInt(4) match {
+        case 0 => // bare constants, no WHERE
+          val ts = (0 until 1 + gen.rnd.nextInt(2))
+            .map(_ => iri(s"n${gen.rnd.nextInt(10)}"))
+          (s"${prologue}DESCRIBE ${ts.map(t => s"<${t.lex}>").mkString(" ")}",
+            ts.toSet[Term])
+        case 1 => // DESCRIBE * over a pattern
+          val pat = gen.typedBgp(1 + gen.rnd.nextInt(2))
+          val sols = bindings(store.sparql(s"${prologue}SELECT * { $pat }"))
+          (s"${prologue}DESCRIBE * WHERE { $pat }",
+            sols.flatMap(_.values).toSet)
+        case 2 => // projected vars over a pattern
+          val pat = gen.typedBgp(1 + gen.rnd.nextInt(2))
+          val vs = gen.varsIn(pat)
+          if (vs.isEmpty) (s"${prologue}DESCRIBE <${iri("n0").lex}>",
+            Set[Term](iri("n0")))
+          else {
+            val chosen = vs.take(1 + gen.rnd.nextInt(vs.size))
+            val sols = bindings(store.sparql(s"${prologue}SELECT * { $pat }"))
+            (s"${prologue}DESCRIBE ${chosen.mkString(" ")} WHERE { $pat }",
+              sols.flatMap(s => chosen.flatMap(v =>
+                s.get(v.stripPrefix("?")))).toSet)
+          }
+        case _ => // mixed constant + var
+          val pat = gen.typedBgp(1)
+          val vs = gen.varsIn(pat)
+          val c = iri(s"n${gen.rnd.nextInt(10)}")
+          val v = if (vs.nonEmpty) Some(gen.pick(vs)) else None
+          val sols = bindings(store.sparql(s"${prologue}SELECT * { $pat }"))
+          (s"${prologue}DESCRIBE <${c.lex}> ${v.getOrElse("")} WHERE { $pat }",
+            Set[Term](c) ++ v.toSeq.flatMap(vn =>
+              sols.flatMap(_.get(vn.stripPrefix("?")))))
+      }
+      withClue(s"seed=$seed #$i:\n$q\n") {
+        val expected = attempt(cbd(targets, bq.toSet))
+        attempt(quadSet(store.sparql(q))) shouldBe expected
+        if (expected.exists(_.nonEmpty)) nonEmpty += 1
+      }
+    }
+    if (customSeed.isEmpty) nonEmpty should be >= 18
+  }
+
   // ----- 3. SERVICE: composed execution vs compat-join of the parts -----
 
   /** §18.5 merge: μ1 and μ2 are compatible iff they agree on every
