@@ -260,6 +260,22 @@ object Sketches {
         col("__q.item").as("item") :+ col("__q.est").as("est"): _*)
   }
 
+  /** CM point estimate as a COLUMN over a dynamic item column — the
+    * join-side form of [[cmEstimates]] for when the queried items are
+    * a table, not literals: `sketchRow.join(queries)` then
+    * `cmEstimateColumn(col("cm"), col("item"), d, w)`. Same md5 bucket
+    * arithmetic as the aggregate's update path (spec-pinned), built
+    * from codegen'd column functions — no UDF. */
+  def cmEstimateColumn(cm: Column, item: Column,
+                       depth: Int, width: Int): Column = {
+    val cells = (0 until depth).map { r =>
+      val h = conv(substring(md5(concat(lit(r.toString + ":"), item)
+        .cast("binary")), 1, 12), 16, 10).cast("long")
+      element_at(cm, (pmod(h, lit(width.toLong)) + r * width + 1).cast("int"))
+    }
+    if (cells.size == 1) cells.head else least(cells: _*)
+  }
+
   private def bkAgg(hash: Column, value: Column, k: Int): Column =
     GraftColumnBridge.column(
       SketchExprs.BottomKSample(

@@ -333,6 +333,21 @@ class SketchFamilySpec extends AnyFlatSpec with Matchers {
     cells.sum shouldBe 6L // 3 arrivals × 2 depth rows × weight 1
   }
 
+  "cmEstimateColumn" should "agree with the literal-item lookup over a query table" in {
+    val df = (1 to 30).flatMap(i => Seq.fill(i % 5 + 1)(("g", s"w$i")))
+      .toDF("g", "v")
+    val sk = Sketches.cmSketchTable(df, Seq("g"), "v", depth = 3, width = 64)
+    val items = (1 to 30).map(i => s"w$i") :+ "absent"
+    val lit = cmEsts(Sketches.cmEstimates(sk, Seq("g"), items,
+      depth = 3, width = 64))
+    val queries = items.toDF("item")
+    val dyn = sk.crossJoin(queries)
+      .select(col("item"),
+        Sketches.cmEstimateColumn(col("cm"), col("item"), 3, 64).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    dyn shouldBe lit
+  }
+
   it should "match the documented DuckDB bucket replay" in {
     // the same '0x'||substr(md5(r||':'||item),1,12) convention the
     // oracle uses — pinned here so a hash change cannot slip through
