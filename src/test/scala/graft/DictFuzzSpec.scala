@@ -44,6 +44,9 @@ class DictFuzzSpec extends AnyFlatSpec with Matchers {
 
   private lazy val quads =
     QuadsIO.fromQuads(spark, TurtleParser.parse(ttl)).cache()
+  // the CBO path: statistics may only change the JOIN ORDER, never
+  // the result — the fifth execution path in the differential
+  private lazy val stats = quads.analyze()
   private lazy val store = {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-dict-fuzz").toString
@@ -296,6 +299,11 @@ class DictFuzzSpec extends AnyFlatSpec with Matchers {
           // same rewriter over catalog-bucketed tables
           if (i % 3 == 0)
             attempt(multiset(bindings(bucketed.sparql(q)))) shouldBe viaTerms
+          // ...and every third (offset) through the CBO join-ordering
+          // path: statistics must be result-invariant
+          if (i % 3 == 1)
+            attempt(multiset(bindings(quads.sparql(q, stats)))) shouldBe
+              viaTerms
           if (viaTerms.exists(_.nonEmpty)) nonEmpty += 1
         }
       }
