@@ -117,7 +117,13 @@ class DictFuzzSpec extends AnyFlatSpec with Matchers {
     private def group(depth: Int): String = {
       val base = bgp(Nil, 1 + rnd.nextInt(2))
       if (depth == 0) return base
-      rnd.nextInt(12) match {
+      rnd.nextInt(14) match {
+        case 12 => // negated property set (desugars to Filter(Scan))
+          val ps = rnd.shuffle(Seq(":p", ":q", ":r")).take(1 + rnd.nextInt(2))
+          s"$base ${pick(vars)} !(${ps.mkString("|")}) ${pick(vars)} ."
+        case 13 => // inverse / sequence path composition
+          val p = if (rnd.nextBoolean()) "^:p" else ":p/:q"
+          s"$base ${pick(vars)} $p ${pick(vars)} ."
         case 9 => s"GRAPH ?g { ${bgp(Nil, 1 + rnd.nextInt(2))} } $base"
         case 10 => s"GRAPH :g${1 + rnd.nextInt(2)} { ${bgp(Nil, 1)} } $base"
         case 11 => // sub-SELECT aggregate joined into the group
