@@ -301,7 +301,7 @@ class SurfaceFuzzSpec extends AnyFlatSpec with Matchers {
       }
 
       for (_ <- 0 to gen.rnd.nextInt(2)) {
-        gen.rnd.nextInt(8) match {
+        gen.rnd.nextInt(9) match {
           case 0 => // INSERT DATA: mix of fresh and already-present quads
             val fresh = (0 until 1 + gen.rnd.nextInt(2)).map { _ =>
               val g = if (gen.rnd.nextDouble() < 0.3)
@@ -372,6 +372,25 @@ class SurfaceFuzzSpec extends AnyFlatSpec with Matchers {
               expected = expected.filterNot(dm) --
                 (if (move) src else Set.empty) ++ src.map(_.copy(g = dg))
             }
+          case 8 => // USING [NAMED]: WHERE's dataset rebuilt FROM-style
+            // (USING graphs merge as default, USING NAMED graphs stay
+            // addressable, everything else vanishes); templates still
+            // target the REAL store's graphs
+            val g = iri(s"g${1 + gen.rnd.nextInt(2)}")
+            val named = gen.rnd.nextBoolean()
+            val pat =
+              if (named) s"GRAPH ?g { ${gen.bgp(Nil, 1)} }"
+              else gen.bgp(Nil, 1)
+            val scope = gen.varsIn(pat) ++ (if (named) Seq("?g") else Nil)
+            val ins = gen.template(scope, 1, withGraph = true)
+            stmts += s"INSERT { ${ins.map(_.text).mkString(" ")} } " +
+              s"USING ${if (named) "NAMED " else ""}<${g.lex}> WHERE { $pat }"
+            val matchSet =
+              if (named) expected.filter(_.g.contains(g))
+              else expected.filter(_.g.contains(g)).map(_.copy(g = None))
+            val sols = bindings(QuadsIO.fromQuads(spark, matchSet.toSeq)
+              .sparql(s"${prologue}SELECT * { $pat }"))
+            expected = expected ++ instantiate(ins, sols)
           case _ => // WITH: match against g-as-default, templates target g
             val g = iri(s"g${1 + gen.rnd.nextInt(2)}")
             val pat = gen.bgp(Nil, 1)
