@@ -447,6 +447,60 @@ class SurfaceFuzzSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  // ----- 1b. CONSTRUCT blank-node templates: per-solution sharing -----
+
+  "CONSTRUCT bnode-template fuzzing" should
+    "mint one shared bnode per solution, distinct across solutions" in {
+    // `_:n` in a template is a FRESH blank node per solution, SHARED
+    // across that solution's template triples — the engine freezes a
+    // per-solution uuid under localCheckpoint so re-execution cannot
+    // split the sharing. Structure-aware oracle: project each result
+    // bnode to its (in-edge, out-edge) neighborhood; the multiset of
+    // neighborhoods must equal the solutions, and bnode count must
+    // equal the SOLUTION count (duplicate solutions mint distinct
+    // bnodes; spec graphs are sets, so both copies survive).
+    val seeds = seedsOr(Seq(51, 52, 53))
+    for (seed <- seeds; i <- 0 until 5) {
+      val gen = new SGen(seed * 1000 + i)
+      val pat = gen.typedBgp(1 + gen.rnd.nextInt(2))
+      val vs = gen.varsIn(pat)
+      if (vs.size >= 2) {
+        val a = vs.head; val b = vs(1)
+        val q = s"${prologue}CONSTRUCT { $a :via _:n . _:n :val $b } " +
+          s"WHERE { $pat }"
+        withClue(s"seed=$seed #$i:\n$q\n") {
+          // a solution contributes iff EITHER triple instantiates:
+          // (a bound non-literal → via-edge) or (b bound → val-edge);
+          // a solution failing both mints nothing
+          val sols = bindings(base.sparql(s"${prologue}SELECT * { $pat }"))
+            .flatMap { s =>
+              val sa = s.get(a.stripPrefix("?"))
+                .filter(t => !t.isInstanceOf[Lit])
+              val sb = s.get(b.stripPrefix("?"))
+              if (sa.isEmpty && sb.isEmpty) None else Some((sa, sb))
+            }
+          val quads = quadSet(base.sparql(q))
+          val bnodes = quads.collect {
+            case Quad(_, _, bn: BNode, _) => bn
+            case Quad(bn: BNode, _, _, _) => bn
+          }
+          // one bnode per surviving solution (distinct across dupes)
+          bnodes.size.toLong shouldBe sols.size.toLong
+          // each bnode's neighborhood = exactly one solution
+          val neighborhoods = bnodes.toSeq.map { bn =>
+            val in = quads.collectFirst {
+              case Quad(s, p, `bn`, _) if p == iri("via") => s }
+            val out = quads.collectFirst {
+              case Quad(`bn`, p, o, _) if p == iri("val") => o }
+            (in, out)
+          }
+          multiset(neighborhoods) shouldBe
+            multiset(sols.map { case (sa, sb) => (sa, sb) })
+        }
+      }
+    }
+  }
+
   // ----- 2b. DESCRIBE: engine CBD vs driver closure -----
 
   /** Concise Bounded Description on the driver: subject quads of every
