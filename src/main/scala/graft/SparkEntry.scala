@@ -1234,6 +1234,19 @@ object SparkEntry {
         tau = 0.5, targetFraction = 0.5)
         .select(col("doc_id"), col("source"))
     },
+    "q_text_clean" -> { (s, d) =>
+      // the standard cleaning recipe over a deliberately dirty text:
+      // the appended suffix exercises NFC composition (e + combining
+      // acute), control stripping (BEL), \r\n normalization, the
+      // 3-newline paragraph cap, space/tab collapapse and trimming —
+      // each step a DuckDB-replayable constant-pattern regex (NFC via
+      // nfc_normalize)
+      val suffix = " cafe\u0301\u0007 x\r\n\r\n\r\n y  z\t w "
+      graft.pipeline.Scrub.cleanTable(
+        t(s, d, "documents").select(col("doc_id"),
+          concat(col("text"), lit(suffix)).as("text")), "text")
+        .select(col("doc_id"), col("text").as("cleaned"))
+    },
     "q_pack_e2e" -> { (s, d) =>
       // mixture → pack, chained: temperature-sample the corpus per
       // source, then pack each surviving component into 2048-token
@@ -2740,6 +2753,22 @@ object SparkEntry {
         |SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source)
         |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':0'), 1, 8))::BIGINT
         |      % 1000000 < thr.thr""".stripMargin,
+    "q_text_clean" ->
+      """SELECT doc_id, trim(
+        |  regexp_replace(
+        |   regexp_replace(
+        |    regexp_replace(
+        |     regexp_replace(
+        |      regexp_replace(
+        |        nfc_normalize(text || ' cafe' || chr(769) || chr(7) ||
+        |          ' x' || chr(13)||chr(10) || chr(13)||chr(10) ||
+        |          chr(13)||chr(10) || ' y  z' || chr(9) || ' w '),
+        |        '\r\n?', chr(10), 'g'),
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |     '[ \t]+', ' ', 'g'),
+        |    ' *\n *', chr(10), 'g'),
+        |   '\n{3,}', chr(10)||chr(10), 'g')) AS cleaned
+        |FROM documents""".stripMargin,
     "q_pack_e2e" ->
       """WITH c AS (
         |  SELECT source, COUNT(*) AS n FROM documents GROUP BY 1

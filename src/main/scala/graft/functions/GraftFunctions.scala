@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 
 /** SQL registration of the native expression library, so `spark.sql`
   * strings (and any SQL-speaking client of a session) can call the
@@ -40,6 +40,13 @@ object GraftFunctions {
     case Literal(v: Int, IntegerType) => v.toLong
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
+  }
+
+  private def strLit(e: Expression, what: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
   }
 
   private def arity(name: String, n: Int, args: Seq[Expression]): Unit =
@@ -117,6 +124,14 @@ object GraftFunctions {
         { args => arity("topk_freq", 4, args)
           SketchExprs.SpaceSavingTopK(args(0), args(1), args(2),
             intLit(args(3), "m")).toAggregateExpression() }),
+      ("unicode_normalize",
+        "unicode_normalize(text, form) - Unicode normalization; form is " +
+          "a string literal NFC | NFD | NFKC | NFKD (NFC is " +
+          "nfc_normalize-replayable in external engines; NFKC also " +
+          "folds compatibility characters)",
+        { args => arity("unicode_normalize", 2, args)
+          TextCleanExprs.UnicodeNormalizeExpr(args(0),
+            strLit(args(1), "form")) }),
       ("cm_sketch",
         "cm_sketch(item, weight, depth, width) - aggregate: Count-Min " +
           "frequency sketch over a STRING item column; returns the " +

@@ -71,4 +71,48 @@ object Scrub {
       .withColumn("pii_phones", col("__pii.phones"))
       .drop("__pii")
   }
+
+  // ----- Unicode / whitespace cleaning -----
+
+  /** Unicode normalization ([[graft.functions.TextCleanExprs]]) —
+    * codegen'd, `isNormalized` fast path for ASCII-heavy corpora.
+    * NFC for canonical composition (DuckDB-replayable via
+    * `nfc_normalize`); NFKC additionally folds compatibility forms
+    * (ﬁ→fi, ①→1, fullwidth→ASCII — no SQL replay, spec-tested). */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column =
+    graft.functions.TextCleanExprs.unicodeNormalize(text, form)
+
+  /** Control characters to strip: C0 minus \t\n\r, plus DEL. In the
+    * Java-regex/RE2 common subset like every pattern in this file. */
+  val ControlRe = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** The standard corpus text-cleaning recipe, each step a constant-
+    * pattern codegen'd `regexp_replace` in the Java/RE2 common subset
+    * so the whole chain replays externally:
+    *   1. Unicode-normalize (`form`, default NFC);
+    *   2. normalize line endings (\r\n and lone \r → \n);
+    *   3. strip control characters (keep \n, \t);
+    *   4. collapse space/tab runs to one space;
+    *   5. trim spaces around newlines;
+    *   6. cap consecutive newlines at two (paragraph break);
+    *   7. trim.
+    * Map-only; fuses into the scan. */
+  def cleanText(text: Column, form: String = "NFC"): Column =
+    trim(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                normalizeUnicode(text, form),
+                "\\r\\n?", "\n"),
+              ControlRe, ""),
+            "[ \\t]+", " "),
+          " *\\n *", "\n"),
+        "\\n{3,}", "\n\n"))
+
+  /** Convenience: `df` with `textCol` cleaned in place. */
+  def cleanTable(df: DataFrame, textCol: String,
+                 form: String = "NFC"): DataFrame =
+    df.withColumn(textCol, cleanText(col(textCol), form))
 }

@@ -61,4 +61,46 @@ class ScrubSpec extends AnyFlatSpec with Matchers {
     out(1L) shouldBe (("write to <EMAIL>", 1L))
     out(2L) shouldBe (("clean", 0L))
   }
+
+  // ----- Unicode / whitespace cleaning -----
+
+  private def clean1(s: String, form: String = "NFC"): String =
+    Seq(Tuple1(s)).toDF("t")
+      .select(Scrub.cleanText(col("t"), form).as("c"))
+      .collect().head.getString(0)
+
+  "normalizeUnicode" should "compose NFC and fold NFKC compatibility forms" in {
+    def norm(s: String, form: String) =
+      Seq(Tuple1(s)).toDF("t")
+        .select(Scrub.normalizeUnicode(col("t"), form).as("n"))
+        .collect().head.getString(0)
+    val decomposed = "cafe\u0301"      // e + combining acute
+    val composed = "caf\u00e9"         // precomposed e-acute
+    norm(decomposed, "NFC") shouldBe composed
+    norm(composed, "NFD") shouldBe decomposed
+    norm("\ufb01le \u2460", "NFKC") shouldBe "file 1" // fi-ligature, circled 1
+    norm("\ufb01le", "NFC") shouldBe "\ufb01le"        // NFC keeps the ligature
+    // NULL propagates; unknown form rejected at construction
+    Seq(Tuple1(null: String)).toDF("t")
+      .select(Scrub.normalizeUnicode(col("t")).as("n"))
+      .collect().head.isNullAt(0) shouldBe true
+    an[IllegalArgumentException] should be thrownBy
+      Seq(Tuple1("x")).toDF("t")
+        .select(Scrub.normalizeUnicode(col("t"), "NFX")).collect()
+  }
+
+  "cleanText" should "apply the full recipe in order" in {
+    clean1(" cafe\u0301 one\ttwo  three \r\nfour\r\r\n\r\nfive ") shouldBe
+      "caf\u00e9 one two three\nfour\n\nfive"
+    // paragraph cap: three-plus newlines become exactly two
+    clean1("a\n\n\n\n\nb") shouldBe "a\n\nb"
+    // BEL and VT strip; tab collapses to a space
+    clean1("a\u0007b\u000Bc\td") shouldBe "abc d"
+  }
+
+  it should "be idempotent" in {
+    val dirty = " xe\u0301 y \r\n\r\n\r\n z\t\t"
+    val once = clean1(dirty)
+    clean1(once) shouldBe once
+  }
 }
