@@ -1234,6 +1234,22 @@ object SparkEntry {
         tau = 0.5, targetFraction = 0.5)
         .select(col("doc_id"), col("source"))
     },
+    "q_strip_html" -> { (s, d) =>
+      // C4-style regex HTML stripping + the cleaning recipe, over
+      // documents wrapped in constructed markup: style element with
+      // contents, attributes, a comment, a script, entities (incl.
+      // the &amp;lt; ordering trap). Every step replays in DuckDB.
+      val wrapped = concat(
+        lit("<html><head><style>p{color:red}</style></head>" +
+          "<body><p class=\"x\">"),
+        col("text"),
+        lit("</p><!-- footer --><script>track();</script> " +
+          "&amp;lt; A&#39;s &quot;q&quot; &lt;tag&gt;</body></html>"))
+      graft.pipeline.Scrub.stripHtmlTable(
+        t(s, d, "documents").select(col("doc_id"), wrapped.as("text")),
+        "text")
+        .select(col("doc_id"), col("text").as("stripped"))
+    },
     "q_text_clean" -> { (s, d) =>
       // the standard cleaning recipe over a deliberately dirty text:
       // the appended suffix exercises NFC composition (e + combining
@@ -2753,6 +2769,40 @@ object SparkEntry {
         |SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source)
         |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':0'), 1, 8))::BIGINT
         |      % 1000000 < thr.thr""".stripMargin,
+    "q_strip_html" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    '<html><head><style>p{color:red}</style></head><body><p class="x">'
+        |    || text ||
+        |    '</p><!-- footer --><script>track();</script> &amp;lt; A&#39;s &quot;q&quot; &lt;tag&gt;</body></html>'
+        |    AS t
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |   regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '(?is)<(script|style)\b[^>]*>.*?</(script|style)\s*>', ' ', 'g'),
+        |    '(?s)<!--.*?-->', ' ', 'g'),
+        |    '(?s)</?[A-Za-z!][^>]*>', ' ', 'g'),
+        |    '&lt;', '<', 'g'),
+        |    '&gt;', '>', 'g'),
+        |    '&quot;', chr(34), 'g'),
+        |    '&(#39|apos);', chr(39), 'g'),
+        |    '&amp;', '&', 'g') AS t
+        |  FROM w
+        |)
+        |SELECT doc_id, trim(
+        |  regexp_replace(
+        |   regexp_replace(
+        |    regexp_replace(
+        |     regexp_replace(
+        |      regexp_replace(nfc_normalize(t),
+        |        '\r\n?', chr(10), 'g'),
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |     '[ \t]+', ' ', 'g'),
+        |    ' *\n *', chr(10), 'g'),
+        |   '\n{3,}', chr(10)||chr(10), 'g')) AS stripped
+        |FROM h""".stripMargin,
     "q_text_clean" ->
       """SELECT doc_id, trim(
         |  regexp_replace(

@@ -115,4 +115,37 @@ object Scrub {
   def cleanTable(df: DataFrame, textCol: String,
                  form: String = "NFC"): DataFrame =
     df.withColumn(textCol, cleanText(col(textCol), form))
+
+  /** Web-corpus HTML stripping, regex-level (the C4-style pass — for
+    * DOM-aware boilerplate removal bring a parser upstream; at 100 TB
+    * the regex pass is the one that fuses into the scan):
+    *   1. drop <script>/<style> elements WITH their contents
+    *      ((?s) so contents may span lines; [^>]* tolerates
+    *      attributes; \\b keeps <styled-div> out of it);
+    *   2. drop comments (<!-- … -->, non-greedy);
+    *   3. replace every remaining tag with a space (word boundary —
+    *      `a<br>b` must not fuse into "ab");
+    *   4. unescape the five predefined entities plus numeric decimal
+    *      references (&#NNNN; via chr()-style decode is NOT regex-able
+    *      portably, so only &amp; &lt; &gt; &quot; &#39;/&apos; — the
+    *      ones that dominate real corpora; &amp; LAST so "&amp;lt;"
+    *      stays "&lt;" text rather than becoming "<").
+    * Compose with [[cleanText]] for whitespace/Unicode cleanup.
+    * Java/RE2 common subset; externally replayable. */
+  def stripHtml(text: Column): Column = {
+    val noScript = regexp_replace(text,
+      "(?is)<(script|style)\\b[^>]*>.*?</(script|style)\\s*>", " ")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)</?[A-Za-z!][^>]*>", " ")
+    val e1 = regexp_replace(noTags, "&lt;", "<")
+    val e2 = regexp_replace(e1, "&gt;", ">")
+    val e3 = regexp_replace(e2, "&quot;", "\"")
+    val e4 = regexp_replace(e3, "&(#39|apos);", "'")
+    regexp_replace(e4, "&amp;", "&")
+  }
+
+  /** Convenience: `df` with `textCol` HTML-stripped then cleaned. */
+  def stripHtmlTable(df: DataFrame, textCol: String,
+                     form: String = "NFC"): DataFrame =
+    df.withColumn(textCol, cleanText(stripHtml(col(textCol)), form))
 }

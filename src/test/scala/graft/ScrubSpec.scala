@@ -103,4 +103,25 @@ class ScrubSpec extends AnyFlatSpec with Matchers {
     val once = clean1(dirty)
     clean1(once) shouldBe once
   }
+
+  "stripHtml" should "drop script/style WITH contents, tags to spaces, unescape entities" in {
+    def strip(s: String): String =
+      Seq(Tuple1(s)).toDF("t")
+        .select(Scrub.stripHtml(col("t")).as("c"))
+        .collect().head.getString(0)
+    strip("<script>var a=1;\nvar b=2;</script>keep") shouldBe " keep"
+    strip("""<style media="all">p{}</style>x""") shouldBe " x"
+    strip("<styled-div>kept</styled-div>") shouldBe " kept " // not style
+    strip("a<br>b") shouldBe "a b"                  // boundary preserved
+    strip("<!-- note\nmore -->z") shouldBe " z"
+    strip("&amp;lt; &lt;b&gt; &quot;q&quot; &#39;a&apos;") shouldBe
+      "&lt; <b> \"q\" 'a'"                          // &amp; decoded LAST
+    strip("2 &lt; 3 &amp;&amp; 4 &gt; 1") shouldBe "2 < 3 && 4 > 1"
+  }
+
+  it should "compose with cleanText via stripHtmlTable" in {
+    val df = Seq((1L, "<p>a</p>\r\n\r\n\r\n<p>b</p>")).toDF("doc_id", "text")
+    Scrub.stripHtmlTable(df, "text").collect().head.getString(1) shouldBe
+      "a\n\nb"
+  }
 }
