@@ -1234,6 +1234,18 @@ object SparkEntry {
         tau = 0.5, targetFraction = 0.5)
         .select(col("doc_id"), col("source"))
     },
+    "q_url_canon" -> { (s, d) =>
+      // URL canonicalization as a dedup key: mixed-case authority,
+      // tracking params in first/middle/lone positions, fragments —
+      // the oracle replays the whole constant-replacement regex chain
+      val url = concat(lit("HTTPS://Example.COM/Docs/"),
+        col("doc_id").cast("string"),
+        lit("?utm_source=x&id="), col("doc_id").cast("string"),
+        lit("&fbclid=abc#sec"))
+      t(s, d, "documents").select(col("doc_id"), url.as("u"))
+        .select(col("doc_id"),
+          graft.pipeline.Scrub.canonicalizeUrl(col("u")).as("canon"))
+    },
     "q_strip_html" -> { (s, d) =>
       // C4-style regex HTML stripping + the cleaning recipe, over
       // documents wrapped in constructed markup: style element with
@@ -2769,6 +2781,29 @@ object SparkEntry {
         |SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source)
         |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':0'), 1, 8))::BIGINT
         |      % 1000000 < thr.thr""".stripMargin,
+    "q_url_canon" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'HTTPS://Example.COM/Docs/' || doc_id::VARCHAR ||
+        |    '?utm_source=x&id=' || doc_id::VARCHAR || '&fbclid=abc#sec' AS url
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |     regexp_replace(
+        |      regexp_replace(
+        |       regexp_replace(
+        |        regexp_replace(url, '#.*', '', 'g'),
+        |        '&(utm_[A-Za-z0-9_]+|fbclid|gclid|mc_eid|ref_src)=[^&#]*', '', 'g'),
+        |       '\?(utm_[A-Za-z0-9_]+|fbclid|gclid|mc_eid|ref_src)=[^&#]*&', '?', 'g'),
+        |      '\?(utm_[A-Za-z0-9_]+|fbclid|gclid|mc_eid|ref_src)=[^&#]*$', '', 'g'),
+        |     '\?$', '', 'g') AS url
+        |  FROM u
+        |)
+        |SELECT doc_id,
+        |  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) ||
+        |  regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS canon
+        |FROM s""".stripMargin,
     "q_strip_html" ->
       """WITH w AS (
         |  SELECT doc_id,

@@ -148,4 +148,36 @@ object Scrub {
   def stripHtmlTable(df: DataFrame, textCol: String,
                      form: String = "NFC"): DataFrame =
     df.withColumn(textCol, cleanText(stripHtml(col(textCol)), form))
+
+  /** Tracking query parameters stripped by [[canonicalizeUrl]]. */
+  val TrackingParamRe = "(utm_[A-Za-z0-9_]+|fbclid|gclid|mc_eid|ref_src)"
+
+  /** URL canonicalization for dedup/join keys — the same page under
+    * `HTTPS://Site.com/a?utm_source=x#frag` and `https://site.com/a`
+    * must collide. Steps, all in the Java/RE2 common subset with
+    * CONSTANT replacements (capture-group replacement syntax differs
+    * between Java `$1` and RE2 `\1`, so none is used):
+    *   1. drop the fragment;
+    *   2. drop tracking params — non-first (`&k=v`), first-with-
+    *      successor (`?k=v&` → `?`), and lone (`?k=v` at end);
+    *   3. lowercase the scheme+authority (extract → lower → re-concat;
+    *      paths stay case-SENSITIVE per RFC 3986);
+    *   4. drop a bare trailing `?`.
+    * Deliberately NOT done: default-port stripping and trailing-slash
+    * folding (both need capture replacements or change semantics).
+    * Map-only; portable. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val noMid = regexp_replace(noFrag, "&" + TrackingParamRe + "=[^&#]*", "")
+    val noFirst = regexp_replace(noMid,
+      "\\?" + TrackingParamRe + "=[^&#]*&", "?")
+    val noLone = regexp_replace(noFirst,
+      "\\?" + TrackingParamRe + "=[^&#]*$", "")
+    val noBareQ = regexp_replace(noLone, "\\?$", "")
+    val auth = regexp_extract(noBareQ, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    val rest = regexp_replace(noBareQ, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    // non-URL strings (no scheme://authority) pass through unchanged
+    // apart from the query/fragment steps: auth extracts as ''
+    concat(lower(auth), rest)
+  }
 }

@@ -124,4 +124,22 @@ class ScrubSpec extends AnyFlatSpec with Matchers {
     Scrub.stripHtmlTable(df, "text").collect().head.getString(1) shouldBe
       "a\n\nb"
   }
+
+  "canonicalizeUrl" should "fold fragments, tracking params and authority case" in {
+    def canon(s: String): String =
+      Seq(Tuple1(s)).toDF("u")
+        .select(Scrub.canonicalizeUrl(col("u")).as("c"))
+        .collect().head.getString(0)
+    canon("HTTPS://Site.COM/A/b?utm_source=x#frag") shouldBe
+      "https://site.com/A/b"                       // path case KEPT
+    canon("https://s.com/p?utm_a=1&utm_b=2&x=1") shouldBe "https://s.com/p?x=1"
+    canon("https://s.com/p?a=1&fbclid=zz") shouldBe "https://s.com/p?a=1"
+    canon("https://s.com/p?gclid=3") shouldBe "https://s.com/p"
+    canon("http://s.com/p?a=1&b=2") shouldBe "http://s.com/p?a=1&b=2" // untouched
+    // the same page in three dresses collides on one key
+    Seq("https://S.com/x?utm_c=1", "HTTPS://s.COM/x#top", "https://s.com/x")
+      .map(canon).distinct should have size 1
+    // non-URLs pass through (minus query/fragment handling)
+    canon("not a url") shouldBe "not a url"
+  }
 }
