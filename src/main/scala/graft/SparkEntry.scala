@@ -1112,6 +1112,18 @@ object SparkEntry {
           col("doc_id"))
       graft.pipeline.Dedup.exact(docs, "fp", "doc_id")
     },
+    "q_dedup_paragraph" -> { (s, d) =>
+      // C4-style paragraph dedup over constructed structure: each doc
+      // = own text + a corpus-wide footer + own text again. The footer
+      // survives only in the lowest doc_id, the self-dup second copy
+      // always drops, and docs with corpus-duplicate texts lose those
+      // paragraphs to the first holder — all replayed by the oracle's
+      // global first-occurrence window
+      val in = t(s, d, "documents").select(col("doc_id"),
+        concat_ws("\n\n", col("text"), lit("SHARED FOOTER PARAGRAPH"),
+          col("text")).as("text"))
+      graft.pipeline.Dedup.dedupParagraphs(in, "doc_id", "text")
+    },
     "q_dedup_cluster" -> { (s, d) =>
       // connected-components dedup clustering: chain pairs (consecutive
       // ids within an exact-dup group) force the components to walk a
@@ -2572,6 +2584,27 @@ object SparkEntry {
         |           PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
         |           ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn = 1""".stripMargin,
+    "q_dedup_paragraph" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    text || chr(10)||chr(10) || 'SHARED FOOTER PARAGRAPH' ||
+        |    chr(10)||chr(10) || text AS t
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, unnest(l) AS para, unnest(range(len(l))) AS pos
+        |  FROM (SELECT doc_id, regexp_split_to_array(t, '\n{2,}') AS l
+        |        FROM src)
+        |), w AS (
+        |  SELECT doc_id, pos, para,
+        |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rk
+        |  FROM p WHERE trim(para) <> ''
+        |)
+        |SELECT s.doc_id,
+        |  coalesce(string_agg(w.para, chr(10)||chr(10) ORDER BY w.pos), '')
+        |    AS text
+        |FROM src s
+        |LEFT JOIN (SELECT * FROM w WHERE rk = 1) w USING (doc_id)
+        |GROUP BY s.doc_id""".stripMargin,
     "q_dedup_cluster" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  CAST(min(doc_id) OVER (

@@ -684,4 +684,51 @@ object Dedup {
       .select(col(idCol))
     df.join(over, Seq(idCol), "left_anti")
   }
+
+  /** Paragraph-level corpus dedup — the C4/RefinedWeb pass: every
+    * distinct paragraph survives exactly ONCE in the whole corpus, at
+    * its first occurrence in (`idCol`, position) order; later copies —
+    * in other documents or later in the same one — are removed and the
+    * survivors re-join with `joinSep`. Documents whose paragraphs all
+    * lose become empty strings (kept — dropping rows is the caller's
+    * curation decision). `idCol` must be unique per row and orderable;
+    * `splitRe` splits (default: blank lines), whitespace-only
+    * paragraphs are dropped outright.
+    *
+    * Scale shape: paragraph TEXT never crosses a shuffle. Paragraphs
+    * reduce to 128-bit md5 fingerprints; the winner election
+    * (min (id, pos) per fingerprint) and the survivor semi-join both
+    * shuffle fingerprints, and the final reassembly shuffles the
+    * surviving paragraphs once, keyed by document. A 128-bit collision
+    * (~2^-64 at corpus scale) would silently merge two distinct
+    * paragraphs — the standard accepted risk of every fingerprint
+    * dedup in production (same contract as [[exact]]'s hash grouping
+    * discipline elsewhere in this file). */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+                      splitRe: String = "\n{2,}",
+                      joinSep: String = "\n\n"): DataFrame = {
+    val others = df.columns.filterNot(_ == textCol)
+    val paras = df
+      .select(col(idCol), posexplode(split(col(textCol), splitRe))
+        .as(Seq("__pos", "__para")))
+      .filter(trim(col("__para")) =!= "")
+      .withColumn("__fp", md5(col("__para").cast("binary")))
+    val winners = paras
+      .groupBy(col("__fp"))
+      .agg(min(struct(col(idCol).as("__wid"), col("__pos").as("__wpos")))
+        .as("__w"))
+      .select(col("__fp"), col("__w.__wid").as(idCol),
+        col("__w.__wpos").as("__pos"))
+    val kept = paras.join(winners, Seq("__fp", idCol, "__pos"), "left_semi")
+    val reassembled = kept
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__para")))),
+          x => x.getField("__para")),
+        joinSep).as("__text"))
+    df.select(others.map(col): _*)
+      .join(reassembled, Seq(idCol), "left_outer")
+      .withColumn(textCol, coalesce(col("__text"), lit("")))
+      .select(df.columns.map(col): _*) // original column order
+  }
 }

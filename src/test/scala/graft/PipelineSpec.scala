@@ -29,6 +29,29 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     out.filter(col("doc_id") === 1).count() shouldBe 1
   }
 
+  "paragraph dedup" should "keep each paragraph once at its first (id, pos) occurrence" in {
+    val in = Seq(
+      (1L, "alpha\n\nCOMMON\n\nalpha"),  // self-dup: 2nd alpha drops
+      (2L, "beta\n\nCOMMON"),            // COMMON lost to doc 1
+      (3L, "COMMON\n\n\n\ngamma\n\n  "), // blank/ws-only paras dropped
+      (4L, "COMMON")                     // everything dup → empty text
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(in, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out shouldBe Map(
+      1L -> "alpha\n\nCOMMON",
+      2L -> "beta",
+      3L -> "gamma",
+      4L -> "")
+    // column order and non-text columns preserved
+    val withExtra = in.withColumn("lang", lit("en"))
+    val cols = Dedup.dedupParagraphs(withExtra, "doc_id", "text").columns
+    cols.toSeq shouldBe Seq("doc_id", "text", "lang")
+    // deterministic under repartitioning
+    Dedup.dedupParagraphs(in.repartition(7), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap shouldBe out
+  }
+
   "MinHash-LSH" should "surface planted near-duplicates and skip dissimilar pairs" in {
     val cands = Dedup.minHashCandidates(docs, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
