@@ -1246,6 +1246,21 @@ object SparkEntry {
         tau = 0.5, targetFraction = 0.5)
         .select(col("doc_id"), col("source"))
     },
+    "q_fix_mojibake" -> { (s, d) =>
+      // mojibake repair, hash-checked without the oracle needing any
+      // charset machinery: the CORRUPTION is computed driver-side (the
+      // clean suffix UTF-8-encoded then mis-decoded as cp1252) and
+      // appended to every ASCII document; the repaired result must be
+      // exactly text || cleanSuffix, which DuckDB states directly
+      val clean = " café’s naïve test"
+      val corrupt = new String(
+        clean.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        "windows-1252")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.pipeline.Scrub.fixMojibake(
+            concat(col("text"), lit(corrupt))).as("fixed"))
+    },
     "q_url_canon" -> { (s, d) =>
       // URL canonicalization as a dedup key: mixed-case authority,
       // tracking params in first/middle/lone positions, fragments —
@@ -2814,6 +2829,11 @@ object SparkEntry {
         |SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source)
         |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':0'), 1, 8))::BIGINT
         |      % 1000000 < thr.thr""".stripMargin,
+    "q_fix_mojibake" ->
+      """SELECT doc_id,
+        |  text || ' caf' || chr(233) || chr(8217) || 's na' || chr(239) ||
+        |  've test' AS fixed
+        |FROM documents""".stripMargin,
     "q_url_canon" ->
       """WITH u AS (
         |  SELECT doc_id,

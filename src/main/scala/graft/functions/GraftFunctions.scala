@@ -132,6 +132,13 @@ object GraftFunctions {
         { args => arity("unicode_normalize", 2, args)
           TextCleanExprs.UnicodeNormalizeExpr(args(0),
             strLit(args(1), "form")) }),
+      ("fix_mojibake",
+        "fix_mojibake(text) - repair UTF-8 text mis-decoded as " +
+          "windows-1252 (possibly twice): cafÃ© -> café. Conservative: " +
+          "only marker-bearing strings repair, and only when the " +
+          "round-trip is lossless and strictly reduces markers",
+        { args => arity("fix_mojibake", 1, args)
+          TextCleanExprs.FixMojibakeExpr(args(0)) }),
       ("cm_sketch",
         "cm_sketch(item, weight, depth, width) - aggregate: Count-Min " +
           "frequency sketch over a STRING item column; returns the " +

@@ -149,6 +149,16 @@ object Scrub {
                      form: String = "NFC"): DataFrame =
     df.withColumn(textCol, cleanText(stripHtml(col(textCol)), form))
 
+  /** ftfy-style mojibake repair ([[graft.functions.TextCleanExprs]]):
+    * UTF-8 text mis-decoded as windows-1252 — possibly twice — is
+    * restored ("cafÃ©" → "café", "â€™" → "’"). Conservative and
+    * deterministic: repairs only marker-bearing strings, accepts a
+    * step only when the marker count strictly drops and the
+    * round-trip is lossless, so clean accented text never degrades.
+    * Codegen'd; map-only. */
+  def fixMojibake(text: Column): Column =
+    graft.functions.TextCleanExprs.fixMojibake(text)
+
   /** Tracking query parameters stripped by [[canonicalizeUrl]]. */
   val TrackingParamRe = "(utm_[A-Za-z0-9_]+|fbclid|gclid|mc_eid|ref_src)"
 

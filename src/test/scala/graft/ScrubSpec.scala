@@ -125,6 +125,35 @@ class ScrubSpec extends AnyFlatSpec with Matchers {
       "a\n\nb"
   }
 
+  "fixMojibake" should "repair single and double windows-1252 mis-decoding" in {
+    def fix(s: String): String =
+      Seq(Tuple1(s)).toDF("t")
+        .select(Scrub.fixMojibake(col("t")).as("c"))
+        .collect().head.getString(0)
+    def corrupt(s: String): String = new String(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8), "windows-1252")
+    val clean = "café’s naïve — ok"
+    corrupt(clean) should not be clean // the fixture is really broken
+    fix(corrupt(clean)) shouldBe clean           // single mis-decode
+    // double mis-decode repairs when the intermediate decode was
+    // lossless; the em dash's second round hits cp1252-undefined 0x9D
+    // (→ U+FFFD, information destroyed), so it uses a dash-free string
+    val clean2 = "café’s naïve ok"
+    fix(corrupt(corrupt(clean2))) shouldBe clean2
+    // the LOSSY double corruption (FFFD inside) is left untouched
+    // rather than half-repaired
+    fix(corrupt(corrupt(clean))) shouldBe corrupt(corrupt(clean))
+    // identity on ASCII, on CLEAN accented text, and on a lone
+    // marker that is not actually mojibake (invalid UTF-8 bytes)
+    fix("plain ascii") shouldBe "plain ascii"
+    fix(clean) shouldBe clean
+    fix("Ã alone") shouldBe "Ã alone"
+    // NULL propagates
+    Seq(Tuple1(null: String)).toDF("t")
+      .select(Scrub.fixMojibake(col("t")).as("c"))
+      .collect().head.isNullAt(0) shouldBe true
+  }
+
   "canonicalizeUrl" should "fold fragments, tracking params and authority case" in {
     def canon(s: String): String =
       Seq(Tuple1(s)).toDF("u")
