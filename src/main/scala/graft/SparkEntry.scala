@@ -1124,6 +1124,20 @@ object SparkEntry {
           col("text")).as("text"))
       graft.pipeline.Dedup.dedupParagraphs(in, "doc_id", "text")
     },
+    "q_dedup_paragraph_incr" -> { (s, d) =>
+      // incremental paragraph dedup: docs < 250 are the accepted
+      // corpus (persisted as a fingerprint table), the rest arrive as
+      // a batch. Batch paragraphs lose to the corpus (every batch doc
+      // loses the shared footer) and to earlier batch occurrences;
+      // corpus-side work is one fingerprint anti-join
+      val all = t(s, d, "documents").select(col("doc_id"),
+        concat_ws("\n\n", col("text"),
+          lit("SHARED FOOTER PARAGRAPH")).as("text"))
+      val fps = graft.pipeline.Dedup.paragraphFpTable(
+        all.filter(col("doc_id") < 250), "text")
+      graft.pipeline.Dedup.dedupParagraphsAgainst(
+        fps, all.filter(col("doc_id") >= 250), "doc_id", "text")
+    },
     "q_dedup_cluster" -> { (s, d) =>
       // connected-components dedup clustering: chain pairs (consecutive
       // ids within an exact-dup group) force the components to walk a
@@ -2618,6 +2632,33 @@ object SparkEntry {
         |  coalesce(string_agg(w.para, chr(10)||chr(10) ORDER BY w.pos), '')
         |    AS text
         |FROM src s
+        |LEFT JOIN (SELECT * FROM w WHERE rk = 1) w USING (doc_id)
+        |GROUP BY s.doc_id""".stripMargin,
+    "q_dedup_paragraph_incr" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    text || chr(10)||chr(10) || 'SHARED FOOTER PARAGRAPH' AS t
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, unnest(l) AS para, unnest(range(len(l))) AS pos
+        |  FROM (SELECT doc_id, regexp_split_to_array(t, '\n{2,}') AS l
+        |        FROM src)
+        |), f AS (
+        |  SELECT * FROM p WHERE trim(para) <> ''
+        |), corpus AS (
+        |  SELECT DISTINCT para FROM f WHERE doc_id < 250
+        |), nb AS (
+        |  SELECT b.* FROM (SELECT * FROM f WHERE doc_id >= 250) b
+        |  LEFT JOIN corpus c ON b.para = c.para WHERE c.para IS NULL
+        |), w AS (
+        |  SELECT doc_id, pos, para,
+        |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rk
+        |  FROM nb
+        |)
+        |SELECT s.doc_id,
+        |  coalesce(string_agg(w.para, chr(10)||chr(10) ORDER BY w.pos), '')
+        |    AS text
+        |FROM (SELECT doc_id FROM src WHERE doc_id >= 250) s
         |LEFT JOIN (SELECT * FROM w WHERE rk = 1) w USING (doc_id)
         |GROUP BY s.doc_id""".stripMargin,
     "q_dedup_cluster" ->

@@ -731,4 +731,55 @@ object Dedup {
       .withColumn(textCol, coalesce(col("__text"), lit("")))
       .select(df.columns.map(col): _*) // original column order
   }
+
+  /** Persistable paragraph-fingerprint table for INCREMENTAL paragraph
+    * dedup: one row per distinct paragraph fingerprint (`pfp`,
+    * 128-bit md5 hex). Store it with the corpus; each new batch
+    * dedups against it with [[dedupParagraphsAgainst]] and appends
+    * the batch's own new fingerprints. */
+  def paragraphFpTable(df: DataFrame, textCol: String,
+                       splitRe: String = "\n{2,}"): DataFrame =
+    df.select(explode(split(col(textCol), splitRe)).as("__para"))
+      .filter(trim(col("__para")) =!= "")
+      .select(md5(col("__para").cast("binary")).as("pfp"))
+      .dropDuplicates()
+
+  /** Incremental [[dedupParagraphs]]: dedup a NEW batch against a
+    * persisted corpus fingerprint table ([[paragraphFpTable]]) and
+    * within itself. A batch paragraph survives iff its fingerprint is
+    * absent from the corpus AND this is its first (id, pos) occurrence
+    * within the batch. Work scales with the BATCH on its side; the
+    * corpus side is one anti-join on fingerprints — the same
+    * batch-not-corpus discipline as the incremental document dedups
+    * above. Union `corpusFps` with `paragraphFpTable(batch)` after
+    * accepting the batch to roll the corpus state forward. */
+  def dedupParagraphsAgainst(corpusFps: DataFrame, batch: DataFrame,
+                             idCol: String, textCol: String,
+                             splitRe: String = "\n{2,}",
+                             joinSep: String = "\n\n"): DataFrame = {
+    val others = batch.columns.filterNot(_ == textCol)
+    val paras = batch
+      .select(col(idCol), posexplode(split(col(textCol), splitRe))
+        .as(Seq("__pos", "__para")))
+      .filter(trim(col("__para")) =!= "")
+      .withColumn("__fp", md5(col("__para").cast("binary")))
+      .join(corpusFps.select(col("pfp").as("__fp")), Seq("__fp"), "left_anti")
+    val winners = paras
+      .groupBy(col("__fp"))
+      .agg(min(struct(col(idCol).as("__wid"), col("__pos").as("__wpos")))
+        .as("__w"))
+      .select(col("__fp"), col("__w.__wid").as(idCol),
+        col("__w.__wpos").as("__pos"))
+    val kept = paras.join(winners, Seq("__fp", idCol, "__pos"), "left_semi")
+    val reassembled = kept
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__para")))),
+          x => x.getField("__para")),
+        joinSep).as("__text"))
+    batch.select(others.map(col): _*)
+      .join(reassembled, Seq(idCol), "left_outer")
+      .withColumn(textCol, coalesce(col("__text"), lit("")))
+      .select(batch.columns.map(col): _*)
+  }
 }

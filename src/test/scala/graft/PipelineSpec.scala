@@ -52,6 +52,29 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap shouldBe out
   }
 
+  "incremental paragraph dedup" should
+    "dedup a batch against the corpus fp table and within itself" in {
+    val corpus = Seq((1L, "old\n\nCOMMON")).toDF("doc_id", "text")
+    val fps = Dedup.paragraphFpTable(corpus, "text")
+    val batch = Seq(
+      (10L, "fresh\n\nCOMMON"),       // COMMON already in the corpus
+      (11L, "fresh\n\nnewer")         // fresh lost to doc 10
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphsAgainst(fps, batch, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out shouldBe Map(10L -> "fresh", 11L -> "newer")
+    // rolling the state forward makes a re-submitted batch fully dup
+    val fps2 = fps.union(Dedup.paragraphFpTable(batch, "text")).distinct()
+    Dedup.dedupParagraphsAgainst(fps2, batch, "doc_id", "text")
+      .collect().map(_.getString(1)).toSet shouldBe Set("")
+    // and batch-vs-empty-corpus equals plain dedupParagraphs
+    val empty = fps.limit(0)
+    Dedup.dedupParagraphsAgainst(empty, batch, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap shouldBe
+      Dedup.dedupParagraphs(batch, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+  }
+
   "MinHash-LSH" should "surface planted near-duplicates and skip dissimilar pairs" in {
     val cands = Dedup.minHashCandidates(docs, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
