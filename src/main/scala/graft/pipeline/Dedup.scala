@@ -707,6 +707,9 @@ object Dedup {
   def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
                       splitRe: String = "\n{2,}",
                       joinSep: String = "\n\n"): DataFrame = {
+    Seq("__pos", "__para", "__fp", "__text").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already has a $c column — rename it first"))
     val others = df.columns.filterNot(_ == textCol)
     val paras = df
       .select(col(idCol), posexplode(split(col(textCol), splitRe))
@@ -757,6 +760,9 @@ object Dedup {
                              idCol: String, textCol: String,
                              splitRe: String = "\n{2,}",
                              joinSep: String = "\n\n"): DataFrame = {
+    Seq("__pos", "__para", "__fp", "__text").foreach(c =>
+      require(!batch.columns.contains(c),
+        s"input already has a $c column — rename it first"))
     val others = batch.columns.filterNot(_ == textCol)
     val paras = batch
       .select(col(idCol), posexplode(split(col(textCol), splitRe))

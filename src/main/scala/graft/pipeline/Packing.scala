@@ -45,7 +45,7 @@ object Packing {
                                  tokenCol: Option[String], seed: Long)
       : (DataFrame, DataFrame) = {
     val spark = df.sparkSession
-    Seq("__ord", "__pid", "__row_off", "__tok_off").foreach(c =>
+    Seq("__ord", "__pid", "__row_off", "__tok_off", "__prefix").foreach(c =>
       require(!df.columns.contains(c),
         s"input already has a $c column — rename it first"))
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -139,8 +139,9 @@ object Packing {
                       seed: Long = 0L): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must name at least one column")
     require(budget > 0, s"token budget must be positive, got $budget")
-    require(!df.columns.contains("__ord"),
-      "input already has a __ord column — rename it first")
+    Seq("__ord", "__prefix").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already has a $c column — rename it first"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols.map(col): _*)
       .orderBy(col("__ord"), col(keyCol))
