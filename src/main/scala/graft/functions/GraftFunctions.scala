@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -132,6 +133,24 @@ object GraftFunctions {
         { args => arity("unicode_normalize", 2, args)
           TextCleanExprs.UnicodeNormalizeExpr(args(0),
             strLit(args(1), "form")) }),
+      ("clean_text",
+        "clean_text(text) - the standard corpus cleaning recipe: NFC, " +
+          "line-ending normalization, control strip (keep \\n\\t), " +
+          "space-run collapse, two-newline paragraph cap, trim",
+        { args => arity("clean_text", 1, args)
+          graft.pipeline.Scrub.cleanTextExpr(args(0)) }),
+      ("strip_html",
+        "strip_html(text) - C4-style regex HTML strip: script/style " +
+          "with contents, comments, tags to spaces, the five dominant " +
+          "entities unescaped (&amp; last)",
+        { args => arity("strip_html", 1, args)
+          graft.pipeline.Scrub.stripHtmlExpr(args(0)) }),
+      ("canonicalize_url",
+        "canonicalize_url(url) - dedup-key URL folding: fragment and " +
+          "tracking params dropped, scheme+authority lowercased " +
+          "(paths stay case-sensitive)",
+        { args => arity("canonicalize_url", 1, args)
+          graft.pipeline.Scrub.canonicalizeUrlExpr(args(0)) }),
       ("fix_mojibake",
         "fix_mojibake(text) - repair UTF-8 text mis-decoded as " +
           "windows-1252 (possibly twice): cafÃ© -> café. Conservative: " +

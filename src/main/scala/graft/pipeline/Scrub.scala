@@ -97,19 +97,19 @@ object Scrub {
     *   6. cap consecutive newlines at two (paragraph break);
     *   7. trim.
     * Map-only; fuses into the scan. */
+  /** The cleaning chain's (pattern, replacement) steps, shared by the
+    * Column and SQL builders so the two can never diverge. */
+  private[pipeline] val CleanSteps: Seq[(String, String)] = Seq(
+    "\\r\\n?" -> "\n",
+    ControlRe -> "",
+    "[ \\t]+" -> " ",
+    " *\\n *" -> "\n",
+    "\\n{3,}" -> "\n\n")
+
   def cleanText(text: Column, form: String = "NFC"): Column =
-    trim(
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(
-              regexp_replace(
-                normalizeUnicode(text, form),
-                "\\r\\n?", "\n"),
-              ControlRe, ""),
-            "[ \\t]+", " "),
-          " *\\n *", "\n"),
-        "\\n{3,}", "\n\n"))
+    trim(CleanSteps.foldLeft(normalizeUnicode(text, form)) {
+      case (c, (p, r)) => regexp_replace(c, p, r)
+    })
 
   /** Convenience: `df` with `textCol` cleaned in place. */
   def cleanTable(df: DataFrame, textCol: String,
@@ -132,17 +132,18 @@ object Scrub {
     *      stays "&lt;" text rather than becoming "<").
     * Compose with [[cleanText]] for whitespace/Unicode cleanup.
     * Java/RE2 common subset; externally replayable. */
-  def stripHtml(text: Column): Column = {
-    val noScript = regexp_replace(text,
-      "(?is)<(script|style)\\b[^>]*>.*?</(script|style)\\s*>", " ")
-    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noComment, "(?s)</?[A-Za-z!][^>]*>", " ")
-    val e1 = regexp_replace(noTags, "&lt;", "<")
-    val e2 = regexp_replace(e1, "&gt;", ">")
-    val e3 = regexp_replace(e2, "&quot;", "\"")
-    val e4 = regexp_replace(e3, "&(#39|apos);", "'")
-    regexp_replace(e4, "&amp;", "&")
-  }
+  private[pipeline] val HtmlSteps: Seq[(String, String)] = Seq(
+    "(?is)<(script|style)\\b[^>]*>.*?</(script|style)\\s*>" -> " ",
+    "(?s)<!--.*?-->" -> " ",
+    "(?s)</?[A-Za-z!][^>]*>" -> " ",
+    "&lt;" -> "<",
+    "&gt;" -> ">",
+    "&quot;" -> "\"",
+    "&(#39|apos);" -> "'",
+    "&amp;" -> "&")
+
+  def stripHtml(text: Column): Column =
+    HtmlSteps.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
 
   /** Convenience: `df` with `textCol` HTML-stripped then cleaned. */
   def stripHtmlTable(df: DataFrame, textCol: String,
@@ -176,18 +177,51 @@ object Scrub {
     * Deliberately NOT done: default-port stripping and trailing-slash
     * folding (both need capture replacements or change semantics).
     * Map-only; portable. */
+  private[pipeline] val UrlSteps: Seq[(String, String)] = Seq(
+    "#.*" -> "",
+    ("&" + TrackingParamRe + "=[^&#]*") -> "",
+    ("\\?" + TrackingParamRe + "=[^&#]*&") -> "?",
+    ("\\?" + TrackingParamRe + "=[^&#]*$") -> "",
+    "\\?$" -> "")
+
+  private[pipeline] val AuthorityRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+
   def canonicalizeUrl(url: Column): Column = {
-    val noFrag = regexp_replace(url, "#.*", "")
-    val noMid = regexp_replace(noFrag, "&" + TrackingParamRe + "=[^&#]*", "")
-    val noFirst = regexp_replace(noMid,
-      "\\?" + TrackingParamRe + "=[^&#]*&", "?")
-    val noLone = regexp_replace(noFirst,
-      "\\?" + TrackingParamRe + "=[^&#]*$", "")
-    val noBareQ = regexp_replace(noLone, "\\?$", "")
-    val auth = regexp_extract(noBareQ, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
-    val rest = regexp_replace(noBareQ, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val stripped = UrlSteps.foldLeft(url) {
+      case (c, (p, r)) => regexp_replace(c, p, r)
+    }
     // non-URL strings (no scheme://authority) pass through unchanged
-    // apart from the query/fragment steps: auth extracts as ''
-    concat(lower(auth), rest)
+    // apart from the query/fragment steps: the authority extracts as ''
+    concat(lower(regexp_extract(stripped, AuthorityRe, 0)),
+      regexp_replace(stripped, AuthorityRe, ""))
+  }
+
+  // ----- direct Catalyst forms for the SQL function registry -----
+  // The registry needs RESOLVED expression trees (a Column built from
+  // unresolved function nodes cannot re-enter analysis from inside a
+  // FunctionBuilder); these mirror the Column forms over the SAME step
+  // tables, and ScrubSpec pins SQL ≡ Column on adversarial inputs.
+
+  import org.apache.spark.sql.catalyst.expressions.{Concat => CConcat,
+    Expression, Literal => CLit, Lower => CLower,
+    RegExpExtract => CExtract, RegExpReplace => CReplace,
+    StringTrim => CTrim}
+
+  private def foldSteps(e: Expression, steps: Seq[(String, String)]): Expression =
+    steps.foldLeft(e) { case (c, (p, r)) => CReplace(c, CLit(p), CLit(r)) }
+
+  private[graft] def cleanTextExpr(e: Expression): Expression =
+    CTrim(foldSteps(
+      graft.functions.TextCleanExprs.UnicodeNormalizeExpr(e, "NFC"),
+      CleanSteps))
+
+  private[graft] def stripHtmlExpr(e: Expression): Expression =
+    foldSteps(e, HtmlSteps)
+
+  private[graft] def canonicalizeUrlExpr(e: Expression): Expression = {
+    val stripped = foldSteps(e, UrlSteps)
+    CConcat(Seq(
+      CLower(CExtract(stripped, CLit(AuthorityRe), CLit(0))),
+      CReplace(stripped, CLit(AuthorityRe), CLit(""))))
   }
 }

@@ -125,6 +125,31 @@ class ScrubSpec extends AnyFlatSpec with Matchers {
       "a\n\nb"
   }
 
+  "the cleaning functions" should "be callable from SQL" in {
+    graft.functions.GraftFunctions.register(spark)
+    // NOTE: Spark's chr() wraps at 256, so the combining acute comes
+    // in as a \u escape, not chr(769)
+    spark.sql("SELECT clean_text(' a  b\r\nc ') AS c, " +
+        "strip_html('<b>x</b> &amp; y') AS h, " +
+        "canonicalize_url('HTTP://X.com/P?utm_a=1') AS u, " +
+        "fix_mojibake('cafÃ©') AS m, " +
+"unicode_normalize('cafe\u0301', 'NFC') AS n")
+      .collect().head.toSeq shouldBe
+      Seq("a b\nc", " x  & y", "http://x.com/P", "café", "café")
+    // SQL ≡ Column API on adversarial inputs (the divergence guard for
+    // the registry's direct-Catalyst builders)
+    val dirty = Seq(
+      "<style>p{}</style><p>a&amp;lt;b</p>\r\n\r\n\r\n x\t y ",
+      "HTTPS://S.com/A?utm_a=1&b=2&gclid=x#f",
+      "plain").toDF("t")
+    dirty.selectExpr("clean_text(strip_html(t)) AS x",
+        "canonicalize_url(t) AS y").collect().map(_.toSeq).toSeq shouldBe
+      dirty.select(
+        Scrub.cleanText(Scrub.stripHtml(col("t"))).as("x"),
+        Scrub.canonicalizeUrl(col("t")).as("y"))
+        .collect().map(_.toSeq).toSeq
+  }
+
   "fixMojibake" should "repair single and double windows-1252 mis-decoding" in {
     def fix(s: String): String =
       Seq(Tuple1(s)).toDF("t")
