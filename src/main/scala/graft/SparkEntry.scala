@@ -1260,6 +1260,23 @@ object SparkEntry {
         tau = 0.5, targetFraction = 0.5)
         .select(col("doc_id"), col("source"))
     },
+    "q_clean_e2e" -> { (s, d) =>
+      // the cleaning tail END TO END: html-wrapped, mojibake'd,
+      // PII-bearing raw text → strip_html → fix_mojibake → clean_text
+      // → scrub_pii, with the oracle replaying every stage (the
+      // mojibake stage via the driver-computed-corruption trick)
+      val corrupt = new String(
+        " café’s naïve".getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        "windows-1252")
+      val raw = concat(lit("<p>"), col("text"),
+        lit("</p><script>track();</script>"), lit(corrupt),
+        lit(" mail a@b.co from 10.0.0.1"))
+      t(s, d, "documents").select(col("doc_id"),
+        graft.pipeline.Scrub.scrubPii(
+          graft.pipeline.Scrub.cleanText(
+            graft.pipeline.Scrub.fixMojibake(
+              graft.pipeline.Scrub.stripHtml(raw)))).as("cleaned"))
+    },
     "q_fix_mojibake" -> { (s, d) =>
       // mojibake repair, hash-checked without the oracle needing any
       // charset machinery: the CORRUPTION is computed driver-side (the
@@ -2870,6 +2887,49 @@ object SparkEntry {
         |SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source)
         |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':0'), 1, 8))::BIGINT
         |      % 1000000 < thr.thr""".stripMargin,
+    // every stage replayed: the strip chain over the html wrap (the
+    // appended suffix is tag/entity-free, so stripping commutes with
+    // the append), the mojibake repair stated as its expected output,
+    // then the cleaning and PII chains
+    "q_clean_e2e" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    '<p>' || text || '</p><script>track();</script>',
+        |    '(?is)<(script|style)\b[^>]*>.*?</(script|style)\s*>', ' ', 'g'),
+        |    '(?s)<!--.*?-->', ' ', 'g'),
+        |    '(?s)</?[A-Za-z!][^>]*>', ' ', 'g'),
+        |    '&lt;', '<', 'g'),
+        |    '&gt;', '>', 'g'),
+        |    '&quot;', chr(34), 'g'),
+        |    '&(#39|apos);', chr(39), 'g'),
+        |    '&amp;', '&', 'g')
+        |   || ' caf' || chr(233) || chr(8217) || 's na' || chr(239) || 've'
+        |   || ' mail a@b.co from 10.0.0.1' AS t
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, trim(
+        |   regexp_replace(
+        |    regexp_replace(
+        |     regexp_replace(
+        |      regexp_replace(
+        |       regexp_replace(nfc_normalize(t),
+        |         '\r\n?', chr(10), 'g'),
+        |       '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |      '[ \t]+', ' ', 'g'),
+        |     ' *\n *', chr(10), 'g'),
+        |    '\n{3,}', chr(10)||chr(10), 'g')) AS t
+        |  FROM h
+        |)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |   regexp_replace(
+        |    regexp_replace(t,
+        |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |   '\+?\(?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS cleaned
+        |FROM c""".stripMargin,
     "q_fix_mojibake" ->
       """SELECT doc_id,
         |  text || ' caf' || chr(233) || chr(8217) || 's na' || chr(239) ||
