@@ -167,9 +167,17 @@ object Sparql {
   private def xmlEsc(c: org.apache.spark.sql.Column,
                      quoteAttr: Boolean = false): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    val base = regexp_replace(regexp_replace(regexp_replace(
-      c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
-    if (quoteAttr) regexp_replace(base, "\"", "&quot;") else base
+    // CR must be a character reference: XML parsers NORMALIZE raw \r
+    // (and \r\n) in content to \n, silently corrupting literal
+    // lexicals on round-trip — found by ResultsFormatFuzzSpec
+    val base = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;"), "\r", "&#13;")
+    if (quoteAttr)
+      // attribute-value normalization additionally folds \t and \n
+      // into spaces — escape them too in the attr variant
+      regexp_replace(regexp_replace(regexp_replace(
+        base, "\"", "&quot;"), "\n", "&#10;"), "\t", "&#9;")
+    else base
   }
 
   /** Write SELECT results as W3C SPARQL 1.1 Query Results XML
