@@ -105,6 +105,49 @@ class ResultsFormatFuzzSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  "writeResultsCsv" should "round-trip the lexical forms (the documented lossy view)" in {
+    // CSV is the W3C-sanctioned LOSSY form: bare lexicals, no
+    // type/lang, unbound = empty (indistinguishable from an empty
+    // literal — so the generator here skips empty-string literals)
+    for (seed <- Seq(31, 32, 33)) {
+      val (df0, sols0) = genFrame(seed)
+      val keep = sols0.map(_.filter { case (_, t) =>
+        t match { case l: Lit => l.lex.nonEmpty; case _ => true } })
+      val rows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList()
+      keep.foreach { s =>
+        rows.add(org.apache.spark.sql.Row(
+          vars.map(v => s.get(v).map(TermSchema.toRow).orNull): _*))
+      }
+      val df = spark.createDataFrame(rows, df0.schema)
+      val dir = java.nio.file.Files.createTempDirectory(s"rt-csv-$seed").toString
+      Sparql.writeResultsCsv(df, dir)
+      val back = spark.read.option("header", "true")
+        .option("multiLine", "true").option("escape", "\"")
+        .csv(dir)
+      back.columns.toSeq shouldBe vars
+      val parsed = back.collect().toSeq.map { r =>
+        vars.zipWithIndex.flatMap { case (v, i) =>
+          Option(r.getString(i)).filter(_.nonEmpty).map(v -> _) }.toMap
+      }
+      val expect = keep.map(_.map { case (v, t) => v -> t.lex })
+      withClue(s"seed=$seed\n") { multiset(parsed) shouldBe multiset(expect) }
+    }
+  }
+
+  "the boolean (ASK) documents" should "round-trip through JSON and XML" in {
+    import graft.TestSpark.spark.implicits._
+    for (v <- Seq(true, false)) {
+      val ask = Seq(Tuple1(v)).toDF("ask")
+      val jd = java.nio.file.Files.createTempDirectory(s"rt-askj-$v").toString
+      Sparql.writeResultsJson(ask, jd)
+      new Json.JsonReader(readDoc(jd)).parseDocument()
+        .asInstanceOf[Json.JObj].get("boolean") shouldBe Some(Json.JBool(v))
+      val xd = java.nio.file.Files.createTempDirectory(s"rt-askx-$v").toString
+      Sparql.writeResultsXml(ask, xd)
+      readDoc(xd) should include(s"<boolean>$v</boolean>")
+    }
+  }
+
   "writeResultsXml" should "round-trip adversarial frames through a StAX parse" in {
     import javax.xml.stream.{XMLInputFactory, XMLStreamConstants => C}
     for (seed <- Seq(21, 22, 23, 24, 25)) {
