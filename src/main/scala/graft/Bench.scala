@@ -129,28 +129,57 @@ object Bench {
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val cpuSec = (osBean.getProcessCpuTime - cpu0) / 1e9
     val calibAfter = calibrate()
-    // per-entry PlanLint ERROR counts next to the latencies: a plan
-    // regression (new cartesian, oversized broadcast) becomes
-    // machine-visible in the SAME artifact as a time regression.
-    // Planning only — runs OUTSIDE the timed window, never executes.
-    val lintCounts = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val n = try graft.plans.PlanLint
-        .lint(SparkEntry.queries(name)(spark, sfDir))
-        .count(_.severity == "error")
-      catch { case scala.util.control.NonFatal(_) => -1 } // -1 = lint crashed
-      "\"" + name + s"""\":$n"""
-    }.mkString("{", ",", "}")
+    // per-entry PlanLint ERROR counts + shuffle-exchange counts next
+    // to the latencies: a plan regression (new cartesian, oversized
+    // broadcast, a quietly-added extra shuffle) becomes
+    // machine-visible in the SAME artifact as the time it costs.
+    // Runs OUTSIDE the timed window (see PlanAudit for the
+    // constructs-but-never-executes caveat); one pass feeds both maps.
+    val lintPass = PlanAudit.pass(spark, sfDir)
+    val lintCounts = lintPass.map { case (k, n, _) => "\"" + k + s"""\":$n""" }
+      .mkString("{", ",", "}")
+    val exchangeCounts = lintPass.map { case (k, _, x) => "\"" + k + s"""\":$x""" }
+      .mkString("{", ",", "}")
+    // diff actual shuffle counts against the checked-in ceilings
+    // (exchange_budget.json; see ExchangeBudget for semantics)
+    val budgetPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_EXCHANGE_BUDGET", "exchange_budget.json"))
+    val actualMap = lintPass.map { case (k, _, x) => k -> x }.toMap
+    val budgetDiff =
+      if (java.nio.file.Files.exists(budgetPath))
+        graft.plans.ExchangeBudget.check(
+          graft.plans.ExchangeBudget.load(budgetPath), actualMap)
+      else graft.plans.ExchangeBudget.Diff(Nil, actualMap.keys.toSeq.sorted)
+    budgetDiff.over.foreach { case (name, actual, budget) =>
+      System.err.println(
+        s"[bench] EXCHANGE BUDGET EXCEEDED: $name plans $actual " +
+          s"shuffle(s), budget $budget — an extra full pass over the " +
+          "data at scale; fix the plan or consciously re-baseline")
+    }
+    val overJson = budgetDiff.over.map { case (n, a, b) =>
+      s"""{"entry":"$n","actual":$a,"budget":$b}"""
+    }.mkString("[", ",", "]")
+    val unbudgetedJson =
+      budgetDiff.unbudgeted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // regenerate the baseline in place when asked (then commit it)
+    sys.env.get("SPARK_GRAFT_WRITE_BUDGET").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        graft.plans.ExchangeBudget.render(actualMap))
+    }
     val noise = f""""calib_before":$calibBefore%.3f,"calib_after":$calibAfter%.3f,"wall_sec":$wallSec%.3f,"process_cpu_sec":$cpuSec%.3f,"cpu_wall_ratio":${cpuSec / wallSec}%.2f"""
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_cpu":$qsCpu,"lint_errors":$lintCounts,"total_min":$totalMin%.3f,"failed":$failedJson,$noise,"sf":"$sfDir"}"""
-    println(json)
-    // ALSO write to a file: the driver captures the sbt log tail, and
-    // round 9's record lost its per-entry wall medians to tail
-    // truncation ("parsed": null). A file cannot be truncated by log
-    // capture; overwritten each run, committed with the round artifacts.
+    // STDOUT gets a SHORT line: the driver captures it from the sbt
+    // log tail, and two rounds' records were destroyed when a long
+    // line truncated mid-map ("parsed": null). Medians + totals +
+    // validity evidence fit comfortably; everything per-entry beyond
+    // the medians (min-of-passes, CPU, lint, exchange counts, budget
+    // diff) lives ONLY in the file, which log capture cannot truncate.
+    val shortJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"total_min":$totalMin%.3f,"failed":$failedJson,$noise,"sf":"$sfDir"}"""
+    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_cpu":$qsCpu,"lint_errors":$lintCounts,"exchange_counts":$exchangeCounts,"exchange_over_budget":$overJson,"exchange_unbudgeted":$unbudgetedJson,"total_min":$totalMin%.3f,"failed":$failedJson,$noise,"sf":"$sfDir"}"""
+    println(shortJson)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
-      json + "\n")
+      fullJson + "\n")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

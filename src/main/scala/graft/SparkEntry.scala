@@ -2485,7 +2485,7 @@ object SparkEntry {
         |SELECT q.item AS item, MIN(COALESCE(cells.v, 0)) AS est
         |FROM q LEFT JOIN cells ON q.r = cells.r AND q.c = cells.c
         |GROUP BY 1""".stripMargin,
-    // exact-regime Space-Saving replay: distinct users << m=1024 so no
+    // exact-regime Space-Saving replay: distinct users << m=4096 so no
     // counter ever evicts — counts are plain GROUP BY counts, err = 0,
     // rank order is the sketch's (count desc, item asc) tie-break
     "q_heavy_hitters" ->

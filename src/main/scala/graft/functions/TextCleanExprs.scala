@@ -17,9 +17,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * bulk of a corpus pays one scan and zero allocations. */
 object TextCleanExprs {
 
+  // Form.values() clones the enum array per call — cache it once so
+  // the per-row path below really is allocation-free for ASCII input.
+  private val Forms: Array[java.text.Normalizer.Form] =
+    java.text.Normalizer.Form.values()
+
   /** Static entry point called from generated code. */
   def normalize(s: UTF8String, form: Int): UTF8String = {
-    val f = java.text.Normalizer.Form.values()(form)
+    val f = Forms(form)
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, f)) s
     else UTF8String.fromString(java.text.Normalizer.normalize(str, f))

@@ -57,12 +57,17 @@ object Skew {
     * (`concat_ws` silently drops them), otherwise composite keys like
     * ("a", NULL), (NULL, "a") and ("a") all collapse to "a" — their
     * pooled count could spuriously flag a cold key as hot and inflate
-    * replication (safe direction, but wasteful). The NUL-prefixed
-    * sentinel cannot be forged by any cast output (casts never emit
-    * \u0000). */
+    * replication (safe direction, but wasteful). Numeric/temporal
+    * casts never emit \u0000, but a STRING key column passes through
+    * cast unchanged and may contain raw NULs, so every \u0000 in a
+    * value is escaped as \u0000e before the \u0000n… NULL sentinel
+    * is applied — the encoding stays injective and the sentinel stays
+    * unforgeable for every input type. */
   private def keyString(keys: Seq[String]): Column =
     concat_ws("\u0001", keys.map(k =>
-      coalesce(col(k).cast("string"), lit("\u0000null"))): _*)
+      coalesce(
+        regexp_replace(col(k).cast("string"), "\u0000", "\u0000e"),
+        lit("\u0000null"))): _*)
 
   /** Detect hot join keys in ONE bounded-state pass: a Space-Saving
     * sketch ([[graft.functions.SketchExprs.SpaceSavingTopK]]) plus a

@@ -1,8 +1,9 @@
 package graft.rdf
 
 /** Minimal JSON AST + recursive-descent reader (zero deps), shared by
-  * the JSON-LD and RDF/JSON parsers. */
-private[rdf] object Json {
+  * the JSON-LD and RDF/JSON parsers (and, outside rdf, the
+  * exchange-budget file loader). */
+private[graft] object Json {
 
   sealed trait J
   final case class JObj(fields: Vector[(String, J)]) extends J {
