@@ -685,6 +685,56 @@ object Dedup {
     df.join(over, Seq(idCol), "left_anti")
   }
 
+  /** Paragraph fingerprints WITHOUT text: one (`idCol`, `__pos`,
+    * `__fp`) row per non-whitespace paragraph, the md5 computed
+    * map-side so only ~44 bytes per paragraph ever leave the scan.
+    * Shared by the batch and incremental paragraph dedups. */
+  private def paragraphMeta(df: DataFrame, idCol: String, textCol: String,
+                            splitRe: String): DataFrame =
+    df.select(col(idCol), posexplode(split(col(textCol), splitRe))
+        .as(Seq("__pos", "__para")))
+      .filter(trim(col("__para")) =!= "")
+      .select(col(idCol), col("__pos"),
+        md5(col("__para").cast("binary")).as("__fp"))
+
+  /** Paragraph occurrences that LOSE the first-occurrence election:
+    * every (`idCol`, `__pos`) whose fingerprint's minimal (id, pos)
+    * is some other occurrence. Unique paragraphs (the bulk of any
+    * corpus) produce NO output — the frame is sized by the duplicate
+    * fraction, not the corpus. */
+  private def losingOccurrences(meta: DataFrame, idCol: String): DataFrame = {
+    val winners = meta
+      .groupBy(col("__fp"))
+      .agg(min(struct(col(idCol).as("__wid"), col("__pos").as("__wpos")))
+        .as("__w"))
+    // meta feeds the election and this join on the SAME key, so the
+    // exchange is planned once and reused; a mega-hot boilerplate
+    // fingerprint skews one SMJ partition, which AQE's skew-join
+    // split handles (unlike a window over __fp, which it cannot)
+    meta.join(winners, Seq("__fp"))
+      .filter(not(col(idCol) === col("__w.__wid") &&
+        col("__pos") === col("__w.__wpos")))
+      .select(col(idCol), col("__pos"))
+  }
+
+  /** Rewrite `textCol` by re-splitting it MAP-SIDE and keeping the
+    * paragraphs that are non-whitespace and not in the row's
+    * `__drop` position list; survivors re-join with `joinSep`,
+    * all-lose and NULL-text documents become empty strings. */
+  private def rebuildText(df: DataFrame, originalCols: Seq[String],
+                          textCol: String, splitRe: String,
+                          joinSep: String): DataFrame = {
+    val noDrops = array().cast("array<int>")
+    df.withColumn(textCol, coalesce(
+        array_join(
+          filter(split(col(textCol), splitRe), (p, i) =>
+            trim(p) =!= "" &&
+              !array_contains(coalesce(col("__drop"), noDrops), i)),
+          joinSep),
+        lit("")))
+      .select(originalCols.map(col): _*) // original column order
+  }
+
   /** Paragraph-level corpus dedup — the C4/RefinedWeb pass: every
     * distinct paragraph survives exactly ONCE in the whole corpus, at
     * its first occurrence in (`idCol`, position) order; later copies —
@@ -695,44 +745,33 @@ object Dedup {
     * `splitRe` splits (default: blank lines), whitespace-only
     * paragraphs are dropped outright.
     *
-    * Scale shape: paragraph TEXT never crosses a shuffle. Paragraphs
-    * reduce to 128-bit md5 fingerprints; the winner election
-    * (min (id, pos) per fingerprint) and the survivor semi-join both
-    * shuffle fingerprints, and the final reassembly shuffles the
-    * surviving paragraphs once, keyed by document. A 128-bit collision
-    * (~2^-64 at corpus scale) would silently merge two distinct
-    * paragraphs — the standard accepted risk of every fingerprint
-    * dedup in production (same contract as [[exact]]'s hash grouping
-    * discipline elsewhere in this file). */
+    * Scale shape: paragraph TEXT crosses NO shuffle on the happy
+    * path. Only (id, pos, 128-bit md5) rows enter the election, the
+    * losing occurrences reduce to one integer position list per
+    * AFFECTED document, and that list joins back to the ORIGINAL rows
+    * where the text is re-split and filtered map-side — so the
+    * shuffled volume is sized by the duplicate fraction, never the
+    * corpus. (When the affected-document list outgrows the broadcast
+    * threshold, AQE plans the final join as a shuffle and text
+    * crosses exactly once — still strictly less than the corpus-text
+    * volume, and a fraction of the previous two-text-shuffle shape;
+    * ParagraphShuffleSpec pins the measured bytes.) A 128-bit
+    * collision (~2^-64 at corpus scale) would silently merge two
+    * distinct paragraphs — the standard accepted risk of every
+    * fingerprint dedup in production (same contract as [[exact]]'s
+    * hash grouping discipline elsewhere in this file). */
   def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
                       splitRe: String = "\n{2,}",
                       joinSep: String = "\n\n"): DataFrame = {
-    Seq("__pos", "__para", "__fp", "__text").foreach(c =>
+    Seq("__pos", "__para", "__fp", "__drop").foreach(c =>
       require(!df.columns.contains(c),
         s"input already has a $c column — rename it first"))
-    val others = df.columns.filterNot(_ == textCol)
-    val paras = df
-      .select(col(idCol), posexplode(split(col(textCol), splitRe))
-        .as(Seq("__pos", "__para")))
-      .filter(trim(col("__para")) =!= "")
-      .withColumn("__fp", md5(col("__para").cast("binary")))
-    val winners = paras
-      .groupBy(col("__fp"))
-      .agg(min(struct(col(idCol).as("__wid"), col("__pos").as("__wpos")))
-        .as("__w"))
-      .select(col("__fp"), col("__w.__wid").as(idCol),
-        col("__w.__wpos").as("__pos"))
-    val kept = paras.join(winners, Seq("__fp", idCol, "__pos"), "left_semi")
-    val reassembled = kept
+    val meta = paragraphMeta(df, idCol, textCol, splitRe)
+    val removed = losingOccurrences(meta, idCol)
       .groupBy(col(idCol))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("__pos"), col("__para")))),
-          x => x.getField("__para")),
-        joinSep).as("__text"))
-    df.select(others.map(col): _*)
-      .join(reassembled, Seq(idCol), "left_outer")
-      .withColumn(textCol, coalesce(col("__text"), lit("")))
-      .select(df.columns.map(col): _*) // original column order
+      .agg(collect_list(col("__pos")).as("__drop"))
+    rebuildText(df.join(removed, Seq(idCol), "left_outer"),
+      df.columns.toSeq, textCol, splitRe, joinSep)
   }
 
   /** Persistable paragraph-fingerprint table for INCREMENTAL paragraph
@@ -760,32 +799,25 @@ object Dedup {
                              idCol: String, textCol: String,
                              splitRe: String = "\n{2,}",
                              joinSep: String = "\n\n"): DataFrame = {
-    Seq("__pos", "__para", "__fp", "__text").foreach(c =>
+    Seq("__pos", "__para", "__fp", "__drop").foreach(c =>
       require(!batch.columns.contains(c),
         s"input already has a $c column — rename it first"))
-    val others = batch.columns.filterNot(_ == textCol)
-    val paras = batch
-      .select(col(idCol), posexplode(split(col(textCol), splitRe))
-        .as(Seq("__pos", "__para")))
-      .filter(trim(col("__para")) =!= "")
-      .withColumn("__fp", md5(col("__para").cast("binary")))
+    // same int-only-shuffle shape as dedupParagraphs: batch paragraph
+    // text never enters a join — occurrences already in the corpus are
+    // removals outright (semi-join on fingerprints), the remainder run
+    // the within-batch election, and both removal sets reduce to one
+    // position list per affected document before meeting the text
+    val meta = paragraphMeta(batch, idCol, textCol, splitRe)
+      .localCheckpoint(eager = false) // read twice: corpus semi + anti
+    val corpusHits = meta
+      .join(corpusFps.select(col("pfp").as("__fp")), Seq("__fp"), "left_semi")
+      .select(col(idCol), col("__pos"))
+    val fresh = meta
       .join(corpusFps.select(col("pfp").as("__fp")), Seq("__fp"), "left_anti")
-    val winners = paras
-      .groupBy(col("__fp"))
-      .agg(min(struct(col(idCol).as("__wid"), col("__pos").as("__wpos")))
-        .as("__w"))
-      .select(col("__fp"), col("__w.__wid").as(idCol),
-        col("__w.__wpos").as("__pos"))
-    val kept = paras.join(winners, Seq("__fp", idCol, "__pos"), "left_semi")
-    val reassembled = kept
+    val removed = corpusHits.union(losingOccurrences(fresh, idCol))
       .groupBy(col(idCol))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("__pos"), col("__para")))),
-          x => x.getField("__para")),
-        joinSep).as("__text"))
-    batch.select(others.map(col): _*)
-      .join(reassembled, Seq(idCol), "left_outer")
-      .withColumn(textCol, coalesce(col("__text"), lit("")))
-      .select(batch.columns.map(col): _*)
+      .agg(collect_list(col("__pos")).as("__drop"))
+    rebuildText(batch.join(removed, Seq(idCol), "left_outer"),
+      batch.columns.toSeq, textCol, splitRe, joinSep)
   }
 }

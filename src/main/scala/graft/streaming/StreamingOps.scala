@@ -98,6 +98,80 @@ object StreamingOps {
       Dedup.minHashSignTable(docs, idCol, textCol, numHashes, shingleK),
       corpusSigs, numHashes, bands, threshold)
 
+  /** Streaming INCREMENTAL paragraph dedup — the streaming face of
+    * [[graft.pipeline.Dedup.dedupParagraphsAgainst]]: each arriving
+    * document splits into paragraphs, paragraphs the persisted corpus
+    * already holds are dropped by a stream-static ANTI-join on
+    * `corpusFps` (the [[graft.pipeline.Dedup.paragraphFpTable]]
+    * history from before the stream started), and within the stream a
+    * per-fingerprint boolean state suppresses every later copy — a
+    * cross-micro-batch duplicate survives exactly once. Within one
+    * micro-batch the winner is elected DETERMINISTICALLY as the
+    * minimal (id, pos) occurrence, matching the batch operator's
+    * first-occurrence ordering (so a batch backfill and the live tail
+    * agree on which copy survives whenever arrival order respects id
+    * order).
+    *
+    * Emits SURVIVING PARAGRAPH rows (`idCol`, `pos`, `para`) in
+    * append mode — not reassembled documents: a document's paragraphs
+    * can win in different micro-batches, so "the document's final
+    * text" is only known at corpus compaction time; reassemble at the
+    * sink (`groupBy(id)` over the stored paragraph rows — the batch
+    * rebuild discipline) when document granularity is needed.
+    *
+    * Scale shape: paragraph text reaches the state shuffle but the
+    * state itself stores NOTHING per key (presence of the fingerprint
+    * key is the fact) — growth is one 32-char key per distinct
+    * paragraph, the same asymptote as the persisted fingerprint table
+    * it extends (that table IS corpus state); compact by folding the
+    * stream's output into `corpusFps` and restarting the query, the
+    * same swap discipline as [[nearDupStream]]'s signature table.
+    * `idCol` must be an integral or string column (the id round-trips
+    * through state in string form — the [[funnelStream]] contract). */
+  def paragraphDedupStream(docs: DataFrame, idCol: String, textCol: String,
+                           corpusFps: Option[DataFrame] = None,
+                           splitRe: String = "\n{2,}"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.types._
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val idType = docs.schema(idCol).dataType
+    val numericId = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case StringType => false
+      case other => throw new IllegalArgumentException(
+        s"paragraphDedupStream id `$idCol` has type ${other.simpleString}; " +
+          "only integral/string ids round-trip exactly through " +
+          "streaming state — cast or hash the id upstream")
+    }
+    val meta = docs
+      .select(col(idCol), posexplode(split(col(textCol), splitRe))
+        .as(Seq("pos", "para")))
+      .filter(trim(col("para")) =!= "")
+      .withColumn("fp", md5(col("para").cast("binary")))
+    val fresh = corpusFps.fold(meta)(c =>
+      meta.join(c.select(col("pfp").as("fp")), Seq("fp"), "left_anti"))
+    val won = fresh
+      .select(col("fp"), col(idCol).cast("string").as("id"),
+        col("pos"), col("para"))
+      .as[(String, String, Int, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (String, Int, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, occs, state) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val w =
+              if (numericId) occs.minBy(o => (o._2.toLong, o._3))
+              else occs.minBy(o => (o._2, o._3))
+            Iterator.single((w._2, w._3, w._4))
+          }
+      }
+      .toDF("id", "pos", "para")
+    won.select(col("id").cast(idType).as(idCol), col("pos"), col("para"))
+  }
+
   /** Streaming decontamination: keep only stream rows sharing fewer
     * than `minHits` window hashes with a STATIC benchmark set — the
     * ingest-time guard of [[graft.pipeline.Decontaminate]]. The

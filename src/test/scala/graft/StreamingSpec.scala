@@ -34,6 +34,44 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
     } finally q.stop()
   }
 
+  "streaming paragraph dedup" should
+    "suppress corpus and cross-batch paragraph dups exactly once" in {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, "old\n\nCOMMON")).toDF("doc_id", "text")
+    val fps = graft.pipeline.Dedup.paragraphFpTable(corpus, "text")
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingOps.paragraphDedupStream(
+      input.toDF.toDF("doc_id", "text"), "doc_id", "text", Some(fps))
+    val q = out.writeStream.format("memory").queryName("para_dedup_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: COMMON already in the corpus; "fresh" contested
+      // within the batch — the minimal (id, pos) occurrence must win
+      input.addData((10L, "fresh\n\nCOMMON"), (11L, "fresh\n\nnewer"))
+      q.processAllAvailable()
+      def rows() = spark.table("para_dedup_out")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      rows() shouldBe Set((10L, 0, "fresh"), (11L, 1, "newer"))
+      // batch 2: "fresh" and "newer" arrive again — state suppresses
+      // both; only the genuinely new paragraph appears, exactly once
+      input.addData((12L, "fresh\n\nbrand"), (13L, "newer"))
+      q.processAllAvailable()
+      rows() shouldBe Set((10L, 0, "fresh"), (11L, 1, "newer"),
+        (12L, 1, "brand"))
+      // batch parity: the survivors' (id, paragraph) pairs equal the
+      // batch operator's on the same documents (positions re-index in
+      // the batch form's rebuilt text, so parity is on content)
+      val allDocs = Seq((10L, "fresh\n\nCOMMON"), (11L, "fresh\n\nnewer"),
+        (12L, "fresh\n\nbrand"), (13L, "newer")).toDF("doc_id", "text")
+      val batchPairs = graft.pipeline.Dedup
+        .dedupParagraphsAgainst(fps, allDocs, "doc_id", "text")
+        .select(col("doc_id"), explode(split(col("text"), "\n\n")).as("p"))
+        .filter(trim(col("p")) =!= "")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      rows().map(r => (r._1, r._3)) shouldBe batchPairs
+    } finally q.stop()
+  }
+
   "streaming decontamination" should "drop contaminated rows map-only" in {
     implicit val sqlCtx = spark.sqlContext
     val passage = "which spark operator shuffles the most data overall in production"
