@@ -297,6 +297,43 @@ object SparkEntry {
         .select(col("s").getField("lex").as("s"),
           col("p").getField("lex").as("p"), col("o").getField("lex").as("o"))
     },
+    "q_read_compressed" -> { (s, d) =>
+      // Compressed whole-file ingest breadth (reference parity with
+      // Beam's Compression.AUTO): the q_read_ttl_dir fixture again,
+      // but each region's Turtle file under a DIFFERENT codec —
+      // gz/bz2/zst/deflate/xz in one mixed directory, decoded
+      // per-file on executors, one hash-checked result
+      val dir = new java.io.File(tmpPath("ttlcompdir", d))
+      if (!new java.io.File(dir, "_DONE").exists()) {
+        dir.mkdirs()
+        val codecs = Array("gz", "bz2", "zst", "deflate", "xz")
+        t(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey")
+          .collect() // 25 rows — bounded driver-side serialization
+          .groupBy(_.get(2).toString).foreach { case (rk, rs) =>
+            val sb = new StringBuilder("@prefix p: <urn:p:> .\n")
+            rs.foreach { r =>
+              sb.append(s"""<urn:n:${r.get(0)}> p:nname "${r.getString(1)}" ;""")
+              sb.append(s" p:region <urn:r:$rk> .\n")
+            }
+            val ext = codecs(rk.toInt % codecs.length)
+            import org.apache.commons.compress.compressors
+            val f = new java.io.FileOutputStream(
+              new java.io.File(dir, s"region_$rk.ttl.$ext"))
+            val out = ext match {
+              case "gz" => new compressors.gzip.GzipCompressorOutputStream(f)
+              case "bz2" => new compressors.bzip2.BZip2CompressorOutputStream(f)
+              case "zst" => new compressors.zstandard.ZstdCompressorOutputStream(f)
+              case "deflate" => new compressors.deflate.DeflateCompressorOutputStream(f)
+              case "xz" => new compressors.xz.XZCompressorOutputStream(f)
+            }
+            out.write(sb.toString.getBytes("UTF-8")); out.close()
+          }
+        new java.io.File(dir, "_DONE").createNewFile()
+      }
+      graft.io.QuadsIO.readFiles(s, dir.toString)
+        .select(col("s").getField("lex").as("s"),
+          col("p").getField("lex").as("p"), col("o").getField("lex").as("o"))
+    },
     // ----- §2.3 joins -----
     "q_bgp_join" -> { (s, d) =>
       out(nationRegion(s, d).sparql(prologue +
@@ -2066,6 +2103,12 @@ object SparkEntry {
         |SELECT 'urn:n:'||n_nationkey::VARCHAR, 'urn:p:region',
         |       'urn:r:'||n_regionkey::VARCHAR, '' FROM nation""".stripMargin,
     "q_read_rj" ->
+      """SELECT 'urn:n:'||n_nationkey::VARCHAR AS s, 'urn:p:nname' AS p,
+        |       n_name AS o FROM nation
+        |UNION ALL
+        |SELECT 'urn:n:'||n_nationkey::VARCHAR, 'urn:p:region',
+        |       'urn:r:'||n_regionkey::VARCHAR FROM nation""".stripMargin,
+    "q_read_compressed" ->
       """SELECT 'urn:n:'||n_nationkey::VARCHAR AS s, 'urn:p:nname' AS p,
         |       n_name AS o FROM nation
         |UNION ALL

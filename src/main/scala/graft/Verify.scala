@@ -40,6 +40,21 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val failed = run(spark, sfDir, outDir)
+    spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[verify] FAILED entries: ${failed.sorted.mkString(", ")}")
+      sys.exit(1)
+    }
+  }
+
+  /** The dump itself, composable (no session ownership, no exit):
+    * every entry's result to `outDir/<name>.parquet` + oracle_sql.json
+    * + plan_lint.json; returns the entries that failed to run or
+    * violated their structural row check. [[VerifyAtSf]] reuses this
+    * for the scale sweep. */
+  private[graft] def run(spark: SparkSession, sfDir: String,
+                         outDir: String): List[String] = {
     new java.io.File(outDir).mkdirs()
     var failed = List.empty[String]
     // plan-shape telemetry alongside correctness: per entry, the
@@ -93,10 +108,6 @@ object Verify {
     System.err.println(
       s"[verify] plan lint: ${lint.size - dirty}/${lint.size} entries " +
         s"error-free (details in plan_lint.json)")
-    spark.stop()
-    if (failed.nonEmpty) {
-      System.err.println(s"[verify] FAILED entries: ${failed.sorted.mkString(", ")}")
-      sys.exit(1)
-    }
+    failed
   }
 }

@@ -23,11 +23,14 @@ object QuadsIO {
 
   /** Distributed scale path: newline-delimited N-Triples/N-Quads.
     *
-    * Compressed input (`.nt.gz`, `.nq.gz`, …) decompresses transparently
-    * through Hadoop's codec factory. Gzip is NOT line-splittable, so a
-    * gzipped file is one task — reference parity (its Compression.AUTO
-    * has the same constraint, TriplesReader.scala:38-39). At 100 TB:
-    * ship many medium gz files (or zstd/bzip2), not one giant one.
+    * Compressed input (`.nt.gz`, `.nt.bz2`, `.nq.deflate`)
+    * decompresses transparently through Hadoop's codec factory; bzip2
+    * additionally SPLITS within files, so one giant `.nt.bz2` still
+    * fans out across tasks. Gzip/deflate are not line-splittable —
+    * one file, one task — reference parity (its Compression.AUTO has
+    * the same constraint, TriplesReader.scala:38-39). At 100 TB: ship
+    * bzip2, or many medium files of anything else. (`.nt.zst`/`.xz`/
+    * `.lz4` route through the whole-file reader — see [[read]].)
     *
     * `skipMalformed = true` is the dirty-corpus knob: lines that fail
     * to parse are dropped instead of failing the whole load four
@@ -52,16 +55,58 @@ object QuadsIO {
         col("q.o").as("o"), col("q.g").as("g"))
   }
 
+  /** Compression recognized by filename, reference-parity with Beam's
+    * `Compression.AUTO` (TriplesReader.scala:20, 39) and then some:
+    * gzip, bzip2, zstd, zlib-deflate, xz, and framed lz4. Decoders
+    * come from commons-compress (+ zstd-jni), which Spark already
+    * ships — pure JVM, no native hadoop required, so the same set
+    * works on executors, the driver, and in tests. */
+  private val CompressionExts =
+    Set("gz", "bz2", "zst", "zstd", "deflate", "xz", "lz4")
+
+  /** `(path without the compression suffix, codec ext if any)` —
+    * `"a/b.ttl.bz2"` → `("a/b.ttl", Some("bz2"))`. */
+  private[graft] def splitCompression(path: String): (String, Option[String]) = {
+    val ext = extensionOf(path)
+    if (CompressionExts.contains(ext)) (path.dropRight(ext.length + 1), Some(ext))
+    else (path, None)
+  }
+
+  /** Wrap a raw stream with the decoder for `ext`. Concatenated
+    * members decode fully (the `cat a.gz b.gz` shape Hadoop's codecs
+    * also accept), matching line-format behavior. */
+  private[graft] def wrapDecompress(ext: String,
+                                    raw: java.io.InputStream): java.io.InputStream = {
+    import org.apache.commons.compress.compressors
+    ext match {
+      case "gz" =>
+        new compressors.gzip.GzipCompressorInputStream(raw, true)
+      case "bz2" =>
+        new compressors.bzip2.BZip2CompressorInputStream(raw, true)
+      case "zst" | "zstd" =>
+        new compressors.zstandard.ZstdCompressorInputStream(raw)
+      case "deflate" =>
+        new compressors.deflate.DeflateCompressorInputStream(raw)
+      case "xz" =>
+        new compressors.xz.XZCompressorInputStream(raw, true)
+      case "lz4" =>
+        new compressors.lz4.FramedLZ4CompressorInputStream(raw, true)
+      case other =>
+        throw new IllegalArgumentException(s"unrecognized compression .$other")
+    }
+  }
+
   /** Driver-side whole-file read through the Hadoop FileSystem API, so
     * the small-file formats work on every filesystem the session can
     * reach (HDFS, S3A, local…), not just java.nio local paths — the
-    * same resolution the distributed readers use. */
+    * same resolution the distributed readers use. Any recognized
+    * compression suffix decodes transparently. */
   private def readDriverText(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val raw = fs.open(p)
-    val in =
-      if (path.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw) else raw
+    val in = splitCompression(path)._2.fold(raw: java.io.InputStream)(
+      wrapDecompress(_, raw))
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
   }
@@ -83,14 +128,14 @@ object QuadsIO {
     fromQuads(spark, graft.rdf.TriXParser.parse(readDriverText(spark, path)))
 
   /** Extension-based per-FILE parse used by the distributed whole-file
-    * reader; runs on executors. `.gz` wraps any base format. Parse
-    * errors carry the offending file's path. */
+    * reader; runs on executors. Any recognized compression suffix
+    * (gz/bz2/zst/deflate/xz/lz4) wraps any base format. Parse errors
+    * carry the offending file's path. */
   private[graft] def parseFile(path: String, bytes: Array[Byte]): Iterator[Quad] = {
-    val gz = path.toLowerCase.endsWith(".gz")
-    val base = if (gz) path.dropRight(3) else path
+    val (base, comp) = splitCompression(path)
     def text: String = {
       val raw: java.io.InputStream = new java.io.ByteArrayInputStream(bytes)
-      val in = if (gz) new java.util.zip.GZIPInputStream(raw) else raw
+      val in = comp.fold(raw)(wrapDecompress(_, raw))
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     }
@@ -153,15 +198,22 @@ object QuadsIO {
     * (TriplesReader.scala:62-74): N-Triples/N-Quads split WITHIN files
     * (line-delimited), every other format parses one-file-per-task on
     * executors via [[readFiles]]; directories and globs fan out with
-    * per-file dispatch; `.gz` accepted on all. `skipMalformed` reaches
-    * both paths: dropped LINES for N-Triples/N-Quads, dropped FILES
-    * for whole-file formats. */
+    * per-file dispatch; every recognized compression suffix accepted
+    * on all formats. Line formats stay on the distributed text reader
+    * for the compressions Hadoop's codec factory decodes natively
+    * (gzip, SPLITTABLE bzip2, zlib-deflate) and fall back to
+    * one-file-per-task for the rest (zstd/xz/lz4 — none splittable,
+    * so the parallelism is identical; only the decoder differs).
+    * `skipMalformed` reaches both paths: dropped LINES for
+    * N-Triples/N-Quads, dropped FILES for whole-file formats. */
   def read(spark: SparkSession, path: String,
            skipMalformed: Boolean = false): DataFrame = {
-    val base = if (path.toLowerCase.endsWith(".gz")) path.dropRight(3) else path
+    val (base, comp) = splitCompression(path)
     extensionOf(base) match {
       case "nt" | "nq" | "ntriples" | "nquads" =>
-        readNTriples(spark, path, skipMalformed)
+        if (comp.forall(Set("gz", "bz2", "deflate")))
+          readNTriples(spark, path, skipMalformed)
+        else readFiles(spark, path, skipMalformed)
       case "ttl" | "trig" | "turtle" | "n3" | "rdf" | "rdfs" | "owl" | "xml" |
            "jsonld" | "json" | "rj" | "trix" | "" | "*" =>
         readFiles(spark, path, skipMalformed)

@@ -44,6 +44,46 @@ class ApiAndIoSpec extends SparqlSpecBase {
     rows.map(_("s")).toSet shouldBe Set(iri("urn:a"), iri("urn:b"))
   }
 
+  "compressed ingest breadth" should
+    "decode bz2/zst/deflate/xz/lz4 on whole-file and line formats" in {
+    import org.apache.commons.compress.compressors
+    val tmp = Files.createTempDirectory("graft-comp")
+    def write(name: String, text: String): String = {
+      val f = Files.newOutputStream(tmp.resolve(name))
+      val ext = name.substring(name.lastIndexOf('.') + 1)
+      val out: java.io.OutputStream = ext match {
+        case "bz2" => new compressors.bzip2.BZip2CompressorOutputStream(f)
+        case "zst" => new compressors.zstandard.ZstdCompressorOutputStream(f)
+        case "deflate" => new compressors.deflate.DeflateCompressorOutputStream(f)
+        case "xz" => new compressors.xz.XZCompressorOutputStream(f)
+        case "lz4" => new compressors.lz4.FramedLZ4CompressorOutputStream(f)
+      }
+      out.write(text.getBytes("UTF-8")); out.close()
+      tmp.resolve(name).toString
+    }
+    // whole-file dispatch: same Turtle doc under every codec
+    for (ext <- Seq("bz2", "zst", "deflate", "xz", "lz4")) {
+      val ttl = s"""@prefix : <urn:c:> . :s :p "$ext" ."""
+      val quads = QuadsIO.read(spark, write(s"d_$ext.ttl.$ext", ttl))
+      withClue(s".$ext: ") {
+        collect(quads.sparql("SELECT ?s ?v { ?s <urn:c:p> ?v }")) shouldBe
+          Seq(Map("s" -> iri("urn:c:s"), "v" -> str(ext)))
+      }
+    }
+    // line formats: bz2 stays on the distributed text reader (Hadoop
+    // decodes it natively AND splits within files); zstd falls back
+    // to one-file-per-task — identical quads either way
+    val nt = (1 to 40).map(i => s"""<urn:a:$i> <urn:p> "v$i" .""").mkString("\n")
+    QuadsIO.read(spark, write("data.nt.bz2", nt)).count() shouldBe 40
+    QuadsIO.read(spark, write("data2.nt.zst", nt)).count() shouldBe 40
+    // corrupt payload names the file, not a bare codec error
+    Files.write(tmp.resolve("bad.ttl.bz2"), Array[Byte](1, 2, 3))
+    val e = intercept[org.apache.spark.SparkException] {
+      QuadsIO.read(spark, tmp.resolve("bad.ttl.bz2").toString).collect()
+    }
+    e.getMessage should include("bad.ttl.bz2")
+  }
+
   "RDF/XML ingest" should "parse node/property elements, refs, datatypes and lang" in {
     val tmp = Files.createTempDirectory("graft-rdfxml")
     val f = tmp.resolve("data.rdf")
