@@ -1440,6 +1440,17 @@ object SparkEntry {
         "doc_id", "n_chars", budget = 4096L)
         .select(col("doc_id"), col("seq_id"), col("seq_offset"))
     },
+    "q_pack_by_global" -> { (s, d) =>
+      // per-mixture-component packing in the SKEW-PROOF shape: each
+      // lang packs its own sequence stream, but every window is
+      // (partition, group)-local — one giant component can never
+      // serialize onto one task (packSequencesBy's documented limit).
+      // The oracle replays each stream with a per-lang window.
+      graft.pipeline.Packing.packSequencesByGlobal(
+        t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        Seq("lang"), "doc_id", "n_chars", budget = 4096L)
+        .select(col("doc_id"), col("lang"), col("seq_id"), col("seq_offset"))
+    },
     "q_split" -> { (s, d) =>
       // disjoint train/val/test split (70/20/10), portable buckets so
       // the oracle reproduces every per-row assignment; entry returns
@@ -3138,6 +3149,20 @@ object SparkEntry {
         |  FROM o
         |)
         |SELECT doc_id, CAST(pfx // 4096 AS BIGINT) AS seq_id,
+        |       CAST(pfx % 4096 AS BIGINT) AS seq_offset
+        |FROM c""".stripMargin,
+    "q_pack_by_global" ->
+      """WITH o AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 12))::BIGINT AS h
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |), c AS (
+        |  SELECT doc_id, lang, coalesce(sum(n_chars) OVER (
+        |    PARTITION BY lang ORDER BY h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+        |  FROM o
+        |)
+        |SELECT doc_id, lang, CAST(pfx // 4096 AS BIGINT) AS seq_id,
         |       CAST(pfx % 4096 AS BIGINT) AS seq_offset
         |FROM c""".stripMargin,
     "q_split" ->

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, Row}
 import org.apache.spark.sql.functions._
 
 /** Deterministic corpus ordering and sequence packing — the last mile
@@ -153,5 +153,86 @@ object Packing {
       .withColumn("seq_id", expr(s"__prefix div ${budget}L"))
       .withColumn("seq_offset", col("__prefix") % budget)
       .drop("__ord", "__prefix")
+  }
+
+  /** Per-group packing for the shape [[packSequencesBy]] cannot
+    * scale to: a SINGLE GIANT STRATUM. `packSequencesBy` puts each
+    * group in one window partition — a 10-component mixture where one
+    * component is 80% of a 100 TB corpus sorts most of the corpus on
+    * one task. This form keeps the mixture semantics (every group
+    * packs its own independent sequence stream; `seq_id` unique only
+    * within a group) but runs the two-phase global scheme for ALL
+    * groups at once: one range shuffle on the portable hash spreads
+    * every group across every partition, per-(partition, group)
+    * token sums come to the driver (bounded by partitions ×
+    * components — mixture components are tens, never corpus-scale;
+    * that product is the entire coordination cost), per-group prefix
+    * offsets broadcast back, and the finishing windows partition by
+    * (partition, group) — always parallel, skew-free under any
+    * mixture imbalance. Same portable order key, so results are
+    * IDENTICAL to `packSequencesBy` (and to [[packSequences]] run on
+    * each group alone); group columns may be NULL (NULL is a group,
+    * matching the window form — the offsets join is null-safe). */
+  def packSequencesByGlobal(df: DataFrame, groupCols: Seq[String],
+                            keyCol: String, tokenCol: String, budget: Long,
+                            seed: Long = 0L): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must name at least one column")
+    require(budget > 0, s"token budget must be positive, got $budget")
+    Seq("__ord", "__pid", "__tok_off", "__prefix").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already has a $c column — rename it first"))
+    val spark = df.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val keyed = df.filter(col(tokenCol).isNotNull)
+      .withColumn("__ord", ordKey(col(keyCol), seed))
+    // range by the GLOBAL order: each group's rows land in partition
+    // order consistent with its own (__ord, key) order, so per-group
+    // prefix sums compose from per-partition sums exactly as in the
+    // single-stream case. Pinned for the same two-jobs reason.
+    val parted = GraftColumnBridge.freshLeaf(
+      keyed.repartitionByRange(n, col("__ord"), col(keyCol))
+        .sortWithinPartitions(col("__ord"), col(keyCol))
+        .withColumn("__pid", spark_partition_id())
+        .localCheckpoint(eager = false))
+    val g = groupCols.length
+    val stats = parted
+      .groupBy((col("__pid") +: groupCols.map(col)): _*)
+      .agg(sum(col(tokenCol).cast("long")).as("__toks"))
+      .collect() // partitions × components rows — the bounded stat pass
+    // per-group running offsets in partition order
+    val offsetRows = new java.util.ArrayList[Row]()
+    stats.groupBy(r => r.toSeq.slice(1, 1 + g))
+      .foreach { case (_, rs) =>
+        var off = 0L
+        rs.sortBy(_.getInt(0)).foreach { r =>
+          offsetRows.add(Row.fromSeq(r.toSeq.take(1 + g) :+ off))
+          off += r.getLong(1 + g)
+        }
+      }
+    val offSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__pid",
+        org.apache.spark.sql.types.IntegerType) +:
+        groupCols.map(c => df.schema(c)) :+
+        org.apache.spark.sql.types.StructField("__tok_off",
+          org.apache.spark.sql.types.LongType))
+    val offsets = spark.createDataFrame(offsetRows, offSchema)
+    // null-safe equi-join (NULL group values must match their offsets)
+    val offA = offsets.alias("__offs")
+    val cond = (parted("__pid") === offA("__pid")) +: groupCols.map(c =>
+      parted(c) <=> offA(c))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((col("__pid") +: groupCols.map(col)): _*)
+      .orderBy(col("__ord"), col(keyCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val joined = groupCols.foldLeft(
+      parted.join(broadcast(offA), cond.reduce(_ && _))
+        .drop(offA("__pid")))((d, c) => d.drop(offA(c)))
+    joined
+      .withColumn("__prefix",
+        coalesce(sum(col(tokenCol).cast("long")).over(w), lit(0L)) +
+          col("__tok_off"))
+      .withColumn("seq_id", expr(s"__prefix div ${budget}L"))
+      .withColumn("seq_offset", col("__prefix") % budget)
+      .drop("__ord", "__pid", "__tok_off", "__prefix")
   }
 }

@@ -121,6 +121,39 @@ class PackingSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  "packSequencesByGlobal" should
+    "match packSequencesBy exactly while windowing only within partitions" in {
+    val grouped = (0L until 80L)
+      .map(i => (i, if (i % 7 == 0) null else s"src${i % 3}", 10L + i % 5))
+      .toDF("id", "src", "toks").repartition(5)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "src", "seq_id", "seq_offset").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val global = Packing.packSequencesByGlobal(
+      grouped, Seq("src"), "id", "toks", 32L)
+    // identical packing to the one-window-per-group form — including
+    // the NULL group, which the null-safe offsets join must carry
+    pairs(global) shouldBe
+      pairs(Packing.packSequencesBy(grouped, Seq("src"), "id", "toks", 32L))
+    // the whole point: every window partitions by __pid (+ group), so
+    // a single giant stratum can never serialize onto one task
+    val plan = global.queryExecution.executedPlan.toString
+    plan.linesIterator.filter(_.trim.startsWith("Window")).foreach { l =>
+      l should include("__pid")
+    }
+    graft.plans.PlanLint.lint(global)
+      .filter(_.severity == "error") shouldBe empty
+    // degenerate mixture: ONE component holding the whole corpus still
+    // equals the plain global pack (same stream, same cuts)
+    val one = grouped.withColumn("src", lit("all"))
+    pairs(Packing.packSequencesByGlobal(one, Seq("src"), "id", "toks", 32L))
+      .map(t => (t._1, t._3, t._4)) shouldBe
+      Packing.packSequences(one, "id", "toks", 32L)
+        .select("id", "seq_id", "seq_offset").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
   it should "pack an empty corpus to an empty result" in {
     val empty = Seq.empty[(Long, Long)].toDF("id", "toks")
     Packing.packSequences(empty, "id", "toks", 64L).count() shouldBe 0L
