@@ -271,15 +271,20 @@ object QuadsIO {
   /** Distributed N-Quads export (N-Triples when every g is NULL): one
     * text line per quad, written in parallel — the interchange-format
     * exit path matching [[readNTriples]]'s entry path. Round-trips
-    * through the same parser. */
+    * through the same parser. `compression` is any codec Spark's text
+    * sink takes ("none", "gzip", "bzip2", "deflate", …); prefer bzip2
+    * for archives a downstream engine must re-split, gzip for plain
+    * interchange — both read back transparently ([[readNTriples]] on
+    * the output directory). */
   def writeNQuads(quads: DataFrame, path: String,
-                  saveMode: SaveMode = SaveMode.Overwrite): Unit = {
+                  saveMode: SaveMode = SaveMode.Overwrite,
+                  compression: String = "none"): Unit = {
     import org.apache.spark.sql.functions._
     quads.select(concat_ws(" ",
       ntToken(quads("s")), ntToken(quads("p")), ntToken(quads("o")),
       when(quads("g").isNotNull, ntToken(quads("g"))).otherwise(lit(null)),
       lit(".")).as("value"))
-      .write.mode(saveMode).text(path)
+      .write.mode(saveMode).option("compression", compression).text(path)
   }
 
   /** Bucketed table layout: hash-bucket + sort on the subject column.

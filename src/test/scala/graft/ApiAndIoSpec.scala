@@ -76,6 +76,18 @@ class ApiAndIoSpec extends SparqlSpecBase {
     val nt = (1 to 40).map(i => s"""<urn:a:$i> <urn:p> "v$i" .""").mkString("\n")
     QuadsIO.read(spark, write("data.nt.bz2", nt)).count() shouldBe 40
     QuadsIO.read(spark, write("data2.nt.zst", nt)).count() shouldBe 40
+    // compressed EXPORT round-trips through the same parser: write
+    // the quads back out gzipped and bzip2'd, read via the line path
+    val quads40 = QuadsIO.read(spark, write("data3.nt.bz2", nt))
+    for (codec <- Seq("gzip", "bzip2")) {
+      val outDir = tmp.resolve(s"export_$codec").toString
+      QuadsIO.writeNQuads(quads40, outDir, compression = codec)
+      import java.nio.file.{Files => F}
+      import scala.jdk.CollectionConverters._
+      F.list(java.nio.file.Paths.get(outDir)).iterator().asScala
+        .count(p => p.toString.endsWith(if (codec == "gzip") ".gz" else ".bz2")) should be >= 1
+      QuadsIO.readNTriples(spark, outDir).count() shouldBe 40
+    }
     // corrupt payload names the file, not a bare codec error
     Files.write(tmp.resolve("bad.ttl.bz2"), Array[Byte](1, 2, 3))
     val e = intercept[org.apache.spark.SparkException] {
