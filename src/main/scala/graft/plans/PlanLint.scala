@@ -19,10 +19,11 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec,
   * [[assertClean]] is the reusable form of that pin.
   *
   * Severities: `error` findings are shapes that do not survive scale
-  * (cartesian/nested-loop joins, oversized broadcasts); `warn` is a
-  * smell worth a look (a filter directly above a scan that pushed
-  * nothing); `info` is plan telemetry (exchange and codegen-span
-  * counts) for tracking regressions across versions. */
+  * (cartesian/nested-loop joins, oversized broadcasts, partition-less
+  * windows); `warn` is a smell worth a look (a filter directly above
+  * a scan that pushed nothing); `info` is plan telemetry (exchange
+  * and codegen-span counts) for tracking regressions across
+  * versions. */
 object PlanLint {
 
   final case class Finding(rule: String, severity: String, node: String,
@@ -94,6 +95,27 @@ object PlanLint {
               "broadcast ships to EVERY executor and materializes on " +
               "the driver — this side belongs in a shuffle join")
         }
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty =>
+        // a window with no PARTITION BY moves the entire input to ONE
+        // partition (Spark itself warns) — the packing/ranking
+        // scale-killer the two-phase operators exist to avoid. A tiny
+        // input (a driver-bounded report frame) is the one legitimate
+        // shape: demote by the logical size estimate, read from the
+        // nearest linked descendant (the window's direct child is a
+        // planner-injected Sort/Exchange that carries no link).
+        val est = walk(w.child)
+          .flatMap(_.logicalLink).headOption.map(_.stats.sizeInBytes)
+        if (est.exists(_ <= smallBroadcastBytes))
+          findings += Finding("scalar-global-window", "info", w.nodeName,
+            s"partition-less window over a tiny (≤ $smallBroadcastBytes B " +
+              "estimated) input — fine while that input stays tiny at scale")
+        else
+          findings += Finding("partitionless-window", "error", w.nodeName,
+            "window with no PARTITION BY serializes the whole input " +
+              "onto one task; range-partition + per-partition windows " +
+              "with broadcast prefix offsets (the Packing two-phase " +
+              "shape), or partition by a real key")
       case f: FilterExec =>
         // the scan may sit under pass-through wrappers (ColumnarToRow,
         // InputAdapter, Project) — descend through single-child

@@ -69,6 +69,30 @@ class PlanLintSpec extends AnyFlatSpec with Matchers {
     PlanLint.lint(pushed).filter(_.severity == "warn") shouldBe empty
   }
 
+  it should "flag a partition-less window, demoting tiny inputs" in {
+    import org.apache.spark.sql.expressions.Window
+    // the packing/ranking scale-killer: a global row_number serializes
+    // the corpus onto one task
+    val big = spark.range(3000000).toDF("v")
+      .withColumn("r", row_number().over(Window.orderBy(col("v"))))
+    errRules(PlanLint.lint(big)) should contain("partitionless-window")
+    // a real partition key → clean
+    val parted = spark.range(3000000).toDF("v").withColumn("g", col("v") % 7)
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("v"))))
+    errRules(PlanLint.lint(parted)) shouldBe empty
+    // tiny input (a driver-bounded report frame) → info, not error
+    val tiny = (1 to 20).map(i => (i, i * 2)).toDF("a", "b")
+      .withColumn("r", row_number().over(Window.orderBy(col("a"))))
+    errRules(PlanLint.lint(tiny)) shouldBe empty
+    PlanLint.lint(tiny).filter(_.severity == "info")
+      .map(_.rule) should contain("scalar-global-window")
+    // and the two-phase packing operators stay clean by construction
+    val docs = (1 to 50).map(i => (i.toLong, 10L)).toDF("id", "toks")
+    errRules(PlanLint.lint(
+      graft.pipeline.Packing.shuffleRank(docs, "id"))) shouldBe empty
+  }
+
   it should "report exchange and codegen telemetry" in {
     val agg = (1 to 100).map(i => (i % 3, i)).toDF("g", "v")
       .groupBy("g").agg(sum("v"))
