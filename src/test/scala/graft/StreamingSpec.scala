@@ -72,6 +72,49 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
     } finally q.stop()
   }
 
+  it should "agree with the batch operator on randomized batched corpora" in {
+    // seeded differential: random documents built from a small
+    // paragraph pool (forcing corpus, cross-batch and within-batch
+    // dups), fed in id order across micro-batches — the stream's
+    // surviving (id, paragraph) pairs must equal the batch operator's
+    // on the concatenation. -Dgraft.fuzz.seed explores new corpora.
+    implicit val sqlCtx = spark.sqlContext
+    val seed = sys.props.get("graft.fuzz.seed").map(_.toInt).getOrElse(7)
+    val rnd = new scala.util.Random(seed)
+    val pool = (0 until 12).map(i => s"para pool item $i " + ("x" * rnd.nextInt(8)))
+    def doc(): String =
+      (0 until 1 + rnd.nextInt(4)).map(_ => pool(rnd.nextInt(pool.size)))
+        .mkString("\n\n")
+    val corpus = (1L to 5L).map(i => (i, doc())).toDF("doc_id", "text")
+    val fps = graft.pipeline.Dedup.paragraphFpTable(corpus, "text")
+      .localCheckpoint(eager = true)
+    val batches = (0 until 4).map(b =>
+      ((10L + b * 10L) until (10L + b * 10L + 1 + rnd.nextInt(5)))
+        .map(i => (i, doc())))
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingOps.paragraphDedupStream(
+      input.toDF.toDF("doc_id", "text"), "doc_id", "text", Some(fps))
+    val q = out.writeStream.format("memory").queryName("para_fuzz_out")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val streamPairs = spark.table("para_fuzz_out")
+        .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+      val allDocs = batches.flatten.toDF("doc_id", "text")
+      val batchPairs = graft.pipeline.Dedup
+        .dedupParagraphsAgainst(fps, allDocs, "doc_id", "text")
+        .select(col("doc_id"), explode(split(col("text"), "\n\n")).as("p"))
+        .filter(trim(col("p")) =!= "")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      withClue(s"seed=$seed: ") { streamPairs shouldBe batchPairs }
+      // non-triviality: the pool guarantees live dups to suppress
+      val totalParas = batches.flatten
+        .map(_._2.split("\n\n").count(_.trim.nonEmpty)).sum
+      withClue(s"seed=$seed suppressed nothing: ")(
+        streamPairs.size should be < totalParas)
+    } finally q.stop()
+  }
+
   "streaming decontamination" should "drop contaminated rows map-only" in {
     implicit val sqlCtx = spark.sqlContext
     val passage = "which spark operator shuffles the most data overall in production"
