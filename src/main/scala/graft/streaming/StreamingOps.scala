@@ -272,6 +272,46 @@ object StreamingOps {
     validate(op0)
   }
 
+  /** Submission-time validation for [[sparqlStreamAgg]]: exactly one
+    * GROUP BY/aggregate layer over the stateless subset, with the
+    * restrictions Spark's streaming aggregation actually enforces
+    * surfaced HERE instead of at runtime inside the stream. */
+  private def validateStreamableAgg(op0: graft.sparql.Algebra.Op): Unit = {
+    import graft.sparql.Algebra
+    def unwrap(op: Algebra.Op): Algebra.Group = op match {
+      case Algebra.Project(c, _) => unwrap(c)
+      case Algebra.Extend(c, _, _) => unwrap(c) // SELECT exprs over aggs
+      case Algebra.Filter(c, _) => unwrap(c) // HAVING: stateless post-filter
+      case g: Algebra.Group => g
+      case _: Algebra.Order | _: Algebra.Slice =>
+        throw new IllegalArgumentException(
+          "ORDER BY / LIMIT over a streaming aggregate is not " +
+            "streamable (a stream's result order is only final at " +
+            "completion; rank in the sink or use the batch engine)")
+      case _: Algebra.Distinct | _: Algebra.Reduced =>
+        throw new IllegalArgumentException(
+          "DISTINCT over a streaming aggregate is not streamable " +
+            "(it would stack a second stateful operator on the " +
+            "aggregation; aggregate keys are already distinct)")
+      case other => throw new IllegalArgumentException(
+        s"sparqlStreamAgg needs a GROUP BY/aggregate query; got " +
+          s"${other.getClass.getSimpleName} — use sparqlStream for the " +
+          "stateless subset")
+    }
+    val g = unwrap(op0)
+    g.aggs.foreach { case (_, agg) =>
+      if (agg.distinct) throw new IllegalArgumentException(
+        s"${agg.func}(DISTINCT …) is not streamable (Spark keeps no " +
+          "per-group distinct-value state; pre-deduplicate with a " +
+          "watermark upstream or use the batch engine)")
+    }
+    g.child match {
+      case _: Algebra.Group => throw new IllegalArgumentException(
+        "nested streaming aggregates are not streamable")
+      case body => validateStreamable(body)
+    }
+  }
+
   def sparqlStream(quadsStream: DataFrame, query: String): DataFrame = {
     import graft.sparql.{BgpOptimizer, Compiler, SparqlParser}
     val (op0, dataset) = SparqlParser.parseAny(query) match {
@@ -280,6 +320,38 @@ object StreamingOps {
         s"sparqlStream supports SELECT only, got ${other.getClass.getSimpleName}")
     }
     validateStreamable(op0)
+    Compiler.run(graft.sparql.Sparql.applyDataset(quadsStream, dataset),
+      BgpOptimizer.optimize(op0))
+  }
+
+  /** Streaming SPARQL AGGREGATION: GROUP BY + COUNT/SUM/MIN/MAX/AVG/
+    * SAMPLE/GROUP_CONCAT over a streaming quads frame — Spark's native
+    * streaming aggregation carries the per-group state, so each
+    * micro-batch folds into running results (write with
+    * `outputMode("update")` for changed groups per batch, or
+    * `"complete"` for the full table — append would wait for a
+    * watermark the SPARQL surface does not carry). The WHERE body is
+    * held to the same stateless subset as [[sparqlStream]]; HAVING
+    * and SELECT expressions over the aggregates ride along
+    * (stateless, post-aggregation). Submission-time validation
+    * rejects what the state store cannot run — COUNT(DISTINCT …),
+    * nested aggregates, ORDER/LIMIT — instead of failing inside the
+    * stream.
+    *
+    * State: one buffer per group key — the bounded-key contract
+    * (predicates, languages, types: group keys with corpus-scale
+    * cardinality belong in the batch engine). The SPARQL-aggregate
+    * buffers are the SAME Catalyst aggregates the batch path runs
+    * (value-order MIN/MAX, xsd:decimal AVG, sorted GROUP_CONCAT), so
+    * a streaming result and its batch replay agree exactly. */
+  def sparqlStreamAgg(quadsStream: DataFrame, query: String): DataFrame = {
+    import graft.sparql.{BgpOptimizer, Compiler, SparqlParser}
+    val (op0, dataset) = SparqlParser.parseAny(query) match {
+      case SparqlParser.SelectQuery(op, ds) => (op, ds)
+      case other => throw new IllegalArgumentException(
+        s"sparqlStreamAgg supports SELECT only, got ${other.getClass.getSimpleName}")
+    }
+    validateStreamableAgg(op0)
     Compiler.run(graft.sparql.Sparql.applyDataset(quadsStream, dataset),
       BgpOptimizer.optimize(op0))
   }

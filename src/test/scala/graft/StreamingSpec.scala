@@ -334,6 +334,90 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
     } finally graft.sparql.Sparql.unregisterService(E + "dim")
   }
 
+  "streaming SPARQL aggregation" should
+    "fold micro-batches into running groups, matching the batch replay" in {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, struct, lit}
+    val input = MemoryStream[(String, String, String)]
+    def iri(c: org.apache.spark.sql.Column) = struct(
+      lit(TermKind.IRI).as("kind"), c.as("lex"),
+      lit("").as("dt"), lit("").as("lang"))
+    def intLit(c: org.apache.spark.sql.Column) = struct(
+      lit(TermKind.LITERAL).as("kind"), c.as("lex"),
+      lit(XSD.integer).as("dt"), lit("").as("lang"))
+    def toQuads(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("s0", "p0", "v0").select(
+        iri(col("s0")).as("s"), iri(col("p0")).as("p"),
+        intLit(col("v0")).as("o"),
+        lit(null).cast(TermSchema.termType).as("g"))
+    val query =
+      """SELECT ?p (COUNT(*) AS ?n) (SUM(?v) AS ?total)
+        |{ ?s ?p ?v } GROUP BY ?p HAVING (COUNT(*) >= 2)""".stripMargin
+    val out = StreamingOps.sparqlStreamAgg(toQuads(input.toDF), query)
+    // complete mode: the sink holds the WHOLE running aggregate table
+    val q = out.writeStream.format("memory").queryName("sparql_agg_out")
+      .outputMode("complete").start()
+    def decode() = spark.table("sparql_agg_out").collect().toSeq.map { r =>
+      (r.getStruct(0).getString(1), // ?p lex
+        graft.rdf.TermSchema.fromRow(r.getStruct(1)).get.asInstanceOf[graft.rdf.Lit].lex,
+        graft.rdf.TermSchema.fromRow(r.getStruct(2)).get.asInstanceOf[graft.rdf.Lit].lex)
+    }.toSet
+    val b1 = Seq(("urn:a", "urn:p:x", "1"), ("urn:b", "urn:p:x", "2"),
+      ("urn:c", "urn:p:y", "5"))
+    val b2 = Seq(("urn:d", "urn:p:y", "7"), ("urn:e", "urn:p:x", "4"))
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      // y has 1 row so far — HAVING (stateless, post-agg) hides it
+      decode() shouldBe Set(("urn:p:x", "2", "3"))
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      decode() shouldBe Set(("urn:p:x", "3", "7"), ("urn:p:y", "2", "12"))
+      // batch parity: the same query over the concatenated batches
+      // through the BATCH engine gives the same groups
+      import graft.sparql.Sparql._
+      import spark.implicits._
+      val staticDf = toQuads((b1 ++ b2).toDF("s0", "p0", "v0"))
+      val batchRows = staticDf.sparql(query).collect().toSeq.map { r =>
+        (r.getStruct(0).getString(1),
+          graft.rdf.TermSchema.fromRow(r.getStruct(1)).get.asInstanceOf[graft.rdf.Lit].lex,
+          graft.rdf.TermSchema.fromRow(r.getStruct(2)).get.asInstanceOf[graft.rdf.Lit].lex)
+      }.toSet
+      decode() shouldBe batchRows
+    } finally q.stop()
+  }
+
+  it should "reject unstreamable aggregate shapes at submission" in {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, struct, lit}
+    val input = MemoryStream[(String, String, String)]
+    def iri(c: org.apache.spark.sql.Column) = struct(
+      lit(TermKind.IRI).as("kind"), c.as("lex"),
+      lit("").as("dt"), lit("").as("lang"))
+    val quads = input.toDF.toDF("s0", "p0", "o0").select(
+      iri(col("s0")).as("s"), iri(col("p0")).as("p"),
+      iri(col("o0")).as("o"), lit(null).cast(TermSchema.termType).as("g"))
+    def rejects(q: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        StreamingOps.sparqlStreamAgg(quads, q)
+      }
+      e.getMessage should include(needle)
+    }
+    rejects("SELECT (COUNT(DISTINCT ?s) AS ?n) { ?s ?p ?o }", "DISTINCT")
+    rejects(
+      "SELECT ?p (COUNT(*) AS ?n) { ?s ?p ?o } GROUP BY ?p ORDER BY ?n",
+      "ORDER BY")
+    rejects(
+      "SELECT ?p (COUNT(*) AS ?n) { ?s ?p ?o } GROUP BY ?p LIMIT 3",
+      "ORDER BY / LIMIT")
+    rejects("SELECT ?s ?p { ?s ?p ?o }", "GROUP BY")
+    // the stateless body rules still apply under the aggregate
+    rejects(
+      """SELECT ?p (COUNT(*) AS ?n)
+        |{ ?s ?p ?o . FILTER NOT EXISTS { ?o ?q ?z } } GROUP BY ?p""".stripMargin,
+      "EXISTS")
+  }
+
   "streaming CONSTRUCT" should "instantiate templates per micro-batch" in {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{col, struct, lit}
