@@ -1746,6 +1746,43 @@ object SparkEntry {
       graft.pipeline.Multimodal.extractFeatures(media)
         .select(col("media_id"), col("kind"), size(col("features")).as("dim"))
     },
+    "q_image_neardup" -> { (s, d) =>
+      // image near-dup through the REAL decode path: deterministic
+      // synthetic PNGs (8×8 cell patterns; doc_id%50 picks the
+      // pattern, parity picks 64px vs 32px rendering), signed with
+      // pixel-derived dHash, paired by the SimHash combination
+      // banding. Same-pattern pairs land within the radius (identical
+      // bytes at equal size, a few gradient bits apart across sizes);
+      // distinct patterns stay tens of bits out — so the pair set is
+      // exactly the same-pattern pairs, which the oracle replays as
+      // doc_id arithmetic. Everything is deterministic: bytes,
+      // decode, hash, banding.
+      // fixture persisted as parquet (build-once, like the reader
+      // entries) so the scan carries REAL size stats — signing media
+      // straight off a driver-built RDD leaves every downstream
+      // estimate at the unknown-size default
+      val dir = new java.io.File(tmpPath("imgdir", d))
+      if (!new java.io.File(dir, "_DONE").exists()) {
+        dir.mkdirs()
+        val ids = t(s, d, "documents").select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+          .collect().map(_.getLong(0)) // 200 rows — bounded driver-side
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          new java.util.ArrayList()
+        ids.foreach { id =>
+          rows.add(org.apache.spark.sql.Row(id, "image",
+            graft.pipeline.Multimodal.syntheticImagePng(
+              if (id % 2 == 0) 64 else 32, (id % 50).toInt),
+            org.apache.spark.sql.Row(null, null, null, "png")))
+        }
+        s.createDataFrame(rows, graft.pipeline.Multimodal.mediaSchema)
+          .write.mode("overwrite").parquet(new java.io.File(dir, "media").toString)
+        new java.io.File(dir, "_DONE").createNewFile()
+      }
+      val media = s.read.parquet(new java.io.File(dir, "media").toString)
+      graft.pipeline.Multimodal.imageNearDupCandidates(media)
+        .select(col("idA"), col("idB"))
+    },
     "q_ann_index_probe" -> { (s, d) => // rows-only: approximate by construction
       // steady-state cost of the persisted index: probe-only (the
       // sibling q_ann_index entry measures build+probe; this one
@@ -2206,6 +2243,11 @@ object SparkEntry {
         |  SELECT n_name AS nname, NULL AS rk FROM nation WHERE n_name = 'NATION_7')
         |SELECT lhs.nname AS nname, r.r_name AS rname
         |FROM lhs LEFT JOIN region r ON lhs.rk IS NULL OR lhs.rk = r.r_regionkey""".stripMargin,
+    "q_image_neardup" ->
+      """SELECT a.doc_id AS idA, b.doc_id AS idB
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id % 50 = b.doc_id % 50 AND a.doc_id < b.doc_id
+        |WHERE a.doc_id < 200 AND b.doc_id < 200""".stripMargin,
     "q_media_features" ->
       """SELECT doc_id AS media_id,
         |       CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

@@ -96,6 +96,31 @@ object Multimodal {
         (w.toFloat / h.toFloat))
     }
 
+    /** 64-bit difference hash (dHash) over REAL pixels: bilinear-scale
+      * to a 9×8 luminance grid, one bit per horizontal gradient
+      * (lum(c) > lum(c+1)). Robust to re-encoding, resizing and mild
+      * compression — the standard perceptual key for image near-dup —
+      * and O(1) per image regardless of resolution. */
+    def dHash(img: java.awt.image.BufferedImage): Long = {
+      val small = resize(img, 9, 8)
+      def lum(x: Int, y: Int): Double = {
+        val rgb = small.getRGB(x, y)
+        0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+          0.114 * (rgb & 0xFF)
+      }
+      var bits = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (lum(x, y) > lum(x + 1, y)) bits |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      bits
+    }
+
     def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", bos)
@@ -405,6 +430,47 @@ object Multimodal {
     spark.createDataFrame(rdd, out)
   }
 
+  /** Perceptual image signatures: one pass per partition decodes each
+    * IMAGE payload and emits its 64-bit [[ImageCodec.dHash]]; bytes
+    * are dropped from the output (sign early, carry 8 bytes — raw
+    * media never shuffles after decode). Non-image rows and payloads
+    * ImageIO cannot decode get a NULL hash — a perceptual key from
+    * stub features would fabricate visual similarity where none was
+    * measured. */
+  def imageDHash(media: DataFrame, hashCol: String = "dhash"): DataFrame = {
+    require(!media.columns.contains(hashCol),
+      s"input already has a $hashCol column — rename it first")
+    // a UDF projection, NOT the mapPartitions RDD hop the feature
+    // extractors use: decode is JVM-imperative either way (ImageIO
+    // dominates; codegen is irrelevant), but the RDD hop would erase
+    // the source's size statistics and leave every downstream
+    // estimate — including the banded join's deliberately-broadcast
+    // over-cap bucket list — at the unknown-size default
+    val hash = udf((kind: String, bytes: Array[Byte]) =>
+      if (kind != "image" || bytes == null) Option.empty[Long]
+      else ImageCodec.decode(bytes).map(ImageCodec.dHash))
+    media.withColumn(hashCol, hash(col("kind"), col("bytes"))).drop("bytes")
+  }
+
+  /** Image near-duplicate candidates over the perceptual hashes: the
+    * SAME pigeonhole combination-banding as the text SimHash dedup
+    * ([[Dedup.simHashCandidatesFromSigs]] — certain recall within the
+    * Hamming radius, bounded buckets, never all-pairs), fed by
+    * [[imageDHash]] signatures. Emits (idA, idB, hamming) on
+    * `media_id`; rows without a decodable image are excluded (NULL
+    * hash ≠ visually similar). Re-encoded/resized copies of one image
+    * land within a few bits; the default radius 6 catches mild
+    * recompression without flooding verify. */
+  def imageNearDupCandidates(media: DataFrame, maxHamming: Int = 6,
+                             cleanChunks: Int = 2,
+                             maxBucketSize: Int = 100000): DataFrame = {
+    val sigs = imageDHash(media)
+      .filter(col("dhash").isNotNull)
+      .select(col("media_id").as("id"), col("dhash").as("sig"))
+    Dedup.simHashCandidatesFromSigs(sigs, maxHamming, cleanChunks,
+      maxBucketSize)
+  }
+
   /** REAL image resize: decodable image payloads are re-encoded as
     * scaled PNG with meta updated; undecodable or non-image rows keep
     * their payload and only the meta rewrite (the stub contract). */
@@ -489,6 +555,38 @@ object Multimodal {
 
   /** Synthetic media table for tests/demos: payload bytes derived from
     * the documents table (deterministic). */
+  /** Deterministic synthetic PNG: an 8×8 cell pattern keyed by `seed`,
+    * rendered at `size`×`size`. Same seed at different sizes decodes
+    * to near-identical dHash grids (the cell grid IS the hash grid);
+    * different seeds diverge by tens of bits — the controlled fixture
+    * for exercising the REAL decode path (battery + specs) without
+    * shipping binary assets. */
+  def syntheticImagePng(size: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(size, size,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < size) {
+      var x = 0
+      while (x < size) {
+        val cx = x * 8 / size; val cy = y * 8 / size
+        // full-avalanche cell mix (splitmix64 finalizer): a linear
+        // cell function leaves neighbor-gradient patterns correlated
+        // ACROSS seeds, which collapses distinct patterns to within a
+        // perceptual-hash radius of each other
+        var h = cx * 0x9E3779B97F4A7C15L + cy * 0xC2B2AE3D27D4EB4FL +
+          seed * 0x165667B19E3779F9L
+        h ^= h >>> 30; h *= 0xBF58476D1CE4E5B9L
+        h ^= h >>> 27; h *= 0x94D049BB133111EBL
+        h ^= h >>> 31
+        val v = (h >>> 32).toInt & 0xFF
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    ImageCodec.encodePng(img)
+  }
+
   def synthetic(spark: SparkSession, documentsDir: String): DataFrame = {
     val docs = spark.read.parquet(documentsDir)
     docs.select(

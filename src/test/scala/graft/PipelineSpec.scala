@@ -554,6 +554,41 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     byId(3L) shouldBe Multimodal.StubCodec.features("noise".getBytes).toSeq
   }
 
+  private def patternPng(size: Int, seed: Int): Array[Byte] =
+    Multimodal.syntheticImagePng(size, seed)
+
+  "image perceptual dedup" should
+    "pair rescaled copies by dHash and skip different images" in {
+    val a64 = patternPng(64, seed = 1)
+    val a32 = patternPng(32, seed = 1) // same pattern, half resolution
+    val b64 = patternPng(64, seed = 9) // different content
+    val media = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "image", a64, Row(64, 64, null, "png")),
+        Row(2L, "image", a32, Row(32, 32, null, "png")),
+        Row(3L, "image", b64, Row(64, 64, null, "png")),
+        Row(4L, "image", "notanimage".getBytes, Row(null, null, null, "raw")),
+        Row(5L, "audio", "noise".getBytes, Row(null, null, 16000, "pcm"))),
+      Multimodal.mediaSchema)
+    val hashes = Multimodal.imageDHash(media).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(r.length - 1)) None else Some(r.getLong(r.length - 1))))
+      .toMap
+    // undecodable and non-image rows carry NO perceptual key
+    hashes(4L) shouldBe None
+    hashes(5L) shouldBe None
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    // rescaled copy lands within a few bits; different content far out
+    ham(hashes(1L).get, hashes(2L).get) should be <= 6
+    ham(hashes(1L).get, hashes(3L).get) should be > 10
+    // the banded candidate join surfaces exactly the rescaled pair
+    val pairs = Multimodal.imageNearDupCandidates(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs shouldBe Set((1L, 2L))
+    // bytes never survive the signing pass
+    Multimodal.imageDHash(media).columns should not contain "bytes"
+  }
+
   private def wavBytes(samples: Array[Double], rate: Float): Array[Byte] = {
     val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
     val raw = new Array[Byte](samples.length * 2)
