@@ -1783,6 +1783,36 @@ object SparkEntry {
       graft.pipeline.Multimodal.imageNearDupCandidates(media)
         .select(col("idA"), col("idB"))
     },
+    "q_audio_neardup" -> { (s, d) =>
+      // audio near-dup through the REAL decode path — the envelope
+      // analogue of q_image_neardup: deterministic synthetic WAVs
+      // (doc_id%50 keys the 65-window amplitude envelope, parity
+      // picks 16 kHz vs 8 kHz), decoded by javax.sound, signed with
+      // the comparative envelope dHash, paired by the combination
+      // banding; pair set = same-envelope pairs, replayed by the
+      // oracle as doc-id arithmetic
+      val dir = new java.io.File(tmpPath("wavdir", d))
+      if (!new java.io.File(dir, "_DONE").exists()) {
+        dir.mkdirs()
+        val ids = t(s, d, "documents").select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+          .collect().map(_.getLong(0)) // 200 rows — bounded driver-side
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          new java.util.ArrayList()
+        ids.foreach { id =>
+          val rate = if (id % 2 == 0) 16000f else 8000f
+          rows.add(org.apache.spark.sql.Row(id, "audio",
+            graft.pipeline.Multimodal.syntheticWavPcm((id % 50).toInt, rate),
+            org.apache.spark.sql.Row(null, null, rate.toInt, "wav")))
+        }
+        s.createDataFrame(rows, graft.pipeline.Multimodal.mediaSchema)
+          .write.mode("overwrite").parquet(new java.io.File(dir, "media").toString)
+        new java.io.File(dir, "_DONE").createNewFile()
+      }
+      val media = s.read.parquet(new java.io.File(dir, "media").toString)
+      graft.pipeline.Multimodal.audioNearDupCandidates(media)
+        .select(col("idA"), col("idB"))
+    },
     "q_ann_index_probe" -> { (s, d) => // rows-only: approximate by construction
       // steady-state cost of the persisted index: probe-only (the
       // sibling q_ann_index entry measures build+probe; this one
@@ -2244,6 +2274,11 @@ object SparkEntry {
         |SELECT lhs.nname AS nname, r.r_name AS rname
         |FROM lhs LEFT JOIN region r ON lhs.rk IS NULL OR lhs.rk = r.r_regionkey""".stripMargin,
     "q_image_neardup" ->
+      """SELECT a.doc_id AS idA, b.doc_id AS idB
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id % 50 = b.doc_id % 50 AND a.doc_id < b.doc_id
+        |WHERE a.doc_id < 200 AND b.doc_id < 200""".stripMargin,
+    "q_audio_neardup" ->
       """SELECT a.doc_id AS idA, b.doc_id AS idB
         |FROM documents a JOIN documents b
         |  ON a.doc_id % 50 = b.doc_id % 50 AND a.doc_id < b.doc_id

@@ -201,6 +201,35 @@ object Multimodal {
         } finally in.close()
       } catch { case _: Exception => None }
 
+    /** 64-bit envelope difference hash: RMS over 65 equal TIME-
+      * fractional windows, one bit per window-to-window gradient —
+      * the [[ImageCodec.dHash]] idea on the loudness envelope.
+      * Comparisons make it amplitude-scale invariant; fractional
+      * windows make it sample-rate/resampling robust (the same clip
+      * at 8 kHz and 16 kHz hashes bits apart, not words). Clips
+      * shorter than 65 samples carry no stable envelope → None. */
+    def dHash(samples: Array[Double]): Option[Long] = {
+      val n = samples.length
+      if (n < 65) return None
+      val rms = new Array[Double](65)
+      var w = 0
+      while (w < 65) {
+        val lo = n.toLong * w / 65; val hi = n.toLong * (w + 1) / 65
+        var sq = 0.0
+        var i = lo
+        while (i < hi) { val s = samples(i.toInt); sq += s * s; i += 1 }
+        rms(w) = math.sqrt(sq / math.max(1, hi - lo))
+        w += 1
+      }
+      var bits = 0L
+      var b = 0
+      while (b < 64) {
+        if (rms(b) > rms(b + 1)) bits |= 1L << b
+        b += 1
+      }
+      Some(bits)
+    }
+
     def features(samples: Array[Double], sampleRate: Float): Array[Float] = {
       val n = samples.length
       if (n == 0) return Array.fill(featureDim)(0f)
@@ -469,6 +498,73 @@ object Multimodal {
       .select(col("media_id").as("id"), col("dhash").as("sig"))
     Dedup.simHashCandidatesFromSigs(sigs, maxHamming, cleanChunks,
       maxBucketSize)
+  }
+
+  /** Perceptual audio signatures: each AUDIO payload the JDK can
+    * decode gets its 64-bit [[AudioCodec.dHash]] envelope hash; bytes
+    * dropped, NULL for non-audio/undecodable/too-short rows — the
+    * same sign-early, UDF-projection contract as [[imageDHash]]
+    * (stats survive for the banded join downstream). */
+  def audioDHash(media: DataFrame, hashCol: String = "adhash"): DataFrame = {
+    require(!media.columns.contains(hashCol),
+      s"input already has a $hashCol column — rename it first")
+    val hash = udf((kind: String, bytes: Array[Byte]) =>
+      if (kind != "audio" || bytes == null) Option.empty[Long]
+      else AudioCodec.decode(bytes).flatMap { case (s, _) =>
+        AudioCodec.dHash(s)
+      })
+    media.withColumn(hashCol, hash(col("kind"), col("bytes"))).drop("bytes")
+  }
+
+  /** Audio near-duplicate candidates: the SimHash pigeonhole banding
+    * over [[audioDHash]] envelope signatures — re-encoded, resampled
+    * or volume-scaled copies of a clip land within a few bits.
+    * Emits (idA, idB, hamming) on `media_id`. */
+  def audioNearDupCandidates(media: DataFrame, maxHamming: Int = 6,
+                             cleanChunks: Int = 2,
+                             maxBucketSize: Int = 100000): DataFrame = {
+    val sigs = audioDHash(media)
+      .filter(col("adhash").isNotNull)
+      .select(col("media_id").as("id"), col("adhash").as("sig"))
+    Dedup.simHashCandidatesFromSigs(sigs, maxHamming, cleanChunks,
+      maxBucketSize)
+  }
+
+  /** Deterministic synthetic WAV (16-bit PCM mono): a 440 Hz tone
+    * amplitude-stepped through 65 windows keyed by `seed` (splitmix64
+    * cells, floor 0.1 so no window is silent) — the audio analogue of
+    * [[syntheticImagePng]]: same seed at different sample rates
+    * decodes to near-identical envelope hashes, different seeds
+    * diverge by tens of bits. */
+  def syntheticWavPcm(seed: Int, rate: Float): Array[Byte] = {
+    val n = (rate * 1.3).toInt
+    val samples = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val w = i.toLong * 65 / n
+      var h = w * 0x9E3779B97F4A7C15L + seed * 0x165667B19E3779F9L
+      h ^= h >>> 30; h *= 0xBF58476D1CE4E5B9L
+      h ^= h >>> 27; h *= 0x94D049BB133111EBL
+      h ^= h >>> 31
+      val amp = 0.1 + 0.9 * ((h >>> 32) & 0xFF) / 255.0
+      samples(i) = amp * math.sin(2 * math.Pi * 440 * i / rate)
+      i += 1
+    }
+    val raw = new Array[Byte](n * 2)
+    i = 0
+    while (i < n) {
+      val v = math.max(-32768, math.min(32767, math.round(samples(i) * 32767).toInt))
+      raw(2 * i) = (v & 0xFF).toByte
+      raw(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   /** REAL image resize: decodable image payloads are re-encoded as

@@ -589,6 +589,37 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     Multimodal.imageDHash(media).columns should not contain "bytes"
   }
 
+  "audio perceptual dedup" should
+    "pair resampled copies by envelope dHash and skip different clips" in {
+    val a16 = Multimodal.syntheticWavPcm(seed = 1, rate = 16000f)
+    val a8 = Multimodal.syntheticWavPcm(seed = 1, rate = 8000f) // resampled copy
+    val b16 = Multimodal.syntheticWavPcm(seed = 9, rate = 16000f)
+    val media = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "audio", a16, Row(null, null, 16000, "wav")),
+        Row(2L, "audio", a8, Row(null, null, 8000, "wav")),
+        Row(3L, "audio", b16, Row(null, null, 16000, "wav")),
+        Row(4L, "audio", "notaudio".getBytes, Row(null, null, null, "raw")),
+        Row(5L, "image", "notanimage".getBytes, Row(null, null, null, "raw"))),
+      Multimodal.mediaSchema)
+    val hashes = Multimodal.audioDHash(media).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(r.length - 1)) None else Some(r.getLong(r.length - 1))))
+      .toMap
+    hashes(4L) shouldBe None // undecodable
+    hashes(5L) shouldBe None // wrong kind
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    ham(hashes(1L).get, hashes(2L).get) should be <= 6
+    ham(hashes(1L).get, hashes(3L).get) should be > 10
+    // volume scaling is invisible to the comparative envelope bits:
+    // decode, halve, re-hash → identical signature
+    val (samples, _) = Multimodal.AudioCodec.decode(a16).get
+    Multimodal.AudioCodec.dHash(samples.map(_ * 0.5)).get shouldBe hashes(1L).get
+    val pairs = Multimodal.audioNearDupCandidates(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs shouldBe Set((1L, 2L))
+  }
+
   private def wavBytes(samples: Array[Double], rate: Float): Array[Byte] = {
     val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
     val raw = new Array[Byte](samples.length * 2)
