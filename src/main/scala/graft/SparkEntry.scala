@@ -1813,6 +1813,35 @@ object SparkEntry {
       graft.pipeline.Multimodal.audioNearDupCandidates(media)
         .select(col("idA"), col("idB"))
     },
+    "q_video_neardup" -> { (s, d) =>
+      // video near-dup through the REAL MJPEG-AVI decode path:
+      // deterministic synthetic clips (doc_id%50 keys the 4-frame
+      // pattern set, parity picks 1x vs 2x frame duplication — the
+      // mean-grid clip hash is repeat-invariant), paired by the
+      // combination banding; pair set = same-pattern pairs, replayed
+      // as doc-id arithmetic
+      val dir = new java.io.File(tmpPath("avidir", d))
+      if (!new java.io.File(dir, "_DONE").exists()) {
+        dir.mkdirs()
+        val ids = t(s, d, "documents").select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+          .collect().map(_.getLong(0)) // 200 rows — bounded driver-side
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          new java.util.ArrayList()
+        ids.foreach { id =>
+          rows.add(org.apache.spark.sql.Row(id, "video",
+            graft.pipeline.Multimodal.syntheticMjpegAvi(
+              (id % 50).toInt, if (id % 2 == 0) 2 else 1),
+            org.apache.spark.sql.Row(48, 48, null, "avi")))
+        }
+        s.createDataFrame(rows, graft.pipeline.Multimodal.mediaSchema)
+          .write.mode("overwrite").parquet(new java.io.File(dir, "media").toString)
+        new java.io.File(dir, "_DONE").createNewFile()
+      }
+      val media = s.read.parquet(new java.io.File(dir, "media").toString)
+      graft.pipeline.Multimodal.videoNearDupCandidates(media)
+        .select(col("idA"), col("idB"))
+    },
     "q_ann_index_probe" -> { (s, d) => // rows-only: approximate by construction
       // steady-state cost of the persisted index: probe-only (the
       // sibling q_ann_index entry measures build+probe; this one
@@ -2279,6 +2308,11 @@ object SparkEntry {
         |  ON a.doc_id % 50 = b.doc_id % 50 AND a.doc_id < b.doc_id
         |WHERE a.doc_id < 200 AND b.doc_id < 200""".stripMargin,
     "q_audio_neardup" ->
+      """SELECT a.doc_id AS idA, b.doc_id AS idB
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id % 50 = b.doc_id % 50 AND a.doc_id < b.doc_id
+        |WHERE a.doc_id < 200 AND b.doc_id < 200""".stripMargin,
+    "q_video_neardup" ->
       """SELECT a.doc_id AS idA, b.doc_id AS idB
         |FROM documents a JOIN documents b
         |  ON a.doc_id % 50 = b.doc_id % 50 AND a.doc_id < b.doc_id

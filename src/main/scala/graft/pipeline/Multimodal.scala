@@ -354,6 +354,40 @@ object Multimodal {
       acc
     }
 
+    /** 64-bit clip hash: [[ImageCodec.dHash]]'s gradient bits over
+      * the TEMPORALLY-AVERAGED 9×8 luminance grid of the sampled
+      * frames — frame-rate/duplication robust (the mean grid of
+      * {a,a,b,b} equals that of {a,b}), and per-frame cost is one
+      * 9×8 downscale. */
+    def dHash(frames: Seq[java.awt.image.BufferedImage]): Long = {
+      val lum = Array.ofDim[Double](8, 9)
+      frames.foreach { f =>
+        val s = ImageCodec.resize(f, 9, 8)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 9) {
+            val rgb = s.getRGB(x, y)
+            lum(y)(x) += 0.299 * ((rgb >> 16) & 0xFF) +
+              0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+      }
+      var bits = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (lum(y)(x) > lum(y)(x + 1)) bits |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      bits
+    }
+
     /** Minimal MJPEG-in-AVI writer (round-trip tests, demos): RIFF →
       * hdrl (avih + one vids/MJPG strl) + movi with one `00dc` JPEG
       * chunk per frame. Sizes little-endian, chunks even-padded. */
@@ -528,6 +562,45 @@ object Multimodal {
       .select(col("media_id").as("id"), col("adhash").as("sig"))
     Dedup.simHashCandidatesFromSigs(sigs, maxHamming, cleanChunks,
       maxBucketSize)
+  }
+
+  /** Perceptual video signatures: each VIDEO payload the MJPEG-AVI
+    * walker can decode gets its clip-level [[VideoCodec.dHash]]
+    * (gradient bits of the temporally-averaged frame grid); bytes
+    * dropped, NULL for non-video/undecodable rows. Same UDF-
+    * projection contract as [[imageDHash]]. */
+  def videoDHash(media: DataFrame, hashCol: String = "vdhash"): DataFrame = {
+    require(!media.columns.contains(hashCol),
+      s"input already has a $hashCol column — rename it first")
+    val hash = udf((kind: String, bytes: Array[Byte]) =>
+      if (kind != "video" || bytes == null) Option.empty[Long]
+      else VideoCodec.decodeFrames(bytes).map(VideoCodec.dHash))
+    media.withColumn(hashCol, hash(col("kind"), col("bytes"))).drop("bytes")
+  }
+
+  /** Video near-duplicate candidates: the SimHash pigeonhole banding
+    * over [[videoDHash]] clip signatures — re-encoded or frame-rate-
+    * changed copies land within a few bits. Emits (idA, idB,
+    * hamming) on `media_id`. */
+  def videoNearDupCandidates(media: DataFrame, maxHamming: Int = 6,
+                             cleanChunks: Int = 2,
+                             maxBucketSize: Int = 100000): DataFrame = {
+    val sigs = videoDHash(media)
+      .filter(col("vdhash").isNotNull)
+      .select(col("media_id").as("id"), col("vdhash").as("sig"))
+    Dedup.simHashCandidatesFromSigs(sigs, maxHamming, cleanChunks,
+      maxBucketSize)
+  }
+
+  /** Deterministic synthetic MJPEG-AVI: four [[syntheticImagePng]]
+    * pattern frames keyed by `seed`, each written `repeat` times —
+    * the video analogue of the image/audio fixture generators (the
+    * mean frame grid is repeat-invariant, so the same seed at
+    * different frame counts hashes together). */
+  def syntheticMjpegAvi(seed: Int, repeat: Int): Array[Byte] = {
+    val base = (0 until 4).map(f =>
+      ImageCodec.decode(syntheticImagePng(48, seed * 8 + f)).get)
+    VideoCodec.encodeMjpegAvi(base.flatMap(img => Seq.fill(repeat)(img)))
   }
 
   /** Deterministic synthetic WAV (16-bit PCM mono): a 440 Hz tone

@@ -620,6 +620,34 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
     pairs shouldBe Set((1L, 2L))
   }
 
+  "video perceptual dedup" should
+    "pair frame-duplicated copies by clip dHash and skip different clips" in {
+    val a1 = Multimodal.syntheticMjpegAvi(seed = 1, repeat = 1)
+    val a2 = Multimodal.syntheticMjpegAvi(seed = 1, repeat = 2) // 2x frame rate
+    val b1 = Multimodal.syntheticMjpegAvi(seed = 9, repeat = 1)
+    val media = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "video", a1, Row(48, 48, null, "avi")),
+        Row(2L, "video", a2, Row(48, 48, null, "avi")),
+        Row(3L, "video", b1, Row(48, 48, null, "avi")),
+        Row(4L, "video", "notavideo".getBytes, Row(null, null, null, "raw")),
+        Row(5L, "image", "x".getBytes, Row(null, null, null, "raw"))),
+      Multimodal.mediaSchema)
+    val hashes = Multimodal.videoDHash(media).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(r.length - 1)) None else Some(r.getLong(r.length - 1))))
+      .toMap
+    hashes(4L) shouldBe None
+    hashes(5L) shouldBe None
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    // mean grid of {a,a,b,b,...} equals {a,b,...} — only JPEG noise left
+    ham(hashes(1L).get, hashes(2L).get) should be <= 6
+    ham(hashes(1L).get, hashes(3L).get) should be > 10
+    Multimodal.videoNearDupCandidates(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      Set((1L, 2L))
+  }
+
   private def wavBytes(samples: Array[Double], rate: Float): Array[Byte] = {
     val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
     val raw = new Array[Byte](samples.length * 2)
