@@ -158,6 +158,61 @@ object SparkEntry {
     s"${System.getProperty("java.io.tmpdir")}/graft_${prefix}_" +
       d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + CacheVersion
 
+  /** Build-once fixture guard: run `build` against `dir` only when
+    * its `_DONE` marker is absent (the reader/media entries' shared
+    * skeleton — the marker is written LAST, so a crashed build
+    * re-runs instead of half-reading). Returns the directory. */
+  private def buildOnce(prefix: String, d: String)
+                       (build: java.io.File => Unit): java.io.File = {
+    val dir = new java.io.File(tmpPath(prefix, d))
+    if (!new java.io.File(dir, "_DONE").exists()) {
+      dir.mkdirs()
+      build(dir)
+      new java.io.File(dir, "_DONE").createNewFile()
+    }
+    dir
+  }
+
+  /** Shared media-fixture writer for the perceptual near-dup
+    * entries: one synthetic payload per doc_id < 200 (bounded
+    * driver-side generation), persisted as parquet so the scan
+    * carries REAL size stats — signing straight off a driver list
+    * leaves every downstream estimate at the unknown-size default. */
+  private def mediaFixture(s: SparkSession, d: String, prefix: String)
+                          (payload: Long => (String, Array[Byte], org.apache.spark.sql.Row))
+      : DataFrame = {
+    val dir = buildOnce(prefix, d) { dir =>
+      val ids = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 200)
+        .collect().map(_.getLong(0))
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        new java.util.ArrayList()
+      ids.foreach { id =>
+        val (kind, bytes, meta) = payload(id)
+        rows.add(org.apache.spark.sql.Row(id, kind, bytes, meta))
+      }
+      s.createDataFrame(rows, graft.pipeline.Multimodal.mediaSchema)
+        .write.mode("overwrite")
+        .parquet(new java.io.File(dir, "media").toString)
+    }
+    s.read.parquet(new java.io.File(dir, "media").toString)
+  }
+
+  /** Nation serialized as one Turtle document per region — the shared
+    * payload of the whole-file reader fixtures (plain and
+    * compressed). 25 rows, bounded driver-side. */
+  private def nationTurtleByRegion(s: SparkSession, d: String): Map[String, String] =
+    t(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey")
+      .collect()
+      .groupBy(_.get(2).toString).map { case (rk, rs) =>
+        val sb = new StringBuilder("@prefix p: <urn:p:> .\n")
+        rs.foreach { r =>
+          sb.append(s"""<urn:n:${r.get(0)}> p:nname "${r.getString(1)}" ;""")
+          sb.append(s" p:region <urn:r:$rk> .\n")
+        }
+        rk -> sb.toString
+      }
+
   /** Build-once-per-dataset dictionary-encoded store (tmp dir keyed by
     * the data dir, same reuse pattern as the ANN index entries). */
   private def dictStore(s: SparkSession, d: String): graft.io.DictStore = {
@@ -218,21 +273,11 @@ object SparkEntry {
       // serialized once as one Turtle file per region (5 files, cached
       // in tmp like the other build-once artifacts), read back
       // one-file-per-task and flattened to lexicals for the oracle.
-      val dir = new java.io.File(tmpPath("ttldir", d))
-      if (!new java.io.File(dir, "_DONE").exists()) {
-        dir.mkdirs()
-        t(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey")
-          .collect() // 25 rows — bounded driver-side serialization
-          .groupBy(_.get(2).toString).foreach { case (rk, rs) =>
-            val sb = new StringBuilder("@prefix p: <urn:p:> .\n")
-            rs.foreach { r =>
-              sb.append(s"""<urn:n:${r.get(0)}> p:nname "${r.getString(1)}" ;""")
-              sb.append(s" p:region <urn:r:$rk> .\n")
-            }
-            java.nio.file.Files.writeString(
-              new java.io.File(dir, s"region_$rk.ttl").toPath, sb.toString)
-          }
-        new java.io.File(dir, "_DONE").createNewFile()
+      val dir = buildOnce("ttldir", d) { dir =>
+        nationTurtleByRegion(s, d).foreach { case (rk, ttl) =>
+          java.nio.file.Files.writeString(
+            new java.io.File(dir, s"region_$rk.ttl").toPath, ttl)
+        }
       }
       val quads = graft.io.QuadsIO.readFiles(s, dir.toString)
       quads.select(col("s").getField("lex").as("s"),
@@ -244,9 +289,7 @@ object SparkEntry {
       // region quads in the default graph — read back one-file-per-task
       // and flattened to lexicals (TPC-H nation names are [A-Z ]+, so
       // no XML escaping is needed when serializing the fixture).
-      val dir = new java.io.File(tmpPath("trixdir", d))
-      if (!new java.io.File(dir, "_DONE").exists()) {
-        dir.mkdirs()
+      val dir = buildOnce("trixdir", d) { dir =>
         t(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey")
           .collect() // 25 rows — bounded driver-side serialization
           .groupBy(_.get(2).toString).foreach { case (rk, rs) =>
@@ -263,7 +306,6 @@ object SparkEntry {
             java.nio.file.Files.writeString(
               new java.io.File(dir, s"region_$rk.trix").toPath, sb.toString)
           }
-        new java.io.File(dir, "_DONE").createNewFile()
       }
       val quads = graft.io.QuadsIO.readFiles(s, dir.toString)
       quads.select(col("s").getField("lex").as("s"),
@@ -275,9 +317,7 @@ object SparkEntry {
       // per region (subject → predicate → value-object arrays; the
       // format is triples-only), read back one-file-per-task. TPC-H
       // nation names are [A-Z ]+ — no JSON escaping needed.
-      val dir = new java.io.File(tmpPath("rjdir", d))
-      if (!new java.io.File(dir, "_DONE").exists()) {
-        dir.mkdirs()
+      val dir = buildOnce("rjdir", d) { dir =>
         t(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey")
           .collect() // 25 rows — bounded driver-side serialization
           .groupBy(_.get(2).toString).foreach { case (rk, rs) =>
@@ -291,7 +331,6 @@ object SparkEntry {
               new java.io.File(dir, s"region_$rk.rj").toPath,
               subjects.mkString("{\n", ",\n", "\n}\n"))
           }
-        new java.io.File(dir, "_DONE").createNewFile()
       }
       graft.io.QuadsIO.readFiles(s, dir.toString)
         .select(col("s").getField("lex").as("s"),
@@ -303,32 +342,22 @@ object SparkEntry {
       // but each region's Turtle file under a DIFFERENT codec —
       // gz/bz2/zst/deflate/xz in one mixed directory, decoded
       // per-file on executors, one hash-checked result
-      val dir = new java.io.File(tmpPath("ttlcompdir", d))
-      if (!new java.io.File(dir, "_DONE").exists()) {
-        dir.mkdirs()
+      val dir = buildOnce("ttlcompdir", d) { dir =>
         val codecs = Array("gz", "bz2", "zst", "deflate", "xz")
-        t(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey")
-          .collect() // 25 rows — bounded driver-side serialization
-          .groupBy(_.get(2).toString).foreach { case (rk, rs) =>
-            val sb = new StringBuilder("@prefix p: <urn:p:> .\n")
-            rs.foreach { r =>
-              sb.append(s"""<urn:n:${r.get(0)}> p:nname "${r.getString(1)}" ;""")
-              sb.append(s" p:region <urn:r:$rk> .\n")
-            }
-            val ext = codecs(rk.toInt % codecs.length)
-            import org.apache.commons.compress.compressors
-            val f = new java.io.FileOutputStream(
-              new java.io.File(dir, s"region_$rk.ttl.$ext"))
-            val out = ext match {
-              case "gz" => new compressors.gzip.GzipCompressorOutputStream(f)
-              case "bz2" => new compressors.bzip2.BZip2CompressorOutputStream(f)
-              case "zst" => new compressors.zstandard.ZstdCompressorOutputStream(f)
-              case "deflate" => new compressors.deflate.DeflateCompressorOutputStream(f)
-              case "xz" => new compressors.xz.XZCompressorOutputStream(f)
-            }
-            out.write(sb.toString.getBytes("UTF-8")); out.close()
+        nationTurtleByRegion(s, d).foreach { case (rk, ttl) =>
+          val ext = codecs(rk.toInt % codecs.length)
+          import org.apache.commons.compress.compressors
+          val f = new java.io.FileOutputStream(
+            new java.io.File(dir, s"region_$rk.ttl.$ext"))
+          val out = ext match {
+            case "gz" => new compressors.gzip.GzipCompressorOutputStream(f)
+            case "bz2" => new compressors.bzip2.BZip2CompressorOutputStream(f)
+            case "zst" => new compressors.zstandard.ZstdCompressorOutputStream(f)
+            case "deflate" => new compressors.deflate.DeflateCompressorOutputStream(f)
+            case "xz" => new compressors.xz.XZCompressorOutputStream(f)
           }
-        new java.io.File(dir, "_DONE").createNewFile()
+          out.write(ttl.getBytes("UTF-8")); out.close()
+        }
       }
       graft.io.QuadsIO.readFiles(s, dir.toString)
         .select(col("s").getField("lex").as("s"),
@@ -1761,25 +1790,11 @@ object SparkEntry {
       // entries) so the scan carries REAL size stats — signing media
       // straight off a driver-built RDD leaves every downstream
       // estimate at the unknown-size default
-      val dir = new java.io.File(tmpPath("imgdir", d))
-      if (!new java.io.File(dir, "_DONE").exists()) {
-        dir.mkdirs()
-        val ids = t(s, d, "documents").select(col("doc_id"))
-          .filter(col("doc_id") < 200)
-          .collect().map(_.getLong(0)) // 200 rows — bounded driver-side
-        val rows: java.util.List[org.apache.spark.sql.Row] =
-          new java.util.ArrayList()
-        ids.foreach { id =>
-          rows.add(org.apache.spark.sql.Row(id, "image",
-            graft.pipeline.Multimodal.syntheticImagePng(
-              if (id % 2 == 0) 64 else 32, (id % 50).toInt),
-            org.apache.spark.sql.Row(null, null, null, "png")))
-        }
-        s.createDataFrame(rows, graft.pipeline.Multimodal.mediaSchema)
-          .write.mode("overwrite").parquet(new java.io.File(dir, "media").toString)
-        new java.io.File(dir, "_DONE").createNewFile()
+      val media = mediaFixture(s, d, "imgdir") { id =>
+        ("image", graft.pipeline.Multimodal.syntheticImagePng(
+          if (id % 2 == 0) 64 else 32, (id % 50).toInt),
+          org.apache.spark.sql.Row(null, null, null, "png"))
       }
-      val media = s.read.parquet(new java.io.File(dir, "media").toString)
       graft.pipeline.Multimodal.imageNearDupCandidates(media)
         .select(col("idA"), col("idB"))
     },
@@ -1791,25 +1806,11 @@ object SparkEntry {
       // the comparative envelope dHash, paired by the combination
       // banding; pair set = same-envelope pairs, replayed by the
       // oracle as doc-id arithmetic
-      val dir = new java.io.File(tmpPath("wavdir", d))
-      if (!new java.io.File(dir, "_DONE").exists()) {
-        dir.mkdirs()
-        val ids = t(s, d, "documents").select(col("doc_id"))
-          .filter(col("doc_id") < 200)
-          .collect().map(_.getLong(0)) // 200 rows — bounded driver-side
-        val rows: java.util.List[org.apache.spark.sql.Row] =
-          new java.util.ArrayList()
-        ids.foreach { id =>
-          val rate = if (id % 2 == 0) 16000f else 8000f
-          rows.add(org.apache.spark.sql.Row(id, "audio",
-            graft.pipeline.Multimodal.syntheticWavPcm((id % 50).toInt, rate),
-            org.apache.spark.sql.Row(null, null, rate.toInt, "wav")))
-        }
-        s.createDataFrame(rows, graft.pipeline.Multimodal.mediaSchema)
-          .write.mode("overwrite").parquet(new java.io.File(dir, "media").toString)
-        new java.io.File(dir, "_DONE").createNewFile()
+      val media = mediaFixture(s, d, "wavdir") { id =>
+        val rate = if (id % 2 == 0) 16000f else 8000f
+        ("audio", graft.pipeline.Multimodal.syntheticWavPcm((id % 50).toInt, rate),
+          org.apache.spark.sql.Row(null, null, rate.toInt, "wav"))
       }
-      val media = s.read.parquet(new java.io.File(dir, "media").toString)
       graft.pipeline.Multimodal.audioNearDupCandidates(media)
         .select(col("idA"), col("idB"))
     },
@@ -1820,25 +1821,11 @@ object SparkEntry {
       // mean-grid clip hash is repeat-invariant), paired by the
       // combination banding; pair set = same-pattern pairs, replayed
       // as doc-id arithmetic
-      val dir = new java.io.File(tmpPath("avidir", d))
-      if (!new java.io.File(dir, "_DONE").exists()) {
-        dir.mkdirs()
-        val ids = t(s, d, "documents").select(col("doc_id"))
-          .filter(col("doc_id") < 200)
-          .collect().map(_.getLong(0)) // 200 rows — bounded driver-side
-        val rows: java.util.List[org.apache.spark.sql.Row] =
-          new java.util.ArrayList()
-        ids.foreach { id =>
-          rows.add(org.apache.spark.sql.Row(id, "video",
-            graft.pipeline.Multimodal.syntheticMjpegAvi(
-              (id % 50).toInt, if (id % 2 == 0) 2 else 1),
-            org.apache.spark.sql.Row(48, 48, null, "avi")))
-        }
-        s.createDataFrame(rows, graft.pipeline.Multimodal.mediaSchema)
-          .write.mode("overwrite").parquet(new java.io.File(dir, "media").toString)
-        new java.io.File(dir, "_DONE").createNewFile()
+      val media = mediaFixture(s, d, "avidir") { id =>
+        ("video", graft.pipeline.Multimodal.syntheticMjpegAvi(
+          (id % 50).toInt, if (id % 2 == 0) 2 else 1),
+          org.apache.spark.sql.Row(48, 48, null, "avi"))
       }
-      val media = s.read.parquet(new java.io.File(dir, "media").toString)
       graft.pipeline.Multimodal.videoNearDupCandidates(media)
         .select(col("idA"), col("idB"))
     },

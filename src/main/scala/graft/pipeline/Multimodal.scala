@@ -500,20 +500,42 @@ object Multimodal {
     * ImageIO cannot decode get a NULL hash — a perceptual key from
     * stub features would fabricate visual similarity where none was
     * measured. */
-  def imageDHash(media: DataFrame, hashCol: String = "dhash"): DataFrame = {
+  /** Shared signing pass for the perceptual family: a UDF projection
+    * (NOT the mapPartitions RDD hop the feature extractors use —
+    * decode is JVM-imperative either way, but the hop would erase
+    * the source's size statistics and leave every downstream
+    * estimate, including the banded join's deliberately-broadcast
+    * over-cap bucket list, at the unknown-size default). Rows of the
+    * wrong kind or with payloads the decoder rejects get a NULL hash
+    * — a perceptual key from stub features would fabricate
+    * similarity where none was measured; bytes are dropped (sign
+    * early, carry 8 bytes — raw media never shuffles after decode). */
+  private def perceptualHash(media: DataFrame, kind: String,
+                             hashCol: String,
+                             f: Array[Byte] => Option[Long]): DataFrame = {
     require(!media.columns.contains(hashCol),
       s"input already has a $hashCol column — rename it first")
-    // a UDF projection, NOT the mapPartitions RDD hop the feature
-    // extractors use: decode is JVM-imperative either way (ImageIO
-    // dominates; codegen is irrelevant), but the RDD hop would erase
-    // the source's size statistics and leave every downstream
-    // estimate — including the banded join's deliberately-broadcast
-    // over-cap bucket list — at the unknown-size default
-    val hash = udf((kind: String, bytes: Array[Byte]) =>
-      if (kind != "image" || bytes == null) Option.empty[Long]
-      else ImageCodec.decode(bytes).map(ImageCodec.dHash))
+    val hash = udf((k: String, bytes: Array[Byte]) =>
+      if (k != kind || bytes == null) Option.empty[Long] else f(bytes))
     media.withColumn(hashCol, hash(col("kind"), col("bytes"))).drop("bytes")
   }
+
+  /** Shared candidate stage: the SimHash pigeonhole combination
+    * banding ([[Dedup.simHashCandidatesFromSigs]] — certain recall
+    * within the Hamming radius, bounded buckets, never all-pairs)
+    * over a signed media frame. Emits (idA, idB, hamming) on
+    * `media_id`; NULL hashes are excluded. */
+  private def nearDupFromHashes(hashed: DataFrame, hashCol: String,
+                                maxHamming: Int, cleanChunks: Int,
+                                maxBucketSize: Int): DataFrame =
+    Dedup.simHashCandidatesFromSigs(
+      hashed.filter(col(hashCol).isNotNull)
+        .select(col("media_id").as("id"), col(hashCol).as("sig")),
+      maxHamming, cleanChunks, maxBucketSize)
+
+  def imageDHash(media: DataFrame, hashCol: String = "dhash"): DataFrame =
+    perceptualHash(media, "image", hashCol,
+      bytes => ImageCodec.decode(bytes).map(ImageCodec.dHash))
 
   /** Image near-duplicate candidates over the perceptual hashes: the
     * SAME pigeonhole combination-banding as the text SimHash dedup
@@ -526,29 +548,20 @@ object Multimodal {
     * recompression without flooding verify. */
   def imageNearDupCandidates(media: DataFrame, maxHamming: Int = 6,
                              cleanChunks: Int = 2,
-                             maxBucketSize: Int = 100000): DataFrame = {
-    val sigs = imageDHash(media)
-      .filter(col("dhash").isNotNull)
-      .select(col("media_id").as("id"), col("dhash").as("sig"))
-    Dedup.simHashCandidatesFromSigs(sigs, maxHamming, cleanChunks,
+                             maxBucketSize: Int = 100000): DataFrame =
+    nearDupFromHashes(imageDHash(media), "dhash", maxHamming, cleanChunks,
       maxBucketSize)
-  }
 
   /** Perceptual audio signatures: each AUDIO payload the JDK can
     * decode gets its 64-bit [[AudioCodec.dHash]] envelope hash; bytes
     * dropped, NULL for non-audio/undecodable/too-short rows — the
     * same sign-early, UDF-projection contract as [[imageDHash]]
     * (stats survive for the banded join downstream). */
-  def audioDHash(media: DataFrame, hashCol: String = "adhash"): DataFrame = {
-    require(!media.columns.contains(hashCol),
-      s"input already has a $hashCol column — rename it first")
-    val hash = udf((kind: String, bytes: Array[Byte]) =>
-      if (kind != "audio" || bytes == null) Option.empty[Long]
-      else AudioCodec.decode(bytes).flatMap { case (s, _) =>
-        AudioCodec.dHash(s)
+  def audioDHash(media: DataFrame, hashCol: String = "adhash"): DataFrame =
+    perceptualHash(media, "audio", hashCol,
+      bytes => AudioCodec.decode(bytes).flatMap { case (samples, _) =>
+        AudioCodec.dHash(samples)
       })
-    media.withColumn(hashCol, hash(col("kind"), col("bytes"))).drop("bytes")
-  }
 
   /** Audio near-duplicate candidates: the SimHash pigeonhole banding
     * over [[audioDHash]] envelope signatures — re-encoded, resampled
@@ -556,27 +569,18 @@ object Multimodal {
     * Emits (idA, idB, hamming) on `media_id`. */
   def audioNearDupCandidates(media: DataFrame, maxHamming: Int = 6,
                              cleanChunks: Int = 2,
-                             maxBucketSize: Int = 100000): DataFrame = {
-    val sigs = audioDHash(media)
-      .filter(col("adhash").isNotNull)
-      .select(col("media_id").as("id"), col("adhash").as("sig"))
-    Dedup.simHashCandidatesFromSigs(sigs, maxHamming, cleanChunks,
+                             maxBucketSize: Int = 100000): DataFrame =
+    nearDupFromHashes(audioDHash(media), "adhash", maxHamming, cleanChunks,
       maxBucketSize)
-  }
 
   /** Perceptual video signatures: each VIDEO payload the MJPEG-AVI
     * walker can decode gets its clip-level [[VideoCodec.dHash]]
     * (gradient bits of the temporally-averaged frame grid); bytes
     * dropped, NULL for non-video/undecodable rows. Same UDF-
     * projection contract as [[imageDHash]]. */
-  def videoDHash(media: DataFrame, hashCol: String = "vdhash"): DataFrame = {
-    require(!media.columns.contains(hashCol),
-      s"input already has a $hashCol column — rename it first")
-    val hash = udf((kind: String, bytes: Array[Byte]) =>
-      if (kind != "video" || bytes == null) Option.empty[Long]
-      else VideoCodec.decodeFrames(bytes).map(VideoCodec.dHash))
-    media.withColumn(hashCol, hash(col("kind"), col("bytes"))).drop("bytes")
-  }
+  def videoDHash(media: DataFrame, hashCol: String = "vdhash"): DataFrame =
+    perceptualHash(media, "video", hashCol,
+      bytes => VideoCodec.decodeFrames(bytes).map(VideoCodec.dHash))
 
   /** Video near-duplicate candidates: the SimHash pigeonhole banding
     * over [[videoDHash]] clip signatures — re-encoded or frame-rate-
@@ -584,13 +588,9 @@ object Multimodal {
     * hamming) on `media_id`. */
   def videoNearDupCandidates(media: DataFrame, maxHamming: Int = 6,
                              cleanChunks: Int = 2,
-                             maxBucketSize: Int = 100000): DataFrame = {
-    val sigs = videoDHash(media)
-      .filter(col("vdhash").isNotNull)
-      .select(col("media_id").as("id"), col("vdhash").as("sig"))
-    Dedup.simHashCandidatesFromSigs(sigs, maxHamming, cleanChunks,
+                             maxBucketSize: Int = 100000): DataFrame =
+    nearDupFromHashes(videoDHash(media), "vdhash", maxHamming, cleanChunks,
       maxBucketSize)
-  }
 
   /** Deterministic synthetic MJPEG-AVI: four [[syntheticImagePng]]
     * pattern frames keyed by `seed`, each written `repeat` times —

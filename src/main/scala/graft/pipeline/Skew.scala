@@ -58,15 +58,19 @@ object Skew {
     * ("a", NULL), (NULL, "a") and ("a") all collapse to "a" — their
     * pooled count could spuriously flag a cold key as hot and inflate
     * replication (safe direction, but wasteful). Numeric/temporal
-    * casts never emit \u0000, but a STRING key column passes through
-    * cast unchanged and may contain raw NULs, so every \u0000 in a
-    * value is escaped as \u0000e before the \u0000n… NULL sentinel
-    * is applied — the encoding stays injective and the sentinel stays
-    * unforgeable for every input type. */
+    * casts never emit control characters, but a STRING key column
+    * passes through cast unchanged, so both metacharacters are
+    * escaped in each value — \u0000 as \u0000e, and the \u0001
+    * separator as \u0000s — before the \u0000n… NULL sentinel is
+    * applied. The encoding is injective for every input type: no
+    * raw separator survives inside a component, and nothing can
+    * forge the NUL-'n' sentinel. */
   private def keyString(keys: Seq[String]): Column =
     concat_ws("\u0001", keys.map(k =>
       coalesce(
-        regexp_replace(col(k).cast("string"), "\u0000", "\u0000e"),
+        regexp_replace(
+          regexp_replace(col(k).cast("string"), "\u0000", "\u0000e"),
+          "\u0001", "\u0000s"),
         lit("\u0000null"))): _*)
 
   /** Detect hot join keys in ONE bounded-state pass: a Space-Saving

@@ -48,7 +48,12 @@ object ExchangeBudget {
       java.nio.charset.StandardCharsets.UTF_8)
     new Json.JsonReader(text).parseDocument() match {
       case Json.JObj(fields) => fields.map {
-        case (k, Json.JNum(raw)) => k -> raw.toInt
+        case (k, Json.JNum(raw)) =>
+          k -> (try raw.toInt
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"budget entry '$k': expected an integer, got $raw")
+          })
         case (k, other) => throw new IllegalArgumentException(
           s"budget entry '$k': expected a number, got $other")
       }.toMap
@@ -80,9 +85,13 @@ object ExchangeBudget {
   }
 
   /** Render counts as the budget-file format (sorted, one entry per
-    * line — diffs review cleanly). */
+    * line — diffs review cleanly). Lint-crash markers (negative
+    * counts) are SKIPPED, never baked in as ceilings: a -1 baseline
+    * would flag the entry forever once the crash is fixed, and hide
+    * it meanwhile — the entry instead shows up `unbudgeted` on the
+    * next clean run, forcing a real re-baseline. */
   def render(counts: Map[String, Int]): String =
-    counts.toSeq.sortBy(_._1)
+    counts.toSeq.filter(_._2 >= 0).sortBy(_._1)
       .map { case (k, v) => s"""  "$k": $v""" }
       .mkString("{\n", ",\n", "\n}\n")
 }

@@ -127,7 +127,9 @@ object StreamingOps {
     * stream's output into `corpusFps` and restarting the query, the
     * same swap discipline as [[nearDupStream]]'s signature table.
     * `idCol` must be an integral or string column (the id round-trips
-    * through state in string form — the [[funnelStream]] contract). */
+    * through state in string form — the [[funnelStream]] contract);
+    * rows with a NULL id are dropped — an id-less document cannot
+    * claim first-occurrence identity. */
   def paragraphDedupStream(docs: DataFrame, idCol: String, textCol: String,
                            corpusFps: Option[DataFrame] = None,
                            splitRe: String = "\n{2,}"): DataFrame = {
@@ -144,7 +146,13 @@ object StreamingOps {
           "only integral/string ids round-trip exactly through " +
           "streaming state — cast or hash the id upstream")
     }
+    // NULL-id rows are dropped LOUDLY-documented rather than crashed
+    // on: an id-less document cannot claim first-occurrence identity
+    // (the batch contract already requires a unique orderable id),
+    // and a null inside the state operator's minBy would NPE and
+    // kill the whole query on the first dirty row
     val meta = docs
+      .filter(col(idCol).isNotNull)
       .select(col(idCol), posexplode(split(col(textCol), splitRe))
         .as(Seq("pos", "para")))
       .filter(trim(col("para")) =!= "")

@@ -57,9 +57,17 @@ class ExchangeBudgetSpec extends AnyFlatSpec with Matchers {
     val f = java.nio.file.Files.createTempFile("graft-budget", ".json")
     java.nio.file.Files.writeString(f, ExchangeBudget.render(counts))
     ExchangeBudget.load(f) shouldBe counts
-    // malformed values are loud, not zero
-    java.nio.file.Files.writeString(f, """{"q_a": "two"}""")
-    an[IllegalArgumentException] should be thrownBy ExchangeBudget.load(f)
+    // a lint-crash marker must never bake into the baseline as a
+    // ceiling — once the crash is fixed the entry would flag forever
+    java.nio.file.Files.writeString(f,
+      ExchangeBudget.render(counts + ("q_crashed" -> -1)))
+    ExchangeBudget.load(f) shouldBe counts
+    // malformed values are loud AND name the entry, not zero/raw NFE
+    for (bad <- Seq("""{"q_a": "two"}""", """{"q_a": 3.5}""")) {
+      java.nio.file.Files.writeString(f, bad)
+      (the[IllegalArgumentException] thrownBy ExchangeBudget.load(f))
+        .getMessage should include("q_a")
+    }
   }
 
   "exchange_budget.json" should "cover exactly the current battery" in {

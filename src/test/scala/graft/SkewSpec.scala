@@ -73,6 +73,24 @@ class SkewSpec extends AnyFlatSpec with Matchers {
     Skew.detectHotKeys(two, Seq("k", "k2"), 64, 0.1) shouldBe Seq("1\u0001x")
   }
 
+  it should "not pool composite string keys containing the metacharacters" in {
+    // ("a\u0001b","c") and ("a","b\u0001c") must encode to DIFFERENT
+    // key strings (the raw separator is escaped), and a literal
+    // "\u0000null" string must not collide with a NULL key — either
+    // collision pools counts and can spuriously flag cold keys hot
+    import spark.implicits._
+    val tricky = (
+      Seq.fill(40)(("a\u0001b", "c")) ++ Seq.fill(40)(("a", "b\u0001c")) ++
+        Seq.fill(40)(("\u0000null", "z")) ++
+        Seq.fill(40)((null.asInstanceOf[String], "z")) ++
+        (1 to 800).map(i => (s"cold$i", "w"))
+    ).toDF("k1", "k2")
+    // each tricky key holds ~4.2% — below a 6% floor — so ANY hot
+    // report means two of them pooled into one encoded key
+    Skew.detectHotKeys(tricky, Seq("k1", "k2"), m = 64,
+      minShare = 0.06) shouldBe empty
+  }
+
   "skewAwareJoin" should "equal the plain inner and left joins" in {
     for (jt <- Seq("inner", "left")) {
       multiset(Skew.skewAwareJoin(fact, dim, Seq("k"), salts = 8,

@@ -72,6 +72,25 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
     } finally q.stop()
   }
 
+  it should "drop NULL-id documents instead of killing the query" in {
+    // a dirty row with no id cannot claim first-occurrence identity;
+    // before the guard it NPE'd inside the state operator's minBy and
+    // terminated the whole stream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val out = StreamingOps.paragraphDedupStream(
+      input.toDF.toDF("doc_id", "text"), "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("para_nullid_out")
+      .outputMode("append").start()
+    try {
+      input.addData((null.asInstanceOf[String], "orphan para"), ("d1", "kept"))
+      q.processAllAvailable() // must not throw
+      spark.table("para_nullid_out").collect()
+        .map(r => (r.getString(0), r.getString(2))).toSet shouldBe
+        Set(("d1", "kept"))
+    } finally q.stop()
+  }
+
   it should "agree with the batch operator on randomized batched corpora" in {
     // seeded differential: random documents built from a small
     // paragraph pool (forcing corpus, cross-batch and within-batch
