@@ -592,6 +592,49 @@ object Multimodal {
     nearDupFromHashes(videoDHash(media), "vdhash", maxHamming, cleanChunks,
       maxBucketSize)
 
+  /** Persistable perceptual signature table `(id, sig)` for a media
+    * corpus — every decodable image/audio/video row signed with its
+    * kind's dHash in ONE pass (NULL-hash rows excluded). Sign the
+    * corpus once, persist, and incremental batches dedup against it
+    * with [[mediaNearDupAgainst]] without re-decoding a byte of
+    * corpus media — the media analogue of
+    * [[Dedup.simHashSignTable]]. */
+  def mediaSignTable(media: DataFrame): DataFrame = {
+    val hash = udf((kind: String, bytes: Array[Byte]) =>
+      if (bytes == null) Option.empty[Long]
+      else kind match {
+        case "image" => ImageCodec.decode(bytes).map(ImageCodec.dHash)
+        case "audio" => AudioCodec.decode(bytes)
+          .flatMap { case (s, _) => AudioCodec.dHash(s) }
+        case "video" => VideoCodec.decodeFrames(bytes).map(VideoCodec.dHash)
+        case _ => Option.empty[Long]
+      })
+    media.select(col("media_id").as("id"), col("kind"),
+        hash(col("kind"), col("bytes")).as("sig"))
+      .filter(col("sig").isNotNull)
+  }
+
+  /** Incremental media near-dup: perceptual pairs BETWEEN a new batch
+    * and a persisted signed corpus ([[mediaSignTable]]) — kinds are
+    * compared only with themselves (an image hash and an audio hash
+    * sharing bits is noise, not similarity). Same batch-not-corpus
+    * scaling as the text incrementals: corpus key rows prune against
+    * the broadcast batch key set before any pair generation. Emits
+    * (kind, idNew, idCorpus, hamming). */
+  def mediaNearDupAgainst(corpusSigs: DataFrame, batch: DataFrame,
+                          maxHamming: Int = 6, cleanChunks: Int = 2,
+                          maxBucketSize: Int = 100000): DataFrame = {
+    val batchSigs = mediaSignTable(batch)
+    Seq("image", "audio", "video").map { kind =>
+      Dedup.simHashCandidatesAgainstSigs(
+        batchSigs.filter(col("kind") === kind).drop("kind"),
+        corpusSigs.filter(col("kind") === kind).drop("kind"),
+        maxHamming, cleanChunks, maxBucketSize)
+        .withColumn("kind", lit(kind))
+    }.reduce(_ unionByName _)
+      .select(col("kind"), col("idNew"), col("idCorpus"), col("hamming"))
+  }
+
   /** Deterministic synthetic MJPEG-AVI: four [[syntheticImagePng]]
     * pattern frames keyed by `seed`, each written `repeat` times —
     * the video analogue of the image/audio fixture generators (the

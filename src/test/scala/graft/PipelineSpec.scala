@@ -648,6 +648,32 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
       Set((1L, 2L))
   }
 
+  "incremental media near-dup" should
+    "pair batch media against the signed corpus per kind only" in {
+    val corpus = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "image", Multimodal.syntheticImagePng(64, 1), Row(64, 64, null, "png")),
+        Row(2L, "audio", Multimodal.syntheticWavPcm(2, 16000f), Row(null, null, 16000, "wav")),
+        Row(3L, "video", Multimodal.syntheticMjpegAvi(3, 1), Row(48, 48, null, "avi"))),
+      Multimodal.mediaSchema)
+    val sigs = Multimodal.mediaSignTable(corpus)
+    sigs.count() shouldBe 3 // every kind signed in one pass
+    // batch: a rescaled copy of corpus image 1, a resampled copy of
+    // corpus audio 2, a frame-doubled copy of corpus clip 3, plus a
+    // fresh image nothing matches
+    val batch = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(10L, "image", Multimodal.syntheticImagePng(32, 1), Row(32, 32, null, "png")),
+        Row(11L, "audio", Multimodal.syntheticWavPcm(2, 8000f), Row(null, null, 8000, "wav")),
+        Row(12L, "video", Multimodal.syntheticMjpegAvi(3, 2), Row(48, 48, null, "avi")),
+        Row(13L, "image", Multimodal.syntheticImagePng(64, 40), Row(64, 64, null, "png"))),
+      Multimodal.mediaSchema)
+    val pairs = Multimodal.mediaNearDupAgainst(sigs, batch)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    pairs shouldBe Set(("image", 10L, 1L), ("audio", 11L, 2L),
+      ("video", 12L, 3L))
+  }
+
   private def wavBytes(samples: Array[Double], rate: Float): Array[Byte] = {
     val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
     val raw = new Array[Byte](samples.length * 2)
