@@ -337,6 +337,28 @@ object Dedup {
       .select(col("idNew"), col("idCorpus"), col("jaccard"))
   }
 
+  /** Stream-safe [[simHashCandidatesAgainstSigs]]: the new side's
+    * combination keys explode MAP-SIDE (no checkpoint, no state) and
+    * stream-static-join the capped static corpus keys. A pair within
+    * the radius surfaces once PER AGREEING COMBINATION KEY (up to
+    * C(maxHamming+cleanChunks, cleanChunks) times) — stateless
+    * streams cannot dedup pairs; collapse downstream with a
+    * watermarked dropDuplicates or in foreachBatch, the
+    * [[minHashCandidatesAgainstStream]] contract. */
+  private[graft] def simHashCandidatesAgainstStream(
+      newSigs: DataFrame, corpusSigs: DataFrame, maxHamming: Int = 6,
+      cleanChunks: Int = 2, maxBucketSize: Int = 100000): DataFrame = {
+    val nk = simHashKeys(newSigs, maxHamming, cleanChunks)
+      .select(col("k"), col("id").as("idNew"), col("sig").as("sigA"))
+    val ck = capBuckets(simHashKeys(corpusSigs, maxHamming, cleanChunks),
+      Seq("k"), maxBucketSize)
+      .select(col("k"), col("id").as("idCorpus"), col("sig").as("sigB"))
+    nk.join(ck, Seq("k"))
+      .withColumn("hamming", bit_count(col("sigA").bitwiseXOR(col("sigB"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("idNew"), col("idCorpus"), col("hamming"))
+  }
+
   /** 64-bit SimHash over word tokens (unit weights): bit b of the
     * signature is 1 iff the sum over tokens of ±1 (sign of that
     * token's hash bit b) is positive. */

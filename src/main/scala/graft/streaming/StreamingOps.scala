@@ -98,6 +98,35 @@ object StreamingOps {
       Dedup.minHashSignTable(docs, idCol, textCol, numHashes, shingleK),
       corpusSigs, numHashes, bands, threshold)
 
+  /** Streaming media near-dup against a persisted signed corpus —
+    * the perceptual face of [[nearDupStream]]: each micro-batch of
+    * media rows is signed MAP-SIDE with its kind's dHash
+    * ([[graft.pipeline.Multimodal.mediaSignTable]] — a stateless UDF
+    * projection; bytes never leave the batch), and the signatures
+    * stream-static-join the corpus table per kind (an image hash and
+    * an audio hash sharing bits is noise, not similarity). Output
+    * rows are (kind, idNew, idCorpus, hamming) — NOTE a pair
+    * surfaces once PER AGREEING COMBINATION KEY (up to
+    * C(maxHamming+cleanChunks, cleanChunks) times): stateless
+    * streams cannot dedup pairs; collapse with a watermarked
+    * dropDuplicates or in foreachBatch before counting, the
+    * [[nearDupStream]] contract. The corpus table comes from
+    * `Multimodal.mediaSignTable`, persisted once; re-sign and swap
+    * to pick up corpus growth. */
+  def mediaNearDupStream(media: DataFrame, corpusSigs: DataFrame,
+                         maxHamming: Int = 6, cleanChunks: Int = 2,
+                         maxBucketSize: Int = 100000): DataFrame = {
+    val batchSigs = graft.pipeline.Multimodal.mediaSignTable(media)
+    Seq("image", "audio", "video").map { kind =>
+      Dedup.simHashCandidatesAgainstStream(
+        batchSigs.filter(col("kind") === kind).drop("kind"),
+        corpusSigs.filter(col("kind") === kind).drop("kind"),
+        maxHamming, cleanChunks, maxBucketSize)
+        .withColumn("kind", lit(kind))
+    }.reduce(_ unionByName _)
+      .select(col("kind"), col("idNew"), col("idCorpus"), col("hamming"))
+  }
+
   /** Streaming INCREMENTAL paragraph dedup — the streaming face of
     * [[graft.pipeline.Dedup.dedupParagraphsAgainst]]: each arriving
     * document splits into paragraphs, paragraphs the persisted corpus

@@ -134,6 +134,39 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
     } finally q.stop()
   }
 
+  "streaming media near-dup" should
+    "flag stream media against the signed corpus per kind" in {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Multimodal
+    import org.apache.spark.sql.Row
+    val corpus = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "image", Multimodal.syntheticImagePng(64, 1), Row(64, 64, null, "png")),
+        Row(2L, "audio", Multimodal.syntheticWavPcm(2, 16000f), Row(null, null, 16000, "wav")),
+        Row(3L, "video", Multimodal.syntheticMjpegAvi(3, 1), Row(48, 48, null, "avi"))),
+      Multimodal.mediaSchema)
+    val sigs = Multimodal.mediaSignTable(corpus).localCheckpoint(eager = true)
+    val input = MemoryStream[(Long, String, Array[Byte])]
+    val out = StreamingOps.mediaNearDupStream(
+      input.toDF.toDF("media_id", "kind", "bytes"), sigs)
+    val q = out.writeStream.format("memory").queryName("media_nd_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (10L, "image", Multimodal.syntheticImagePng(32, 1)), // rescaled copy
+        (11L, "audio", Multimodal.syntheticWavPcm(2, 8000f)), // resampled copy
+        (12L, "video", Multimodal.syntheticMjpegAvi(3, 2)),  // frame-doubled
+        (13L, "image", Multimodal.syntheticImagePng(64, 40)), // fresh content
+        (14L, "audio", "notaudio".getBytes))                 // undecodable
+      q.processAllAvailable()
+      // a pair may surface once per agreeing combination key —
+      // collapse to the pair set (the documented stateless contract)
+      spark.table("media_nd_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet shouldBe
+        Set(("image", 10L, 1L), ("audio", 11L, 2L), ("video", 12L, 3L))
+    } finally q.stop()
+  }
+
   "streaming decontamination" should "drop contaminated rows map-only" in {
     implicit val sqlCtx = spark.sqlContext
     val passage = "which spark operator shuffles the most data overall in production"
