@@ -63,7 +63,7 @@ object Verify {
     // handful of cartesians (disjoint-domain MINUS, zero-length path
     // domains), so Verify records rather than gates; the clean-entry
     // count is asserted sample-wise in PlanLintSpec.
-    var lint = List.empty[(String, Seq[String])]
+    var lint = List.empty[(String, (Seq[String], Int))]
     SparkEntry.queries.foreach { case (name, fn) =>
       val dest = Paths.get(outDir, name)
       if (Files.exists(dest)) { // stale result from an earlier run
@@ -74,12 +74,15 @@ object Verify {
       try {
         val df = fn(spark, sfDir)
         try {
-          lint ::= name -> graft.plans.PlanLint.lint(df)
-            .filter(_.severity == "error").map(_.rule).distinct
+          val fs = graft.plans.PlanLint.lint(df)
+          lint ::= name -> (fs.filter(_.severity == "error")
+            .map(_.rule).distinct,
+            graft.plans.ExchangeBudget.fromFindings(fs))
         } catch { // telemetry must not fail a run — but fatal errors
           // (OOM, interrupts) must still propagate
           case scala.util.control.NonFatal(e) =>
-            lint ::= name -> Seq(s"lint-crashed: ${e.getClass.getSimpleName}")
+            lint ::= name ->
+              (Seq(s"lint-crashed: ${e.getClass.getSimpleName}"), -1)
         }
         df.coalesce(1).write.mode("overwrite")
           .parquet(dest.toString)
@@ -100,11 +103,13 @@ object Verify {
       }
     }
     writeOracleJson(outDir)
-    val lintJson = lint.sortBy(_._1).map { case (n, rules) =>
-      s""""$n": [${rules.map(r => s""""$r"""").mkString(", ")}]"""
+    // per entry: error rules + the shuffle-exchange count, so a plan
+    // regression is visible in the SAME artifact as correctness
+    val lintJson = lint.sortBy(_._1).map { case (n, (rules, ex)) =>
+      s""""$n": {"rules": [${rules.map(r => s""""$r"""").mkString(", ")}], "exchanges": $ex}"""
     }.mkString("{", ",\n ", "}")
     Files.writeString(Paths.get(s"$outDir/plan_lint.json"), lintJson)
-    val dirty = lint.count(_._2.nonEmpty)
+    val dirty = lint.count(_._2._1.nonEmpty)
     System.err.println(
       s"[verify] plan lint: ${lint.size - dirty}/${lint.size} entries " +
         s"error-free (details in plan_lint.json)")
