@@ -88,6 +88,23 @@ class ApiAndIoSpec extends SparqlSpecBase {
         .count(p => p.toString.endsWith(if (codec == "gzip") ".gz" else ".bz2")) should be >= 1
       QuadsIO.readNTriples(spark, outDir).count() shouldBe 40
     }
+    // concatenated members (`cat a.nt.bz2 b.nt.bz2`) decode fully —
+    // the Hadoop-codec contract, honored by the whole-file wrappers
+    val memberA = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new compressors.bzip2.BZip2CompressorOutputStream(bos)
+      o.write("<urn:m:1> <urn:p> \"a\" .\n".getBytes("UTF-8")); o.close()
+      bos.toByteArray
+    }
+    val memberB = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new compressors.bzip2.BZip2CompressorOutputStream(bos)
+      o.write("<urn:m:2> <urn:p> \"b\" .\n".getBytes("UTF-8")); o.close()
+      bos.toByteArray
+    }
+    Files.write(tmp.resolve("cat.ttl.bz2"), memberA ++ memberB)
+    QuadsIO.read(spark, tmp.resolve("cat.ttl.bz2").toString)
+      .count() shouldBe 2
     // corrupt payload names the file, not a bare codec error
     Files.write(tmp.resolve("bad.ttl.bz2"), Array[Byte](1, 2, 3))
     val e = intercept[org.apache.spark.SparkException] {
