@@ -52,6 +52,61 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap shouldBe out
   }
 
+  it should "match an independent driver-side replay on random corpora" in {
+    // seeded differential over the rewritten int-only-shuffle shape:
+    // random docs from a dup-forcing pool (unicode, single-\n-inside
+    // paragraphs, whitespace-only entries, empty docs), replayed by a
+    // plain-Scala first-occurrence implementation that shares NO code
+    // with the operator. -Dgraft.fuzz.seed explores new corpora.
+    val seed = sys.props.get("graft.fuzz.seed").map(_.toInt).getOrElse(11)
+    val rnd = new scala.util.Random(seed)
+    val pool = Seq("alpha", "béta gamma", "line one\nline two", "  ",
+      "δelta", "x" * 30, "tab\there", "", "shared footer", "0") ++
+      (0 until 8).map(i => s"pool item $i")
+    def doc(): String =
+      (0 until rnd.nextInt(6)).map(_ => pool(rnd.nextInt(pool.size)))
+        .mkString("\n\n")
+    val docs = (1L to 80L).map(i => (i, doc()))
+    val df = docs.toDF("doc_id", "text")
+
+    // independent replay: Spark's split keeps trailing empties
+    // (limit -1), so the replay must too for positions to align
+    val re = java.util.regex.Pattern.compile("\n{2,}")
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expected = docs.map { case (id, text) =>
+      val parts = re.split(text, -1)
+      val kept = parts.filter { p =>
+        p.trim.nonEmpty && seen.add(p) // first corpus-wide occurrence
+      }
+      id -> kept.mkString("\n\n")
+    }.toMap
+    val got = Dedup.dedupParagraphs(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    withClue(s"seed=$seed: ") { got shouldBe expected }
+    // non-trivial: the pool guarantees real suppressions happened
+    withClue(s"seed=$seed suppressed nothing: ") {
+      got.values.map(_.length).sum should be <
+        docs.map(_._2.length).sum
+    }
+
+    // incremental form: first 20 docs are the corpus, rest the batch
+    val (corpusDocs, batchDocs) = docs.splitAt(20)
+    val corpusParas = scala.collection.mutable.Set.empty[String]
+    corpusDocs.foreach { case (_, t) =>
+      re.split(t, -1).filter(_.trim.nonEmpty).foreach(corpusParas.add)
+    }
+    val seenB = scala.collection.mutable.Set.empty[String]
+    val expectedB = batchDocs.map { case (id, text) =>
+      id -> re.split(text, -1).filter(p => p.trim.nonEmpty &&
+        !corpusParas.contains(p) && seenB.add(p)).mkString("\n\n")
+    }.toMap
+    val fps = Dedup.paragraphFpTable(corpusDocs.toDF("doc_id", "text"), "text")
+    val gotB = Dedup.dedupParagraphsAgainst(
+      fps, batchDocs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    withClue(s"seed=$seed incremental: ") { gotB shouldBe expectedB }
+  }
+
   "incremental paragraph dedup" should
     "dedup a batch against the corpus fp table and within itself" in {
     val corpus = Seq((1L, "old\n\nCOMMON")).toDF("doc_id", "text")
