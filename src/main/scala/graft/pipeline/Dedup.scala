@@ -354,6 +354,10 @@ object Dedup {
       Seq("k"), maxBucketSize)
       .select(col("k"), col("id").as("idCorpus"), col("sig").as("sigB"))
     nk.join(ck, Seq("k"))
+      // self-pair exclusion is part of the *AgainstStream contract: an
+      // at-least-once source can replay a row already in the corpus,
+      // and (id, id, 0) would read as "duplicate of itself" downstream
+      .filter(col("idNew") =!= col("idCorpus"))
       .withColumn("hamming", bit_count(col("sigA").bitwiseXOR(col("sigB"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("idNew"), col("idCorpus"), col("hamming"))

@@ -510,13 +510,32 @@ object Multimodal {
     * — a perceptual key from stub features would fabricate
     * similarity where none was measured; bytes are dropped (sign
     * early, carry 8 bytes — raw media never shuffles after decode). */
+  /** The one kind→perceptual-hash dispatch — every signing path
+    * (per-kind signers, corpus table, streaming) must route through
+    * this so a decode-contract change can never desynchronize them. */
+  private[pipeline] def kindHash(kind: String,
+                                 bytes: Array[Byte]): Option[Long] =
+    if (bytes == null) None
+    else kind match {
+      case "image" => ImageCodec.decode(bytes).map(ImageCodec.dHash)
+      case "audio" => AudioCodec.decode(bytes)
+        .flatMap { case (s, _) => AudioCodec.dHash(s) }
+      case "video" => VideoCodec.decodeFrames(bytes).map(VideoCodec.dHash)
+      case _ => None
+    }
+
   private def perceptualHash(media: DataFrame, kind: String,
-                             hashCol: String,
-                             f: Array[Byte] => Option[Long]): DataFrame = {
+                             hashCol: String): DataFrame = {
     require(!media.columns.contains(hashCol),
       s"input already has a $hashCol column — rename it first")
+    // asNondeterministic: the function IS deterministic, but the
+    // marker blocks Catalyst from pushing a downstream
+    // `hashCol IS NOT NULL` filter back through this projection by
+    // alias substitution — which would run the full media decode
+    // TWICE per row (once in the pushed predicate, once here)
     val hash = udf((k: String, bytes: Array[Byte]) =>
-      if (k != kind || bytes == null) Option.empty[Long] else f(bytes))
+      if (k != kind) Option.empty[Long] else kindHash(k, bytes))
+      .asNondeterministic()
     media.withColumn(hashCol, hash(col("kind"), col("bytes"))).drop("bytes")
   }
 
@@ -534,8 +553,7 @@ object Multimodal {
       maxHamming, cleanChunks, maxBucketSize)
 
   def imageDHash(media: DataFrame, hashCol: String = "dhash"): DataFrame =
-    perceptualHash(media, "image", hashCol,
-      bytes => ImageCodec.decode(bytes).map(ImageCodec.dHash))
+    perceptualHash(media, "image", hashCol)
 
   /** Image near-duplicate candidates over the perceptual hashes: the
     * SAME pigeonhole combination-banding as the text SimHash dedup
@@ -558,10 +576,7 @@ object Multimodal {
     * same sign-early, UDF-projection contract as [[imageDHash]]
     * (stats survive for the banded join downstream). */
   def audioDHash(media: DataFrame, hashCol: String = "adhash"): DataFrame =
-    perceptualHash(media, "audio", hashCol,
-      bytes => AudioCodec.decode(bytes).flatMap { case (samples, _) =>
-        AudioCodec.dHash(samples)
-      })
+    perceptualHash(media, "audio", hashCol)
 
   /** Audio near-duplicate candidates: the SimHash pigeonhole banding
     * over [[audioDHash]] envelope signatures — re-encoded, resampled
@@ -579,8 +594,7 @@ object Multimodal {
     * dropped, NULL for non-video/undecodable rows. Same UDF-
     * projection contract as [[imageDHash]]. */
   def videoDHash(media: DataFrame, hashCol: String = "vdhash"): DataFrame =
-    perceptualHash(media, "video", hashCol,
-      bytes => VideoCodec.decodeFrames(bytes).map(VideoCodec.dHash))
+    perceptualHash(media, "video", hashCol)
 
   /** Video near-duplicate candidates: the SimHash pigeonhole banding
     * over [[videoDHash]] clip signatures — re-encoded or frame-rate-
@@ -600,15 +614,10 @@ object Multimodal {
     * corpus media — the media analogue of
     * [[Dedup.simHashSignTable]]. */
   def mediaSignTable(media: DataFrame): DataFrame = {
-    val hash = udf((kind: String, bytes: Array[Byte]) =>
-      if (bytes == null) Option.empty[Long]
-      else kind match {
-        case "image" => ImageCodec.decode(bytes).map(ImageCodec.dHash)
-        case "audio" => AudioCodec.decode(bytes)
-          .flatMap { case (s, _) => AudioCodec.dHash(s) }
-        case "video" => VideoCodec.decodeFrames(bytes).map(VideoCodec.dHash)
-        case _ => Option.empty[Long]
-      })
+    // asNondeterministic: blocks the sig-IS-NOT-NULL filter from
+    // pushing back through the projection, which would decode every
+    // payload TWICE (see perceptualHash)
+    val hash = udf(kindHash _).asNondeterministic()
     media.select(col("media_id").as("id"), col("kind"),
         hash(col("kind"), col("bytes")).as("sig"))
       .filter(col("sig").isNotNull)
@@ -621,19 +630,28 @@ object Multimodal {
     * scaling as the text incrementals: corpus key rows prune against
     * the broadcast batch key set before any pair generation. Emits
     * (kind, idNew, idCorpus, hamming). */
-  def mediaNearDupAgainst(corpusSigs: DataFrame, batch: DataFrame,
-                          maxHamming: Int = 6, cleanChunks: Int = 2,
-                          maxBucketSize: Int = 100000): DataFrame = {
-    val batchSigs = mediaSignTable(batch)
+  /** Per-kind fan-out shared by the batch and streaming media
+    * near-dups: kinds are compared only with themselves (an image
+    * hash and an audio hash sharing bits is noise, not similarity);
+    * output contract (kind, idNew, idCorpus, hamming) lives HERE,
+    * once. */
+  private[graft] def perKindPairs(batchSigs: DataFrame,
+                                  corpusSigs: DataFrame,
+                                  pairFn: (DataFrame, DataFrame) => DataFrame)
+      : DataFrame =
     Seq("image", "audio", "video").map { kind =>
-      Dedup.simHashCandidatesAgainstSigs(
-        batchSigs.filter(col("kind") === kind).drop("kind"),
-        corpusSigs.filter(col("kind") === kind).drop("kind"),
-        maxHamming, cleanChunks, maxBucketSize)
+      pairFn(batchSigs.filter(col("kind") === kind).drop("kind"),
+        corpusSigs.filter(col("kind") === kind).drop("kind"))
         .withColumn("kind", lit(kind))
     }.reduce(_ unionByName _)
       .select(col("kind"), col("idNew"), col("idCorpus"), col("hamming"))
-  }
+
+  def mediaNearDupAgainst(corpusSigs: DataFrame, batch: DataFrame,
+                          maxHamming: Int = 6, cleanChunks: Int = 2,
+                          maxBucketSize: Int = 100000): DataFrame =
+    perKindPairs(mediaSignTable(batch), corpusSigs,
+      Dedup.simHashCandidatesAgainstSigs(_, _, maxHamming, cleanChunks,
+        maxBucketSize))
 
   /** Deterministic synthetic MJPEG-AVI: four [[syntheticImagePng]]
     * pattern frames keyed by `seed`, each written `repeat` times —

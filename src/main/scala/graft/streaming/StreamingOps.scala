@@ -115,17 +115,11 @@ object StreamingOps {
     * to pick up corpus growth. */
   def mediaNearDupStream(media: DataFrame, corpusSigs: DataFrame,
                          maxHamming: Int = 6, cleanChunks: Int = 2,
-                         maxBucketSize: Int = 100000): DataFrame = {
-    val batchSigs = graft.pipeline.Multimodal.mediaSignTable(media)
-    Seq("image", "audio", "video").map { kind =>
-      Dedup.simHashCandidatesAgainstStream(
-        batchSigs.filter(col("kind") === kind).drop("kind"),
-        corpusSigs.filter(col("kind") === kind).drop("kind"),
-        maxHamming, cleanChunks, maxBucketSize)
-        .withColumn("kind", lit(kind))
-    }.reduce(_ unionByName _)
-      .select(col("kind"), col("idNew"), col("idCorpus"), col("hamming"))
-  }
+                         maxBucketSize: Int = 100000): DataFrame =
+    graft.pipeline.Multimodal.perKindPairs(
+      graft.pipeline.Multimodal.mediaSignTable(media), corpusSigs,
+      Dedup.simHashCandidatesAgainstStream(_, _, maxHamming, cleanChunks,
+        maxBucketSize))
 
   /** Streaming INCREMENTAL paragraph dedup — the streaming face of
     * [[graft.pipeline.Dedup.dedupParagraphsAgainst]]: each arriving
