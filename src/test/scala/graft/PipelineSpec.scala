@@ -703,6 +703,28 @@ class PipelineSpec extends AnyFlatSpec with Matchers {
       Set((1L, 2L))
   }
 
+  "media dedup clustering" should
+    "compose perceptual pairs with connected components unchanged" in {
+    // the full media-dedup chain is pure composition: banded
+    // perceptual pairs feed the SAME generic connected-components
+    // the text dedups use — three rescaled copies of one image
+    // collapse to one cluster, the distinct image stays a singleton
+    val media = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "image", Multimodal.syntheticImagePng(64, 1), Row(64, 64, null, "png")),
+        Row(2L, "image", Multimodal.syntheticImagePng(48, 1), Row(48, 48, null, "png")),
+        Row(3L, "image", Multimodal.syntheticImagePng(32, 1), Row(32, 32, null, "png")),
+        Row(4L, "image", Multimodal.syntheticImagePng(64, 9), Row(64, 64, null, "png"))),
+      Multimodal.mediaSchema)
+    val pairs = Multimodal.imageNearDupCandidates(media)
+      .select(col("idA"), col("idB"))
+    val comp = graft.pipeline.Clustering.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ids 1,2,3 share one representative; 4 appears in no pair
+    Set(comp(1L), comp(2L), comp(3L)) should have size 1
+    comp.contains(4L) shouldBe false
+  }
+
   "incremental media near-dup" should
     "pair batch media against the signed corpus per kind only" in {
     val corpus = spark.createDataFrame(
