@@ -1701,6 +1701,28 @@ object SparkEntry {
         t(s, d, "documents"), "doc_id", "text",
         chunkTokens = 32, overlap = 8)
     },
+    "q_chunk_bpe" -> { (s, d) =>
+      // subword-true chunking: same chunk geometry but over BPE tokens
+      // from the committed trained merge table; the oracle replays the
+      // encoder itself (recursive CTE over the merge rows) and then
+      // every chunk boundary
+      graft.pipeline.TextAnalysis.chunkTable(
+        t(s, d, "documents"), "doc_id", "text",
+        chunkTokens = 32, overlap = 8,
+        tokenizer = graft.pipeline.TextAnalysis.bpeTokens(_))
+    },
+    "q_token_budget_bpe" -> { (s, d) =>
+      // token-budget composition priced in BPE tokens — the unit a
+      // training run consumes; whitespace pricing admits ~2.3× more
+      // text than the budget pays for on this corpus
+      val docs = t(s, d, "documents")
+        .withColumn("ntok",
+          graft.pipeline.TextAnalysis.bpeTokenCount(col("text")))
+      graft.pipeline.Sampling.tokenBudgetSample(
+        docs, "lang", "ntok", "doc_id", budget = 3000, seed = 0,
+        portable = true)
+        .select(col("doc_id"), col("lang"))
+    },
     "q_bm25" -> { (s, d) =>
       // keyword retrieval: BM25 top-10 for a three-term query; scores
       // ranked ROUNDED (6 dp) with doc_id tie-break so libm ln and
@@ -1865,6 +1887,51 @@ object SparkEntry {
     * expression uses, inlined as list literals, so the oracle
     * re-derives every shingle hash, signature value, band bucket,
     * candidate pair and Jaccard score independently. */
+
+  /** Shared CTE prefix that replays the committed BPE encoder in pure
+    * SQL: the merge table as VALUES rows, then a recursive CTE that —
+    * exactly like [[graft.functions.BpeModel.encodeWord]] — repeatedly
+    * finds the lowest-rank merge whose space-delimited pair occurs in
+    * the word's symbol string and joins the LEFTMOST occurrence, until
+    * no merge applies. Runs over DISTINCT words only (the corpus
+    * vocabulary), so the recursion is bounded by vocab × word length.
+    * Exposes: `wb(w, toks)` word → subword list, and `wp(doc_id,
+    * wlist, widx)` the per-document word positions to join back. */
+  private def bpeOracleCtes: String = {
+    val vals = graft.functions.Bpe.committed.mergesSqlValues
+    s"""WITH RECURSIVE merges(rank, pat) AS (VALUES $vals),
+       |dw AS (
+       |  SELECT DISTINCT unnest(list_filter(
+       |    regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')) AS w
+       |  FROM documents WHERE text IS NOT NULL
+       |), init AS (
+       |  SELECT w, concat(' ',
+       |    array_to_string(regexp_split_to_array(w, ''), ' '), ' ') AS state
+       |  FROM dw
+       |), bpe AS (
+       |  SELECT w, state FROM init
+       |  UNION ALL
+       |  SELECT w,
+       |    substr(state, 1, instr(state, pat) - 1) || ' ' ||
+       |      replace(trim(pat), ' ', '') || ' ' ||
+       |      substr(state, instr(state, pat) + length(pat))
+       |  FROM (SELECT w, state,
+       |          (SELECT m.pat FROM merges m WHERE instr(state, m.pat) > 0
+       |           ORDER BY m.rank LIMIT 1) AS pat
+       |        FROM bpe) s
+       |  WHERE pat IS NOT NULL
+       |), wb AS (
+       |  SELECT w, string_split(trim(state), ' ') AS toks FROM bpe
+       |  WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE instr(state, m.pat) > 0)
+       |), wp AS (
+       |  SELECT doc_id, wlist, unnest(generate_series(1, len(wlist))) AS widx
+       |  FROM (SELECT doc_id, list_filter(
+       |          regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |          x -> x <> '') AS wlist
+       |        FROM documents WHERE text IS NOT NULL)
+       |)""".stripMargin
+  }
+
   private def portableMinHashOracle(numHashes: Int, bands: Int,
                                     shingleK: Int, threshold: Double): String = {
     val (as, bs) = graft.functions.TextHashExprs.portableCoeffs(numHashes)
@@ -3431,6 +3498,39 @@ object SparkEntry {
         |  array_to_string(list_slice(ts, j*24 + 1, j*24 + 32), ' ') AS chunk_text,
         |  CAST(least(32, n - j*24) AS BIGINT) AS n_tokens
         |FROM ch""".stripMargin,
+    "q_chunk_bpe" ->
+      s"""$bpeOracleCtes,
+        |dt AS (
+        |  SELECT wp.doc_id, flatten(list(wb.toks ORDER BY wp.widx)) AS ts
+        |  FROM wp JOIN wb ON wb.w = wp.wlist[widx]
+        |  GROUP BY wp.doc_id
+        |), ch AS (
+        |  SELECT doc_id, ts, len(ts) AS n,
+        |         unnest(generate_series(0, (greatest(1, len(ts) - 8) - 1) // 24)) AS j
+        |  FROM dt WHERE len(ts) > 0
+        |)
+        |SELECT doc_id, CAST(j AS BIGINT) AS chunk_idx,
+        |  array_to_string(list_slice(ts, j*24 + 1, j*24 + 32), ' ') AS chunk_text,
+        |  CAST(least(32, n - j*24) AS BIGINT) AS n_tokens
+        |FROM ch""".stripMargin,
+    "q_token_budget_bpe" ->
+      s"""$bpeOracleCtes,
+        |dc AS (
+        |  SELECT wp.doc_id, CAST(sum(len(wb.toks)) AS BIGINT) AS ntok
+        |  FROM wp JOIN wb ON wb.w = wp.wlist[widx]
+        |  GROUP BY wp.doc_id
+        |), d AS (
+        |  SELECT doc.doc_id, doc.lang, coalesce(dc.ntok, 0) AS ntok,
+        |    ('0x' || substr(md5(doc.doc_id::VARCHAR || ':0'), 1, 8))::BIGINT
+        |      % 1000000 AS b
+        |  FROM documents doc LEFT JOIN dc ON dc.doc_id = doc.doc_id
+        |), c AS (
+        |  SELECT doc_id, lang,
+        |    coalesce(sum(ntok) OVER (PARTITION BY lang ORDER BY b, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM d
+        |)
+        |SELECT doc_id, lang FROM c WHERE cum < 3000""".stripMargin,
     "q_bm25" -> bm25Oracle(Seq("spark", "join", "window"), k = 10,
       k1 = 1.2, b = 0.75),
     // hybrid fusion replay: BM25 pool ranks + cosine pool ranks +

@@ -71,15 +71,18 @@ object Curation {
     * by construction (unlike continuous scores, where
     * [[aboveGroupQuantile]]'s `exact = false` t-digest is the scale
     * path). */
-  def corpusReport(df: DataFrame, strataCol: String,
-                   textCol: String): DataFrame = {
+  def corpusReport(df: DataFrame, strataCol: String, textCol: String,
+                   tokenCount: Column => Column =
+                     TextAnalysis.tokenCount): DataFrame = {
     // NULL text must contribute NULL tokens under ANY session config:
     // legacy non-ANSI sessions evaluate size(NULL) as -1, which would
     // corrupt totals/averages/percentiles (the hazard bm25 guards at
     // Search.scala:52); the explicit when() makes the scaladoc's
-    // NULL-skipping contract independent of spark.sql.ansi.enabled
+    // NULL-skipping contract independent of spark.sql.ansi.enabled.
+    // `tokenCount` picks the accounting unit (whitespace default;
+    // TextAnalysis.bpeTokenCount for subword-true reports).
     val ntok = when(col(textCol).isNotNull,
-      TextAnalysis.tokenCount(col(textCol)))
+      tokenCount(col(textCol)))
     df.select(col(strataCol), ntok.as("__ntok"),
         length(col(textCol)).cast("long").as("__nchar"))
       .groupBy(col(strataCol))

@@ -16,10 +16,29 @@ object TextAnalysis {
 
   /** BPE-ish subword count: alphabetic runs, single digits, and single
     * non-alphanumeric marks each count as one token (the classic
-    * pre-tokenizer upper bound on BPE length). */
+    * pre-tokenizer upper bound on BPE length). For REAL merge-table
+    * subword accounting use [[bpeTokenCount]]. */
   def bpeishTokenCount(text: Column): Column =
     size(call_function("regexp_extract_all", text,
       lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).cast(LongType)
+
+  /** Real subword tokens under a trained BPE merge table
+    * ([[graft.functions.Bpe]]): one native codegen'd pass per document,
+    * fuses into the scan. Default model = the committed sf0.01-trained
+    * vocabulary; train a corpus-specific one with
+    * [[graft.functions.Bpe.train]]. */
+  def bpeTokens(text: Column,
+      model: graft.functions.BpeModel = graft.functions.Bpe.committed): Column =
+    graft.functions.BpeExprs.bpeTokensCol(text, model)
+
+  /** BPE subword token count — the unit a training run actually
+    * consumes (whitespace counts misprice token budgets 1.3–2×).
+    * Array-free native expression; plug the resulting column into
+    * [[Sampling.tokenBudgetSample]] / [[Packing.packSequences]] /
+    * [[Curation.corpusReport]] wherever a token count is taken. */
+  def bpeTokenCount(text: Column,
+      model: graft.functions.BpeModel = graft.functions.Bpe.committed): Column =
+    graft.functions.BpeExprs.bpeTokenCountCol(text, model)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
@@ -121,15 +140,21 @@ object TextAnalysis {
     *
     * Output: `(id, chunk_idx, chunk_text, n_tokens)`. Map-only
     * (tokenize → per-row index explode → slice): chunking fuses into
-    * the scan and shuffles nothing. */
+    * the scan and shuffles nothing.
+    *
+    * `tokenizer` picks the accounting unit: whitespace tokens by
+    * default, or [[bpeTokens]] for model-true subword chunks (then
+    * `chunk_text` is the subword tokens joined by single spaces). */
   def chunkTable(df: org.apache.spark.sql.DataFrame, idCol: String,
                  textCol: String, chunkTokens: Int = 512,
-                 overlap: Int = 64): org.apache.spark.sql.DataFrame = {
+                 overlap: Int = 64,
+                 tokenizer: Column => Column = Dedup.tokens)
+      : org.apache.spark.sql.DataFrame = {
     require(chunkTokens >= 1, s"chunkTokens=$chunkTokens must be >= 1")
     require(overlap >= 0 && overlap < chunkTokens,
       s"overlap=$overlap must be in [0, chunkTokens)")
     val stride = chunkTokens - overlap
-    val ts = Dedup.tokens(col(textCol))
+    val ts = tokenizer(col(textCol))
     df.select(col(idCol), ts.as("__ts"), size(ts).as("__n"))
       .filter(col("__n") > 0)
       .select(col(idCol), col("__ts"), col("__n"),
