@@ -149,18 +149,26 @@ object Bench {
       if (java.nio.file.Files.exists(budgetPath))
         graft.plans.ExchangeBudget.check(
           graft.plans.ExchangeBudget.load(budgetPath), actualMap)
-      else graft.plans.ExchangeBudget.Diff(Nil, actualMap.keys.toSeq.sorted)
+      else graft.plans.ExchangeBudget.Diff(Nil, actualMap.keys.toSeq.sorted, Nil)
     budgetDiff.over.foreach { case (name, actual, budget) =>
       System.err.println(
         s"[bench] EXCHANGE BUDGET EXCEEDED: $name plans $actual " +
           s"shuffle(s), budget $budget — an extra full pass over the " +
           "data at scale; fix the plan or consciously re-baseline")
     }
+    budgetDiff.stale.foreach { name =>
+      System.err.println(
+        s"[bench] stale budget key: $name has a ceiling in $budgetPath " +
+          "but no battery entry — renamed/removed entry; re-baseline " +
+          "to drop the dead line")
+    }
     val overJson = budgetDiff.over.map { case (n, a, b) =>
       s"""{"entry":"$n","actual":$a,"budget":$b}"""
     }.mkString("[", ",", "]")
     val unbudgetedJson =
       budgetDiff.unbudgeted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val staleJson =
+      budgetDiff.stale.map("\"" + _ + "\"").mkString("[", ",", "]")
     // regenerate the baseline in place when asked (then commit it)
     sys.env.get("SPARK_GRAFT_WRITE_BUDGET").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
@@ -174,13 +182,22 @@ object Bench {
     // the medians (min-of-passes, CPU, lint, exchange counts, budget
     // diff) lives ONLY in the file, which log capture cannot truncate.
     val shortJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"total_min":$totalMin%.3f,"failed":$failedJson,$noise,"sf":"$sfDir"}"""
-    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_cpu":$qsCpu,"lint_errors":$lintCounts,"exchange_counts":$exchangeCounts,"exchange_over_budget":$overJson,"exchange_unbudgeted":$unbudgetedJson,"total_min":$totalMin%.3f,"failed":$failedJson,$noise,"sf":"$sfDir"}"""
+    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_cpu":$qsCpu,"lint_errors":$lintCounts,"exchange_counts":$exchangeCounts,"exchange_over_budget":$overJson,"exchange_unbudgeted":$unbudgetedJson,"exchange_budget_stale":$staleJson,"total_min":$totalMin%.3f,"failed":$failedJson,$noise,"sf":"$sfDir"}"""
     println(shortJson)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
       fullJson + "\n")
     spark.stop()
+    // opt-in CI gate: a quietly-added shuffle must be able to FAIL a
+    // run, not just annotate an artifact a human may never read
+    val strict = sys.env.get("SPARK_GRAFT_BUDGET_STRICT").contains("1")
+    if (strict && !budgetDiff.clean) {
+      System.err.println(
+        s"[bench] STRICT: exiting nonzero on ${budgetDiff.over.size} " +
+          "over-budget entr(ies)")
+      sys.exit(2)
+    }
     if (failed.nonEmpty) sys.exit(1)
   }
 }

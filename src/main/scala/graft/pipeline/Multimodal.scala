@@ -544,11 +544,20 @@ object Multimodal {
     * within the Hamming radius, bounded buckets, never all-pairs)
     * over a signed media frame. Emits (idA, idB, hamming) on
     * `media_id`; NULL hashes are excluded. */
+  /** Degenerate-signature guard: a dHash is GRADIENT bits, so any
+    * zero-gradient input — solid-color image, constant-envelope audio,
+    * static single-color video — hashes to exactly 0L regardless of
+    * content. Solid fills are common in web corpora; banding them
+    * would fuse every such row into one giant bucket of hamming-0
+    * "near-dups" that are not copies of each other in any useful
+    * sense (and whose C(n,2) pairs survive capping as false
+    * positives). Signature 0 therefore means "content-free under this
+    * hash" and is excluded like NULL (undecodable). */
   private def nearDupFromHashes(hashed: DataFrame, hashCol: String,
                                 maxHamming: Int, cleanChunks: Int,
                                 maxBucketSize: Int): DataFrame =
     Dedup.simHashCandidatesFromSigs(
-      hashed.filter(col(hashCol).isNotNull)
+      hashed.filter(col(hashCol).isNotNull && col(hashCol) =!= 0L)
         .select(col("media_id").as("id"), col(hashCol).as("sig")),
       maxHamming, cleanChunks, maxBucketSize)
 
@@ -563,7 +572,10 @@ object Multimodal {
     * `media_id`; rows without a decodable image are excluded (NULL
     * hash ≠ visually similar). Re-encoded/resized copies of one image
     * land within a few bits; the default radius 6 catches mild
-    * recompression without flooding verify. */
+    * recompression without flooding verify. Solid-color images hash
+    * to the degenerate signature 0 and are EXCLUDED (they would all
+    * collide at hamming 0 without being copies of each other — see
+    * [[nearDupFromHashes]]). */
   def imageNearDupCandidates(media: DataFrame, maxHamming: Int = 6,
                              cleanChunks: Int = 2,
                              maxBucketSize: Int = 100000): DataFrame =
@@ -581,7 +593,9 @@ object Multimodal {
   /** Audio near-duplicate candidates: the SimHash pigeonhole banding
     * over [[audioDHash]] envelope signatures — re-encoded, resampled
     * or volume-scaled copies of a clip land within a few bits.
-    * Emits (idA, idB, hamming) on `media_id`. */
+    * Emits (idA, idB, hamming) on `media_id`. Constant-envelope audio
+    * (silence, steady tone) hashes to the degenerate signature 0 and
+    * is EXCLUDED — see [[nearDupFromHashes]]. */
   def audioNearDupCandidates(media: DataFrame, maxHamming: Int = 6,
                              cleanChunks: Int = 2,
                              maxBucketSize: Int = 100000): DataFrame =
@@ -599,7 +613,9 @@ object Multimodal {
   /** Video near-duplicate candidates: the SimHash pigeonhole banding
     * over [[videoDHash]] clip signatures — re-encoded or frame-rate-
     * changed copies land within a few bits. Emits (idA, idB,
-    * hamming) on `media_id`. */
+    * hamming) on `media_id`. Static single-color clips hash to the
+    * degenerate signature 0 and are EXCLUDED — see
+    * [[nearDupFromHashes]]. */
   def videoNearDupCandidates(media: DataFrame, maxHamming: Int = 6,
                              cleanChunks: Int = 2,
                              maxBucketSize: Int = 100000): DataFrame =
@@ -608,11 +624,14 @@ object Multimodal {
 
   /** Persistable perceptual signature table `(id, sig)` for a media
     * corpus — every decodable image/audio/video row signed with its
-    * kind's dHash in ONE pass (NULL-hash rows excluded). Sign the
-    * corpus once, persist, and incremental batches dedup against it
-    * with [[mediaNearDupAgainst]] without re-decoding a byte of
-    * corpus media — the media analogue of
-    * [[Dedup.simHashSignTable]]. */
+    * kind's dHash in ONE pass. NULL-hash rows (undecodable) AND
+    * zero-signature rows (zero-gradient content — see
+    * [[nearDupFromHashes]]'s degenerate-signature guard) are excluded,
+    * so the incremental and streaming near-dups inherit the same
+    * contract as the batch candidates. Sign the corpus once, persist,
+    * and incremental batches dedup against it with
+    * [[mediaNearDupAgainst]] without re-decoding a byte of corpus
+    * media — the media analogue of [[Dedup.simHashSignTable]]. */
   def mediaSignTable(media: DataFrame): DataFrame = {
     // asNondeterministic: blocks the sig-IS-NOT-NULL filter from
     // pushing back through the projection, which would decode every
@@ -620,7 +639,7 @@ object Multimodal {
     val hash = udf(kindHash _).asNondeterministic()
     media.select(col("media_id").as("id"), col("kind"),
         hash(col("kind"), col("bytes")).as("sig"))
-      .filter(col("sig").isNotNull)
+      .filter(col("sig").isNotNull && col("sig") =!= 0L)
   }
 
   /** Incremental media near-dup: perceptual pairs BETWEEN a new batch

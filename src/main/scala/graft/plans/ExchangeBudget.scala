@@ -29,17 +29,19 @@ object ExchangeBudget {
   /** Shuffle exchanges a frame's physical plan would execute —
     * counted through AQE wrappers and reused-exchange references,
     * same traversal as the lints. */
-  def count(df: DataFrame): Int =
-    PlanLint.lint(df).collectFirst {
-      case f if f.rule == "exchange-count" => f.detail.takeWhile(_.isDigit).toInt
-    }.getOrElse(0)
+  def count(df: DataFrame): Int = fromFindings(PlanLint.lint(df))
 
   /** Shuffle-exchange count out of a finding list already in hand (so
     * the bench's single untimed lint pass feeds both the error counts
-    * and the budget diff — plans are not rebuilt twice). */
+    * and the budget diff — plans are not rebuilt twice). Reads the
+    * finding's STRUCTURED `count` field — the lint always sets it on
+    * exchange-count, so a missing finding (not a reworded detail) is
+    * the only way to see the 0 default. */
   def fromFindings(fs: Seq[PlanLint.Finding]): Int =
     fs.collectFirst {
-      case f if f.rule == "exchange-count" => f.detail.takeWhile(_.isDigit).toInt
+      case f if f.rule == "exchange-count" =>
+        f.count.getOrElse(sys.error(
+          "exchange-count finding lost its structured count field"))
     }.getOrElse(0)
 
   /** Load a `{"entry": maxShuffles, ...}` budget file. */
@@ -63,15 +65,19 @@ object ExchangeBudget {
   }
 
   final case class Diff(over: Seq[(String, Int, Int)], // (entry, actual, budget)
-                        unbudgeted: Seq[String]) {
+                        unbudgeted: Seq[String],
+                        stale: Seq[String]) {
     def clean: Boolean = over.isEmpty
   }
 
   /** Diff measured counts against the checked-in ceilings. Entries
     * over budget are violations; entries absent from the budget are
-    * surfaced separately (new entry awaiting baseline). Lint-crashed
-    * entries (actual < 0) are skipped — the crash marker itself is
-    * already visible in the lint telemetry. */
+    * surfaced separately (new entry awaiting baseline); budget keys
+    * with no measured entry are `stale` — a renamed/removed battery
+    * entry whose dead ceiling would otherwise silently accumulate (and
+    * whose rename resets the real ceiling via the unbudgeted path).
+    * Lint-crashed entries (actual < 0) are skipped — the crash marker
+    * itself is already visible in the lint telemetry. */
   def check(budget: Map[String, Int], actual: Map[String, Int]): Diff = {
     val over = actual.toSeq.sortBy(_._1).collect {
       case (name, n) if n >= 0 && budget.get(name).exists(n > _) =>
@@ -81,7 +87,8 @@ object ExchangeBudget {
       actual.toSeq.sortBy(_._1).collect {
         case (name, n) if n >= 0 && !budget.contains(name) => name
       }
-    Diff(over, unbudgeted)
+    val stale = (budget.keySet -- actual.keySet).toSeq.sorted
+    Diff(over, unbudgeted, stale)
   }
 
   /** Render counts as the budget-file format (sorted, one entry per

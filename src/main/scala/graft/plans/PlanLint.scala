@@ -26,8 +26,12 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec,
   * versions. */
 object PlanLint {
 
+  /** `count` carries the measured quantity for counter-style findings
+    * (exchange-count, codegen-spans) as a STRUCTURED field — consumers
+    * like [[ExchangeBudget]] read it directly instead of parsing the
+    * human-readable `detail`, which is free to reword. */
   final case class Finding(rule: String, severity: String, node: String,
-                           detail: String) {
+                           detail: String, count: Option[Int] = None) {
     override def toString: String = s"[$severity] $rule at $node: $detail"
   }
 
@@ -151,10 +155,10 @@ object PlanLint {
 
     val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeLike])
     findings += Finding("exchange-count", "info", "plan",
-      s"$shuffles shuffle exchange(s)")
+      s"$shuffles shuffle exchange(s)", count = Some(shuffles))
     val spans = nodes.count(_.isInstanceOf[WholeStageCodegenExec])
     findings += Finding("codegen-spans", "info", "plan",
-      s"$spans whole-stage codegen span(s)")
+      s"$spans whole-stage codegen span(s)", count = Some(spans))
     findings.result()
   }
 
