@@ -14,7 +14,8 @@ object Verify {
     * (<0x20) — a tab or CR in builder-authored SQL would otherwise make
     * the driver's json.load fail and silently zero the round's
     * correctness. */
-  private[graft] def writeOracleJson(outDir: String): Unit = {
+  private[graft] def writeOracleJson(outDir: String,
+                                     only: Option[Set[String]] = None): Unit = {
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -25,6 +26,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
   }
@@ -54,7 +56,8 @@ object Verify {
     * violated their structural row check. [[VerifyAtSf]] reuses this
     * for the scale sweep. */
   private[graft] def run(spark: SparkSession, sfDir: String,
-                         outDir: String): List[String] = {
+                         outDir: String,
+                         only: Option[Set[String]] = None): List[String] = {
     new java.io.File(outDir).mkdirs()
     var failed = List.empty[String]
     // plan-shape telemetry alongside correctness: per entry, the
@@ -64,7 +67,13 @@ object Verify {
     // domains), so Verify records rather than gates; the clean-entry
     // count is asserted sample-wise in PlanLintSpec.
     var lint = List.empty[(String, (Seq[String], Int))]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown battery entries: ${unknown.mkString(", ")}")
+    }
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       val dest = Paths.get(outDir, name)
       if (Files.exists(dest)) { // stale result from an earlier run
         import scala.jdk.CollectionConverters._
@@ -102,7 +111,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    writeOracleJson(outDir)
+    writeOracleJson(outDir, only)
     // per entry: error rules + the shuffle-exchange count, so a plan
     // regression is visible in the SAME artifact as correctness
     val lintJson = lint.sortBy(_._1).map { case (n, (rules, ex)) =>

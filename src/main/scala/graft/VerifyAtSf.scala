@@ -35,7 +35,11 @@ object VerifyAtSf {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val failed = Verify.run(spark, sfDir, outDir)
+    // optional 4th+ args: restrict the sweep to a named entry subset
+    // (used by the self-generated 10× regime sweep, where only the
+    // scale-sensitive entries are re-checked)
+    val only = if (args.length > 3) Some(args.drop(3).toSet) else None
+    val failed = Verify.run(spark, sfDir, outDir, only)
     spark.stop()
     failed.sorted.foreach(n => System.err.println(s"[scale-sweep] dump FAILED: $n"))
     val script = java.nio.file.Paths.get("scripts/oracle_compare.py")
