@@ -56,11 +56,7 @@ object GenScale {
           factor: Int): Unit = {
     new java.io.File(out).mkdirs()
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
-
-    // key stride per (table, column): max+1 from the SOURCE, so every
-    // replica's key block is disjoint and replica 0 is untouched
-    def stride(df: DataFrame, c: String): Long =
-      df.agg(max(col(c))).head.getLong(0) + 1L
+    def stride(df: DataFrame, c: String): Long = strideOf(df, c)
 
     def replicate(df: DataFrame)(per: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until factor).map(r => per(df, r)).reduce(_ unionAll _)
@@ -122,6 +118,18 @@ object GenScale {
       writeSingleFile(df, s"$out/$name.parquet")
       System.err.println(s"[gen-scale] wrote $out/$name.parquet")
     }
+  }
+
+  /** Key stride per (table, column): max+1 from the SOURCE, so every
+    * replica's key block is disjoint and replica 0 is untouched. The
+    * cast + null guard is load-bearing: max() of an empty table is
+    * NULL (NPE on getLong), and a non-integral key column should fail
+    * with a message, not a ClassCastException (round-12 ADVICE). */
+  private[graft] def strideOf(df: DataFrame, c: String): Long = {
+    val r = df.agg(max(col(c).cast("long"))).head
+    require(!r.isNullAt(0), s"GenScale: key column $c has no rows " +
+      "(empty source table) — cannot derive a replica stride")
+    r.getLong(0) + 1L
   }
 
   /** Write `df` as ONE parquet FILE at `dest` (the testdata layout —

@@ -668,7 +668,13 @@ object Multimodal {
   def mediaNearDupAgainst(corpusSigs: DataFrame, batch: DataFrame,
                           maxHamming: Int = 6, cleanChunks: Int = 2,
                           maxBucketSize: Int = 100000): DataFrame =
-    perKindPairs(mediaSignTable(batch), corpusSigs,
+    // corpus-side sig =!= 0 re-filter: idempotent for tables signed by
+    // the current mediaSignTable, but a sign table persisted BEFORE the
+    // round-12 degenerate-signature guard can still carry sig=0 rows
+    // that pair with any low-popcount batch signature within the
+    // hamming radius (round-12 ADVICE)
+    perKindPairs(mediaSignTable(batch),
+      corpusSigs.filter(col("sig") =!= 0L),
       Dedup.simHashCandidatesAgainstSigs(_, _, maxHamming, cleanChunks,
         maxBucketSize))
 

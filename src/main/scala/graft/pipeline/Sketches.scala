@@ -127,16 +127,30 @@ object Sketches {
     * which is what a heavy-hitter query means at that cardinality. */
   def exactRegimeM(df: DataFrame, itemCol: String, mMin: Int = 4096,
                    headroom: Double = 2.0, cap: Int = 1 << 21): Int = {
+    val approx = df.agg(
+      approx_count_distinct(col(itemCol)).as("__d")).head.getLong(0)
+    regimeM(approx, mMin, headroom, cap)
+  }
+
+  /** The pure sizing arithmetic behind [[exactRegimeM]], split out so
+    * the overflow/cap/headroom contract is unit-testable without a
+    * billion-row DataFrame: smallest power of two >= approx×headroom,
+    * floored at `mMin`, clamped at `cap`. */
+  private[graft] def regimeM(approxDistinct: Long, mMin: Int,
+                             headroom: Double, cap: Int): Int = {
     require(mMin >= 1 && Integer.bitCount(mMin) == 1,
       s"mMin=$mMin must be a positive power of two")
     require(headroom >= 1.0, s"headroom=$headroom must be >= 1")
     require(cap >= mMin, s"cap=$cap must be >= mMin=$mMin")
-    val approx = df.agg(
-      approx_count_distinct(col(itemCol)).as("__d")).head.getLong(0)
-    val target = math.ceil(approx * headroom).toLong
-    var m = mMin
+    require(cap <= (1 << 30),
+      s"cap=$cap must be <= 2^30 (Int-sized counter arrays)")
+    require(approxDistinct >= 0, s"approxDistinct=$approxDistinct")
+    val target = math.ceil(approxDistinct * headroom).toLong
+    // Long arithmetic: doubling an Int past 2^30 overflows to negative
+    // and the loop never terminates (round-12 ADVICE).
+    var m = mMin.toLong
     while (m < target && m < cap) m <<= 1
-    math.min(m.toLong, cap.toLong).toInt
+    math.min(m, cap.toLong).toInt
   }
 
   private[pipeline] def ssAgg(item: Column, weight: Column, errw: Column,
