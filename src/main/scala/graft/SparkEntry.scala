@@ -1024,30 +1024,37 @@ object SparkEntry {
           "never_seen_item"), depth = 4, width = 256)
     },
     "q_heavy_hitters" -> { (s, d) =>
-      // top-5 users per event type via the Space-Saving sketch; m=4096
-      // exceeds the distinct-user cardinality through sf0.1 (150/1500
-      // distinct at sf0.01/sf0.1) so every count is exact and err = 0
-      // — the regime the oracle replays with GROUP BY + rank. The
-      // round-10 sf0.1 sweep caught the m=1024 regime flip at 1500
-      // distinct: counts stayed within the ε-bounds (0 violations)
-      // but exact replay demands headroom. The eviction regime is
-      // property-tested in SketchFamilySpec, where only ε-bounds are
-      // deterministic.
+      // top-5 users per event type via the Space-Saving sketch, with
+      // m SIZED BY THE DATA: exactRegimeM's HLL pre-pass picks the
+      // smallest power of two with 2× headroom over the measured
+      // distinct-user cardinality, so no counter ever evicts and
+      // every count is exact with err = 0 — the regime the oracle
+      // replays with GROUP BY + rank. A fixed m is wrong at some
+      // scale (the round-10 sf0.1 sweep caught m=1024 flipping to
+      // the eviction regime at 1500 distinct users); the pre-pass
+      // makes the exact regime scale-invariant up to the 2^21 state
+      // cap, past which heavy-hitters degrade to their ε-bounds (the
+      // regime property-tested in SketchFamilySpec).
+      val ev = eventsUs(s, d)
+      val m = graft.pipeline.Sketches.exactRegimeM(ev, "user_id")
       graft.pipeline.Sketches.heavyHitters(
-        eventsUs(s, d), Seq("event_type"), "user_id", m = 4096, topK = 5)
+        ev, Seq("event_type"), "user_id", m = m, topK = 5)
     },
     "q_hh_rollup" -> { (s, d) =>
       // persisted heavy-hitter workflow: per-DAY user sketch tables
       // (m counters per day cross the merge, never the events) rolled
       // up to the period's global top-5 by PODS '12 re-insertion;
-      // no fine sketch evicts at this cardinality → the rollup is
-      // exactly the direct sketch and the oracle replays it
+      // m sized by exactRegimeM (see q_heavy_hitters) — the GLOBAL
+      // cardinality bounds every day's a fortiori, so no fine sketch
+      // evicts and the rollup is exactly the direct sketch, which the
+      // oracle replays
       val ev = eventsUs(s, d)
         .withColumn("day", expr("ts div 86400000000"))
+      val m = graft.pipeline.Sketches.exactRegimeM(ev, "user_id")
       val daily = graft.pipeline.Sketches.heavyHitterTable(
-        ev, Seq("day"), "user_id", m = 4096)
+        ev, Seq("day"), "user_id", m = m)
       graft.pipeline.Sketches.mergeHeavyHitters(
-        daily, Nil, m = 4096, topK = 5)
+        daily, Nil, m = m, topK = 5)
     },
     "q_quantile_sketch" -> { (s, d) =>
       // per-event-type value quantiles from the bottom-k-by-hash

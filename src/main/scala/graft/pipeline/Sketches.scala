@@ -127,10 +127,17 @@ object Sketches {
     * which is what a heavy-hitter query means at that cardinality. */
   def exactRegimeM(df: DataFrame, itemCol: String, mMin: Int = 4096,
                    headroom: Double = 2.0, cap: Int = 1 << 21): Int = {
-    val approx = df.agg(
-      approx_count_distinct(col(itemCol)).as("__d")).head.getLong(0)
+    val approx = distinctPrePass(df, itemCol).head.getLong(0)
     regimeM(approx, mMin, headroom, cap)
   }
+
+  /** The HLL++ cardinality pre-pass behind [[exactRegimeM]], exposed
+    * so its plan shape is spec-pinned: ONE aggregation with a
+    * map-side partial (each partition reduces its rows to a ~KB HLL
+    * register set before the single-row exchange) — the whole corpus
+    * crosses the wire as one sketch per partition, never as rows. */
+  private[graft] def distinctPrePass(df: DataFrame, itemCol: String): DataFrame =
+    df.agg(approx_count_distinct(col(itemCol)).as("__d"))
 
   /** The pure sizing arithmetic behind [[exactRegimeM]], split out so
     * the overflow/cap/headroom contract is unit-testable without a

@@ -155,4 +155,35 @@ class SketchesSpec extends AnyFlatSpec with Matchers {
       latest() shouldBe Map("a" -> 3.0, "b" -> 2.0)
     } finally q.stop()
   }
+
+  "exactRegimeM" should "size m so the Space-Saving sketch stays exact" in {
+    // 600 distinct users: ×2 headroom -> target ~1200 -> m=4096 floor;
+    // 5000 distinct: target ~10000 -> 16384 (modulo HLL ±5% rsd, which
+    // the 2× headroom swallows — both land on the same power of two)
+    val small = (1 to 600).map(i => s"u$i").toDF("user_id")
+    Sketches.exactRegimeM(small, "user_id") shouldBe 4096
+    val big = (1 to 5000).map(i => s"u$i").toDF("user_id")
+    val m = Sketches.exactRegimeM(big, "user_id")
+    m should (be(8192) or be(16384)) // 5000×2=10000; HLL rsd may round
+    // exactness end-to-end: with that m, sketch counts == exact counts
+    val ev = (1 to 5000).flatMap(i =>
+      Seq.fill(1 + i % 3)(("e", s"u$i"))).toDF("event_type", "user_id")
+    val top = Sketches.heavyHitters(ev, Seq("event_type"), "user_id",
+      m = m, topK = 5).collect()
+    all(top.map(_.getAs[Long]("err"))) shouldBe 0L
+  }
+
+  it should "run its cardinality pre-pass with a map-side partial" in {
+    val df = (1 to 2000).map(i => s"u${i % 500}").toDF("user_id")
+      .repartition(8)
+    val pre = Sketches.distinctPrePass(df, "user_id")
+    pre.write.mode("overwrite").format("noop").save()
+    val plan = pre.queryExecution.executedPlan.toString
+    // partial HLL per partition before the single-row exchange: the
+    // corpus crosses the wire as one register set per partition
+    plan should include("partial_approx_count_distinct")
+    // exactly one single-partition exchange for the global agg (the
+    // other Exchange in this plan is the test's own repartition(8))
+    "Exchange SinglePartition".r.findAllIn(plan).size shouldBe 1
+  }
 }
