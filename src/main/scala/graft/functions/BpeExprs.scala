@@ -137,6 +137,24 @@ object Bpe {
     ("s", "low"), ("c", "t"), ("ct", "or"), ("d", "er"),
     ("e", "ctor"), ("or", "der"), ("v", "ector")))
 
+  /** Parse the SQL-literal merge-table form: one `a b` pair per
+    * newline, in merge-rank order (the inverse of [[renderMerges]]).
+    * Symbols never contain whitespace — the pre-tokenizer splits on
+    * `\s+` — so the two-field split is unambiguous. */
+  def parseMerges(text: String): BpeModel = BpeModel(
+    text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { line =>
+      val f = line.split(" ")
+      require(f.length == 2,
+        s"merge line '$line': expected exactly 'left right'")
+      (f(0), f(1))
+    }.toVector)
+
+  /** The newline-delimited literal a trained model embeds in SQL —
+    * `renderMerges(train(...))` is what you paste into
+    * `bpe_encode(text, '<merges>')`. */
+  def renderMerges(model: BpeModel): String =
+    model.merges.map { case (a, b) => s"$a $b" }.mkString("\n")
+
   /** Train a BPE merge list on a corpus: ONE shuffle for the
     * word-frequency table, TakeOrdered to the `maxVocab` most frequent
     * words (ties by word ascending), then the driver-side merge loop.

@@ -178,6 +178,30 @@ object GraftFunctions {
         { args => arity("bottomk_sample", 3, args)
           SketchExprs.BottomKSample(args(0), args(1),
             intLit(args(2), "k")).toAggregateExpression() }),
+      ("bpe_encode",
+        "bpe_encode(text[, merges]) - subword tokens (array<string>) " +
+          "via the committed BPE vocabulary, or a literal merge table " +
+          "(one 'left right' pair per newline, rank order — " +
+          "Bpe.renderMerges of a trained model). Pre-tokenizes like " +
+          "the dedup shingler: trim, lowercase, split \\s+",
+        { args =>
+          require(args.length == 1 || args.length == 2,
+            s"bpe_encode expects 1 or 2 arguments, got ${args.length}")
+          val model = if (args.length == 2)
+            Bpe.parseMerges(strLit(args(1), "merges"))
+          else Bpe.committed
+          BpeExprs.BpeEncodeExpr(args(0), model) }),
+      ("bpe_count",
+        "bpe_count(text[, merges]) - BPE token count (bigint) without " +
+          "materializing the token array; same vocabulary resolution " +
+          "as bpe_encode",
+        { args =>
+          require(args.length == 1 || args.length == 2,
+            s"bpe_count expects 1 or 2 arguments, got ${args.length}")
+          val model = if (args.length == 2)
+            Bpe.parseMerges(strLit(args(1), "merges"))
+          else Bpe.committed
+          BpeExprs.BpeCountExpr(args(0), model) }),
       ("parse_ntriple",
         "parse_ntriple(line, permissive) - 0/1-element array of quad structs " +
           "from one N-Triples/N-Quads line; explode it (permissive: drop " +

@@ -146,4 +146,39 @@ class GraftFunctionsSpec extends AnyFlatSpec with Matchers {
     viaSql should have size 8
     viaSql.map(_._1) shouldBe viaSql.map(_._1).sorted
   }
+
+  it should "expose bpe_encode / bpe_count, matching the Column API" in {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq((1L, "The Customer ORDER row"), (2L, "  vector  batch "),
+      (3L, null.asInstanceOf[String])).toDF("id", "text")
+    df.createOrReplaceTempView("bpe_v")
+    // committed-vocab form: SQL and Column must agree cell for cell
+    val viaSql = spark.sql(
+      "SELECT id, bpe_encode(text) AS toks, bpe_count(text) AS n " +
+        "FROM bpe_v ORDER BY id").collect()
+    val viaCol = df.select(col("id"),
+        graft.functions.BpeExprs.bpeTokensCol(col("text")).as("toks"),
+        graft.functions.BpeExprs.bpeTokenCountCol(col("text")).as("n"))
+      .orderBy("id").collect()
+    viaSql.map(_.toSeq) shouldBe viaCol.map(_.toSeq)
+    viaSql(0).getLong(2) shouldBe viaSql(0).getSeq[String](1).size.toLong
+    viaSql(2).isNullAt(1) shouldBe true // NULL text -> NULL, not error
+
+    // literal merge-table form round-trips through renderMerges
+    val custom = graft.functions.Bpe.trainFromCounts(
+      Seq(("abab", 10L), ("ab", 5L)), numMerges = 2)
+    val lit = graft.functions.Bpe.renderMerges(custom)
+    graft.functions.Bpe.parseMerges(lit) shouldBe custom
+    val sql2 = spark.sql(
+      s"SELECT bpe_encode('abab', '$lit') AS t").head().getSeq[String](0)
+    val col2 = Seq("abab").toDF("t")
+      .select(graft.functions.BpeExprs.bpeTokensCol(col("t"), custom))
+      .head().getSeq[String](0)
+    sql2 shouldBe col2
+    sql2.mkString shouldBe "abab" // tokens reassemble the word
+
+    // a non-literal merges argument is rejected loudly, not miscompiled
+    an[Exception] should be thrownBy
+      spark.sql("SELECT bpe_encode(text, text) FROM bpe_v").collect()
+  }
 }
