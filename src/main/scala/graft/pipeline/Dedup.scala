@@ -118,13 +118,21 @@ object Dedup {
     * ([[minHashCandidatesAgainst]]) starts from it without re-reading
     * the text. */
   def minHashSignTable(df: DataFrame, idCol: String, textCol: String,
-                       numHashes: Int = 64, shingleK: Int = 3): DataFrame =
-    df.select(col(idCol).as("id"), tokens(col(textCol)).as("ws"))
+                       numHashes: Int = 64, shingleK: Int = 3,
+                       keep: Seq[String] = Nil): DataFrame = {
+    // `keep`: extra columns carried verbatim alongside (id, sh, mh) —
+    // the streaming wrapper threads its event-time column through the
+    // signing so the pair-collapse can watermark on it
+    val kept = keep.map(col)
+    df.select(col(idCol).as("id") +: tokens(col(textCol)).as("ws") +: kept: _*)
       .filter(size(col("ws")) >= shingleK)
-      .select(col("id"),
-        graft.functions.TextHashExprs.shingleHashesCol(col("ws"), shingleK).as("sh"))
-      .select(col("id"), col("sh"),
-        graft.functions.TextHashExprs.minHashFromHashesCol(col("sh"), numHashes).as("mh"))
+      .select(col("id") +:
+        graft.functions.TextHashExprs.shingleHashesCol(col("ws"), shingleK)
+          .as("sh") +: kept: _*)
+      .select(col("id") +: col("sh") +:
+        graft.functions.TextHashExprs.minHashFromHashesCol(col("sh"), numHashes)
+          .as("mh") +: kept: _*)
+  }
 
   /** `(id, band, bucket)` banding rows of a signature table — one
     * murmur3 bucket per band over that band's slice of `mh`; only
@@ -318,10 +326,12 @@ object Dedup {
   private[graft] def minHashCandidatesAgainstStream(
       newSigs: DataFrame, corpusSigs: DataFrame, numHashes: Int = 64,
       bands: Int = 16, threshold: Double = 0.5,
-      maxBucketSize: Int = 100000): DataFrame = {
+      maxBucketSize: Int = 100000, keep: Seq[String] = Nil): DataFrame = {
+    val kept = keep.map(col)
     val nb = requireSigLength(newSigs, numHashes)
-      .select(col("id").as("idNew"), col("sh").as("shA"),
-        posexplode(bandKeyArray(numHashes, bands)).as(Seq("band", "bucket")))
+      .select(col("id").as("idNew") +: col("sh").as("shA") +:
+        posexplode(bandKeyArray(numHashes, bands)).as(Seq("band", "bucket")) +:
+        kept: _*)
     // the corpus side is STATIC, so its hot buckets can (and must) be
     // capped like the batch path — a mega-bucket would otherwise fan
     // every matching micro-batch row into |bucket| pairs
@@ -334,7 +344,7 @@ object Dedup {
       .filter(col("idNew") =!= col("idCorpus"))
       .withColumn("jaccard", jaccard(col("shA"), col("shB")))
       .filter(col("jaccard") >= threshold)
-      .select(col("idNew"), col("idCorpus"), col("jaccard"))
+      .select(col("idNew") +: col("idCorpus") +: col("jaccard") +: kept: _*)
   }
 
   /** Stream-safe [[simHashCandidatesAgainstSigs]]: the new side's
@@ -347,9 +357,12 @@ object Dedup {
     * [[minHashCandidatesAgainstStream]] contract. */
   private[graft] def simHashCandidatesAgainstStream(
       newSigs: DataFrame, corpusSigs: DataFrame, maxHamming: Int = 6,
-      cleanChunks: Int = 2, maxBucketSize: Int = 100000): DataFrame = {
+      cleanChunks: Int = 2, maxBucketSize: Int = 100000,
+      keep: Seq[String] = Nil): DataFrame = {
+    val kept = keep.map(col)
     val nk = simHashKeys(newSigs, maxHamming, cleanChunks)
-      .select(col("k"), col("id").as("idNew"), col("sig").as("sigA"))
+      .select(col("k") +: col("id").as("idNew") +: col("sig").as("sigA") +:
+        kept: _*)
     val ck = capBuckets(simHashKeys(corpusSigs, maxHamming, cleanChunks),
       Seq("k"), maxBucketSize)
       .select(col("k"), col("id").as("idCorpus"), col("sig").as("sigB"))
@@ -360,7 +373,7 @@ object Dedup {
       .filter(col("idNew") =!= col("idCorpus"))
       .withColumn("hamming", bit_count(col("sigA").bitwiseXOR(col("sigB"))))
       .filter(col("hamming") <= maxHamming)
-      .select(col("idNew"), col("idCorpus"), col("hamming"))
+      .select(col("idNew") +: col("idCorpus") +: col("hamming") +: kept: _*)
   }
 
   /** 64-bit SimHash over word tokens (unit weights): bit b of the
@@ -438,7 +451,10 @@ object Dedup {
     val keys = array(combos.zipWithIndex.map { case (combo, cid) =>
       xxhash64((lit(cid) +: combo.map(chunkVal)): _*)
     }: _*)
-    sigs.select(col("id"), col("sig"), explode(keys).as("k"))
+    // any extra input columns (e.g. a stream's event-time column)
+    // ride along with the exploded keys
+    val extra = sigs.columns.filterNot(Set("id", "sig")).map(col).toSeq
+    sigs.select(col("id") +: col("sig") +: explode(keys).as("k") +: extra: _*)
   }
 
   /** [[simHashKeys]] with engine-neutral keys: the `cleanChunks`
@@ -810,6 +826,26 @@ object Dedup {
     df.select(explode(split(col(textCol), splitRe)).as("__para"))
       .filter(trim(col("__para")) =!= "")
       .select(md5(col("__para").cast("binary")).as("pfp"))
+      .dropDuplicates()
+
+  /** Compaction fold for the streaming paragraph dedup: merge a run's
+    * SURVIVOR rows ([[graft.streaming.StreamingOps.paragraphDedupStream]]
+    * output — `para` text per surviving paragraph) into the persisted
+    * corpus fingerprint table. The widened table is what the restarted
+    * query (fresh checkpoint) anti-joins against, so every paragraph
+    * the previous run admitted is corpus state, not stream state —
+    * this is how the stream's otherwise-unbounded fingerprint store is
+    * periodically drained back to the table it extends. Fingerprints
+    * are computed exactly as [[paragraphFpTable]] and the stream do
+    * (md5 of the paragraph bytes), so a fold-then-replay run admits
+    * nothing twice. One shuffle (the distinct); survivors-sized, not
+    * corpus-sized, on the stream side. */
+  def foldParagraphFps(corpusFps: DataFrame, survivors: DataFrame,
+                       paraCol: String = "para"): DataFrame =
+    corpusFps.select(col("pfp"))
+      .unionByName(survivors
+        .select(md5(col(paraCol).cast("binary")).as("pfp"))
+        .filter(col("pfp").isNotNull))
       .dropDuplicates()
 
   /** Incremental [[dedupParagraphs]]: dedup a NEW batch against a

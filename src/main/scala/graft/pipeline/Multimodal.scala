@@ -632,13 +632,15 @@ object Multimodal {
     * and incremental batches dedup against it with
     * [[mediaNearDupAgainst]] without re-decoding a byte of corpus
     * media — the media analogue of [[Dedup.simHashSignTable]]. */
-  def mediaSignTable(media: DataFrame): DataFrame = {
+  def mediaSignTable(media: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     // asNondeterministic: blocks the sig-IS-NOT-NULL filter from
     // pushing back through the projection, which would decode every
-    // payload TWICE (see perceptualHash)
+    // payload TWICE (see perceptualHash). `keep`: extra columns
+    // carried verbatim (the streaming wrapper threads its event-time
+    // column through so the pair-collapse can watermark on it).
     val hash = udf(kindHash _).asNondeterministic()
-    media.select(col("media_id").as("id"), col("kind"),
-        hash(col("kind"), col("bytes")).as("sig"))
+    media.select(col("media_id").as("id") +: col("kind") +:
+        hash(col("kind"), col("bytes")).as("sig") +: keep.map(col): _*)
       .filter(col("sig").isNotNull && col("sig") =!= 0L)
   }
 
@@ -656,14 +658,16 @@ object Multimodal {
     * once. */
   private[graft] def perKindPairs(batchSigs: DataFrame,
                                   corpusSigs: DataFrame,
-                                  pairFn: (DataFrame, DataFrame) => DataFrame)
+                                  pairFn: (DataFrame, DataFrame) => DataFrame,
+                                  keep: Seq[String] = Nil)
       : DataFrame =
     Seq("image", "audio", "video").map { kind =>
       pairFn(batchSigs.filter(col("kind") === kind).drop("kind"),
         corpusSigs.filter(col("kind") === kind).drop("kind"))
         .withColumn("kind", lit(kind))
     }.reduce(_ unionByName _)
-      .select(col("kind"), col("idNew"), col("idCorpus"), col("hamming"))
+      .select(col("kind") +: col("idNew") +: col("idCorpus") +:
+        col("hamming") +: keep.map(col): _*)
 
   def mediaNearDupAgainst(corpusSigs: DataFrame, batch: DataFrame,
                           maxHamming: Int = 6, cleanChunks: Int = 2,

@@ -83,20 +83,38 @@ object StreamingOps {
     * signature expressions keep this stateless — no aggregation state
     * at all), banded, and stream-static-joined against the corpus
     * bands; pairs verify with exact Jaccard. Output rows are named
-    * (idNew, idCorpus) — NOTE a pair surfaces once PER AGREEING BAND
-    * (up to `bands` times): stateless streams cannot dedup pairs, so
-    * collapse with dropDuplicatesWithinWatermark("idNew", "idCorpus")
-    * given event time, or aggregate in foreachBatch, before counting
-    * matches. The corpus signature table comes from
+    * (idNew, idCorpus). With an event-time column (`tsCol`) the
+    * multi-band duplicates COLLAPSE BY DEFAULT via a watermarked
+    * dedup on the pair key; without one (or with
+    * `collapsePairs=false`) a pair surfaces once PER AGREEING BAND
+    * (up to `bands` times — stateless streams cannot dedup pairs), so
+    * collapse in foreachBatch before counting matches. The corpus
+    * signature table comes from
     * [[graft.pipeline.Dedup.minHashSignTable]], persisted once;
     * re-sign and swap it to pick up corpus growth. */
   def nearDupStream(docs: DataFrame, idCol: String, textCol: String,
                     corpusSigs: DataFrame, numHashes: Int = 64,
                     bands: Int = 16, shingleK: Int = 3,
-                    threshold: Double = 0.5): DataFrame =
-    Dedup.minHashCandidatesAgainstStream(
-      Dedup.minHashSignTable(docs, idCol, textCol, numHashes, shingleK),
-      corpusSigs, numHashes, bands, threshold)
+                    threshold: Double = 0.5,
+                    tsCol: Option[String] = None,
+                    watermark: String = "1 hour",
+                    collapsePairs: Boolean = true): DataFrame = {
+    // default pair-collapse (round-11 hygiene item): given an
+    // event-time column, the multi-band duplicates collapse HERE with
+    // a watermarked dedup on (idNew, idCorpus) — each pair surfaces
+    // exactly once per watermark window and the output carries the
+    // event time. Opt out with collapsePairs=false (or no tsCol) to
+    // get the raw once-per-agreeing-band contract above.
+    val keep = tsCol.toSeq
+    val signed = Dedup.minHashSignTable(
+      tsCol.fold(docs)(t => docs.withWatermark(t, watermark)),
+      idCol, textCol, numHashes, shingleK, keep)
+    val pairs = Dedup.minHashCandidatesAgainstStream(
+      signed, corpusSigs, numHashes, bands, threshold, keep = keep)
+    if (tsCol.isDefined && collapsePairs)
+      pairs.dropDuplicatesWithinWatermark("idNew", "idCorpus")
+    else pairs
+  }
 
   /** Streaming media near-dup against a persisted signed corpus —
     * the perceptual face of [[nearDupStream]]: each micro-batch of
@@ -105,21 +123,37 @@ object StreamingOps {
     * projection; bytes never leave the batch), and the signatures
     * stream-static-join the corpus table per kind (an image hash and
     * an audio hash sharing bits is noise, not similarity). Output
-    * rows are (kind, idNew, idCorpus, hamming) — NOTE a pair
-    * surfaces once PER AGREEING COMBINATION KEY (up to
-    * C(maxHamming+cleanChunks, cleanChunks) times): stateless
-    * streams cannot dedup pairs; collapse with a watermarked
-    * dropDuplicates or in foreachBatch before counting, the
-    * [[nearDupStream]] contract. The corpus table comes from
+    * rows are (kind, idNew, idCorpus, hamming). With an event-time
+    * column (`tsCol`) the combination-key duplicates COLLAPSE BY
+    * DEFAULT via a watermarked dedup on the pair key; without one
+    * (or with `collapsePairs=false`) a pair surfaces once PER
+    * AGREEING COMBINATION KEY (up to C(maxHamming+cleanChunks,
+    * cleanChunks) times — stateless streams cannot dedup pairs), so
+    * collapse in foreachBatch before counting, the [[nearDupStream]]
+    * contract. The corpus table comes from
     * `Multimodal.mediaSignTable`, persisted once; re-sign and swap
     * to pick up corpus growth. */
   def mediaNearDupStream(media: DataFrame, corpusSigs: DataFrame,
                          maxHamming: Int = 6, cleanChunks: Int = 2,
-                         maxBucketSize: Int = 100000): DataFrame =
-    graft.pipeline.Multimodal.perKindPairs(
-      graft.pipeline.Multimodal.mediaSignTable(media), corpusSigs,
+                         maxBucketSize: Int = 100000,
+                         tsCol: Option[String] = None,
+                         watermark: String = "1 hour",
+                         collapsePairs: Boolean = true): DataFrame = {
+    // same default watermarked pair-collapse as [[nearDupStream]]:
+    // with an event-time column, combination-key duplicates collapse
+    // on (kind, idNew, idCorpus); opt out via collapsePairs=false
+    val keep = tsCol.toSeq
+    val pairs = graft.pipeline.Multimodal.perKindPairs(
+      graft.pipeline.Multimodal.mediaSignTable(
+        tsCol.fold(media)(t => media.withWatermark(t, watermark)), keep),
+      corpusSigs,
       Dedup.simHashCandidatesAgainstStream(_, _, maxHamming, cleanChunks,
-        maxBucketSize))
+        maxBucketSize, keep),
+      keep)
+    if (tsCol.isDefined && collapsePairs)
+      pairs.dropDuplicatesWithinWatermark("kind", "idNew", "idCorpus")
+    else pairs
+  }
 
   /** Streaming INCREMENTAL paragraph dedup — the streaming face of
     * [[graft.pipeline.Dedup.dedupParagraphsAgainst]]: each arriving
@@ -144,11 +178,14 @@ object StreamingOps {
     *
     * Scale shape: paragraph text reaches the state shuffle but the
     * state itself stores NOTHING per key (presence of the fingerprint
-    * key is the fact) — growth is one 32-char key per distinct
-    * paragraph, the same asymptote as the persisted fingerprint table
-    * it extends (that table IS corpus state); compact by folding the
-    * stream's output into `corpusFps` and restarting the query, the
-    * same swap discipline as [[nearDupStream]]'s signature table.
+    * key is the fact) — growth is one 16-byte binary digest key per
+    * distinct paragraph, the same asymptote as the persisted
+    * fingerprint table it extends (that table IS corpus state);
+    * compact with [[graft.pipeline.Dedup.foldParagraphFps]] (fold the
+    * stream's survivor rows into `corpusFps`, restart the query on
+    * the widened table with a fresh checkpoint — replayed paragraphs
+    * are then dropped by the anti-join before ever reaching state),
+    * the same swap discipline as [[nearDupStream]]'s signature table.
     * `idCol` must be an integral or string column (the id round-trips
     * through state in string form — the [[funnelStream]] contract);
     * rows with a NULL id are dropped — an id-less document cannot
@@ -182,10 +219,15 @@ object StreamingOps {
       .withColumn("fp", md5(col("para").cast("binary")))
     val fresh = corpusFps.fold(meta)(c =>
       meta.join(c.select(col("pfp").as("fp")), Seq("fp"), "left_anti"))
+    // the state key is the RAW 16-byte digest (unhex), not the 32-char
+    // hex string the anti-join uses: at one key per distinct paragraph
+    // forever, halving the key bytes halves the dominant term of the
+    // store (round-11 hygiene item); UnsafeRow compares BinaryType
+    // keys by content, so grouping semantics are unchanged
     val won = fresh
-      .select(col("fp"), col(idCol).cast("string").as("id"),
-        col("pos"), col("para"))
-      .as[(String, String, Int, String)]
+      .select(unhex(col("fp")).as("fpb"),
+        col(idCol).cast("string").as("id"), col("pos"), col("para"))
+      .as[(Array[Byte], String, Int, String)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Boolean, (String, Int, String)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
