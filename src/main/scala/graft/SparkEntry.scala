@@ -153,7 +153,7 @@ object SparkEntry {
     * a 32-bit hashCode alone could collide two datasets — plus a
     * format-version tag so a layout change in a later build never
     * silently reuses an old store. */
-  private val CacheVersion = "v3"
+  private val CacheVersion = "v4" // v4: typed object sidecar in dict quads
   private def tmpPath(prefix: String, d: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_${prefix}_" +
       d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + CacheVersion
@@ -420,6 +420,19 @@ object SparkEntry {
         """SELECT ?cname ?bal
           |{ ?c :cname ?cname . ?c :acctbal ?bal . ?c :inNation ?n .
           |  ?n :nname ?nname FILTER(?bal > 5000 && ?nname != "NATION_7") }""".stripMargin),
+        "cname" -> "string", "bal" -> "double")
+    },
+    "q_dict_typed_filter" -> { (s, d) =>
+      // typed-sidecar value filter (round-13): BOTH numeric conjuncts
+      // evaluate on the o_cls/o_dbl columns persisted at encode —
+      // ZERO dict joins before the filter (the only dict joins in the
+      // plan are the post-filter materialization of ?cname/?bal), and
+      // the double comparisons push into the parquet scan as
+      // row-group filters. DictTypedFilterSpec pins both plan facts.
+      out(dictStore(s, d).sparql(prologue +
+        """SELECT ?cname ?bal
+          |{ ?c :cname ?cname . ?c :acctbal ?bal
+          |  FILTER(?bal > 3000 && ?bal <= 9500) }""".stripMargin),
         "cname" -> "string", "bal" -> "double")
     },
     "q_dict_optional_cond" -> { (s, d) =>
@@ -2319,6 +2332,9 @@ object SparkEntry {
       """SELECT c_name AS cname, c_acctbal AS bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |WHERE c_acctbal > 5000 AND n_name <> 'NATION_7'""".stripMargin,
+    "q_dict_typed_filter" ->
+      """SELECT c_name AS cname, c_acctbal AS bal FROM customer
+        |WHERE c_acctbal > 3000 AND c_acctbal <= 9500""".stripMargin,
     "q_dict_optional_cond" ->
       """SELECT n_name AS nname, c_name AS cname
         |FROM nation LEFT JOIN customer

@@ -653,9 +653,21 @@ final class DictStore private (val spark: SparkSession,
 
   /** The id-space frame of an extended block, shared by the block,
     * EXISTS and ALP compilers. */
-  private def idsOf(op: Op, consts: Map[Term, Long]): DataFrame = op match {
+  private def idsOf(op: Op, consts: Map[Term, Long],
+                    typedWanted: Set[String] = Set.empty): DataFrame = op match {
     case b if isBlock(b) =>
-      flattenJoins(b).map(scanIds(_, consts)).reduceLeft { (l, r) =>
+      // each typed-wanted var is carried by exactly ONE scan (its
+      // first object-position binding): join equality makes every
+      // binding agree on the value, and a second copy would otherwise
+      // enter the equi-join key set, where NULL keys drop rows
+      var remaining = typedWanted
+      flattenJoins(b).map { sc =>
+        val tv = sc.o match {
+          case V(n) if remaining.contains(n) => remaining -= n; Some(n)
+          case _ => None
+        }
+        scanIds(sc, consts, tv)
+      }.reduceLeft { (l, r) =>
         val shared = l.columns.intersect(r.columns).toSeq
         if (shared.isEmpty) l.crossJoin(r) else l.join(r, shared)
       }
@@ -1132,12 +1144,93 @@ final class DictStore private (val spark: SparkSession,
       if (df.columns.contains(tvCol(n))) col(tvCol(n))
       else graft.sparql.TermFns.nullTerm)
 
+  // ----- typed-sidecar FILTER fast path -----
+  // Numeric/temporal comparisons of an object-position variable
+  // against a CONSTANT evaluate on the sidecar columns persisted at
+  // encode (o_cls/o_dbl/o_dec/o_ts) — zero dict joins, and the
+  // resulting predicates are plain column comparisons Spark pushes
+  // into the parquet scan. Boolean algebra is kept branch-equal to
+  // TermMath.valueCmp/valueEq: exact-exact compares decimal(38,12),
+  // any-float compares full-precision doubles (Spark's NaN-largest /
+  // -0.0=0.0 ordering IS Double.compare's), every error leg lands on
+  // NULL or FALSE — both drop, like the hybrid's error→drop. The
+  // constant pins the comparable class, which is what makes this
+  // safe: var-var forms (strings? booleans?) and `!=` (an IRI != 5
+  // is TRUE under RDFterm-equal, but a sidecar NULL would drop it)
+  // stay on the hybrid path.
+  private def tcCol(v: String): String = s"__tc_$v"
+  private def tdCol(v: String): String = s"__td_$v"
+  private def teCol(v: String): String = s"__te_$v"
+  private def ttCol(v: String): String = s"__tt_$v"
+
+  /** (var, op, constant literal, constIsLeftOperand) when `e` has the
+    * typed-comparable shape. `=` is included (numeric-equal /
+    * dateTime-equal are the only hybrid branches a numeric/temporal
+    * constant can reach with TRUE); `!=` is NOT (see above). */
+  private def typedShape(e: Expr): Option[(String, String, graft.rdf.Lit, Boolean)] =
+    e match {
+      case FuncE(op @ ("<" | "<=" | ">" | ">=" | "="),
+                 List(VarE(v), ConstE(t: graft.rdf.Lit))) =>
+        Some((v, op, t, false))
+      case FuncE(op @ ("<" | "<=" | ">" | ">=" | "="),
+                 List(ConstE(t: graft.rdf.Lit), VarE(v))) =>
+        Some((v, op, t, true))
+      case _ => None
+    }
+
+  private def typedEligible(e: Expr, objVars: Set[String]): Boolean =
+    typedShape(e).exists { case (v, _, t, _) =>
+      objVars.contains(v) && (
+        graft.rdf.XSD.numeric.contains(t.dt) ||
+          ((t.dt == graft.rdf.XSD.date || t.dt == graft.rdf.XSD.dateTime) &&
+            idQuads.columns.contains("o_ts") &&
+            spark.sessionState.conf.sessionLocalTimeZone == "UTC"))
+    }
+
+  /** Compile a typed-eligible conjunct against the carried sidecar
+    * columns (see [[typedEligible]] for the semantics argument). */
+  private def typedCond(e: Expr): Column = {
+    val (v, op, t, constLeft) = typedShape(e).getOrElse(
+      throw new IllegalStateException(s"not typed-eligible: $e"))
+    def cmp(a: Column, b: Column): Column = op match {
+      case "<" => a < b
+      case "<=" => a <= b
+      case ">" => a > b
+      case ">=" => a >= b
+      case "=" => a === b
+    }
+    def vc(varSide: Column, constSide: Column): Column =
+      if (constLeft) cmp(constSide, varSide) else cmp(varSide, constSide)
+    val cls = col(tcCol(v))
+    if (graft.rdf.XSD.numeric.contains(t.dt)) {
+      val cDbl = lit(t.lex).try_cast(DoubleType)
+      if (graft.rdf.XSD.exactNumeric.contains(t.dt)) {
+        val cDec = lit(t.lex).try_cast(graft.sparql.TermFns.DEC)
+        (cls === 2 && vc(col(tdCol(v)), cDbl)) ||
+          (cls === 1 && vc(col(teCol(v)), cDec))
+      } else // float constant: any numeric var compares as double
+        cls >= 1 && vc(col(tdCol(v)), cDbl)
+    } else // date/dateTime constant (zone gated in typedEligible)
+      vc(col(ttCol(v)), lit(t.lex).try_cast(TimestampType))
+  }
+
   private def compileFilterIds(child: Op, conjs: List[Expr],
                                keep: List[String]): DataFrame = {
     val (existsConjs, scalarConjs) = conjs.partition(_.isInstanceOf[ExistsE])
     // term-identity predicates run as long comparisons ON THE SCAN;
+    // numeric/temporal comparisons against a constant run on the
+    // TYPED OBJECT SIDECAR (zero dict joins, parquet-pushable);
     // everything else is a hybrid conjunct evaluated on decoded terms
-    val (idConjs, hybridConjs) = scalarConjs.partition(idPred(child, _))
+    val (idConjs, rest) = scalarConjs.partition(idPred(child, _))
+    val typedObjVars: Set[String] =
+      if (idQuads.columns.contains("o_dbl") && isBlock(child))
+        allScans(child).flatMap(_.o match {
+          case V(n) => Some(n); case _ => None
+        }).toSet
+      else Set.empty
+    val (typedConjs, hybridConjs) =
+      rest.partition(typedEligible(_, typedObjVars))
+    val typedVars = typedConjs.flatMap(typedShape).map(_._1).distinct.toSet
     val condTerms = conjs.flatMap {
       case ExistsE(p, _) => scanConstTerms(allScans(p))
       case FuncE(_, args) => args.collect { case ConstE(t) => t }
@@ -1146,12 +1239,16 @@ final class DictStore private (val spark: SparkSession,
     val consts = constIdsOf((scanConstTerms(allScans(child)) ++
       condConstTerms(child) ++ condTerms).distinct)
     val nullable = Algebra.vars(child) -- assuredIdVars(child)
-    var df = idsOf(child, consts)
+    var df = idsOf(child, consts, typedVars)
     idConjs.foreach {
       case FuncE(_, List(a, b)) =>
         df = df.filter(idOperand(a, consts) === idOperand(b, consts))
       case other => throw new IllegalStateException(s"not id-expressible: $other")
     }
+    typedConjs.foreach(e => df = df.filter(typedCond(e)))
+    if (typedVars.nonEmpty)
+      df = df.drop(typedVars.toSeq.flatMap(v =>
+        Seq(tcCol(v), tdCol(v), teCol(v), ttCol(v))): _*)
     if (hybridConjs.nonEmpty) {
       val condVars = hybridConjs.flatMap(exprVarsOf)
         .filter(Algebra.vars(child).contains).distinct
@@ -1304,7 +1401,8 @@ final class DictStore private (val spark: SparkSession,
     * positions filter as long equality (pushed to parquet, pruned by
     * the (p,s)-sorted layout), variables project as long columns named
     * by the variable, repeated variables equate positionally. */
-  private def scanIds(sc: Scan, consts: Map[Term, Long]): DataFrame = {
+  private def scanIds(sc: Scan, consts: Map[Term, Long],
+                      typedVar: Option[String] = None): DataFrame = {
     var df = idQuads
     def id(t: Term): Long = consts.getOrElse(t, -1L)
     sc.g match {
@@ -1320,8 +1418,16 @@ final class DictStore private (val spark: SparkSession,
     Algebra.repeatedVarPairs(varPos).foreach { case (c1, c2) =>
       df = df.filter(col(c1) === col(c2))
     }
+    // typed sidecar carry: project the object value columns under
+    // per-var names so a typed FILTER evaluates right above this scan
+    val typedCols = typedVar.toSeq.flatMap { n =>
+      Seq(col("o_cls").as(tcCol(n)), col("o_dbl").as(tdCol(n)),
+        col("o_dec").as(teCol(n))) ++
+        (if (idQuads.columns.contains("o_ts"))
+          Seq(col("o_ts").as(ttCol(n))) else Nil)
+    }
     df.select(Algebra.firstOccurrence(varPos)
-      .map { case (n, c) => col(c).as(n) }.toIndexedSeq: _*)
+      .map { case (n, c) => col(c).as(n) }.toIndexedSeq ++ typedCols: _*)
   }
 
   /** Late materialization: swap each kept long column for its term
@@ -1412,16 +1518,54 @@ object DictStore {
   }
 
   /** The four encode joins against a FROZEN dict (s/p/o inner, g left
-    * outer). Shared by both ingest layouts. */
+    * outer), plus the TYPED OBJECT SIDECAR: four narrow columns
+    * carrying the object literal's comparable value so numeric and
+    * temporal FILTER conditions run in id space with ZERO dict joins
+    * — and, because they are plain typed columns, push into the
+    * parquet scan as row-group filters (the round-11 #6 item).
+    *
+    *  - `o_cls` 0 = not numeric, 1 = exact (integer/decimal family),
+    *    2 = float/double — mirrors TermMath.numClass, which picks
+    *    decimal vs double comparison semantics;
+    *  - `o_dbl` Spark double cast of the lexical for ANY numeric
+    *    (full-precision — NOT derived from o_dec, whose scale-12
+    *    rounding would diverge from parseDouble on long fractions);
+    *  - `o_dec` decimal(38,12) cast for EXACT numerics only
+    *    (parseDec semantics: NULL on overflow/bad lexical);
+    *  - `o_ts` timestamp for date/dateTime literals, cast in the
+    *    ENCODE session's zone — the compile side only uses it when
+    *    the query session zone matches (both pinned UTC here).
+    *
+    * Cost at 100 TB: fixed-width nullable columns, NULL for every
+    * IRI/string object, so they RLE to near nothing and column
+    * pruning skips them unless a filter references them. Stores
+    * written before this sidecar existed load fine — the fast path
+    * just stays off ([[DictStore.hasTypedCols]]). */
   private def encodeIds(quads: DataFrame, dict: DataFrame): DataFrame = {
+    import graft.sparql.TermFns
     def d(i: Int) = dict.select(col("id").as(s"__ei$i"), col("term").as(s"__et$i"))
+    val o = col("__et2")
+    // o_ts is only written when the encode session zone is UTC: a
+    // zone-less date lexical casts differently per zone, and an
+    // ABSENT column (fast path off) is honest where an all-NULL one
+    // would wrongly drop rows at query time
+    val tsCols =
+      if (quads.sparkSession.sessionState.conf.sessionLocalTimeZone == "UTC")
+        Seq(TermFns.ts(o).as("o_ts"))
+      else Nil
     quads
       .join(d(0), col("s") === col("__et0"))
       .join(d(1), col("p") === col("__et1"))
       .join(d(2), col("o") === col("__et2"))
       .join(d(3), col("g") === col("__et3"), "left_outer")
-      .select(col("__ei0").as("s"), col("__ei1").as("p"),
-        col("__ei2").as("o"), col("__ei3").as("g"))
+      .select(Seq(col("__ei0").as("s"), col("__ei1").as("p"),
+        col("__ei2").as("o"), col("__ei3").as("g"),
+        when(TermFns.isFloating(o), lit(2))
+          .when(TermFns.isExactNumeric(o), lit(1))
+          .otherwise(lit(0)).cast("int").as("o_cls"),
+        TermFns.numD(o).as("o_dbl"),
+        when(TermFns.isExactNumeric(o), TermFns.numDec(o)).as("o_dec")) ++
+        tsCols: _*)
   }
 
   /** Open a persisted store (stats sidecar optional — stores written

@@ -41,7 +41,7 @@ object PlanLint {
     * subtree lives in `.plan`, not `.children`, and reused exchanges
     * hide their original subtree the same way (plan.collect alone
     * stops at all three). */
-  private def walk(p: SparkPlan): Seq[SparkPlan] =
+  private[graft] def walk(p: SparkPlan): Seq[SparkPlan] =
     p +: (p match {
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
       case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
