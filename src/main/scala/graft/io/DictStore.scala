@@ -672,19 +672,38 @@ final class DictStore private (val spark: SparkSession,
         if (shared.isEmpty) l.crossJoin(r) else l.join(r, shared)
       }
     case LeftJoin(l, r, cond) =>
-      val (ld, rd0) = (idsOf(l, consts), idsOf(r, consts))
-      // right-only term-identity conditions pre-filter the right side;
-      // everything else evaluates on the MERGED row during the join
-      // (guarded eligible in isExtBlock)
-      val (preConjs, mergedConjs) = cond.toList.flatMap(conjunctsOf)
-        .map(normNeg).partition(e =>
-          idPred(r, e) && exprVarsOf(e).subsetOf(Algebra.vars(r)))
-      val rd = preConjs.foldLeft(rd0) {
+      // right-only conditions pre-filter the right side BEFORE the
+      // join (equivalent because they reference no left var: matched
+      // rows see the same verdict, unmatched left rows pad with NULLs
+      // either way): term-identity ones as long comparisons, numeric/
+      // temporal-vs-constant ones on the typed sidecar (zero dict
+      // joins — the OPTIONAL face of the typed FILTER fast path).
+      // Everything else evaluates on the MERGED row during the join
+      // (guarded eligible in isExtBlock).
+      val conjs = cond.toList.flatMap(conjunctsOf).map(normNeg)
+      def rightOnly(e: Expr) = exprVarsOf(e).subsetOf(Algebra.vars(r))
+      val (preConjs, rest) = conjs.partition(e => idPred(r, e) && rightOnly(e))
+      val rTypedObjVars: Set[String] =
+        if (idQuads.columns.contains("o_dbl") && isBlock(r))
+          allScans(r).flatMap(_.o match {
+            case V(n) => Some(n); case _ => None
+          }).toSet
+        else Set.empty
+      val (typedPre, mergedConjs) = rest.partition(e =>
+        rightOnly(e) && typedEligible(e, rTypedObjVars))
+      val typedPreVars = typedPre.flatMap(typedShape).map(_._1).distinct
+      val ld = idsOf(l, consts)
+      val rd0 = idsOf(r, consts, typedPreVars.toSet)
+      var rd = preConjs.foldLeft(rd0) {
         case (acc, FuncE(_, List(a, b))) =>
           acc.filter(idOperand(a, consts) === idOperand(b, consts))
         case (_, other) =>
           throw new IllegalStateException(s"not id-expressible: $other")
       }
+      typedPre.foreach(e => rd = rd.filter(typedCond(e)))
+      if (typedPreVars.nonEmpty)
+        rd = rd.drop(typedPreVars.flatMap(v =>
+          Seq(tcCol(v), tdCol(v), teCol(v), ttCol(v))): _*)
       val shared = ld.columns.intersect(rd.columns).toSeq
       if (mergedConjs.isEmpty) ld.join(rd, shared, "left_outer")
       else {

@@ -123,6 +123,38 @@ class DictTypedFilterSpec extends AnyFlatSpec with Matchers {
         s.contains("LessThanOrEqual(o_dbl,9.5")) shouldBe true
   }
 
+  it should "pre-filter OPTIONAL right sides on the sidecar, join-free" in {
+    // the OPTIONAL face: a right-only numeric condition evaluates on
+    // the typed columns BEFORE the left-outer join — unmatched
+    // subjects still pad with an unbound ?x
+    val df = store.sparql(pfx +
+      """SELECT ?s ?x { ?s :v ?y .
+        |  OPTIONAL { ?s :v ?x FILTER(?x >= 5.0e0) } }""".stripMargin)
+    val rows = df.collect()
+      .map(r => (r.getStruct(0).getString(1), Option(r.getStruct(1))
+        .map(_.getString(1))))
+      .toSet
+    rows shouldBe Set(
+      // float promotion: every numeric compares as double vs 5.0e0 —
+      // 5 >= 5.0, the 40-nines integer parses to 1e40, NaN orders last
+      ("urn:a", Some("5")), ("urn:b", Some("5.000000000001")),
+      ("urn:c", Some("5.5")), ("urn:d", Some("NaN")),
+      ("urn:f", Some("9" * 40)),
+      // bad lexical, string "7", IRI, dates, -0.0 < 5: all unbound
+      ("urn:e", None), ("urn:g", None), ("urn:h", None),
+      ("urn:i", None), ("urn:j", None), ("urn:k", None))
+    df.write.mode("overwrite").format("noop").save()
+    val nodes = graft.plans.PlanLint.walk(df.queryExecution.executedPlan)
+    val typedFilters = nodes.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("o_dbl") => f
+    }
+    typedFilters should not be empty
+    for (f <- typedFilters)
+      graft.plans.PlanLint.walk(f).count(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BaseJoinExec]) shouldBe 0
+  }
+
   it should "keep old stores (no sidecar) on the hybrid path, same answers" in {
     val quads = Seq(
       q("a", "v", lit_("5", XSD.integer)),
