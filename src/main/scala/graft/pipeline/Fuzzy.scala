@@ -26,7 +26,8 @@ object Fuzzy {
     * with bounded selectivity, or add a second key to split. */
   def blockedFuzzyJoin(left: DataFrame, right: DataFrame,
                        blockCols: Seq[String], leftCol: String,
-                       rightCol: String, maxDist: Int): DataFrame = {
+                       rightCol: String, maxDist: Int,
+                       collapseExact: Boolean = true): DataFrame = {
     require(blockCols.nonEmpty,
       "blocking keys are required — an unblocked fuzzy join is a cross " +
         "join; block on something (or lit(1) explicitly at toy scale)")
@@ -40,16 +41,45 @@ object Fuzzy {
       !right.columns.contains("edit_dist"),
       "an edit_dist column already exists — rename it first, or the " +
         "output distance would silently overwrite it")
-    left.join(right, blockCols)
-      // banded levenshtein: returns -1 when the distance exceeds the
-      // threshold, so >= 0 IS the within-distance predicate. The
-      // filter pays one early-abandoning eval per CANDIDATE pair;
-      // only the (rare) survivors pay the second eval that produces
-      // the output distance — Catalyst has no cross-operator CSE, and
-      // any single-projection form would be pushdown-rewritten back
-      // into exactly this shape.
+    // banded levenshtein: returns -1 when the distance exceeds the
+    // threshold, so >= 0 IS the within-distance predicate. The
+    // filter pays one early-abandoning eval per CANDIDATE pair;
+    // only the (rare) survivors pay the second eval that produces
+    // the output distance — Catalyst has no cross-operator CSE, and
+    // any single-projection form would be pushdown-rewritten back
+    // into exactly this shape.
+    def verified(pairs: DataFrame): DataFrame = pairs
       .filter(levenshtein(col(leftCol), col(rightCol), maxDist) >= 0)
       .withColumn("edit_dist",
         levenshtein(col(leftCol), col(rightCol), maxDist))
+    if (!collapseExact) verified(left.join(right, blockCols))
+    else {
+      // Exact-duplicate collapse BEFORE the quadratic verify — the
+      // same "run exact first" discipline the near-dup banding
+      // documents for mega-clusters, applied to record linkage: real
+      // entity-resolution corpora repeat names verbatim across
+      // records, and every d duplicated left values × d' duplicated
+      // right values would pay d·d' Levenshtein evals for ONE
+      // distinct comparison. Verify pairs of DISTINCT (block, value)
+      // rows, then expand matches back to full rows with two hash
+      // equi-joins — linear work. The round-13 10× sweep measured the
+      // direct form at 126 s on a corpus with 10 verbatim copies per
+      // name (90× the sf0.1 cost, pure duplicated-pair verification);
+      // collapsed, candidate evals are scale-invariant in the
+      // duplicate factor. Trade: 4 extra (small, distinct-sized)
+      // shuffles — linear terms, the right price for deleting the
+      // quadratic one. Opt out with collapseExact=false when values
+      // are known unique and the extra exchanges matter.
+      val lKey = blockCols :+ leftCol
+      val rKey = blockCols :+ rightCol
+      val pairs = verified(
+        left.select(lKey.map(col): _*).distinct()
+          .join(right.select(rKey.map(col): _*).distinct(), blockCols))
+      left.join(pairs, lKey).join(right, rKey)
+        // column order of the direct form: left ++ right ++ edit_dist
+        .select((left.columns.map(col) ++
+          right.columns.filterNot(blockCols.contains).map(col) :+
+          col("edit_dist")).toIndexedSeq: _*)
+    }
   }
 }

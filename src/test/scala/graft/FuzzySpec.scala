@@ -55,4 +55,54 @@ class FuzzySpec extends AnyFlatSpec with Matchers {
         l.withColumn("edit_dist", l("lid")), r, Seq("blk"),
         "lname", "rname", 1) // would silently overwrite
   }
+
+  it should "collapse exact duplicates with identical pair multiplicity" in {
+    // duplicate-heavy corpus: every value appears several times per
+    // block — the collapsed default must return EXACTLY the direct
+    // form's multiset of row pairs (expansion restores multiplicity),
+    // while verifying only distinct value pairs
+    val seed = sys.props.get("graft.fuzz.seed").map(_.toInt).getOrElse(19)
+    val rnd = new scala.util.Random(seed)
+    val words = Seq("kitten", "sitten", "mitten", "smitten", "kitchen",
+      "fitting", "bitten", "bidden")
+    def rows(n: Int, idBase: Long) = (0 until n).map { i =>
+      ("b" + rnd.nextInt(3), words(rnd.nextInt(words.size)), idBase + i)
+    }
+    val dl = rows(60, 100).toDF("blk", "lname", "lid")
+    val dr = rows(80, 1000).toDF("blk", "rname", "rid")
+    def multiset(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(x => (x.getAs[Long]("lid"), x.getAs[Long]("rid"),
+        x.getAs[Int]("edit_dist"))).sorted.toSeq
+    val collapsed = multiset(
+      Fuzzy.blockedFuzzyJoin(dl, dr, Seq("blk"), "lname", "rname", 2))
+    val direct = multiset(
+      Fuzzy.blockedFuzzyJoin(dl, dr, Seq("blk"), "lname", "rname", 2,
+        collapseExact = false))
+    collapsed should not be empty
+    collapsed shouldBe direct
+    // and the collapsed plan really verifies on the DISTINCT pair set:
+    // an aggregate sits below the levenshtein filter
+    val df = Fuzzy.blockedFuzzyJoin(dl, dr, Seq("blk"), "lname", "rname", 2)
+    df.write.mode("overwrite").format("noop").save()
+    // the verify predicate lives in a FilterExec or (pushed) in the
+    // candidate join's condition — either way, every node carrying it
+    // must sit ABOVE the distinct aggregates
+    val nodes = graft.plans.PlanLint.walk(df.queryExecution.executedPlan)
+    val verifiers = nodes.filter {
+      case f: org.apache.spark.sql.execution.FilterExec =>
+        f.condition.toString.toLowerCase.contains("levenshtein")
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        j.condition.exists(_.toString.toLowerCase.contains("levenshtein"))
+      case _ => false
+    }
+    verifiers should not be empty
+    def isAgg(p: org.apache.spark.sql.execution.SparkPlan) = p match {
+      case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true
+      case _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => true
+      case _: org.apache.spark.sql.execution.aggregate.SortAggregateExec => true
+      case _ => false
+    }
+    for (v <- verifiers)
+      graft.plans.PlanLint.walk(v).drop(1).exists(isAgg) shouldBe true
+  }
 }
