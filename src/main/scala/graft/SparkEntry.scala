@@ -222,6 +222,15 @@ object SparkEntry {
     else graft.io.DictStore.encode(cust(s, d).union(nationRegion(s, d)), path)
   }
 
+  /** Dict store over the ORDERS quads (temporal-literal battery data —
+    * orderdate is an xsd:dateTime object), cached like [[dictStore]]. */
+  private def dictOrdersStore(s: SparkSession, d: String): graft.io.DictStore = {
+    val path = tmpPath("dicto", d)
+    if (new java.io.File(s"$path/quads/_SUCCESS").exists())
+      graft.io.DictStore.load(s, path)
+    else graft.io.DictStore.encode(TpchQuads.orders(s, d), path)
+  }
+
   /** Dict store over the partOf chain (transitive-path battery data),
     * cached like [[dictStore]]. */
   private def dictPathStore(s: SparkSession, d: String): graft.io.DictStore = {
@@ -434,6 +443,20 @@ object SparkEntry {
           |{ ?c :cname ?cname . ?c :acctbal ?bal
           |  FILTER(?bal > 3000 && ?bal <= 9500) }""".stripMargin),
         "cname" -> "string", "bal" -> "double")
+    },
+    "q_dict_temporal_filter" -> { (s, d) =>
+      // temporal typed-sidecar filter: the dateTime range evaluates on
+      // the o_ts column persisted at encode (UTC sessions both sides)
+      // — join-free and scan-pushed, the temporal face of
+      // q_dict_typed_filter; the year-window count is the classic
+      // warehouse shape this exists for
+      out(dictOrdersStore(s, d).sparql(prologue +
+        """SELECT ?pri (COUNT(*) AS ?n)
+          |{ ?o :orderdate ?d . ?o :orderpriority ?pri
+          |  FILTER(?d >= "1995-06-01T00:00:00"^^<http://www.w3.org/2001/XMLSchema#dateTime> &&
+          |         ?d < "1996-06-01T00:00:00"^^<http://www.w3.org/2001/XMLSchema#dateTime>) }
+          |GROUP BY ?pri""".stripMargin),
+        "pri" -> "string", "n" -> "bigint")
     },
     "q_dict_optional_cond" -> { (s, d) =>
       // value-conditioned OPTIONAL in id space: the condition
@@ -2335,6 +2358,11 @@ object SparkEntry {
     "q_dict_typed_filter" ->
       """SELECT c_name AS cname, c_acctbal AS bal FROM customer
         |WHERE c_acctbal > 3000 AND c_acctbal <= 9500""".stripMargin,
+    "q_dict_temporal_filter" ->
+      """SELECT o_orderpriority AS pri, COUNT(*) AS n FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-06-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-06-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
     "q_dict_optional_cond" ->
       """SELECT n_name AS nname, c_name AS cname
         |FROM nation LEFT JOIN customer
