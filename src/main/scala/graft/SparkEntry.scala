@@ -153,7 +153,7 @@ object SparkEntry {
     * a 32-bit hashCode alone could collide two datasets — plus a
     * format-version tag so a layout change in a later build never
     * silently reuses an old store. */
-  private val CacheVersion = "v4" // v4: typed object sidecar in dict quads
+  private val CacheVersion = "v5" // v5: o_num sidecar (decimal for ANY numeric)
   private def tmpPath(prefix: String, d: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_${prefix}_" +
       d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + CacheVersion
@@ -527,6 +527,19 @@ object SparkEntry {
           |{ ?c :cname ?cname . ?c :acctbal ?bal }
           |ORDER BY DESC(?bal) ?cname LIMIT 10""".stripMargin),
         "cname" -> "string", "bal" -> "double")
+    },
+    "q_dict_threshold_topk" -> { (s, d) =>
+      // sidecar threshold top-k (round-13): the FILTER pins ?bal
+      // numeric, so the ORDER BY phase-1 cut runs entirely on the
+      // persisted o_num/o_dbl columns — NO dictionary join anywhere
+      // before the boundary; only the ~25 candidate rows join real
+      // sort keys and decode. Projects the sort var alone so the
+      // result is tie-insensitive for the DuckDB hash compare.
+      out(dictStore(s, d).sparql(prologue +
+        """SELECT ?bal
+          |{ ?c :acctbal ?bal FILTER(?bal > 3000) }
+          |ORDER BY DESC(?bal) LIMIT 25""".stripMargin),
+        "bal" -> "double")
     },
     "q_dict_not_exists" -> { (s, d) =>
       // FILTER NOT EXISTS in id space: the anti join runs on 8-byte
@@ -2385,6 +2398,9 @@ object SparkEntry {
     "q_dict_topk" ->
       """SELECT c_name AS cname, c_acctbal AS bal FROM customer
         |ORDER BY c_acctbal DESC, c_name LIMIT 10""".stripMargin,
+    "q_dict_threshold_topk" ->
+      """SELECT c_acctbal AS bal FROM customer
+        |WHERE c_acctbal > 3000 ORDER BY bal DESC LIMIT 25""".stripMargin,
     "q_dict_path" ->
       """SELECT s, x FROM (
         |  SELECT 'urn:c:'||c_custkey::VARCHAR AS s, 'urn:n:'||c_nationkey::VARCHAR AS x FROM customer

@@ -343,6 +343,13 @@ object TermMath {
   private val DEC_MAX = org.apache.spark.sql.types.Decimal(decMaxBD, 38, 12)
   private val DEC_MIN = org.apache.spark.sql.types.Decimal(decMaxBD.negate(), 38, 12)
 
+  /** The saturation bounds [[TermSortKey]]'s `num` field falls back to
+    * when a numeric lexical does not fit decimal(38,12) — exposed so
+    * the dict store's sidecar sort key can reproduce the exact same
+    * ordering without a term in hand. */
+  def decSatMaxBD: JBigDecimal = decMaxBD
+  def decSatMinBD: JBigDecimal = decMaxBD.negate()
+
   private def skRow(rank: Int, num: org.apache.spark.sql.types.Decimal,
                     dbl: Double, lex: UTF8String, dt: UTF8String,
                     lang: UTF8String): InternalRow =

@@ -377,6 +377,9 @@ final class DictStore private (val spark: SparkSession,
     case Union(l, r) => assuredIdVars(l).intersect(assuredIdVars(r))
     case Join(l, r) => assuredIdVars(l) ++ assuredIdVars(r)
     case v: Values if idSafeValues(v) => Algebra.vars(v)
+    // a filter only DROPS rows: whatever was assured below it stays
+    // assured in the survivors
+    case Filter(c, _) => assuredIdVars(c)
     case _ => Set.empty
   }
 
@@ -977,9 +980,19 @@ final class DictStore private (val spark: SparkSession,
     * decodes ONLY those — at scale this turns a full-result decode +
     * TakeOrdered over term structs into a TakeOrdered over longs plus
     * a k-row join. */
+  /** An op the id compiler can turn into a raw ID frame: an extended
+    * block, or an eligible FILTER directly above one. The filter's
+    * conjunct list rides along so a consumer can reason about what
+    * survives it (the sidecar ORDER BY's class pin). */
+  private def idSource(op: Op): Option[(Op, List[Expr])] = op match {
+    case Filter(c, e) => filterEligible(c, e).map(cs => (c, cs))
+    case b if isExtBlock(b) => Some((b, Nil))
+    case _ => None
+  }
+
   private def orderSliceEligible(c: Op, keys: List[(Expr, Boolean)],
                                  off: Long, lim: Option[Long]): Boolean =
-    isExtBlock(c) && keys.nonEmpty &&
+    idSource(c).isDefined && keys.nonEmpty &&
       keys.forall { case (e, _) => !hasExists(e) } &&
       lim.exists(l => off >= 0 && l >= 0 && off + l > 0 &&
         off + l <= Int.MaxValue)
@@ -987,8 +1000,10 @@ final class DictStore private (val spark: SparkSession,
   private def compileTopKIds(c: Op, keys: List[(Expr, Boolean)],
                              off: Long, lim: Long,
                              keep: List[String]): DataFrame = {
-    val nullable = Algebra.vars(c) -- assuredIdVars(c)
-    val blockVars = Algebra.vars(c)
+    val (base, conjs) = idSource(c).getOrElse(
+      throw new IllegalStateException(s"not an id source: $c"))
+    val nullable = Algebra.vars(base) -- assuredIdVars(base)
+    val blockVars = Algebra.vars(base)
     def isPlain(e: Expr): Boolean = e match {
       case VarE(v) => blockVars.contains(v)
       case _ => false
@@ -998,10 +1013,32 @@ final class DictStore private (val spark: SparkSession,
     val exprKeys = keys.map(_._1).filterNot(isPlain).distinct
     val exprVars = exprKeys.flatMap(exprVarsOf)
       .filter(blockVars.contains).distinct
+    // sidecar threshold top-k: a single plain sort var whose
+    // comparable class a typed filter conjunct PINS skips the dict
+    // sort-key join for everything but the boundary candidates
+    val typedObjVars: Set[String] =
+      if (hasSidecarSortCols && isBlock(base))
+        allScans(base).flatMap(_.o match {
+          case V(n) => Some(n); case _ => None
+        }).toSet
+      else Set.empty
+    def pin(v: String): Option[Boolean] = // true = numeric, false = temporal
+      conjs.filter(typedEligible(_, typedObjVars)).flatMap(typedShape)
+        .collectFirst {
+          case (`v`, _, t, _) => graft.rdf.XSD.numeric.contains(t.dt)
+        }
+    keys match {
+      case List((VarE(v), asc)) if blockVars.contains(v) && pin(v).isDefined =>
+        return compileThresholdTopK(base, conjs, v, asc, pin(v).get,
+          off, lim, keep, nullable)
+      case _ => ()
+    }
+    val df0 =
+      if (conjs.nonEmpty) filterIdsFrame(base, conjs)
+      else idsOf(base, blockConsts(base))
     // expr-var decode FIRST so joinSortKeys can derive a plain sort
     // var's key from its already-decoded term instead of a second join
-    var df = joinSortKeys(
-      decodeVars(idsOf(c, blockConsts(c)), exprVars, nullable),
+    var df = joinSortKeys(decodeVars(df0, exprVars, nullable),
       sortVars, nullable)
     val tvEc = tvExprCompiler(df)
     val exprSk = exprKeys.zipWithIndex.map { case (e, i) =>
@@ -1025,6 +1062,78 @@ final class DictStore private (val spark: SparkSession,
     val decoded = materialize(topIds, keep, nullable,
       carry = sortVars.map(skCol) ++ exprSk.values.toList)
     val ordered = decoded.orderBy(sortCols: _*)
+      .select(keep.filter(decoded.columns.contains).map(col): _*)
+    (if (off > 0) ordered.offset(off.toInt) else ordered).limit(lim.toInt)
+  }
+
+  /** Exact ORDER BY + LIMIT that never touches the dictionary until
+    * ~k rows remain — the sidecar threshold top-k.
+    *
+    * Phase 1 orders the filtered id frame by a SURROGATE key computed
+    * from the sidecar columns: for a pinned-NUMERIC sort var the
+    * exact (num, dbl) prefix of TermSortKey — `o_num` carries the
+    * same decimal(38,12) the sort key's num field holds (v5 stores
+    * persist it for floats too), the saturation legs reproduce from
+    * `o_dbl` (NaN and bad lexicals land on DEC_MIN exactly like
+    * TermMath.sortKey's Java-semantics `NaN >= 0 == false` branch,
+    * which Spark's NaN-largest `>=` would get wrong) — and for a
+    * pinned-TEMPORAL var the timestamp itself (epoch order; the full
+    * key's num/dbl are injective monotone images of it). The
+    * surrogate strictly-orders exactly like the full sort key up to
+    * ties — the full key only APPENDS lexical tie-breaks — so every
+    * true top-k row either beats the phase-1 boundary (the k-th
+    * surrogate) or ties with it. Phase 2 refilters the frame to
+    * `key <= boundary` (>= for DESC), joins REAL sort keys for just
+    * those rows, re-sorts on them, and decodes the survivors: the
+    * dict joins see k+ties rows instead of every filter survivor.
+    * Cost shape at scale: two narrow scans (ids + two fixed-width
+    * sidecar columns, filter pushed both times), one TakeOrdered,
+    * no full-frame shuffle or join anywhere before the cut. */
+  private def compileThresholdTopK(base: Op, conjs: List[Expr], v: String,
+                                   asc: Boolean, isNum: Boolean,
+                                   off: Long, lim: Long, keep: List[String],
+                                   nullable: Set[String]): DataFrame = {
+    val df0 = filterIdsFrame(base, conjs, keepTyped = Set(v))
+    val DEC = graft.sparql.TermFns.DEC
+    val satMax = lit(graft.functions.TermMath.decSatMaxBD).cast(DEC)
+    val satMin = lit(graft.functions.TermMath.decSatMinBD).cast(DEC)
+    val keyCols: Seq[Column] =
+      if (isNum) Seq(
+        when(col(teCol(v)).isNotNull, col(teCol(v)))
+          .when(isnan(col(tdCol(v))), satMin)
+          .when(col(tdCol(v)) >= 0, satMax)
+          .otherwise(satMin),
+        coalesce(col(tdCol(v)), lit(Double.NegativeInfinity)))
+      else Seq(col(ttCol(v)))
+    val kn = keyCols.indices.map(i => s"__thk_$i")
+    var df = df0
+    kn.zip(keyCols).foreach { case (n, k) => df = df.withColumn(n, k) }
+    df = df.drop(Seq(tcCol(v), tdCol(v), teCol(v), ttCol(v)): _*)
+    val k1 = (off + lim).toInt
+    val keyStruct = struct(kn.map(col): _*)
+    // the boundary: the k-th best surrogate — worst of the phase-1
+    // TakeOrdered under the sort direction. One bounded driver fetch
+    // (a single aggregated row), so the threshold rides into phase 2
+    // as a LITERAL the scan filter can use.
+    val bRow = df.select(keyStruct.as("k"))
+      .orderBy(kn.map(n => if (asc) col(n).asc else col(n).desc): _*)
+      .limit(k1)
+      .agg((if (asc) max(col("k")) else min(col("k"))).as("b"))
+      .head()
+    if (bRow.isNullAt(0)) // no survivors: empty frame, right columns
+      return materialize(df.drop(kn: _*).limit(0), keep, nullable)
+    val b = bRow.getStruct(0)
+    val bLit = struct(kn.indices.map(i =>
+      (if (!isNum) lit(b.getTimestamp(0))
+       else if (i == 0) lit(b.getDecimal(0)).cast(DEC)
+       else lit(b.getDouble(1))).as(kn(i))): _*)
+    val cand = df.filter(if (asc) keyStruct <= bLit else keyStruct >= bLit)
+      .drop(kn: _*)
+    val candK = joinSortKeys(cand, List(v), nullable)
+    def sortCol = if (asc) col(skCol(v)).asc else col(skCol(v)).desc
+    val topIds = candK.orderBy(sortCol).limit(k1)
+    val decoded = materialize(topIds, keep, nullable, carry = List(skCol(v)))
+    val ordered = decoded.orderBy(sortCol)
       .select(keep.filter(decoded.columns.contains).map(col): _*)
     (if (off > 0) ordered.offset(off.toInt) else ordered).limit(lim.toInt)
   }
@@ -1182,6 +1291,17 @@ final class DictStore private (val spark: SparkSession,
   private def teCol(v: String): String = s"__te_$v"
   private def ttCol(v: String): String = s"__tt_$v"
 
+  /** The sidecar decimal column: v5 stores persist `o_num` (decimal
+    * for ANY numeric — the name doubles as the layout-version
+    * signal), v4 the exact-only `o_dec`. The FILTER fast path works
+    * on both (its exact-exact branch only reads cls-1 rows, where the
+    * two are identical); the sidecar ORDER BY fast path needs the
+    * float rows' decimals and is gated on [[hasSidecarSortCols]]. */
+  private def decColName: String =
+    if (idQuads.columns.contains("o_num")) "o_num" else "o_dec"
+  private def hasSidecarSortCols: Boolean =
+    idQuads.columns.contains("o_num")
+
   /** (var, op, constant literal, constIsLeftOperand) when `e` has the
     * typed-comparable shape. `=` is included (numeric-equal /
     * dateTime-equal are the only hybrid branches a numeric/temporal
@@ -1234,7 +1354,18 @@ final class DictStore private (val spark: SparkSession,
   }
 
   private def compileFilterIds(child: Op, conjs: List[Expr],
-                               keep: List[String]): DataFrame = {
+                               keep: List[String]): DataFrame =
+    materialize(filterIdsFrame(child, conjs), keep,
+      Algebra.vars(child) -- assuredIdVars(child))
+
+  /** Everything [[compileFilterIds]] does short of the final decode:
+    * the filtered ID frame, for consumers that keep working in id
+    * space above the filter (top-k, group-by). `keepTyped` names vars
+    * whose sidecar columns (`__tc_/__td_/__te_/__tt_`) must survive on
+    * the frame (sidecar ORDER BY keys) instead of being dropped after
+    * the typed conjuncts apply. */
+  private def filterIdsFrame(child: Op, conjs: List[Expr],
+                             keepTyped: Set[String] = Set.empty): DataFrame = {
     val (existsConjs, scalarConjs) = conjs.partition(_.isInstanceOf[ExistsE])
     // term-identity predicates run as long comparisons ON THE SCAN;
     // numeric/temporal comparisons against a constant run on the
@@ -1249,7 +1380,8 @@ final class DictStore private (val spark: SparkSession,
       else Set.empty
     val (typedConjs, hybridConjs) =
       rest.partition(typedEligible(_, typedObjVars))
-    val typedVars = typedConjs.flatMap(typedShape).map(_._1).distinct.toSet
+    val typedVars = typedConjs.flatMap(typedShape).map(_._1).distinct.toSet ++
+      (keepTyped intersect typedObjVars)
     val condTerms = conjs.flatMap {
       case ExistsE(p, _) => scanConstTerms(allScans(p))
       case FuncE(_, args) => args.collect { case ConstE(t) => t }
@@ -1266,7 +1398,7 @@ final class DictStore private (val spark: SparkSession,
     }
     typedConjs.foreach(e => df = df.filter(typedCond(e)))
     if (typedVars.nonEmpty)
-      df = df.drop(typedVars.toSeq.flatMap(v =>
+      df = df.drop((typedVars -- keepTyped).toSeq.flatMap(v =>
         Seq(tcCol(v), tdCol(v), teCol(v), ttCol(v))): _*)
     if (hybridConjs.nonEmpty) {
       val condVars = hybridConjs.flatMap(exprVarsOf)
@@ -1331,7 +1463,7 @@ final class DictStore private (val spark: SparkSession,
         }
       case other => throw new IllegalStateException(s"not an EXISTS: $other")
     }
-    materialize(df, keep, nullable)
+    df
   }
 
   /** BIND in id space: decode the expression's variables, compute the
@@ -1441,7 +1573,7 @@ final class DictStore private (val spark: SparkSession,
     // per-var names so a typed FILTER evaluates right above this scan
     val typedCols = typedVar.toSeq.flatMap { n =>
       Seq(col("o_cls").as(tcCol(n)), col("o_dbl").as(tdCol(n)),
-        col("o_dec").as(teCol(n))) ++
+        col(decColName).as(teCol(n))) ++
         (if (idQuads.columns.contains("o_ts"))
           Seq(col("o_ts").as(ttCol(n))) else Nil)
     }
@@ -1549,8 +1681,10 @@ object DictStore {
     *  - `o_dbl` Spark double cast of the lexical for ANY numeric
     *    (full-precision — NOT derived from o_dec, whose scale-12
     *    rounding would diverge from parseDouble on long fractions);
-    *  - `o_dec` decimal(38,12) cast for EXACT numerics only
-    *    (parseDec semantics: NULL on overflow/bad lexical);
+    *  - `o_num` decimal(38,12) cast for ANY numeric (NULL on
+    *    overflow/bad lexical — exactly TermSortKey's saturation
+    *    condition; v4 stores wrote the exact-only `o_dec`, which
+    *    still serves the FILTER fast path but not ORDER BY);
     *  - `o_ts` timestamp for date/dateTime literals, cast in the
     *    ENCODE session's zone — the compile side only uses it when
     *    the query session zone matches (both pinned UTC here).
@@ -1583,7 +1717,11 @@ object DictStore {
           .when(TermFns.isExactNumeric(o), lit(1))
           .otherwise(lit(0)).cast("int").as("o_cls"),
         TermFns.numD(o).as("o_dbl"),
-        when(TermFns.isExactNumeric(o), TermFns.numDec(o)).as("o_dec")) ++
+        // v5: decimal for ANY numeric (v4 wrote exact-only as o_dec —
+        // the column NAME is the layout version signal: o_num stores
+        // additionally support the sidecar ORDER BY fast path, whose
+        // sort key needs the float rows' decimals too)
+        TermFns.numDec(o).as("o_num")) ++
         tsCols: _*)
   }
 
