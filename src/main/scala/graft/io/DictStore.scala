@@ -217,18 +217,18 @@ final class DictStore private (val spark: SparkSession,
       // long tuples, decode only the SURVIVING rows (bijection ⇒ id
       // distinctness ≡ term distinctness, NULLs included)
       case Distinct(Project(c, vs))
-        if isExtBlock(c) && vs.forall(Algebra.vars(c).contains) =>
+        if idSource(c).isDefined && vs.forall(Algebra.vars(c).contains) =>
         Materialized(compileDistinctIds(c, vs), vs,
           assuredIdVars(c) intersect vs.toSet)
       case Reduced(Project(c, vs))
-        if isExtBlock(c) && vs.forall(Algebra.vars(c).contains) =>
+        if idSource(c).isDefined && vs.forall(Algebra.vars(c).contains) =>
         Materialized(compileDistinctIds(c, vs), vs,
           assuredIdVars(c) intersect vs.toSet)
-      case Distinct(c) if isExtBlock(c) =>
+      case Distinct(c) if idSource(c).isDefined =>
         val vs = Algebra.varsOrdered(c)
         Materialized(compileDistinctIds(c, vs), vs,
           assuredIdVars(c) intersect vs.toSet)
-      case Reduced(c) if isExtBlock(c) =>
+      case Reduced(c) if idSource(c).isDefined =>
         val vs = Algebra.varsOrdered(c)
         Materialized(compileDistinctIds(c, vs), vs,
           assuredIdVars(c) intersect vs.toSet)
@@ -792,7 +792,8 @@ final class DictStore private (val spark: SparkSession,
 
   private def groupCountEligible(c: Op, keys: List[String],
                                  aggs: List[(String, AggE)]): Boolean =
-    aggs.nonEmpty && isExtBlock(c) && keys.forall(Algebra.vars(c).contains) &&
+    aggs.nonEmpty && idSource(c).isDefined &&
+      keys.forall(Algebra.vars(c).contains) &&
       aggs.forall { case (_, a) =>
         aggFuncs.contains(a.func) &&
           (a.expr match {
@@ -865,7 +866,14 @@ final class DictStore private (val spark: SparkSession,
     val valueVars = valueAggs
       .flatMap(a => a._2.expr.toList.flatMap(exprVarsOf))
       .filter(Algebra.vars(c).contains).distinct
-    val df0 = idsOf(c, blockConsts(c))
+    // an eligible FILTER below the group stays in id space too: the
+    // aggregation then groups long keys over the filtered frame and
+    // only the GROUP results decode
+    val (base, conjs) = idSource(c).getOrElse(
+      throw new IllegalStateException(s"not an id source: $c"))
+    val df0 =
+      if (conjs.nonEmpty) filterIdsFrame(base, conjs)
+      else idsOf(base, blockConsts(base))
     // value decode FIRST so joinSortKeys can derive a var's sort key
     // from its already-decoded term instead of a second dict join
     val df = joinSortKeys(decodeVars(df0, valueVars, nullable),
@@ -1139,9 +1147,14 @@ final class DictStore private (val spark: SparkSession,
   }
 
   /** Project-then-distinct on long tuples; the dict joins in after
-    * the dedup, so it sees only surviving rows. */
+    * the dedup, so it sees only surviving rows. An eligible FILTER
+    * below the distinct stays in id space the same way. */
   private def compileDistinctIds(c: Op, vs: List[String]): DataFrame = {
-    val df = idsOf(c, blockConsts(c))
+    val (base, conjs) = idSource(c).getOrElse(
+      throw new IllegalStateException(s"not an id source: $c"))
+    val df =
+      if (conjs.nonEmpty) filterIdsFrame(base, conjs)
+      else idsOf(base, blockConsts(base))
     materialize(df.select(vs.map(col): _*).dropDuplicates(),
       vs, Algebra.vars(c) -- assuredIdVars(c))
   }
