@@ -231,6 +231,21 @@ object SparkEntry {
     else graft.io.DictStore.encode(TpchQuads.orders(s, d), path)
   }
 
+  /** Dict store built INCREMENTALLY (q_dict_append): encoded from the
+    * nation/region quads, then the customer quads appended — the
+    * marker file keeps the append exactly-once across bench passes. */
+  private def dictAppendStore(s: SparkSession, d: String): graft.io.DictStore = {
+    val path = tmpPath("dicta", d)
+    if (new java.io.File(s"$path/_APPENDED").exists())
+      graft.io.DictStore.load(s, path)
+    else {
+      graft.io.DictStore.encode(nationRegion(s, d), path)
+      val st = graft.io.DictStore.append(cust(s, d), path)
+      new java.io.File(s"$path/_APPENDED").createNewFile()
+      st
+    }
+  }
+
   /** Dict store over the partOf chain (transitive-path battery data),
     * cached like [[dictStore]]. */
   private def dictPathStore(s: SparkSession, d: String): graft.io.DictStore = {
@@ -384,6 +399,19 @@ object SparkEntry {
       // encode, then the BGP runs as long-id equi-joins with late
       // materialization — build cost + query, like q_ann_index
       out(dictStore(s, d).sparql(prologue +
+        """SELECT ?cname ?nname ?rname
+          |{ ?c :cname ?cname . ?c :inNation ?n . ?n :nname ?nname .
+          |  ?n :inRegion ?r . ?r :rname ?rname }""".stripMargin),
+        "cname" -> "string", "nname" -> "string", "rname" -> "string")
+    },
+    "q_dict_append" -> { (s, d) =>
+      // incremental ingest (round-13): the store was built from the
+      // nation/region quads and the customer quads APPENDED (existing
+      // ids frozen, unseen terms above the old ceiling, stats merged)
+      // — same query and oracle as q_dict_build, so DuckDB certifies
+      // the appended store answers exactly like a from-scratch encode
+      // of the union
+      out(dictAppendStore(s, d).sparql(prologue +
         """SELECT ?cname ?nname ?rname
           |{ ?c :cname ?cname . ?c :inNation ?n . ?n :nname ?nname .
           |  ?n :inRegion ?r . ?r :rname ?rname }""".stripMargin),
@@ -2335,6 +2363,10 @@ object SparkEntry {
       """SELECT n_name AS nname, r_name AS rname
         |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin,
     "q_dict_build" ->
+      """SELECT c_name AS cname, n_name AS nname, r_name AS rname
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+    "q_dict_append" ->
       """SELECT c_name AS cname, n_name AS nname, r_name AS rname
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey""".stripMargin,

@@ -1747,6 +1747,68 @@ object DictStore {
       try Some(graft.sparql.QuadsStats.read(spark, s"$path/stats"))
       catch { case _: org.apache.spark.sql.AnalysisException => None })
 
+  /** Incremental ingest: append `quads` to the persisted store at
+    * `path` WITHOUT rewriting what's there — the 100 TB maintenance
+    * op for a growing corpus. Terms already in the dictionary keep
+    * their ids; unseen terms get fresh ids ABOVE the current ceiling
+    * (offset + the same in-write-stage assignment rule as encode, so
+    * task retries cannot fork the id space), written as NEW dict
+    * files. The encoded quads (typed sidecar included) land as new
+    * files under the same (p, s) partition scheme, and the stats
+    * sidecar merges additively ([[graft.sparql.QuadsStats.merge]] —
+    * counts exact, ndv union-bounded). Queries against the appended
+    * store match a from-scratch encode of the union exactly: ids
+    * differ, results cannot, because ids never leave the store.
+    *
+    * Crash consistency is job-granular and self-healing: a dict
+    * append that committed without its quads append is re-absorbed on
+    * retry (the anti-join finds those terms present and reuses their
+    * ids); a failed quads job leaves nothing visible.
+    *
+    * Plain-parquet layout only (the bucketed layout's files are
+    * catalog-owned — re-encode for that); pre-v5 stores (`o_dec`
+    * sidecar) must re-encode first, and a store carrying `o_ts`
+    * (UTC-encoded) requires a UTC append session — appends never mix
+    * sidecar schemas inside one directory. */
+  def append(quads: DataFrame, path: String): DictStore = {
+    val spark = quads.sparkSession
+    require(!new java.io.File(s"$path/bucketed.json").exists(),
+      s"$path is a bucketed store: its files are catalog-owned; re-encode")
+    val existing = spark.read.parquet(s"$path/quads")
+    require(existing.columns.contains("o_num"),
+      s"$path is a pre-v5 store (o_dec sidecar): re-encode before appending")
+    require(!existing.columns.contains("o_ts") ||
+        spark.sessionState.conf.sessionLocalTimeZone == "UTC",
+      s"$path carries o_ts (UTC-encoded): append needs a UTC session")
+    val dict0 = spark.read.parquet(s"$path/dict")
+    val base = dict0.agg(max(col("id"))).head().getLong(0) + 1L
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    distinctTerms(quads)
+      .join(dict0.select(col("term")), Seq("term"), "left_anti")
+      .repartitionByRange(parts, col("term.lex"))
+      .sortWithinPartitions(col("term.lex"))
+      .select((monotonically_increasing_id() + lit(base)).as("id"),
+        col("term"))
+      .write.mode(SaveMode.Append).option("compression", "zstd")
+      .parquet(s"$path/dict")
+    val dict = spark.read.parquet(s"$path/dict")
+    encodeIds(quads, dict)
+      .select(existing.columns.map(col).toIndexedSeq: _*) // schema-exact
+      .repartition(parts, col("p"), col("s"))
+      .sortWithinPartitions("p", "s")
+      .write.mode(SaveMode.Append).option("compression", "zstd")
+      .parquet(s"$path/quads")
+    val merged = graft.sparql.QuadsStats.merge(
+      graft.sparql.QuadsStats.read(spark, s"$path/stats"),
+      graft.sparql.QuadsStats.compute(quads))
+    graft.sparql.QuadsStats.write(spark, merged, s"$path/stats")
+    // drop any cached listings of the grown directories (the session
+    // file-status cache otherwise serves the pre-append file set)
+    spark.catalog.refreshByPath(s"$path/dict")
+    spark.catalog.refreshByPath(s"$path/quads")
+    load(spark, path)
+  }
+
   // ----- bucketed layout -----
 
   /** Catalog identifier for a bucketed store's tables: derived from the

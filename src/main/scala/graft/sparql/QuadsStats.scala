@@ -140,6 +140,30 @@ object QuadsStats {
     QuadsStats(total, preds, defaultCount)
   }
 
+  /** Additive merge for incremental ingest ([[graft.io.DictStore.append]]):
+    * per-predicate counts and the grand total add exactly; the HLL
+    * ndv fields cannot (the overlap between the two sides is
+    * unknown), so they take the union-bounded sum `min(count, a+b)` —
+    * an overestimate by at most 2×, which is magnitude-correct for
+    * the join ORDERING these stats feed. `defaultCount` keeps the
+    * larger bound (it is itself an upper bound on any tail
+    * predicate). */
+  def merge(a: QuadsStats, b: QuadsStats): QuadsStats = {
+    val preds = (a.preds.keySet ++ b.preds.keySet).map { p =>
+      (a.preds.get(p), b.preds.get(p)) match {
+        case (Some(x), Some(y)) =>
+          val n = x.count + y.count
+          p -> PredStat(n, math.min(n, x.ndvSubj + y.ndvSubj),
+            math.min(n, x.ndvObj + y.ndvObj))
+        case (Some(x), None) => p -> x
+        case (None, Some(y)) => p -> y
+        case (None, None) => throw new IllegalStateException("unreachable")
+      }
+    }.toMap
+    QuadsStats(a.total + b.total, preds,
+      math.max(a.defaultCount, b.defaultCount))
+  }
+
   /** Parse [[QuadsStats.toJson]] output (persisted stats sidecar). */
   def fromJson(json: String): QuadsStats = {
     // tolerant hand parser for our own writer's output shape

@@ -66,6 +66,23 @@ class MaintenanceBudgetSpec extends AnyFlatSpec with Matchers {
     extra should be > base
   }
 
+  it should "pin DictStore.append" in {
+    val dir = tmp("mb-app")
+    graft.io.DictStore.encode(quadsDf(500), dir)
+    val rows = (400 to 900).map(i => Quad(Iri(s"urn:s:$i"), Iri("urn:p:v"),
+      Lit((i * 5 % 89).toString, XSD.integer, ""), None).toRow)
+    val more = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), graft.rdf.TermSchema.quadType)
+    val n = countShuffles { graft.io.DictStore.append(more, dir) }
+    // new-term anti-join against the dict (broadcastable dict side,
+    // but the distinct + lex range partition shuffle the batch: 2-3);
+    // quads write = repartition(p,s) (1); stats groupBy (1); the max
+    // (id) ceiling probe and encode joins broadcast. Anything above 6
+    // is a quietly added full pass over the APPEND batch — the whole
+    // point of append is never to re-shuffle the existing store.
+    n should be <= 6
+  }
+
   it should "pin DictStore.encodeBucketed" in {
     val n = countShuffles {
       graft.io.DictStore.encodeBucketed(quadsDf(500), tmp("mb-bkt"),
