@@ -1765,15 +1765,15 @@ object DictStore {
     * retry (the anti-join finds those terms present and reuses their
     * ids); a failed quads job leaves nothing visible.
     *
-    * Plain-parquet layout only (the bucketed layout's files are
-    * catalog-owned — re-encode for that); pre-v5 stores (`o_dec`
+    * Plain-parquet layout only ([[appendBucketed]] is the bucketed
+    * twin); pre-v5 stores (`o_dec`
     * sidecar) must re-encode first, and a store carrying `o_ts`
     * (UTC-encoded) requires a UTC append session — appends never mix
     * sidecar schemas inside one directory. */
   def append(quads: DataFrame, path: String): DictStore = {
     val spark = quads.sparkSession
     require(!new java.io.File(s"$path/bucketed.json").exists(),
-      s"$path is a bucketed store: its files are catalog-owned; re-encode")
+      s"$path is a bucketed store: use DictStore.appendBucketed")
     val existing = spark.read.parquet(s"$path/quads")
     require(existing.columns.contains("o_num"),
       s"$path is a pre-v5 store (o_dec sidecar): re-encode before appending")
@@ -1807,6 +1807,113 @@ object DictStore {
     spark.catalog.refreshByPath(s"$path/dict")
     spark.catalog.refreshByPath(s"$path/quads")
     load(spark, path)
+  }
+
+  /** Compact a PLAIN store after appends. Each [[append]] lands one
+    * file set per batch, so file counts grow linearly with batches
+    * and the dict's lex-range file pruning loosens (a term range now
+    * spans one file per batch). This rewrites the quads back to the
+    * encode layout — hash(p, s) partitions, (p, s)-sorted files — and
+    * the dictionary back to tight lex-range files. Ids are FROZEN
+    * rows here, so the rewrite is pure movement; nothing is
+    * reassigned. The directory swap (write `<sub>_compacting`, rename
+    * live → `<sub>_old`, rename new → live, delete old) is NOT
+    * atomic: run it offline, like every table-maintenance op here. A
+    * dead previous run's leftovers are cleared on entry. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    require(!new java.io.File(s"$path/bucketed.json").exists(),
+      s"$path is a bucketed store: its files are catalog-owned; re-encode")
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def swapWrite(sub: String)(write: (DataFrame, String) => Unit): Unit = {
+      val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      val fs = live.getFileSystem(hconf)
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/${sub}_compacting")
+      val old = new org.apache.hadoop.fs.Path(s"$path/${sub}_old")
+      fs.delete(tmp, true); fs.delete(old, true) // dead-run leftovers
+      write(spark.read.parquet(live.toString), tmp.toString)
+      require(fs.rename(live, old), s"swap failed: $live -> $old")
+      require(fs.rename(tmp, live), s"swap failed: $tmp -> $live")
+      fs.delete(old, true)
+      spark.catalog.refreshByPath(live.toString)
+    }
+    swapWrite("quads") { (df, out) =>
+      df.repartition(parts, col("p"), col("s"))
+        .sortWithinPartitions("p", "s")
+        .write.option("compression", "zstd").parquet(out)
+    }
+    swapWrite("dict") { (df, out) =>
+      df.repartitionByRange(parts, col("term.lex"))
+        .sortWithinPartitions(col("term.lex"))
+        .write.option("compression", "zstd").parquet(out)
+    }
+  }
+
+  /** [[append]] for the BUCKETED layout — incremental ingest for the
+    * 100 TB shape. Phase 1 freezes unseen-term ids in `dict_by_lex`
+    * exactly like [[append]] (offset above the ceiling, in-write-stage
+    * assignment). Phase 2 routes the frozen new rows into the
+    * id-bucketed dict table and the encoded quads into the s-bucketed
+    * quads table as APPENDED bucket files — Spark accepts appends that
+    * repeat the table's bucket spec; bucket pruning and shuffle-free
+    * joins survive (with >1 file per bucket Spark just stops assuming
+    * per-bucket sortedness, which only the sort-merge fast path used).
+    * Phase 2 derives its row set by ANTI-JOINING `dict_by_lex` against
+    * the bucketed dict, NOT from this call's batch — so a phase-1
+    * commit whose phase 2 died is healed by the retry. Re-running a
+    * FULLY-committed append re-adds the batch (bag semantics: quad
+    * multiplicity is data, the store cannot distinguish a retry from
+    * a genuine re-ingest) — same contract as [[append]]. */
+  def appendBucketed(quads: DataFrame, path: String): DictStore = {
+    val spark = quads.sparkSession
+    val buckets = """"buckets"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(readTextFile(spark, s"$path/bucketed.json"))
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$path/bucketed.json: no bucket count — not a bucketed store"))
+    loadBucketed(spark, path) // attach catalog tables if absent
+    val base = tableBase(path)
+    val existing = spark.table(s"${base}_quads")
+    require(existing.columns.contains("o_num"),
+      s"$path is a pre-v5 store (o_dec sidecar): re-encode before appending")
+    require(!existing.columns.contains("o_ts") ||
+        spark.sessionState.conf.sessionLocalTimeZone == "UTC",
+      s"$path carries o_ts (UTC-encoded): append needs a UTC session")
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val dictLex0 = spark.read.parquet(s"$path/dict_by_lex")
+    val base0 = dictLex0.agg(max(col("id"))).head().getLong(0) + 1L
+    distinctTerms(quads)
+      .join(dictLex0.select(col("term")), Seq("term"), "left_anti")
+      .repartitionByRange(parts, col("term.lex"))
+      .sortWithinPartitions(col("term.lex"))
+      .select((monotonically_increasing_id() + lit(base0)).as("id"),
+        col("term"))
+      .write.mode(SaveMode.Append).option("compression", "zstd")
+      .parquet(s"$path/dict_by_lex")
+    spark.catalog.refreshByPath(s"$path/dict_by_lex")
+    // phase 2 self-heals: whatever the lex copy has that the bucketed
+    // table lacks routes in, whether frozen by this call or a dead one
+    spark.read.parquet(s"$path/dict_by_lex")
+      .join(spark.table(s"${base}_dict").select(col("id")),
+        Seq("id"), "left_anti")
+      .repartition(buckets, col("id"))
+      .write.mode(SaveMode.Append).option("compression", "zstd")
+      .option("path", s"$path/dict")
+      .bucketBy(buckets, "id").sortBy("id")
+      .saveAsTable(s"${base}_dict")
+    spark.catalog.refreshTable(s"${base}_dict")
+    encodeIds(quads, spark.table(s"${base}_dict"))
+      .select(existing.columns.map(col).toIndexedSeq: _*) // schema-exact
+      .repartition(buckets, col("s"))
+      .write.mode(SaveMode.Append).option("compression", "zstd")
+      .option("path", s"$path/quads")
+      .bucketBy(buckets, "s").sortBy("p", "s")
+      .saveAsTable(s"${base}_quads")
+    spark.catalog.refreshTable(s"${base}_quads")
+    graft.sparql.QuadsStats.write(spark, graft.sparql.QuadsStats.merge(
+      graft.sparql.QuadsStats.read(spark, s"$path/stats"),
+      graft.sparql.QuadsStats.compute(quads)), s"$path/stats")
+    loadBucketed(spark, path)
   }
 
   // ----- bucketed layout -----

@@ -144,6 +144,54 @@ class DictAppendSpec extends AnyFlatSpec with Matchers {
     st.preds("urn:p:seen").count shouldBe 1
   }
 
+  it should "compact an appended store back to the encode layout, same answers" in {
+    val dir = java.nio.file.Files.createTempDirectory("dict-compact").toString
+    DictStore.encode(df(batch1), dir)
+    DictStore.append(df(batch2), dir)
+    DictStore.append(df(Seq(q("g", "bal", lit_("7", XSD.integer)))), dir)
+    def parquetFiles(sub: String) =
+      new java.io.File(s"$dir/$sub").listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+    val quadFilesBefore = parquetFiles("quads")
+    val before = bindings(DictStore.load(spark, dir).sparql(pfx +
+      "SELECT ?s ?b { ?s :bal ?b FILTER(?b > 0.0e0) }"))
+    DictStore.compact(spark, dir)
+    parquetFiles("quads") should be < quadFilesBefore
+    new java.io.File(s"$dir/quads_old").exists() shouldBe false
+    new java.io.File(s"$dir/quads_compacting").exists() shouldBe false
+    val st = DictStore.load(spark, dir)
+    bindings(st.sparql(pfx +
+      "SELECT ?s ?b { ?s :bal ?b FILTER(?b > 0.0e0) }")) shouldBe before
+    // the dictionary stayed a bijection through the rewrite
+    val d = spark.read.parquet(s"$dir/dict").collect()
+    d.map(_.getLong(0)).distinct.length shouldBe d.length
+  }
+
+  it should "append to a BUCKETED store with the same union contract" in {
+    val dir = java.nio.file.Files.createTempDirectory("dict-append-bk").toString
+    DictStore.encodeBucketed(df(batch1), dir, buckets = 4)
+    val st = DictStore.appendBucketed(df(batch2), dir)
+    val dir2 = java.nio.file.Files.createTempDirectory("dict-union-bk").toString
+    val all = DictStore.encodeBucketed(df(batch1 ++ batch2), dir2, buckets = 4)
+    val queries = Seq(
+      "SELECT ?s ?n ?b { ?s :name ?n . ?s :bal ?b }",
+      "SELECT ?s ?b { ?s :bal ?b FILTER(?b > 80.0e0) }",
+      "SELECT ?b { ?s :bal ?b FILTER(?b > 0.0e0) } ORDER BY DESC(?b) LIMIT 3",
+      "SELECT ?s (COUNT(*) AS ?n) { ?s :bal ?b FILTER(?b >= 75) } GROUP BY ?s")
+    for (qy <- queries) withClue(s"$qy\n") {
+      bindings(st.sparql(pfx + qy)) shouldBe bindings(all.sparql(pfx + qy))
+    }
+    // both dict copies stay duplicate-free and in sync
+    val lex = spark.read.parquet(s"$dir/dict_by_lex").collect()
+    lex.map(_.getLong(0)).distinct.length shouldBe lex.length
+    val bkt = st.dict.collect()
+    bkt.map(_.getLong(0)).sorted.toSeq shouldBe
+      lex.map(_.getLong(0)).sorted.toSeq
+    // a reloaded store (fresh catalog attach) sees the appended data
+    bindings(DictStore.loadBucketed(spark, dir).sparql(pfx + queries.head))
+      .values.sum shouldBe bindings(all.sparql(pfx + queries.head)).values.sum
+  }
+
   it should "reject pre-v5 and bucketed stores loudly" in {
     import org.apache.spark.sql.functions.{col, when}
     // simulate a v4 layout: o_num renamed back to exact-only o_dec

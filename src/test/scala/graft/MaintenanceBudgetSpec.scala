@@ -83,6 +83,21 @@ class MaintenanceBudgetSpec extends AnyFlatSpec with Matchers {
     n should be <= 6
   }
 
+  it should "pin DictStore.compact" in {
+    val dir = tmp("mb-cmp")
+    graft.io.DictStore.encode(quadsDf(400), dir)
+    val rows = (300 to 700).map(i => Quad(Iri(s"urn:s:$i"), Iri("urn:p:v"),
+      Lit((i % 83).toString, XSD.integer, ""), None).toRow)
+    graft.io.DictStore.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      graft.rdf.TermSchema.quadType), dir)
+    val n = countShuffles { graft.io.DictStore.compact(spark, dir) }
+    // quads rewrite = one hash repartition; dict rewrite = one range
+    // repartition — compaction is pure movement, anything more is a
+    // quietly added pass
+    n should be <= 2
+  }
+
   it should "pin DictStore.encodeBucketed" in {
     val n = countShuffles {
       graft.io.DictStore.encodeBucketed(quadsDf(500), tmp("mb-bkt"),
