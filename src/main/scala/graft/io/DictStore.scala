@@ -1030,14 +1030,10 @@ final class DictStore private (val spark: SparkSession,
           case V(n) => Some(n); case _ => None
         }).toSet
       else Set.empty
-    def pin(v: String): Option[Boolean] = // true = numeric, false = temporal
-      conjs.filter(typedEligible(_, typedObjVars)).flatMap(typedShape)
-        .collectFirst {
-          case (`v`, _, t, _) => graft.rdf.XSD.numeric.contains(t.dt)
-        }
     keys match {
-      case List((VarE(v), asc)) if blockVars.contains(v) && pin(v).isDefined =>
-        return compileThresholdTopK(base, conjs, v, asc, pin(v).get,
+      case List((VarE(v), asc))
+        if blockVars.contains(v) && typedObjVars.contains(v) =>
+        return compileThresholdTopK(base, conjs, v, asc,
           off, lim, keep, nullable)
       case _ => ()
     }
@@ -1077,66 +1073,87 @@ final class DictStore private (val spark: SparkSession,
   /** Exact ORDER BY + LIMIT that never touches the dictionary until
     * ~k rows remain — the sidecar threshold top-k.
     *
-    * Phase 1 orders the filtered id frame by a SURROGATE key computed
-    * from the sidecar columns: for a pinned-NUMERIC sort var the
-    * exact (num, dbl) prefix of TermSortKey — `o_num` carries the
-    * same decimal(38,12) the sort key's num field holds (v5 stores
-    * persist it for floats too), the saturation legs reproduce from
-    * `o_dbl` (NaN and bad lexicals land on DEC_MIN exactly like
-    * TermMath.sortKey's Java-semantics `NaN >= 0 == false` branch,
-    * which Spark's NaN-largest `>=` would get wrong) — and for a
-    * pinned-TEMPORAL var the timestamp itself (epoch order; the full
-    * key's num/dbl are injective monotone images of it). The
-    * surrogate strictly-orders exactly like the full sort key up to
-    * ties — the full key only APPENDS lexical tie-breaks — so every
-    * true top-k row either beats the phase-1 boundary (the k-th
-    * surrogate) or ties with it. Phase 2 refilters the frame to
-    * `key <= boundary` (>= for DESC), joins REAL sort keys for just
-    * those rows, re-sorts on them, and decodes the survivors: the
-    * dict joins see k+ties rows instead of every filter survivor.
-    * Cost shape at scale: two narrow scans (ids + two fixed-width
-    * sidecar columns, filter pushed both times), one TakeOrdered,
-    * no full-frame shuffle or join anywhere before the cut. */
+    * Rows whose sort-key prefix the sidecar can RECONSTRUCT are
+    * "known": numerics (rank 3 — `o_num` carries the same
+    * decimal(38,12) the sort key's num field holds, the saturation
+    * legs reproduce from `o_dbl`, with NaN and bad lexicals on
+    * DEC_MIN exactly like TermMath.sortKey's Java-semantics
+    * `NaN >= 0 == false` branch, which Spark's NaN-largest `>=` would
+    * get wrong) and — under the UTC gate — well-formed date/dateTimes
+    * (rank 4; num/dbl derive from `o_ts`, and ANY monotone rounding
+    * of the epoch double preserves the embedding because the true num
+    * is itself a monotone function of dbl there). Everything else
+    * (strings, IRIs, booleans, malformed temporals: the sidecar holds
+    * only NULLs for them) is "unknown" and becomes an UNCONDITIONAL
+    * candidate — at most |non-comparable objects| extra rows, zero on
+    * the warehouse shapes this exists for.
+    *
+    * Phase 1 takes the k-th best KNOWN surrogate as the boundary.
+    * Because the surrogate is an order-embedding of the full sort key
+    * (the full key only appends lexical tie-breaks), every true top-k
+    * row either beats the boundary, ties it, or is unknown. Phase 2
+    * refilters the frame to `unknown OR key <= boundary` (>= for
+    * DESC), joins REAL sort keys for just those rows, re-sorts, and
+    * decodes the survivors: the dict joins see k+ties+unknown rows
+    * instead of every row. Cost shape at scale: two narrow scans (ids
+    * + three fixed-width sidecar columns, filters pushed both times),
+    * one TakeOrdered over longs, no full-frame shuffle or join
+    * anywhere before the cut. */
   private def compileThresholdTopK(base: Op, conjs: List[Expr], v: String,
-                                   asc: Boolean, isNum: Boolean,
+                                   asc: Boolean,
                                    off: Long, lim: Long, keep: List[String],
                                    nullable: Set[String]): DataFrame = {
-    val df0 = filterIdsFrame(base, conjs, keepTyped = Set(v))
+    val df0raw = filterIdsFrame(base, conjs, keepTyped = Set(v))
     val DEC = graft.sparql.TermFns.DEC
     val satMax = lit(graft.functions.TermMath.decSatMaxBD).cast(DEC)
     val satMin = lit(graft.functions.TermMath.decSatMinBD).cast(DEC)
-    val keyCols: Seq[Column] =
-      if (isNum) Seq(
-        when(col(teCol(v)).isNotNull, col(teCol(v)))
-          .when(isnan(col(tdCol(v))), satMin)
-          .when(col(tdCol(v)) >= 0, satMax)
-          .otherwise(satMin),
-        coalesce(col(tdCol(v)), lit(Double.NegativeInfinity)))
-      else Seq(col(ttCol(v)))
+    // o_ts keys are usable only when the session zone matches the
+    // encode zone (both UTC) — otherwise temporal rows fall back to
+    // unknown, which stays exact, just with more candidates
+    val tsUsable = df0raw.columns.contains(ttCol(v)) &&
+      spark.sessionState.conf.sessionLocalTimeZone == "UTC"
+    val tsCol = if (tsUsable) col(ttCol(v))
+                else lit(null).cast(org.apache.spark.sql.types.TimestampType)
+    val isNum = col(tcCol(v)) >= 1
+    val known = isNum || tsCol.isNotNull
+    val numKey =
+      when(col(teCol(v)).isNotNull, col(teCol(v)))
+        .when(isnan(col(tdCol(v))), satMin)
+        .when(col(tdCol(v)) >= 0, satMax)
+        .otherwise(satMin)
+    val keyCols: Seq[Column] = Seq(
+      when(isNum, lit(3)).otherwise(lit(4)),
+      when(isNum, numKey)
+        .otherwise(tsCol.cast(org.apache.spark.sql.types.DoubleType).cast(DEC)),
+      when(isNum, coalesce(col(tdCol(v)), lit(Double.NegativeInfinity)))
+        .otherwise(tsCol.cast(org.apache.spark.sql.types.DoubleType)))
     val kn = keyCols.indices.map(i => s"__thk_$i")
-    var df = df0
+    var df = df0raw.withColumn("__thknown", known)
     kn.zip(keyCols).foreach { case (n, k) => df = df.withColumn(n, k) }
     df = df.drop(Seq(tcCol(v), tdCol(v), teCol(v), ttCol(v)): _*)
     val k1 = (off + lim).toInt
     val keyStruct = struct(kn.map(col): _*)
-    // the boundary: the k-th best surrogate — worst of the phase-1
-    // TakeOrdered under the sort direction. One bounded driver fetch
-    // (a single aggregated row), so the threshold rides into phase 2
-    // as a LITERAL the scan filter can use.
-    val bRow = df.select(keyStruct.as("k"))
+    // the boundary: the k-th best KNOWN surrogate — worst of the
+    // phase-1 TakeOrdered under the sort direction. One bounded
+    // driver fetch (a single aggregated row), so the threshold rides
+    // into phase 2 as a LITERAL.
+    val bRow = df.filter(col("__thknown")).select(keyStruct.as("k"))
       .orderBy(kn.map(n => if (asc) col(n).asc else col(n).desc): _*)
       .limit(k1)
       .agg((if (asc) max(col("k")) else min(col("k"))).as("b"))
       .head()
-    if (bRow.isNullAt(0)) // no survivors: empty frame, right columns
-      return materialize(df.drop(kn: _*).limit(0), keep, nullable)
-    val b = bRow.getStruct(0)
-    val bLit = struct(kn.indices.map(i =>
-      (if (!isNum) lit(b.getTimestamp(0))
-       else if (i == 0) lit(b.getDecimal(0)).cast(DEC)
-       else lit(b.getDouble(1))).as(kn(i))): _*)
-    val cand = df.filter(if (asc) keyStruct <= bLit else keyStruct >= bLit)
-      .drop(kn: _*)
+    val candCond =
+      if (bRow.isNullAt(0)) !col("__thknown") // no known rows at all
+      else {
+        val b = bRow.getStruct(0)
+        val bLit = struct(
+          lit(b.getInt(0)).as(kn(0)),
+          lit(b.getDecimal(1)).cast(DEC).as(kn(1)),
+          lit(b.getDouble(2)).as(kn(2)))
+        !col("__thknown") ||
+          (if (asc) keyStruct <= bLit else keyStruct >= bLit)
+      }
+    val cand = df.filter(candCond).drop("__thknown").drop(kn: _*)
     val candK = joinSortKeys(cand, List(v), nullable)
     def sortCol = if (asc) col(skCol(v)).asc else col(skCol(v)).desc
     val topIds = candK.orderBy(sortCol).limit(k1)

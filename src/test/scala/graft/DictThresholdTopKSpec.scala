@@ -92,6 +92,24 @@ class DictThresholdTopKSpec extends AnyFlatSpec with Matchers {
       s"SELECT ?x { ?s :v ?x FILTER($cmp) } ORDER BY $dir LIMIT $k")
   }
 
+  it should "handle UNPINNED sorts over mixed ranks (unknown rows as candidates)" in {
+    // no FILTER: the sort var binds IRIs, strings, bad lexicals,
+    // dates, and numerics — the sidecar can rank only the last two,
+    // everything else becomes an unconditional candidate, and the
+    // result must still be exactly the term path's (rank ordering
+    // IRI < numeric < date < string included)
+    for {
+      dir <- Seq("ASC(?x)", "DESC(?x)")
+      k <- Seq(1, 2, 4, 6, 11, 20)
+    } sameList(pfx + s"SELECT ?x { ?s :v ?x } ORDER BY $dir LIMIT $k")
+    for (off <- Seq(1, 5))
+      sameList(pfx +
+        s"SELECT ?x { ?s :v ?x } ORDER BY DESC(?x) LIMIT 3 OFFSET $off")
+    // mixed ranks UNDER a filter that doesn't pin the sort var
+    sameList(pfx + """SELECT ?x { ?s :v ?x . ?s :v ?y
+      |  FILTER(?y >= "abc") } ORDER BY ?x LIMIT 4""".stripMargin)
+  }
+
   it should "honor OFFSET through the threshold cut" in {
     for (off <- Seq(0, 1, 3, 7))
       sameList(pfx +
@@ -139,10 +157,20 @@ class DictThresholdTopKSpec extends AnyFlatSpec with Matchers {
       case 4 => "9" * (30 + rnd.nextInt(20))
       case _ => rnd.nextInt(8).toString // dense value ties
     }
-    val data = (0 until 60).map(i =>
-      q(s"s$i", "w", lit_(lex(), dts(rnd.nextInt(dts.size)))))
+    // a quarter of the rows are NON-numeric (strings, IRIs, dates,
+    // malformed temporals): the unpinned path must carry them as
+    // unknown-rank candidates and still match the term path exactly
+    def term(): Term = rnd.nextInt(8) match {
+      case 0 => lit_(s"str${rnd.nextInt(6)}", XSD.string)
+      case 1 if rnd.nextBoolean() => Iri(s"urn:o:${rnd.nextInt(5)}")
+      case 1 => lit_(
+        if (rnd.nextBoolean()) s"2024-0${1 + rnd.nextInt(9)}-01T00:00:00"
+        else "not-a-date", XSD.dateTime)
+      case _ => lit_(lex(), dts(rnd.nextInt(dts.size)))
+    }
+    val data = (0 until 60).map(i => q(s"s$i", "w", term()))
     val (fs, fq) = mk(data, s"fuzz$seed")
-    for (round <- 0 until 30) {
+    for (round <- 0 until 40) {
       val op = Seq(">", ">=", "<", "<=")(rnd.nextInt(4))
       val c = rnd.nextInt(4) match {
         case 0 => rnd.nextInt(15).toString
@@ -150,10 +178,12 @@ class DictThresholdTopKSpec extends AnyFlatSpec with Matchers {
         case 2 => s"${(rnd.nextDouble() * 20 - 5).toFloat}e0"
         case _ => "0.0e0"
       }
+      val filter = // a third of the rounds run UNPINNED (no filter)
+        if (round % 3 == 2) "" else s" FILTER(?x $op $c)"
       val dir = if (rnd.nextBoolean()) "ASC(?x)" else "DESC(?x)"
       val k = 1 + rnd.nextInt(12)
       val off = if (rnd.nextBoolean()) 0 else rnd.nextInt(5)
-      val qy = pfx + s"SELECT ?x { ?s :w ?x FILTER(?x $op $c) } " +
+      val qy = pfx + s"SELECT ?x { ?s :w ?x$filter } " +
         s"ORDER BY $dir LIMIT $k OFFSET $off"
       withClue(s"round $round seed $seed: $qy\n") {
         terms(fs.sparql(qy)) shouldBe terms(fq.sparql(qy))
