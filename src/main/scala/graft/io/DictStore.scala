@@ -1016,14 +1016,11 @@ final class DictStore private (val spark: SparkSession,
       case VarE(v) => blockVars.contains(v)
       case _ => false
     }
-    val sortVars = keys.collect { case (VarE(v), _) if isPlain(VarE(v)) => v }
-      .distinct
-    val exprKeys = keys.map(_._1).filterNot(isPlain).distinct
-    val exprVars = exprKeys.flatMap(exprVarsOf)
-      .filter(blockVars.contains).distinct
-    // sidecar threshold top-k: a single plain sort var whose
-    // comparable class a typed filter conjunct PINS skips the dict
-    // sort-key join for everything but the boundary candidates
+    // sidecar threshold top-k: when the PRIMARY sort key is a plain
+    // object var with sidecar columns, the lexicographic order lets a
+    // first-key boundary prune regardless of what the later keys are
+    // — a row strictly worse than the k-th best on key 1 cannot enter
+    // the top-k whatever its tie-breaks do
     val typedObjVars: Set[String] =
       if (hasSidecarSortCols && isBlock(base))
         allScans(base).flatMap(_.o match {
@@ -1031,15 +1028,36 @@ final class DictStore private (val spark: SparkSession,
         }).toSet
       else Set.empty
     keys match {
-      case List((VarE(v), asc))
+      case (VarE(v), asc) :: _
         if blockVars.contains(v) && typedObjVars.contains(v) =>
-        return compileThresholdTopK(base, conjs, v, asc,
-          off, lim, keep, nullable)
+        return compileThresholdTopK(base, conjs, v, asc, keys,
+          off, lim, keep, nullable, blockVars)
       case _ => ()
     }
     val df0 =
       if (conjs.nonEmpty) filterIdsFrame(base, conjs)
       else idsOf(base, blockConsts(base))
+    finishTopK(df0, keys, off, lim, keep, nullable, blockVars)
+  }
+
+  /** The common top-k tail: join/derive REAL sort keys onto an id
+    * frame, TakeOrdered off+lim rows, decode only those, re-establish
+    * the order on the carried keys, slice. Shared by the plain id
+    * top-k (whole frame) and the threshold top-k (boundary
+    * candidates only). */
+  private def finishTopK(df0: DataFrame, keys: List[(Expr, Boolean)],
+                         off: Long, lim: Long, keep: List[String],
+                         nullable: Set[String],
+                         blockVars: Set[String]): DataFrame = {
+    def isPlain(e: Expr): Boolean = e match {
+      case VarE(v) => blockVars.contains(v)
+      case _ => false
+    }
+    val sortVars = keys.collect { case (VarE(v), _) if isPlain(VarE(v)) => v }
+      .distinct
+    val exprKeys = keys.map(_._1).filterNot(isPlain).distinct
+    val exprVars = exprKeys.flatMap(exprVarsOf)
+      .filter(blockVars.contains).distinct
     // expr-var decode FIRST so joinSortKeys can derive a plain sort
     // var's key from its already-decoded term instead of a second join
     var df = joinSortKeys(decodeVars(df0, exprVars, nullable),
@@ -1088,21 +1106,25 @@ final class DictStore private (val spark: SparkSession,
     * candidate — at most |non-comparable objects| extra rows, zero on
     * the warehouse shapes this exists for.
     *
-    * Phase 1 takes the k-th best KNOWN surrogate as the boundary.
-    * Because the surrogate is an order-embedding of the full sort key
-    * (the full key only appends lexical tie-breaks), every true top-k
-    * row either beats the boundary, ties it, or is unknown. Phase 2
-    * refilters the frame to `unknown OR key <= boundary` (>= for
-    * DESC), joins REAL sort keys for just those rows, re-sorts, and
-    * decodes the survivors: the dict joins see k+ties+unknown rows
-    * instead of every row. Cost shape at scale: two narrow scans (ids
-    * + three fixed-width sidecar columns, filters pushed both times),
-    * one TakeOrdered over longs, no full-frame shuffle or join
-    * anywhere before the cut. */
+    * Phase 1 takes the k-th best KNOWN surrogate of the PRIMARY key
+    * as the boundary. Because the surrogate is an order-embedding of
+    * the full primary sort key (which only appends lexical
+    * tie-breaks), and the later keys only ever break primary-key
+    * ties, every true top-k row either beats the boundary, ties it,
+    * or is unknown. Phase 2 refilters the frame to `unknown OR key <=
+    * boundary` (>= for DESC), hands the survivors to the common
+    * [[finishTopK]] tail — which joins REAL sort keys for ALL the
+    * query's keys on just those rows — re-sorts, and decodes: the
+    * dict joins see k+ties+unknown rows instead of every row. Cost
+    * shape at scale: two narrow scans (ids + three fixed-width
+    * sidecar columns, filters pushed both times), one TakeOrdered
+    * over longs, no full-frame shuffle or join anywhere before the
+    * cut. */
   private def compileThresholdTopK(base: Op, conjs: List[Expr], v: String,
-                                   asc: Boolean,
+                                   asc: Boolean, keys: List[(Expr, Boolean)],
                                    off: Long, lim: Long, keep: List[String],
-                                   nullable: Set[String]): DataFrame = {
+                                   nullable: Set[String],
+                                   blockVars: Set[String]): DataFrame = {
     val df0raw = filterIdsFrame(base, conjs, keepTyped = Set(v))
     val DEC = graft.sparql.TermFns.DEC
     val satMax = lit(graft.functions.TermMath.decSatMaxBD).cast(DEC)
@@ -1154,13 +1176,7 @@ final class DictStore private (val spark: SparkSession,
           (if (asc) keyStruct <= bLit else keyStruct >= bLit)
       }
     val cand = df.filter(candCond).drop("__thknown").drop(kn: _*)
-    val candK = joinSortKeys(cand, List(v), nullable)
-    def sortCol = if (asc) col(skCol(v)).asc else col(skCol(v)).desc
-    val topIds = candK.orderBy(sortCol).limit(k1)
-    val decoded = materialize(topIds, keep, nullable, carry = List(skCol(v)))
-    val ordered = decoded.orderBy(sortCol)
-      .select(keep.filter(decoded.columns.contains).map(col): _*)
-    (if (off > 0) ordered.offset(off.toInt) else ordered).limit(lim.toInt)
+    finishTopK(cand, keys, off, lim, keep, nullable, blockVars)
   }
 
   /** Project-then-distinct on long tuples; the dict joins in after

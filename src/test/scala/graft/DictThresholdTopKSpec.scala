@@ -110,6 +110,25 @@ class DictThresholdTopKSpec extends AnyFlatSpec with Matchers {
       |  FILTER(?y >= "abc") } ORDER BY ?x LIMIT 4""".stripMargin)
   }
 
+  it should "threshold on the PRIMARY key of a multi-key sort" in {
+    // secondary keys only break primary ties, so the first-key
+    // boundary still prunes; with ?s as tie-break the full row list
+    // is deterministic and must equal the term path's exactly
+    for {
+      dir <- Seq("ASC(?x) ?s", "DESC(?x) ?s", "DESC(?x) DESC(?s)")
+      k <- Seq(1, 3, 5, 12)
+    } sameList(pfx +
+      s"SELECT ?s ?x { ?s :v ?x } ORDER BY $dir LIMIT $k")
+    // value-tied rows (2 vs 2.0 vs the duplicated 2): the secondary
+    // key decides among them across the boundary
+    sameList(pfx +
+      "SELECT ?s ?x { ?s :v ?x FILTER(?x >= 2) } ORDER BY ?x ?s LIMIT 3")
+    // an EXPRESSION secondary key rides through the candidate frame
+    sameList(pfx +
+      "SELECT ?s ?x { ?s :v ?x FILTER(?x > 0) } " +
+      "ORDER BY DESC(?x) (STR(?s)) LIMIT 4")
+  }
+
   it should "honor OFFSET through the threshold cut" in {
     for (off <- Seq(0, 1, 3, 7))
       sameList(pfx +
