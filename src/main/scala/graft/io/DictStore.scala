@@ -1882,6 +1882,74 @@ object DictStore {
     }
   }
 
+  /** [[compact]] for the BUCKETED layout. [[appendBucketed]] adds one
+    * file per bucket per batch; Spark keeps bucket pruning and
+    * shuffle-free joins across that, but stops assuming per-bucket
+    * SORTEDNESS once a bucket holds more than one file — this rewrite
+    * restores one sorted file per bucket for both tables (and tight
+    * lex files for `dict_by_lex`). The catalog tables are EXTERNAL,
+    * so the dance is: write a temp table with the same bucket spec
+    * next to the live directory, drop the catalog entries (files
+    * survive), swap the directories, and let [[loadBucketed]]
+    * re-create the entries over the new files. Not atomic — offline
+    * maintenance, like every rewrite op here. */
+  def compactBucketed(spark: SparkSession, path: String): Unit = {
+    val buckets = """"buckets"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(readTextFile(spark, s"$path/bucketed.json"))
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$path/bucketed.json: no bucket count — not a bucketed store"))
+    loadBucketed(spark, path)
+    val base = tableBase(path)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def swapTable(sub: String, table: String, bucketCol: String,
+                  sortCols: Seq[String]): Unit = {
+      val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      val fs = live.getFileSystem(hconf)
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/${sub}_compacting")
+      val old = new org.apache.hadoop.fs.Path(s"$path/${sub}_old")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_cmp")
+      fs.delete(tmp, true); fs.delete(old, true) // dead-run leftovers
+      // read the FILES, not the catalog table: a bucketed-scan child
+      // lets the optimizer drop the repartition below the bucketed
+      // write, and the surviving task layout need not align rows to
+      // one task per bucket — a plain parquet scan keeps the shuffle,
+      // whose hash IS the bucket-id hash, giving one file per bucket
+      spark.read.parquet(live.toString)
+        .repartition(buckets, col(bucketCol))
+        .write.option("compression", "zstd")
+        .option("path", tmp.toString)
+        .bucketBy(buckets, bucketCol)
+        .sortBy(sortCols.head, sortCols.tail: _*)
+        .saveAsTable(s"${table}_cmp")
+      // drop BOTH catalog entries (external: files stay), swap dirs
+      spark.sql(s"DROP TABLE ${table}_cmp")
+      spark.sql(s"DROP TABLE $table")
+      require(fs.rename(live, old), s"swap failed: $live -> $old")
+      require(fs.rename(tmp, live), s"swap failed: $tmp -> $live")
+      fs.delete(old, true)
+    }
+    swapTable("quads", s"${base}_quads", "s", Seq("p", "s"))
+    swapTable("dict", s"${base}_dict", "id", Seq("id"))
+    // the lex copy compacts like the plain layout's dictionary
+    val lexLive = new org.apache.hadoop.fs.Path(s"$path/dict_by_lex")
+    val lfs = lexLive.getFileSystem(hconf)
+    val lexTmp = new org.apache.hadoop.fs.Path(s"$path/dict_by_lex_compacting")
+    val lexOld = new org.apache.hadoop.fs.Path(s"$path/dict_by_lex_old")
+    lfs.delete(lexTmp, true); lfs.delete(lexOld, true)
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    spark.read.parquet(lexLive.toString)
+      .repartitionByRange(parts, col("term.lex"))
+      .sortWithinPartitions(col("term.lex"))
+      .write.option("compression", "zstd").parquet(lexTmp.toString)
+    require(lfs.rename(lexLive, lexOld), s"swap failed: $lexLive")
+    require(lfs.rename(lexTmp, lexLive), s"swap failed: $lexTmp")
+    lfs.delete(lexOld, true)
+    spark.catalog.refreshByPath(s"$path/dict_by_lex")
+    loadBucketed(spark, path) // re-create the catalog entries
+    ()
+  }
+
   /** [[append]] for the BUCKETED layout — incremental ingest for the
     * 100 TB shape. Phase 1 freezes unseen-term ids in `dict_by_lex`
     * exactly like [[append]] (offset above the ceiling, in-write-stage

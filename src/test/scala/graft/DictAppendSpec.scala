@@ -192,6 +192,32 @@ class DictAppendSpec extends AnyFlatSpec with Matchers {
       .values.sum shouldBe bindings(all.sparql(pfx + queries.head)).values.sum
   }
 
+  it should "compact a bucketed store back to one sorted file per bucket" in {
+    val dir = java.nio.file.Files.createTempDirectory("dict-cmp-bkt").toString
+    DictStore.encodeBucketed(df(batch1), dir, buckets = 3)
+    DictStore.appendBucketed(df(batch2), dir)
+    def bucketFiles(sub: String): Map[String, Int] =
+      new java.io.File(s"$dir/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .groupBy { f => // the _NNNNN suffix before .c000 is the bucket id
+          "_(\\d{5})\\.".r.findFirstMatchIn(f.getName).get.group(1)
+        }
+        .view.mapValues(_.length).toMap
+    bucketFiles("quads").values.max should be > 1 // append left extras
+    val qy = pfx + "SELECT ?s ?n ?b { ?s :name ?n . ?s :bal ?b }"
+    val before = bindings(DictStore.loadBucketed(spark, dir).sparql(qy))
+    DictStore.compactBucketed(spark, dir)
+    bucketFiles("quads").values.max shouldBe 1
+    new java.io.File(s"$dir/quads_old").exists() shouldBe false
+    new java.io.File(s"$dir/quads_compacting").exists() shouldBe false
+    val st = DictStore.loadBucketed(spark, dir)
+    bindings(st.sparql(qy)) shouldBe before
+    // dict bijection intact, lex copy in sync
+    val bkt = st.dict.collect()
+    bkt.map(_.getLong(0)).distinct.length shouldBe bkt.length
+    spark.read.parquet(s"$dir/dict_by_lex").count() shouldBe bkt.length
+  }
+
   it should "reject pre-v5 and bucketed stores loudly" in {
     import org.apache.spark.sql.functions.{col, when}
     // simulate a v4 layout: o_num renamed back to exact-only o_dec
