@@ -246,6 +246,23 @@ object SparkEntry {
     }
   }
 
+  /** BUCKETED dict store built incrementally (q_dict_append_bucketed):
+    * encoded from the nation/region quads, customer quads appended,
+    * then COMPACTED back to one sorted file per bucket — the full
+    * maintenance lifecycle of the 100 TB layout in one fixture. */
+  private def dictAppendBucketedStore(s: SparkSession, d: String): graft.io.DictStore = {
+    val path = tmpPath("dictab", d)
+    if (new java.io.File(s"$path/_APPENDED").exists())
+      graft.io.DictStore.loadBucketed(s, path)
+    else {
+      graft.io.DictStore.encodeBucketed(nationRegion(s, d), path, buckets = 8)
+      graft.io.DictStore.appendBucketed(cust(s, d), path)
+      graft.io.DictStore.compactBucketed(s, path)
+      new java.io.File(s"$path/_APPENDED").createNewFile()
+      graft.io.DictStore.loadBucketed(s, path)
+    }
+  }
+
   /** Dict store over the partOf chain (transitive-path battery data),
     * cached like [[dictStore]]. */
   private def dictPathStore(s: SparkSession, d: String): graft.io.DictStore = {
@@ -412,6 +429,18 @@ object SparkEntry {
       // the appended store answers exactly like a from-scratch encode
       // of the union
       out(dictAppendStore(s, d).sparql(prologue +
+        """SELECT ?cname ?nname ?rname
+          |{ ?c :cname ?cname . ?c :inNation ?n . ?n :nname ?nname .
+          |  ?n :inRegion ?r . ?r :rname ?rname }""".stripMargin),
+        "cname" -> "string", "nname" -> "string", "rname" -> "string")
+    },
+    "q_dict_append_bucketed" -> { (s, d) =>
+      // the bucketed layout's full maintenance lifecycle (round-13):
+      // encodeBucketed + appendBucketed + compactBucketed, then the
+      // q_dict_build join — subject-bucketed star joins still plan
+      // shuffle-free after the incremental ingest and the rewrite,
+      // and DuckDB certifies the answers
+      out(dictAppendBucketedStore(s, d).sparql(prologue +
         """SELECT ?cname ?nname ?rname
           |{ ?c :cname ?cname . ?c :inNation ?n . ?n :nname ?nname .
           |  ?n :inRegion ?r . ?r :rname ?rname }""".stripMargin),
@@ -2367,6 +2396,10 @@ object SparkEntry {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
     "q_dict_append" ->
+      """SELECT c_name AS cname, n_name AS nname, r_name AS rname
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+    "q_dict_append_bucketed" ->
       """SELECT c_name AS cname, n_name AS nname, r_name AS rname
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
