@@ -592,11 +592,16 @@ object SparkEntry {
       // before the boundary; only the ~25 candidate rows join real
       // sort keys and decode. Projects the sort var alone so the
       // result is tie-insensitive for the DuckDB hash compare.
-      out(dictStore(s, d).sparql(prologue +
+      // force the threshold path (the sf-scale dict would broadcast,
+      // auto-selecting the plain top-k): this entry exists to oracle-
+      // check the SCALE machinery, not the small-dict shortcut
+      s.conf.set("spark.graft.topk.threshold", "always")
+      try out(dictStore(s, d).sparql(prologue +
         """SELECT ?bal
           |{ ?c :acctbal ?bal FILTER(?bal > 3000) }
           |ORDER BY DESC(?bal) LIMIT 25""".stripMargin),
         "bal" -> "double")
+      finally s.conf.unset("spark.graft.topk.threshold")
     },
     "q_dict_not_exists" -> { (s, d) =>
       // FILTER NOT EXISTS in id space: the anti join runs on 8-byte

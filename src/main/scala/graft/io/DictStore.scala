@@ -1029,7 +1029,8 @@ final class DictStore private (val spark: SparkSession,
       else Set.empty
     keys match {
       case (VarE(v), asc) :: _
-        if blockVars.contains(v) && typedObjVars.contains(v) =>
+        if blockVars.contains(v) && typedObjVars.contains(v) &&
+          thresholdTopKEnabled =>
         return compileThresholdTopK(base, conjs, v, asc, keys,
           off, lim, keep, nullable, blockVars)
       case _ => ()
@@ -1336,6 +1337,27 @@ final class DictStore private (val spark: SparkSession,
   private def tdCol(v: String): String = s"__td_$v"
   private def teCol(v: String): String = s"__te_$v"
   private def ttCol(v: String): String = s"__tt_$v"
+
+  /** Whether ORDER BY + LIMIT should take the threshold path. The
+    * threshold's win is avoiding the dict sort-key JOIN before the
+    * cut — which only matters when the dict side would NOT broadcast;
+    * when it fits under `autoBroadcastJoinThreshold` the plain top-k
+    * is one broadcast-join job, strictly cheaper than the threshold's
+    * extra boundary job and second scan. So `auto` (the default)
+    * mirrors Spark's own broadcast decision on the dict's plan-stats
+    * size. `spark.graft.topk.threshold` = always/never overrides —
+    * the differential specs and the scale-path battery entry pin the
+    * threshold machinery with `always` regardless of toy dict sizes. */
+  private def thresholdTopKEnabled: Boolean =
+    spark.conf.get("spark.graft.topk.threshold", "auto") match {
+      case "always" => true
+      case "never" => false
+      case _ =>
+        val bt = spark.sessionState.conf.autoBroadcastJoinThreshold
+        bt <= 0 || dictSizeEstimate > BigInt(bt)
+    }
+  private lazy val dictSizeEstimate: BigInt =
+    dict.queryExecution.optimizedPlan.stats.sizeInBytes
 
   /** The sidecar decimal column: v5 stores persist `o_num` (decimal
     * for ANY numeric — the name doubles as the layout-version

@@ -18,8 +18,16 @@ import org.scalatest.matchers.should.Matchers
   * terms may differ between paths. Tests on the sort var alone
   * compare exactly; tests carrying other vars use the
   * sequence+subset checker. */
-class DictThresholdTopKSpec extends AnyFlatSpec with Matchers {
+class DictThresholdTopKSpec extends AnyFlatSpec with Matchers
+    with org.scalatest.BeforeAndAfterAll {
   private val spark = TestSpark.spark
+  // toy dicts broadcast, which would auto-disable the threshold path
+  // and silently turn every differential below into a plain-top-k
+  // test — force it on for this suite
+  override def beforeAll(): Unit =
+    spark.conf.set("spark.graft.topk.threshold", "always")
+  override def afterAll(): Unit =
+    spark.conf.unset("spark.graft.topk.threshold")
 
   private def lit_(lex: String, dt: String) = Lit(lex, dt, "")
   private def q(s: String, p: String, o: Term) =
