@@ -1827,7 +1827,7 @@ object DictStore {
     * sidecar schemas inside one directory. */
   def append(quads: DataFrame, path: String): DictStore = {
     val spark = quads.sparkSession
-    require(!new java.io.File(s"$path/bucketed.json").exists(),
+    require(!bucketedMarkerExists(spark, path),
       s"$path is a bucketed store: use DictStore.appendBucketed")
     val existing = spark.read.parquet(s"$path/quads")
     require(existing.columns.contains("o_num"),
@@ -1853,10 +1853,13 @@ object DictStore {
       .sortWithinPartitions("p", "s")
       .write.mode(SaveMode.Append).option("compression", "zstd")
       .parquet(s"$path/quads")
-    val merged = graft.sparql.QuadsStats.merge(
-      graft.sparql.QuadsStats.read(spark, s"$path/stats"),
-      graft.sparql.QuadsStats.compute(quads))
-    graft.sparql.QuadsStats.write(spark, merged, s"$path/stats")
+    // legacy stores (written before the stats sidecar existed) stay
+    // sidecar-less — consistent with load()'s tolerance; writing
+    // batch-only stats here would silently undercount the store
+    readStats(spark, path).foreach { prior =>
+      graft.sparql.QuadsStats.write(spark, graft.sparql.QuadsStats.merge(
+        prior, graft.sparql.QuadsStats.compute(quads)), s"$path/stats")
+    }
     // drop any cached listings of the grown directories (the session
     // file-status cache otherwise serves the pre-append file set)
     spark.catalog.refreshByPath(s"$path/dict")
@@ -1876,7 +1879,7 @@ object DictStore {
     * atomic: run it offline, like every table-maintenance op here. A
     * dead previous run's leftovers are cleared on entry. */
   def compact(spark: SparkSession, path: String): Unit = {
-    require(!new java.io.File(s"$path/bucketed.json").exists(),
+    require(!bucketedMarkerExists(spark, path),
       s"$path is a bucketed store: its files are catalog-owned; re-encode")
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -2033,9 +2036,11 @@ object DictStore {
       .bucketBy(buckets, "s").sortBy("p", "s")
       .saveAsTable(s"${base}_quads")
     spark.catalog.refreshTable(s"${base}_quads")
-    graft.sparql.QuadsStats.write(spark, graft.sparql.QuadsStats.merge(
-      graft.sparql.QuadsStats.read(spark, s"$path/stats"),
-      graft.sparql.QuadsStats.compute(quads)), s"$path/stats")
+    // same legacy-store tolerance as the plain-layout append
+    readStats(spark, path).foreach { prior =>
+      graft.sparql.QuadsStats.write(spark, graft.sparql.QuadsStats.merge(
+        prior, graft.sparql.QuadsStats.compute(quads)), s"$path/stats")
+    }
     loadBucketed(spark, path)
   }
 
@@ -2159,6 +2164,26 @@ object DictStore {
     val hp = new org.apache.hadoop.fs.Path(p)
     (hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
   }
+
+  /** Layout-dispatch guard for [[append]]/[[compact]]: MUST resolve
+    * through the store path's own filesystem — a `java.io.File`
+    * check is silently false for hdfs://.../s3a://... stores, which
+    * would let a plain append write non-bucketed files into a
+    * bucketed store's catalog-owned directories (bucket ids are
+    * derived from file names, so that corrupts the bucket contract
+    * without any error). */
+  private def bucketedMarkerExists(spark: SparkSession,
+                                   path: String): Boolean = {
+    val (fs, hp) = hadoopFs(spark, s"$path/bucketed.json")
+    fs.exists(hp)
+  }
+
+  /** Stats sidecar of an existing store, `None` when it predates the
+    * sidecar — the same tolerance [[load]]/[[loadBucketed]] apply. */
+  private def readStats(spark: SparkSession,
+                        path: String): Option[graft.sparql.QuadsStats] =
+    try Some(graft.sparql.QuadsStats.read(spark, s"$path/stats"))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
 
   private def writeTextFile(spark: SparkSession, p: String,
                             text: String): Unit = {

@@ -186,6 +186,12 @@ object StreamingOps {
     * the widened table with a fresh checkpoint — replayed paragraphs
     * are then dropped by the anti-join before ever reaching state),
     * the same swap discipline as [[nearDupStream]]'s signature table.
+    * CHECKPOINT COMPATIBILITY: the state key is the raw 16-byte
+    * digest (BinaryType) since the round-13 hygiene pass — a query
+    * checkpointed under the older 32-char hex-string key CANNOT
+    * resume (Spark's state-schema validation rejects the key-type
+    * change); migrate via the foldParagraphFps + fresh-checkpoint
+    * path above, which is also the no-duplicate-output upgrade.
     * `idCol` must be an integral or string column (the id round-trips
     * through state in string form — the [[funnelStream]] contract);
     * rows with a NULL id are dropped — an id-less document cannot
