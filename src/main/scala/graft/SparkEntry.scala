@@ -153,7 +153,7 @@ object SparkEntry {
     * a 32-bit hashCode alone could collide two datasets — plus a
     * format-version tag so a layout change in a later build never
     * silently reuses an old store. */
-  private val CacheVersion = "v5" // v5: o_num sidecar (decimal for ANY numeric)
+  private val CacheVersion = "v6" // v6: subject-position typed sidecar (s_num)
   private def tmpPath(prefix: String, d: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_${prefix}_" +
       d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + CacheVersion
@@ -261,6 +261,17 @@ object SparkEntry {
       new java.io.File(s"$path/_APPENDED").createNewFile()
       graft.io.DictStore.loadBucketed(s, path)
     }
+  }
+
+  /** Dict store over the generalized-RDF orders projection whose
+    * SUBJECTS are bare integer literals (q_dict_subject_filter —
+    * exercises the v6 subject-position sidecar), cached like
+    * [[dictStore]]. */
+  private def dictSubjStore(s: SparkSession, d: String): graft.io.DictStore = {
+    val path = tmpPath("dicts", d)
+    if (new java.io.File(s"$path/quads/_SUCCESS").exists())
+      graft.io.DictStore.load(s, path)
+    else graft.io.DictStore.encode(TpchQuads.ordersKeyedBySubject(s, d), path)
   }
 
   /** Dict store over the partOf chain (transitive-path battery data),
@@ -500,6 +511,21 @@ object SparkEntry {
           |{ ?c :cname ?cname . ?c :acctbal ?bal
           |  FILTER(?bal > 3000 && ?bal <= 9500) }""".stripMargin),
         "cname" -> "string", "bal" -> "double")
+    },
+    "q_dict_subject_filter" -> { (s, d) =>
+      // SUBJECT-position typed-sidecar filter (round-14): the quads
+      // are generalized RDF with bare integer-literal subjects, and
+      // the key-range conjuncts evaluate on the s_cls/s_dbl/s_num
+      // columns persisted at encode — zero dict joins before the
+      // filter, range predicates pushed into the parquet scan, same
+      // as the object-position fast path. The ?t conjunct rides the
+      // o-side sidecar of the SAME scan set, so one query exercises
+      // both positions at once. DictSubjectFilterSpec pins the plan.
+      out(dictSubjStore(s, d).sparql(prologue +
+        """SELECT ?k ?pri
+          |{ ?k :spriority ?pri . ?k :sprice ?t
+          |  FILTER(?k > 3000 && ?k <= 4500 && ?t > 50000.0e0) }""".stripMargin),
+        "k" -> "bigint", "pri" -> "string")
     },
     "q_dict_temporal_filter" -> { (s, d) =>
       // temporal typed-sidecar filter: the dateTime range evaluates on
@@ -2441,6 +2467,11 @@ object SparkEntry {
     "q_dict_typed_filter" ->
       """SELECT c_name AS cname, c_acctbal AS bal FROM customer
         |WHERE c_acctbal > 3000 AND c_acctbal <= 9500""".stripMargin,
+    "q_dict_subject_filter" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderpriority AS pri
+        |FROM orders
+        |WHERE o_orderkey > 3000 AND o_orderkey <= 4500
+        |  AND o_totalprice > 50000""".stripMargin,
     "q_dict_temporal_filter" ->
       """SELECT o_orderpriority AS pri, COUNT(*) AS n FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1995-06-01 00:00:00'

@@ -660,16 +660,22 @@ final class DictStore private (val spark: SparkSession,
                     typedWanted: Set[String] = Set.empty): DataFrame = op match {
     case b if isBlock(b) =>
       // each typed-wanted var is carried by exactly ONE scan (its
-      // first object-position binding): join equality makes every
+      // first object-position binding, falling back to a subject-
+      // position binding on v6 stores): join equality makes every
       // binding agree on the value, and a second copy would otherwise
       // enter the equi-join key set, where NULL keys drop rows
       var remaining = typedWanted
       flattenJoins(b).map { sc =>
-        val tv = sc.o match {
+        val tvO = sc.o match {
           case V(n) if remaining.contains(n) => remaining -= n; Some(n)
           case _ => None
         }
-        scanIds(sc, consts, tv)
+        val tvS = sc.s match {
+          case V(n) if hasSubjSidecar && remaining.contains(n) =>
+            remaining -= n; Some(n)
+          case _ => None
+        }
+        scanIds(sc, consts, tvO, tvS)
       }.reduceLeft { (l, r) =>
         val shared = l.columns.intersect(r.columns).toSeq
         if (shared.isEmpty) l.crossJoin(r) else l.join(r, shared)
@@ -686,12 +692,7 @@ final class DictStore private (val spark: SparkSession,
       val conjs = cond.toList.flatMap(conjunctsOf).map(normNeg)
       def rightOnly(e: Expr) = exprVarsOf(e).subsetOf(Algebra.vars(r))
       val (preConjs, rest) = conjs.partition(e => idPred(r, e) && rightOnly(e))
-      val rTypedObjVars: Set[String] =
-        if (idQuads.columns.contains("o_dbl") && isBlock(r))
-          allScans(r).flatMap(_.o match {
-            case V(n) => Some(n); case _ => None
-          }).toSet
-        else Set.empty
+      val rTypedObjVars: Set[String] = typedSidecarVars(r)
       val (typedPre, mergedConjs) = rest.partition(e =>
         rightOnly(e) && typedEligible(e, rTypedObjVars))
       val typedPreVars = typedPre.flatMap(typedShape).map(_._1).distinct
@@ -1369,6 +1370,27 @@ final class DictStore private (val spark: SparkSession,
     if (idQuads.columns.contains("o_num")) "o_num" else "o_dec"
   private def hasSidecarSortCols: Boolean =
     idQuads.columns.contains("o_num")
+  /** v6 stores also persist the typed sidecar for the SUBJECT
+    * position (`s_cls`/`s_dbl`/`s_num`, plus `s_ts` on UTC encodes —
+    * `s_num` is the version signal): generalized-RDF literal subjects
+    * get the same join-free scan-pushed FILTER path as objects. */
+  private def hasSubjSidecar: Boolean =
+    idQuads.columns.contains("s_num")
+
+  /** Vars a typed FILTER conjunct may target inside `b`: every
+    * object-position scan var (v4+), plus subject-position scan vars
+    * on v6 stores. A var bound in either position carries the same
+    * TERM, so either sidecar yields the identical comparable value —
+    * the claim in [[idsOf]] just picks one source per var. */
+  private def typedSidecarVars(b: Op): Set[String] =
+    if (idQuads.columns.contains("o_dbl") && isBlock(b))
+      allScans(b).flatMap { sc =>
+        (sc.o match { case V(n) => List(n); case _ => Nil }) ++
+          (sc.s match {
+            case V(n) if hasSubjSidecar => List(n); case _ => Nil
+          })
+      }.toSet
+    else Set.empty
 
   /** (var, op, constant literal, constIsLeftOperand) when `e` has the
     * typed-comparable shape. `=` is included (numeric-equal /
@@ -1440,12 +1462,7 @@ final class DictStore private (val spark: SparkSession,
     // TYPED OBJECT SIDECAR (zero dict joins, parquet-pushable);
     // everything else is a hybrid conjunct evaluated on decoded terms
     val (idConjs, rest) = scalarConjs.partition(idPred(child, _))
-    val typedObjVars: Set[String] =
-      if (idQuads.columns.contains("o_dbl") && isBlock(child))
-        allScans(child).flatMap(_.o match {
-          case V(n) => Some(n); case _ => None
-        }).toSet
-      else Set.empty
+    val typedObjVars: Set[String] = typedSidecarVars(child)
     val (typedConjs, hybridConjs) =
       rest.partition(typedEligible(_, typedObjVars))
     val typedVars = typedConjs.flatMap(typedShape).map(_._1).distinct.toSet ++
@@ -1621,7 +1638,8 @@ final class DictStore private (val spark: SparkSession,
     * the (p,s)-sorted layout), variables project as long columns named
     * by the variable, repeated variables equate positionally. */
   private def scanIds(sc: Scan, consts: Map[Term, Long],
-                      typedVar: Option[String] = None): DataFrame = {
+                      typedVar: Option[String] = None,
+                      typedSubjVar: Option[String] = None): DataFrame = {
     var df = idQuads
     def id(t: Term): Long = consts.getOrElse(t, -1L)
     sc.g match {
@@ -1637,13 +1655,22 @@ final class DictStore private (val spark: SparkSession,
     Algebra.repeatedVarPairs(varPos).foreach { case (c1, c2) =>
       df = df.filter(col(c1) === col(c2))
     }
-    // typed sidecar carry: project the object value columns under
-    // per-var names so a typed FILTER evaluates right above this scan
+    // typed sidecar carry: project the object (or, on v6 stores,
+    // subject) value columns under per-var names so a typed FILTER
+    // evaluates right above this scan. Both positions' sidecars hold
+    // the same function of the TERM, so a var may be fed from either
+    // binding — the per-var column names make the source transparent
+    // to typedCond.
     val typedCols = typedVar.toSeq.flatMap { n =>
       Seq(col("o_cls").as(tcCol(n)), col("o_dbl").as(tdCol(n)),
         col(decColName).as(teCol(n))) ++
         (if (idQuads.columns.contains("o_ts"))
           Seq(col("o_ts").as(ttCol(n))) else Nil)
+    } ++ typedSubjVar.toSeq.flatMap { n =>
+      Seq(col("s_cls").as(tcCol(n)), col("s_dbl").as(tdCol(n)),
+        col("s_num").as(teCol(n))) ++
+        (if (idQuads.columns.contains("s_ts"))
+          Seq(col("s_ts").as(ttCol(n))) else Nil)
     }
     df.select(Algebra.firstOccurrence(varPos)
       .map { case (n, c) => col(c).as(n) }.toIndexedSeq ++ typedCols: _*)
@@ -1766,14 +1793,19 @@ object DictStore {
     import graft.sparql.TermFns
     def d(i: Int) = dict.select(col("id").as(s"__ei$i"), col("term").as(s"__et$i"))
     val o = col("__et2")
-    // o_ts is only written when the encode session zone is UTC: a
-    // zone-less date lexical casts differently per zone, and an
+    val sb = col("__et0")
+    // o_ts/s_ts are only written when the encode session zone is UTC:
+    // a zone-less date lexical casts differently per zone, and an
     // ABSENT column (fast path off) is honest where an all-NULL one
     // would wrongly drop rows at query time
     val tsCols =
       if (quads.sparkSession.sessionState.conf.sessionLocalTimeZone == "UTC")
-        Seq(TermFns.ts(o).as("o_ts"))
+        Seq(TermFns.ts(o).as("o_ts"), TermFns.ts(sb).as("s_ts"))
       else Nil
+    def clsOf(t: Column): Column =
+      when(TermFns.isFloating(t), lit(2))
+        .when(TermFns.isExactNumeric(t), lit(1))
+        .otherwise(lit(0)).cast("int")
     quads
       .join(d(0), col("s") === col("__et0"))
       .join(d(1), col("p") === col("__et1"))
@@ -1781,15 +1813,26 @@ object DictStore {
       .join(d(3), col("g") === col("__et3"), "left_outer")
       .select(Seq(col("__ei0").as("s"), col("__ei1").as("p"),
         col("__ei2").as("o"), col("__ei3").as("g"),
-        when(TermFns.isFloating(o), lit(2))
-          .when(TermFns.isExactNumeric(o), lit(1))
-          .otherwise(lit(0)).cast("int").as("o_cls"),
+        clsOf(o).as("o_cls"),
         TermFns.numD(o).as("o_dbl"),
         // v5: decimal for ANY numeric (v4 wrote exact-only as o_dec —
         // the column NAME is the layout version signal: o_num stores
         // additionally support the sidecar ORDER BY fast path, whose
         // sort key needs the float rows' decimals too)
-        TermFns.numDec(o).as("o_num")) ++
+        TermFns.numDec(o).as("o_num"),
+        // v6: the SAME sidecar for the SUBJECT position (s_num is the
+        // version signal). Generalized-RDF quads can carry literal
+        // subjects, and the reference scans-and-filters every pattern
+        // position identically — these three (plus s_ts above) give
+        // numeric/temporal subject FILTERs the identical zero-dict-
+        // join, parquet-pushed fast path objects got in v5. On plain
+        // IRI-subject corpora they are all-NULL fixed-width columns:
+        // they RLE to nothing and column pruning skips them unless a
+        // filter references them — the same 100 TB cost argument as
+        // the object sidecar.
+        clsOf(sb).as("s_cls"),
+        TermFns.numD(sb).as("s_dbl"),
+        TermFns.numDec(sb).as("s_num")) ++
         tsCols: _*)
   }
 

@@ -130,6 +130,18 @@ object TpchQuads {
       "returnflag" -> strLit(col("l_returnflag")))
   }
 
+  /** GENERALIZED-RDF projection of orders: the SUBJECT is the bare
+    * `xsd:integer` order key (legal in this engine's term model, as
+    * in the reference's scan — every position matches identically),
+    * exercising the v6 subject-position typed sidecar. One predicate
+    * per measure, like [[orders]]. */
+  def ordersKeyedBySubject(spark: SparkSession, dir: String): DataFrame = {
+    val df = t(spark, dir, "orders")
+    mk(df, intLit(col("o_orderkey")),
+      "sprice" -> dblLit(col("o_totalprice")),
+      "spriority" -> strLit(col("o_orderpriority")))
+  }
+
   /** `:partOf` containment chain customer → nation → region (only this
     * one predicate — keeps the transitive-closure node set clean). */
   def partOfChain(spark: SparkSession, dir: String): DataFrame = {
