@@ -415,6 +415,88 @@ object SparkEntry {
         .select(col("s").getField("lex").as("s"),
           col("p").getField("lex").as("p"), col("o").getField("lex").as("o"))
     },
+    "q_read_jsonl" -> { (s, d) =>
+      // RAW document-corpus ingest (round-14): the documents table
+      // round-trips through a MULTI-FILE jsonl.gz corpus (written by
+      // the Spark json sink — 6 gzip shards), reads back distributed
+      // (the text reader decodes one gzip file per task), and feeds
+      // the FULL cleaning chain — the crawl-to-clean first hop a
+      // 100 TB training pipeline starts with. Strict mode: a
+      // malformed shard fails the load naming the file. Oracle =
+      // q_clean_e2e's replay (same chain, same constants).
+      val corrupt = new String(
+        " café’s naïve".getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        "windows-1252")
+      val dir = buildOnce("jsonl", d) { dir =>
+        t(s, d, "documents").select(col("doc_id"),
+          concat(lit("<p>"), col("text"),
+            lit("</p><script>track();</script>"), lit(corrupt),
+            lit(" mail a@b.co from 10.0.0.1")).as("text"))
+          .repartition(6)
+          .write.mode("overwrite").option("compression", "gzip")
+          .json(new java.io.File(dir, "docs").toString)
+      }
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val docs = graft.io.DocsIO.readJsonl(s,
+        new java.io.File(dir, "docs").toString,
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))))
+      docs.select(col("doc_id"),
+        graft.pipeline.Scrub.scrubPii(
+          graft.pipeline.Scrub.cleanText(
+            graft.pipeline.Scrub.fixMojibake(
+              graft.pipeline.Scrub.stripHtml(col("text"))))).as("cleaned"))
+    },
+    "q_read_warc" -> { (s, d) =>
+      // WARC ingest (round-14): documents < 400 serialized as HTTP
+      // response records across four WARC files — two plain, two in
+      // the Common Crawl per-record-gzip-member layout — read back
+      // one file per task, HTTP headers stripped by http_payload,
+      // HTML stripped and cleaned; the oracle replays the wrapper
+      // and the regex chain like q_strip_html's does
+      val dir = buildOnce("warc", d) { dir =>
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+          .filter(col("doc_id") < 400)
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        def record(id: Long, text: String): Array[Byte] = {
+          val html = s"<html><body><p>$text</p>" +
+            "<!-- c --><script>x()</script></body></html>"
+          val body = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+            html).getBytes("UTF-8")
+          (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Record-ID: <urn:uuid:$id>\r\n" +
+            s"WARC-Target-URI: http://ex.com/doc/$id\r\n" +
+            "WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+            "Content-Type: application/http; msgtype=response\r\n" +
+            s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8") ++
+            body ++ "\r\n\r\n".getBytes("UTF-8")
+        }
+        def gzMember(b: Array[Byte]): Array[Byte] = {
+          val bos = new java.io.ByteArrayOutputStream()
+          val g = new java.util.zip.GZIPOutputStream(bos)
+          g.write(b); g.close(); bos.toByteArray
+        }
+        for (shard <- 0 until 4) {
+          val recs = docs.filter(_._1 % 4 == shard)
+          val plain = shard < 2
+          val f = new java.io.FileOutputStream(new java.io.File(dir,
+            if (plain) s"shard-$shard.warc" else s"shard-$shard.warc.gz"))
+          try recs.foreach { case (id, text) =>
+            val r = record(id, text)
+            f.write(if (plain) r else gzMember(r))
+          } finally f.close()
+        }
+      }
+      graft.io.DocsIO.readWarc(s, s"$dir/*.warc*")
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          graft.pipeline.Scrub.cleanText(
+            graft.pipeline.Scrub.stripHtml(
+              graft.io.DocsIO.httpPayload(col("body")).cast("string")))
+            .as("stripped"))
+    },
     // ----- §2.3 joins -----
     "q_bgp_join" -> { (s, d) =>
       out(nationRegion(s, d).sparql(prologue +
@@ -2419,6 +2501,77 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'urn:n:'||n_nationkey::VARCHAR, 'urn:p:region',
         |       'urn:r:'||n_regionkey::VARCHAR FROM nation""".stripMargin,
+    "q_read_jsonl" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    '<p>' || text || '</p><script>track();</script>',
+        |    '(?is)<(script|style)\b[^>]*>.*?</(script|style)\s*>', ' ', 'g'),
+        |    '(?s)<!--.*?-->', ' ', 'g'),
+        |    '(?s)</?[A-Za-z!][^>]*>', ' ', 'g'),
+        |    '&lt;', '<', 'g'),
+        |    '&gt;', '>', 'g'),
+        |    '&quot;', chr(34), 'g'),
+        |    '&(#39|apos);', chr(39), 'g'),
+        |    '&amp;', '&', 'g')
+        |   || ' caf' || chr(233) || chr(8217) || 's na' || chr(239) || 've'
+        |   || ' mail a@b.co from 10.0.0.1' AS t
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, trim(
+        |   regexp_replace(
+        |    regexp_replace(
+        |     regexp_replace(
+        |      regexp_replace(
+        |       regexp_replace(nfc_normalize(t),
+        |         '\r\n?', chr(10), 'g'),
+        |       '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |      '[ \t]+', ' ', 'g'),
+        |     ' *\n *', chr(10), 'g'),
+        |    '\n{3,}', chr(10)||chr(10), 'g')) AS t
+        |  FROM h
+        |)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |   regexp_replace(
+        |    regexp_replace(t,
+        |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |   '\+?\(?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS cleaned
+        |FROM c""".stripMargin,
+    "q_read_warc" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    '<html><body><p>' || text ||
+        |    '</p><!-- c --><script>x()</script></body></html>' AS t
+        |  FROM documents WHERE doc_id < 400
+        |), h AS (
+        |  SELECT doc_id,
+        |   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |   regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '(?is)<(script|style)\b[^>]*>.*?</(script|style)\s*>', ' ', 'g'),
+        |    '(?s)<!--.*?-->', ' ', 'g'),
+        |    '(?s)</?[A-Za-z!][^>]*>', ' ', 'g'),
+        |    '&lt;', '<', 'g'),
+        |    '&gt;', '>', 'g'),
+        |    '&quot;', chr(34), 'g'),
+        |    '&(#39|apos);', chr(39), 'g'),
+        |    '&amp;', '&', 'g') AS t
+        |  FROM w
+        |)
+        |SELECT doc_id, trim(
+        |  regexp_replace(
+        |   regexp_replace(
+        |    regexp_replace(
+        |     regexp_replace(
+        |      regexp_replace(nfc_normalize(t),
+        |        '\r\n?', chr(10), 'g'),
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |     '[ \t]+', ' ', 'g'),
+        |    ' *\n *', chr(10), 'g'),
+        |   '\n{3,}', chr(10)||chr(10), 'g')) AS stripped
+        |FROM h""".stripMargin,
     "q_bgp_join" ->
       """SELECT n_name AS nname, r_name AS rname
         |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin,
