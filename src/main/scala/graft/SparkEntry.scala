@@ -1900,6 +1900,28 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"),
         graft.pipeline.TextAnalysis.langId(col("text")).as("lang_pred"))
     },
+    "q_text_langid_ct" -> { (s, d) =>
+      // Cavnar-Trenkle n-gram language ID (round-14): every doc gets
+      // a deterministic multilingual input — a committed seed
+      // snippet chosen by doc_id (13 languages across the Latin,
+      // Cyrillic, Greek, Arabic and CJK script classes, 2 variants)
+      // plus a 60-char slice of the doc's own text — and the oracle
+      // replays the ENTIRE algorithm in SQL: n-gram extraction,
+      // profile ranking (md5 tie-break: no collation dependence),
+      // out-of-place distance against the inlined profiles, argmin.
+      // Map-only codegen'd expression; LangIdSpec pins script-class
+      // accuracy on held-out probe sentences.
+      import graft.functions.LangIdExprs
+      val n = LangIdExprs.languages.length
+      val seedArr = array((0 until n).flatMap(li =>
+        (0 until 2).map(vi => lit(LangIdExprs.seedText(li, vi)))): _*)
+      val idx = ((col("doc_id") % n) * 2 +
+        (col("doc_id") / n).cast("long") % 2 + 1).cast("int")
+      t(s, d, "documents").select(col("doc_id"),
+        graft.pipeline.TextAnalysis.langIdCt(
+          concat(element_at(seedArr, idx), lit(" "),
+            substring(lower(trim(col("text"))), 1, 60))).as("lang_pred"))
+    },
     "q_embed_norm" -> { (s, d) =>
       // L2 normalization, exploded so the oracle compares one value
       // per (vector, position)
@@ -3779,6 +3801,47 @@ object SparkEntry {
         |             t -> t IN ('el','los','las','y'))) > 0 THEN 'es'
         |    ELSE 'und' END AS lang_pred
         |FROM documents""".stripMargin,
+    "q_text_langid_ct" -> {
+      val L = graft.functions.LangIdExprs
+      val n = L.languages.length
+      s"""WITH prof(lang, g, r) AS (VALUES ${L.profilesSqlValues}),
+         |seeds(lidx, vidx, txt) AS (VALUES ${L.seedsSqlValues}),
+         |inp AS (
+         |  SELECT d.doc_id,
+         |         s.txt || ' ' || substr(lower(trim(d.text)), 1, 60) AS t
+         |  FROM documents d JOIN seeds s
+         |    ON s.lidx = d.doc_id % $n AND s.vidx = (d.doc_id // $n) % 2
+         |), padded AS (
+         |  SELECT doc_id, '_' || w || '_' AS p
+         |  FROM (SELECT doc_id, unnest(list_filter(
+         |          regexp_split_to_array(lower(t), '\\s+'), x -> x <> '')) AS w
+         |        FROM inp)
+         |), grams AS (
+         |  SELECT doc_id, unnest(flatten(list_transform([1, 2, 3], nn ->
+         |    list_transform(generate_series(1, length(p) - nn + 1), i ->
+         |      substr(p, i, nn))))) AS g
+         |  FROM padded
+         |), docprof AS (
+         |  SELECT doc_id, g,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY count(*) DESC, md5(g) ASC) AS i
+         |  FROM grams GROUP BY doc_id, g
+         |  QUALIFY i <= ${L.ProfileSize}
+         |), dist AS (
+         |  SELECT dp.doc_id, l.lang,
+         |         sum(coalesce(abs(dp.i - pr.r), ${L.ProfileSize})) AS dist
+         |  FROM docprof dp
+         |  CROSS JOIN (SELECT DISTINCT lang FROM prof) l
+         |  LEFT JOIN prof pr ON pr.lang = l.lang AND pr.g = dp.g
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_id, lang AS lang_pred
+         |FROM (SELECT doc_id, lang,
+         |        row_number() OVER (PARTITION BY doc_id
+         |                           ORDER BY dist ASC, lang ASC) AS rn
+         |      FROM dist)
+         |WHERE rn = 1""".stripMargin
+    },
     "q_embed_norm" ->
       """WITH n AS (
         |  SELECT vec_id, embedding,

@@ -202,6 +202,12 @@ object GraftFunctions {
             Bpe.parseMerges(strLit(args(1), "merges"))
           else Bpe.committed
           BpeExprs.BpeCountExpr(args(0), model) }),
+      ("lang_id_ct",
+        "lang_id_ct(text) - Cavnar-Trenkle n-gram language id over " +
+          "the committed seed profiles (Latin/Cyrillic/Greek/Arabic/" +
+          "CJK script classes); 'und' for empty input",
+        { args => arity("lang_id_ct", 1, args)
+          LangIdExprs.LangIdCtExpr(args(0)) }),
       ("parse_ntriple",
         "parse_ntriple(line, permissive) - 0/1-element array of quad structs " +
           "from one N-Triples/N-Quads line; explode it (permissive: drop " +

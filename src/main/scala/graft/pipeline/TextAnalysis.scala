@@ -86,6 +86,14 @@ object TextAnalysis {
       .otherwise(lit("und"))
   }
 
+  /** Cavnar–Trenkle n-gram language ID — the production-grade
+    * sibling of [[langId]]: character 1–3-gram profiles cover the
+    * CJK/Arabic/Cyrillic/Greek script classes a stopword list cannot
+    * see. Map-only codegen'd expression; profiles committed and
+    * oracle-replayable ([[graft.functions.LangIdExprs]]). */
+  def langIdCt(text: Column): Column =
+    graft.functions.LangIdExprs.langIdCtCol(text)
+
   /** Gopher-style repetition/layout quality signals (Rae et al.,
     * arXiv:2112.11446 §A1.1) as ONE native codegen'd expression call:
     * struct {n_lines, dup_line_frac, dup_line_char_frac,

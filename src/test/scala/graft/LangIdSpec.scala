@@ -1,0 +1,110 @@
+package graft
+
+import graft.functions.LangIdExprs
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Cavnar–Trenkle language ID: script-class coverage on HELD-OUT
+  * probe sentences (none appear in the training seeds), determinism,
+  * profile invariants, and the SQL registration. */
+class LangIdSpec extends AnyFlatSpec with Matchers {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // held-out probes — deliberately different wording from the seeds
+  private val probes = Seq(
+    "en" -> "we should meet at the station before noon because the train leaves early and we want good seats for the long ride",
+    "de" -> "wir treffen uns morgen am bahnhof weil der zug sehr frueh abfaehrt und wir gute plaetze fuer die lange reise wollen",
+    "fr" -> "nous devons nous retrouver a la gare avant midi parce que le train part tot et nous voulons de bonnes places",
+    "es" -> "debemos encontrarnos en la estacion antes del mediodia porque el tren sale temprano y queremos buenos asientos",
+    "it" -> "dobbiamo incontrarci alla stazione prima di mezzogiorno perche il treno parte presto e vogliamo dei buoni posti",
+    "pt" -> "devemos nos encontrar na estacao antes do meio dia porque o trem sai cedo e queremos bons lugares para a viagem",
+    "nl" -> "we moeten elkaar voor de middag op het station ontmoeten omdat de trein vroeg vertrekt en we goede plaatsen willen",
+    "ru" -> "мы должны встретиться на вокзале до полудня потому что поезд уходит рано и мы хотим хорошие места",
+    "el" -> "πρεπει να συναντηθουμε στον σταθμο πριν το μεσημερι γιατι το τρενο φευγει νωρις και θελουμε καλες θεσεις",
+    "ar" -> "يجب ان نلتقي في المحطة قبل الظهر لان القطار يغادر مبكرا ونريد مقاعد جيدة للرحلة الطويلة",
+    "zh" -> "我们应该在中午之前在车站见面因为火车很早出发我们想要好的座位",
+    "ja" -> "電車が早く出発するので私たちは昼前に駅で会うべきですそして良い席がほしいです",
+    "ko" -> "기차가 일찍 출발하기 때문에 우리는 정오 전에 역에서 만나야 하고 좋은 자리를 원합니다")
+
+  behavior of "LangIdExprs.classify"
+
+  it should "identify every script class on held-out probes" in {
+    val got = probes.map { case (lang, text) =>
+      lang -> graft.functions.LangIdExprs
+        .classify(org.apache.spark.unsafe.types.UTF8String.fromString(text))
+        .toString
+    }
+    for ((expected, predicted) <- got)
+      withClue(s"probe for $expected: ") { predicted shouldBe expected }
+  }
+
+  it should "return und on empty or whitespace input, en passthrough on null-free ASCII" in {
+    def c(s: String) = LangIdExprs.classify(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+    c("") shouldBe "und"
+    c("   \n\t ") shouldBe "und"
+    LangIdExprs.classify(null).toString shouldBe "und"
+  }
+
+  it should "be insensitive to input beyond the MaxChars cap" in {
+    val base = probes.toMap.apply("ru")
+    val padded = base + (" " + probes.toMap.apply("zh")) * 2000 // way past cap
+    // the cap reads only the first 4000 chars — the Russian prefix
+    val capped = padded.substring(0, LangIdExprs.MaxChars)
+    LangIdExprs.classify(
+      org.apache.spark.unsafe.types.UTF8String.fromString(padded)).toString shouldBe
+      LangIdExprs.classify(
+        org.apache.spark.unsafe.types.UTF8String.fromString(capped)).toString
+  }
+
+  it should "hold profile invariants: size cap, 1-based dense ranks, BMP-only" in {
+    LangIdExprs.profiles.size shouldBe LangIdExprs.languages.size
+    for ((lang, prof) <- LangIdExprs.profiles) {
+      withClue(s"$lang: ") {
+        prof.size should be <= LangIdExprs.ProfileSize
+        prof.values.min shouldBe 1
+        prof.values.max shouldBe prof.size // dense
+        prof.values.toSeq.distinct.size shouldBe prof.size
+        // BMP-only: the JVM walk and the SQL replay count equally
+        for (g <- prof.keys; ch <- g) ch.isSurrogate shouldBe false
+      }
+    }
+    // the seeds themselves are lowercase and BMP-only
+    for ((lang, texts) <- LangIdExprs.seeds; t <- texts) {
+      withClue(s"$lang seeds: ") {
+        t shouldBe t.toLowerCase(java.util.Locale.ROOT)
+        t.exists(_.isSurrogate) shouldBe false
+        t.contains("'") shouldBe false // SQL-literal safety
+      }
+    }
+  }
+
+  behavior of "the Column and SQL surfaces"
+
+  it should "classify through the expression and the registered SQL function" in {
+    val df = probes.toDF("expected", "text")
+    val viaCol = df.select(col("expected"),
+      graft.pipeline.TextAnalysis.langIdCt(col("text")).as("got"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    viaCol.foreach { case (e, g) => g shouldBe e }
+    graft.functions.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("langid_probes")
+    val viaSql = spark.sql(
+      "SELECT expected, lang_id_ct(text) AS got FROM langid_probes")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    viaSql.foreach { case (e, g) => g shouldBe e }
+  }
+
+  it should "stay map-only: no exchange, no UDF in the plan" in {
+    val df = probes.toDF("expected", "text")
+      .select(graft.pipeline.TextAnalysis.langIdCt(col("text")).as("lang"))
+    df.write.mode("overwrite").format("noop").save()
+    val nodes = graft.plans.PlanLint.walk(df.queryExecution.executedPlan)
+    nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.exchange.Exchange]) shouldBe false
+    nodes.map(_.getClass.getSimpleName)
+      .exists(_.contains("Python")) shouldBe false
+  }
+}
