@@ -1031,7 +1031,7 @@ final class DictStore private (val spark: SparkSession,
     keys match {
       case (VarE(v), asc) :: _
         if blockVars.contains(v) && typedObjVars.contains(v) &&
-          thresholdTopKEnabled =>
+          thresholdTopKEnabled(base) =>
         return compileThresholdTopK(base, conjs, v, asc, keys,
           off, lim, keep, nullable, blockVars)
       case _ => ()
@@ -1346,16 +1346,23 @@ final class DictStore private (val spark: SparkSession,
     * is one broadcast-join job, strictly cheaper than the threshold's
     * extra boundary job and second scan. So `auto` (the default)
     * mirrors Spark's own broadcast decision on the dict's plan-stats
-    * size. `spark.graft.topk.threshold` = always/never overrides —
+    * size — AND requires a single-scan base block: phase 1's boundary
+    * job re-executes the id frame, so a multi-scan block pays its
+    * star join TWICE, which the round-14 30× measurement showed
+    * costs more than the avoided dict join (TOPK_REGIME_r14.json:
+    * shuffle.multi_key_decode always 2.59 s vs never 2.18 s, while
+    * shuffle.single_key is parity-to-win and the win grows with dict
+    * size). `spark.graft.topk.threshold` = always/never overrides —
     * the differential specs and the scale-path battery entry pin the
     * threshold machinery with `always` regardless of toy dict sizes. */
-  private def thresholdTopKEnabled: Boolean =
+  private def thresholdTopKEnabled(base: Op): Boolean =
     spark.conf.get("spark.graft.topk.threshold", "auto") match {
       case "always" => true
       case "never" => false
       case _ =>
         val bt = spark.sessionState.conf.autoBroadcastJoinThreshold
-        bt <= 0 || dictSizeEstimate > BigInt(bt)
+        (bt <= 0 || dictSizeEstimate > BigInt(bt)) &&
+          allScans(base).size == 1
     }
   private lazy val dictSizeEstimate: BigInt =
     dict.queryExecution.optimizedPlan.stats.sizeInBytes

@@ -42,8 +42,26 @@ class DictFuzzSpec extends AnyFlatSpec with Matchers {
     sb.toString
   }
 
-  private lazy val quads =
-    QuadsIO.fromQuads(spark, TurtleParser.parse(ttl)).cache()
+  private lazy val quads = {
+    // generalized-RDF rows with LITERAL SUBJECTS (Turtle cannot spell
+    // them): the round-14 subject sidecar makes `FILTER(?a > 3)` on a
+    // subject var take the typed id-space path on the dict stores —
+    // the existing numeric/arith filter generators now differentially
+    // cover that path against the term-struct compiler for free
+    import graft.rdf.{Iri, Lit, Quad, XSD}
+    val litSubj = (0 until 8).flatMap { i =>
+      val s: graft.rdf.Term =
+        if (i % 4 == 3) Lit(s"$i.5", XSD.double, "")
+        else Lit(i.toString, XSD.integer, "")
+      Seq(
+        Quad(s, Iri("http://fz.example/q"),
+          Lit((i % 5).toString, XSD.integer, ""), None),
+        Quad(s, Iri("http://fz.example/r"),
+          Lit(s"w${i % 5}", XSD.string, ""), None))
+    }
+    QuadsIO.fromQuads(spark, TurtleParser.parse(ttl))
+      .union(QuadsIO.fromQuads(spark, litSubj)).cache()
+  }
   // the CBO path: statistics may only change the JOIN ORDER, never
   // the result — the fifth execution path in the differential
   private lazy val stats = quads.analyze()

@@ -236,6 +236,44 @@ class DictThresholdTopKSpec extends AnyFlatSpec with Matchers
         org.apache.spark.sql.execution.joins.BaseJoinExec]) shouldBe 0
   }
 
+  it should "auto-route only SINGLE-SCAN blocks when the dict won't broadcast" in {
+    // the round-14 30× measurement (TOPK_REGIME_r14.json): phase 1
+    // re-executes the id frame, so a multi-scan block pays its star
+    // join twice — auto keeps those on the plain path even in the
+    // non-broadcast regime, and routes single-scan blocks (where the
+    // replay is one pushed scan) to the threshold
+    val mixed = Seq(
+      q("a", "v", lit_("1.0", XSD.double)), q("a", "w", lit_("x", XSD.string)),
+      q("b", "v", lit_("2.0", XSD.double)), q("b", "w", lit_("y", XSD.string)),
+      q("c", "v", lit_("3.0", XSD.double)), q("c", "w", lit_("z", XSD.string)))
+    val (st, _) = mk(mixed, "auto-route")
+    def boundaryFilters(qy: String): Int = {
+      val df = st.sparql(pfx + qy)
+      df.write.mode("overwrite").format("noop").save()
+      graft.plans.PlanLint.walk(df.queryExecution.executedPlan).count {
+        case f: org.apache.spark.sql.execution.FilterExec =>
+          f.condition.toString.contains("o_num")
+        case _ => false
+      }
+    }
+    spark.conf.set("spark.graft.topk.threshold", "auto")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      boundaryFilters(
+        "SELECT ?x { ?s :v ?x } ORDER BY DESC(?x) LIMIT 2") should be > 0
+      boundaryFilters(
+        "SELECT ?x ?y { ?s :v ?x . ?s :w ?y } ORDER BY DESC(?x) LIMIT 2"
+      ) shouldBe 0
+      // and in the broadcast regime both shapes stay plain
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      boundaryFilters(
+        "SELECT ?x { ?s :v ?x } ORDER BY DESC(?x) LIMIT 2") shouldBe 0
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.graft.topk.threshold", "always") // suite default
+    }
+  }
+
   it should "leave v4 stores (exact-only o_dec) off the threshold path, same answers" in {
     import org.apache.spark.sql.functions.col
     val qdir = java.nio.file.Files.createTempDirectory("dict-topk-v4q").toString
