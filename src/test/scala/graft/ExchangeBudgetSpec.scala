@@ -86,4 +86,24 @@ class ExchangeBudgetSpec extends AnyFlatSpec with Matchers {
       (budget.keySet -- battery) shouldBe empty
     }
   }
+
+  "exchange_budget_10x.json" should "cover exactly the current battery" in {
+    // the sf1-equivalent overlay (round-14): plans legitimately shift
+    // broadcast→shuffle as sides outgrow the threshold, so the 10×
+    // bench gates against ITS OWN ceilings instead of flagging those
+    // flips against the sf0.1 file (SPARK_GRAFT_EXCHANGE_BUDGET
+    // selects it) — and it must track the battery the same way
+    val path = java.nio.file.Paths.get("exchange_budget_10x.json")
+    assume(java.nio.file.Files.exists(path),
+      "run from the repo root where the overlay is checked in")
+    val budget = ExchangeBudget.load(path)
+    val battery = SparkEntry.queries.keySet
+    withClue("battery entries missing a 10x budget line — re-baseline " +
+      "via PlanAudit at the GenScale corpus: ") {
+      (battery -- budget.keySet) shouldBe empty
+    }
+    withClue("10x budget lines for entries no longer in the battery: ") {
+      (budget.keySet -- battery) shouldBe empty
+    }
+  }
 }
