@@ -1915,8 +1915,12 @@ object SparkEntry {
       val n = LangIdExprs.languages.length
       val seedArr = array((0 until n).flatMap(li =>
         (0 until 2).map(vi => lit(LangIdExprs.seedText(li, vi)))): _*)
+      // integer DIV, not double division: `/` on longs routes through
+      // double and diverges from the oracle's `//` beyond 2^53
+      // (doc_id is nonnegative by the testdata contract, where DIV
+      // and DuckDB's floor-division `//` agree exactly)
       val idx = ((col("doc_id") % n) * 2 +
-        (col("doc_id") / n).cast("long") % 2 + 1).cast("int")
+        expr(s"doc_id DIV $n") % 2 + 1).cast("int")
       t(s, d, "documents").select(col("doc_id"),
         graft.pipeline.TextAnalysis.langIdCt(
           concat(element_at(seedArr, idx), lit(" "),

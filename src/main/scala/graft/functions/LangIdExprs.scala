@@ -91,19 +91,44 @@ object LangIdExprs {
 
   val languages: Seq[String] = seeds.map(_._1)
 
-  private def md5Hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    d.map("%02x".format(_)).mkString
+  /** Per-thread digest + nibble-table hex: `classify` hashes n-grams
+    * on the per-row hot path, and a fresh `MessageDigest.getInstance`
+    * plus 16 `String.format` calls per gram was the round-14 battery's
+    * single most expensive constant factor (the same lesson
+    * [[PortableFpExpr]] learned in round 7). */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
   }
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private[graft] def md5Hex(s: String): String = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Compiled once: `String.split("\\s+")` recompiles the pattern on
+    * every call, which `classify` pays per row. Semantically identical
+    * to `String.split` (including the leading-empty-token behavior,
+    * which the `nonEmpty` filter drops either way). */
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
 
   /** Character 1–3-grams of `_`-padded whitespace-split words —
     * shared by training and classification (and mirrored by the SQL
     * replay: BMP-only inputs make code-unit and code-point walks
     * identical). */
   private[graft] def ngrams(text: String): Iterator[String] =
-    text.toLowerCase(java.util.Locale.ROOT) // locale-pinned, like the replay
-      .split("\\s+").iterator.filter(_.nonEmpty)
+    wsPattern.split(text.toLowerCase(java.util.Locale.ROOT)) // locale-pinned, like the replay
+      .iterator.filter(_.nonEmpty)
       .flatMap { w =>
         val p = "_" + w + "_"
         (1 to 3).iterator.flatMap(n =>
@@ -128,27 +153,150 @@ object LangIdExprs {
   val profiles: Seq[(String, Map[String, Int])] =
     seeds.map { case (lang, texts) => lang -> profileOf(texts.mkString(" ")) }
 
-  /** Static entry point for generated code: classify `text`, `"und"`
-    * when it yields no n-grams. Deterministic tie-break: smallest
-    * distance, then language code. */
-  def classify(text: UTF8String): UTF8String = {
-    if (text == null) return UTF8String.fromString("und")
-    val s0 = text.toString
-    val s = if (s0.length > MaxChars) s0.substring(0, MaxChars) else s0
-    val doc = profileOf(s)
-    if (doc.isEmpty) return UTF8String.fromString("und")
-    var bestLang = "und"
-    var bestDist = Long.MaxValue
-    profiles.foreach { case (lang, prof) =>
-      var dist = 0L
-      doc.foreach { case (g, i) =>
-        dist += prof.get(g).fold(ProfileSize.toLong)(r => math.abs(i - r).toLong)
-      }
-      if (dist < bestDist || (dist == bestDist && lang < bestLang)) {
-        bestDist = dist; bestLang = lang
+  // The per-distance tie-break below relies on the alphabetical seed
+  // order: the first strict minimum IS the smallest language code.
+  require(languages == languages.sorted,
+    "seeds must stay in alphabetical language order")
+
+  /** All 13 profiles merged into ONE map gram → per-language rank
+    * vector (0 = absent): the distance loop probes each doc gram once
+    * instead of once per language. */
+  private val rankVectors: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    profiles.zipWithIndex.foreach { case ((_, prof), li) =>
+      prof.foreach { case (g, r) =>
+        var v = m.get(g)
+        if (v == null) { v = new Array[Int](languages.length); m.put(g, v) }
+        v(li) = r
       }
     }
-    UTF8String.fromString(bestLang)
+    m
+  }
+
+  private val langU8: Array[UTF8String] =
+    languages.map(UTF8String.fromString).toArray
+  private val UndU8 = UTF8String.fromString("und")
+
+  /** Gram counts of `text` — same tokenization as [[ngrams]], without
+    * the iterator/tuple allocation. */
+  private def countGrams(text: String): java.util.HashMap[String, Integer] = {
+    val counts = new java.util.HashMap[String, Integer](1024)
+    val words = wsPattern.split(text.toLowerCase(java.util.Locale.ROOT))
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      if (!w.isEmpty) {
+        val p = "_" + w + "_"
+        val pl = p.length
+        var n = 1
+        while (n <= 3) {
+          var i = 0
+          val lim = pl - n
+          while (i <= lim) {
+            val g = p.substring(i, i + n)
+            val c = counts.get(g)
+            counts.put(g, if (c == null) 1 else c + 1)
+            i += 1
+          }
+          n += 1
+        }
+      }
+      wi += 1
+    }
+    counts
+  }
+
+  /** Top-K selection with the same (count desc, md5 asc) order as
+    * [[profileOf]], but lazy about the digests: grams are bucketed by
+    * count, buckets consumed in descending count order, and md5 is
+    * computed ONLY inside multi-member buckets that intersect the
+    * top-K — a singleton bucket's position is fixed by its count
+    * alone, and buckets below the K boundary are never hashed. */
+  private def topRanked(counts: java.util.HashMap[String, Integer]): Array[String] = {
+    val n = counts.size
+    val k = if (n < ProfileSize) n else ProfileSize
+    val byCount = new java.util.HashMap[Integer, java.util.ArrayList[String]]()
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      var l = byCount.get(e.getValue)
+      if (l == null) {
+        l = new java.util.ArrayList[String](4)
+        byCount.put(e.getValue, l)
+      }
+      l.add(e.getKey)
+    }
+    val cs = new Array[Int](byCount.size)
+    val cit = byCount.keySet().iterator()
+    var ci = 0
+    while (cit.hasNext) { cs(ci) = cit.next(); ci += 1 }
+    java.util.Arrays.sort(cs)
+    val out = new Array[String](k)
+    var filled = 0
+    var j = cs.length - 1
+    while (filled < k) {
+      val group = byCount.get(cs(j))
+      val gsz = group.size()
+      if (gsz == 1) {
+        out(filled) = group.get(0); filled += 1
+      } else {
+        val hashed = new Array[Array[String]](gsz) // (md5, gram)
+        var gi = 0
+        while (gi < gsz) {
+          val g = group.get(gi)
+          hashed(gi) = Array(md5Hex(g), g)
+          gi += 1
+        }
+        java.util.Arrays.sort(hashed,
+          (a: Array[String], b: Array[String]) => a(0).compareTo(b(0)))
+        var gi2 = 0
+        while (gi2 < gsz && filled < k) {
+          out(filled) = hashed(gi2)(1); filled += 1; gi2 += 1
+        }
+      }
+      j -= 1
+    }
+    out
+  }
+
+  /** Static entry point for generated code: classify `text`, `"und"`
+    * when it yields no n-grams. Deterministic tie-break: smallest
+    * distance, then language code. Hot path: one rank-vector probe
+    * per doc gram; digests only at count ties inside the top-K
+    * (see [[topRanked]]). Semantically identical to ranking with
+    * [[profileOf]] and scanning the 13 profiles — pinned by
+    * LangIdSpec's differential case. */
+  def classify(text: UTF8String): UTF8String = {
+    if (text == null) return UndU8
+    val s0 = text.toString
+    val s = if (s0.length > MaxChars) s0.substring(0, MaxChars) else s0
+    val counts = countGrams(s)
+    if (counts.isEmpty) return UndU8
+    val ranked = topRanked(counts)
+    val nLang = langU8.length
+    val dists = new Array[Long](nLang)
+    var i = 0
+    while (i < ranked.length) {
+      val vec = rankVectors.get(ranked(i))
+      if (vec == null) {
+        var l = 0
+        while (l < nLang) { dists(l) += ProfileSize; l += 1 }
+      } else {
+        val rank = i + 1
+        var l = 0
+        while (l < nLang) {
+          val r = vec(l)
+          if (r == 0) dists(l) += ProfileSize
+          else { val d = rank - r; dists(l) += (if (d < 0) -d else d) }
+          l += 1
+        }
+      }
+      i += 1
+    }
+    var best = 0
+    var l = 1
+    while (l < nLang) { if (dists(l) < dists(best)) best = l; l += 1 }
+    langU8(best)
   }
 
   case class LangIdCtExpr(child: Expression) extends UnaryExpression {

@@ -59,6 +59,63 @@ class LangIdSpec extends AnyFlatSpec with Matchers {
         org.apache.spark.unsafe.types.UTF8String.fromString(capped)).toString
   }
 
+  it should "match the profileOf-based reference formulation on randomized inputs" in {
+    // The hot path (count-bucketed lazy-md5 top-K + merged rank
+    // vectors) must be observationally identical to ranking with
+    // profileOf and scanning the 13 profiles one by one.
+    def referenceClassify(s: String): String = {
+      val capped =
+        if (s.length > LangIdExprs.MaxChars) s.substring(0, LangIdExprs.MaxChars) else s
+      val doc = LangIdExprs.profileOf(capped)
+      if (doc.isEmpty) "und"
+      else {
+        var bestLang = "und"
+        var bestDist = Long.MaxValue
+        LangIdExprs.profiles.foreach { case (lang, prof) =>
+          var dist = 0L
+          doc.foreach { case (g, i) =>
+            dist += prof.get(g).fold(LangIdExprs.ProfileSize.toLong)(r =>
+              math.abs(i - r).toLong)
+          }
+          if (dist < bestDist || (dist == bestDist && lang < bestLang)) {
+            bestDist = dist; bestLang = lang
+          }
+        }
+        bestLang
+      }
+    }
+    val seed = java.lang.Long.getLong("graft.fuzz.seed", 1317L)
+    val rnd = new scala.util.Random(seed)
+    val vocab: IndexedSeq[String] =
+      LangIdExprs.seeds.flatMap(_._2).flatMap(_.split("\\s+")).toIndexedSeq ++
+        probes.map(_._2).flatMap(_.split("\\s+"))
+    def randomText(): String = {
+      val parts = (0 until rnd.nextInt(40)).map { _ =>
+        rnd.nextInt(4) match {
+          case 0 => vocab(rnd.nextInt(vocab.size))
+          case 1 => // random BMP letters incl. out-of-set scripts
+            val cps = Seq(0x61 + rnd.nextInt(26), 0x5d0 + rnd.nextInt(27),
+              0x0e01 + rnd.nextInt(40), 0x0905 + rnd.nextInt(40))
+            (0 until 1 + rnd.nextInt(6)).map(_ =>
+              cps(rnd.nextInt(cps.size)).toChar).mkString
+          case 2 => rnd.nextInt(100000).toString
+          case _ => if (rnd.nextBoolean()) "\t" else "  "
+        }
+      }
+      parts.mkString(" ")
+    }
+    var i = 0
+    while (i < 200) {
+      val t = randomText()
+      val got = LangIdExprs.classify(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t)).toString
+      withClue(s"seed=$seed input=${t.take(120)}: ") {
+        got shouldBe referenceClassify(t)
+      }
+      i += 1
+    }
+  }
+
   it should "hold profile invariants: size cap, 1-based dense ranks, BMP-only" in {
     LangIdExprs.profiles.size shouldBe LangIdExprs.languages.size
     for ((lang, prof) <- LangIdExprs.profiles) {
