@@ -1913,18 +1913,24 @@ object SparkEntry {
       // accuracy on held-out probe sentences.
       import graft.functions.LangIdExprs
       val n = LangIdExprs.languages.length
+      val nOut = LangIdExprs.outOfSetProbes.length
       val seedArr = array((0 until n).flatMap(li =>
         (0 until 2).map(vi => lit(LangIdExprs.seedText(li, vi)))): _*)
+      val outArr = array(LangIdExprs.outOfSetProbes.map(p => lit(p._2)): _*)
       // integer DIV, not double division: `/` on longs routes through
       // double and diverges from the oracle's `//` beyond 2^53
       // (doc_id is nonnegative by the testdata contract, where DIV
       // and DuckDB's floor-division `//` agree exactly)
       val idx = ((col("doc_id") % n) * 2 +
         expr(s"doc_id DIV $n") % 2 + 1).cast("int")
+      // every 17th doc draws an out-of-set-script probe (pure, no doc
+      // slice) — exercises the und rejection gate end-to-end
+      val outIdx = (expr(s"doc_id DIV 17") % nOut + 1).cast("int")
+      val input = when(col("doc_id") % 17 === 0, element_at(outArr, outIdx))
+        .otherwise(concat(element_at(seedArr, idx), lit(" "),
+          substring(lower(trim(col("text"))), 1, 60)))
       t(s, d, "documents").select(col("doc_id"),
-        graft.pipeline.TextAnalysis.langIdCt(
-          concat(element_at(seedArr, idx), lit(" "),
-            substring(lower(trim(col("text"))), 1, 60))).as("lang_pred"))
+        graft.pipeline.TextAnalysis.langIdCt(input).as("lang_pred"))
     },
     "q_embed_norm" -> { (s, d) =>
       // L2 normalization, exploded so the oracle compares one value
@@ -3810,11 +3816,17 @@ object SparkEntry {
       val n = L.languages.length
       s"""WITH prof(lang, g, r) AS (VALUES ${L.profilesSqlValues}),
          |seeds(lidx, vidx, txt) AS (VALUES ${L.seedsSqlValues}),
+         |outp(oidx, txt) AS (VALUES ${L.outOfSetSqlValues}),
          |inp AS (
          |  SELECT d.doc_id,
-         |         s.txt || ' ' || substr(lower(trim(d.text)), 1, 60) AS t
+         |         CASE WHEN d.doc_id % 17 = 0 THEN o.txt
+         |              ELSE s.txt || ' ' || substr(lower(trim(d.text)), 1, 60)
+         |         END AS t
          |  FROM documents d JOIN seeds s
          |    ON s.lidx = d.doc_id % $n AND s.vidx = (d.doc_id // $n) % 2
+         |  LEFT JOIN outp o
+         |    ON d.doc_id % 17 = 0
+         |   AND o.oidx = (d.doc_id // 17) % ${L.outOfSetProbes.length}
          |), padded AS (
          |  SELECT doc_id, '_' || w || '_' AS p
          |  FROM (SELECT doc_id, unnest(list_filter(
@@ -3838,13 +3850,23 @@ object SparkEntry {
          |  CROSS JOIN (SELECT DISTINCT lang FROM prof) l
          |  LEFT JOIN prof pr ON pr.lang = l.lang AND pr.g = dp.g
          |  GROUP BY 1, 2
+         |), ranked AS (
+         |  SELECT doc_id, lang, dist,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY dist ASC, lang ASC) AS rn
+         |  FROM dist
+         |), kk AS (
+         |  SELECT doc_id, max(i) AS k FROM docprof GROUP BY doc_id
          |)
-         |SELECT doc_id, lang AS lang_pred
-         |FROM (SELECT doc_id, lang,
-         |        row_number() OVER (PARTITION BY doc_id
-         |                           ORDER BY dist ASC, lang ASC) AS rn
-         |      FROM dist)
-         |WHERE rn = 1""".stripMargin
+         |SELECT r1.doc_id,
+         |       CASE WHEN r1.dist * 100 > ${L.UndDistPct} * kk.k * ${L.ProfileSize}
+         |              OR (r2.dist - r1.dist) * 1000
+         |                   < ${L.UndMarginPerMille} * kk.k * ${L.ProfileSize}
+         |            THEN 'und' ELSE r1.lang END AS lang_pred
+         |FROM ranked r1
+         |JOIN ranked r2 ON r2.doc_id = r1.doc_id AND r2.rn = 2
+         |JOIN kk ON kk.doc_id = r1.doc_id
+         |WHERE r1.rn = 1""".stripMargin
     },
     "q_embed_norm" ->
       """WITH n AS (

@@ -91,6 +91,34 @@ object LangIdExprs {
 
   val languages: Seq[String] = seeds.map(_._1)
 
+  /** Committed OUT-of-set probes — scripts none of the 13 profiles
+    * cover (Hebrew, Thai, Devanagari). Battery fixture inputs that
+    * exercise the `und` rejection gate end-to-end; same constraints
+    * as the seeds (BMP-only, apostrophe-free, case-stable). */
+  val outOfSetProbes: Seq[(String, String)] = Seq(
+    "he" -> "אנחנו צריכים להיפגש בתחנה לפני הצהריים כי הרכבת יוצאת מוקדם ואנחנו רוצים מקומות טובים לנסיעה הארוכה",
+    "th" -> "เราควรพบกันที่สถานีก่อนเที่ยงเพราะรถไฟออกเร็วและเราต้องการที่นั่งดีสำหรับการเดินทาง",
+    "hi" -> "हमें दोपहर से पहले स्टेशन पर मिलना चाहिए क्योंकि ट्रेन जल्दी निकलती है और हम लंबी यात्रा के लिए अच्छी सीटें चाहते हैं")
+
+  /** und-rejection gate (round 15). A document is classified only when
+    * its best profile is BOTH close enough and clearly separated from
+    * the runner-up; otherwise `und` — a 13-profile model must not
+    * force-assign the long tail of out-of-set languages. Calibrated on
+    * the committed probes (LangIdCalib harness, numbers in LangIdSpec):
+    * in-set held-out probes score best/(k·ProfileSize) ∈ [0.59, 0.91]
+    * with margin ≥ 0.0215; out-of-set scripts (Hebrew, Thai,
+    * Devanagari, Georgian, Armenian, Tamil) score ≥ 0.9938 with margin
+    * ≤ 0.0002; digit/punctuation-only input scores ≥ 0.98. Both
+    * cutoffs are integer-exact so the SQL oracle replays them:
+    * `und` iff best·100 > 95·k·ProfileSize (too far) or
+    * (second−best)·1000 < 5·k·ProfileSize (no margin — includes exact
+    * ties). Out-of-set LATIN-script languages (Turkish, Vietnamese…)
+    * share grams with the in-set Latin profiles and can still land
+    * under the cutoff — inherent to a fixed-profile model and
+    * documented rather than hidden. */
+  val UndDistPct = 95
+  val UndMarginPerMille = 5
+
   /** Per-thread digest + nibble-table hex: `classify` hashes n-grams
     * on the per-row hot path, and a fresh `MessageDigest.getInstance`
     * plus 16 `String.format` calls per gram was the round-14 battery's
@@ -268,10 +296,31 @@ object LangIdExprs {
     * LangIdSpec's differential case. */
   def classify(text: UTF8String): UTF8String = {
     if (text == null) return UndU8
-    val s0 = text.toString
-    val s = if (s0.length > MaxChars) s0.substring(0, MaxChars) else s0
+    val (k, dists) = distancesFor(text.toString)
+    if (k == 0) return UndU8
+    var bestIdx = 0
+    var secondDist = Long.MaxValue
+    var l = 1
+    while (l < dists.length) {
+      val d = dists(l)
+      if (d < dists(bestIdx)) { secondDist = dists(bestIdx); bestIdx = l }
+      else if (d < secondDist) secondDist = d
+      l += 1
+    }
+    val bestDist = dists(bestIdx)
+    val kp = k.toLong * ProfileSize
+    if (bestDist * 100L > UndDistPct * kp ||
+        (secondDist - bestDist) * 1000L < UndMarginPerMille * kp) UndU8
+    else langU8(bestIdx)
+  }
+
+  /** Doc-profile length `k` and the out-of-place distances in
+    * [[languages]] order (`k == 0` ⇒ no n-grams); the classification
+    * core, shared by [[classify]] and the calibration harness. */
+  private[graft] def distancesFor(text: String): (Int, Array[Long]) = {
+    val s = if (text.length > MaxChars) text.substring(0, MaxChars) else text
     val counts = countGrams(s)
-    if (counts.isEmpty) return UndU8
+    if (counts.isEmpty) return (0, Array.empty[Long])
     val ranked = topRanked(counts)
     val nLang = langU8.length
     val dists = new Array[Long](nLang)
@@ -293,10 +342,7 @@ object LangIdExprs {
       }
       i += 1
     }
-    var best = 0
-    var l = 1
-    while (l < nLang) { if (dists(l) < dists(best)) best = l; l += 1 }
-    langU8(best)
+    (ranked.length, dists)
   }
 
   case class LangIdCtExpr(child: Expression) extends UnaryExpression {
@@ -338,6 +384,12 @@ object LangIdExprs {
       texts.zipWithIndex.map { case (t, vi) =>
         s"($li, $vi, ${sqlQuote(t)})"
       }
+    }.mkString(", ")
+
+  /** `(oidx, txt)` VALUES rows (0-based) for the out-of-set probes. */
+  def outOfSetSqlValues: String =
+    outOfSetProbes.zipWithIndex.map { case ((_, t), i) =>
+      s"($i, ${sqlQuote(t)})"
     }.mkString(", ")
 
   /** Seed snippet for a 0-based (language, variant) pair — the

@@ -40,6 +40,37 @@ class LangIdSpec extends AnyFlatSpec with Matchers {
       withClue(s"probe for $expected: ") { predicted shouldBe expected }
   }
 
+  it should "reject out-of-set scripts and content-free input as und" in {
+    // None of these scripts appear in the 13 committed profiles; the
+    // rejection gate (distance > 0.95·k·ProfileSize or margin
+    // < 0.005·k·ProfileSize) must return und instead of force-
+    // assigning the nearest in-set language. Calibration numbers:
+    // these score bestNorm >= 0.9938 with margin <= 0.0002, vs
+    // in-set held-out probes at bestNorm <= 0.9079, margin >= 0.0215.
+    val outOfSet = Seq(
+      "he" -> "אנחנו צריכים להיפגש בתחנה לפני הצהריים כי הרכבת יוצאת מוקדם ואנחנו רוצים מקומות טובים",
+      "th" -> "เราควรพบกันที่สถานีก่อนเที่ยงเพราะรถไฟออกเร็วและเราต้องการที่นั่งดีสำหรับการเดินทาง",
+      "hi" -> "हमें दोपहर से पहले स्टेशन पर मिलना चाहिए क्योंकि ट्रेन जल्दी निकलती है",
+      "ka" -> "ჩვენ უნდა შევხვდეთ სადგურზე შუადღემდე რადგან მატარებელი ადრე გადის",
+      "hy" -> "մենք պետք է հանդիպենք կայարանում կեսօրից առաջ քանի որ գնացքը շուտ է մեկնում",
+      "ta" -> "ரயில் சீக்கிரம் புறப்படுவதால் மதியத்திற்கு முன் நிலையத்தில் சந்திக்க வேண்டும்")
+    for ((l, t) <- outOfSet) withClue(s"out-of-set $l: ") {
+      LangIdExprs.classify(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t)).toString shouldBe "und"
+    }
+    // digits/punctuation only: nothing matches any profile beyond '_'
+    for (t <- Seq("12345 67890 11 22 33 44 55", "!!! ??? ... --- === +++ ***"))
+      withClue(s"junk '$t': ") {
+        LangIdExprs.classify(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t)).toString shouldBe "und"
+      }
+    // ...while the committed out-of-set battery probes reject too
+    for ((l, t) <- LangIdExprs.outOfSetProbes) withClue(s"battery probe $l: ") {
+      LangIdExprs.classify(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t)).toString shouldBe "und"
+    }
+  }
+
   it should "return und on empty or whitespace input, en passthrough on null-free ASCII" in {
     def c(s: String) = LangIdExprs.classify(
       org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
@@ -69,19 +100,22 @@ class LangIdSpec extends AnyFlatSpec with Matchers {
       val doc = LangIdExprs.profileOf(capped)
       if (doc.isEmpty) "und"
       else {
-        var bestLang = "und"
-        var bestDist = Long.MaxValue
-        LangIdExprs.profiles.foreach { case (lang, prof) =>
+        val dists = LangIdExprs.profiles.map { case (lang, prof) =>
           var dist = 0L
           doc.foreach { case (g, i) =>
             dist += prof.get(g).fold(LangIdExprs.ProfileSize.toLong)(r =>
               math.abs(i - r).toLong)
           }
-          if (dist < bestDist || (dist == bestDist && lang < bestLang)) {
-            bestDist = dist; bestLang = lang
-          }
+          (lang, dist)
         }
-        bestLang
+        val sorted = dists.sortBy { case (lang, d) => (d, lang) }
+        val (bestLang, bestDist) = sorted.head
+        val secondDist = sorted(1)._2
+        val kp = doc.size.toLong * LangIdExprs.ProfileSize
+        if (bestDist * 100L > LangIdExprs.UndDistPct * kp ||
+            (secondDist - bestDist) * 1000L < LangIdExprs.UndMarginPerMille * kp)
+          "und"
+        else bestLang
       }
     }
     val seed = java.lang.Long.getLong("graft.fuzz.seed", 1317L)
