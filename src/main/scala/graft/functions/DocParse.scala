@@ -82,9 +82,17 @@ object DocParse {
               h.substring(c + 1).trim)
             h = line()
           }
-          val len = headers.getOrElse("content-length",
-            fail("missing Content-Length")).toInt
-          if (pos + len > bytes.length) fail("truncated record body")
+          val lenStr = headers.getOrElse("content-length",
+            fail("missing Content-Length"))
+          // toLongOption + Long comparison: a bare .toInt would throw
+          // an unpositioned NumberFormatException on a non-numeric
+          // value, and a length over 2^31 would wrap negative and
+          // slip past the truncation check into copyOfRange
+          val lenL = lenStr.toLongOption.getOrElse(
+            fail(s"non-numeric Content-Length '$lenStr'"))
+          if (lenL < 0) fail(s"negative Content-Length $lenL")
+          if (pos.toLong + lenL > bytes.length) fail("truncated record body")
+          val len = lenL.toInt
           val body = java.util.Arrays.copyOfRange(bytes, pos, pos + len)
           pos += len
           out += org.apache.spark.sql.catalyst.InternalRow(

@@ -2229,11 +2229,20 @@ object DictStore {
   }
 
   /** Stats sidecar of an existing store, `None` when it predates the
-    * sidecar — the same tolerance [[load]]/[[loadBucketed]] apply. */
+    * sidecar — the same tolerance [[load]]/[[loadBucketed]] apply.
+    * MISSING is the only tolerated state (checked via the store
+    * path's filesystem, like [[bucketedMarkerExists]]): a sidecar
+    * that exists but cannot be read (corrupt files, permissions)
+    * propagates, because swallowing it would make append silently
+    * stop updating stats — indistinguishable from a legacy store,
+    * leaving permanently undercounted CBO estimates. */
   private def readStats(spark: SparkSession,
-                        path: String): Option[graft.sparql.QuadsStats] =
-    try Some(graft.sparql.QuadsStats.read(spark, s"$path/stats"))
-    catch { case _: org.apache.spark.sql.AnalysisException => None }
+                        path: String): Option[graft.sparql.QuadsStats] = {
+    val statsPath = s"$path/stats"
+    val (fs, hp) = hadoopFs(spark, statsPath)
+    if (!fs.exists(hp)) None
+    else Some(graft.sparql.QuadsStats.read(spark, statsPath))
+  }
 
   private def writeTextFile(spark: SparkSession, p: String,
                             text: String): Unit = {

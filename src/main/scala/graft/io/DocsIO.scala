@@ -78,7 +78,10 @@ object DocsIO {
     val withCorrupt = schema.add(CorruptCol,
       org.apache.spark.sql.types.StringType)
     val parsed = lines
-      .filter(trim(col("__line")) =!= "")
+      // whitespace-only is blank too: trim() strips only ASCII
+      // spaces, so a tab-only line (or a stray CR from a non-line-
+      // oriented source) must not reach strict-mode parsing
+      .filter(!col("__line").rlike("^\\s*$"))
       .select(col("__file"), from_json(col("__line"), withCorrupt,
         Map("mode" -> "PERMISSIVE",
           "columnNameOfCorruptRecord" -> CorruptCol)).as("__doc"))
