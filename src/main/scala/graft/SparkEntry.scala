@@ -497,6 +497,82 @@ object SparkEntry {
               graft.io.DocsIO.httpPayload(col("body")).cast("string")))
             .as("stripped"))
     },
+    "q_warc_e2e" -> { (s, d) =>
+      // Crawl-to-corpus as ONE lineage (round-15): WARC bytes →
+      // http_payload → HTML strip → clean → n-gram langid (und
+      // gate) → exact content dedup → per-language corpus report,
+      // every stage replayed by the oracle from the same committed
+      // constants. The crawl mixes the 13 seed languages plus
+      // out-of-set-script pages (every 17th → und), and every page
+      // with doc_id % 7 == 3 is ALSO fetched at a mirror URL with
+      // identical content — the dedup stage must collapse the
+      // mirror onto the lowest page id before the report counts.
+      import graft.functions.LangIdExprs
+      val n = LangIdExprs.languages.length
+      val nOut = LangIdExprs.outOfSetProbes.length
+      val dir = buildOnce("warc_e2e", d) { dir =>
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+          .filter(col("doc_id") < 300)
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        def content(id: Long, text: String): String =
+          if (id % 17 == 0)
+            LangIdExprs.outOfSetProbes(((id / 17) % nOut).toInt)._2
+          else
+            LangIdExprs.seedText((id % n).toInt, ((id / n) % 2).toInt) +
+              " " + text
+        def record(pageId: Long, html: String): Array[Byte] = {
+          val body = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+            html).getBytes("UTF-8")
+          (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Record-ID: <urn:uuid:$pageId>\r\n" +
+            s"WARC-Target-URI: http://ex.com/page/$pageId\r\n" +
+            "WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+            "Content-Type: application/http; msgtype=response\r\n" +
+            s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8") ++
+            body ++ "\r\n\r\n".getBytes("UTF-8")
+        }
+        def gzMember(b: Array[Byte]): Array[Byte] = {
+          val bos = new java.io.ByteArrayOutputStream()
+          val g = new java.util.zip.GZIPOutputStream(bos)
+          g.write(b); g.close(); bos.toByteArray
+        }
+        for (shard <- 0 until 4) {
+          val recs = docs.filter(_._1 % 4 == shard)
+          val plain = shard < 2
+          val f = new java.io.FileOutputStream(new java.io.File(dir,
+            if (plain) s"crawl-$shard.warc" else s"crawl-$shard.warc.gz"))
+          try recs.foreach { case (id, text) =>
+            val html = s"<html><body><p>${content(id, text)}</p>" +
+              "<!-- c --><script>x()</script></body></html>"
+            val r1 = record(id, html)
+            f.write(if (plain) r1 else gzMember(r1))
+            if (id % 7 == 3) {
+              val r2 = record(id + 10000, html)
+              f.write(if (plain) r2 else gzMember(r2))
+            }
+          } finally f.close()
+        }
+      }
+      val pages = graft.io.DocsIO.readWarc(s, s"$dir/*.warc*")
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "/page/(\\d+)$", 1)
+            .cast("long").as("page_id"),
+          graft.pipeline.Scrub.cleanText(
+            graft.pipeline.Scrub.stripHtml(
+              graft.io.DocsIO.httpPayload(col("body")).cast("string")))
+            .as("cleaned"))
+      val tagged = pages.select(col("page_id"),
+        graft.pipeline.TextAnalysis.langIdCt(
+          substring(col("cleaned"), 1, 150)).as("lang_pred"),
+        graft.pipeline.TextAnalysis.fingerprint(col("cleaned")).as("fp"),
+        graft.pipeline.TextAnalysis.tokenCount(col("cleaned")).as("ntok"))
+      val kept = graft.pipeline.Dedup.exact(tagged, "fp", "page_id")
+      kept.groupBy(col("lang_pred")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("total_tokens"),
+        min(col("page_id")).as("first_page"))
+    },
     // ----- §2.3 joins -----
     "q_bgp_join" -> { (s, d) =>
       out(nationRegion(s, d).sparql(prologue +
@@ -2604,6 +2680,117 @@ object SparkEntry {
         |    ' *\n *', chr(10), 'g'),
         |   '\n{3,}', chr(10)||chr(10), 'g')) AS stripped
         |FROM h""".stripMargin,
+    "q_warc_e2e" -> {
+      val L = graft.functions.LangIdExprs
+      val n = L.languages.length
+      s"""WITH prof(lang, g, r) AS (VALUES ${L.profilesSqlValues}),
+         |seeds(lidx, vidx, txt) AS (VALUES ${L.seedsSqlValues}),
+         |outp(oidx, txt) AS (VALUES ${L.outOfSetSqlValues}),
+         |pg AS (
+         |  SELECT d.doc_id,
+         |         CASE WHEN d.doc_id % 17 = 0 THEN o.txt
+         |              ELSE s.txt || ' ' || d.text END AS content
+         |  FROM documents d
+         |  JOIN seeds s ON s.lidx = d.doc_id % $n
+         |              AND s.vidx = (d.doc_id // $n) % 2
+         |  LEFT JOIN outp o ON d.doc_id % 17 = 0
+         |    AND o.oidx = (d.doc_id // 17) % ${L.outOfSetProbes.length}
+         |  WHERE d.doc_id < 300
+         |), fetches AS (
+         |  SELECT doc_id AS page_id, content FROM pg
+         |  UNION ALL
+         |  SELECT doc_id + 10000, content FROM pg WHERE doc_id % 7 = 3
+         |), w AS (
+         |  SELECT page_id,
+         |    '<html><body><p>' || content ||
+         |    '</p><!-- c --><script>x()</script></body></html>' AS t
+         |  FROM fetches
+         |), h AS (
+         |  SELECT page_id,
+         |   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |   regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '(?is)<(script|style)\\b[^>]*>.*?</(script|style)\\s*>', ' ', 'g'),
+         |    '(?s)<!--.*?-->', ' ', 'g'),
+         |    '(?s)</?[A-Za-z!][^>]*>', ' ', 'g'),
+         |    '&lt;', '<', 'g'),
+         |    '&gt;', '>', 'g'),
+         |    '&quot;', chr(34), 'g'),
+         |    '&(#39|apos);', chr(39), 'g'),
+         |    '&amp;', '&', 'g') AS t
+         |  FROM w
+         |), cleanpg AS (
+         |  SELECT page_id, trim(
+         |   regexp_replace(
+         |    regexp_replace(
+         |     regexp_replace(
+         |      regexp_replace(
+         |       regexp_replace(nfc_normalize(t),
+         |         '\\r\\n?', chr(10), 'g'),
+         |       '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+         |      '[ \\t]+', ' ', 'g'),
+         |     ' *\\n *', chr(10), 'g'),
+         |    '\\n{3,}', chr(10)||chr(10), 'g')) AS cleaned
+         |  FROM h
+         |), inp AS (
+         |  SELECT page_id, substr(cleaned, 1, 150) AS t FROM cleanpg
+         |), padded AS (
+         |  SELECT page_id, '_' || w || '_' AS p
+         |  FROM (SELECT page_id, unnest(list_filter(
+         |          regexp_split_to_array(lower(t), '\\s+'), x -> x <> '')) AS w
+         |        FROM inp)
+         |), grams AS (
+         |  SELECT page_id, unnest(flatten(list_transform([1, 2, 3], nn ->
+         |    list_transform(generate_series(1, length(p) - nn + 1), i ->
+         |      substr(p, i, nn))))) AS g
+         |  FROM padded
+         |), docprof AS (
+         |  SELECT page_id, g,
+         |         row_number() OVER (PARTITION BY page_id
+         |                            ORDER BY count(*) DESC, md5(g) ASC) AS i
+         |  FROM grams GROUP BY page_id, g
+         |  QUALIFY i <= ${L.ProfileSize}
+         |), dist AS (
+         |  SELECT dp.page_id, l.lang,
+         |         sum(coalesce(abs(dp.i - pr.r), ${L.ProfileSize})) AS dist
+         |  FROM docprof dp
+         |  CROSS JOIN (SELECT DISTINCT lang FROM prof) l
+         |  LEFT JOIN prof pr ON pr.lang = l.lang AND pr.g = dp.g
+         |  GROUP BY 1, 2
+         |), ranked AS (
+         |  SELECT page_id, lang, dist,
+         |         row_number() OVER (PARTITION BY page_id
+         |                            ORDER BY dist ASC, lang ASC) AS rn
+         |  FROM dist
+         |), kk AS (
+         |  SELECT page_id, max(i) AS k FROM docprof GROUP BY page_id
+         |), pred AS (
+         |  SELECT r1.page_id,
+         |         CASE WHEN r1.dist * 100 > ${L.UndDistPct} * kk.k * ${L.ProfileSize}
+         |                OR (r2.dist - r1.dist) * 1000
+         |                     < ${L.UndMarginPerMille} * kk.k * ${L.ProfileSize}
+         |              THEN 'und' ELSE r1.lang END AS lang_pred
+         |  FROM ranked r1
+         |  JOIN ranked r2 ON r2.page_id = r1.page_id AND r2.rn = 2
+         |  JOIN kk ON kk.page_id = r1.page_id
+         |  WHERE r1.rn = 1
+         |), fpt AS (
+         |  SELECT page_id,
+         |    md5(regexp_replace(lower(trim(cleaned)), '\\s+', ' ', 'g')) AS fp,
+         |    CAST(len(list_filter(regexp_split_to_array(lower(trim(cleaned)),
+         |      '\\s+'), x -> x <> '')) AS BIGINT) AS ntok
+         |  FROM cleanpg
+         |), kept AS (
+         |  SELECT page_id, ntok FROM (
+         |    SELECT page_id, ntok,
+         |           row_number() OVER (PARTITION BY fp ORDER BY page_id) AS rn
+         |    FROM fpt) WHERE rn = 1
+         |)
+         |SELECT p.lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(k.ntok) AS BIGINT) AS total_tokens,
+         |       min(k.page_id) AS first_page
+         |FROM kept k JOIN pred p ON p.page_id = k.page_id
+         |GROUP BY 1""".stripMargin
+    },
     "q_bgp_join" ->
       """SELECT n_name AS nname, r_name AS rname
         |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin,
