@@ -44,19 +44,41 @@ object Bench {
     * contention; the artifact must carry that evidence itself.
     * `floorSec` keeps sub-noise entries (0.05 s → 0.12 s) out;
     * `maxEntries` bounds the extra passes on a badly contended run
-    * (worst offenders first). Entries new to the battery have no
-    * baseline and are skipped — they get one on the next commit. */
+    * (worst offenders first). Entries NEW to the battery have no
+    * committed baseline, so they compare against the battery median
+    * instead (`newEntryFactor`× it): round 14's first-appearance
+    * 11.9 s entry sailed through `remeasured_n: 0` unflagged — real
+    * CPU that time, but the mechanism would equally have passed an
+    * 11.9 s contention artifact into the record. The new-entry rule
+    * only arms when a same-SF baseline exists at all; on a fresh or
+    * cross-SF run every entry is "new" and flagging the legitimate
+    * heavy tail would burn passes for no evidence. */
   private[graft] def suspects(medians: Map[String, Double],
                               baseline: Map[String, Double],
                               factor: Double = 2.0,
                               floorSec: Double = 0.25,
-                              maxEntries: Int = 12): Seq[String] =
+                              maxEntries: Int = 12,
+                              newEntryFactor: Double = 5.0): Seq[String] = {
+    val battMed = batteryMedian(medians)
     medians.toSeq
-      .collect { case (k, v) if v > floorSec &&
-        baseline.get(k).exists(b => b > 0 && v > b * factor) =>
-        (k, v / baseline(k))
+      .collect {
+        case (k, v) if v > floorSec &&
+          baseline.get(k).exists(b => b > 0 && v > b * factor) =>
+          (k, v / baseline(k))
+        case (k, v) if v > floorSec && baseline.nonEmpty &&
+          !baseline.contains(k) && battMed > 0 &&
+          v > battMed * newEntryFactor =>
+          (k, v / battMed)
       }
       .sortBy(-_._2).take(maxEntries).map(_._1)
+  }
+
+  /** Median of the per-entry medians — the scale reference for
+    * entries that have no committed baseline yet. */
+  private[graft] def batteryMedian(medians: Map[String, Double]): Double = {
+    val vals = medians.values.toSeq.sorted
+    if (vals.isEmpty) 0.0 else vals(vals.size / 2)
+  }
 
   /** Previous committed medians out of a bench_out.json, keyed for
     * [[suspects]]. Returns empty (self-validation off) when the file
@@ -178,14 +200,17 @@ object Bench {
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
     val baseline = baselineMedians(outPath, sfDir)
-    val toRecheck = suspects(
-      measured.collect { case (k, v, _, _) if !failed.contains(k) => k -> v }
-        .toMap,
-      baseline)
+    val medMap = measured.collect {
+      case (k, v, _, _) if !failed.contains(k) => k -> v
+    }.toMap
+    val battMed = batteryMedian(medMap)
+    val toRecheck = suspects(medMap, baseline)
     val revalidations = toRecheck.flatMap { name =>
+      val vs = baseline.get(name)
+        .map(b => f"committed $b%.3f s (>2x)")
+        .getOrElse(f"battery median $battMed%.3f s (first appearance, >5x)")
       System.err.println(f"[bench] re-measuring $name: median " +
-        f"${measured.find(_._1 == name).get._2}%.3f s vs committed " +
-        f"${baseline(name)}%.3f s (>2x)")
+        f"${measured.find(_._1 == name).get._2}%.3f s vs " + vs)
       val times = timeEntry(name)
       if (times.isEmpty) None
       else Some((name, medianOf(times.map(_._1)), times.map(_._1).min,
@@ -202,7 +227,13 @@ object Bench {
     val remeasuredJson = toRecheck.map { name =>
       val orig = measured.find(_._1 == name).get._2
       val kept = results.find(_._1 == name).get._2
-      f"""{"entry":"$name","original":$orig%.3f,"kept":$kept%.3f,"baseline":${baseline(name)}%.3f,"confirmed":${kept > baseline(name) * 2.0}}"""
+      // first-appearance entries carry the battery-median reference
+      // they were flagged against ("baseline": null marks them)
+      val (baseJson, confirmed) = baseline.get(name) match {
+        case Some(b) => (f"$b%.3f", kept > b * 2.0)
+        case None => ("null", kept > battMed * 5.0)
+      }
+      f"""{"entry":"$name","original":$orig%.3f,"kept":$kept%.3f,"baseline":$baseJson,"confirmed":$confirmed}"""
     }.mkString("[", ",", "]")
     val qs = results.map { case (k, v, _, _) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

@@ -47,7 +47,15 @@ object DocsIO {
     * instead. Compression is recognized per FILE by suffix for the
     * text-reader codecs (gz/bz2/deflate — Hadoop decodes them
     * transparently, bzip2 splittably); pass a path whose files end in
-    * .zst/.zstd/.xz/.lz4 to take the whole-file route instead. */
+    * .zst/.zstd/.xz/.lz4 to take the whole-file route instead.
+    *
+    * MEMORY BOUND on the whole-file route: one fully DECOMPRESSED
+    * shard is buffered per task (the same parity the whole-file RDF
+    * readers document), so shard size — not corpus size — is the
+    * executor-memory constraint. Write such corpora in ingest-sized
+    * shards (≲256 MB decompressed, the usual jsonl.zst corpus
+    * convention); the line-oriented codecs stream and carry no such
+    * bound. */
   def readJsonl(spark: SparkSession, path: String,
                 schema: StructType = docSchema,
                 skipMalformed: Boolean = false): DataFrame = {

@@ -17,14 +17,35 @@ class BenchSelfValidationSpec extends AnyFlatSpec with Matchers {
     Bench.suspects(medians, baseline) shouldBe Seq("q_b", "q_c") // worst first
   }
 
-  it should "ignore sub-floor noise, improvements, and unbaselined entries" in {
+  it should "ignore sub-floor noise, improvements, and zero baselines" in {
     val baseline = Map("q_tiny" -> 0.02, "q_fast" -> 2.0, "q_zero" -> 0.0)
     val medians = Map(
       "q_tiny" -> 0.10, // 5x but under the 0.25 s floor — noise
       "q_fast" -> 0.50, // improvement, never re-measured
-      "q_zero" -> 1.00, // zero baseline (previously failed) — skipped
-      "q_new" -> 9.99) // no baseline — new entry, skipped
+      "q_zero" -> 1.00) // zero baseline (previously failed) — skipped
     Bench.suspects(medians, baseline) shouldBe empty
+  }
+
+  it should "re-measure a first-appearance outlier against the battery median" in {
+    // Round-14 blind spot: a NEW entry has no committed baseline, so
+    // an 11.9 s first appearance sailed through remeasured_n: 0. New
+    // entries now compare against the battery median (5x).
+    val baseline = Map("q_a" -> 0.40, "q_b" -> 1.00, "q_c" -> 0.60)
+    val medians = Map(
+      "q_a" -> 0.45, "q_b" -> 1.10, "q_c" -> 0.55, // battery median 0.55
+      "q_new_hot" -> 9.99, // planted baseline-less outlier — flagged
+      "q_new_ok" -> 0.90) // new but under 5x the battery median — not
+    Bench.suspects(medians, baseline) shouldBe Seq("q_new_hot")
+    // ...but the rule only arms when a same-SF baseline exists at
+    // all: on a fresh or cross-SF run every entry is "new" and the
+    // legitimate heavy tail must not burn re-measure passes
+    Bench.suspects(medians, Map.empty) shouldBe empty
+  }
+
+  "batteryMedian" should "be the median of the per-entry medians" in {
+    Bench.batteryMedian(Map.empty) shouldBe 0.0
+    Bench.batteryMedian(Map("a" -> 1.0)) shouldBe 1.0
+    Bench.batteryMedian(Map("a" -> 0.1, "b" -> 0.5, "c" -> 9.0)) shouldBe 0.5
   }
 
   it should "bound the extra passes to the worst offenders" in {
