@@ -510,7 +510,7 @@ object SparkEntry {
       import graft.functions.LangIdExprs
       val n = LangIdExprs.languages.length
       val nOut = LangIdExprs.outOfSetProbes.length
-      val dir = buildOnce("warc_e2e", d) { dir =>
+      val dir = buildOnce(s"warc_e2e_${LangIdExprs.seedsFingerprint}", d) { dir =>
         val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
           .filter(col("doc_id") < 300)
           .collect().map(r => (r.getLong(0), r.getString(1)))
@@ -1979,7 +1979,7 @@ object SparkEntry {
     "q_text_langid_ct" -> { (s, d) =>
       // Cavnar-Trenkle n-gram language ID (round-14): every doc gets
       // a deterministic multilingual input — a committed seed
-      // snippet chosen by doc_id (13 languages across the Latin,
+      // snippet chosen by doc_id (18 languages across the Latin,
       // Cyrillic, Greek, Arabic and CJK script classes, 2 variants)
       // plus a 60-char slice of the doc's own text — and the oracle
       // replays the ENTIRE algorithm in SQL: n-gram extraction,

@@ -67,6 +67,9 @@ object LangIdExprs {
     "fr" -> Seq(
       "la langue francaise est parlee dans de nombreux pays du monde et elle est connue pour sa litterature et sa culture anciennes",
       "les enfants jouent dans le jardin pendant que leurs parents preparent le diner et regardent les nouvelles du soir ensemble"),
+    "id" -> Seq(
+      "bahasa indonesia adalah bahasa resmi negara indonesia dan digunakan oleh jutaan orang di seluruh nusantara setiap hari",
+      "anak anak bermain di taman pada sore hari sementara orang tua minum kopi dan berbicara tentang berita hari ini dengan tetangga"),
     "it" -> Seq(
       "la lingua italiana e conosciuta per la sua musica e la sua cucina e viene parlata da milioni di persone in tutto il mondo",
       "i bambini giocano nella piazza mentre i genitori bevono il caffe al bar e parlano del tempo e delle notizie della giornata"),
@@ -79,19 +82,31 @@ object LangIdExprs {
     "nl" -> Seq(
       "de nederlandse taal wordt gesproken in nederland en belgie en heeft veel woorden die lijken op het duits en het engels",
       "de kinderen spelen buiten in de tuin terwijl hun ouders koffie drinken en praten over het nieuws van de dag met de buren"),
+    "pl" -> Seq(
+      "język polski należy do grupy języków słowiańskich i jest używany przez miliony ludzi w polsce oraz za granicą każdego dnia",
+      "dzieci bawią się w parku po południu a rodzice piją kawę i rozmawiają o wiadomościach dnia z sąsiadami przed domem"),
     "pt" -> Seq(
       "a lingua portuguesa e falada em varios paises do mundo e tem uma longa historia de literatura e navegacao pelos oceanos",
       "as criancas brincam no parque durante a tarde enquanto os pais tomam cafe e conversam sobre as noticias do dia todo"),
     "ru" -> Seq(
       "русский язык является одним из самых распространенных языков мира и на нем говорят миллионы людей во многих странах",
       "дети играют в парке после школы пока родители пьют чай дома и читают новости о погоде и событиях прошедшего дня"),
+    "sv" -> Seq(
+      "svenska talas i sverige och i delar av finland och språket liknar både danska och norska på många olika sätt i skrift",
+      "barnen leker i trädgården på eftermiddagen medan föräldrarna dricker kaffe och pratar om dagens nyheter med grannarna"),
+    "tr" -> Seq(
+      "türkçe dünyanın birçok ülkesinde konuşulan köklü bir dildir ve ünlü uyumu ile sondan eklemeli yapısıyla tanınır",
+      "çocuklar öğleden sonra parkta oynuyor anne ve babalar çay içiyor ve günün haberlerini komşularıyla konuşuyorlar"),
+    "vi" -> Seq(
+      "tiếng việt là ngôn ngữ chính thức của việt nam và có sáu thanh điệu khác nhau được nhiều người sử dụng hằng ngày",
+      "hôm nay trời đẹp nên trẻ em chơi ở công viên chúng tôi uống trà đọc sách và tận hưởng một buổi chiều yên tĩnh"),
     "zh" -> Seq(
       "中文是世界上使用人数最多的语言之一汉字有几千年的历史许多国家的人们都在学习这种古老而优美的语言",
       "今天天气很好孩子们在公园里玩耍我们一边喝茶一边看书度过一个安静的下午大家都觉得非常开心"))
 
   val languages: Seq[String] = seeds.map(_._1)
 
-  /** Committed OUT-of-set probes — scripts none of the 13 profiles
+  /** Committed OUT-of-set probes — scripts none of the 18 profiles
     * cover (Hebrew, Thai, Devanagari). Battery fixture inputs that
     * exercise the `und` rejection gate end-to-end; same constraints
     * as the seeds (BMP-only, apostrophe-free, case-stable). */
@@ -102,7 +117,7 @@ object LangIdExprs {
 
   /** und-rejection gate (round 15). A document is classified only when
     * its best profile is BOTH close enough and clearly separated from
-    * the runner-up; otherwise `und` — a 13-profile model must not
+    * the runner-up; otherwise `und` — a fixed-profile model must not
     * force-assign the long tail of out-of-set languages. Calibrated on
     * the committed probes (LangIdCalib harness, numbers in LangIdSpec):
     * in-set held-out probes score best/(k·ProfileSize) ∈ [0.59, 0.91]
@@ -186,7 +201,7 @@ object LangIdExprs {
   require(languages == languages.sorted,
     "seeds must stay in alphabetical language order")
 
-  /** All 13 profiles merged into ONE map gram → per-language rank
+  /** All 18 profiles merged into ONE map gram → per-language rank
     * vector (0 = absent): the distance loop probes each doc gram once
     * instead of once per language. */
   private val rankVectors: java.util.HashMap[String, Array[Int]] = {
@@ -292,7 +307,7 @@ object LangIdExprs {
     * distance, then language code. Hot path: one rank-vector probe
     * per doc gram; digests only at count ties inside the top-K
     * (see [[topRanked]]). Semantically identical to ranking with
-    * [[profileOf]] and scanning the 13 profiles — pinned by
+    * [[profileOf]] and scanning the per-language profiles — pinned by
     * LangIdSpec's differential case. */
   def classify(text: UTF8String): UTF8String = {
     if (text == null) return UndU8
@@ -385,6 +400,16 @@ object LangIdExprs {
         s"($li, $vi, ${sqlQuote(t)})"
       }
     }.mkString(", ")
+
+  /** Fingerprint of the committed seed/probe constants — fixture
+    * builders embed it in their cache path so a seed-set change
+    * invalidates cached corpora (buildOnce directories survive across
+    * runs; round 15 caught a stale 13-language crawl fixture being
+    * replayed against an 18-language oracle). */
+  lazy val seedsFingerprint: String = md5Hex(
+    (seeds.map { case (l, ts) => l + ":" + ts.mkString("|") } ++
+      outOfSetProbes.map { case (l, t) => l + ":" + t }).mkString("\n"))
+    .substring(0, 8)
 
   /** `(oidx, txt)` VALUES rows (0-based) for the out-of-set probes. */
   def outOfSetSqlValues: String =

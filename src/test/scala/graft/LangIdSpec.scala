@@ -26,7 +26,12 @@ class LangIdSpec extends AnyFlatSpec with Matchers {
     "ar" -> "يجب ان نلتقي في المحطة قبل الظهر لان القطار يغادر مبكرا ونريد مقاعد جيدة للرحلة الطويلة",
     "zh" -> "我们应该在中午之前在车站见面因为火车很早出发我们想要好的座位",
     "ja" -> "電車が早く出発するので私たちは昼前に駅で会うべきですそして良い席がほしいです",
-    "ko" -> "기차가 일찍 출발하기 때문에 우리는 정오 전에 역에서 만나야 하고 좋은 자리를 원합니다")
+    "ko" -> "기차가 일찍 출발하기 때문에 우리는 정오 전에 역에서 만나야 하고 좋은 자리를 원합니다",
+    "tr" -> "trenin erken kalkması nedeniyle öğleden önce istasyonda buluşmalıyız ve uzun yolculuk için iyi yerler istiyoruz",
+    "vi" -> "chúng ta nên gặp nhau ở nhà ga trước buổi trưa vì tàu khởi hành sớm và chúng ta muốn chỗ ngồi tốt cho chuyến đi dài",
+    "pl" -> "powinniśmy spotkać się na dworcu przed południem ponieważ pociąg odjeżdża wcześnie i chcemy dobre miejsca na podróż",
+    "sv" -> "vi borde träffas på stationen före lunch eftersom tåget avgår tidigt och vi vill ha bra platser för den långa resan",
+    "id" -> "kita harus bertemu di stasiun sebelum tengah hari karena kereta berangkat lebih awal dan kami ingin tempat duduk yang baik")
 
   behavior of "LangIdExprs.classify"
 
@@ -41,7 +46,7 @@ class LangIdSpec extends AnyFlatSpec with Matchers {
   }
 
   it should "reject out-of-set scripts and content-free input as und" in {
-    // None of these scripts appear in the 13 committed profiles; the
+    // None of these scripts appear in the committed profiles; the
     // rejection gate (distance > 0.95·k·ProfileSize or margin
     // < 0.005·k·ProfileSize) must return und instead of force-
     // assigning the nearest in-set language. Calibration numbers:
@@ -93,7 +98,7 @@ class LangIdSpec extends AnyFlatSpec with Matchers {
   it should "match the profileOf-based reference formulation on randomized inputs" in {
     // The hot path (count-bucketed lazy-md5 top-K + merged rank
     // vectors) must be observationally identical to ranking with
-    // profileOf and scanning the 13 profiles one by one.
+    // profileOf and scanning the per-language profiles one by one.
     def referenceClassify(s: String): String = {
       val capped =
         if (s.length > LangIdExprs.MaxChars) s.substring(0, LangIdExprs.MaxChars) else s

@@ -25,7 +25,12 @@ object LangIdCalib {
       "ar" -> "يجب ان نلتقي في المحطة قبل الظهر لان القطار يغادر مبكرا ونريد مقاعد جيدة للرحلة الطويلة",
       "zh" -> "我们应该在中午之前在车站见面因为火车很早出发我们想要好的座位",
       "ja" -> "電車が早く出発するので私たちは昼前に駅で会うべきですそして良い席がほしいです",
-      "ko" -> "기차가 일찍 출발하기 때문에 우리는 정오 전에 역에서 만나야 하고 좋은 자리를 원합니다")
+      "ko" -> "기차가 일찍 출발하기 때문에 우리는 정오 전에 역에서 만나야 하고 좋은 자리를 원합니다",
+      "tr" -> "trenin erken kalkması nedeniyle öğleden önce istasyonda buluşmalıyız ve uzun yolculuk için iyi yerler istiyoruz",
+      "vi" -> "chúng ta nên gặp nhau ở nhà ga trước buổi trưa vì tàu khởi hành sớm và chúng ta muốn chỗ ngồi tốt cho chuyến đi dài",
+      "pl" -> "powinniśmy spotkać się na dworcu przed południem ponieważ pociąg odjeżdża wcześnie i chcemy dobre miejsca na podróż",
+      "sv" -> "vi borde träffas på stationen före lunch eftersom tåget avgår tidigt och vi vill ha bra platser för den långa resan",
+      "id" -> "kita harus bertemu di stasiun sebelum tengah hari karena kereta berangkat lebih awal dan kami ingin tempat duduk yang baik")
     val probesOut = Seq(
       "he" -> "אנחנו צריכים להיפגש בתחנה לפני הצהריים כי הרכבת יוצאת מוקדם ואנחנו רוצים מקומות טובים לנסיעה הארוכה",
       "th" -> "เราควรพบกันที่สถานีก่อนเที่ยงเพราะรถไฟออกเร็วและเราต้องการที่นั่งดีสำหรับการเดินทาง",
