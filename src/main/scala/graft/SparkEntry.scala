@@ -1870,6 +1870,42 @@ object SparkEntry {
       graft.pipeline.Dedup.repeatedSpanStats(
         t(s, d, "documents"), "doc_id", "text")
     },
+    "q_dedup_spans" -> { (s, d) =>
+      // duplicated-span REMOVAL (the rewrite form of q_repeated_spans;
+      // Lee et al.'s ExactSubstr at window granularity): every token
+      // covered by an 8-token window shared by >= 2 docs is cut, and
+      // the oracle replays the whole rewrite in SQL — positional
+      // window hashes, shared-hash inventory, island merge (lag +
+      // running sum), surviving-token reassembly with original case.
+      graft.pipeline.Dedup.removeRepeatedSpans(
+        t(s, d, "documents"), "doc_id", "text")
+    },
+    "q_dedup_spans_incr" -> { (s, d) =>
+      // incremental span removal: the corpus (doc_id % 3 != 0) is
+      // pre-reduced to its span-hash inventory; the batch
+      // (doc_id % 3 == 0) is cut against inventory ∪ batch-internal
+      // duplication — same outputs the batch rewrite would give for
+      // these docs over the union, without re-reading corpus text.
+      val docs = t(s, d, "documents")
+      val inv = graft.pipeline.Dedup.spanInventoryTable(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+      graft.pipeline.Dedup.removeRepeatedSpansAgainst(
+        inv, docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+    },
+    "q_dedup_spans_bank" -> { (s, d) =>
+      // stateless span cut against a curated boilerplate BANK (the
+      // streaming-safe form): the bank is every window hash of the
+      // doc_id % 97 == 0 documents (the same known-small-side pattern
+      // as the decontam bench), collected driver-side and probed by
+      // binary search inside generated code — no join, no shuffle.
+      // The remaining docs are rewritten with bank spans cut.
+      val docs = t(s, d, "documents")
+      val bank = graft.pipeline.Dedup.spanBankSet(
+        graft.pipeline.Dedup.spanInventoryTable(
+          docs.filter(col("doc_id") % 97 === 0), "doc_id", "text"))
+      graft.pipeline.Dedup.removeSpansWithBank(
+        docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text", bank)
+    },
     "q_decontam_report" -> { (s, d) =>
       // eval-set decontamination: the benchmark is 12-token passages
       // extracted from every (doc_id % 97 == 0) document — eval
@@ -3580,6 +3616,203 @@ object SparkEntry {
         |       round(CAST(count(s.fp) AS DOUBLE) / count(*), 6) AS dup_frac
         |FROM wins w LEFT JOIN shared s ON w.fp = s.fp
         |GROUP BY w.doc_id""".stripMargin,
+    "q_dedup_spans" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text,
+        |         list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                     x -> x <> '') AS tso,
+        |         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                     x -> x <> '') AS ts
+        |  FROM documents
+        |), wins AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |         CAST(('0x' || substr(md5(CASE WHEN len(ts) >= 8
+        |              THEN array_to_string(list_slice(ts, i, i + 7), ' ')
+        |              ELSE array_to_string(ts, ' ') END), 1, 8)) AS BIGINT) AS fp
+        |  FROM docs, UNNEST(generate_series(1,
+        |       CASE WHEN len(ts) >= 8 THEN len(ts) - 7
+        |            WHEN len(ts) > 0 THEN 1 ELSE 0 END)) AS u(i)
+        |  WHERE text IS NOT NULL
+        |), shared AS (
+        |  SELECT fp FROM wins GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+        |), dup AS (
+        |  SELECT w.doc_id, w.pos FROM wins w JOIN shared s USING (fp)
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |                IS NULL
+        |              OR pos > lag(pos) OVER (PARTITION BY doc_id
+        |                                      ORDER BY pos) + 8
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM dup
+        |), grp AS (
+        |  SELECT doc_id, pos,
+        |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM isl
+        |), spans AS (
+        |  SELECT g.doc_id, min(g.pos) AS s,
+        |         least(max(g.pos) + 8, d.n) - 1 AS e
+        |  FROM grp g JOIN (SELECT doc_id, len(ts) AS n FROM docs) d
+        |    USING (doc_id)
+        |  GROUP BY g.doc_id, g.g, d.n
+        |), toku AS (
+        |  SELECT doc_id, unnest(tso) AS tok,
+        |         unnest(generate_series(1, len(tso))) AS j
+        |  FROM docs WHERE text IS NOT NULL
+        |), surv AS (
+        |  SELECT t.doc_id, t.j, t.tok FROM toku t
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+        |                    WHERE sp.doc_id = t.doc_id
+        |                      AND t.j - 1 BETWEEN sp.s AND sp.e)
+        |)
+        |SELECT d.doc_id,
+        |       CASE WHEN d.text IS NULL THEN NULL
+        |            ELSE coalesce(a.txt, '') END AS text_clean,
+        |       CAST(coalesce(len(d.ts), 0) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(len(d.ts), 0) - coalesce(a.nsurv, 0) AS BIGINT)
+        |         AS removed_tokens,
+        |       CAST(coalesce(sp.nspans, 0) AS BIGINT) AS n_spans
+        |FROM docs d
+        |LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS txt,
+        |                  count(*) AS nsurv FROM surv GROUP BY doc_id) a
+        |  USING (doc_id)
+        |LEFT JOIN (SELECT doc_id, count(*) AS nspans FROM spans GROUP BY doc_id)
+        |  sp USING (doc_id)""".stripMargin,
+    "q_dedup_spans_incr" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text,
+        |         list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                     x -> x <> '') AS tso,
+        |         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                     x -> x <> '') AS ts
+        |  FROM documents WHERE doc_id % 3 = 0
+        |), allwins AS (
+        |  SELECT d.doc_id, d.grp, i - 1 AS pos,
+        |         CAST(('0x' || substr(md5(CASE WHEN len(ts) >= 8
+        |              THEN array_to_string(list_slice(ts, i, i + 7), ' ')
+        |              ELSE array_to_string(ts, ' ') END), 1, 8)) AS BIGINT) AS fp
+        |  FROM (SELECT doc_id, doc_id % 3 = 0 AS grp,
+        |               list_filter(regexp_split_to_array(lower(trim(text)),
+        |                 '\s+'), x -> x <> '') AS ts
+        |        FROM documents WHERE text IS NOT NULL) d,
+        |       UNNEST(generate_series(1,
+        |       CASE WHEN len(ts) >= 8 THEN len(ts) - 7
+        |            WHEN len(ts) > 0 THEN 1 ELSE 0 END)) AS u(i)
+        |), shared AS (
+        |  SELECT fp FROM allwins WHERE grp GROUP BY fp
+        |  HAVING count(DISTINCT doc_id) >= 2
+        |  UNION
+        |  SELECT DISTINCT fp FROM allwins WHERE NOT grp
+        |), dup AS (
+        |  SELECT w.doc_id, w.pos FROM allwins w JOIN shared s USING (fp)
+        |  WHERE w.grp
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |                IS NULL
+        |              OR pos > lag(pos) OVER (PARTITION BY doc_id
+        |                                      ORDER BY pos) + 8
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM dup
+        |), grp AS (
+        |  SELECT doc_id, pos,
+        |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM isl
+        |), spans AS (
+        |  SELECT g.doc_id, min(g.pos) AS s,
+        |         least(max(g.pos) + 8, d.n) - 1 AS e
+        |  FROM grp g JOIN (SELECT doc_id, len(ts) AS n FROM docs) d
+        |    USING (doc_id)
+        |  GROUP BY g.doc_id, g.g, d.n
+        |), toku AS (
+        |  SELECT doc_id, unnest(tso) AS tok,
+        |         unnest(generate_series(1, len(tso))) AS j
+        |  FROM docs WHERE text IS NOT NULL
+        |), surv AS (
+        |  SELECT t.doc_id, t.j, t.tok FROM toku t
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+        |                    WHERE sp.doc_id = t.doc_id
+        |                      AND t.j - 1 BETWEEN sp.s AND sp.e)
+        |)
+        |SELECT d.doc_id,
+        |       CASE WHEN d.text IS NULL THEN NULL
+        |            ELSE coalesce(a.txt, '') END AS text_clean,
+        |       CAST(coalesce(len(d.ts), 0) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(len(d.ts), 0) - coalesce(a.nsurv, 0) AS BIGINT)
+        |         AS removed_tokens,
+        |       CAST(coalesce(sp.nspans, 0) AS BIGINT) AS n_spans
+        |FROM docs d
+        |LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS txt,
+        |                  count(*) AS nsurv FROM surv GROUP BY doc_id) a
+        |  USING (doc_id)
+        |LEFT JOIN (SELECT doc_id, count(*) AS nspans FROM spans GROUP BY doc_id)
+        |  sp USING (doc_id)""".stripMargin,
+    "q_dedup_spans_bank" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text,
+        |         list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                     x -> x <> '') AS tso,
+        |         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                     x -> x <> '') AS ts
+        |  FROM documents WHERE doc_id % 97 <> 0
+        |), allwins AS (
+        |  SELECT d.doc_id, d.bank, i - 1 AS pos,
+        |         CAST(('0x' || substr(md5(CASE WHEN len(ts) >= 8
+        |              THEN array_to_string(list_slice(ts, i, i + 7), ' ')
+        |              ELSE array_to_string(ts, ' ') END), 1, 8)) AS BIGINT) AS fp
+        |  FROM (SELECT doc_id, doc_id % 97 = 0 AS bank,
+        |               list_filter(regexp_split_to_array(lower(trim(text)),
+        |                 '\s+'), x -> x <> '') AS ts
+        |        FROM documents WHERE text IS NOT NULL) d,
+        |       UNNEST(generate_series(1,
+        |       CASE WHEN len(ts) >= 8 THEN len(ts) - 7
+        |            WHEN len(ts) > 0 THEN 1 ELSE 0 END)) AS u(i)
+        |), shared AS (
+        |  SELECT DISTINCT fp FROM allwins WHERE bank
+        |), dup AS (
+        |  SELECT w.doc_id, w.pos FROM allwins w JOIN shared s USING (fp)
+        |  WHERE NOT w.bank
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |                IS NULL
+        |              OR pos > lag(pos) OVER (PARTITION BY doc_id
+        |                                      ORDER BY pos) + 8
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM dup
+        |), grp AS (
+        |  SELECT doc_id, pos,
+        |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM isl
+        |), spans AS (
+        |  SELECT g.doc_id, min(g.pos) AS s,
+        |         least(max(g.pos) + 8, d.n) - 1 AS e
+        |  FROM grp g JOIN (SELECT doc_id, len(ts) AS n FROM docs) d
+        |    USING (doc_id)
+        |  GROUP BY g.doc_id, g.g, d.n
+        |), toku AS (
+        |  SELECT doc_id, unnest(tso) AS tok,
+        |         unnest(generate_series(1, len(tso))) AS j
+        |  FROM docs WHERE text IS NOT NULL
+        |), surv AS (
+        |  SELECT t.doc_id, t.j, t.tok FROM toku t
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+        |                    WHERE sp.doc_id = t.doc_id
+        |                      AND t.j - 1 BETWEEN sp.s AND sp.e)
+        |)
+        |SELECT d.doc_id,
+        |       CASE WHEN d.text IS NULL THEN NULL
+        |            ELSE coalesce(a.txt, '') END AS text_clean,
+        |       CAST(coalesce(len(d.ts), 0) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(len(d.ts), 0) - coalesce(a.nsurv, 0) AS BIGINT)
+        |         AS removed_tokens,
+        |       CAST(coalesce(sp.nspans, 0) AS BIGINT) AS n_spans
+        |FROM docs d
+        |LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS txt,
+        |                  count(*) AS nsurv FROM surv GROUP BY doc_id) a
+        |  USING (doc_id)
+        |LEFT JOIN (SELECT doc_id, count(*) AS nspans FROM spans GROUP BY doc_id)
+        |  sp USING (doc_id)""".stripMargin,
     "q_decontam_report" -> decontamOracle(
       """SELECT t.doc_id, CAST(count(DISTINCT t.fp) AS BIGINT) AS hits,
         |       CAST(count(DISTINCT b.bench_id) AS BIGINT) AS bench_docs

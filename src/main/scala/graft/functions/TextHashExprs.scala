@@ -111,6 +111,45 @@ object TextHashExprs {
       if (out.length <= keep) out else java.util.Arrays.copyOf(out, keep))
   }
 
+  /** Positional portable fingerprints: element i is the md5-prefix
+    * hash of the window STARTING at token i — same hashing as
+    * [[portableFingerprints]] (first 4 md5 bytes of the
+    * space-joined window, unsigned 32-bit), but in position order,
+    * with multiplicity, unsorted: the form span-level rewrite ops
+    * need to map a duplicated hash back to the tokens it covers.
+    * Fewer than k tokens → one whole-run window at position 0; zero
+    * tokens → empty array (nothing to cover). */
+  def positionalFingerprints(toks: ArrayData, k: Int): ArrayData = {
+    val md = MD5.get()
+    def h(s: UTF8String): Long = {
+      md.reset()
+      val d = md.digest(s.getBytes)
+      ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+    }
+    val n = toks.numElements()
+    val out: Array[Long] =
+      if (n == 0) Array.emptyLongArray
+      else if (n < k) {
+        val parts = new Array[UTF8String](n)
+        var i = 0
+        while (i < n) { parts(i) = toks.getUTF8String(i); i += 1 }
+        Array(h(UTF8String.concatWs(SPACE, parts: _*)))
+      } else {
+        val parts = new Array[UTF8String](k)
+        val hs = new Array[Long](n - k + 1)
+        var i = 0
+        while (i <= n - k) {
+          var j = 0
+          while (j < k) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+          hs(i) = h(UTF8String.concatWs(SPACE, parts: _*))
+          i += 1
+        }
+        hs
+      }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** MinHash signature from precomputed shingle hashes: element i is
     * min over hashes s of xxhash64(s, i). Empty input → null (no
     * shingles means no signature — callers gate on token count). */
@@ -315,6 +354,26 @@ object TextHashExprs {
       copy(child = newChild)
   }
 
+  case class PositionalFpExpr(child: Expression, k: Int)
+      extends UnaryExpression {
+    require(k >= 1, s"window k=$k must be >= 1")
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkArrayOf(child, StringType, prettyName)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "positional_fingerprints"
+
+    override def nullSafeEval(a: Any): Any =
+      positionalFingerprints(a.asInstanceOf[ArrayData], k)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => s"""
+        |${ev.value} = graft.functions.TextHashExprs.positionalFingerprints($a, $k);
+        """.stripMargin)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   case class PortableMinHashExpr(child: Expression, numHashes: Int)
       extends UnaryExpression {
     require(numHashes >= 1, s"numHashes=$numHashes must be >= 1")
@@ -391,6 +450,25 @@ object TextHashExprs {
     c
   }
 
+  /** 0-based indices of `arr` elements present in the sorted `set`
+    * (binary search per element; output ascends by construction).
+    * The positional form of [[countInSortedSet]] — span-cut guards
+    * need WHICH windows matched, not how many. */
+  def positionsInSortedSet(arr: ArrayData, set: Array[Long]): ArrayData = {
+    val n = arr.numElements()
+    val hits = new Array[Int](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (java.util.Arrays.binarySearch(set, arr.getLong(i)) >= 0) {
+        hits(m) = i; m += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (m == n) hits else java.util.Arrays.copyOf(hits, m))
+  }
+
   /** Membership-count guard against a driver-built sorted hash set —
     * the stateless form of a small-side semi-join (the set rides along
     * as a codegen reference object, once per task). Built for streaming
@@ -425,6 +503,33 @@ object TextHashExprs {
       copy(child = newChild)
   }
 
+  case class PositionsInSortedSetExpr(child: Expression, set: Array[Long])
+      extends UnaryExpression {
+    // sortedness is validated ONCE in positionsInSortedSetCol — same
+    // per-copy-cost argument as CountInSortedSetExpr above
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkArrayOf(child, LongType, prettyName)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "positions_in_sorted_set"
+
+    override def nullSafeEval(a: Any): Any =
+      positionsInSortedSet(a.asInstanceOf[ArrayData], set)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val setRef = ctx.addReferenceObj("sortedSet", set, "long[]")
+      nullSafeCodeGen(ctx, ev, a => s"""
+        |${ev.value} =
+        |  graft.functions.TextHashExprs.positionsInSortedSet($a, $setRef);
+        """.stripMargin)
+    }
+
+    // structural equality/explain must not walk the (large) set
+    override def flatArguments: Iterator[Any] = Iterator(child)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ----- Column API -----
   def shingleHashesCol(tokens: Column, k: Int): Column =
     GraftColumnBridge.column(
@@ -438,12 +543,25 @@ object TextHashExprs {
   def portableFingerprintsCol(tokens: Column, k: Int, keep: Int): Column =
     GraftColumnBridge.column(
       PortableFpExpr(GraftColumnBridge.expression(tokens), k, keep))
+  def positionalFingerprintsCol(tokens: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      PositionalFpExpr(GraftColumnBridge.expression(tokens), k))
   def portableMinHashCol(hashes: Column, numHashes: Int): Column =
     GraftColumnBridge.column(
       PortableMinHashExpr(GraftColumnBridge.expression(hashes), numHashes))
   def portableSimHashCol(tokens: Column): Column =
     GraftColumnBridge.column(
       PortableSimHashExpr(GraftColumnBridge.expression(tokens)))
+  def positionsInSortedSetCol(hashes: Column, set: Array[Long]): Column = {
+    var i = 1 // allocation-free ascending check, once per plan build
+    while (i < set.length) {
+      require(set(i - 1) <= set(i),
+        "positionsInSortedSet needs an ascending-sorted set (binary search)")
+      i += 1
+    }
+    GraftColumnBridge.column(
+      PositionsInSortedSetExpr(GraftColumnBridge.expression(hashes), set))
+  }
   def countInSortedSetCol(hashes: Column, set: Array[Long]): Column = {
     var i = 1 // allocation-free ascending check, once per plan build
     while (i < set.length) {

@@ -19,6 +19,11 @@ import org.apache.spark.sql.types._
   *    with exact cosine verification of in-bucket candidates
   *  - [[repeatedSpanStats]] cross-document repeated-span fractions
   *    (window-level substring dedup signal)
+  *  - [[removeRepeatedSpans]] the rewrite form: cut every
+  *    cross-document duplicated span out of every document
+  *  - [[removeRepeatedSpansAgainst]] / [[spanInventoryTable]] /
+  *    [[foldSpanInventory]] the incremental form: cut batch spans
+  *    already present in a persisted corpus inventory
   */
 object Dedup {
 
@@ -725,6 +730,217 @@ object Dedup {
       .filter(col("dup_frac") > maxDupFrac)
       .select(col(idCol))
     df.join(over, Seq(idCol), "left_anti")
+  }
+
+  /** Cross-document duplicated-span REMOVAL — the rewrite form of
+    * [[repeatedSpanStats]] (the ExactSubstr dedup of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499, at window granularity): every token covered by
+    * a `window`-token run whose hash occurs in at least `minDocs`
+    * distinct documents is CUT from every document carrying it, and
+    * the surviving tokens are rejoined. Output one row per input row:
+    * `(id, text_clean, n_tokens, removed_tokens, n_spans)` where
+    * `n_spans` counts the merged (overlapping/adjacent windows
+    * coalesced) removed spans. Shorter-than-`window` documents are one
+    * whole-run span — a short doc duplicated elsewhere empties out.
+    * NULL-text rows pass through (`text_clean` NULL, zero counts).
+    *
+    * Granularity and normalization caveats, deliberate and documented
+    * rather than hidden: (a) removal is window-resolution — a span is
+    * cut from its first covering window's start to its last covering
+    * window's end, so up to `window-1` tokens adjacent to a true
+    * duplicated run go with it (Lee et al. §4.1 make the same
+    * suffix-window over-approximation argument in reverse); (b)
+    * `text_clean` is rebuilt from whitespace-split tokens joined by
+    * single spaces — ORIGINAL case (tokenization boundaries are
+    * case-insensitive: Unicode lowercasing never creates or destroys
+    * whitespace, so the lowercased fingerprint tokens and the
+    * original-case output tokens align position-for-position), but
+    * whitespace shape is normalized, the same contract as every other
+    * token-space rewrite here.
+    *
+    * Everything is portable: hashes are the positional md5-prefix
+    * window hashes ([[graft.functions.TextHashExprs
+    * .positionalFingerprints]]), interval merging is pure integer
+    * arithmetic, and the battery oracle replays the whole rewrite —
+    * windows, shared-hash inventory, island merge, surviving-token
+    * reassembly — in SQL.
+    *
+    * Scale shape: signing is map-only fused into the scan,
+    * checkpointed once (inventory + rewrite both read it); the
+    * shared-hash inventory is one fp-keyed aggregation; the back-join
+    * keys on fp against one row per shared hash; duplicated positions
+    * roll up per document (sorted small arrays — a document carries at
+    * most `n_tokens` positions); the rewrite itself is pure column
+    * arithmetic over the position array, linear per document because
+    * the constant window width makes interval ends monotonic (no
+    * running max, no quadratic accumulate). No all-pairs stage; cost
+    * is linear in total windows, like [[repeatedSpanStats]]. */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                          window: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(window >= 1, s"window=$window must be >= 1")
+    require(minDocs >= 2,
+      s"minDocs=$minDocs must be >= 2 (every span occurs in its own document)")
+    val base = spanBase(df, idCol, textCol, window)
+      .localCheckpoint(eager = false) // read twice: inventory + rewrite
+    val wins = spanWins(base, idCol)
+    val shared = wins.groupBy(col("__fp"))
+      .agg(countDistinct(col(idCol)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select(col("__fp"))
+    cutSpans(base, wins, shared, idCol, textCol, window)
+  }
+
+  /** `(id, text, __tso, __fps)` signing frame shared by the batch and
+    * incremental span rewrites: original-case tokens for output
+    * reassembly, positional lowercased window hashes for matching. */
+  private def spanBase(df: DataFrame, idCol: String, textCol: String,
+                       window: Int): DataFrame =
+    df.select(col(idCol), col(textCol),
+      array_remove(split(trim(col(textCol)), "\\s+"), "").as("__tso"),
+      graft.functions.TextHashExprs
+        .positionalFingerprintsCol(tokens(col(textCol)), window).as("__fps"))
+
+  /** One `(id, __pos, __fp)` row per window of a [[spanBase]] frame. */
+  private def spanWins(base: DataFrame, idCol: String): DataFrame =
+    base.select(col(idCol), posexplode(col("__fps")).as(Seq("__pos", "__fp")))
+
+  /** The rewrite core: join each document's duplicated window
+    * positions (windows of `wins` whose `__fp` is in `shared`), merge
+    * them into spans, and cut. Pure column arithmetic after one
+    * fp-keyed join and one id-keyed rollup. */
+  private def cutSpans(base: DataFrame, wins: DataFrame, shared: DataFrame,
+                       idCol: String, textCol: String,
+                       window: Int): DataFrame = {
+    val dups = wins.join(shared.select(col("__fp")), Seq("__fp"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__pos"))).as("__dups"))
+    spanRewrite(base.join(dups, Seq(idCol), "left"), idCol, textCol, window)
+  }
+
+  /** Pure-column span cut over a frame carrying `(idCol, textCol,
+    * __tso, __dups)` — `__dups` the ascending duplicated window starts
+    * (NULL ⇒ none). No shuffle, no UDF; shared by the joining batch /
+    * incremental forms and the stateless [[removeSpansWithBank]]
+    * guard. */
+  private def spanRewrite(joined: DataFrame, idCol: String,
+                          textCol: String, window: Int): DataFrame = {
+    val n = size(col("__tso"))
+    val dp = coalesce(col("__dups"), array().cast("array<int>"))
+    // Constant window width ⇒ window ends are monotonic in their
+    // starts, so islands split exactly where the gap to the PREVIOUS
+    // position exceeds the width — no running max needed.
+    val ss = filter(dp, (p, i) =>
+      (i === 0) || (p > element_at(dp, i) + window))
+    val es = transform(
+      filter(dp, (p, i) =>
+        (i === size(dp) - 1) || (element_at(dp, i + 2) > p + window)),
+      p => least(p + window, n) - 1)
+    val m = size(ss)
+    // Survivors are the gaps between spans: gap i runs from span
+    // (i-1)'s end + 1 to span i's start - 1, with the document edges
+    // as sentinels.
+    val survived = flatten(transform(sequence(lit(0), m), i => {
+      val gs = when(i === 0, lit(0)).otherwise(element_at(es, i) + 1)
+      val ge = when(i === m, n - 1).otherwise(element_at(ss, i + 1) - 1)
+      when(ge >= gs, slice(col("__tso"), gs + 1, ge - gs + 1))
+        .otherwise(array().cast("array<string>"))
+    }))
+    joined.select(col(idCol),
+      when(col(textCol).isNull, lit(null).cast(StringType))
+        .otherwise(concat_ws(" ", survived)).as("text_clean"),
+      coalesce(n.cast(LongType), lit(0L)).as("n_tokens"),
+      coalesce((n - size(survived)).cast(LongType), lit(0L))
+        .as("removed_tokens"),
+      coalesce(m.cast(LongType), lit(0L)).as("n_spans"))
+  }
+
+  /** Persistable span-hash inventory of a corpus: one `(fp, docs)` row
+    * per distinct window hash with the number of distinct documents
+    * carrying it — the state [[removeRepeatedSpansAgainst]] matches
+    * new batches against (the same persisted-signature pattern as
+    * [[minHashSignTable]] / [[paragraphFpTable]]). ~12 bytes per
+    * distinct window after the map-side partial aggregation; one
+    * shuffle. */
+  def spanInventoryTable(df: DataFrame, idCol: String, textCol: String,
+                         window: Int = 8): DataFrame =
+    spanWins(spanBase(df, idCol, textCol, window), idCol)
+      .groupBy(col("__fp"))
+      .agg(countDistinct(col(idCol)).as("docs"))
+      .select(col("__fp").as("fp"), col("docs"))
+
+  /** Merge a processed batch into a persisted span inventory —
+    * read-back-and-union compaction, like [[foldParagraphFps]]: doc
+    * counts sum per hash. Overwrite the store with the result (write
+    * to a temp path first when overwriting in place). */
+  def foldSpanInventory(corpusInv: DataFrame, batch: DataFrame,
+                        idCol: String, textCol: String,
+                        window: Int = 8): DataFrame =
+    corpusInv.unionByName(spanInventoryTable(batch, idCol, textCol, window))
+      .groupBy(col("fp")).agg(sum(col("docs")).as("docs"))
+
+  /** A span inventory as a driver-side sorted hash array — the
+    * stateless-guard form for [[removeSpansWithBank]] and
+    * [[graft.streaming.StreamingOps.spanCutStream]]. The collect is
+    * bounded by the BANK size, the same small-side contract as
+    * [[Decontaminate.benchFingerprintSet]]: this is for curated span
+    * banks (license headers, cookie banners, navigation boilerplate —
+    * the C4-style known-boilerplate cut), NOT a full-corpus inventory;
+    * cutting against a corpus-sized inventory is the joining
+    * [[removeRepeatedSpansAgainst]]'s job. */
+  def spanBankSet(inv: DataFrame): Array[Long] =
+    inv.select(col("fp")).distinct().collect().map(_.getLong(0)).sorted
+
+  /** Stateless duplicated-span removal against a driver-built span
+    * bank ([[spanBankSet]]): every window whose hash is in the bank is
+    * cut, map-only — the bank rides into generated code as a sorted
+    * array probed by binary search, so there is no join, no shuffle
+    * and no state. Output schema matches [[removeRepeatedSpans]].
+    * Safe under Structured Streaming (see
+    * [[graft.streaming.StreamingOps.spanCutStream]]). */
+  def removeSpansWithBank(df: DataFrame, idCol: String, textCol: String,
+                          bank: Array[Long], window: Int = 8): DataFrame = {
+    require(window >= 1, s"window=$window must be >= 1")
+    val base = spanBase(df, idCol, textCol, window)
+    val marked = base.withColumn("__dups",
+      graft.functions.TextHashExprs
+        .positionsInSortedSetCol(col("__fps"), bank))
+    spanRewrite(marked, idCol, textCol, window)
+  }
+
+  /** Incremental duplicated-span removal: cut from each BATCH document
+    * every window whose hash either already exists in the persisted
+    * corpus inventory ([[spanInventoryTable]] — it is duplicated
+    * against the corpus regardless of batch multiplicity) or occurs in
+    * at least `minDocs` distinct batch documents (batch-internal
+    * duplication — so batch ∪ corpus sees exactly the spans the batch
+    * rewrite would, the same union semantics as
+    * [[dedupParagraphsAgainst]]). Output schema matches
+    * [[removeRepeatedSpans]].
+    *
+    * Scale shape: the batch signs map-only and checkpoints once; the
+    * batch-internal inventory is one fp aggregation; the corpus
+    * inventory contributes ONE fp-keyed semi-join (the inventory is
+    * pre-reduced to distinct hashes — corpus text is never re-read);
+    * rollup and rewrite as in the batch form. Cost is linear in batch
+    * windows + matched inventory rows, independent of corpus size. */
+  def removeRepeatedSpansAgainst(corpusInv: DataFrame, batch: DataFrame,
+                                 idCol: String, textCol: String,
+                                 window: Int = 8,
+                                 minDocs: Int = 2): DataFrame = {
+    require(window >= 1, s"window=$window must be >= 1")
+    require(minDocs >= 2,
+      s"minDocs=$minDocs must be >= 2 (every span occurs in its own document)")
+    val base = spanBase(batch, idCol, textCol, window)
+      .localCheckpoint(eager = false) // read twice: inventory + rewrite
+    val wins = spanWins(base, idCol)
+    val batchShared = wins.groupBy(col("__fp"))
+      .agg(countDistinct(col(idCol)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select(col("__fp"))
+    val corpusShared = corpusInv.select(col("fp").as("__fp")).distinct()
+    val shared = batchShared.unionByName(corpusShared).distinct()
+    cutSpans(base, wins, shared, idCol, textCol, window)
   }
 
   /** Paragraph fingerprints WITHOUT text: one (`idCol`, `__pos`,

@@ -276,6 +276,21 @@ object StreamingOps {
         lit(0)) < minHits)
   }
 
+  /** Streaming duplicated-span cut: rewrite each arriving document
+    * with every window whose hash is in the driver-built span BANK
+    * removed — map-only (the bank rides into generated code as a
+    * sorted array, binary-searched per window), so it fuses into the
+    * source scan with no stream join and no state. The bank is the
+    * curated-boilerplate contract of [[graft.pipeline.Dedup
+    * .spanBankSet]] (license headers, cookie banners — bounded),
+    * not a full-corpus inventory. Output schema matches the batch
+    * [[graft.pipeline.Dedup.removeRepeatedSpans]], so a fold-then-
+    * replay run admits one oracle. */
+  def spanCutStream(docs: DataFrame, idCol: String, textCol: String,
+                    bank: Array[Long], window: Int = 8): DataFrame =
+    graft.pipeline.Dedup.removeSpansWithBank(docs, idCol, textCol,
+      bank, window)
+
   /** Streaming curation: attach quality signals and keep rows above
     * threshold — map-only, fuses into the source scan incrementally. */
   def curateStream(docs: DataFrame, textCol: String,

@@ -190,6 +190,38 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
     } finally q.stop()
   }
 
+  "streaming span cut" should "rewrite arriving docs against a span bank map-only" in {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Dedup
+    val boiler = "this content is provided as is without warranty of any kind either express"
+    val bankSrc = Seq((300L, boiler)).toDF("doc_id", "text")
+    // the inventory keeps EVERY window hash (no minDocs gate) — a
+    // bank is a curated list, membership is the whole contract
+    val bank = Dedup.spanBankSet(
+      Dedup.spanInventoryTable(bankSrc, "doc_id", "text"))
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingOps.spanCutStream(
+      input.toDF.toDF("doc_id", "text"), "doc_id", "text", bank)
+    val q = out.writeStream.format("memory").queryName("spancut_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, s"unique leading words $boiler unique trailing words"),
+        (2L, "a clean document with no boilerplate in it at all today"))
+      q.processAllAvailable()
+      val rows = spark.table("spancut_out")
+        .select("doc_id", "text_clean", "removed_tokens", "n_spans")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      // 13-token boilerplate at positions 3..15: windows 3..8 are
+      // fully inside it; windows 0..2 and 9+ cross into unique text.
+      // Island [3, 8] → cut [3, min(8+8,19)-1=15]: exactly the
+      // boilerplate; both unique flanks survive.
+      rows(1L) shouldBe (("unique leading words unique trailing words", 13L, 1L))
+      rows(2L)._2 shouldBe 0L
+    } finally q.stop()
+  }
+
   "streaming near-dup" should "flag stream docs against a signed static corpus" in {
     implicit val sqlCtx = spark.sqlContext
     import graft.pipeline.Dedup
