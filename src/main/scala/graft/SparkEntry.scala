@@ -1906,6 +1906,15 @@ object SparkEntry {
       graft.pipeline.Dedup.removeSpansWithBank(
         docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text", bank)
     },
+    "q_span_topk" -> { (s, d) =>
+      // boilerplate miner: top-20 most-shared window spans with
+      // exemplar text (docs desc, fp asc — total order, so the k
+      // boundary is engine-independent); the inventory count never
+      // carries text, and only the 20 winners' text is materialized,
+      // via two broadcast joins
+      graft.pipeline.Dedup.topSharedSpans(
+        t(s, d, "documents"), "doc_id", "text", k = 20)
+    },
     "q_decontam_report" -> { (s, d) =>
       // eval-set decontamination: the benchmark is 12-token passages
       // extracted from every (doc_id % 97 == 0) document — eval
@@ -3813,6 +3822,38 @@ object SparkEntry {
         |  USING (doc_id)
         |LEFT JOIN (SELECT doc_id, count(*) AS nspans FROM spans GROUP BY doc_id)
         |  sp USING (doc_id)""".stripMargin,
+    "q_span_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                     x -> x <> '') AS ts
+        |  FROM documents WHERE text IS NOT NULL
+        |), wins AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |         CAST(('0x' || substr(md5(CASE WHEN len(ts) >= 8
+        |              THEN array_to_string(list_slice(ts, i, i + 7), ' ')
+        |              ELSE array_to_string(ts, ' ') END), 1, 8)) AS BIGINT) AS fp
+        |  FROM toks, UNNEST(generate_series(1,
+        |       CASE WHEN len(ts) >= 8 THEN len(ts) - 7
+        |            WHEN len(ts) > 0 THEN 1 ELSE 0 END)) AS u(i)
+        |), top AS (
+        |  SELECT fp, count(DISTINCT doc_id) AS docs
+        |  FROM wins GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+        |  ORDER BY docs DESC, fp ASC LIMIT 20
+        |), ex AS (
+        |  SELECT fp, doc_id, pos FROM (
+        |    SELECT w.fp, w.doc_id, w.pos,
+        |           row_number() OVER (PARTITION BY w.fp
+        |                              ORDER BY w.doc_id, w.pos) AS rn
+        |    FROM wins w JOIN top USING (fp)) WHERE rn = 1
+        |)
+        |SELECT t.fp, CAST(t.docs AS BIGINT) AS docs,
+        |       CASE WHEN len(k.ts) >= 8
+        |            THEN array_to_string(
+        |                   list_slice(k.ts, e.pos + 1, e.pos + 8), ' ')
+        |            ELSE array_to_string(k.ts, ' ') END AS span_text
+        |FROM top t JOIN ex e USING (fp) JOIN toks k ON k.doc_id = e.doc_id"""
+        .stripMargin,
     "q_decontam_report" -> decontamOracle(
       """SELECT t.doc_id, CAST(count(DISTINCT t.fp) AS BIGINT) AS hits,
         |       CAST(count(DISTINCT b.bench_id) AS BIGINT) AS bench_docs

@@ -24,6 +24,9 @@ import org.apache.spark.sql.types._
   *  - [[removeRepeatedSpansAgainst]] / [[spanInventoryTable]] /
   *    [[foldSpanInventory]] the incremental form: cut batch spans
   *    already present in a persisted corpus inventory
+  *  - [[topSharedSpans]] / [[spanBankSet]] / [[removeSpansWithBank]]
+  *    the curated-bank workflow: mine the most-shared boilerplate
+  *    spans, review, cut statelessly (batch or streaming)
   */
 object Dedup {
 
@@ -878,6 +881,61 @@ object Dedup {
                         window: Int = 8): DataFrame =
     corpusInv.unionByName(spanInventoryTable(batch, idCol, textCol, window))
       .groupBy(col("fp")).agg(sum(col("docs")).as("docs"))
+
+  /** Boilerplate miner: the `k` most-shared window spans of a corpus,
+    * WITH exemplar text — `(fp, docs, span_text)` ordered by
+    * distinct-document count descending. This is where a curated span
+    * BANK comes from: mine → human-review → [[spanBankSet]] →
+    * [[removeSpansWithBank]] / [[graft.streaming.StreamingOps
+    * .spanCutStream]] (the C4 workflow: find the cookie banners and
+    * license headers first, then cut them everywhere, including on
+    * streams).
+    *
+    * Deterministic: ties in `docs` break by `fp` ascending; the
+    * exemplar is the corpus-minimum `(id, pos)` occurrence, so the
+    * emitted text is a pure function of the data (and lowercased —
+    * window hashes are computed over lowercased tokens, and the
+    * exemplar must render WHAT WAS HASHED, not one carrier's
+    * casing).
+    *
+    * Scale shape: the inventory count never carries text (12-byte
+    * rows); only the top-k hashes — k rows — join back, twice, each
+    * time as a BROADCAST against the (id, pos, fp) window stream and
+    * the token arrays, so the text of exactly k windows is ever
+    * materialized. No sort of the full inventory: the top-k is a
+    * TakeOrdered over the count table. */
+  def topSharedSpans(df: DataFrame, idCol: String, textCol: String,
+                     window: Int = 8, k: Int = 20,
+                     minDocs: Int = 2): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(minDocs >= 2,
+      s"minDocs=$minDocs must be >= 2 (every span occurs in its own document)")
+    val base = spanBase(df, idCol, textCol, window)
+      .localCheckpoint(eager = false) // read twice: inventory + exemplar
+    val wins = spanWins(base, idCol)
+    val top = wins.groupBy(col("__fp"))
+      .agg(countDistinct(col(idCol)).as("docs"))
+      .filter(col("docs") >= minDocs)
+      .orderBy(col("docs").desc, col("__fp").asc)
+      .limit(k)
+    // corpus-minimum occurrence of each top hash → exemplar (id, pos)
+    val exemplar = wins.join(broadcast(top.select(col("__fp"))), Seq("__fp"))
+      .groupBy(col("__fp"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__occ"))
+      .select(col("__fp"), col(s"__occ.$idCol").as(idCol),
+        col("__occ.__pos").as("__pos"))
+    // render the window from the exemplar doc's LOWERCASED tokens
+    // (what the hash was computed over); shorter-than-window docs are
+    // one whole-run span
+    val n = size(col("__ts"))
+    val toks = base.select(col(idCol), tokens(col(textCol)).as("__ts"))
+    toks.join(broadcast(exemplar.join(top, Seq("__fp"))), Seq(idCol))
+      .select(col("__fp").as("fp"), col("docs"),
+        concat_ws(" ",
+          when(n >= window, slice(col("__ts"), col("__pos") + 1, lit(window)))
+            .otherwise(col("__ts"))).as("span_text"))
+      .orderBy(col("docs").desc, col("fp").asc) // k-row output sort
+  }
 
   /** A span inventory as a driver-side sorted hash array — the
     * stateless-guard form for [[removeSpansWithBank]] and

@@ -141,6 +141,37 @@ class RemoveSpansSpec extends AnyFlatSpec with Matchers {
     m.values.map(_._3).sum shouldBe 0L
   }
 
+  "topSharedSpans" should "mine exactly the planted boilerplate with exemplar text" in {
+    val out = Dedup.topSharedSpans(docs, "doc_id", "text", k = 10)
+      .collect().map(r => (r.getAs[Long]("docs"), r.getAs[String]("span_text")))
+    out.length shouldBe 4 // 3 shared-sentence windows + 1 whole-run twin
+    out.foreach(_._1 shouldBe 2L)
+    val sharedToks = shared.split(" ")
+    val expected = (0 to 2).map(i =>
+      sharedToks.slice(i, i + 8).mkString(" ")).toSet + "tiny pair of documents"
+    out.map(_._2).toSet shouldBe expected
+  }
+
+  it should "order by share count with deterministic ties and honor k" in {
+    val out = Dedup.topSharedSpans(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getAs[Long]("fp"), r.getAs[Long]("docs")))
+    out.length shouldBe 2
+    // all counts tie at 2 → the two smallest fps win, ascending
+    out.map(_._1).toSeq shouldBe out.map(_._1).toSeq.sorted
+  }
+
+  it should "feed spanBankSet: mined spans cut everywhere" in {
+    // mine the boilerplate, bank ONLY the whole-run twin span, cut:
+    // docs 4/5 empty out, the shared sentence survives (not banked)
+    val mined = Dedup.topSharedSpans(docs, "doc_id", "text", k = 10)
+      .filter($"span_text" === "tiny pair of documents")
+      .select($"fp").collect().map(_.getLong(0)).sorted
+    val m = rows(Dedup.removeSpansWithBank(docs, "doc_id", "text", mined))
+    m(4L) shouldBe (("", 4L, 4L, 1L))
+    m(5L) shouldBe (("", 4L, 4L, 1L))
+    m(1L)._3 shouldBe 0L // shared sentence NOT banked → untouched
+  }
+
   "foldSpanInventory" should "sum doc counts per hash" in {
     val a = docs.filter($"doc_id".isin(1L, 3L))
     val b = docs.filter($"doc_id".isin(2L, 4L, 5L))
