@@ -2053,6 +2053,31 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"),
         graft.pipeline.TextAnalysis.langIdCt(input).as("lang_pred"))
     },
+    "q_text_langid_score" -> { (s, d) =>
+      // the scored variant: same inputs as q_text_langid_ct, but the
+      // gate's raw evidence comes out with the label — (best_dist,
+      // second_dist, k) integers, so a pipeline can route on margin
+      // and the oracle replays every field with zero rounding
+      import graft.functions.LangIdExprs
+      val n = LangIdExprs.languages.length
+      val nOut = LangIdExprs.outOfSetProbes.length
+      val seedArr = array((0 until n).flatMap(li =>
+        (0 until 2).map(vi => lit(LangIdExprs.seedText(li, vi)))): _*)
+      val outArr = array(LangIdExprs.outOfSetProbes.map(p => lit(p._2)): _*)
+      val idx = ((col("doc_id") % n) * 2 +
+        expr(s"doc_id DIV $n") % 2 + 1).cast("int")
+      val outIdx = (expr(s"doc_id DIV 17") % nOut + 1).cast("int")
+      val input = when(col("doc_id") % 17 === 0, element_at(outArr, outIdx))
+        .otherwise(concat(element_at(seedArr, idx), lit(" "),
+          substring(lower(trim(col("text"))), 1, 60)))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.pipeline.TextAnalysis.langIdCtScored(input).as("sc"))
+        .select(col("doc_id"), col("sc.lang").as("lang_pred"),
+          col("sc.best_dist").as("best_dist"),
+          col("sc.second_dist").as("second_dist"),
+          col("sc.k").cast("long").as("k"))
+    },
     "q_embed_norm" -> { (s, d) =>
       // L2 normalization, exploded so the oracle compares one value
       // per (vector, position)
@@ -4324,6 +4349,66 @@ object SparkEntry {
          |              OR (r2.dist - r1.dist) * 1000
          |                   < ${L.UndMarginPerMille} * kk.k * ${L.ProfileSize}
          |            THEN 'und' ELSE r1.lang END AS lang_pred
+         |FROM ranked r1
+         |JOIN ranked r2 ON r2.doc_id = r1.doc_id AND r2.rn = 2
+         |JOIN kk ON kk.doc_id = r1.doc_id
+         |WHERE r1.rn = 1""".stripMargin
+    },
+    "q_text_langid_score" -> {
+      val L = graft.functions.LangIdExprs
+      val n = L.languages.length
+      s"""WITH prof(lang, g, r) AS (VALUES ${L.profilesSqlValues}),
+         |seeds(lidx, vidx, txt) AS (VALUES ${L.seedsSqlValues}),
+         |outp(oidx, txt) AS (VALUES ${L.outOfSetSqlValues}),
+         |inp AS (
+         |  SELECT d.doc_id,
+         |         CASE WHEN d.doc_id % 17 = 0 THEN o.txt
+         |              ELSE s.txt || ' ' || substr(lower(trim(d.text)), 1, 60)
+         |         END AS t
+         |  FROM documents d JOIN seeds s
+         |    ON s.lidx = d.doc_id % $n AND s.vidx = (d.doc_id // $n) % 2
+         |  LEFT JOIN outp o
+         |    ON d.doc_id % 17 = 0
+         |   AND o.oidx = (d.doc_id // 17) % ${L.outOfSetProbes.length}
+         |), padded AS (
+         |  SELECT doc_id, '_' || w || '_' AS p
+         |  FROM (SELECT doc_id, unnest(list_filter(
+         |          regexp_split_to_array(lower(t), '\\s+'), x -> x <> '')) AS w
+         |        FROM inp)
+         |), grams AS (
+         |  SELECT doc_id, unnest(flatten(list_transform([1, 2, 3], nn ->
+         |    list_transform(generate_series(1, length(p) - nn + 1), i ->
+         |      substr(p, i, nn))))) AS g
+         |  FROM padded
+         |), docprof AS (
+         |  SELECT doc_id, g,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY count(*) DESC, md5(g) ASC) AS i
+         |  FROM grams GROUP BY doc_id, g
+         |  QUALIFY i <= ${L.ProfileSize}
+         |), dist AS (
+         |  SELECT dp.doc_id, l.lang,
+         |         sum(coalesce(abs(dp.i - pr.r), ${L.ProfileSize})) AS dist
+         |  FROM docprof dp
+         |  CROSS JOIN (SELECT DISTINCT lang FROM prof) l
+         |  LEFT JOIN prof pr ON pr.lang = l.lang AND pr.g = dp.g
+         |  GROUP BY 1, 2
+         |), ranked AS (
+         |  SELECT doc_id, lang, dist,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY dist ASC, lang ASC) AS rn
+         |  FROM dist
+         |), kk AS (
+         |  SELECT doc_id, max(i) AS k FROM docprof GROUP BY doc_id
+         |)
+         |SELECT r1.doc_id,
+         |       CASE WHEN r1.dist * 100 > ${L.UndDistPct} * kk.k * ${L.ProfileSize}
+         |              OR (r2.dist - r1.dist) * 1000
+         |                   < ${L.UndMarginPerMille} * kk.k * ${L.ProfileSize}
+         |            THEN 'und' ELSE r1.lang END AS lang_pred,
+         |       CAST(r1.dist AS BIGINT) AS best_dist,
+         |       CAST(r2.dist AS BIGINT) AS second_dist,
+         |       CAST(kk.k AS BIGINT) AS k
          |FROM ranked r1
          |JOIN ranked r2 ON r2.doc_id = r1.doc_id AND r2.rn = 2
          |JOIN kk ON kk.doc_id = r1.doc_id

@@ -360,6 +360,39 @@ object LangIdExprs {
     (ranked.length, dists)
   }
 
+  /** [[classify]] with the evidence attached: `(lang, best_dist,
+    * second_dist, k)` — the raw integers the `und` gate compares, so
+    * a curation pipeline can route on margin (e.g. quarantine
+    * low-margin docs instead of trusting the label) and an external
+    * engine can replay every field exactly (no floating-point
+    * normalization; consumers divide by `k * ProfileSize` themselves
+    * if they want a score in [0, 1]). Token-free input → (`und`, 0,
+    * 0, 0). */
+  def classifyScored(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    def row(lang: UTF8String, b: Long, s: Long, k: Int) =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](lang, b, s, k))
+    if (text == null) return row(UndU8, 0L, 0L, 0)
+    val (k, dists) = distancesFor(text.toString)
+    if (k == 0) return row(UndU8, 0L, 0L, 0)
+    var bestIdx = 0
+    var secondDist = Long.MaxValue
+    var l = 1
+    while (l < dists.length) {
+      val d = dists(l)
+      if (d < dists(bestIdx)) { secondDist = dists(bestIdx); bestIdx = l }
+      else if (d < secondDist) secondDist = d
+      l += 1
+    }
+    val bestDist = dists(bestIdx)
+    val kp = k.toLong * ProfileSize
+    val lang =
+      if (bestDist * 100L > UndDistPct * kp ||
+          (secondDist - bestDist) * 1000L < UndMarginPerMille * kp) UndU8
+      else langU8(bestIdx)
+    row(lang, bestDist, secondDist, k)
+  }
+
   case class LangIdCtExpr(child: Expression) extends UnaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
       child.dataType match {
@@ -379,8 +412,38 @@ object LangIdExprs {
       copy(child = newChild)
   }
 
+  case class LangIdCtScoreExpr(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects string, got $other")
+      }
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("lang", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("best_dist",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("second_dist",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    override def prettyName: String = "lang_id_ct_score"
+    override def nullSafeEval(s: Any): Any =
+      classifyScored(s.asInstanceOf[UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => s"""
+        |${ev.value} = graft.functions.LangIdExprs.classifyScored($a);
+        """.stripMargin)
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   def langIdCtCol(text: Column): Column =
     GraftColumnBridge.column(LangIdCtExpr(GraftColumnBridge.expression(text)))
+
+  def langIdCtScoreCol(text: Column): Column =
+    GraftColumnBridge.column(
+      LangIdCtScoreExpr(GraftColumnBridge.expression(text)))
 
   private def sqlQuote(s: String): String = "'" + s.replace("'", "''") + "'"
 

@@ -94,6 +94,12 @@ object TextAnalysis {
   def langIdCt(text: Column): Column =
     graft.functions.LangIdExprs.langIdCtCol(text)
 
+  /** [[langIdCt]] with the gate's evidence attached: struct
+    * `(lang, best_dist, second_dist, k)` — route on margin instead of
+    * trusting the label blindly. */
+  def langIdCtScored(text: Column): Column =
+    graft.functions.LangIdExprs.langIdCtScoreCol(text)
+
   /** Gopher-style repetition/layout quality signals (Rae et al.,
     * arXiv:2112.11446 §A1.1) as ONE native codegen'd expression call:
     * struct {n_lines, dup_line_frac, dup_line_char_frac,

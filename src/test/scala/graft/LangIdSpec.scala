@@ -155,6 +155,30 @@ class LangIdSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "agree with the scored variant and expose a sane margin" in {
+    import org.apache.spark.unsafe.types.UTF8String
+    val L = graft.functions.LangIdExprs
+    for ((_, text) <- probes) {
+      val u = UTF8String.fromString(text)
+      val row = L.classifyScored(u)
+      // the label is THE label — scored must never diverge from classify
+      row.getUTF8String(0) shouldBe L.classify(u)
+      val (best, second, k) =
+        (row.getLong(1), row.getLong(2), row.getInt(3))
+      k should be > 0
+      best should be <= second
+      second should be <= (k.toLong * L.ProfileSize * L.languages.length)
+      // in-set probes sit well under the distance gate with real margin
+      best * 100 should be <= (L.UndDistPct.toLong * k * L.ProfileSize)
+      (second - best) * 1000 should be >=
+        (L.UndMarginPerMille.toLong * k * L.ProfileSize)
+    }
+    // token-free input → the zero row
+    val z = L.classifyScored(UTF8String.fromString("   "))
+    z.getUTF8String(0).toString shouldBe "und"
+    (z.getLong(1), z.getLong(2), z.getInt(3)) shouldBe ((0L, 0L, 0))
+  }
+
   it should "hold profile invariants: size cap, 1-based dense ranks, BMP-only" in {
     LangIdExprs.profiles.size shouldBe LangIdExprs.languages.size
     for ((lang, prof) <- LangIdExprs.profiles) {
