@@ -208,6 +208,12 @@ object GraftFunctions {
           "CJK script classes); 'und' for empty input",
         { args => arity("lang_id_ct", 1, args)
           LangIdExprs.LangIdCtExpr(args(0)) }),
+      ("lang_id_ct_score",
+        "lang_id_ct_score(text) - lang_id_ct with the und gate's raw " +
+          "evidence: struct(lang, best_dist, second_dist, k); route " +
+          "on margin instead of trusting the label",
+        { args => arity("lang_id_ct_score", 1, args)
+          LangIdExprs.LangIdCtScoreExpr(args(0)) }),
       ("parse_ntriple",
         "parse_ntriple(line, permissive) - 0/1-element array of quad structs " +
           "from one N-Triples/N-Quads line; explode it (permissive: drop " +

@@ -215,6 +215,12 @@ class LangIdSpec extends AnyFlatSpec with Matchers {
       "SELECT expected, lang_id_ct(text) AS got FROM langid_probes")
       .collect().map(r => (r.getString(0), r.getString(1)))
     viaSql.foreach { case (e, g) => g shouldBe e }
+    // the scored SQL function agrees with the plain one on the label
+    val viaScore = spark.sql(
+      "SELECT expected, lang_id_ct_score(text).lang AS got," +
+        " lang_id_ct_score(text).k AS k FROM langid_probes")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    viaScore.foreach { case (e, g, k) => g shouldBe e; k should be > 0 }
   }
 
   it should "stay map-only: no exchange, no UDF in the plan" in {
