@@ -502,7 +502,7 @@ object SparkEntry {
       // http_payload → HTML strip → clean → n-gram langid (und
       // gate) → exact content dedup → per-language corpus report,
       // every stage replayed by the oracle from the same committed
-      // constants. The crawl mixes the 13 seed languages plus
+      // constants. The crawl mixes all the seed languages plus
       // out-of-set-script pages (every 17th → und), and every page
       // with doc_id % 7 == 3 is ALSO fetched at a mirror URL with
       // identical content — the dedup stage must collapse the
@@ -2047,9 +2047,14 @@ object SparkEntry {
       // every 17th doc draws an out-of-set-script probe (pure, no doc
       // slice) — exercises the und rejection gate end-to-end
       val outIdx = (expr(s"doc_id DIV 17") % nOut + 1).cast("int")
+      // NULL text coalesces to '' on BOTH sides so the row is kept
+      // consistently (Spark concat and DuckDB || both propagate NULL,
+      // but the oracle's inner joins would then DROP the row while
+      // Spark keeps it; a bare IS NOT NULL filter would instead lose
+      // the %17 probe rows, which use no doc text at all)
       val input = when(col("doc_id") % 17 === 0, element_at(outArr, outIdx))
         .otherwise(concat(element_at(seedArr, idx), lit(" "),
-          substring(lower(trim(col("text"))), 1, 60)))
+          substring(lower(trim(coalesce(col("text"), lit("")))), 1, 60)))
       t(s, d, "documents").select(col("doc_id"),
         graft.pipeline.TextAnalysis.langIdCt(input).as("lang_pred"))
     },
@@ -2069,7 +2074,7 @@ object SparkEntry {
       val outIdx = (expr(s"doc_id DIV 17") % nOut + 1).cast("int")
       val input = when(col("doc_id") % 17 === 0, element_at(outArr, outIdx))
         .otherwise(concat(element_at(seedArr, idx), lit(" "),
-          substring(lower(trim(col("text"))), 1, 60)))
+          substring(lower(trim(coalesce(col("text"), lit("")))), 1, 60)))
       t(s, d, "documents")
         .select(col("doc_id"),
           graft.pipeline.TextAnalysis.langIdCtScored(input).as("sc"))
@@ -4306,7 +4311,7 @@ object SparkEntry {
          |inp AS (
          |  SELECT d.doc_id,
          |         CASE WHEN d.doc_id % 17 = 0 THEN o.txt
-         |              ELSE s.txt || ' ' || substr(lower(trim(d.text)), 1, 60)
+         |              ELSE s.txt || ' ' || substr(lower(trim(coalesce(d.text, ''))), 1, 60)
          |         END AS t
          |  FROM documents d JOIN seeds s
          |    ON s.lidx = d.doc_id % $n AND s.vidx = (d.doc_id // $n) % 2
@@ -4363,7 +4368,7 @@ object SparkEntry {
          |inp AS (
          |  SELECT d.doc_id,
          |         CASE WHEN d.doc_id % 17 = 0 THEN o.txt
-         |              ELSE s.txt || ' ' || substr(lower(trim(d.text)), 1, 60)
+         |              ELSE s.txt || ' ' || substr(lower(trim(coalesce(d.text, ''))), 1, 60)
          |         END AS t
          |  FROM documents d JOIN seeds s
          |    ON s.lidx = d.doc_id % $n AND s.vidx = (d.doc_id // $n) % 2

@@ -313,6 +313,14 @@ object LangIdExprs {
     if (text == null) return UndU8
     val (k, dists) = distancesFor(text.toString)
     if (k == 0) return UndU8
+    gate(k, dists)._1
+  }
+
+  /** The ONE best/second scan + `und` cutoff shared by [[classify]]
+    * and [[classifyScored]] — `(label, best_dist, second_dist)`. A
+    * gate-constant or tie-handling tweak lands in both entry points
+    * by construction (they used to duplicate this block verbatim). */
+  private def gate(k: Int, dists: Array[Long]): (UTF8String, Long, Long) = {
     var bestIdx = 0
     var secondDist = Long.MaxValue
     var l = 1
@@ -324,9 +332,11 @@ object LangIdExprs {
     }
     val bestDist = dists(bestIdx)
     val kp = k.toLong * ProfileSize
-    if (bestDist * 100L > UndDistPct * kp ||
-        (secondDist - bestDist) * 1000L < UndMarginPerMille * kp) UndU8
-    else langU8(bestIdx)
+    val lang =
+      if (bestDist * 100L > UndDistPct * kp ||
+          (secondDist - bestDist) * 1000L < UndMarginPerMille * kp) UndU8
+      else langU8(bestIdx)
+    (lang, bestDist, secondDist)
   }
 
   /** Doc-profile length `k` and the out-of-place distances in
@@ -375,21 +385,7 @@ object LangIdExprs {
     if (text == null) return row(UndU8, 0L, 0L, 0)
     val (k, dists) = distancesFor(text.toString)
     if (k == 0) return row(UndU8, 0L, 0L, 0)
-    var bestIdx = 0
-    var secondDist = Long.MaxValue
-    var l = 1
-    while (l < dists.length) {
-      val d = dists(l)
-      if (d < dists(bestIdx)) { secondDist = dists(bestIdx); bestIdx = l }
-      else if (d < secondDist) secondDist = d
-      l += 1
-    }
-    val bestDist = dists(bestIdx)
-    val kp = k.toLong * ProfileSize
-    val lang =
-      if (bestDist * 100L > UndDistPct * kp ||
-          (secondDist - bestDist) * 1000L < UndMarginPerMille * kp) UndU8
-      else langU8(bestIdx)
+    val (lang, bestDist, secondDist) = gate(k, dists)
     row(lang, bestDist, secondDist, k)
   }
 

@@ -967,19 +967,20 @@ object Dedup {
   }
 
   /** Incremental duplicated-span removal: cut from each BATCH document
-    * every window whose hash either already exists in the persisted
-    * corpus inventory ([[spanInventoryTable]] — it is duplicated
-    * against the corpus regardless of batch multiplicity) or occurs in
-    * at least `minDocs` distinct batch documents (batch-internal
-    * duplication — so batch ∪ corpus sees exactly the spans the batch
-    * rewrite would, the same union semantics as
-    * [[dedupParagraphsAgainst]]). Output schema matches
-    * [[removeRepeatedSpans]].
+    * every window whose hash occurs in at least `minDocs` distinct
+    * documents of batch ∪ corpus — the batch contributes its own
+    * distinct-document count, the persisted inventory
+    * ([[spanInventoryTable]]) its `docs` column (absent hash ⇒ 0),
+    * and the two SUM per hash (batch ids are new by the incremental
+    * contract, the same disjointness assumption as
+    * [[dedupParagraphsAgainst]]) — so batch ∪ corpus sees exactly the
+    * spans the batch rewrite would, at every `minDocs`, not just the
+    * default 2. Output schema matches [[removeRepeatedSpans]].
     *
     * Scale shape: the batch signs map-only and checkpoints once; the
     * batch-internal inventory is one fp aggregation; the corpus
-    * inventory contributes ONE fp-keyed semi-join (the inventory is
-    * pre-reduced to distinct hashes — corpus text is never re-read);
+    * inventory contributes ONE fp-keyed left join carrying only its
+    * 12-byte `(fp, docs)` rows — corpus text is never re-read;
     * rollup and rewrite as in the batch form. Cost is linear in batch
     * windows + matched inventory rows, independent of corpus size. */
   def removeRepeatedSpansAgainst(corpusInv: DataFrame, batch: DataFrame,
@@ -992,12 +993,13 @@ object Dedup {
     val base = spanBase(batch, idCol, textCol, window)
       .localCheckpoint(eager = false) // read twice: inventory + rewrite
     val wins = spanWins(base, idCol)
-    val batchShared = wins.groupBy(col("__fp"))
-      .agg(countDistinct(col(idCol)).as("__docs"))
-      .filter(col("__docs") >= minDocs)
+    val batchCounts = wins.groupBy(col("__fp"))
+      .agg(countDistinct(col(idCol)).as("__bdocs"))
+    val corpusCounts = corpusInv
+      .select(col("fp").as("__fp"), col("docs").cast(LongType).as("__cdocs"))
+    val shared = batchCounts.join(corpusCounts, Seq("__fp"), "left")
+      .filter(col("__bdocs") + coalesce(col("__cdocs"), lit(0L)) >= minDocs)
       .select(col("__fp"))
-    val corpusShared = corpusInv.select(col("fp").as("__fp")).distinct()
-    val shared = batchShared.unionByName(corpusShared).distinct()
     cutSpans(base, wins, shared, idCol, textCol, window)
   }
 
