@@ -214,6 +214,20 @@ object GraftFunctions {
           "on margin instead of trusting the label",
         { args => arity("lang_id_ct_score", 1, args)
           LangIdExprs.LangIdCtScoreExpr(args(0)) }),
+      ("quality_model_score",
+        "quality_model_score(text) - trained hashed-n-gram Naive Bayes " +
+          "quality score under the committed seed model: struct(score, " +
+          "n_grams); keep score > 0 (quality_score stays the rule-based " +
+          "heuristic - this is the trained scorer beside it)",
+        { args => arity("quality_model_score", 1, args)
+          QualityExprs.QualityScoreExpr(args(0),
+            QualityExprs.defaultWeights) }),
+      ("quality_grams",
+        "quality_grams(text) - hashed unigram+bigram feature buckets " +
+          "(array<int>, with multiplicity) - the quality model's " +
+          "training featurizer; explode + aggregate to train",
+        { args => arity("quality_grams", 1, args)
+          QualityExprs.GramBucketsExpr(args(0)) }),
       ("parse_ntriple",
         "parse_ntriple(line, permissive) - 0/1-element array of quad structs " +
           "from one N-Triples/N-Quads line; explode it (permissive: drop " +
