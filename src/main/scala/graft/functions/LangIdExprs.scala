@@ -134,6 +134,21 @@ object LangIdExprs {
   val UndDistPct = 95
   val UndMarginPerMille = 5
 
+  /** Margin band for QUARANTINE routing (round 16): a document whose
+    * label survived the `und` gate but whose best/second margin is
+    * below this (margin·1000 < QuarMarginPerMille·k·ProfileSize, the
+    * same integer-exact form as the gate) should not be TRUSTED into a
+    * per-language corpus — route it to a quarantine stratum for the
+    * scored review the Latin long tail needs (LangIdExprs.scala gate
+    * scaladoc: out-of-set Latin languages can classify under the
+    * cutoff; the margin is exactly where they give themselves away).
+    * Calibrated like the gate constants (q_warc_e2e_scored fixture,
+    * 282 pages): clean single-language crawl pages measure margin
+    * ≥ 52.4‰ of k·200; deliberate 50/50 Spanish/Portuguese mixtures
+    * measure ≤ 9.8‰ (13 of 22 fall under the 5‰ und gate outright);
+    * 20‰ splits the bands with ≥ 2.5× headroom on both sides. */
+  val QuarMarginPerMille = 20
+
   /** Per-thread digest + nibble-table hex: `classify` hashes n-grams
     * on the per-row hot path, and a fresh `MessageDigest.getInstance`
     * plus 16 `String.format` calls per gram was the round-14 battery's

@@ -179,6 +179,30 @@ class LangIdSpec extends AnyFlatSpec with Matchers {
     (z.getLong(1), z.getLong(2), z.getInt(3)) shouldBe ((0L, 0L, 0))
   }
 
+  it should "put deliberate language mixtures inside the quarantine band" in {
+    // the QuarMarginPerMille routing contract (q_warc_e2e_scored):
+    // a 50/50 mixture of two close Latin languages must measure a
+    // margin BELOW the quarantine cutoff, while every single-language
+    // held-out probe measures ABOVE it — the band split the fixture
+    // calibration found (mixtures ≤ 9.8‰, clean pages ≥ 52.4‰)
+    import org.apache.spark.unsafe.types.UTF8String
+    val L = graft.functions.LangIdExprs
+    def marginPerMille(text: String): Double = {
+      val row = L.classifyScored(UTF8String.fromString(text))
+      val k = row.getInt(3)
+      k should be > 0
+      (row.getLong(2) - row.getLong(1)) * 1000.0 / (k.toLong * L.ProfileSize)
+    }
+    val es = L.seedText(L.languages.indexOf("es"), 0)
+    val pt = L.seedText(L.languages.indexOf("pt"), 0)
+    val mix = es.substring(0, 70) + " " + pt.substring(0, 70)
+    marginPerMille(mix) should be < L.QuarMarginPerMille.toDouble
+    for ((lang, text) <- probes)
+      withClue(s"clean $lang probe must NOT quarantine: ") {
+        marginPerMille(text) should be >= L.QuarMarginPerMille.toDouble
+      }
+  }
+
   it should "hold profile invariants: size cap, 1-based dense ranks, BMP-only" in {
     LangIdExprs.profiles.size shouldBe LangIdExprs.languages.size
     for ((lang, prof) <- LangIdExprs.profiles) {
