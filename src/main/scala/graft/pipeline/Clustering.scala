@@ -157,4 +157,128 @@ object Clustering {
       .select(col("__id").as("idA"), col("__nxt").as("idB"))
     assignComponents(df, idCol, lshPairs.union(exactPairs))
   }
+
+  // ----- semantic dedup (SemDeDup) -----
+
+  /** SemDeDup-style semantic dedup (Abbas et al., "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication",
+    * arXiv:2303.09540): cluster-then-prune over an embedding column.
+    * assign each vector to its nearest centroid (the semantic
+    * cluster) → cosine candidate pairs WITHIN the cluster → connected
+    * components → keep the component minimum as the canonical copy.
+    * Output one row per non-NULL-embedding input row:
+    * `(id, cluster, component, keep)`.
+    *
+    * Deliberate, documented divergences from the paper, both on the
+    * side of determinism and scale:
+    *  - the survivor is the component's MINIMUM id (the paper keeps a
+    *    low-centroid-similarity exemplar; min-id is a pure function of
+    *    the data — the [[Dedup.exact]] reproducible-corpus contract);
+    *  - in-cluster candidate generation is RHP-bucketed
+    *    (`(cluster, signature)` keys), never all-pairs: the paper's
+    *    dense within-cluster similarity matrix is quadratic in cluster
+    *    size, which a skewed web corpus cannot afford — near-identical
+    *    vectors almost always share the short signature, and
+    *    `maxBucketSize` caps the residual quadratic work exactly like
+    *    the LSH families ([[Dedup.embeddingCandidates]]) —
+    *    `numPlanes = 0` disables sub-bucketing for the paper-exact
+    *    all-pairs-within-cluster regime, affordable only on small or
+    *    capped clusters;
+    *  - pairs never cross clusters (that IS the paper's design — and
+    *    its approximation: a near-dup pair split by the centroid
+    *    boundary survives; SemanticDedupSpec plants that decoy).
+    *
+    * Scale shape: assignment and signatures are one map-only pass;
+    * candidates are one `(cluster, bucket)` self-join; verification
+    * joins vectors back by id; components are the O(log² n) star
+    * rounds of [[connectedComponents]]. Use
+    * [[graft.pipeline.Ivf.trainCentroids]] for the centroid matrix. */
+  def semanticDedup(df: DataFrame, idCol: String, embCol: String,
+                    centroids: Seq[Seq[Double]], threshold: Double = 0.95,
+                    numPlanes: Int = 8,
+                    maxBucketSize: Int = 100000): DataFrame =
+    semanticDedupWith(df, idCol, embCol, centroids,
+      if (numPlanes == 0) Nil
+      else Dedup.hyperplanes(numPlanes, centroids.head.size), threshold,
+      maxBucketSize)
+
+  /** ±1 centroid matrix derived from md5 bits (salt `"sc:<c>:<i>"` —
+    * disjoint from the `"p:i"` plane family), the assignment analogue
+    * of [[Dedup.portableHyperplanes]]: ±1 × float dot products are
+    * exact in double and all centroids share one norm, so any engine
+    * re-derives the exact argmax-dot cluster of every vector. */
+  def portableSemanticCentroids(k: Int, dim: Int): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until k).map { c =>
+      (0 until dim).map { i =>
+        val d = md.digest(s"sc:$c:$i".getBytes("UTF-8"))
+        if ((d(0) & 1) == 1) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** The ±1 centroid matrix as SQL list literals for the oracle. */
+  def portableSemanticCentroidLiterals(k: Int, dim: Int): Seq[String] =
+    portableSemanticCentroids(k, dim).map(
+      _.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]"))
+
+  /** [[semanticDedup]] with the fully replayable hash family: ±1
+    * centroids ([[portableSemanticCentroids]]), ±1 candidate planes
+    * ([[Dedup.portableHyperplanes]]), uncapped buckets and 6-decimal
+    * cosine — the semantic-dedup family's end-to-end hash-checked
+    * form (assignment, buckets, pairs, cosines and components all
+    * re-derivable by an external SQL engine). */
+  def portableSemanticDedup(df: DataFrame, idCol: String, embCol: String,
+                            dim: Int, numCentroids: Int = 8,
+                            threshold: Double = 0.2,
+                            numPlanes: Int = 4): DataFrame =
+    semanticDedupWith(df, idCol, embCol,
+      portableSemanticCentroids(numCentroids, dim),
+      Dedup.portableHyperplanes(numPlanes, dim), threshold,
+      maxBucketSize = 0)
+
+  private def semanticDedupWith(df: DataFrame, idCol: String,
+                                embCol: String,
+                                centroids: Seq[Seq[Double]],
+                                planes: Seq[Seq[Double]],
+                                threshold: Double,
+                                maxBucketSize: Int): DataFrame = {
+    // NULL embeddings carry no semantics to dedup on — same contract
+    // as the candidate generators (and a NULL would poison
+    // nearestCentroid's dim check)
+    val base = df.select(col(idCol).as("__sid"), col(embCol).as("__emb"))
+      .filter(col("__emb").isNotNull)
+    val assigned = base.withColumn("__cluster",
+      graft.functions.VectorExprs.nearestCentroid(col("__emb"), centroids))
+      .localCheckpoint(eager = false) // sig join + verify + output read it
+    // an empty plane matrix = no sub-bucketing: the paper-exact
+    // all-pairs-within-cluster regime, affordable only under a cap or
+    // on small clusters
+    val bucketCol =
+      if (planes.isEmpty) lit(0L)
+      else graft.functions.VectorExprs.rhpSignature(col("__emb"), planes)
+    val sigs = Dedup.capBuckets(
+      assigned.select(col("__sid"), col("__cluster"),
+        bucketCol.as("__bucket")),
+      Seq("__cluster", "__bucket"), maxBucketSize)
+    val pairs = sigs.select(col("__cluster"), col("__bucket"),
+        col("__sid").as("idA"))
+      .join(sigs.select(col("__cluster"), col("__bucket"),
+        col("__sid").as("idB")), Seq("__cluster", "__bucket"))
+      .filter(col("idA") < col("idB"))
+      .select("idA", "idB")
+      .dropDuplicates("idA", "idB")
+    val verified = pairs
+      .join(assigned.select(col("__sid").as("idA"),
+        col("__emb").as("__embA")), Seq("idA"))
+      .join(assigned.select(col("__sid").as("idB"),
+        col("__emb").as("__embB")), Seq("idB"))
+      .filter(Dedup.cosine(col("__embA"), col("__embB")) >= threshold)
+      .select("idA", "idB")
+    assignComponents(
+      assigned.select(col("__sid").as(idCol),
+        col("__cluster").cast("long").as("cluster")),
+      idCol, verified)
+      .withColumn("keep", col("component") === col(idCol))
+  }
 }

@@ -108,7 +108,7 @@ object Dedup {
     * trivial duplicates (catch them with [[exact]] first: identical
     * docs have identical fingerprints) or a degenerate shingle/plane
     * collision that verification would reject pair-by-pair anyway. */
-  private def capBuckets(keyed: DataFrame, keys: Seq[String], cap: Int): DataFrame =
+  private[pipeline] def capBuckets(keyed: DataFrame, keys: Seq[String], cap: Int): DataFrame =
     if (cap <= 0) keyed
     else {
       val oversized = keyed.groupBy(keys.map(col): _*)
