@@ -291,6 +291,146 @@ object StreamingOps {
     graft.pipeline.Dedup.removeSpansWithBank(docs, idCol, textCol,
       bank, window)
 
+  /** Streaming INCREMENTAL duplicated-span cut — the stream face of
+    * [[graft.pipeline.Dedup.removeRepeatedSpansAgainst]], mirroring
+    * [[paragraphDedupStream]]'s architecture: window hashes join
+    * STREAM-STATIC against the persisted corpus inventory
+    * ([[graft.pipeline.Dedup.spanInventoryTable]]), per-hash state
+    * accumulates the distinct-document count seen on the stream so
+    * far, and a second keyed pass reunites each document's verdicts
+    * with its text and rewrites it (output schema matches the batch
+    * form: `(id, text_clean, n_tokens, removed_tokens, n_spans)`).
+    *
+    * A window is cut when `batch-distinct-docs + stream-state-docs +
+    * corpus-docs >= minDocs` AT THE DOCUMENT'S ARRIVAL — within one
+    * micro-batch this is exactly the batch operator's union count
+    * (StreamingSpanCutSpec pins single-batch parity); across batches
+    * it is the same append-mode asymmetry as [[paragraphDedupStream]]:
+    * an already-emitted document is never retro-cut when a later
+    * batch pushes its span over the threshold (the later documents
+    * ARE cut). Batch ids must be new to the stream and to the corpus
+    * — the incremental contract of the batch form.
+    *
+    * Scale shape: signing is map-only; the inventory join carries
+    * only the matched 12-byte `(fp, docs)` rows; state is one long
+    * per distinct stream span hash; the reunite pass ships each
+    * document's text ONCE (a single `pos = -1` row) plus its cut
+    * positions — never per-window text amplification. */
+  def spanCutAgainstStream(docs: DataFrame, idCol: String, textCol: String,
+                           corpusInv: DataFrame, window: Int = 8,
+                           minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.types._
+    require(window >= 1, s"window=$window must be >= 1")
+    require(minDocs >= 2,
+      s"minDocs=$minDocs must be >= 2 (every span occurs in its own document)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val idType = docs.schema(idCol).dataType
+    idType match {
+      case ByteType | ShortType | IntegerType | LongType | StringType => ()
+      case other => throw new IllegalArgumentException(
+        s"spanCutAgainstStream id `$idCol` has type ${other.simpleString}; " +
+          "only integral/string ids round-trip exactly through " +
+          "streaming state — cast or hash the id upstream")
+    }
+    // NULL-id rows dropped for the same reason as paragraphDedupStream:
+    // an id-less document cannot carry identity through the keyed state
+    val base = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast(StringType).as("id"),
+        col(textCol).as("text"),
+        graft.functions.TextHashExprs.positionalFingerprintsCol(
+          graft.pipeline.Dedup.tokens(col(textCol)), window).as("__fps"))
+    val wins = base.select(col("id"),
+      posexplode(col("__fps")).as(Seq("pos", "fp")))
+    val joined = wins.join(
+        corpusInv.select(col("fp"),
+          col("docs").cast(LongType).as("cdocs")), Seq("fp"), "left")
+      .select(col("fp"), col("id"), col("pos"),
+        coalesce(col("cdocs"), lit(0L)).as("cdocs"))
+      .as[(Long, String, Int, Long)]
+    // pass 1, keyed by span hash: union doc count vs minDocs; the
+    // state is the distinct-document count this stream has seen
+    val cut = joined.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Int)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, occs, state) =>
+          val rows = occs.toSeq
+          val batchDocs = rows.iterator.map(_._2).toSet.size.toLong
+          val prior = state.getOption.getOrElse(0L)
+          state.update(prior + batchDocs)
+          if (batchDocs + prior + rows.head._4 >= minDocs)
+            rows.iterator.map(r => (r._2, r._3))
+          else Iterator.empty
+      }.toDF("id", "pos")
+    // pass 2, keyed by document: one pos = -1 row carries the text,
+    // the rest are cut window starts — both branches derive from the
+    // same source batch, so a document and its verdicts always share
+    // a micro-batch
+    val docRows = base.select(col("id"), lit(-1).as("pos"),
+      col("text").as("payload"))
+    val cutRows = cut.select(col("id"), col("pos"),
+      lit(null).cast(StringType).as("payload"))
+    val out = docRows.unionByName(cutRows)
+      .as[(String, Int, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (String, String, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (id, rows0, _) =>
+          val rows = rows0.toSeq
+          val docRow = rows.find(_._2 == -1)
+          if (docRow.isEmpty) Iterator.empty // defensive: verdicts only
+          else if (docRow.get._3 == null)
+            Iterator.single((id, null: String, 0L, 0L, 0L))
+          else {
+            val dups = rows.collect { case (_, p, _) if p >= 0 => p }.toArray
+            val (clean, n, removed, spans) =
+              spanRewriteLocal(docRow.get._3, dups, window)
+            Iterator.single((id, clean, n, removed, spans))
+          }
+      }
+      .toDF("id", "text_clean", "n_tokens", "removed_tokens", "n_spans")
+    out.select(col("id").cast(idType).as(idCol), col("text_clean"),
+      col("n_tokens"), col("removed_tokens"), col("n_spans"))
+  }
+
+  /** Plain-Scala mirror of [[graft.pipeline.Dedup]]'s pure-column
+    * `spanRewrite` (same island split: break when the gap to the
+    * previous start exceeds `window`; same edge sentinels) — the
+    * rewrite must run inside the keyed state operator where column
+    * expressions cannot. Parity with the batch form is pinned by
+    * StreamingSpanCutSpec. */
+  private def spanRewriteLocal(text: String, dups0: Array[Int],
+                               window: Int): (String, Long, Long, Long) = {
+    val tso = text.trim.split("\\s+").filter(_.nonEmpty)
+    val n = tso.length
+    if (dups0.isEmpty) return (tso.mkString(" "), n.toLong, 0L, 0L)
+    val dups = dups0.sorted
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < dups.length) {
+      if (i == 0 || dups(i) > dups(i - 1) + window) starts += dups(i)
+      if (i == dups.length - 1 || dups(i + 1) > dups(i) + window)
+        ends += math.min(dups(i) + window, n) - 1
+      i += 1
+    }
+    val sb = new StringBuilder
+    var kept = 0L
+    var j = 0
+    while (j <= starts.length) {
+      val gs = if (j == 0) 0 else ends(j - 1) + 1
+      val ge = if (j == starts.length) n - 1 else starts(j) - 1
+      var p = gs
+      while (p <= ge) {
+        if (sb.nonEmpty) sb.append(' ')
+        sb.append(tso(p)); kept += 1; p += 1
+      }
+      j += 1
+    }
+    (sb.toString, n.toLong, n - kept, starts.length.toLong)
+  }
+
   /** Streaming curation: attach quality signals and keep rows above
     * threshold — map-only, fuses into the source scan incrementally. */
   def curateStream(docs: DataFrame, textCol: String,
