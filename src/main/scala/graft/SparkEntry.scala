@@ -573,6 +573,102 @@ object SparkEntry {
         sum(col("ntok")).as("total_tokens"),
         min(col("page_id")).as("first_page"))
     },
+    "q_warc_e2e_scored" -> { (s, d) =>
+      // The flagship lineage with QUARANTINE routing (round-16): same
+      // crawl-to-corpus chain as q_warc_e2e, but langid runs in its
+      // SCORED form and the report routes on the gate's raw margin
+      // instead of trusting the label — low-margin pages (margin·1000
+      // < QuarMarginPerMille·k·ProfileSize, yet not und) land in a
+      // 'quarantine' stratum, the treatment the und gate's documented
+      // Latin-script long tail needs. The crawl plants the evidence:
+      // every 13th page is a deliberate 50/50 Spanish/Portuguese
+      // mixture (two close Latin languages — exactly the confusable
+      // case), which must route to quarantine, not to either label.
+      // Mirror fetches (%7==3) still collapse in the dedup stage.
+      import graft.functions.LangIdExprs
+      val n = LangIdExprs.languages.length
+      val nOut = LangIdExprs.outOfSetProbes.length
+      val esIdx = LangIdExprs.languages.indexOf("es")
+      val ptIdx = LangIdExprs.languages.indexOf("pt")
+      val dir = buildOnce(
+        s"warc_e2e_scored_${LangIdExprs.seedsFingerprint}", d) { dir =>
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+          .filter(col("doc_id") < 300)
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        // CASE order matters and the oracle mirrors it: und probe
+        // first (%17), then the planted mixture (%13==5), then the
+        // single-language page
+        def content(id: Long, text: String): String =
+          if (id % 17 == 0)
+            LangIdExprs.outOfSetProbes(((id / 17) % nOut).toInt)._2
+          else if (id % 13 == 5)
+            LangIdExprs.seedText(esIdx, 0).substring(0, 70) + " " +
+              LangIdExprs.seedText(ptIdx, 0).substring(0, 70) + " " + text
+          else
+            LangIdExprs.seedText((id % n).toInt, ((id / n) % 2).toInt) +
+              " " + text
+        def record(pageId: Long, html: String): Array[Byte] = {
+          val body = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+            html).getBytes("UTF-8")
+          (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Record-ID: <urn:uuid:$pageId>\r\n" +
+            s"WARC-Target-URI: http://ex.com/page/$pageId\r\n" +
+            "WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+            "Content-Type: application/http; msgtype=response\r\n" +
+            s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8") ++
+            body ++ "\r\n\r\n".getBytes("UTF-8")
+        }
+        def gzMember(b: Array[Byte]): Array[Byte] = {
+          val bos = new java.io.ByteArrayOutputStream()
+          val g = new java.util.zip.GZIPOutputStream(bos)
+          g.write(b); g.close(); bos.toByteArray
+        }
+        for (shard <- 0 until 4) {
+          val recs = docs.filter(_._1 % 4 == shard)
+          val plain = shard < 2
+          val f = new java.io.FileOutputStream(new java.io.File(dir,
+            if (plain) s"crawl-$shard.warc" else s"crawl-$shard.warc.gz"))
+          try recs.foreach { case (id, text) =>
+            val html = s"<html><body><p>${content(id, text)}</p>" +
+              "<!-- c --><script>x()</script></body></html>"
+            val r1 = record(id, html)
+            f.write(if (plain) r1 else gzMember(r1))
+            if (id % 7 == 3) {
+              val r2 = record(id + 10000, html)
+              f.write(if (plain) r2 else gzMember(r2))
+            }
+          } finally f.close()
+        }
+      }
+      val pages = graft.io.DocsIO.readWarc(s, s"$dir/*.warc*")
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "/page/(\\d+)$", 1)
+            .cast("long").as("page_id"),
+          graft.pipeline.Scrub.cleanText(
+            graft.pipeline.Scrub.stripHtml(
+              graft.io.DocsIO.httpPayload(col("body")).cast("string")))
+            .as("cleaned"))
+      val tagged = pages.select(col("page_id"),
+        graft.pipeline.TextAnalysis.langIdCtScored(
+          substring(col("cleaned"), 1, 150)).as("sc"),
+        graft.pipeline.TextAnalysis.fingerprint(col("cleaned")).as("fp"),
+        graft.pipeline.TextAnalysis.tokenCount(col("cleaned")).as("ntok"))
+      // the routing stage: trust the label only with margin; the
+      // arithmetic is the gate's integer-exact form so the oracle
+      // replays the exact stratum of every page
+      val routed = tagged.select(col("page_id"), col("fp"), col("ntok"),
+        when(col("sc.lang") === "und", lit("und"))
+          .when((col("sc.second_dist") - col("sc.best_dist")) * 1000 <
+            lit(LangIdExprs.QuarMarginPerMille) * col("sc.k") *
+              lit(LangIdExprs.ProfileSize), lit("quarantine"))
+          .otherwise(col("sc.lang")).as("stratum"))
+      val kept = graft.pipeline.Dedup.exact(routed, "fp", "page_id")
+      kept.groupBy(col("stratum")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("total_tokens"),
+        min(col("page_id")).as("first_page"))
+    },
     // ----- §2.3 joins -----
     "q_bgp_join" -> { (s, d) =>
       out(nationRegion(s, d).sparql(prologue +
@@ -1590,6 +1686,20 @@ object SparkEntry {
         t(s, d, "embeddings"), "vec_id", "embedding", dim = 64,
         numPlanes = 4, threshold = 0.2)
     },
+    "q_dedup_semantic" -> { (s, d) =>
+      // SemDeDup cluster-then-prune (round-16): assign to ±1
+      // centroids → in-cluster RHP-bucketed cosine candidates → CC →
+      // keep the component minimum. Fully replayable end to end: the
+      // oracle re-derives the argmax-dot cluster, every bucket,
+      // candidate pair and cosine, and walks the components with a
+      // recursive CTE — assignment, candidates AND transitive closure
+      // all hash-checked
+      graft.pipeline.Clustering.portableSemanticDedup(
+        t(s, d, "embeddings"), "vec_id", "embedding", dim = 64,
+        numCentroids = 8, threshold = 0.2, numPlanes = 4)
+        .select(col("vec_id"), col("cluster"),
+          col("component").cast("bigint").as("component"), col("keep"))
+    },
     "q_curate" -> { (s, d) =>
       // the composed curation pipeline: quality-score → threshold →
       // exact dedup (one surviving doc per content fingerprint), the
@@ -2082,6 +2192,43 @@ object SparkEntry {
           col("sc.best_dist").as("best_dist"),
           col("sc.second_dist").as("second_dist"),
           col("sc.k").cast("long").as("k"))
+    },
+    "q_quality_model" -> { (s, d) =>
+      // TRAINED quality classifier (round-16): hashed unigram+bigram
+      // Naive Bayes under the committed seed model — the scorer that
+      // sits next to the rule-based quality/Gopher/bigram-LM gates in
+      // the canonical curation pipelines. Inputs are deterministic:
+      // doc_id % 3 routes each doc through a HELD-OUT positive probe,
+      // a held-out negative probe, or its own raw text (probes the
+      // model never trained on, so the keep column demonstrates real
+      // discrimination, not memorization). The oracle replays the
+      // whole scorer in SQL — tokenization, unigram+bigram explode,
+      // md5-prefix bucket hash, committed integer weight table,
+      // integer sum — with zero rounding anywhere. Map-only codegen'd
+      // expression: 0 exchanges at score time.
+      import graft.functions.QualityExprs
+      val nP = QualityExprs.heldOutPositive.length
+      val nN = QualityExprs.heldOutNegative.length
+      val posArr = array(QualityExprs.heldOutPositive.map(lit): _*)
+      val negArr = array(QualityExprs.heldOutNegative.map(lit): _*)
+      // integer DIV (not `/`) for exact agreement with DuckDB's `//`
+      val pIdx = (expr("doc_id DIV 3") % nP + 1).cast("int")
+      val nIdx = (expr("doc_id DIV 3") % nN + 1).cast("int")
+      // NULL text coalesces to '' on BOTH sides (the langid entries'
+      // row-retention contract)
+      val input = when(col("doc_id") % 3 === 0,
+          concat(element_at(posArr, pIdx), lit(" "),
+            coalesce(col("text"), lit(""))))
+        .when(col("doc_id") % 3 === 1,
+          concat(element_at(negArr, nIdx), lit(" "),
+            coalesce(col("text"), lit(""))))
+        .otherwise(coalesce(col("text"), lit("")))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.pipeline.Quality.qualityModelScore(input).as("qs"))
+        .select(col("doc_id"), col("qs.score").as("score"),
+          col("qs.n_grams").cast("long").as("n_grams"),
+          (col("qs.score") > 0).as("keep"))
     },
     "q_embed_norm" -> { (s, d) =>
       // L2 normalization, exploded so the oracle compares one value
@@ -2866,6 +3013,128 @@ object SparkEntry {
          |FROM kept k JOIN pred p ON p.page_id = k.page_id
          |GROUP BY 1""".stripMargin
     },
+    "q_warc_e2e_scored" -> {
+      val L = graft.functions.LangIdExprs
+      val n = L.languages.length
+      val esIdx = L.languages.indexOf("es")
+      val ptIdx = L.languages.indexOf("pt")
+      s"""WITH prof(lang, g, r) AS (VALUES ${L.profilesSqlValues}),
+         |seeds(lidx, vidx, txt) AS (VALUES ${L.seedsSqlValues}),
+         |outp(oidx, txt) AS (VALUES ${L.outOfSetSqlValues}),
+         |pg AS (
+         |  SELECT d.doc_id,
+         |         CASE WHEN d.doc_id % 17 = 0 THEN o.txt
+         |              WHEN d.doc_id % 13 = 5 THEN
+         |                substr(es.txt, 1, 70) || ' ' ||
+         |                substr(pt.txt, 1, 70) || ' ' || d.text
+         |              ELSE s.txt || ' ' || d.text END AS content
+         |  FROM documents d
+         |  JOIN seeds s ON s.lidx = d.doc_id % $n
+         |              AND s.vidx = (d.doc_id // $n) % 2
+         |  JOIN seeds es ON es.lidx = $esIdx AND es.vidx = 0
+         |  JOIN seeds pt ON pt.lidx = $ptIdx AND pt.vidx = 0
+         |  LEFT JOIN outp o ON d.doc_id % 17 = 0
+         |    AND o.oidx = (d.doc_id // 17) % ${L.outOfSetProbes.length}
+         |  WHERE d.doc_id < 300
+         |), fetches AS (
+         |  SELECT doc_id AS page_id, content FROM pg
+         |  UNION ALL
+         |  SELECT doc_id + 10000, content FROM pg WHERE doc_id % 7 = 3
+         |), w AS (
+         |  SELECT page_id,
+         |    '<html><body><p>' || content ||
+         |    '</p><!-- c --><script>x()</script></body></html>' AS t
+         |  FROM fetches
+         |), h AS (
+         |  SELECT page_id,
+         |   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |   regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '(?is)<(script|style)\\b[^>]*>.*?</(script|style)\\s*>', ' ', 'g'),
+         |    '(?s)<!--.*?-->', ' ', 'g'),
+         |    '(?s)</?[A-Za-z!][^>]*>', ' ', 'g'),
+         |    '&lt;', '<', 'g'),
+         |    '&gt;', '>', 'g'),
+         |    '&quot;', chr(34), 'g'),
+         |    '&(#39|apos);', chr(39), 'g'),
+         |    '&amp;', '&', 'g') AS t
+         |  FROM w
+         |), cleanpg AS (
+         |  SELECT page_id, trim(
+         |   regexp_replace(
+         |    regexp_replace(
+         |     regexp_replace(
+         |      regexp_replace(
+         |       regexp_replace(nfc_normalize(t),
+         |         '\\r\\n?', chr(10), 'g'),
+         |       '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+         |      '[ \\t]+', ' ', 'g'),
+         |     ' *\\n *', chr(10), 'g'),
+         |    '\\n{3,}', chr(10)||chr(10), 'g')) AS cleaned
+         |  FROM h
+         |), inp AS (
+         |  SELECT page_id, substr(cleaned, 1, 150) AS t FROM cleanpg
+         |), padded AS (
+         |  SELECT page_id, '_' || w || '_' AS p
+         |  FROM (SELECT page_id, unnest(list_filter(
+         |          regexp_split_to_array(lower(t), '\\s+'), x -> x <> '')) AS w
+         |        FROM inp)
+         |), grams AS (
+         |  SELECT page_id, unnest(flatten(list_transform([1, 2, 3], nn ->
+         |    list_transform(generate_series(1, length(p) - nn + 1), i ->
+         |      substr(p, i, nn))))) AS g
+         |  FROM padded
+         |), docprof AS (
+         |  SELECT page_id, g,
+         |         row_number() OVER (PARTITION BY page_id
+         |                            ORDER BY count(*) DESC, md5(g) ASC) AS i
+         |  FROM grams GROUP BY page_id, g
+         |  QUALIFY i <= ${L.ProfileSize}
+         |), dist AS (
+         |  SELECT dp.page_id, l.lang,
+         |         sum(coalesce(abs(dp.i - pr.r), ${L.ProfileSize})) AS dist
+         |  FROM docprof dp
+         |  CROSS JOIN (SELECT DISTINCT lang FROM prof) l
+         |  LEFT JOIN prof pr ON pr.lang = l.lang AND pr.g = dp.g
+         |  GROUP BY 1, 2
+         |), ranked AS (
+         |  SELECT page_id, lang, dist,
+         |         row_number() OVER (PARTITION BY page_id
+         |                            ORDER BY dist ASC, lang ASC) AS rn
+         |  FROM dist
+         |), kk AS (
+         |  SELECT page_id, max(i) AS k FROM docprof GROUP BY page_id
+         |), pred AS (
+         |  SELECT r1.page_id,
+         |         CASE WHEN r1.dist * 100 > ${L.UndDistPct} * kk.k * ${L.ProfileSize}
+         |                OR (r2.dist - r1.dist) * 1000
+         |                     < ${L.UndMarginPerMille} * kk.k * ${L.ProfileSize}
+         |              THEN 'und'
+         |              WHEN (r2.dist - r1.dist) * 1000
+         |                     < ${L.QuarMarginPerMille} * kk.k * ${L.ProfileSize}
+         |              THEN 'quarantine'
+         |              ELSE r1.lang END AS stratum
+         |  FROM ranked r1
+         |  JOIN ranked r2 ON r2.page_id = r1.page_id AND r2.rn = 2
+         |  JOIN kk ON kk.page_id = r1.page_id
+         |  WHERE r1.rn = 1
+         |), fpt AS (
+         |  SELECT page_id,
+         |    md5(regexp_replace(lower(trim(cleaned)), '\\s+', ' ', 'g')) AS fp,
+         |    CAST(len(list_filter(regexp_split_to_array(lower(trim(cleaned)),
+         |      '\\s+'), x -> x <> '')) AS BIGINT) AS ntok
+         |  FROM cleanpg
+         |), kept AS (
+         |  SELECT page_id, ntok FROM (
+         |    SELECT page_id, ntok,
+         |           row_number() OVER (PARTITION BY fp ORDER BY page_id) AS rn
+         |    FROM fpt) WHERE rn = 1
+         |)
+         |SELECT p.stratum, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(k.ntok) AS BIGINT) AS total_tokens,
+         |       min(k.page_id) AS first_page
+         |FROM kept k JOIN pred p ON p.page_id = k.page_id
+         |GROUP BY 1""".stripMargin
+    },
     "q_bgp_join" ->
       """SELECT n_name AS nname, r_name AS rname
         |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin,
@@ -3521,6 +3790,59 @@ object SparkEntry {
     "q_ann_lsh_portable" -> portableAnnOracle(numPlanes = 6, dim = 64, k = 10),
     "q_dedup_embedding_portable" -> portableEmbeddingOracle(
       numPlanes = 4, dim = 64, threshold = 0.2),
+    "q_dedup_semantic" -> {
+      val centVals = graft.pipeline.Clustering
+        .portableSemanticCentroidLiterals(8, 64)
+        .zipWithIndex.map { case (c, i) => s"($i, $c::DOUBLE[])" }
+        .mkString(", ")
+      val sigExpr = graft.pipeline.Dedup
+        .portableHyperplaneLiterals(4, 64)
+        .zipWithIndex.map { case (pl, p) =>
+          s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $pl::DOUBLE[]) > 0" +
+            s" THEN ${1L << p} ELSE 0 END)"
+        }.mkString(" +\n         ")
+      s"""WITH RECURSIVE cents(cidx, c) AS (SELECT * FROM (VALUES $centVals)),
+         |emb AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+         |), assign AS (
+         |  SELECT vec_id, cidx AS cluster FROM (
+         |    SELECT e.vec_id, c.cidx,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_dot_product(e.embedding::DOUBLE[], c.c) DESC,
+         |                 c.cidx ASC) AS rn
+         |    FROM emb e CROSS JOIN cents c) WHERE rn = 1
+         |), sigs AS (
+         |  SELECT vec_id,
+         |         $sigExpr AS bucket
+         |  FROM emb
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+         |  FROM sigs a JOIN sigs b ON a.bucket = b.bucket
+         |  JOIN assign aa ON aa.vec_id = a.vec_id
+         |  JOIN assign ab ON ab.vec_id = b.vec_id AND ab.cluster = aa.cluster
+         |  WHERE a.vec_id < b.vec_id
+         |), verified AS (
+         |  SELECT c.ida, c.idb FROM cand c
+         |  JOIN emb ea ON ea.vec_id = c.ida
+         |  JOIN emb eb ON eb.vec_id = c.idb
+         |  WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
+         |                               eb.embedding::DOUBLE[]) >= 0.2
+         |), edges AS (
+         |  SELECT ida AS a, idb AS b FROM verified
+         |  UNION ALL
+         |  SELECT idb, ida FROM verified
+         |), reach(id, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+         |), comp AS (
+         |  SELECT id, min(r) AS component FROM reach GROUP BY id
+         |)
+         |SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+         |       CAST(coalesce(comp.component, a.vec_id) AS BIGINT) AS component,
+         |       coalesce(comp.component, a.vec_id) = a.vec_id AS keep
+         |FROM assign a LEFT JOIN comp ON comp.id = a.vec_id""".stripMargin
+    },
     "q_dedup_minhash_portable" -> portableMinHashOracle(
       numHashes = 32, bands = 8, shingleK = 3, threshold = 0.5),
     "q_dedup_simhash_portable" -> portableSimHashOracle(
@@ -4358,6 +4680,46 @@ object SparkEntry {
          |JOIN ranked r2 ON r2.doc_id = r1.doc_id AND r2.rn = 2
          |JOIN kk ON kk.doc_id = r1.doc_id
          |WHERE r1.rn = 1""".stripMargin
+    },
+    "q_quality_model" -> {
+      val Q = graft.functions.QualityExprs
+      val nP = Q.heldOutPositive.length
+      val nN = Q.heldOutNegative.length
+      s"""WITH wts(b, w) AS (VALUES ${Q.weightsSqlValues}),
+         |pos(i, txt) AS (VALUES ${Q.heldOutPositiveSqlValues}),
+         |neg(i, txt) AS (VALUES ${Q.heldOutNegativeSqlValues}),
+         |inp AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN d.doc_id % 3 = 0 THEN p.txt || ' ' || coalesce(d.text, '')
+         |         WHEN d.doc_id % 3 = 1 THEN n.txt || ' ' || coalesce(d.text, '')
+         |         ELSE coalesce(d.text, '') END AS t
+         |  FROM documents d
+         |  LEFT JOIN pos p ON d.doc_id % 3 = 0 AND p.i = (d.doc_id // 3) % $nP
+         |  LEFT JOIN neg n ON d.doc_id % 3 = 1 AND n.i = (d.doc_id // 3) % $nN
+         |), toks AS (
+         |  SELECT doc_id, list_filter(
+         |    regexp_split_to_array(lower(substr(t, 1, ${Q.MaxChars})), '\\s+'),
+         |    x -> x <> '') AS ts
+         |  FROM inp
+         |), grams AS (
+         |  SELECT doc_id, unnest(ts) AS g FROM toks
+         |  UNION ALL
+         |  SELECT doc_id, unnest(list_transform(generate_series(2, len(ts)),
+         |    i -> ts[i - 1] || ' ' || ts[i])) AS g
+         |  FROM toks WHERE len(ts) >= 2
+         |), sc AS (
+         |  SELECT g.doc_id, sum(coalesce(w.w, ${Q.baseWeight})) AS score,
+         |         count(*) AS n
+         |  FROM grams g
+         |  LEFT JOIN wts w
+         |    ON w.b = CAST(('0x' || substr(md5(g.g), 1, 8)) AS BIGINT)
+         |             % ${Q.NumBuckets}
+         |  GROUP BY 1
+         |)
+         |SELECT i.doc_id, CAST(coalesce(sc.score, 0) AS BIGINT) AS score,
+         |       CAST(coalesce(sc.n, 0) AS BIGINT) AS n_grams,
+         |       coalesce(sc.score, 0) > 0 AS keep
+         |FROM inp i LEFT JOIN sc USING (doc_id)""".stripMargin
     },
     "q_text_langid_score" -> {
       val L = graft.functions.LangIdExprs
