@@ -1713,6 +1713,59 @@ object SparkEntry {
         "fp", "doc_id")
         .select(col("doc_id"), col("quality"))
     },
+    "q_curate_model" -> { (s, d) =>
+      // the TRAINED gate wired into a curation lineage (round-16):
+      // same deterministic probe mixing as q_quality_model, then BOTH
+      // gates — the NB model (score > 0) beside the rule-based
+      // heuristic (quality >= 0.3) — then exact content dedup; the
+      // oracle replays probes, hashed featurizer, weight sum,
+      // heuristic arithmetic and the dedup window end to end
+      import graft.functions.QualityExprs
+      val nP = QualityExprs.heldOutPositive.length
+      val nN = QualityExprs.heldOutNegative.length
+      val posArr = array(QualityExprs.heldOutPositive.map(lit): _*)
+      val negArr = array(QualityExprs.heldOutNegative.map(lit): _*)
+      val pIdx = (expr("doc_id DIV 3") % nP + 1).cast("int")
+      val nIdx = (expr("doc_id DIV 3") % nN + 1).cast("int")
+      val input = when(col("doc_id") % 3 === 0,
+          concat(element_at(posArr, pIdx), lit(" "),
+            coalesce(col("text"), lit(""))))
+        .when(col("doc_id") % 3 === 1,
+          concat(element_at(negArr, nIdx), lit(" "),
+            coalesce(col("text"), lit(""))))
+        .otherwise(coalesce(col("text"), lit("")))
+      import graft.pipeline.{Dedup, TextAnalysis, Quality}
+      val scored = t(s, d, "documents")
+        .select(col("doc_id"), input.as("txt"))
+        .withColumn("__qs", Quality.qualityModelScore(col("txt")))
+        .withColumn("score", col("__qs.score"))
+        .withColumn("quality", TextAnalysis.qualityScore(col("txt")))
+        .filter(col("score") > 0 && col("quality") >= 0.3)
+        .withColumn("fp", TextAnalysis.fingerprint(col("txt")))
+      Dedup.exact(
+        scored.select(col("fp"), col("doc_id"), col("score"), col("quality")),
+        "fp", "doc_id")
+        .select(col("doc_id"), col("score"), round(col("quality"), 6).as("quality"))
+    },
+    "q_domain_cap" -> { (s, d) =>
+      // per-domain diversity cap (C4/RefinedWeb discipline): host key
+      // via url_host (authority minus userinfo/port, lowercased),
+      // then best-k per host by length — so one boilerplate-heavy
+      // domain cannot dominate a stratum. Dirty rows (non-URLs)
+      // extract as the '' host group and are capped like any other.
+      // The oracle replays the host regex and the rank window
+      val url = when(col("doc_id") % 11 === 0, lit("not a url"))
+        .otherwise(concat(lit("HTTPS://User:Pw@Host"),
+          (col("doc_id") % 7).cast("string"),
+          lit(".Example.COM:8080/page/"), col("doc_id").cast("string")))
+      graft.pipeline.Curation.topKPerGroup(
+        t(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            graft.pipeline.Scrub.urlHost(url).as("host")),
+        "host", "n_chars", k = 10, tieCol = "doc_id")
+        .select(col("doc_id"), col("host"),
+          col("n_chars").cast("long").as("n_chars"))
+    },
     "q_sample_det" -> { (s, d) =>
       // deterministic portable sampling: the md5 bucket is replayable
       // bit-for-bit in any SQL engine — the oracle recomputes the
@@ -4720,6 +4773,87 @@ object SparkEntry {
          |       CAST(coalesce(sc.n, 0) AS BIGINT) AS n_grams,
          |       coalesce(sc.score, 0) > 0 AS keep
          |FROM inp i LEFT JOIN sc USING (doc_id)""".stripMargin
+    },
+    "q_curate_model" -> {
+      val Q = graft.functions.QualityExprs
+      val nP = Q.heldOutPositive.length
+      val nN = Q.heldOutNegative.length
+      s"""WITH wts(b, w) AS (VALUES ${Q.weightsSqlValues}),
+         |pos(i, txt) AS (VALUES ${Q.heldOutPositiveSqlValues}),
+         |neg(i, txt) AS (VALUES ${Q.heldOutNegativeSqlValues}),
+         |inp AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN d.doc_id % 3 = 0 THEN p.txt || ' ' || coalesce(d.text, '')
+         |         WHEN d.doc_id % 3 = 1 THEN n.txt || ' ' || coalesce(d.text, '')
+         |         ELSE coalesce(d.text, '') END AS t
+         |  FROM documents d
+         |  LEFT JOIN pos p ON d.doc_id % 3 = 0 AND p.i = (d.doc_id // 3) % $nP
+         |  LEFT JOIN neg n ON d.doc_id % 3 = 1 AND n.i = (d.doc_id // 3) % $nN
+         |), toks AS (
+         |  SELECT doc_id, list_filter(
+         |    regexp_split_to_array(lower(substr(t, 1, ${Q.MaxChars})), '\\s+'),
+         |    x -> x <> '') AS ts
+         |  FROM inp
+         |), grams AS (
+         |  SELECT doc_id, unnest(ts) AS g FROM toks
+         |  UNION ALL
+         |  SELECT doc_id, unnest(list_transform(generate_series(2, len(ts)),
+         |    i -> ts[i - 1] || ' ' || ts[i])) AS g
+         |  FROM toks WHERE len(ts) >= 2
+         |), msc AS (
+         |  SELECT g.doc_id, sum(coalesce(w.w, ${Q.baseWeight})) AS score
+         |  FROM grams g
+         |  LEFT JOIN wts w
+         |    ON w.b = CAST(('0x' || substr(md5(g.g), 1, 8)) AS BIGINT)
+         |             % ${Q.NumBuckets}
+         |  GROUP BY 1
+         |), heur AS (
+         |  SELECT doc_id, round(
+         |    least(len(list_filter(regexp_split_to_array(lower(trim(t)), '\\s+'),
+         |            x -> x <> ''))/100.0, 1.0) * 0.4
+         |    + (1.0 - least((CASE WHEN length(t) = 0 THEN 0.0
+         |        ELSE (length(t) - length(regexp_replace(t, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+         |             / length(t) END) * 5.0, 1.0)) * 0.3
+         |    + least((CASE WHEN len(list_filter(regexp_split_to_array(lower(trim(t)), '\\s+'),
+         |            x -> x <> '')) = 0 THEN 0.0
+         |        ELSE len(list_filter(regexp_split_to_array(lower(trim(t)), '\\s+'),
+         |            x -> x IN ('the','a','of','and','to','in','is')))::DOUBLE
+         |             / len(list_filter(regexp_split_to_array(lower(trim(t)), '\\s+'),
+         |            x -> x <> '')) END) * 4.0, 1.0) * 0.3,
+         |    6) AS quality
+         |  FROM inp
+         |), kept AS (
+         |  SELECT i.doc_id, msc.score, heur.quality,
+         |    md5(regexp_replace(lower(trim(i.t)), '\\s+', ' ', 'g')) AS fp
+         |  FROM inp i
+         |  JOIN msc ON msc.doc_id = i.doc_id
+         |  JOIN heur ON heur.doc_id = i.doc_id
+         |  WHERE msc.score > 0 AND heur.quality >= 0.3
+         |)
+         |SELECT doc_id, CAST(score AS BIGINT) AS score, quality FROM (
+         |  SELECT doc_id, score, quality,
+         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |  FROM kept) WHERE rn = 1""".stripMargin
+    },
+    "q_domain_cap" -> {
+      val hostRe = graft.pipeline.Scrub.HostRe
+      s"""WITH u AS (
+         |  SELECT doc_id, n_chars,
+         |    CASE WHEN doc_id % 11 = 0 THEN 'not a url'
+         |         ELSE 'HTTPS://User:Pw@Host' || CAST(doc_id % 7 AS VARCHAR)
+         |              || '.Example.COM:8080/page/' || CAST(doc_id AS VARCHAR)
+         |    END AS url
+         |  FROM documents
+         |), h AS (
+         |  SELECT doc_id, n_chars,
+         |    lower(regexp_extract(url, '$hostRe', 1)) AS host
+         |  FROM u
+         |)
+         |SELECT doc_id, host, CAST(n_chars AS BIGINT) AS n_chars FROM (
+         |  SELECT doc_id, host, n_chars,
+         |    row_number() OVER (PARTITION BY host
+         |                       ORDER BY n_chars DESC, doc_id ASC) AS rk
+         |  FROM h) WHERE rk <= 10""".stripMargin
     },
     "q_text_langid_score" -> {
       val L = graft.functions.LangIdExprs

@@ -151,6 +151,12 @@ object GraftFunctions {
           "(paths stay case-sensitive)",
         { args => arity("canonicalize_url", 1, args)
           graft.pipeline.Scrub.canonicalizeUrlExpr(args(0)) }),
+      ("url_host",
+        "url_host(url) - lowercased host component (authority minus " +
+          "userinfo/port) - the per-domain cap / host-dedup key; '' " +
+          "for non-URL strings",
+        { args => arity("url_host", 1, args)
+          graft.pipeline.Scrub.urlHostExpr(args(0)) }),
       ("fix_mojibake",
         "fix_mojibake(text) - repair UTF-8 text mis-decoded as " +
           "windows-1252 (possibly twice): cafÃ© -> café. Conservative: " +

@@ -224,4 +224,21 @@ object Scrub {
       CLower(CExtract(stripped, CLit(AuthorityRe), CLit(0))),
       CReplace(stripped, CLit(AuthorityRe), CLit(""))))
   }
+
+  /** Host component of a URL, lowercased — the curation KEY for
+    * per-domain caps and host-level stratification (the
+    * C4/RefinedWeb discipline: cap or dedup per registered host so a
+    * single boilerplate-heavy domain cannot dominate a stratum):
+    * authority minus userinfo and port. Non-URL strings extract as
+    * `''` (one shared "no host" group — cap that group too, or filter
+    * it, but never crash on dirty rows). Same-regex replayable in any
+    * RE2/Java engine. */
+  private[graft] val HostRe =
+    "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)"
+
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, HostRe, 1))
+
+  private[graft] def urlHostExpr(e: Expression): Expression =
+    CLower(CExtract(e, CLit(HostRe), CLit(1)))
 }

@@ -432,14 +432,24 @@ object StreamingOps {
   }
 
   /** Streaming curation: attach quality signals and keep rows above
-    * threshold — map-only, fuses into the source scan incrementally. */
+    * threshold — map-only, fuses into the source scan incrementally.
+    * The TRAINED model score ([[graft.functions.QualityExprs]], round
+    * 16) rides along as `model_score`; pass `minModelScore` to gate
+    * on it beside the heuristic (Some(0) = the NB decision boundary).
+    * Both scorers are stateless codegen expressions, so the stream
+    * stays a pure map. */
   def curateStream(docs: DataFrame, textCol: String,
-                   minQuality: Double = 0.3): DataFrame =
-    docs
+                   minQuality: Double = 0.3,
+                   minModelScore: Option[Long] = None): DataFrame = {
+    val scored = docs
       .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
       .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
       .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
+      .withColumn("model_score", graft.functions.QualityExprs
+        .qualityModelScoreCol(col(textCol)).getField("score"))
       .filter(col("quality") >= minQuality)
+    minModelScore.fold(scored)(t => scored.filter(col("model_score") > t))
+  }
 
   /** Streaming SPARQL: run a SELECT query incrementally over a
     * STREAMING quads DataFrame (`readStream` → parquet/kafka → quads

@@ -268,6 +268,35 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
     } finally q.stop()
   }
 
+  it should "gate on the trained model score when asked" in {
+    // the heuristic passes keyword-stuffed spam (real words, ok
+    // length); the trained NB model is what catches it — Some(0) is
+    // the NB decision boundary, and the stream stays a pure map
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingOps.curateStream(
+      input.toDF.toDF("id", "text"), "text", minQuality = 0.2,
+      minModelScore = Some(0L))
+    val q = out.writeStream.format("memory").queryName("curate_model_out")
+      .outputMode("append").start()
+    try {
+      val spam = "buy cheap watches best price discount watches free " +
+        "shipping buy now limited offer sale sale sale click here today"
+      val prose = "glaciers form where winter snowfall exceeds summer melt " +
+        "so the accumulating snow compresses into dense ice that flows downhill"
+      input.addData((1L, prose), (2L, spam))
+      q.processAllAvailable()
+      // sanity: BOTH pass the heuristic gate alone — the model is the
+      // discriminating stage
+      Seq(spam, prose).toDF("t")
+        .select(graft.pipeline.TextAnalysis.qualityScore(col("t")))
+        .as[Double].collect().foreach(_ should be >= 0.2)
+      val rows = spark.table("curate_model_out")
+      rows.select("id").as[Long].collect().toSeq shouldBe Seq(1L)
+      rows.select("model_score").as[Long].head() should be > 0L
+    } finally q.stop()
+  }
+
   "the streaming curation chain" should
     "compose dedup → decontaminate → curate → sample with batch parity" in {
     // the q_pipeline_e2e chain's streaming face: the SAME operator
