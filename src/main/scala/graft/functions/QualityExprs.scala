@@ -58,7 +58,10 @@ object QualityExprs {
 
   /** Scoring reads at most this many characters — same explicit
     * bound as [[LangIdExprs.MaxChars]]: a 1 GB document costs the
-    * same as a few pages, and the integer score cannot overflow. */
+    * same as a few pages, and the integer score cannot overflow.
+    * Same BMP caveat as langid: the JVM cap counts UTF-16 code units
+    * while the SQL replay's `substr` counts code points, equal
+    * exactly for BMP text (the committed seeds/probes are ASCII). */
   val MaxChars = 8000
 
   /** Committed positive seeds — curated informative prose (the

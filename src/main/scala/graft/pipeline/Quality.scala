@@ -46,9 +46,13 @@ object Quality {
       .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("__p"),
         sum(when(col("__pos"), 0L).otherwise(1L)).as("__n"))
     // class totals ride along as one broadcast row (grand totals of
-    // the same aggregation — no second pass over the text)
-    val totals = counts.agg(sum(col("__p")).as("__pt"),
-      sum(col("__n")).as("__nt"))
+    // the same aggregation — no second pass over the text). coalesce:
+    // a corpus with no grams at all (all-NULL / whitespace text)
+    // yields NULL sums, which would silently turn every weight NULL —
+    // zero totals instead degrade to the all-baseWeight model
+    val totals = counts.agg(
+      coalesce(sum(col("__p")), lit(0L)).as("__pt"),
+      coalesce(sum(col("__n")), lit(0L)).as("__nt"))
     val dense = df.sparkSession.range(0, B).select(col("id").cast(IntegerType)
         .as("bucket"))
       .join(counts, Seq("bucket"), "left")
@@ -72,6 +76,8 @@ object Quality {
     model.select(col("bucket").cast(IntegerType),
         col("weight").cast(LongType))
       .collect().foreach { r =>
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          "model has a NULL bucket/weight row — not a trainQualityWeights table")
         val b = r.getInt(0)
         require(b >= 0 && b < QualityExprs.NumBuckets,
           s"model bucket $b outside [0, ${QualityExprs.NumBuckets})")

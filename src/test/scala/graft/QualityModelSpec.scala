@@ -142,6 +142,17 @@ class QualityModelSpec extends AnyFlatSpec with Matchers {
     scored(2L) shouldBe false
   }
 
+  it should "degrade to the uniform (all-zero) model on a gram-free corpus" in {
+    // all-NULL / whitespace text trains NOTHING: zero counts and zero
+    // totals give ln(1) = 0 for every bucket — the uniform NB model —
+    // rather than the NULL weights that used to NPE at collect
+    val labeled = Seq((null.asInstanceOf[String], true), ("   ", false))
+      .toDF("text", "label")
+    val w = Quality.collectWeights(
+      Quality.trainQualityWeights(labeled, "text", "label"))
+    w.distinct.toSeq shouldBe Seq(0L)
+  }
+
   behavior of "SQL registration"
 
   it should "expose quality_model_score and quality_grams" in {
