@@ -121,4 +121,76 @@ class SemanticDedupSpec extends AnyFlatSpec with Matchers {
     // co-clustered: at least SOME pruning happened
     r1.count(!_._4) should be > 0
   }
+
+  it should "agree with a plain-Scala replay on randomized corpora" in {
+    // independent formulation of the whole operator in the numPlanes=0
+    // (paper-exact all-pairs-within-cluster) regime: argmax-dot
+    // assignment, single-pass cosine mirroring VectorExprs.CosineSim
+    // exactly (same accumulation order, same denom association — so
+    // the comparison is bit-exact, no boundary tolerance needed),
+    // union-find components
+    val seed = java.lang.Long.getLong("graft.fuzz.seed", 1323L)
+    val rnd = new scala.util.Random(seed)
+    val dim = 8
+    val k = 4
+    val threshold = 0.9
+    val cents = Clustering.portableSemanticCentroids(k, dim)
+    val centArr = cents.map(_.toArray)
+    // 60 random bases; every third id is a small perturbation of the
+    // previous base → planted near-dups, some crossing cluster lines
+    val vecs: IndexedSeq[(Long, Array[Float])] = {
+      var last: Array[Float] = null
+      (0L until 90L).map { i =>
+        val v =
+          if (i % 3 != 0 && last != null)
+            last.zipWithIndex.map { case (x, j) =>
+              if (j == (i % dim).toInt) x + rnd.nextFloat() * 1e-3f else x
+            }
+          else Array.fill(dim)(rnd.nextGaussian().toFloat)
+        last = v
+        i -> v
+      }
+    }
+    def refAssign(v: Array[Float]): Int = {
+      var best = 0; var bestDot = Double.NegativeInfinity; var c = 0
+      while (c < k) {
+        var s = 0.0; var i = 0
+        while (i < dim) { s += centArr(c)(i) * v(i).toDouble; i += 1 }
+        if (s > bestDot) { bestDot = s; best = c }
+        c += 1
+      }
+      best
+    }
+    def refCos(a: Array[Float], b: Array[Float]): Double = {
+      var xy = 0.0; var xx = 0.0; var yy = 0.0; var i = 0
+      while (i < dim) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        xy += x * y; xx += x * x; yy += y * y; i += 1
+      }
+      xy / (math.sqrt(xx) * math.sqrt(yy))
+    }
+    val cluster = vecs.map { case (id, v) => id -> refAssign(v) }.toMap
+    // union-find over all-pairs-within-cluster at the threshold
+    val parent = scala.collection.mutable.Map(vecs.map(v => v._1 -> v._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (i <- vecs.indices; j <- (i + 1) until vecs.length) {
+      val (ia, va) = vecs(i); val (ib, vb) = vecs(j)
+      if (cluster(ia) == cluster(ib) && refCos(va, vb) >= threshold) {
+        val (ra, rb) = (find(ia), find(ib))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val expected = vecs.map { case (id, _) =>
+      val comp = find(id)
+      id -> ((cluster(id).toLong, comp, comp == id))
+    }.toMap
+    val got = Clustering.semanticDedup(
+      vecs.map { case (id, v) => (id, v.toSeq) }.toDF("id", "emb"),
+      "id", "emb", cents, threshold = threshold, numPlanes = 0)
+      .select("id", "cluster", "component", "keep")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    withClue(s"seed=$seed: ") { got shouldBe expected }
+  }
 }
