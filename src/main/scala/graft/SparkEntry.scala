@@ -1686,6 +1686,26 @@ object SparkEntry {
         t(s, d, "embeddings"), "vec_id", "embedding", dim = 64,
         numPlanes = 4, threshold = 0.2)
     },
+    "q_dedup_embedding_incr" -> { (s, d) =>
+      // incremental EMBEDDING near-dup (round-16): odd vec_ids arrive
+      // as a new batch and join the PERSISTED signed corpus (even
+      // vec_ids) on the portable ±1 RHP bucket, exact cosine
+      // verified — the embedding analogue of q_dedup_incremental,
+      // but fully hash-checked: the oracle re-derives both sides'
+      // buckets from the plane literals and replays every pair and
+      // rounded cosine
+      import graft.pipeline.Dedup
+      val emb = t(s, d, "embeddings")
+      val corpusPath = tmpPath("emb_corpus", d)
+      if (!new java.io.File(s"$corpusPath/_SUCCESS").exists())
+        Dedup.embeddingSignTable(emb.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", dim = 64, numPlanes = 4, portable = true)
+          .write.mode("overwrite").parquet(corpusPath)
+      Dedup.embeddingCandidatesAgainst(
+        Dedup.embeddingSignTable(emb.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", dim = 64, numPlanes = 4, portable = true),
+        s.read.parquet(corpusPath), threshold = 0.2, roundCos = true)
+    },
     "q_dedup_semantic" -> { (s, d) =>
       // SemDeDup cluster-then-prune (round-16): assign to ±1
       // centroids → in-cluster RHP-bucketed cosine candidates → CC →
@@ -3843,6 +3863,26 @@ object SparkEntry {
     "q_ann_lsh_portable" -> portableAnnOracle(numPlanes = 6, dim = 64, k = 10),
     "q_dedup_embedding_portable" -> portableEmbeddingOracle(
       numPlanes = 4, dim = 64, threshold = 0.2),
+    "q_dedup_embedding_incr" -> {
+      val sigExpr = graft.pipeline.Dedup
+        .portableHyperplaneLiterals(4, 64)
+        .zipWithIndex.map { case (pl, p) =>
+          s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $pl::DOUBLE[]) > 0" +
+            s" THEN ${1L << p} ELSE 0 END)"
+        }.mkString(" +\n         ")
+      s"""WITH sigs AS (
+         |  SELECT vec_id, embedding,
+         |         $sigExpr AS bucket
+         |  FROM embeddings WHERE embedding IS NOT NULL
+         |), n AS (SELECT * FROM sigs WHERE vec_id % 2 = 1),
+         |c AS (SELECT * FROM sigs WHERE vec_id % 2 = 0)
+         |SELECT idNew, idCorpus, round(cs, 6) AS cos FROM (
+         |  SELECT n.vec_id AS idNew, c.vec_id AS idCorpus,
+         |         list_cosine_similarity(n.embedding::DOUBLE[],
+         |                                c.embedding::DOUBLE[]) AS cs
+         |  FROM n JOIN c ON n.bucket = c.bucket
+         |) WHERE cs >= 0.2""".stripMargin
+    },
     "q_dedup_semantic" -> {
       val centVals = graft.pipeline.Clustering
         .portableSemanticCentroidLiterals(8, 64)

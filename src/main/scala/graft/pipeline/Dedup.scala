@@ -676,6 +676,86 @@ object Dedup {
         (if (roundCos) round(col("cos"), 6) else col("cos")).as("cos"))
   }
 
+  /** Persistable embedding signature table `(id, emb, bucket)` — the
+    * embedding family's [[minHashSignTable]] analogue: sign a corpus
+    * ONCE (map-only), persist, and every later incremental batch
+    * ([[embeddingCandidatesAgainst]]) or stream
+    * ([[graft.streaming.StreamingOps.embeddingNearDupStream]]) starts
+    * from it. `portable = true` uses the md5-derived ±1 planes so any
+    * engine re-derives every bucket. A table persisted partitioned by
+    * `bucket` turns the incremental join's corpus scan into a pruned
+    * read. */
+  def embeddingSignTable(df: DataFrame, idCol: String, embCol: String,
+                         dim: Int, numPlanes: Int = 12,
+                         portable: Boolean = false): DataFrame =
+    df.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .filter(col("emb").isNotNull)
+      .withColumn("bucket", graft.functions.VectorExprs.rhpSignature(
+        col("emb"),
+        if (portable) portableHyperplanes(numPlanes, dim)
+        else hyperplanes(numPlanes, dim)))
+
+  /** Incremental embedding near-dup: a NEW batch's signatures
+    * ([[embeddingSignTable]], same planes) against the persisted
+    * corpus table — the embedding analogue of
+    * [[minHashCandidatesAgainst]]. Output `(idNew, idCorpus, cos)`
+    * for candidate pairs at cosine ≥ `threshold`; within-batch
+    * duplicates are NOT reported (run [[embeddingCandidates]] on the
+    * batch for those). `roundCos` rounds to 6 decimals for the
+    * portable hash-checked form.
+    *
+    * Scale shape: corpus bucket rows are SEMI-JOINED against the
+    * broadcast set of the batch's buckets before pair generation, so
+    * post-scan corpus work scales with the batch; both sides' hot
+    * buckets are capped like every LSH family. Each vector has ONE
+    * bucket, so a pair can surface at most once — no dedup pass
+    * needed (unlike the multi-band minhash form). */
+  def embeddingCandidatesAgainst(newSigs: DataFrame, corpusSigs: DataFrame,
+                                 threshold: Double = 0.9,
+                                 maxBucketSize: Int = 100000,
+                                 roundCos: Boolean = false): DataFrame = {
+    val nb = capBuckets(
+      newSigs.select(col("id").as("idNew"), col("emb").as("__embA"),
+        col("bucket")),
+      Seq("bucket"), maxBucketSize)
+      .localCheckpoint(eager = false) // feeds the key set AND the pair join
+    val keys = nb.select("bucket").distinct()
+    val cb = capBuckets(
+      corpusSigs.select(col("id").as("idCorpus"), col("emb").as("__embB"),
+          col("bucket"))
+        .join(broadcast(keys), Seq("bucket"), "left_semi"),
+      Seq("bucket"), maxBucketSize)
+    nb.join(cb, Seq("bucket"))
+      .filter(col("idNew") =!= col("idCorpus"))
+      .withColumn("cos", cosine(col("__embA"), col("__embB")))
+      .filter(col("cos") >= threshold)
+      .select(col("idNew"), col("idCorpus"),
+        (if (roundCos) round(col("cos"), 6) else col("cos")).as("cos"))
+  }
+
+  /** Stream-safe [[embeddingCandidatesAgainst]]: the new side may be a
+    * STREAMING signature table (signing is map-only — no state),
+    * stream-static-joined against the capped persisted corpus. No
+    * broadcast key-set prune (a streaming key set cannot be
+    * collected — the per-batch stream side is small, so the static
+    * side carries the join); pairs still surface at most once because
+    * each vector has one bucket. */
+  private[graft] def embeddingCandidatesAgainstStream(
+      newSigs: DataFrame, corpusSigs: DataFrame, threshold: Double = 0.9,
+      maxBucketSize: Int = 100000): DataFrame = {
+    val nb = newSigs.select(col("id").as("idNew"), col("emb").as("__embA"),
+      col("bucket"))
+    val cb = capBuckets(
+      corpusSigs.select(col("id").as("idCorpus"), col("emb").as("__embB"),
+        col("bucket")),
+      Seq("bucket"), maxBucketSize)
+    nb.join(cb, Seq("bucket"))
+      .filter(col("idNew") =!= col("idCorpus"))
+      .withColumn("cos", cosine(col("__embA"), col("__embB")))
+      .filter(col("cos") >= threshold)
+      .select(col("idNew"), col("idCorpus"), col("cos"))
+  }
+
   /** Cross-document repeated-span statistics — the corpus-level
     * duplicated-text signal (window-granularity form of the
     * suffix-array substring dedup of Lee et al., "Deduplicating

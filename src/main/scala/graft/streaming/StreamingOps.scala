@@ -133,6 +133,24 @@ object StreamingOps {
     * contract. The corpus table comes from
     * `Multimodal.mediaSignTable`, persisted once; re-sign and swap
     * to pick up corpus growth. */
+  /** Streaming EMBEDDING near-dup guard — the vector modality's
+    * [[nearDupStream]]: each micro-batch signs map-only (RHP bucket),
+    * stream-static-joins the persisted corpus signature table
+    * ([[graft.pipeline.Dedup.embeddingSignTable]], SAME dim/planes/
+    * portable flag) and verifies exact cosine. Emits `(idNew,
+    * idCorpus, cos)` once per pair (one bucket per vector — no
+    * multi-band duplicates, so no watermark collapse needed).
+    * Stateless: no aggregation, no stream-stream join. */
+  def embeddingNearDupStream(vecs: DataFrame, idCol: String,
+                             embCol: String, corpusSigs: DataFrame,
+                             dim: Int, numPlanes: Int = 12,
+                             threshold: Double = 0.9,
+                             portable: Boolean = false): DataFrame =
+    graft.pipeline.Dedup.embeddingCandidatesAgainstStream(
+      graft.pipeline.Dedup.embeddingSignTable(
+        vecs, idCol, embCol, dim, numPlanes, portable),
+      corpusSigs, threshold)
+
   def mediaNearDupStream(media: DataFrame, corpusSigs: DataFrame,
                          maxHamming: Int = 6, cleanChunks: Int = 2,
                          maxBucketSize: Int = 100000,

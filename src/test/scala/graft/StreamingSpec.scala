@@ -249,6 +249,44 @@ class StreamingSpec extends AnyFlatSpec with Matchers {
     } finally q.stop()
   }
 
+  "streaming embedding near-dup" should
+    "flag stream vectors against a signed static corpus, with batch parity" in {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Dedup
+    val dim = 8
+    def vec(base: Float, bump: Float): Seq[Float] =
+      (0 until dim).map(i => if (i == 0) base + bump else base + i * 0.1f)
+    val corpus = Seq(
+      (100L, vec(1.0f, 0f)),
+      (101L, vec(-2.0f, 0f))).toDF("vec_id", "embedding")
+    val corpusSigs = Dedup.embeddingSignTable(
+      corpus, "vec_id", "embedding", dim, numPlanes = 4, portable = true)
+    // batch expectation over the same rows: the parity anchor
+    val batchRows = Seq(
+      (1L, vec(1.0f, 0.001f)),     // near-dup of 100
+      (2L, Seq.fill(dim)(0.3f)),   // unrelated direction
+      (3L, null.asInstanceOf[Seq[Float]]))
+    val expected = Dedup.embeddingCandidatesAgainst(
+      Dedup.embeddingSignTable(batchRows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dim, numPlanes = 4, portable = true),
+      corpusSigs, threshold = 0.95)
+      .select("idNew", "idCorpus").as[(Long, Long)].collect().toSet
+    expected should contain((1L, 100L))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val out = StreamingOps.embeddingNearDupStream(
+      input.toDF.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      corpusSigs, dim, numPlanes = 4, threshold = 0.95, portable = true)
+    val q = out.writeStream.format("memory").queryName("emb_neardup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(batchRows.map { case (id, v) => (id, v) }: _*)
+      q.processAllAvailable()
+      val got = spark.table("emb_neardup_out")
+        .select("idNew", "idCorpus").as[(Long, Long)].collect().toSet
+      got shouldBe expected
+    } finally q.stop()
+  }
+
   "streaming curation" should "attach signals and filter incrementally" in {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
