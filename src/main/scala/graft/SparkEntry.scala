@@ -1720,6 +1720,30 @@ object SparkEntry {
         .select(col("vec_id"), col("cluster"),
           col("component").cast("bigint").as("component"), col("keep"))
     },
+    "q_dedup_semantic_incr" -> { (s, d) =>
+      // incremental SEMANTIC near-dup (round-17): odd vec_ids arrive
+      // as a new batch, assign to the FROZEN ±1 centroids and join
+      // the PERSISTED signed corpus (even vec_ids) on the
+      // (cluster, portable ±1 RHP bucket) key, exact cosine
+      // verified — the SemDeDup analogue of q_dedup_embedding_incr,
+      // fully hash-checked: the oracle re-derives both sides'
+      // argmax-dot clusters AND buckets from the literals and
+      // replays every pair and rounded cosine
+      import graft.pipeline.Clustering
+      val emb = t(s, d, "embeddings")
+      val corpusPath = tmpPath("sem_corpus", d)
+      if (!new java.io.File(s"$corpusPath/_SUCCESS").exists())
+        Clustering.portableSemanticSignTable(
+          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+          dim = 64, numCentroids = 8, numPlanes = 4)
+          .write.mode("overwrite").parquet(corpusPath)
+      Clustering.semanticCandidatesAgainst(
+        Clustering.portableSemanticSignTable(
+          emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+          dim = 64, numCentroids = 8, numPlanes = 4),
+        s.read.parquet(corpusPath), threshold = 0.2, maxBucketSize = 0,
+        roundCos = true)
+    },
     "q_curate" -> { (s, d) =>
       // the composed curation pipeline: quality-score → threshold →
       // exact dedup (one surviving doc per content fingerprint), the
@@ -3935,6 +3959,42 @@ object SparkEntry {
          |       CAST(coalesce(comp.component, a.vec_id) AS BIGINT) AS component,
          |       coalesce(comp.component, a.vec_id) = a.vec_id AS keep
          |FROM assign a LEFT JOIN comp ON comp.id = a.vec_id""".stripMargin
+    },
+    "q_dedup_semantic_incr" -> {
+      val centVals = graft.pipeline.Clustering
+        .portableSemanticCentroidLiterals(8, 64)
+        .zipWithIndex.map { case (c, i) => s"($i, $c::DOUBLE[])" }
+        .mkString(", ")
+      val sigExpr = graft.pipeline.Dedup
+        .portableHyperplaneLiterals(4, 64)
+        .zipWithIndex.map { case (pl, p) =>
+          s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $pl::DOUBLE[]) > 0" +
+            s" THEN ${1L << p} ELSE 0 END)"
+        }.mkString(" +\n         ")
+      s"""WITH cents(cidx, c) AS (SELECT * FROM (VALUES $centVals)),
+         |emb AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+         |), assign AS (
+         |  SELECT vec_id, cidx AS cluster FROM (
+         |    SELECT e.vec_id, c.cidx,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_dot_product(e.embedding::DOUBLE[], c.c) DESC,
+         |                 c.cidx ASC) AS rn
+         |    FROM emb e CROSS JOIN cents c) WHERE rn = 1
+         |), sigs AS (
+         |  SELECT e.vec_id, e.embedding, a.cluster,
+         |         $sigExpr AS bucket
+         |  FROM emb e JOIN assign a ON a.vec_id = e.vec_id
+         |), n AS (SELECT * FROM sigs WHERE vec_id % 2 = 1),
+         |corp AS (SELECT * FROM sigs WHERE vec_id % 2 = 0)
+         |SELECT idNew, idCorpus, cluster, round(cs, 6) AS cos FROM (
+         |  SELECT n.vec_id AS idNew, corp.vec_id AS idCorpus,
+         |         CAST(n.cluster AS BIGINT) AS cluster,
+         |         list_cosine_similarity(n.embedding::DOUBLE[],
+         |                                corp.embedding::DOUBLE[]) AS cs
+         |  FROM n JOIN corp ON n.cluster = corp.cluster
+         |               AND n.bucket = corp.bucket
+         |) WHERE cs >= 0.2""".stripMargin
     },
     "q_dedup_minhash_portable" -> portableMinHashOracle(
       numHashes = 32, bands = 8, shingleK = 3, threshold = 0.5),

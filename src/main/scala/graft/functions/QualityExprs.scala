@@ -2,8 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -245,13 +247,25 @@ object QualityExprs {
       }
     override def dataType: DataType = scoreType
     override def prettyName: String = "quality_model_score"
-    override def nullSafeEval(s: Any): Any =
-      score(s.asInstanceOf[UTF8String], weights)
+    // NOT nullSafeEval/nullSafeCodeGen: NULL text scores (0, 0) through
+    // the expression path too, matching score()'s documented contract
+    // (a failed-extraction row is gram-free, not unscorable — the SQL
+    // replay's left-join-coalesce shape). Round17AdviceSpec pins it.
+    override def nullable: Boolean = false
+    override def eval(input: InternalRow): Any =
+      score(child.eval(input).asInstanceOf[UTF8String], weights)
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val wRef = ctx.addReferenceObj("qualityWeights", weights, "long[]")
-      nullSafeCodeGen(ctx, ev, a => s"""
-        |${ev.value} = graft.functions.QualityExprs.score($a, $wRef);
-        """.stripMargin)
+      val childGen = child.genCode(ctx)
+      val code =
+        code"""
+           |${childGen.code}
+           |org.apache.spark.sql.catalyst.InternalRow ${ev.value} =
+           |  graft.functions.QualityExprs.score(
+           |    ${childGen.isNull} ? null : ${childGen.value}, $wRef);
+         """.stripMargin
+      ev.copy(code = code,
+        isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
     }
     // structural equality/explain must not walk the weight array
     override def flatArguments: Iterator[Any] = Iterator(child)

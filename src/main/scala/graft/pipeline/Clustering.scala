@@ -237,6 +237,112 @@ object Clustering {
       Dedup.portableHyperplanes(numPlanes, dim), threshold,
       maxBucketSize = 0)
 
+  /** Persistable SEMANTIC signature table `(id, emb, cluster, bucket)`
+    * — the semantic family's [[Dedup.embeddingSignTable]] analogue and
+    * the incremental half of [[semanticDedup]]: assign the corpus to
+    * its FROZEN centroids and RHP-sign it ONCE (both map-only),
+    * persist, and every later incremental batch
+    * ([[semanticCandidatesAgainst]]) or stream
+    * ([[graft.streaming.StreamingOps.semanticNearDupStream]]) starts
+    * from it. The centroid matrix is the frozen model — re-train and
+    * re-sign to move clusters (assignments against stale centroids
+    * are the SemDeDup approximation drifting, not an error). A table
+    * persisted partitioned by `cluster` turns the incremental join's
+    * corpus scan into a pruned read. `numPlanes = 0` disables
+    * sub-bucketing (bucket 0 for every row — the paper-exact
+    * all-pairs-within-cluster regime). */
+  def semanticSignTable(df: DataFrame, idCol: String, embCol: String,
+                        centroids: Seq[Seq[Double]], numPlanes: Int = 8,
+                        portable: Boolean = false): DataFrame = {
+    val dim = centroids.head.size
+    val planes =
+      if (numPlanes == 0) Nil
+      else if (portable) Dedup.portableHyperplanes(numPlanes, dim)
+      else Dedup.hyperplanes(numPlanes, dim)
+    df.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .filter(col("emb").isNotNull)
+      .withColumn("cluster",
+        graft.functions.VectorExprs.nearestCentroid(col("emb"), centroids)
+          .cast("long"))
+      .withColumn("bucket",
+        if (planes.isEmpty) lit(0L)
+        else graft.functions.VectorExprs.rhpSignature(col("emb"), planes))
+  }
+
+  /** [[semanticSignTable]] under the fully replayable hash family
+    * (±1 [[portableSemanticCentroids]] + ±1 portable planes) — the
+    * corpus half of the hash-checked incremental entry. */
+  def portableSemanticSignTable(df: DataFrame, idCol: String,
+                                embCol: String, dim: Int,
+                                numCentroids: Int = 8,
+                                numPlanes: Int = 4): DataFrame =
+    semanticSignTable(df, idCol, embCol,
+      portableSemanticCentroids(numCentroids, dim), numPlanes,
+      portable = true)
+
+  /** Incremental semantic near-dup: a NEW batch's signatures
+    * ([[semanticSignTable]], SAME centroids/planes) against the
+    * persisted corpus table — the semantic analogue of
+    * [[Dedup.embeddingCandidatesAgainst]]. Output
+    * `(idNew, idCorpus, cluster, cos)` for cross-side candidate pairs
+    * at cosine ≥ `threshold`; within-batch duplicates are NOT
+    * reported (run [[semanticDedup]] on the batch for those), and
+    * pairs never cross clusters (the SemDeDup contract).
+    *
+    * Scale shape: corpus rows are SEMI-JOINED against the broadcast
+    * set of the batch's `(cluster, bucket)` keys before pair
+    * generation, so post-scan corpus work scales with the batch; hot
+    * keys are capped on both sides like every LSH family. Each vector
+    * has ONE `(cluster, bucket)` key, so a pair surfaces at most
+    * once — no dedup pass needed. */
+  def semanticCandidatesAgainst(newSigs: DataFrame, corpusSigs: DataFrame,
+                                threshold: Double = 0.95,
+                                maxBucketSize: Int = 100000,
+                                roundCos: Boolean = false): DataFrame = {
+    val keyCols = Seq("cluster", "bucket")
+    val nb = Dedup.capBuckets(
+      newSigs.select(col("id").as("idNew"), col("emb").as("__embA"),
+        col("cluster"), col("bucket")),
+      keyCols, maxBucketSize)
+      .localCheckpoint(eager = false) // feeds the key set AND the pair join
+    val keys = nb.select(keyCols.map(col): _*).distinct()
+    val cb = Dedup.capBuckets(
+      corpusSigs.select(col("id").as("idCorpus"), col("emb").as("__embB"),
+          col("cluster"), col("bucket"))
+        .join(broadcast(keys), keyCols, "left_semi"),
+      keyCols, maxBucketSize)
+    nb.join(cb, keyCols)
+      .filter(col("idNew") =!= col("idCorpus"))
+      .withColumn("cos", Dedup.cosine(col("__embA"), col("__embB")))
+      .filter(col("cos") >= threshold)
+      .select(col("idNew"), col("idCorpus"), col("cluster"),
+        (if (roundCos) round(col("cos"), 6) else col("cos")).as("cos"))
+  }
+
+  /** Stream-safe [[semanticCandidatesAgainst]]: the new side may be a
+    * STREAMING signature table (assignment + signing are map-only —
+    * no state), stream-static-joined against the capped persisted
+    * corpus. No broadcast key-set prune (a streaming key set cannot
+    * be collected — the per-batch stream side is small, so the static
+    * side carries the join); pairs still surface at most once because
+    * each vector has one `(cluster, bucket)` key. */
+  private[graft] def semanticCandidatesAgainstStream(
+      newSigs: DataFrame, corpusSigs: DataFrame, threshold: Double = 0.95,
+      maxBucketSize: Int = 100000): DataFrame = {
+    val keyCols = Seq("cluster", "bucket")
+    val nb = newSigs.select(col("id").as("idNew"), col("emb").as("__embA"),
+      col("cluster"), col("bucket"))
+    val cb = Dedup.capBuckets(
+      corpusSigs.select(col("id").as("idCorpus"), col("emb").as("__embB"),
+        col("cluster"), col("bucket")),
+      keyCols, maxBucketSize)
+    nb.join(cb, keyCols)
+      .filter(col("idNew") =!= col("idCorpus"))
+      .withColumn("cos", Dedup.cosine(col("__embA"), col("__embB")))
+      .filter(col("cos") >= threshold)
+      .select(col("idNew"), col("idCorpus"), col("cluster"), col("cos"))
+  }
+
   private def semanticDedupWith(df: DataFrame, idCol: String,
                                 embCol: String,
                                 centroids: Seq[Seq[Double]],

@@ -39,7 +39,10 @@ object Quality {
     val B = QualityExprs.NumBuckets
     val isPos = col(labelCol).cast(BooleanType)
     val counts = df
-      .filter(col(textCol).isNotNull)
+      // an unlabeled row is no training evidence at all — without this
+      // filter the when/otherwise below would silently count NULL
+      // labels as the NEGATIVE class and corrupt the model
+      .filter(col(textCol).isNotNull && col(labelCol).isNotNull)
       .select(isPos.as("__pos"),
         explode(QualityExprs.qualityGramsCol(col(textCol))).as("bucket"))
       .groupBy(col("bucket"))

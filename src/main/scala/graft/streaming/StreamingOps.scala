@@ -133,24 +133,6 @@ object StreamingOps {
     * contract. The corpus table comes from
     * `Multimodal.mediaSignTable`, persisted once; re-sign and swap
     * to pick up corpus growth. */
-  /** Streaming EMBEDDING near-dup guard — the vector modality's
-    * [[nearDupStream]]: each micro-batch signs map-only (RHP bucket),
-    * stream-static-joins the persisted corpus signature table
-    * ([[graft.pipeline.Dedup.embeddingSignTable]], SAME dim/planes/
-    * portable flag) and verifies exact cosine. Emits `(idNew,
-    * idCorpus, cos)` once per pair (one bucket per vector — no
-    * multi-band duplicates, so no watermark collapse needed).
-    * Stateless: no aggregation, no stream-stream join. */
-  def embeddingNearDupStream(vecs: DataFrame, idCol: String,
-                             embCol: String, corpusSigs: DataFrame,
-                             dim: Int, numPlanes: Int = 12,
-                             threshold: Double = 0.9,
-                             portable: Boolean = false): DataFrame =
-    graft.pipeline.Dedup.embeddingCandidatesAgainstStream(
-      graft.pipeline.Dedup.embeddingSignTable(
-        vecs, idCol, embCol, dim, numPlanes, portable),
-      corpusSigs, threshold)
-
   def mediaNearDupStream(media: DataFrame, corpusSigs: DataFrame,
                          maxHamming: Int = 6, cleanChunks: Int = 2,
                          maxBucketSize: Int = 100000,
@@ -172,6 +154,47 @@ object StreamingOps {
       pairs.dropDuplicatesWithinWatermark("kind", "idNew", "idCorpus")
     else pairs
   }
+
+  /** Streaming EMBEDDING near-dup guard — the vector modality's
+    * [[nearDupStream]]: each micro-batch signs map-only (RHP bucket),
+    * stream-static-joins the persisted corpus signature table
+    * ([[graft.pipeline.Dedup.embeddingSignTable]], SAME dim/planes/
+    * portable flag) and verifies exact cosine. Emits `(idNew,
+    * idCorpus, cos)` once per pair (one bucket per vector — no
+    * multi-band duplicates, so no watermark collapse needed).
+    * Stateless: no aggregation, no stream-stream join. */
+  def embeddingNearDupStream(vecs: DataFrame, idCol: String,
+                             embCol: String, corpusSigs: DataFrame,
+                             dim: Int, numPlanes: Int = 12,
+                             threshold: Double = 0.9,
+                             portable: Boolean = false): DataFrame =
+    graft.pipeline.Dedup.embeddingCandidatesAgainstStream(
+      graft.pipeline.Dedup.embeddingSignTable(
+        vecs, idCol, embCol, dim, numPlanes, portable),
+      corpusSigs, threshold)
+
+  /** Streaming SEMANTIC near-dup guard — the SemDeDup modality's
+    * [[nearDupStream]]: each micro-batch assigns to the FROZEN
+    * centroid matrix and RHP-signs map-only
+    * ([[graft.pipeline.Clustering.semanticSignTable]]), then
+    * stream-static-joins the persisted corpus signature table (SAME
+    * centroids/planes/portable flag) and verifies exact cosine
+    * within the cluster. Emits `(idNew, idCorpus, cluster, cos)`
+    * once per pair (one `(cluster, bucket)` key per vector — no
+    * multi-band duplicates, so no watermark collapse needed).
+    * Stateless: no aggregation, no stream-stream join. Centroids are
+    * the frozen model — re-train, re-sign the corpus and restart the
+    * stream to move clusters. */
+  def semanticNearDupStream(vecs: DataFrame, idCol: String,
+                            embCol: String, corpusSigs: DataFrame,
+                            centroids: Seq[Seq[Double]],
+                            numPlanes: Int = 8,
+                            threshold: Double = 0.95,
+                            portable: Boolean = false): DataFrame =
+    graft.pipeline.Clustering.semanticCandidatesAgainstStream(
+      graft.pipeline.Clustering.semanticSignTable(
+        vecs, idCol, embCol, centroids, numPlanes, portable),
+      corpusSigs, threshold)
 
   /** Streaming INCREMENTAL paragraph dedup — the streaming face of
     * [[graft.pipeline.Dedup.dedupParagraphsAgainst]]: each arriving
@@ -333,7 +356,27 @@ object StreamingOps {
     * only the matched 12-byte `(fp, docs)` rows; state is one long
     * per distinct stream span hash; the reunite pass ships each
     * document's text ONCE (a single `pos = -1` row) plus its cut
-    * positions — never per-window text amplification. */
+    * positions — never per-window text amplification. Transient
+    * per-group memory (both keyed passes stream their iterator once,
+    * buffering only what the emit decision needs): pass 1 holds one
+    * `(id, pos)` pair per occurrence of ONE span hash in ONE
+    * micro-batch — a mega-hot boilerplate hash concentrates its
+    * batch occurrences in one task, so size micro-batches so the
+    * hottest hash's per-batch occurrence list fits in executor
+    * memory; pass 2 holds one document's text plus one int per cut.
+    *
+    * State lifecycle at 100 TB (the `NoTimeout` state otherwise grows
+    * one long per distinct stream span hash, forever): periodically
+    * STOP the stream, fold the documents it processed into the
+    * persisted inventory with [[graft.pipeline.Dedup
+    * .foldSpanInventory]], and restart against the folded inventory
+    * with a FRESH checkpoint. Restart parity is exact, not
+    * approximate: batch ids are new each batch (the incremental
+    * contract), so the stream state's per-hash count equals the
+    * distinct-doc delta the fold adds to `docs`, and every post-
+    * restart union count `batch + 0 + folded-corpus` equals the
+    * uninterrupted `batch + state + corpus` — SpanCutRestartSpec
+    * pins fold→restart ≡ uninterrupted on a seeded multi-batch run. */
   def spanCutAgainstStream(docs: DataFrame, idCol: String, textCol: String,
                            corpusInv: DataFrame, window: Int = 8,
                            minDocs: Int = 2): DataFrame = {
@@ -373,12 +416,20 @@ object StreamingOps {
       .flatMapGroupsWithState[Long, (String, Int)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (_, occs, state) =>
-          val rows = occs.toSeq
-          val batchDocs = rows.iterator.map(_._2).toSet.size.toLong
+          // one streaming pass: buffer only the (id, pos) pairs that
+          // might be emitted (fp/cdocs never amplify) while counting
+          // distinct docs — the buffer is unavoidable because the
+          // emit decision needs the group's full distinct-doc count
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+          val docs = scala.collection.mutable.HashSet.empty[String]
+          var cdocs = 0L
+          occs.foreach { r =>
+            buf += ((r._2, r._3)); docs += r._2; cdocs = r._4
+          }
+          val batchDocs = docs.size.toLong
           val prior = state.getOption.getOrElse(0L)
           state.update(prior + batchDocs)
-          if (batchDocs + prior + rows.head._4 >= minDocs)
-            rows.iterator.map(r => (r._2, r._3))
+          if (batchDocs + prior + cdocs >= minDocs) buf.iterator
           else Iterator.empty
       }.toDF("id", "pos")
     // pass 2, keyed by document: one pos = -1 row carries the text,
@@ -395,15 +446,20 @@ object StreamingOps {
       .flatMapGroupsWithState[Boolean, (String, String, Long, Long, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (id, rows0, _) =>
-          val rows = rows0.toSeq
-          val docRow = rows.find(_._2 == -1)
-          if (docRow.isEmpty) Iterator.empty // defensive: verdicts only
-          else if (docRow.get._3 == null)
+          // one streaming pass: the text is held ONCE and the verdicts
+          // compact to an int buffer — never a Seq of full rows
+          var seenDoc = false
+          var text: String = null
+          val dups = scala.collection.mutable.ArrayBuffer.empty[Int]
+          rows0.foreach { case (_, p, payload) =>
+            if (p == -1) { seenDoc = true; text = payload } else dups += p
+          }
+          if (!seenDoc) Iterator.empty // defensive: verdicts only
+          else if (text == null)
             Iterator.single((id, null: String, 0L, 0L, 0L))
           else {
-            val dups = rows.collect { case (_, p, _) if p >= 0 => p }.toArray
             val (clean, n, removed, spans) =
-              spanRewriteLocal(docRow.get._3, dups, window)
+              spanRewriteLocal(text, dups.toArray, window)
             Iterator.single((id, clean, n, removed, spans))
           }
       }
