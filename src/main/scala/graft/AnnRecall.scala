@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ANN recall measurement harness (round-17, verdict item #6): the
+  * number a user sizing `numPlanes` / `nprobe` actually needs. The
+  * LSH / persisted-index / IVF battery entries verify top-k
+  * DETERMINISM; this main measures their top-k RECALL against the
+  * brute-force arm on a planted-neighbor corpus:
+  *
+  *  - draw `numQueries` seeded query vectors from the embeddings
+  *    table (every 17th id — spread across the id range);
+  *  - PLANT `planted` near-identical copies of each query vector
+  *    (seeded 1e-3 gaussian perturbations, cosine ≈ 1) under fresh
+  *    ids, so ground truth genuinely contains near neighbors — on
+  *    raw gaussian corpora the true top-k is near-orthogonal noise
+  *    and "recall" measures luck, not the index;
+  *  - ground truth = [[graft.pipeline.Similarity.bruteForceTopK]]
+  *    over the planted corpus; recall@k = |ann ∩ brute| / k,
+  *    averaged over queries, per method at the BATTERY parameters
+  *    (lsh numPlanes=6, index numPlanes=6, ivf k=8 iters=3 nprobe=3).
+  *
+  * Usage: `sbt "runMain graft.AnnRecall <sfDir> <outJson>"` — writes
+  * one JSON object; committed per round as `ANN_RECALL_r{N}.json`.
+  * AnnRecallSpec pins seeded floors at test scale. */
+object AnnRecall {
+
+  /** Deterministic planted-neighbor corpus: the embeddings table plus
+    * `planted` perturbed copies of each query vector under ids above
+    * the corpus max. Returns (corpus, queries as (qid, vector)). */
+  def plantedCorpus(spark: SparkSession, emb: DataFrame,
+                    numQueries: Int, planted: Int, seed: Long)
+      : (DataFrame, Seq[(Long, Seq[Double])]) = {
+    import spark.implicits._
+    val base = emb.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding")).filter(col("embedding").isNotNull)
+    val maxId = base.agg(max(col("vec_id"))).head().getLong(0)
+    val qids = (0 until numQueries).map(i => (i * 17L) % (maxId + 1))
+    val qvecs = base.filter(col("vec_id").isin(qids: _*))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+      .map { case (id, v) => id -> v.map(_.toDouble) }.toSeq
+    val rnd = new scala.util.Random(seed)
+    val plantedRows = qvecs.zipWithIndex.flatMap { case ((_, v), qi) =>
+      (0 until planted).map { j =>
+        val pv = v.map(x => (x + rnd.nextGaussian() * 1e-3).toFloat)
+        (maxId + 1 + qi.toLong * planted + j, pv)
+      }
+    }
+    val corpus = base.unionByName(
+      plantedRows.toDF("vec_id", "embedding"))
+    (corpus, qvecs)
+  }
+
+  private def ids(df: DataFrame): Set[Long] =
+    df.select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outJson = args.lift(1).getOrElse("ANN_RECALL.json")
+    val numQueries = args.lift(2).map(_.toInt).getOrElse(20)
+    val planted = 10
+    val k = 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.pipeline.{Ivf, Similarity}
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val (corpus, queries) = plantedCorpus(spark, emb, numQueries, planted,
+      seed = 17L)
+    corpus.cache(); corpus.count()
+    val natural = emb.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding")).filter(col("embedding").isNotNull)
+    natural.cache(); natural.count()
+    val dim = queries.head._2.size
+
+    // two regimes per method: PLANTED (ground truth = the cosine≈1
+    // copies — measures "does bucketing route near-identical vectors
+    // together", the dedup question) and NATURAL (ground truth = the
+    // raw corpus's true top-k, mostly mid-cosine neighbors — the
+    // retrieval question, where LSH/IVF genuinely trade recall for
+    // pruning; this is the number that sizes numPlanes/nprobe)
+    def sweep(c: DataFrame, tag: String): Map[String, Double] = {
+      val annIdx = java.nio.file.Files
+        .createTempDirectory(s"ann_recall_idx_$tag").toString
+      val ivfIdx = java.nio.file.Files
+        .createTempDirectory(s"ann_recall_ivf_$tag").toString
+      Similarity.buildIndex(c, "vec_id", "embedding", annIdx,
+        dim = dim, numPlanes = 6)
+      Ivf.buildIndex(c, "vec_id", "embedding", ivfIdx, k = 8, iters = 3)
+      val methods = Seq[(String, Seq[Double] => DataFrame)](
+        "lsh" -> (q => Similarity.lshTopK(c, "vec_id", "embedding",
+          q, k, numPlanes = 6)),
+        "lsh_portable" -> (q => Similarity.portableLshTopK(c, "vec_id",
+          "embedding", q, k, numPlanes = 6)),
+        "index" -> (q => Similarity.queryIndex(spark, annIdx, q, k)),
+        "ivf" -> (q => Ivf.queryIndex(spark, ivfIdx, q, k, nprobe = 3)))
+      val perMethod = scala.collection.mutable.LinkedHashMap(
+        methods.map(_._1 -> List.empty[Double]): _*)
+      queries.foreach { case (_, q) =>
+        val truth = ids(Similarity.bruteForceTopK(c, "vec_id",
+          "embedding", q, k))
+        methods.foreach { case (name, m) =>
+          val got = ids(m(q))
+          perMethod(name) = perMethod(name) :+
+            (truth.intersect(got).size.toDouble / k)
+        }
+      }
+      perMethod.map { case (n, rs) =>
+        n -> BigDecimal(rs.sum / rs.size).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+    }
+    def renderRecall(m: Map[String, Double]): String =
+      Seq("lsh", "lsh_portable", "index", "ivf")
+        .map(n => s""""$n": ${m(n)}""").mkString(", ")
+    val plantedRecall = sweep(corpus, "planted")
+    val naturalRecall = sweep(natural, "natural")
+    val json = s"""{"sf_dir": "$sfDir", "k": $k, "queries": ${queries.size},
+      | "planted_per_query": $planted,
+      | "corpus_rows": ${corpus.count()},
+      | "params": {"lsh_planes": 6, "index_planes": 6,
+      |            "ivf_k": 8, "ivf_iters": 3, "ivf_nprobe": 3},
+      | "recall_at_k_planted": {${renderRecall(plantedRecall)}},
+      | "recall_at_k_natural": {${renderRecall(naturalRecall)}}}"""
+      .stripMargin.replaceAll("\n", "")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
+      json + "\n")
+    println(json)
+    spark.stop()
+  }
+}

@@ -2724,21 +2724,30 @@ object SparkEntry {
     * implementation so every double matches to summation-order noise
     * (~1e-14, unobservable at the 6-dp round). */
   private def pageRankOracle(iters: Int): String = {
+    // every CTE is MATERIALIZED (round-17): each rank table r$i is
+    // referenced three times by r${i+1}, so the default inlining
+    // expands the base join 3^iters times — at 10x that exhausted
+    // DuckDB's temp space / never finished; materialized per-iteration
+    // tables bound the temp footprint (5 s at 10x) with the SAME
+    // operation order, so hashes are unchanged
     val header =
-      """WITH e AS (
+      """WITH e AS MATERIALIZED (
         |  SELECT DISTINCT 's' || l_suppkey::VARCHAR AS src,
         |                  'p' || l_partkey::VARCHAR AS dst FROM lineitem
-        |), nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
-        |od AS (SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS outdeg
-        |       FROM e GROUP BY 1),
-        |r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+        |), nodes AS MATERIALIZED (
+        |  SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        |od AS MATERIALIZED (
+        |  SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS outdeg
+        |  FROM e GROUP BY 1),
+        |r0 AS MATERIALIZED (
+        |  SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
         .stripMargin
     val its = (1 to iters).map { i =>
       s""",
-         |dm$i AS (SELECT COALESCE(SUM(rank), 0) AS dm FROM r${i - 1}
+         |dm$i AS MATERIALIZED (SELECT COALESCE(SUM(rank), 0) AS dm FROM r${i - 1}
          |  WHERE node NOT IN (SELECT node FROM od)),
-         |r$i AS (
+         |r$i AS MATERIALIZED (
          |  SELECT nodes.node,
          |    (1 - 0.85) / (SELECT n FROM nn) + 0.85 * (COALESCE(c.inr, 0)
          |      + (SELECT dm FROM dm$i) / (SELECT n FROM nn)) AS rank

@@ -153,4 +153,66 @@ class StreamingSpanCutSpec extends AnyFlatSpec with Matchers {
       withClue(s"seed=$seed: ") { got shouldBe expected }
     } finally q.stop()
   }
+
+  it should "agree with the batch operator per micro-batch across 3+ batches (folded-inventory differential)" in {
+    // the multi-batch form of the differential above: an uninterrupted
+    // stream's batch-N output must equal removeRepeatedSpansAgainst on
+    // the inventory FOLDED over batches 1..N-1 — the same identity
+    // SpanCutRestartSpec exploits for the state lifecycle, here run
+    // against the BATCH operator as the reference instead of a second
+    // stream, over seeded corpora (rotate with -Dgraft.fuzz.seed)
+    implicit val sqlCtx = spark.sqlContext
+    val window = 3
+    val seed = java.lang.Long.getLong("graft.fuzz.seed", 1330L)
+    val rnd = new scala.util.Random(seed)
+    val pool = Vector("aa bb cc dd", "ee ff gg hh", "ii jj kk ll",
+      "mm nn oo pp")
+    def randDoc(i: Long): String =
+      (0 until 1 + rnd.nextInt(3)).map { _ =>
+        if (rnd.nextBoolean()) pool(rnd.nextInt(pool.size))
+        else (0 until 3 + rnd.nextInt(4))
+          .map(_ => s"w${rnd.nextInt(40)}").mkString(" ")
+      }.mkString(" ") + s" u$i"
+    val corpus = (0L until 4L).map(i => (i, randDoc(i))).toDF("doc_id", "text")
+    val inv0 = Dedup.spanInventoryTable(corpus, "doc_id", "text", window)
+      .cache()
+    inv0.count()
+    val batches = (0 until 4).map { b =>
+      val base = 100L * (b + 1)
+      (base until base + 4 + rnd.nextInt(4)).map(i => (i, randDoc(i)))
+    }
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingOps.spanCutAgainstStream(
+      input.toDF.toDF("doc_id", "text"), "doc_id", "text", inv0, window)
+    val q = out.writeStream.format("memory").queryName("span_cut_multi_out")
+      .outputMode("append").start()
+    try {
+      var inv = inv0
+      var cumCut = 0L
+      batches.foreach { b =>
+        val before = spark.table("span_cut_multi_out")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))).toSet
+        input.addData(b: _*)
+        q.processAllAvailable()
+        val got = spark.table("span_cut_multi_out")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))).toSet -- before
+        val expected = Dedup.removeRepeatedSpansAgainst(
+          inv, b.toDF("doc_id", "text"), "doc_id", "text", window)
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))).toSet
+        withClue(s"seed=$seed batch base ${b.head._1}: ") {
+          got shouldBe expected
+        }
+        cumCut += got.count(_._4 > 0)
+        inv = Dedup.foldSpanInventory(
+          inv, b.toDF("doc_id", "text"), "doc_id", "text", window).cache()
+        inv.count()
+      }
+      // non-triviality: the shared pool guarantees live cross-batch cuts
+      withClue(s"seed=$seed cut nothing across 4 batches: ")(
+        cumCut should be > 0L)
+    } finally q.stop()
+  }
 }
