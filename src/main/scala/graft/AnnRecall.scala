@@ -123,13 +123,45 @@ object AnnRecall {
         .map(n => s""""$n": ${m(n)}""").mkString(", ")
     val plantedRecall = sweep(corpus, "planted")
     val naturalRecall = sweep(natural, "natural")
+
+    // the sizing CURVE on the natural regime: recall as a function of
+    // the one knob each method has (fewer planes = bigger buckets =
+    // more recall and more verify work; more probes = more partitions
+    // scanned) — the table a user consults before picking parameters
+    val lshCurve = Seq(4, 6, 8).map { p =>
+      val rs = queries.map { case (_, q) =>
+        val truth = ids(Similarity.bruteForceTopK(natural, "vec_id",
+          "embedding", q, k))
+        ids(Similarity.lshTopK(natural, "vec_id", "embedding", q, k,
+          numPlanes = p)).intersect(truth).size.toDouble / k
+      }
+      p -> BigDecimal(rs.sum / rs.size).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val ivfIdxN = java.nio.file.Files
+      .createTempDirectory("ann_recall_ivf_curve").toString
+    Ivf.buildIndex(natural, "vec_id", "embedding", ivfIdxN, k = 8, iters = 3)
+    val ivfCurve = Seq(1, 3, 5).map { np =>
+      val rs = queries.map { case (_, q) =>
+        val truth = ids(Similarity.bruteForceTopK(natural, "vec_id",
+          "embedding", q, k))
+        ids(Ivf.queryIndex(spark, ivfIdxN, q, k, nprobe = np))
+          .intersect(truth).size.toDouble / k
+      }
+      np -> BigDecimal(rs.sum / rs.size).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
     val json = s"""{"sf_dir": "$sfDir", "k": $k, "queries": ${queries.size},
       | "planted_per_query": $planted,
       | "corpus_rows": ${corpus.count()},
       | "params": {"lsh_planes": 6, "index_planes": 6,
       |            "ivf_k": 8, "ivf_iters": 3, "ivf_nprobe": 3},
       | "recall_at_k_planted": {${renderRecall(plantedRecall)}},
-      | "recall_at_k_natural": {${renderRecall(naturalRecall)}}}"""
+      | "recall_at_k_natural": {${renderRecall(naturalRecall)}},
+      | "natural_curve_lsh_planes": {${lshCurve.map { case (p, r) =>
+        s""""$p": $r""" }.mkString(", ")}},
+      | "natural_curve_ivf_nprobe": {${ivfCurve.map { case (np, r) =>
+        s""""$np": $r""" }.mkString(", ")}}}"""
       .stripMargin.replaceAll("\n", "")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
       json + "\n")
