@@ -14,7 +14,12 @@ import org.scalatest.matchers.should.Matchers
   * their total shuffle-exchange counts here — and the pin is shown to
   * TRIP on a deliberately added extra shuffle. */
 class MaintenanceBudgetSpec extends AnyFlatSpec with Matchers {
-  private val spark = TestSpark.spark
+  // OWN session (shared context): the QueryExecutionListener below is
+  // session-scoped, and suites run in parallel on the shared session —
+  // a concurrent suite's shuffle landing inside a countShuffles window
+  // flaked this spec (seen once at round 17). An isolated session's
+  // listener manager only ever sees this spec's executions.
+  private val spark = TestSpark.spark.newSession()
   import spark.implicits._
 
   /** Total ShuffleExchange nodes across every SQL execution `body`

@@ -143,6 +143,27 @@ class SemanticIncrementalSpec extends AnyFlatSpec with Matchers {
     sigs.columns.toSeq shouldBe Seq("id", "emb", "cluster", "bucket")
   }
 
+  it should "plan the corpus semi-join prune as a broadcast with no cartesian product" in {
+    // the 100 TB shape: the corpus side must be pruned by a BROADCAST
+    // semi-join on the batch's (cluster, bucket) key set BEFORE any
+    // pair generation, and nothing in the operator may plan a
+    // cartesian product
+    val all = fixture(9L, 60)
+    val corpusSigs = Clustering.portableSemanticSignTable(
+      all.filter(_._1 % 2 == 0).map { case (id, v) => (id, v.toSeq) }
+        .toDF("id", "emb"), "id", "emb", dim, k, numPlanes)
+    val newSigs = Clustering.portableSemanticSignTable(
+      all.filter(_._1 % 2 == 1).map { case (id, v) => (id, v.toSeq) }
+        .toDF("id", "emb"), "id", "emb", dim, k, numPlanes)
+    val out = Clustering.semanticCandidatesAgainst(newSigs, corpusSigs,
+      threshold = 0.9, maxBucketSize = 0)
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    p should include("LeftSemi")
+    p should include("Broadcast")
+    p should not include "CartesianProduct"
+  }
+
   behavior of "StreamingOps.semanticNearDupStream"
 
   it should "match semanticCandidatesAgainst on a single micro-batch" in {
