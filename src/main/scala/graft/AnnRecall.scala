@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * DETERMINISM; this main measures their top-k RECALL against the
   * brute-force arm on a planted-neighbor corpus:
   *
-  *  - draw `numQueries` seeded query vectors from the embeddings
-  *    table (every 17th id — spread across the id range);
+  *  - draw `numQueries` query vectors from the embeddings table
+  *    (even stride over the sorted ACTUAL id set — robust to sparse
+  *    or offset id spaces);
   *  - PLANT `planted` near-identical copies of each query vector
   *    (seeded 1e-3 gaussian perturbations, cosine ≈ 1) under fresh
   *    ids, so ground truth genuinely contains near neighbors — on
@@ -35,11 +36,23 @@ object AnnRecall {
     import spark.implicits._
     val base = emb.select(col("vec_id").cast("long").as("vec_id"),
       col("embedding")).filter(col("embedding").isNotNull)
-    val maxId = base.agg(max(col("vec_id"))).head().getLong(0)
-    val qids = (0 until numQueries).map(i => (i * 17L) % (maxId + 1))
+    // draw query ids from the ACTUAL id set with an even stride (not a
+    // modular formula over [0, maxId] — sparse or offset id spaces made
+    // that silently select fewer/zero queries; round-17 advice #2).
+    // Driver-bounded: one long per corpus row, a few MB at 10x.
+    val allIds = base.select(col("vec_id")).orderBy(col("vec_id"))
+      .collect().map(_.getLong(0))
+    require(allIds.nonEmpty,
+      s"AnnRecall: embeddings table has no rows with non-null vectors")
+    val stride = math.max(1, allIds.length / numQueries)
+    val qids = allIds.indices.by(stride).take(numQueries)
+      .map(allIds(_)).toSeq
+    val maxId = allIds.last
     val qvecs = base.filter(col("vec_id").isin(qids: _*))
       .as[(Long, Seq[Float])].collect().sortBy(_._1)
       .map { case (id, v) => id -> v.map(_.toDouble) }.toSeq
+    require(qvecs.nonEmpty, s"AnnRecall: selected ${qids.size} query ids " +
+      s"but none matched rows (id space ${allIds.length} ids)")
     val rnd = new scala.util.Random(seed)
     val plantedRows = qvecs.zipWithIndex.flatMap { case ((_, v), qi) =>
       (0 until planted).map { j =>
@@ -152,6 +165,7 @@ object AnnRecall {
         BigDecimal.RoundingMode.HALF_UP).toDouble
     }
     val json = s"""{"sf_dir": "$sfDir", "k": $k, "queries": ${queries.size},
+      | "queries_requested": $numQueries,
       | "planted_per_query": $planted,
       | "corpus_rows": ${corpus.count()},
       | "params": {"lsh_planes": 6, "index_planes": 6,

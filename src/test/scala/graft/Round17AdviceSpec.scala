@@ -41,23 +41,28 @@ class Round17AdviceSpec extends AnyFlatSpec with Matchers {
   }
 
   it should "agree between the interpreted eval and codegen paths on NULL" in {
+    // codegen path (normal execution, shared session)
     val df = Seq((1L, null.asInstanceOf[String])).toDF("id", "text")
       .withColumn("qs", QualityExprs.qualityModelScoreCol(col("text")))
-    // codegen path (normal execution)
     val r1 = df.select("qs.score", "qs.n_grams").head()
     (r1.isNullAt(0), r1.getLong(0), r1.getInt(1)) shouldBe ((false, 0L, 0))
-    // interpreted path (codegen disabled)
-    val prev = spark.conf.getOption("spark.sql.codegen.wholeStage")
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-    try {
-      val r2 = df.select("qs.score", "qs.n_grams").head()
-      (r2.isNullAt(0), r2.getLong(0), r2.getInt(1)) shouldBe ((false, 0L, 0))
-    } finally {
-      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
-      prev.fold(spark.conf.unset("spark.sql.codegen.wholeStage"))(
-        spark.conf.set("spark.sql.codegen.wholeStage", _))
-    }
+    // interpreted path: conf mutations isolated on a child session so
+    // the shared TestSpark conf (wholeStage, factoryMode) is never
+    // touched — suites run in parallel on it (round-17 advice #1)
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.codegen.wholeStage", "false")
+    iso.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    import iso.implicits._
+    val df2 = Seq((1L, null.asInstanceOf[String])).toDF("id", "text")
+      .withColumn("qs", QualityExprs.qualityModelScoreCol(col("text")))
+    val r2 = df2.select("qs.score", "qs.n_grams").head()
+    (r2.isNullAt(0), r2.getLong(0), r2.getInt(1)) shouldBe ((false, 0L, 0))
+    // and the shared session's codegen confs were left alone (defaults:
+    // wholeStage on, factoryMode FALLBACK — not the isolated overrides)
+    spark.conf.getOption("spark.sql.codegen.wholeStage")
+      .foreach(_ should not be "false")
+    spark.conf.getOption("spark.sql.codegen.factoryMode")
+      .foreach(m => Seq("NO_CODEGEN", "CODEGEN_ONLY") should not contain m)
   }
 
   behavior of "trainQualityWeights NULL labels (advice #3)"
