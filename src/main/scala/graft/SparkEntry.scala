@@ -1670,6 +1670,28 @@ object SparkEntry {
         s.read.parquet(corpusPath),
         threshold = 0.3)
     },
+    "q_dedup_incr_portable" -> { (s, d) =>
+      // the minhash incremental's hash-checked form (round-18): odd
+      // doc_ids arrive as a batch, PORTABLE-signed (md5-prefix shingle
+      // hashes + affine-mod signatures), band-joined against the
+      // PERSISTED portable-signed corpus (even doc_ids) with the same
+      // broadcast batch-key semi-join prune as q_dedup_incremental —
+      // the oracle re-derives both sides' shingle hashes, signatures,
+      // band buckets and every surviving pair's exact Jaccard
+      // (q_dedup_incremental stays rows-only: its xxhash64 band keys
+      // aren't SQL-replayable)
+      import graft.pipeline.Dedup
+      val docs = t(s, d, "documents")
+      val corpusPath = tmpPath("pmh_corpus", d)
+      if (!new java.io.File(s"$corpusPath/_SUCCESS").exists())
+        Dedup.portableMinHashSignTable(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text").write.mode("overwrite").parquet(corpusPath)
+      Dedup.portableMinHashCandidatesAgainst(
+        Dedup.portableMinHashSignTable(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text"),
+        s.read.parquet(corpusPath),
+        numHashes = 32, bands = 8, threshold = 0.3)
+    },
     "q_dedup_embedding" -> { (s, d) => // rows-only
       graft.pipeline.Dedup.embeddingCandidates(
         t(s, d, "embeddings"), "vec_id", "embedding", dim = 64,
@@ -2528,6 +2550,20 @@ object SparkEntry {
       graft.pipeline.Ivf.buildIndex(emb, "vec_id", "embedding", idx,
         k = 8, iters = 3)
       graft.pipeline.Ivf.queryIndex(s, idx, q, 10, nprobe = 3)
+    },
+    "q_ann_ivf_portable" -> { (s, d) =>
+      // the IVF family's hash-checked entry (round-18): FROZEN ±1
+      // centroids replace k-means, so the oracle re-derives every
+      // vector's argmax-dot cluster, the query's 3-centroid probe
+      // ring and the exact rounded-cosine top-k — centroid-probed
+      // approximate search made fully auditable (the k-means-trained
+      // q_ann_ivf stays rows-only: Lloyd's iterations aren't
+      // SQL-replayable)
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      graft.pipeline.Ivf.portableTopK(emb, "vec_id", "embedding", q, 10,
+        numCentroids = 8, nprobe = 3)
     }
   )
 
@@ -2584,6 +2620,66 @@ object SparkEntry {
        |        FROM documents WHERE text IS NOT NULL)
        |)""".stripMargin
   }
+
+  /** Shared CTE prefix for the portable-MinHash oracles: documents →
+    * tokens → md5-prefix shingle hashes (`sh`) → affine-mod signatures
+    * → per-band ':'-joined bucket strings (`bands`) — the exact hash
+    * family [[graft.pipeline.Dedup.portableMinHashSignTable]] emits,
+    * with the coefficients inlined from the same
+    * [[graft.functions.TextHashExprs.portableCoeffs]]. */
+  private def portableMinHashCtes(numHashes: Int, bands: Int,
+                                  shingleK: Int): String = {
+    val (as, bs) = graft.functions.TextHashExprs.portableCoeffs(numHashes)
+    val p = graft.functions.TextHashExprs.PortableMod
+    val r = numHashes / bands
+    s"""toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |                             x -> x <> '') AS ts
+       |  FROM documents WHERE text IS NOT NULL
+       |), sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(generate_series(1, len(ts) - ${shingleK - 1}),
+       |      i -> CAST(('0x' || substr(md5(array_to_string(
+       |             list_slice(ts, i, i + ${shingleK - 1}), ' ')), 1, 8)) AS BIGINT))) AS hs
+       |  FROM toks WHERE len(ts) >= $shingleK
+       |), shx AS (
+       |  SELECT doc_id, unnest(hs) AS x FROM sh
+       |), coef AS (
+       |  SELECT unnest(range($numHashes)) AS i,
+       |         unnest(${as.mkString("[", ", ", "]")}) AS a,
+       |         unnest(${bs.mkString("[", ", ", "]")}) AS b
+       |), mh AS (
+       |  SELECT s.doc_id, c.i, min((c.a * s.x + c.b) % $p) AS m
+       |  FROM shx s CROSS JOIN coef c GROUP BY s.doc_id, c.i
+       |), bands AS (
+       |  SELECT doc_id, i // $r AS band,
+       |         string_agg(m::VARCHAR, ':' ORDER BY i) AS bucket
+       |  FROM mh GROUP BY doc_id, i // $r
+       |)""".stripMargin
+  }
+
+  /** DuckDB replay of
+    * [[graft.pipeline.Dedup.portableMinHashCandidatesAgainst]]: the
+    * incremental (batch = odd doc_ids vs persisted corpus = even) form
+    * over the same [[portableMinHashCtes]] hash family — band buckets
+    * joined CROSS-SIDE only, then exact Jaccard on the shingle sets. */
+  private def portableMinHashIncrOracle(numHashes: Int, bands: Int,
+                                        shingleK: Int,
+                                        threshold: Double): String =
+    s"""WITH ${portableMinHashCtes(numHashes, bands, shingleK)},
+       |n AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
+       |c AS (SELECT * FROM bands WHERE doc_id % 2 = 0),
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS idNew, c.doc_id AS idCorpus
+       |  FROM n JOIN c ON n.band = c.band AND n.bucket = c.bucket
+       |)
+       |SELECT idNew, idCorpus, jaccard FROM (
+       |  SELECT idNew, idCorpus,
+       |         len(list_intersect(sa.hs, sb.hs)) /
+       |         (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS jaccard
+       |  FROM cand JOIN sh sa ON cand.idNew = sa.doc_id
+       |            JOIN sh sb ON cand.idCorpus = sb.doc_id
+       |) WHERE jaccard >= $threshold""".stripMargin
 
   private def portableMinHashOracle(numHashes: Int, bands: Int,
                                     shingleK: Int, threshold: Double): String = {
@@ -3894,6 +3990,46 @@ object SparkEntry {
         |  ) AS BIGINT) AS cluster
         |FROM documents""".stripMargin,
     "q_ann_lsh_portable" -> portableAnnOracle(numPlanes = 6, dim = 64, k = 10),
+    "q_ann_ivf_portable" -> {
+      // DuckDB replay of graft.pipeline.Ivf.portableTopK: the ±1
+      // centroid literals inline, the probe ring is the top-3
+      // centroids by dot with the query (ties to the lower index —
+      // same as the driver-side ranking), assignment is the per-row
+      // argmax dot (ties to the lower index — same as
+      // VectorExprs.NearestCentroid), ranking on the 6-decimal
+      // rounded cosine with vec_id tie-break
+      val centVals = graft.pipeline.Clustering
+        .portableSemanticCentroidLiterals(8, 64)
+        .zipWithIndex.map { case (c, i) => s"($i, $c::DOUBLE[])" }
+        .mkString(", ")
+      s"""WITH cents(cidx, c) AS (SELECT * FROM (VALUES $centVals)),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT cidx AS pc FROM (
+         |    SELECT c.cidx, row_number() OVER (
+         |      ORDER BY list_dot_product((SELECT qe FROM q)::DOUBLE[], c.c) DESC,
+         |               c.cidx ASC) AS rn
+         |    FROM cents c) WHERE rn <= 3
+         |), assign AS (
+         |  SELECT vec_id, embedding, cidx AS cluster FROM (
+         |    SELECT e.vec_id, e.embedding, c.cidx,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_dot_product(e.embedding::DOUBLE[], c.c) DESC,
+         |                 c.cidx ASC) AS rn
+         |    FROM (SELECT vec_id, embedding FROM embeddings
+         |          WHERE embedding IS NOT NULL) e
+         |    CROSS JOIN cents c) WHERE rn = 1
+         |)
+         |SELECT vec_id, round(cs, 6) AS cos FROM (
+         |  SELECT a.vec_id,
+         |    list_cosine_similarity(a.embedding::DOUBLE[],
+         |                           (SELECT qe FROM q)::DOUBLE[]) AS cs
+         |  FROM assign a JOIN probes p ON a.cluster = p.pc
+         |)
+         |ORDER BY round(cs, 6) DESC, vec_id LIMIT 10""".stripMargin
+    },
+    "q_dedup_incr_portable" -> portableMinHashIncrOracle(
+      numHashes = 32, bands = 8, shingleK = 3, threshold = 0.3),
     "q_dedup_embedding_portable" -> portableEmbeddingOracle(
       numPlanes = 4, dim = 64, threshold = 0.2),
     "q_dedup_embedding_incr" -> {

@@ -270,6 +270,53 @@ object Dedup {
       .select(col("idA"), col("idB"), col("jaccard"))
   }
 
+  /** [[minHashCandidatesAgainst]] with every hash portable/replayable
+    * — [[portableMinHashSignTable]] signatures on BOTH sides and band
+    * keys that are the signature slices verbatim, so an external
+    * engine re-derives each side's shingle hashes, affine signatures,
+    * band buckets and every surviving pair's exact Jaccard (the
+    * DuckDB CORRECTNESS oracle does precisely that). Identical plan
+    * shape to the xxhash64 form: the corpus band rows are SEMI-JOINED
+    * against the broadcast set of the batch's (band, bucket) keys
+    * before any pair generation, so post-scan corpus work is
+    * proportional to the batch. Output: (idNew, idCorpus, jaccard >=
+    * threshold). `maxBucketSize` defaults to 0 (UNCAPPED) like the
+    * other portable forms — a cap silently drops pairs an uncapped
+    * replayer would report; production corpora pass an explicit cap
+    * replayed identically. */
+  def portableMinHashCandidatesAgainst(newSigs: DataFrame,
+                                       corpusSigs: DataFrame,
+                                       numHashes: Int = 32, bands: Int = 8,
+                                       threshold: Double = 0.5,
+                                       maxBucketSize: Int = 0): DataFrame = {
+    def bandsOf(sigs: DataFrame) =
+      requireSigLength(sigs, numHashes).select(col("id"),
+        posexplode(portableBandKeyArray(numHashes, bands))
+          .as(Seq("band", "bucket")))
+    val nb = capBuckets(bandsOf(newSigs), Seq("band", "bucket"),
+      maxBucketSize)
+      .localCheckpoint(eager = false) // feeds the key set AND the pair join
+    val keys = nb.select("band", "bucket").distinct()
+    val cb = capBuckets(
+      bandsOf(corpusSigs)
+        .join(broadcast(keys), Seq("band", "bucket"), "left_semi"),
+      Seq("band", "bucket"), maxBucketSize)
+    val pairs = nb.select(col("band"), col("bucket"), col("id").as("idNew"))
+      .join(cb.select(col("band"), col("bucket"), col("id").as("idCorpus")),
+        Seq("band", "bucket"))
+      .filter(col("idNew") =!= col("idCorpus"))
+      .select("idNew", "idCorpus")
+      .dropDuplicates("idNew", "idCorpus")
+    pairs
+      .join(newSigs.select(col("id").as("idNew"), col("sh").as("shA")),
+        Seq("idNew"))
+      .join(corpusSigs.select(col("id").as("idCorpus"), col("sh").as("shB")),
+        Seq("idCorpus"))
+      .withColumn("jaccard", jaccard(col("shA"), col("shB")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("idNew"), col("idCorpus"), col("jaccard"))
+  }
+
   /** Incremental dedup: near-duplicate pairs BETWEEN a (small) new
     * batch and an existing signed corpus — the operation a continuous
     * ingest pipeline actually runs. Both inputs are signature tables

@@ -152,6 +152,38 @@ object Ivf {
     (fs("idCol"), fs("embCol"), cents)
   }
 
+  /** [[queryIndex]]'s probe/rank semantics with the fully replayable
+    * model: FROZEN ±1 centroids
+    * ([[Clustering.portableSemanticCentroids]]) replace k-means, so an
+    * external engine re-derives every vector's argmax-dot cluster, the
+    * query's `nprobe` probe ring (centroid dots ranked on the driver —
+    * k dots, ties to the lower centroid index) and the final
+    * 6-decimal-rounded-cosine top-k with id tie-break — the IVF
+    * analogue of [[Similarity.portableLshTopK]], and the family's
+    * hash-checked CORRECTNESS entry. Assignment is one map-only
+    * codegen pass; the probe filter prunes to `nprobe` clusters before
+    * any cosine is computed. The k-means-trained
+    * [[buildIndex]]/[[queryIndex]] pair remains the throughput path
+    * (Lloyd's iterations are not SQL-replayable). */
+  def portableTopK(df: DataFrame, idCol: String, embCol: String,
+                   query: Seq[Double], topK: Int,
+                   numCentroids: Int = 8, nprobe: Int = 3): DataFrame = {
+    val centroids =
+      Clustering.portableSemanticCentroids(numCentroids, query.size)
+    val probes = centroids.zipWithIndex.map { case (c, i) =>
+      i -> c.zip(query).map { case (a, b) => a * b }.sum
+    }.sortBy { case (i, d) => (-d, i) }.take(nprobe).map(_._1)
+    df.select(col(idCol), col(embCol))
+      .filter(col(embCol).isNotNull)
+      .withColumn("cid",
+        VectorExprs.nearestCentroid(col(embCol), centroids))
+      .filter(col("cid").isin(probes: _*))
+      .select(col(idCol),
+        round(Dedup.cosine(col(embCol), typedLit(query)), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** Top-k against a persisted IVF index, probing the `nprobe`
     * best-matching centroid partitions. */
   def queryIndex(spark: SparkSession, path: String, query: Seq[Double],
