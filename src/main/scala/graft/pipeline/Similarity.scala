@@ -70,7 +70,14 @@ object Similarity {
   /** ANN top-k: probe the query's LSH bucket plus all buckets within
     * Hamming distance 1 of it, exact-rank the candidates. At scale the
     * bucketed table is the pre-computed "index" (bucket column persisted
-    * + partitioned); the probe is a pushed-down IN-filter on it. */
+    * + partitioned); the probe is a pushed-down IN-filter on it.
+    *
+    * Sizing `numPlanes`: consult the committed `ANN_RECALL_r*.json`
+    * curves (README "Sizing ANN parameters") — the battery's
+    * `numPlanes = 6` targets the near-dup regime (planted recall ≈1);
+    * RETRIEVAL users want fewer planes (natural recall at sf0.1:
+    * 4 → 0.54, 6 → 0.33, 8 → 0.225) or the IVF path's taller
+    * `nprobe` knob. */
   def lshTopK(df: DataFrame, idCol: String, embCol: String,
               query: Seq[Double], k: Int, numPlanes: Int = 10): DataFrame =
     lshTopKWith(df, idCol, embCol, query, k,
@@ -140,7 +147,11 @@ object Similarity {
     IndexMeta.fields(IndexMeta.read(spark, metaPath(path)))
 
   /** Top-k against a persisted index: prune to the query bucket plus
-    * its Hamming-radius-1 ring, exact-rank only those candidates. */
+    * its Hamming-radius-1 ring, exact-rank only those candidates.
+    * Recall characteristics (and how to size the build-time
+    * `numPlanes`) are the committed `ANN_RECALL_r*.json` curves —
+    * see README "Sizing ANN parameters": dedup regime ≈1.0 at the
+    * battery's 6 planes, retrieval regime wants 4 (or IVF). */
   def queryIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                  query: Seq[Double], k: Int): DataFrame = {
     val meta = readMeta(spark, path)

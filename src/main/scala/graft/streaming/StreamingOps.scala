@@ -184,7 +184,15 @@ object StreamingOps {
     * multi-band duplicates, so no watermark collapse needed).
     * Stateless: no aggregation, no stream-stream join. Centroids are
     * the frozen model — re-train, re-sign the corpus and restart the
-    * stream to move clusters. */
+    * stream to move clusters. Corpus GROWTH follows the same restart
+    * discipline (the static side's file listing is fixed at plan
+    * time): stop, fold the processed batches' signatures into the
+    * corpus table, restart — per-step and cumulative output is
+    * EXACTLY the repeated batch against-form
+    * (SemanticIncrementalSpec's 3-batch differential). Drift of the
+    * frozen model itself is measured by [[graft.SemanticDrift]]
+    * (committed SEMANTIC_DRIFT artifacts): twin recall survives pure
+    * mean shift; watch max_cluster_share for the re-train signal. */
   def semanticNearDupStream(vecs: DataFrame, idCol: String,
                             embCol: String, corpusSigs: DataFrame,
                             centroids: Seq[Seq[Double]],
