@@ -199,4 +199,69 @@ class SemanticIncrementalSpec extends AnyFlatSpec with Matchers {
       withClue(s"seed=$seed: ") { got shouldBe expected }
     } finally q.stop()
   }
+
+  it should "match the repeated batch against-form across 3 micro-batches with corpus growth" in {
+    // round-18 (verdict item #5): the multi-batch lifecycle. The
+    // stream joins a STATIC corpus, so corpus growth follows the
+    // span-cut restart discipline — stop, fold the batch's signatures
+    // into the corpus, restart against the grown corpus. Proved here:
+    // per-step AND cumulative stream output ≡ running
+    // semanticCandidatesAgainst(batch_i, corpus_{i-1}) by hand, where
+    // corpus_i = corpus_{i-1} ∪ signTable(batch_i). Exact set
+    // equality, not approximate.
+    implicit val sqlCtx = spark.sqlContext
+    val seed = java.lang.Long.getLong("graft.fuzz.seed", 1327L) + 2
+    val all = fixture(seed, 120)
+    val corpus0 = all.filter(_._1 % 4 == 0)
+    val batches = (1 to 3).map(r => all.filter(_._1 % 4 == r))
+    val threshold = 0.9
+    def sign(rows: Seq[(Long, Array[Float])]) =
+      Clustering.portableSemanticSignTable(
+        rows.map { case (id, v) => (id, v.toSeq) }.toDF("id", "emb"),
+        "id", "emb", dim, k, numPlanes)
+
+    var corpusSigs = sign(corpus0).cache(); corpusSigs.count()
+    var corpusRows = corpus0
+    val streamGot = scala.collection.mutable.Set.empty[(Long, Long, Long, Double)]
+    val batchGot = scala.collection.mutable.Set.empty[(Long, Long, Long, Double)]
+    batches.zipWithIndex.foreach { case (b, bi) =>
+      // batch arm against the pre-fold corpus
+      val expectedStep = Clustering.semanticCandidatesAgainst(
+        sign(b), corpusSigs, threshold, maxBucketSize = 0)
+        .select("idNew", "idCorpus", "cluster", "cos")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      // stream arm: fresh query per step (restart discipline)
+      val input = MemoryStream[(Long, Seq[Float])]
+      val out = StreamingOps.semanticNearDupStream(
+        input.toDF.toDF("id", "emb"), "id", "emb", corpusSigs, cents,
+        numPlanes, threshold, portable = true)
+      val qn = s"sem_stream_multi_$bi"
+      val q = out.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      val gotStep =
+        try {
+          input.addData(b.map { case (id, v) => (id, v.toSeq) }: _*)
+          q.processAllAvailable()
+          spark.table(qn).as[(Long, Long, Long, Double)].collect().toSet
+        } finally q.stop()
+      withClue(s"seed=$seed step=$bi: ") { gotStep shouldBe expectedStep }
+      streamGot ++= gotStep; batchGot ++= expectedStep
+      // fold: batch joins the corpus before the next micro-batch
+      val prev = corpusSigs
+      corpusRows = corpusRows ++ b
+      corpusSigs = sign(corpusRows).cache(); corpusSigs.count()
+      prev.unpersist()
+    }
+    // cumulative parity, and the fixture exercised pairs against BOTH
+    // the original corpus and previously-folded batches
+    withClue(s"seed=$seed: ") {
+      streamGot.toSet shouldBe batchGot.toSet
+      streamGot should not be empty
+      val lastBatchIds = batches.last.map(_._1).toSet
+      val foldedIds = (batches(0) ++ batches(1)).map(_._1).toSet
+      streamGot.exists { case (n, c, _, _) =>
+        lastBatchIds(n) && foldedIds(c) } shouldBe true
+    }
+    corpusSigs.unpersist()
+  }
 }
