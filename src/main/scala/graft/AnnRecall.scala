@@ -36,18 +36,18 @@ object AnnRecall {
     import spark.implicits._
     val base = emb.select(col("vec_id").cast("long").as("vec_id"),
       col("embedding")).filter(col("embedding").isNotNull)
-    // draw query ids from the ACTUAL id set with an even stride (not a
-    // modular formula over [0, maxId] — sparse or offset id spaces made
-    // that silently select fewer/zero queries; round-17 advice #2).
-    // Driver-bounded: one long per corpus row, a few MB at 10x.
-    val allIds = base.select(col("vec_id")).orderBy(col("vec_id"))
-      .collect().map(_.getLong(0))
+    // draw query ids from the ACTUAL id set — a seeded hash-filtered
+    // bounded sample (driver work capped regardless of corpus rows;
+    // round-19) spread evenly over the full sorted range via
+    // proportional index mapping (round-18 advice: the old stride
+    // never sampled the tail when len % numQueries != 0)
+    require(numQueries > 0,
+      s"AnnRecall: numQueries must be positive, got $numQueries")
+    val allIds = QuerySelect.sampledSortedIds(base, "vec_id", seed)
     require(allIds.nonEmpty,
       s"AnnRecall: embeddings table has no rows with non-null vectors")
-    val stride = math.max(1, allIds.length / numQueries)
-    val qids = allIds.indices.by(stride).take(numQueries)
-      .map(allIds(_)).toSeq
-    val maxId = allIds.last
+    val qids = QuerySelect.proportionalPick(allIds, numQueries)
+    val maxId = base.agg(max(col("vec_id"))).collect()(0).getLong(0)
     val qvecs = base.filter(col("vec_id").isin(qids: _*))
       .as[(Long, Seq[Float])].collect().sortBy(_._1)
       .map { case (id, v) => id -> v.map(_.toDouble) }.toSeq
@@ -151,19 +151,40 @@ object AnnRecall {
       p -> BigDecimal(rs.sum / rs.size).setScale(4,
         BigDecimal.RoundingMode.HALF_UP).toDouble
     }
-    val ivfIdxN = java.nio.file.Files
-      .createTempDirectory("ann_recall_ivf_curve").toString
-    Ivf.buildIndex(natural, "vec_id", "embedding", ivfIdxN, k = 8, iters = 3)
-    val ivfCurve = Seq(1, 3, 5).map { np =>
+    // IVF curve WITH a measured cost column (round-19, verdict item
+    // #6): recall alone said "size nprobe up" without the price. Two
+    // indexes: the battery's k=8 (nprobe 8 = every partition — the
+    // honest exact-scan endpoint) and a k=32 build (the k ≈ √n regime
+    // at this corpus), swept to nprobe 16 so the README's
+    // recall-≥0.9 advice carries both the knob setting and its
+    // wall-per-query cost.
+    def ivfCurveOn(idxPath: String, nps: Seq[Int])
+        : Seq[(Int, Double, Double)] = nps.map { np =>
+      val t0 = System.nanoTime()
       val rs = queries.map { case (_, q) =>
         val truth = ids(Similarity.bruteForceTopK(natural, "vec_id",
           "embedding", q, k))
-        ids(Ivf.queryIndex(spark, ivfIdxN, q, k, nprobe = np))
+        ids(Ivf.queryIndex(spark, idxPath, q, k, nprobe = np))
           .intersect(truth).size.toDouble / k
       }
-      np -> BigDecimal(rs.sum / rs.size).setScale(4,
-        BigDecimal.RoundingMode.HALF_UP).toDouble
+      // wall includes the brute-force truth arm for every query; the
+      // PER-QUERY DELTA between np points is the nprobe cost signal
+      val secPerQuery = (System.nanoTime() - t0) / 1e9 / queries.size
+      (np,
+        BigDecimal(rs.sum / rs.size).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(secPerQuery).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
+    val ivfIdxN = java.nio.file.Files
+      .createTempDirectory("ann_recall_ivf_curve").toString
+    Ivf.buildIndex(natural, "vec_id", "embedding", ivfIdxN, k = 8, iters = 3)
+    val ivfCurveFull = ivfCurveOn(ivfIdxN, Seq(1, 3, 5, 8))
+    val ivfCurve = ivfCurveFull.map { case (np, r, _) => np -> r }
+    val ivfIdx32 = java.nio.file.Files
+      .createTempDirectory("ann_recall_ivf_curve32").toString
+    Ivf.buildIndex(natural, "vec_id", "embedding", ivfIdx32, k = 32, iters = 3)
+    val ivfCurve32 = ivfCurveOn(ivfIdx32, Seq(1, 2, 4, 8, 16))
     val json = s"""{"sf_dir": "$sfDir", "k": $k, "queries": ${queries.size},
       | "queries_requested": $numQueries,
       | "planted_per_query": $planted,
@@ -175,7 +196,13 @@ object AnnRecall {
       | "natural_curve_lsh_planes": {${lshCurve.map { case (p, r) =>
         s""""$p": $r""" }.mkString(", ")}},
       | "natural_curve_ivf_nprobe": {${ivfCurve.map { case (np, r) =>
-        s""""$np": $r""" }.mkString(", ")}}}"""
+        s""""$np": $r""" }.mkString(", ")}},
+      | "natural_curve_ivf_cost_sec_per_query": {${ivfCurveFull.map {
+        case (np, _, c) => s""""$np": $c""" }.mkString(", ")}},
+      | "natural_curve_ivf_k32_nprobe": {${ivfCurve32.map {
+        case (np, r, _) => s""""$np": $r""" }.mkString(", ")}},
+      | "natural_curve_ivf_k32_cost_sec_per_query": {${ivfCurve32.map {
+        case (np, _, c) => s""""$np": $c""" }.mkString(", ")}}}"""
       .stripMargin.replaceAll("\n", "")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
       json + "\n")

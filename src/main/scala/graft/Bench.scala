@@ -80,6 +80,20 @@ object Bench {
     if (vals.isEmpty) 0.0 else vals(vals.size / 2)
   }
 
+  /** Exchange-budget file for the measured corpus (round-19, verdict
+    * item #2): scaled /tmp corpora (basename `sf<digits>x` —
+    * GenScale's naming) compare against the 10× ceilings (plan shapes
+    * legitimately shift with AQE/broadcast thresholds at scale);
+    * everything else against the sf0.1 file. Round-18's first 10×
+    * battery compared against the sf0.1 budgets and flagged three
+    * false breaches — the selector is code now; the env var
+    * (`SPARK_GRAFT_EXCHANGE_BUDGET`) is an OVERRIDE only. */
+  private[graft] def budgetFileFor(sfDir: String): String = {
+    val base = java.nio.file.Paths.get(sfDir).getFileName.toString
+    if (base.matches("sf\\d+x")) "exchange_budget_10x.json"
+    else "exchange_budget.json"
+  }
+
   /** Previous committed medians out of a bench_out.json, keyed for
     * [[suspects]]. Returns empty (self-validation off) when the file
     * is missing, unparseable, or measured at a different SF — a
@@ -146,16 +160,14 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     })
 
-    // untimed warm-up: session bring-up, codegen, parquet footers —
-    // one query per input family (tpch quads, documents, embeddings)
-    // and per heavy generated-code shape (the 64-column minhash/simhash
-    // aggregates and the iterative CC rounds each pay 1-2 s of Janino
-    // compilation on first execution; steady-state is what we measure)
-    Seq("q_bgp_join", "q_dedup_exact", "q_ann_brute",
-      "q_dedup_minhash", "q_dedup_simhash", "q_dedup_cluster",
-      // dict stores: the one-time encode+load (disk-cached) and the
-      // id-space join codegen both land here, not in measured passes
-      "q_dict_build", "q_dict_path", "q_dict_bucketed").foreach { q =>
+    // untimed warm-up: EVERY entry once (round-19, verdict item #2) —
+    // build-once /tmp artifacts (dict stores, WARC fixtures, persisted
+    // ANN/IVF indexes, signed corpora), Janino codegen and parquet
+    // footer reads all land here instead of inside timed passes, so
+    // the round's FIRST battery after a /tmp wipe matches a warm
+    // re-run by construction (round-18's first 10× run read 395 s vs
+    // 319 s warm because dict-store builds paid inside timed entries)
+    SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       try exec(q) catch { case _: Throwable => () }
     }
 
@@ -272,7 +284,7 @@ object Bench {
     // diff actual shuffle counts against the checked-in ceilings
     // (exchange_budget.json; see ExchangeBudget for semantics)
     val budgetPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_EXCHANGE_BUDGET", "exchange_budget.json"))
+      sys.env.getOrElse("SPARK_GRAFT_EXCHANGE_BUDGET", budgetFileFor(sfDir)))
     val actualMap = lintPass.map { case (k, _, x) => k -> x }.toMap
     val budgetDiff =
       if (java.nio.file.Files.exists(budgetPath))

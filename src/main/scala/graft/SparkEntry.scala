@@ -2564,6 +2564,38 @@ object SparkEntry {
         .head().getSeq[Float](0).map(_.toDouble)
       graft.pipeline.Ivf.portableTopK(emb, "vec_id", "embedding", q, 10,
         numCentroids = 8, nprobe = 3)
+    },
+    "q_knn_join_portable" -> { (s, d) =>
+      // batch k-NN join, LSH form (round-19): a query TABLE (every
+      // 199th vec_id) against the corpus — probe rings generated
+      // map-side and exploded, one bucket equi-join, per-query top-5
+      // via row_number; the oracle replays ring, candidates and
+      // ranking per query (PARTITION BY qid)
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(pmod(col("vec_id"), lit(199)) === 0)
+      graft.pipeline.Similarity.portableKnnJoin(q, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5, dim = 64, numPlanes = 6)
+    },
+    "q_knn_join_ivf_portable" -> { (s, d) =>
+      // batch k-NN join, IVF form: map-side top-3-centroid probe
+      // explosion (NearestCentroids) on the query side vs argmax
+      // assignment on the corpus side, equi-join on cluster,
+      // per-query rounded-cosine top-5
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(pmod(col("vec_id"), lit(199)) === 0)
+      graft.pipeline.Ivf.portableKnnJoin(q, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5, dim = 64,
+        numCentroids = 8, nprobe = 3)
+    },
+    "q_knn_join_ivf" -> { (s, d) =>
+      // rows-only sibling: the k-means-trained model (Lloyd's isn't
+      // SQL-replayable); row check pins k rows per query
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(pmod(col("vec_id"), lit(199)) === 0)
+      val cents = graft.pipeline.Ivf.trainCentroids(emb, "embedding",
+        k = 8, iters = 3)
+      graft.pipeline.Ivf.knnJoin(q, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5, cents, nprobe = 3)
     }
   )
 
@@ -2681,35 +2713,14 @@ object SparkEntry {
        |            JOIN sh sb ON cand.idCorpus = sb.doc_id
        |) WHERE jaccard >= $threshold""".stripMargin
 
+  /** All-pairs portable-MinHash replay on the SAME
+    * [[portableMinHashCtes]] hash-family prefix the incremental oracle
+    * uses (round-18 advice: the CTE body was duplicated here and could
+    * silently diverge on a future edit — defined once now). */
   private def portableMinHashOracle(numHashes: Int, bands: Int,
                                     shingleK: Int, threshold: Double): String = {
-    val (as, bs) = graft.functions.TextHashExprs.portableCoeffs(numHashes)
-    val p = graft.functions.TextHashExprs.PortableMod
-    val r = numHashes / bands
-    s"""WITH toks AS (
-       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-       |                             x -> x <> '') AS ts
-       |  FROM documents WHERE text IS NOT NULL
-       |), sh AS (
-       |  SELECT doc_id,
-       |    list_distinct(list_transform(generate_series(1, len(ts) - ${shingleK - 1}),
-       |      i -> CAST(('0x' || substr(md5(array_to_string(
-       |             list_slice(ts, i, i + ${shingleK - 1}), ' ')), 1, 8)) AS BIGINT))) AS hs
-       |  FROM toks WHERE len(ts) >= $shingleK
-       |), shx AS (
-       |  SELECT doc_id, unnest(hs) AS x FROM sh
-       |), coef AS (
-       |  SELECT unnest(range($numHashes)) AS i,
-       |         unnest(${as.mkString("[", ", ", "]")}) AS a,
-       |         unnest(${bs.mkString("[", ", ", "]")}) AS b
-       |), mh AS (
-       |  SELECT s.doc_id, c.i, min((c.a * s.x + c.b) % $p) AS m
-       |  FROM shx s CROSS JOIN coef c GROUP BY s.doc_id, c.i
-       |), bands AS (
-       |  SELECT doc_id, i // $r AS band,
-       |         string_agg(m::VARCHAR, ':' ORDER BY i) AS bucket
-       |  FROM mh GROUP BY doc_id, i // $r
-       |), cand AS (
+    s"""WITH ${portableMinHashCtes(numHashes, bands, shingleK)},
+       |cand AS (
        |  SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
        |  WHERE a.doc_id < b.doc_id
@@ -2985,6 +2996,88 @@ object SparkEntry {
        |ORDER BY round(c, 6) DESC, vec_id LIMIT $k""".stripMargin
   }
 
+  /** DuckDB replay of [[graft.pipeline.Similarity.portableKnnJoin]]:
+    * every query's ±1-plane signature, Hamming-1 probe ring, candidate
+    * set and per-query rounded-cosine row_number ranking re-derived
+    * from the same inlined plane literals — the batch k-NN join made
+    * fully auditable. */
+  private def portableKnnJoinOracle(numPlanes: Int, dim: Int, k: Int,
+                                    qMod: Int): String = {
+    def sigExpr(c: String) = graft.pipeline.Dedup
+      .portableHyperplaneLiterals(numPlanes, dim).zipWithIndex
+      .map { case (pl, p) =>
+        s"(CASE WHEN list_dot_product($c::DOUBLE[], $pl::DOUBLE[]) > 0" +
+          s" THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" +\n         ")
+    s"""WITH qs AS (
+       |  SELECT vec_id AS qid, embedding AS qe, ${sigExpr("embedding")} AS qb
+       |  FROM embeddings WHERE vec_id % $qMod = 0 AND embedding IS NOT NULL
+       |), probes AS (
+       |  SELECT qid, qe, qb AS pb FROM qs
+       |  UNION ALL
+       |  SELECT qid, qe, xor(qb, (1::BIGINT << b)) FROM qs CROSS JOIN
+       |    (SELECT unnest(range($numPlanes)) AS b)
+       |), sigs AS (
+       |  SELECT vec_id, embedding, ${sigExpr("embedding")} AS bucket
+       |  FROM embeddings WHERE embedding IS NOT NULL
+       |)
+       |SELECT qid, id, cos, rank FROM (
+       |  SELECT qid, id, cos,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY cos DESC, id) AS rank
+       |  FROM (
+       |    SELECT p.qid, s.vec_id AS id,
+       |           round(list_cosine_similarity(s.embedding::DOUBLE[],
+       |                                        p.qe::DOUBLE[]), 6) AS cos
+       |    FROM probes p JOIN sigs s ON s.bucket = p.pb))
+       |WHERE rank <= $k""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.pipeline.Ivf.portableKnnJoin]]: the ±1
+    * centroid literals inline; every corpus row's argmax-dot
+    * assignment, every query's top-`nprobe` probe ring (ties to the
+    * lower centroid index on both — same as
+    * [[graft.functions.VectorExprs.NearestCentroids]]) and the
+    * per-query rounded-cosine ranking re-derived independently. */
+  private def portableKnnJoinIvfOracle(numCentroids: Int, dim: Int, k: Int,
+                                       nprobe: Int, qMod: Int): String = {
+    val centVals = graft.pipeline.Clustering
+      .portableSemanticCentroidLiterals(numCentroids, dim)
+      .zipWithIndex.map { case (c, i) => s"($i, $c::DOUBLE[])" }
+      .mkString(", ")
+    s"""WITH cents(cidx, c) AS (SELECT * FROM (VALUES $centVals)),
+       |qs AS (
+       |  SELECT vec_id AS qid, embedding AS qe
+       |  FROM embeddings WHERE vec_id % $qMod = 0 AND embedding IS NOT NULL
+       |), probes AS (
+       |  SELECT qid, qe, cidx AS pc FROM (
+       |    SELECT q.qid, q.qe, c.cidx,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY list_dot_product(q.qe::DOUBLE[], c.c) DESC,
+       |                 c.cidx ASC) AS rn
+       |    FROM qs q CROSS JOIN cents c) WHERE rn <= $nprobe
+       |), assign AS (
+       |  SELECT vec_id, embedding, cidx AS cluster FROM (
+       |    SELECT e.vec_id, e.embedding, c.cidx,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_dot_product(e.embedding::DOUBLE[], c.c) DESC,
+       |                 c.cidx ASC) AS rn
+       |    FROM (SELECT vec_id, embedding FROM embeddings
+       |          WHERE embedding IS NOT NULL) e
+       |    CROSS JOIN cents c) WHERE rn = 1
+       |)
+       |SELECT qid, id, cos, rank FROM (
+       |  SELECT qid, id, cos,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY cos DESC, id) AS rank
+       |  FROM (
+       |    SELECT p.qid, a.vec_id AS id,
+       |           round(list_cosine_similarity(a.embedding::DOUBLE[],
+       |                                        p.qe::DOUBLE[]), 6) AS cos
+       |    FROM probes p JOIN assign a ON a.cluster = p.pc))
+       |WHERE rank <= $k""".stripMargin
+  }
+
   /** Structural row-count invariants for the entries that ship no SQL
     * oracle (SAMPLE / unordered LIMIT / hash-family-specific LSH
     * candidate sets): [[Verify]] asserts these after each dump, so
@@ -3000,6 +3093,8 @@ object SparkEntry {
     "q_ann_index" -> (((n: Long) => n == 10L, "exactly 10 (top-k)")),
     "q_ann_index_probe" -> (((n: Long) => n == 10L, "exactly 10 (top-k)")),
     "q_ann_ivf" -> (((n: Long) => n == 10L, "exactly 10 (top-k)")),
+    "q_knn_join_ivf" -> (((n: Long) => n > 0L && n % 5L == 0L,
+      "k=5 rows per query (every probed cluster holds >= 5 candidates)")),
     "q_dedup_minhash" -> (((n: Long) => n >= 1L, ">= 1 (planted near-dups)")),
     "q_dedup_simhash" -> (((n: Long) => n >= 1L, ">= 1 (planted near-dups)")),
     "q_dedup_embedding" -> (((n: Long) => n >= 1L, ">= 1 (planted near-dups)")),
@@ -3990,6 +4085,10 @@ object SparkEntry {
         |  ) AS BIGINT) AS cluster
         |FROM documents""".stripMargin,
     "q_ann_lsh_portable" -> portableAnnOracle(numPlanes = 6, dim = 64, k = 10),
+    "q_knn_join_portable" -> portableKnnJoinOracle(
+      numPlanes = 6, dim = 64, k = 5, qMod = 199),
+    "q_knn_join_ivf_portable" -> portableKnnJoinIvfOracle(
+      numCentroids = 8, dim = 64, k = 5, nprobe = 3, qMod = 199),
     "q_ann_ivf_portable" -> {
       // DuckDB replay of graft.pipeline.Ivf.portableTopK: the ±1
       // centroid literals inline, the probe ring is the top-3

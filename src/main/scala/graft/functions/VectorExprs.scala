@@ -279,6 +279,81 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /** Top-`n` centroid indices by dot product, ties to the lower index
+    * (the same order [[graft.pipeline.Ivf.portableTopK]] ranks its
+    * driver-side probe ring with) — the MAP-SIDE probe-ring generator
+    * for the batch IVF k-NN join ([[graft.pipeline.Ivf.knnJoin]]):
+    * one generated call per query row, so a million-query join never
+    * touches the driver. Dot loop + selection run in
+    * [[topCentroidsData]], invoked from whole-stage-generated code. */
+  case class NearestCentroids(child: Expression,
+                              centroids: Array[Array[Double]], n: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      checkVec(prettyName, child)
+    require(centroids.nonEmpty && centroids(0).nonEmpty,
+      "nearest-centroids needs a non-empty centroid matrix")
+    require(centroids.forall(_.length == centroids(0).length),
+      "centroid rows must share one dimensionality")
+    require(n >= 1, "nearest-centroids needs n >= 1")
+    private lazy val et = elemType(child)
+    private val k = centroids.length
+    private val dim = centroids(0).length
+    private lazy val flat: Array[Double] = centroids.flatten
+
+    override def nullSafeEval(a: Any): Any =
+      topCentroidsData(a.asInstanceOf[ArrayData], et == FloatType,
+        flat, k, dim, n)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cRef = ctx.addReferenceObj("centroids", flat, "double[]")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"""${ev.value} = graft.functions.VectorExprs.topCentroidsData(
+           |  $a, ${et == FloatType}, $cRef, $k, $dim, $n);""".stripMargin)
+    }
+
+    override def flatArguments: Iterator[Any] = Iterator(child, n)
+    override def prettyName: String = "nearest_centroids"
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Dots + top-n selection for [[NearestCentroids]]; called from
+    * generated code. k is small (centroid counts), so the selection is
+    * n linear scans — no allocation beyond the result. */
+  def topCentroidsData(x: ArrayData, isFloat: Boolean, flat: Array[Double],
+                       k: Int, dim: Int, n: Int): ArrayData = {
+    requireDim(x.numElements(), dim, "nearest_centroids")
+    val m = math.min(x.numElements(), dim)
+    val dots = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      var s = 0.0; var i = 0; val off = c * dim
+      while (i < m) {
+        s += flat(off + i) *
+          (if (isFloat) x.getFloat(i).toDouble else x.getDouble(i))
+        i += 1
+      }
+      dots(c) = s; c += 1
+    }
+    val nn = math.min(n, k)
+    val out = new Array[Int](nn)
+    val used = new Array[Boolean](k)
+    var j = 0
+    while (j < nn) {
+      var best = -1; var bd = Double.NegativeInfinity; var c2 = 0
+      while (c2 < k) {
+        if (!used(c2) && dots(c2) > bd) { bd = dots(c2); best = c2 }
+        c2 += 1
+      }
+      used(best) = true; out(j) = best; j += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** L2-normalized copy as array<double>; called from generated code.
     * Returns null for zero / non-finite norms (a normalized direction
     * does not exist) — callers surface that as a NULL column value. */
@@ -421,4 +496,7 @@ object VectorExprs {
   def nearestCentroid(v: Column, centroids: Seq[Seq[Double]]): Column =
     GraftColumnBridge.column(NearestCentroid(
       GraftColumnBridge.expression(v), centroids.map(_.toArray).toArray))
+  def nearestCentroids(v: Column, centroids: Seq[Seq[Double]], n: Int): Column =
+    GraftColumnBridge.column(NearestCentroids(
+      GraftColumnBridge.expression(v), centroids.map(_.toArray).toArray, n))
 }

@@ -184,6 +184,79 @@ object Ivf {
       .limit(topK)
   }
 
+  // ----- batch k-NN join (IVF form) -----
+
+  /** Per-query top-k over cluster-equi-joined candidates; both sides
+    * carry `cid`. Output `(qid, id, cos, rank)`. */
+  private def knnScore(q: DataFrame, c: DataFrame, k: Int,
+                       roundCos: Boolean): DataFrame = {
+    val cos = Dedup.cosine(col("__qe"), col("__ce"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("id"))
+    q.join(c, "cid")
+      .select(col("qid"), col("id"),
+        (if (roundCos) round(cos, 6) else cos).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Query side: one row per probed cluster —
+    * [[VectorExprs.nearestCentroids]] generates each query's `nprobe`
+    * best centroid ids MAP-SIDE (the distributed analogue of
+    * [[queryIndex]]'s driver-side probe ranking; ties to the lower
+    * index, matching [[portableTopK]]), then explodes. */
+  private def probedQueries(queries: DataFrame, qIdCol: String,
+                            qEmbCol: String, centroids: Seq[Seq[Double]],
+                            nprobe: Int): DataFrame =
+    queries.select(col(qIdCol).as("qid"), col(qEmbCol).as("__qe"))
+      .filter(col("__qe").isNotNull)
+      .withColumn("cid", explode(
+        VectorExprs.nearestCentroids(col("__qe"), centroids, nprobe)))
+
+  /** Batch k-NN join, IVF form (round-19): top-`k` corpus neighbors
+    * for EVERY query row. Query side explodes to its `nprobe` nearest
+    * centroids map-side, the corpus side takes its argmax assignment
+    * map-side, candidates come from one `cid` equi-join, and the
+    * per-query top-k is a row_number window — no driver work per
+    * query, no collect of either table. Use [[trainCentroids]] output
+    * (or any frozen model) as `centroids`. */
+  def knnJoin(queries: DataFrame, qIdCol: String, qEmbCol: String,
+              corpus: DataFrame, cIdCol: String, cEmbCol: String,
+              k: Int, centroids: Seq[Seq[Double]], nprobe: Int = 3,
+              roundCos: Boolean = false): DataFrame =
+    knnScore(probedQueries(queries, qIdCol, qEmbCol, centroids, nprobe),
+      corpus.select(col(cIdCol).as("id"), col(cEmbCol).as("__ce"))
+        .filter(col("__ce").isNotNull)
+        .withColumn("cid", VectorExprs.nearestCentroid(col("__ce"), centroids)),
+      k, roundCos)
+
+  /** [[knnJoin]] under the frozen ±1 centroid family with 6-decimal
+    * rounded ranking — fully replayable: an external engine re-derives
+    * every corpus assignment, every query's probe ring and the
+    * per-query row_number ranking (the batch IVF family's hash-checked
+    * form; the k-means-trained [[knnJoin]] stays rows-only, Lloyd's
+    * iterations aren't SQL-replayable). */
+  def portableKnnJoin(queries: DataFrame, qIdCol: String, qEmbCol: String,
+                      corpus: DataFrame, cIdCol: String, cEmbCol: String,
+                      k: Int, dim: Int, numCentroids: Int = 8,
+                      nprobe: Int = 3): DataFrame =
+    knnJoin(queries, qIdCol, qEmbCol, corpus, cIdCol, cEmbCol, k,
+      Clustering.portableSemanticCentroids(numCentroids, dim), nprobe,
+      roundCos = true)
+
+  /** Batch k-NN join against a persisted [[buildIndex]] index: corpus
+    * assignments were computed at build time — only the query side
+    * assigns at query time, against the sidecar's centroid matrix. */
+  def knnJoinIndex(spark: SparkSession, path: String, queries: DataFrame,
+                   qIdCol: String, qEmbCol: String, k: Int,
+                   nprobe: Int = 3): DataFrame = {
+    val (idCol, embCol, centroids) = readMeta(spark, path)
+    knnScore(probedQueries(queries, qIdCol, qEmbCol, centroids, nprobe),
+      spark.read.parquet(path)
+        .select(col(idCol).as("id"), col(embCol).as("__ce"), col("cid")),
+      k, roundCos = false)
+  }
+
   /** Top-k against a persisted IVF index, probing the `nprobe`
     * best-matching centroid partitions. */
   def queryIndex(spark: SparkSession, path: String, query: Seq[Double],

@@ -112,6 +112,103 @@ object Similarity {
     Dedup.embeddingCandidates(df, idCol, embCol, dim, numPlanes, threshold,
       maxBucketSize)
 
+  // ----- batch k-NN join -----
+  // The retrieval / hard-negative-mining shape (round-19): a query
+  // TABLE joined against the corpus, top-k per query. The single-query
+  // paths above compute the probe ring on the driver — right for one
+  // vector, wrong for a million-row query table. Here everything is
+  // map-side: the query side derives (bucket ⊕ Hamming-1 ring) as a
+  // generated array column and explodes it, the corpus side signs
+  // map-only, candidates come from ONE bucket equi-join (AQE
+  // broadcasts the query side when small), and the per-query top-k is
+  // a row_number window over (cos desc, id). No per-query driver
+  // work, no collect of either table. A corpus row has exactly one
+  // bucket and the ring's buckets are distinct, so each pair is
+  // generated at most once — no dedup pass.
+
+  /** Query side: (qid, __qe, bucket) with one row per probe-ring
+    * bucket (the query's signature plus its Hamming-1 flips). */
+  private def ringedQueries(queries: DataFrame, qIdCol: String,
+                            qEmbCol: String,
+                            planes: Seq[Seq[Double]]): DataFrame = {
+    val numPlanes = planes.size
+    val sig = graft.functions.VectorExprs.rhpSignature(col("__qe"), planes)
+    queries.select(col(qIdCol).as("qid"), col(qEmbCol).as("__qe"))
+      .filter(col("__qe").isNotNull)
+      .withColumn("bucket", explode(array(
+        sig +: (0 until numPlanes).map(b => sig.bitwiseXOR(lit(1L << b))): _*)))
+  }
+
+  /** Per-query top-k over bucket-equi-joined candidates. Both inputs
+    * carry a `bucket` column; output `(qid, id, cos, rank)`. */
+  private def knnScore(q: DataFrame, c: DataFrame, k: Int,
+                       roundCos: Boolean): DataFrame = {
+    val cos = cosine(col("__qe"), col("__ce"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("id"))
+    q.join(c, "bucket")
+      .select(col("qid"), col("id"),
+        (if (roundCos) round(cos, 6) else cos).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Batch k-NN join: top-`k` corpus neighbors for EVERY query row.
+    * Hot corpus buckets are capped like every LSH family
+    * ([[Dedup.capBuckets]]; `<= 0` disables). Self-pairs (same id in
+    * both tables) are kept — filter `qid = id` downstream if the query
+    * table is a corpus subset. */
+  def knnJoin(queries: DataFrame, qIdCol: String, qEmbCol: String,
+              corpus: DataFrame, cIdCol: String, cEmbCol: String,
+              k: Int, dim: Int, numPlanes: Int = 6,
+              maxBucketSize: Int = 100000): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    knnScore(ringedQueries(queries, qIdCol, qEmbCol, planes),
+      Dedup.capBuckets(
+        corpus.select(col(cIdCol).as("id"), col(cEmbCol).as("__ce"),
+          graft.functions.VectorExprs.rhpSignature(col(cEmbCol), planes)
+            .as("bucket"))
+          .filter(col("__ce").isNotNull),
+        Seq("bucket"), maxBucketSize),
+      k, roundCos = false)
+  }
+
+  /** [[knnJoin]] under the md5-derived ±1 planes with 6-decimal
+    * rounded ranking — deterministic end-to-end, so an external engine
+    * replays every query's probe ring, candidate set and per-query
+    * row_number ranking (the batch family's hash-checked form). */
+  def portableKnnJoin(queries: DataFrame, qIdCol: String, qEmbCol: String,
+                      corpus: DataFrame, cIdCol: String, cEmbCol: String,
+                      k: Int, dim: Int, numPlanes: Int = 6,
+                      maxBucketSize: Int = 100000): DataFrame = {
+    val planes = Dedup.portableHyperplanes(numPlanes, dim)
+    knnScore(ringedQueries(queries, qIdCol, qEmbCol, planes),
+      Dedup.capBuckets(
+        corpus.select(col(cIdCol).as("id"), col(cEmbCol).as("__ce"),
+          graft.functions.VectorExprs.rhpSignature(col(cEmbCol), planes)
+            .as("bucket"))
+          .filter(col("__ce").isNotNull),
+        Seq("bucket"), maxBucketSize),
+      k, roundCos = true)
+  }
+
+  /** Batch k-NN join against a persisted [[buildIndex]] index: corpus
+    * signatures were computed once at build time, so the join reads
+    * `(id, emb, bucket)` straight off the bucket-partitioned layout —
+    * only the query side signs at query time. */
+  def knnJoinIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                   queries: DataFrame, qIdCol: String, qEmbCol: String,
+                   k: Int, maxBucketSize: Int = 100000): DataFrame = {
+    val meta = readMeta(spark, path)
+    val planes = hyperplanes(meta("numPlanes").toInt, meta("dim").toInt)
+    val c = spark.read.parquet(path)
+      .select(col(meta("idCol")).as("id"), col(meta("embCol")).as("__ce"),
+        col("bucket"))
+    knnScore(ringedQueries(queries, qIdCol, qEmbCol, planes),
+      Dedup.capBuckets(c, Seq("bucket"), maxBucketSize),
+      k, roundCos = false)
+  }
+
   // ----- persisted index -----
   // The scale path: signatures are computed ONCE at build time and the
   // table is laid out partitioned BY bucket, so a query reads only the

@@ -10,6 +10,17 @@ import org.scalatest.matchers.should.Matchers
   * that makes the artifact carry that evidence itself. */
 class BenchSelfValidationSpec extends AnyFlatSpec with Matchers {
 
+  "budgetFileFor" should "derive the budget file from the sf dir (round-19: env var is an override only)" in {
+    // round-18's first 10x battery compared against the sf0.1 budgets
+    // and flagged three false breaches — the selector must be code
+    Bench.budgetFileFor("/tmp/sf10x") shouldBe "exchange_budget_10x.json"
+    Bench.budgetFileFor("/tmp/sf30x") shouldBe "exchange_budget_10x.json"
+    Bench.budgetFileFor("/tmp/sf100x") shouldBe "exchange_budget_10x.json"
+    Bench.budgetFileFor("/root/testdata/sf0.1") shouldBe "exchange_budget.json"
+    Bench.budgetFileFor("/root/testdata/sf0.01") shouldBe "exchange_budget.json"
+    Bench.budgetFileFor("relative/sf0.1") shouldBe "exchange_budget.json"
+  }
+
   "suspects" should "flag medians >2x the committed baseline (synthetic contention)" in {
     // a contention burst inflates q_b 3x and q_c 2.5x mid-run
     val baseline = Map("q_a" -> 0.40, "q_b" -> 1.00, "q_c" -> 0.60)
