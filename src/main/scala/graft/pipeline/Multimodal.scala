@@ -58,6 +58,13 @@ object Multimodal {
     * Feature layout (dim 8): mean luminance of the 2×2 grid quadrants,
     * mean R/G/B, aspect ratio — cheap, deterministic, content-derived. */
   object ImageCodec {
+    // javax.imageio defaults to a DISK-backed stream cache: every
+    // ImageIO.read/write spills the payload to a temp FILE before
+    // decoding. For in-memory byte-array payloads (the only inputs
+    // here) that is a file create+write+delete per row — measured
+    // ~5× the decode itself on small frames. Decoded pixels are
+    // byte-identical either way; only the staging buffer changes.
+    javax.imageio.ImageIO.setUseCache(false)
     val featureDim = 8
 
     def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =

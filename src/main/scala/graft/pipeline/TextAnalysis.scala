@@ -10,9 +10,10 @@ import org.apache.spark.sql.types._
   * map-only pass that fuses into whatever scan produces the text. */
 object TextAnalysis {
 
-  /** Whitespace token count. */
+  /** Whitespace token count. Native single-pass stats — no token
+    * array materialized (round-19); NULL text ⇒ NULL count as before. */
   def tokenCount(text: Column): Column =
-    size(Dedup.tokens(text)).cast(LongType)
+    graft.functions.TextStatsExprs.tokenStatsCol(text).getField("ntok")
 
   /** BPE-ish subword count: alphabetic runs, single digits, and single
     * non-alphanumeric marks each count as one token (the classic
@@ -40,22 +41,25 @@ object TextAnalysis {
       model: graft.functions.BpeModel = graft.functions.Bpe.committed): Column =
     graft.functions.BpeExprs.bpeTokenCountCol(text, model)
 
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
-
-  /** Fraction of tokens that are (English) stopwords. */
+  /** Fraction of tokens that are (English) stopwords. Native
+    * single-pass token stats (round-19: the previous form counted
+    * stopwords through an interpreted higher-order `filter` lambda and
+    * rebuilt the token array per signal); NULL semantics unchanged —
+    * the struct is NULL for NULL text, so the ratio stays NULL. */
   def stopwordRatio(text: Column): Column = {
-    val ts = Dedup.tokens(text)
-    when(size(ts) === 0, lit(0.0))
-      .otherwise(size(filter(ts, t => t.isin(stopwords: _*))).cast(DoubleType) /
-        size(ts).cast(DoubleType))
+    val st = graft.functions.TextStatsExprs.tokenStatsCol(text)
+    when(st.getField("ntok") === 0L, lit(0.0))
+      .otherwise(st.getField("nstop").cast(DoubleType) /
+        st.getField("ntok").cast(DoubleType))
   }
 
-  /** Mean token length. */
+  /** Mean token length (same single-pass token stats; the previous
+    * form folded lengths through an interpreted `aggregate` lambda). */
   def avgWordLen(text: Column): Column = {
-    val ts = Dedup.tokens(text)
-    when(size(ts) === 0, lit(0.0))
-      .otherwise(aggregate(ts, lit(0L), (acc, t) => acc + length(t))
-        .cast(DoubleType) / size(ts).cast(DoubleType))
+    val st = graft.functions.TextStatsExprs.tokenStatsCol(text)
+    when(st.getField("ntok") === 0L, lit(0.0))
+      .otherwise(st.getField("sumlen").cast(DoubleType) /
+        st.getField("ntok").cast(DoubleType))
   }
 
   /** Fraction of non-alphanumeric, non-space characters. */
@@ -66,25 +70,19 @@ object TextAnalysis {
         length(text).cast(DoubleType))
 
   /** Composite quality score in [0,1]: rewards mid-length documents
-    * with low punctuation noise and a natural stopword rate. */
-  def qualityScore(text: Column): Column = {
-    val lenScore = least(tokenCount(text).cast(DoubleType) / 100.0, lit(1.0))
-    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
-    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
-    round((lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3), 6)
-  }
+    * with low punctuation noise and a natural stopword rate. ONE
+    * native codegen'd pass per document (round-19; formula, rounding
+    * and the NULL⇒0.7 least()-skips-null contract replicated exactly —
+    * [[graft.functions.TextStatsExprs.ruleQuality]]). */
+  def qualityScore(text: Column): Column =
+    graft.functions.TextStatsExprs.ruleQualityCol(text)
 
   /** Marker-word language ID: deterministic rule, mirrored exactly by
-    * the DuckDB oracle in the battery. */
-  def langId(text: Column): Column = {
-    val ts = Dedup.tokens(text)
-    def cnt(ws: String*) = size(filter(ts, t => t.isin(ws: _*)))
-    when(cnt("the", "a", "and", "of") > 0, lit("en"))
-      .when(cnt("der", "die", "das", "und") > 0, lit("de"))
-      .when(cnt("le", "la", "les", "et") > 0, lit("fr"))
-      .when(cnt("el", "los", "las", "y") > 0, lit("es"))
-      .otherwise(lit("und"))
-  }
+    * the DuckDB oracle in the battery. ONE native codegen'd pass per
+    * document (round-19; branch order and the NULL⇒"und" contract
+    * replicated exactly). */
+  def langId(text: Column): Column =
+    graft.functions.TextStatsExprs.markerLangIdCol(text)
 
   /** Cavnar–Trenkle n-gram language ID — the production-grade
     * sibling of [[langId]]: character 1–3-gram profiles cover the
@@ -232,13 +230,20 @@ object TextAnalysis {
       .select(col(idCol), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
     val bigramCounts = bigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("__c12"))
-    val contextCounts = bigrams.groupBy(col("w1"))
-      .agg(count(lit(1)).as("__c1"))
+    // context count c1 = Σ_{w2} c12 — derived from the bigram-count
+    // table instead of a second full explode+shuffle of the corpus
+    // (round-19: the previous form re-exploded every bigram and
+    // shuffled the full stream by w1; this shuffles only the DISTINCT
+    // bigram counts — integer-identical result, two fewer full-data
+    // passes). Both count columns are then attached in ONE join of
+    // the exploded stream on (w1, w2) instead of two.
+    val counts = bigramCounts.join(
+      bigramCounts.groupBy(col("w1")).agg(sum(col("__c12")).as("__c1")),
+      Seq("w1"))
     val vocab = toks.select(explode(col("__ts")).as("__w"))
       .agg(countDistinct(col("__w")).as("__v"))
     bigrams
-      .join(bigramCounts, Seq("w1", "w2"))
-      .join(contextCounts, Seq("w1"))
+      .join(counts, Seq("w1", "w2"))
       .crossJoin(broadcast(vocab))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
