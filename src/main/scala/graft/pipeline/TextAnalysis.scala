@@ -233,13 +233,13 @@ object TextAnalysis {
     // context count c1 = Σ_{w2} c12 — derived from the bigram-count
     // table instead of a second full explode+shuffle of the corpus
     // (round-19: the previous form re-exploded every bigram and
-    // shuffled the full stream by w1; this shuffles only the DISTINCT
-    // bigram counts — integer-identical result, two fewer full-data
-    // passes). Both count columns are then attached in ONE join of
-    // the exploded stream on (w1, w2) instead of two.
-    val counts = bigramCounts.join(
-      bigramCounts.groupBy(col("w1")).agg(sum(col("__c12")).as("__c1")),
-      Seq("w1"))
+    // shuffled the full stream by w1; this window-sums only the
+    // DISTINCT bigram counts — integer-identical result, two fewer
+    // full-data passes, same exchange ceiling). Both count columns
+    // then ride ONE join of the exploded stream on (w1, w2).
+    val counts = bigramCounts.withColumn("__c1",
+      sum(col("__c12")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))))
     val vocab = toks.select(explode(col("__ts")).as("__w"))
       .agg(countDistinct(col("__w")).as("__v"))
     bigrams
