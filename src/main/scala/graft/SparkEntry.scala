@@ -2067,11 +2067,13 @@ object SparkEntry {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_tokens"),
           countDistinct(col("tok")).as("n_types"))
+      // native pair expression + codegen'd concat (round-19): the
+      // transform(sequence…) form was an interpreted per-token lambda
       val bi = toks.filter(size(col("ts")) >= 2)
-        .select(col("lang"), explode(transform(
-          sequence(lit(0), size(col("ts")) - 2),
-          i => concat_ws(" ", element_at(col("ts"), i + 1),
-            element_at(col("ts"), i + 2)))).as("bg"))
+        .select(col("lang"), explode(
+          graft.functions.TextStatsExprs.tokenPairsCol(col("ts"))).as("__b"))
+        .select(col("lang"),
+          concat_ws(" ", col("__b.w1"), col("__b.w2")).as("bg"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_bigrams"),
           countDistinct(col("bg")).as("n_bigram_types"))

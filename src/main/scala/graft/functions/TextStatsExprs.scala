@@ -172,6 +172,55 @@ object TextStatsExprs {
     else langUnd
   }
 
+  // fields nullable like the legacy struct(element_at(...)) form —
+  // token arrays never carry nulls, but the schema must not promise
+  // more than the expression checks
+  val PairSchema: StructType = StructType(Seq(
+    StructField("w1", StringType, nullable = true),
+    StructField("w2", StringType, nullable = true)))
+
+  /** Adjacent token pairs of a token array as array<struct<w1,w2>> —
+    * the native form of `transform(sequence(0, n-2), i =>
+    * struct(ts[i+1], ts[i+2]))` (an interpreted per-element lambda).
+    * Arrays shorter than 2 yield an empty array; both call sites
+    * filter `size(ts) >= 2` first, so the legacy form's
+    * descending-sequence corner for n < 2 is unreachable either way.
+    * Called from generated code. */
+  def tokenPairs(ts: org.apache.spark.sql.catalyst.util.ArrayData): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = ts.numElements()
+    if (n < 2)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      out(i) = new GenericInternalRow(Array[Any](
+        ts.getUTF8String(i), ts.getUTF8String(i + 1)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  case class TokenPairsExpr(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<string>, got ${other.sql}")
+    }
+    override def dataType: DataType = ArrayType(PairSchema, containsNull = false)
+    override def prettyName: String = "token_pairs"
+    override def nullSafeEval(a: Any): Any =
+      tokenPairs(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => s"""
+        |${ev.value} = graft.functions.TextStatsExprs.tokenPairs($a);
+        """.stripMargin)
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def tokenPairsCol(tokens: Column): Column =
+    GraftColumnBridge.column(TokenPairsExpr(GraftColumnBridge.expression(tokens)))
+
   private def stringOnly(prettyName: String, child: Expression): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(

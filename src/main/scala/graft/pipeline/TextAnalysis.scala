@@ -221,12 +221,13 @@ object TextAnalysis {
     val ts = Dedup.tokens(col(textCol))
     val toks = df.filter(col(textCol).isNotNull)
       .select(col(idCol), ts.as("__ts"))
+    // native adjacent-pair expression (round-19): the transform(
+    // sequence…) form built each pair through an interpreted
+    // per-element lambda — same rows, one generated call per doc
     val bigrams = toks
       .filter(size(col("__ts")) >= 2)
-      .select(col(idCol), explode(transform(
-        sequence(lit(0), size(col("__ts")) - 2),
-        i => struct(element_at(col("__ts"), i + 1).as("w1"),
-          element_at(col("__ts"), i + 2).as("w2")))).as("__b"))
+      .select(col(idCol), explode(
+        graft.functions.TextStatsExprs.tokenPairsCol(col("__ts"))).as("__b"))
       .select(col(idCol), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
     val bigramCounts = bigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("__c12"))

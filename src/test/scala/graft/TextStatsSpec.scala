@@ -138,6 +138,29 @@ class TextStatsSpec extends AnyFlatSpec with Matchers {
     diff.count() shouldBe 0L
   }
 
+  "tokenPairsCol" should "emit exactly the legacy transform(sequence...) pairs" in {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ts = Dedup.tokens(col("text"))
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), ts.as("__ts")).filter(F.size(col("__ts")) >= 2)
+    val legacy = base.select(col("doc_id"), posexplode(transform(
+      sequence(lit(0), F.size(col("__ts")) - 2),
+      i => struct(element_at(col("__ts"), i + 1).as("w1"),
+        element_at(col("__ts"), i + 2).as("w2")))).as(Seq("p", "b")))
+      .select(col("doc_id"), col("p"), col("b.w1"), col("b.w2"))
+    val native = base.select(col("doc_id"), posexplode(
+      graft.functions.TextStatsExprs.tokenPairsCol(col("__ts")))
+      .as(Seq("p", "b")))
+      .select(col("doc_id"), col("p"), col("b.w1"), col("b.w2"))
+    legacy.exceptAll(native).count() shouldBe 0L
+    native.exceptAll(legacy).count() shouldBe 0L
+    // short-array corner: both call sites filter size >= 2, but the
+    // native expression must still be total
+    Seq(Seq("one"), Seq.empty[String]).toDF("ts")
+      .select(F.size(graft.functions.TextStatsExprs.tokenPairsCol(col("ts"))))
+      .collect().map(_.getInt(0)).toSeq shouldBe Seq(0, 0)
+  }
+
   "bigramLogProbTable" should "derive context counts identical to a direct recount" in {
     // round-19: c1 is now SUM(c12) over the bigram-count table instead
     // of a second full explode — prove the derivation on real text
