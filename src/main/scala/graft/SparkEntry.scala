@@ -1352,7 +1352,6 @@ object SparkEntry {
       // the aggregate from the RAW table, proving the maintenance
       // pass is content-identity. File-count/no-shuffle properties
       // are pinned in LayoutSpec.
-      val scattered = tmpPath("compact_in", d)
       val packed = tmpPath("compact_out", d)
       // build-once fixture (round-19): the 64-file scatter SIMULATES a
       // small-file table and is input setup, not the maintenance pass
@@ -1360,11 +1359,15 @@ object SparkEntry {
       // stores) is build-once; re-scattering each pass double-counted
       // a fixed write in the timed region. The compact itself (read
       // scattered → bin-pack → write packed → re-read + aggregate)
-      // still runs, and is re-timed, every pass.
-      if (!new java.io.File(s"$scattered/_SUCCESS").exists())
+      // still runs, and is re-timed, every pass. Routed through
+      // buildOnce (round-20 advice): the _DONE marker is written only
+      // after a complete build, and the CacheVersion-keyed path means
+      // a shape change to eventsUs invalidates the fixture.
+      val scattered = buildOnce("compact_in", d) { dir =>
         eventsUs(s, d).select(col("event_id"), col("user_id"), col("value"))
           .repartition(64)
-          .write.mode("overwrite").parquet(scattered)
+          .write.mode("overwrite").parquet(new java.io.File(dir, "scatter").toString)
+      }.toString + "/scatter"
       graft.io.Layout.compact(s, scattered, packed,
         targetFileBytes = 256L * 1024)
       s.read.parquet(packed)

@@ -185,16 +185,25 @@ object TextStatsExprs {
     * Arrays shorter than 2 yield an empty array; both call sites
     * filter `size(ts) >= 2` first, so the legacy form's
     * descending-sequence corner for n < 2 is unreachable either way.
+    * Tokens are copied to the heap (`clone`): the child array may be
+    * backed by reused unsafe/columnar memory, and the returned rows
+    * must stay valid if a consumer ever buffers them across input
+    * rows. Each token is fetched+cloned once and shared by its two
+    * pairs (immutable heap copies — sharing is safe).
     * Called from generated code. */
   def tokenPairs(ts: org.apache.spark.sql.catalyst.util.ArrayData): org.apache.spark.sql.catalyst.util.ArrayData = {
     val n = ts.numElements()
     if (n < 2)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    var prev = ts.getUTF8String(0)
+    if (prev != null) prev = prev.clone()
     val out = new Array[Any](n - 1)
     var i = 0
     while (i < n - 1) {
-      out(i) = new GenericInternalRow(Array[Any](
-        ts.getUTF8String(i), ts.getUTF8String(i + 1)))
+      var next = ts.getUTF8String(i + 1)
+      if (next != null) next = next.clone()
+      out(i) = new GenericInternalRow(Array[Any](prev, next))
+      prev = next
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)

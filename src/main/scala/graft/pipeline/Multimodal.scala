@@ -57,14 +57,23 @@ object Multimodal {
   /** Real image codec over the JDK's javax.imageio (PNG/JPEG/GIF/BMP).
     * Feature layout (dim 8): mean luminance of the 2×2 grid quadrants,
     * mean R/G/B, aspect ratio — cheap, deterministic, content-derived. */
-  object ImageCodec {
-    // javax.imageio defaults to a DISK-backed stream cache: every
-    // ImageIO.read/write spills the payload to a temp FILE before
-    // decoding. For in-memory byte-array payloads (the only inputs
-    // here) that is a file create+write+delete per row — measured
-    // ~5× the decode itself on small frames. Decoded pixels are
-    // byte-identical either way; only the staging buffer changes.
+  /** Process-global javax.imageio knob, applied through one explicit
+    * shared init so the effect does not depend on which codec object
+    * happens to be class-initialized first (round-20 advice): the
+    * default DISK-backed stream cache stages every in-memory
+    * ImageIO.read/write through a temp FILE (create+write+delete per
+    * row) — measured ~5× the decode itself on small frames. Decoded
+    * pixels are byte-identical either way; only the staging buffer
+    * changes. Every codec object that touches ImageIO calls ensure()
+    * in its own initializer. */
+  private[pipeline] object ImageIOInit {
     javax.imageio.ImageIO.setUseCache(false)
+    /** Idempotent — referencing the object runs the initializer once. */
+    def ensure(): Unit = ()
+  }
+
+  object ImageCodec {
+    ImageIOInit.ensure()
     val featureDim = 8
 
     def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
@@ -277,6 +286,7 @@ object Multimodal {
     * features averaged over ≤16 evenly-spaced frames — bounded work
     * per row regardless of clip length. */
   object VideoCodec {
+    ImageIOInit.ensure() // encodeMjpegAvi writes JPEG frames via ImageIO
     val featureDim = 8
     private val MaxFeatureFrames = 16
 
