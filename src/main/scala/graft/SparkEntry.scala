@@ -153,8 +153,10 @@ object SparkEntry {
     * a 32-bit hashCode alone could collide two datasets — plus a
     * format-version tag so a layout change in a later build never
     * silently reuses an old store. */
-  private val CacheVersion = "v6" // v6: subject-position typed sidecar (s_num)
-  private def tmpPath(prefix: String, d: String): String =
+  // v7: scale-adaptive store file sizing (round-20) — dict stores
+  // rebuild with target-sized files instead of 32 tiny ones
+  private val CacheVersion = "v7"
+  private[graft] def tmpPath(prefix: String, d: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_${prefix}_" +
       d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + CacheVersion
 
@@ -191,7 +193,11 @@ object SparkEntry {
         val (kind, bytes, meta) = payload(id)
         rows.add(org.apache.spark.sql.Row(id, kind, bytes, meta))
       }
+      // ONE file: ~200 small rows scattered over default-parallelism
+      // files made every media scan pay 32 tasks of reader setup for
+      // ~6 rows each (round-20; same lesson as the dict-store sizing)
       s.createDataFrame(rows, graft.pipeline.Multimodal.mediaSchema)
+        .coalesce(1)
         .write.mode("overwrite")
         .parquet(new java.io.File(dir, "media").toString)
     }

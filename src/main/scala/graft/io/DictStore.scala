@@ -830,12 +830,18 @@ final class DictStore private (val spark: SparkSession,
                            nullable: Set[String], proj: Column => Column,
                            name: String => String): DataFrame = {
     var df = df0
-    vars.zipWithIndex.foreach { case (v, i) =>
-      val d = dict.select(col("id").as(s"__ji$i"),
-        proj(col("term")).as(name(v)))
-      df = df.join(d, col(v) === col(s"__ji$i"),
+    // ONE canonical dict-side subtree for every var (fixed alias
+    // names; the per-var name is a rename ABOVE the join): the N
+    // per-var joins then reference plan-identical subtrees, so
+    // Spark's ReuseExchange materializes the dict scan + broadcast
+    // hash relation ONCE per query instead of once per decoded var
+    // (round-20: two full-dict broadcast builds per 2-var entry).
+    val d = dict.select(col("id").as("__ji"), proj(col("term")).as("__jv"))
+    vars.foreach { v =>
+      df = df.join(d, col(v) === col("__ji"),
         if (nullable.contains(v)) "left_outer" else "inner")
-        .drop(s"__ji$i")
+        .drop("__ji")
+        .withColumnRenamed("__jv", name(v))
     }
     df
   }
@@ -1695,13 +1701,16 @@ final class DictStore private (val spark: SparkSession,
                           nullable: Set[String] = Set.empty,
                           carry: List[String] = Nil): DataFrame = {
     var df = idDf
-    keep.zipWithIndex.foreach { case (v, i) =>
+    // canonical dict-side subtree (fixed alias names) for the same
+    // ReuseExchange sharing as [[joinDictCols]]: one dict scan + one
+    // broadcast build per query, not per materialized var
+    val d = dict.select(col("id").as("__mid"), col("term").as("__mt"))
+    keep.foreach { v =>
       if (df.columns.contains(v)) {
-        val d = dict.select(col("id").as(s"__mid$i"), col("term").as(s"__mt$i"))
-        df = df.join(d, col(v) === col(s"__mid$i"),
+        df = df.join(d, col(v) === col("__mid"),
             if (nullable.contains(v)) "left_outer" else "inner")
-          .drop(v, s"__mid$i")
-          .withColumnRenamed(s"__mt$i", v)
+          .drop(v, "__mid")
+          .withColumnRenamed("__mt", v)
       }
     }
     // `carry`: already-term columns to keep as-is (aggregate outputs)
@@ -1710,6 +1719,29 @@ final class DictStore private (val spark: SparkSession,
 }
 
 object DictStore {
+
+  /** Scale-adaptive write partition count for the PLAIN store layouts
+    * (round-20, guide §6): size output files toward
+    * `spark.graft.store.targetFileBytes` (default 128 MB) using the
+    * optimizer's size estimate, clamped to [1, shuffle.partitions].
+    * A fixed `shuffle.partitions`-way write scattered a 6 MB store
+    * over 32 ~180 KB files of ~12 row groups each; every later scan
+    * then paid 32 tasks x per-task reader setup x 12 per-row-group
+    * inits — measured 4.2x the CPU of the same scan over sensibly
+    * sized files. At scale the estimate grows and the count rises
+    * toward shuffle.partitions, so production stores keep many
+    * target-sized files. Bucketed layouts are untouched — their
+    * bucket count is the layout contract that buys shuffle-free
+    * joins. */
+  private def sizedParts(df: DataFrame): Int = {
+    val spark = df.sparkSession
+    val target = spark.conf.getOption("spark.graft.store.targetFileBytes")
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    val cap = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = est / target + (if (est % target == 0) 0 else 1)
+    if (n < 1) 1 else if (n > cap) cap else n.toInt
+  }
 
   /** One-time ingest: build the dictionary over every distinct term of
     * `quads`, encode the four positions to long ids, and persist both
@@ -1728,13 +1760,13 @@ object DictStore {
     // (The lex range-partition + sort sit BEFORE the assignment inside
     // that same stage: they make per-query constant lookups prune by
     // row-group lex ranges — see [[DictStore.lookupFrame]].)
-    lexClusteredIds(quads)
+    val parts = sizedParts(quads)
+    lexClusteredIds(quads, parts)
       .write.mode(SaveMode.Overwrite).option("compression", "zstd")
       .parquet(s"$path/dict")
     val dict = spark.read.parquet(s"$path/dict")
     encodeIds(quads, dict)
-      .repartition(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt,
-        col("p"), col("s"))
+      .repartition(parts, col("p"), col("s"))
       .sortWithinPartitions("p", "s")
       .write.mode(SaveMode.Overwrite).option("compression", "zstd")
       .parquet(s"$path/quads")
@@ -1760,15 +1792,11 @@ object DictStore {
     * tight lex min/max for lookup pruning), with ids assigned INSIDE
     * the write stage (after the range shuffle — see the retry-safety
     * comments at the call sites). */
-  private def lexClusteredIds(quads: DataFrame): DataFrame = {
-    val spark = quads.sparkSession
+  private def lexClusteredIds(quads: DataFrame, parts: Int): DataFrame =
     distinctTerms(quads)
-      .repartitionByRange(
-        spark.conf.get("spark.sql.shuffle.partitions", "32").toInt,
-        col("term.lex"))
+      .repartitionByRange(parts, col("term.lex"))
       .sortWithinPartitions(col("term.lex"))
       .select(monotonically_increasing_id().as("id"), col("term"))
-  }
 
   /** The four encode joins against a FROZEN dict (s/p/o inner, g left
     * outer), plus the TYPED OBJECT SIDECAR: four narrow columns
@@ -1887,7 +1915,7 @@ object DictStore {
       s"$path carries o_ts (UTC-encoded): append needs a UTC session")
     val dict0 = spark.read.parquet(s"$path/dict")
     val base = dict0.agg(max(col("id"))).head().getLong(0) + 1L
-    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val parts = sizedParts(quads) // batch-sized, not a fixed fan-out
     distinctTerms(quads)
       .join(dict0.select(col("term")), Seq("term"), "left_anti")
       .repartitionByRange(parts, col("term.lex"))
@@ -1931,7 +1959,6 @@ object DictStore {
   def compact(spark: SparkSession, path: String): Unit = {
     require(!bucketedMarkerExists(spark, path),
       s"$path is a bucketed store: its files are catalog-owned; re-encode")
-    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val hconf = spark.sparkContext.hadoopConfiguration
     def swapWrite(sub: String)(write: (DataFrame, String) => Unit): Unit = {
       val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
@@ -1946,12 +1973,12 @@ object DictStore {
       spark.catalog.refreshByPath(live.toString)
     }
     swapWrite("quads") { (df, out) =>
-      df.repartition(parts, col("p"), col("s"))
+      df.repartition(sizedParts(df), col("p"), col("s"))
         .sortWithinPartitions("p", "s")
         .write.option("compression", "zstd").parquet(out)
     }
     swapWrite("dict") { (df, out) =>
-      df.repartitionByRange(parts, col("term.lex"))
+      df.repartitionByRange(sizedParts(df), col("term.lex"))
         .sortWithinPartitions(col("term.lex"))
         .write.option("compression", "zstd").parquet(out)
     }
@@ -2012,9 +2039,9 @@ object DictStore {
     val lexTmp = new org.apache.hadoop.fs.Path(s"$path/dict_by_lex_compacting")
     val lexOld = new org.apache.hadoop.fs.Path(s"$path/dict_by_lex_old")
     lfs.delete(lexTmp, true); lfs.delete(lexOld, true)
-    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    spark.read.parquet(lexLive.toString)
-      .repartitionByRange(parts, col("term.lex"))
+    val lexDf = spark.read.parquet(lexLive.toString)
+    lexDf
+      .repartitionByRange(sizedParts(lexDf), col("term.lex"))
       .sortWithinPartitions(col("term.lex"))
       .write.option("compression", "zstd").parquet(lexTmp.toString)
     require(lfs.rename(lexLive, lexOld), s"swap failed: $lexLive")
@@ -2055,7 +2082,7 @@ object DictStore {
     require(!existing.columns.contains("o_ts") ||
         spark.sessionState.conf.sessionLocalTimeZone == "UTC",
       s"$path carries o_ts (UTC-encoded): append needs a UTC session")
-    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val parts = sizedParts(quads) // batch-sized, not a fixed fan-out
     val dictLex0 = spark.read.parquet(s"$path/dict_by_lex")
     val base0 = dictLex0.agg(max(col("id"))).head().getLong(0) + 1L
     distinctTerms(quads)
@@ -2146,7 +2173,7 @@ object DictStore {
     // phase-1 copy is lex-clustered and KEPT as `dict_by_lex`: it is
     // the pruned per-query constant-lookup side (the id-bucketed table
     // has no lex locality), and its ids are identical by construction.
-    lexClusteredIds(quads)
+    lexClusteredIds(quads, sizedParts(quads))
       .write.mode(SaveMode.Overwrite).option("compression", "zstd")
       .parquet(s"$path/dict_by_lex")
     spark.read.parquet(s"$path/dict_by_lex")

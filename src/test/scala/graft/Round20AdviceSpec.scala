@@ -63,9 +63,7 @@ class Round20AdviceSpec extends AnyFlatSpec with Matchers {
       .toDF("event_id", "user_id", "value", "ts", "event_type", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
 
-    val fixture = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_compact_in_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_v6")
+    val fixture = new java.io.File(SparkEntry.tmpPath("compact_in", dir))
     def scatterMtimes: Map[String, Long] = {
       val sc = new java.io.File(fixture, "scatter")
       sc.listFiles().filter(_.getName.endsWith(".parquet"))
