@@ -37,8 +37,8 @@ object PlanFinal {
         }
       })
     args.foreach { name =>
+      stages.clear() // before construction: iterative entries run eager jobs there
       val df = SparkEntry.queries(name)(spark, sfDir)
-      stages.clear()
       // execute THIS QueryExecution (noop write / foreachPartition
       // both plan their OWN), so the printed AdaptiveSparkPlan is the
       // final one with runtime ReusedExchange nodes

@@ -1304,13 +1304,26 @@ object SparkEntry {
       // 3-iteration PageRank over the supplier→part supply graph
       // (every part is dangling — the uniform redistribution path
       // carries real mass); fixed iterations make the computation a
-      // pure function the oracle unrolls in SQL
+      // pure function the oracle unrolls in SQL.
+      // Round-20: the iterations run in LONG id space (suppkey·2 /
+      // partkey·2+1 — disjoint by parity, exact: keys are nonnegative
+      // ints) and the "s"/"p" labels are re-derived only on the final
+      // dimension-sized rank table — 3 rounds of joins/aggregations
+      // shuffle 8-byte keys instead of strings (guide §2.3, narrower
+      // types; §8, decide on a lightweight proxy). Same node set,
+      // same edge multiset, same rank formula — the oracle is
+      // unchanged and certifies the rewrite.
       val e = t(s, d, "lineitem")
-        .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
-          concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
+        .select((col("l_suppkey").cast("long") * 2).as("src"),
+          (col("l_partkey").cast("long") * 2 + 1).as("dst"))
         .distinct()
       graft.pipeline.PageRank.pageRank(e, iterations = 3)
-        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .select(
+          when(col("node") % 2 === 0,
+            concat(lit("s"), expr("node div 2").cast("string")))
+            .otherwise(concat(lit("p"), expr("node div 2").cast("string")))
+            .as("node"),
+          round(col("rank"), 6).as("rank"))
     },
     "q_salted_join" -> { (s, d) =>
       // skew-proof orders⋈customer: the salted join must produce
